@@ -1,0 +1,133 @@
+"""Materialized lakehouse: the engine's storage layer.
+
+Mirrors the reference's dual physical layout (SURVEY.md §1.3):
+  - doc-oriented `infotons` (like the ES index: one doc per version) —
+    partitioned by `kind`, sorted by `path` within files so point lookups
+    and path-prefix scans prune via parquet min/max stats;
+  - EAV `triples` (like Cassandra data2.Infoton: uuid,quad,field,value) —
+    partitioned by predicate `p`, so every bound-predicate scan (qp filter
+    compile, SPARQL BGP pattern) reads exactly one predicate's files.
+
+At 100 TB the same layout holds: `kind`/predicate are low-cardinality
+partition keys; within a partition, files are sorted by path (doc table)
+or by object value (triples) for min/max skipping; a very-high-cardinality
+dynamic schema would hash-bucket `p` instead (documented divergence).
+
+The materializer is cached per (sf_dir): a stamp file records the source
+fingerprint; rebuilds only when sources change.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cm_well_spark.model.builder import build_infotons
+
+DEFAULT_ROOT = os.environ.get("CMW_LAKEHOUSE", "/root/repo/.lakehouse")
+
+
+def _fingerprint(sf_dir: str) -> str:
+    files = sorted(os.listdir(sf_dir))
+    sig = [(f, os.path.getmtime(os.path.join(sf_dir, f)), os.path.getsize(os.path.join(sf_dir, f))) for f in files]
+    return json.dumps(sig)
+
+
+def lakehouse_dir(sf_dir: str, root: str | None = None) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return os.path.join(root or DEFAULT_ROOT, tag)
+
+
+def triples_of(infotons: DataFrame) -> DataFrame:
+    """Explode the doc table into long/EAV form — the `triples` view
+    (SELECT path s, field p, value o, quad g ... LATERAL VIEW explode)."""
+    e = infotons.select(
+        "path",
+        "index_time",
+        "current",
+        "kind",
+        F.explode("fields").alias("p", "vals"),
+    ).select(
+        F.col("path").alias("s"),
+        "p",
+        F.explode("vals").alias("v"),
+        "index_time",
+        "current",
+        "kind",
+    )
+    return e.select(
+        "s",
+        "p",
+        F.col("v.value").alias("o"),
+        F.col("v.quad").alias("g"),
+        F.col("v.vtype").alias("vtype"),
+        F.col("v.num").alias("num"),
+        F.col("v.ts").alias("ts"),
+        F.col("v.bool").alias("bool"),
+        F.col("v.lang").alias("lang"),
+        "index_time",
+        "current",
+        "kind",
+    )
+
+
+def materialize(spark: SparkSession, sf_dir: str, root: str | None = None, force: bool = False) -> str:
+    """Build + write the lakehouse for one scale factor; returns its dir."""
+    out = lakehouse_dir(sf_dir, root)
+    stamp = os.path.join(out, "_STAMP.json")
+    fp = _fingerprint(sf_dir)
+    if not force and os.path.exists(stamp):
+        with open(stamp) as fh:
+            if fh.read() == fp:
+                return out
+    inf = build_infotons(spark, sf_dir)
+    # sortWithinPartitions("path"): parquet min/max on path per row-group ->
+    # point lookups and prefix scans skip files.
+    (
+        inf.repartition("kind")
+        .sortWithinPartitions("path")
+        .write.mode("overwrite")
+        .partitionBy("kind")
+        .parquet(os.path.join(out, "infotons"))
+    )
+    infotons = spark.read.parquet(os.path.join(out, "infotons"))
+    (
+        triples_of(infotons)
+        .repartition("p")
+        .sortWithinPartitions("o")
+        .write.mode("overwrite")
+        .partitionBy("p")
+        .parquet(os.path.join(out, "triples"))
+    )
+    # per-predicate stats: the BGP reorderer's cardinality source — the Spark
+    # analog of the reference's live count() per predicate
+    # (JenaArqExtensionsUtils.sortTriplePatternsByAmount:187-225).
+    t = spark.read.parquet(os.path.join(out, "triples"))
+    t.groupBy("p").agg(
+        F.count("*").alias("n_triples"),
+        F.approx_count_distinct("o").alias("n_distinct_obj"),
+        F.approx_count_distinct("s").alias("n_distinct_subj"),
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out, "predicate_stats"))
+    os.makedirs(out, exist_ok=True)
+    with open(stamp, "w") as fh:
+        fh.write(fp)
+    return out
+
+
+def load_infotons(spark: SparkSession, sf_dir: str, root: str | None = None) -> DataFrame:
+    out = materialize(spark, sf_dir, root)
+    return spark.read.parquet(os.path.join(out, "infotons"))
+
+
+def load_triples(spark: SparkSession, sf_dir: str, root: str | None = None) -> DataFrame:
+    out = materialize(spark, sf_dir, root)
+    return spark.read.parquet(os.path.join(out, "triples"))
+
+
+def load_predicate_stats(spark: SparkSession, sf_dir: str, root: str | None = None) -> dict[str, dict]:
+    out = materialize(spark, sf_dir, root)
+    rows = spark.read.parquet(os.path.join(out, "predicate_stats")).collect()
+    return {r["p"]: {"n": r["n_triples"], "dobj": r["n_distinct_obj"], "dsubj": r["n_distinct_subj"]} for r in rows}

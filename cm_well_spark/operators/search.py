@@ -1,0 +1,157 @@
+"""Search — the workhorse query (reference lifecycle SURVEY.md §3.1).
+
+op=search/read/list over the infoton doc table: path filter + qp field
+filters + dates filter + history/deleted visibility + sort + paging +
+fields mask, all as ONE declarative DataFrame plan (the reference needs a
+parse->resolve->ES-request->post-process pipeline across two process
+boundaries; here Catalyst owns the whole plan and pushes filters into the
+parquet scan).
+
+Semantics sources:
+  path filter        FTSService.scala:856-864 (parent / parent_hierarchy)
+  dates filter       FTSService.scala:866-871
+  visibility         FTSService.scala:850-854 (current, !DeletedInfoton)
+  paging guards      Application.scala:2142-2145 (offset<=1000, length<=10000)
+  fields mask (F7)   Infoton.masked:215-218
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from datetime import datetime
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from cm_well_spark.parsers.qp import FieldFilter, parse_qp
+from cm_well_spark.parsers.sort import DEFAULT_SORT, SortKey, parse_sort_by
+from cm_well_spark.plans.compile import SYSTEM_COLUMNS, compile_filter
+
+MAX_OFFSET = 1_000
+MAX_LENGTH = 10_000
+
+
+@dataclass(frozen=True)
+class PathFilter:
+    """PathFilter(path, descendants) — FTSService.scala:1839."""
+
+    path: str
+    descendants: bool = False
+
+
+def visibility_filter(with_history: bool = False, with_deleted: bool = False) -> Column:
+    cond = F.lit(True)
+    if not with_history:
+        cond = cond & (F.col("current") == True)  # noqa: E712
+    if not with_history and not with_deleted:
+        cond = cond & (F.col("kind") != "DeletedInfoton")
+    return cond
+
+
+def path_filter_col(pf: PathFilter) -> Column:
+    if pf.path == "/":
+        return (F.col("parent") == "/") if not pf.descendants else F.lit(True)
+    if pf.descendants:
+        return F.array_contains(F.col("parent_hierarchy"), pf.path) | (F.col("parent") == pf.path)
+    return F.col("parent") == pf.path
+
+
+def _sort_exprs(keys: tuple[SortKey, ...]) -> list[Column]:
+    exprs: list[Column] = []
+    for k in keys:
+        if k.field == "system.score":
+            continue  # relevance has no analog — deterministic order instead
+        if k.field in SYSTEM_COLUMNS:
+            cols: list[Column] = [F.col(SYSTEM_COLUMNS[k.field])]
+        else:
+            first = F.element_at(F.col("fields").getItem(k.field), 1)
+            # typed shadows first so numeric/date fields sort type-correctly
+            # (ES sorts on the typed index field; strings on `.%exact`)
+            cols = [first["num"], first["ts"], first["value"]]
+        exprs.extend(c.desc_nulls_last() if k.desc else c.asc_nulls_last() for c in cols)
+    exprs.append(F.col("path").asc())  # total order for deterministic paging
+    return exprs
+
+
+def search(
+    infotons: DataFrame,
+    path_filter: PathFilter | None = None,
+    qp: str | FieldFilter | None = None,
+    dates_from: datetime | None = None,
+    dates_to: datetime | None = None,
+    sort_by: str | tuple[SortKey, ...] | None = None,
+    offset: int = 0,
+    length: int = 100,
+    with_history: bool = False,
+    with_deleted: bool = False,
+    fields_mask: list[str] | None = None,
+    enforce_limits: bool = True,
+) -> DataFrame:
+    """One declarative plan for the full search surface. Returns infoton rows."""
+    if enforce_limits:
+        if offset > MAX_OFFSET:
+            raise ValueError(f"offset is limited to {MAX_OFFSET}")
+        if length > MAX_LENGTH:
+            raise ValueError(f"length is limited to {MAX_LENGTH}")
+
+    df = infotons.where(visibility_filter(with_history, with_deleted))
+    if path_filter is not None:
+        df = df.where(path_filter_col(path_filter))
+    if dates_from is not None:
+        df = df.where(F.col("last_modified") >= F.lit(dates_from))
+    if dates_to is not None:
+        df = df.where(F.col("last_modified") <= F.lit(dates_to))
+    if qp is not None:
+        ff = parse_qp(qp) if isinstance(qp, str) else qp
+        df = df.where(compile_filter(ff))
+
+    keys = parse_sort_by(sort_by) if (sort_by is None or isinstance(sort_by, str)) else sort_by
+    exprs = _sort_exprs(keys or DEFAULT_SORT)
+    df = df.orderBy(*exprs)
+
+    if length is not None:
+        # TopK: Catalyst plans TakeOrderedAndProject for orderBy+limit — no
+        # full sort at scale. The offset slice re-ranks only the K kept rows
+        # (offset is capped at 1000, mirroring the reference's guard).
+        df = df.limit(offset + length)
+        if offset:
+            w = Window.orderBy(*exprs)
+            df = df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") > offset).drop("__rn")
+
+    if fields_mask is not None:
+        df = df.withColumn("fields", F.map_filter(F.col("fields"), lambda k, v: k.isin(*fields_mask)))
+    return df
+
+
+def read_path(infotons: DataFrame, path: str) -> DataFrame:
+    """S1 point lookup: latest version at path (CRUDServiceFS.scala:129-195)."""
+    return infotons.where((F.col("path") == path) & F.col("current"))
+
+
+def read_uuid(infotons: DataFrame, uuid: str) -> DataFrame:
+    """S2: any version by uuid (Application.scala:501)."""
+    return infotons.where(F.col("uuid") == uuid)
+
+
+def batch_get(infotons: DataFrame, paths_df: DataFrame) -> DataFrame:
+    """S3 `_out`: bag of infotons for a set of paths; broadcast the (small)
+    key set so the big table is never shuffled (CRUDServiceFS.scala:237)."""
+    keys = paths_df.select(F.col(paths_df.columns[0]).alias("path")).distinct()
+    return infotons.where(F.col("current")).join(F.broadcast(keys), "path", "left_semi")
+
+
+def irretrievable_paths(infotons: DataFrame, paths_df: DataFrame) -> DataFrame:
+    """S3 companion: requested paths that do not exist (anti join)."""
+    keys = paths_df.select(F.col(paths_df.columns[0]).alias("path")).distinct()
+    return keys.join(infotons.where(F.col("current")).select("path"), "path", "left_anti")
+
+
+def list_children(infotons: DataFrame, path: str, descendants: bool = False) -> DataFrame:
+    """S4: directory listing (FTSService.listChildren:198-206)."""
+    return infotons.where(visibility_filter()).where(path_filter_col(PathFilter(path, descendants)))
+
+
+def history(infotons: DataFrame, path: str, limit: int | None = None) -> DataFrame:
+    """S5: all versions of a path ordered by time (CRUDServiceFS:197-228)."""
+    df = infotons.where(F.col("path") == path).orderBy("last_modified")
+    return df.limit(limit) if limit else df

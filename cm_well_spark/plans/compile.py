@@ -1,0 +1,210 @@
+"""FieldFilter AST -> Catalyst Column expression (F2).
+
+Mirrors the reference's filter->index compilation
+(FTSService.applyFiltersToRequest / applyFieldFilter, FTSService.scala:840-933):
+
+  Contains            -> matchPhraseQuery on the analyzed field
+                         => token-phrase containment after simple analysis
+                            (lowercase, non-alnum -> space) — documented
+                            divergence from Lucene's analyzer, SURVEY §7.
+  Equals              -> termQuery on the `.%exact` keyword subfield
+                         => exact string equality on the lexical form.
+  Gt/Gte/Lt/Lte       -> typed rangeQuery => compare typed shadow (num/ts)
+                         when the query literal parses, else lexicographic.
+  Like                -> fuzzyQuery => levenshtein with ES AUTO fuzziness
+                         (0 edits for len<3, 1 for 3-5, 2 for >5).
+  (no value)          -> existsQuery => fields map has non-empty entry.
+
+Bool combination follows ES `bool` semantics exactly: AND of musts, AND NOT
+of mustNots, and `should` clauses are REQUIRED (OR'd) only when the level has
+no must clauses (ES minimum_should_match default) — the reference relies on
+this (SURVEY §2.2 F1). The in-memory SoftBoolean re-filter
+(FTSService.scala:1841-1915) matches this for the cases it supports.
+
+Everything compiles to pure `pyspark.sql.functions` expressions over the
+doc-table schema — JVM-side, codegen-friendly, no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from cm_well_spark.parsers.qp import (
+    CONTAINS,
+    EQUALS,
+    GT,
+    GTE,
+    LIKE,
+    LT,
+    LTE,
+    MUST,
+    MUSTNOT,
+    SHOULD,
+    FieldFilter,
+    MultiFieldFilter,
+    SingleFieldFilter,
+)
+
+# system.* field keys -> top-level doc-table columns (the reference stores
+# these under the `system.` object in ES, indices_template_new.json).
+SYSTEM_COLUMNS = {
+    "system.path": "path",
+    "system.parent": "parent",
+    "system.uuid": "uuid",
+    "system.kind": "kind",
+    "system.dc": "dc",
+    "system.lastModified": "last_modified",
+    "system.lastModifiedBy": "last_modified_by",
+    "system.indexTime": "index_time",
+    "system.protocol": "protocol",
+    "content.mimeType": "mime_type",
+    "link.to": "link_to",
+}
+
+
+def analyze_expr(c: Column) -> Column:
+    """The engine's "analyzer": lowercase + collapse non-alphanumerics to
+    single spaces. Stands in for Lucene's standard analyzer (divergence
+    documented in SURVEY §7.3)."""
+    return F.trim(F.regexp_replace(F.lower(c), r"[^\p{L}\p{N}]+", " "))
+
+
+def _fuzz(term: str) -> int:
+    # ES AUTO fuzziness buckets
+    n = len(term)
+    return 0 if n < 3 else (1 if n <= 5 else 2)
+
+
+def _parse_literal(value: str):
+    """Classify the query literal once at compile time (the reference
+    dispatches on the indexed field's mapped type; we dispatch on the
+    literal, which matches for well-formed queries)."""
+    try:
+        return ("num", float(value))
+    except ValueError:
+        pass
+    for fmt in ("%Y-%m-%dT%H:%M:%S.%fZ", "%Y-%m-%dT%H:%M:%SZ", "%Y-%m-%dT%H:%M:%S", "%Y-%m-%d"):
+        try:
+            return ("ts", datetime.strptime(value, fmt).replace(tzinfo=timezone.utc))
+        except ValueError:
+            continue
+    return ("str", value)
+
+
+def _range_pred(vo: str, value: str):
+    kind, lit = _parse_literal(value)
+    ops = {GT: "__gt__", GTE: "__ge__", LT: "__lt__", LTE: "__le__"}
+    op = ops[vo]
+
+    def pred(v: Column) -> Column:
+        if kind == "num":
+            return getattr(v["num"], op)(F.lit(lit))
+        if kind == "ts":
+            return getattr(v["ts"], op)(F.lit(lit.replace(tzinfo=None)))
+        return getattr(v["value"], op)(F.lit(lit))
+
+    return pred
+
+
+def _value_pred(vo: str, value: str):
+    """Predicate over ONE field-value struct."""
+    if vo == EQUALS:
+        return lambda v: v["value"] == F.lit(value)
+    if vo == CONTAINS:
+        needle = F.concat(F.lit(" "), analyze_expr(F.lit(value)), F.lit(" "))
+        return lambda v: F.contains(F.concat(F.lit(" "), analyze_expr(v["value"]), F.lit(" ")), needle)
+    if vo == LIKE:
+        k = _fuzz(value)
+        return lambda v: F.levenshtein(F.lower(v["value"]), F.lit(value.lower())) <= F.lit(k)
+    return _range_pred(vo, value)
+
+
+def _system_pred(ff: SingleFieldFilter) -> Column:
+    col = F.col(SYSTEM_COLUMNS[ff.name])
+    if ff.value is None:
+        return col.isNotNull()
+    v = ff.value
+    if ff.name == "system.indexTime":
+        lit = F.lit(int(v))
+    elif ff.name == "system.lastModified":
+        kind, parsed = _parse_literal(v)
+        lit = F.lit(parsed.replace(tzinfo=None) if kind == "ts" else v)
+    else:
+        lit = F.lit(v)
+    return {
+        EQUALS: col == lit,
+        CONTAINS: col.contains(lit),
+        GT: col > lit,
+        GTE: col >= lit,
+        LT: col < lit,
+        LTE: col <= lit,
+        LIKE: F.levenshtein(F.lower(col), F.lower(lit)) <= F.lit(_fuzz(v)),
+    }[ff.value_op]
+
+
+def _single_match(ff: SingleFieldFilter) -> Column:
+    """Match column for one field predicate (ignoring its field_op, which
+    the enclosing bool level consumes)."""
+    name = ff.name
+    # strip type-mangle prefix ("X$name", Infoton.scala:527-537 / in-memory
+    # unmangling FTSService.scala:1860)
+    if len(name) > 2 and name[1] == "$":
+        name = name[2:]
+    if name == "system.quad":
+        # quad filter (F8): any value of any field tagged with this graph
+        if ff.value is None:
+            return F.exists(
+                F.map_values("fields"), lambda vs: F.exists(vs, lambda v: v["quad"].isNotNull())
+            )
+        return F.exists(
+            F.map_values("fields"), lambda vs: F.exists(vs, lambda v: v["quad"] == F.lit(ff.value))
+        )
+    if name in SYSTEM_COLUMNS:
+        return _system_pred(ff)
+    vals = F.col("fields").getItem(name)
+    if ff.value is None:
+        return vals.isNotNull() & (F.size(vals) > 0)
+    pred = _value_pred(ff.value_op, ff.value)
+    # multi-valued semantics: the field matches if ANY value matches
+    # (fields are value sets; ES indexes each value)
+    return F.coalesce(F.exists(vals, pred), F.lit(False))
+
+
+def compile_filter(ff: FieldFilter) -> Column:
+    """Compile a FieldFilter tree to one boolean Column."""
+    if isinstance(ff, SingleFieldFilter):
+        # bare single filter at top level: its own op forms a 1-clause level
+        return _bool_level([ff])
+    return _bool_level(list(ff.filters))
+
+
+def _bool_level(filters: list[FieldFilter]) -> Column:
+    musts, shoulds, must_nots = [], [], []
+    for f in filters:
+        c = _match(f)
+        if f.field_op == MUSTNOT:
+            must_nots.append(c)
+        elif f.field_op == SHOULD:
+            shoulds.append(c)
+        else:
+            musts.append(c)
+    expr = F.lit(True)
+    for c in musts:
+        expr = expr & c
+    for c in must_nots:
+        expr = expr & ~c
+    if shoulds and not musts:
+        ored = shoulds[0]
+        for c in shoulds[1:]:
+            ored = ored | c
+        expr = expr & ored
+    return expr
+
+
+def _match(f: FieldFilter) -> Column:
+    if isinstance(f, SingleFieldFilter):
+        return _single_match(f)
+    return _bool_level(list(f.filters))

@@ -1,0 +1,35 @@
+"""SparkSession factory tuned for the engine.
+
+Local-mode knobs follow the public Spark tuning guidance; on a real cluster
+the same config (AQE on, sensible shuffle partitions, Arrow enabled) is what
+we'd ship — only memory/partition counts change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "cm_well_spark", shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    shuffle = shuffle_partitions or int(os.environ.get("CMW_SHUFFLE_PARTITIONS", cpus))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("CMW_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # test tables store TIMESTAMP(NANOS); read as long, loaders convert
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
