@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry()     — flagship search query at sf0.001 (smoke check).
+queries()   — one entry per implemented SURVEY.md §2 operator.
+oracle_sql()— DuckDB-equivalent SQL per query (correctness gate).
+
+Implementation lives in cm_well_spark.registry; this module stays thin.
 """
 
 from __future__ import annotations
@@ -13,26 +13,28 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from cm_well_spark import registry
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: qp search + typed sort + projection on sf0.001."""
+    from cm_well_spark.model import fieldvals as fv
+    from cm_well_spark.model.lakehouse import load_infotons
+    from cm_well_spark.operators.search import search
+
+    inf = load_infotons(spark, "/root/testdata/sf0.001")
+    df = search(inf, qp="rdfType::Customer,acctbal>1000", sort_by="-acctbal", length=100)
+    return df.select(
+        "path",
+        fv.first_value("name").alias("name"),
+        fv.first_num("acctbal").alias("acctbal"),
+        fv.first_value("mktsegment").alias("mktsegment"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return registry.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return registry.oracle_sql()

@@ -1,0 +1,59 @@
+"""Benchmark harness — times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line.
+
+Ingest (lakehouse materialization) is timed separately as `ingest`; query
+timings are on the materialized store, mirroring the reference's
+write-then-index-then-query architecture (SURVEY.md §3.4).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from cm_well_spark.model.lakehouse import materialize
+    from cm_well_spark.registry import queries
+    from cm_well_spark.session import get_spark
+
+    spark = get_spark("cm_well_bench")
+
+    t0 = time.time()
+    materialize(spark, sf_dir)
+    ingest_s = time.time() - t0
+
+    timings: dict[str, float] = {}
+    qs = queries()
+    bench_names = os.environ.get("CMW_BENCH_QUERIES")
+    names = bench_names.split(",") if bench_names else list(qs)
+    for name in names:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "ingest_sec": round(ingest_s, 3),
+        "sf": sf_val,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

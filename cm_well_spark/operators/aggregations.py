@@ -1,0 +1,276 @@
+"""Aggregations — op=stats / op=aggregate, `ap=` parameter (SURVEY.md §2.4).
+
+Execution semantics follow FTSService.aggregate (FTSService.scala:940-1104):
+aggs run on the FILTERED set (path/qp/dates applied first, :949-951); term
+buckets order by doc count desc; hist buckets are floor(v/interval)*interval
+with minDocCount + extended bounds; sig terms use the JLH-style score over
+foreground vs background term frequencies; card is HLL approximate
+(approx_count_distinct — same HLL++ family as ES cardinality).
+
+Analyzed-vs-exact guard: `field:` (analyzed) on a string field is rejected
+with the reference's error text ("aggregations failure due to fielddata
+disabled", FTSService.scala:958-971; pinned by AggregationTests.scala:91).
+
+Spark mapping notes (all built-in, partial+final hash agg via Catalyst):
+  term   groupBy(value).count -> orderBy(count desc, key asc) limit size
+  stats  agg(count,min,max,avg,sum) over the typed shadow
+  hist   groupBy(floor(num/interval)*interval) + bucket-range fill
+  sig    two grouped counts joined + score expression (no engine hook needed)
+  card   approx_count_distinct / exact countDistinct variant
+
+Multi-valued fields: every value of the set buckets separately (explode),
+matching ES which indexes each value of an array field.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from cm_well_spark.parsers.ap import (
+    AggField,
+    AggFilter,
+    CardAgg,
+    HistAgg,
+    SigAgg,
+    StatsAgg,
+    TermAgg,
+    parse_ap,
+)
+
+
+class AggregationError(ValueError):
+    pass
+
+
+@dataclass
+class AggResult:
+    """One aggregation response node: a DataFrame of buckets/values plus
+    nested sub-results keyed by the parent bucket columns (mirrors the
+    nested AggregationsResponse, FTSService.scala:1023-1080)."""
+
+    filter: AggFilter
+    df: DataFrame
+    subs: list["AggResult"]
+
+    def to_rows(self):
+        return self.df.collect()
+
+
+def _exploded(df: DataFrame, f: AggField, extra: list[Column] | None = None) -> DataFrame:
+    """(path, value-struct) rows for one field; one row per value (sets
+    bucket per-value like ES array indexing)."""
+    vals = F.col("fields").getItem(f.name)
+    out = df.where(vals.isNotNull() & (F.size(vals) > 0)).select(
+        "path", *(extra or []), F.explode(vals).alias("__v")
+    )
+    return out
+
+
+def _guard_text(df: DataFrame, f: AggField, need_numeric: bool = False) -> str:
+    """Returns the sampled vtype; raises the reference's exact error when an
+    analyzed (`:`) aggregation hits a string field, or stats hits text."""
+    row = (
+        df.where(F.col("fields").getItem(f.name).isNotNull())
+        .select(F.element_at(F.col("fields").getItem(f.name), 1)["vtype"].alias("vt"))
+        .first()
+    )
+    vt = row["vt"] if row else None
+    if vt == "s" and (not f.exact) :
+        raise AggregationError("aggregations failure due to fielddata disabled")
+    if need_numeric and vt == "s":
+        raise AggregationError("aggregations failure due to fielddata disabled")
+    return vt
+
+
+def _key_col(f: AggField) -> Column:
+    # bucket key as string, like ES getKeyAsString
+    return F.col("__v")["value"]
+
+
+def aggregate(
+    filtered: DataFrame,
+    ap: str | list[AggFilter],
+    base: DataFrame | None = None,
+) -> list[AggResult]:
+    """Run aggregations over the (already search-filtered) infoton set.
+
+    `base` is the background universe for sig-terms (defaults to
+    `filtered` itself when no wider context is supplied)."""
+    filters = parse_ap(ap) if isinstance(ap, str) else list(ap)
+    return [_run(filtered, f, base if base is not None else filtered, parents=None) for f in filters]
+
+
+def _run(df: DataFrame, agg: AggFilter, base: DataFrame, parents: DataFrame | None) -> AggResult:
+    if isinstance(agg, TermAgg):
+        return _term(df, agg, base)
+    if isinstance(agg, StatsAgg):
+        return _stats(df, agg)
+    if isinstance(agg, HistAgg):
+        return _hist(df, agg, base)
+    if isinstance(agg, SigAgg):
+        return _sig(df, agg, base)
+    if isinstance(agg, CardAgg):
+        return _card(df, agg)
+    raise AggregationError(f"unknown aggregation {agg}")
+
+
+def _term(df: DataFrame, agg: TermAgg, base: DataFrame) -> AggResult:
+    _guard_text(df, agg.field)
+    ex = _exploded(df, agg.field)
+    counts = ex.groupBy(_key_col(agg.field).alias("key")).agg(F.count("*").alias("objects"))
+    top = counts.orderBy(F.desc("objects"), F.asc("key")).limit(agg.size)
+    subs = []
+    if agg.subs:
+        # keep per-bucket membership for children: (key, path)
+        membership = ex.select(_key_col(agg.field).alias("key"), "path").join(
+            F.broadcast(top.select("key")), "key", "left_semi"
+        )
+        src = df.join(membership, "path").select("key", *df.columns)
+        for sub in agg.subs:
+            subs.append(_run_grouped_flat(src, sub, ["key"]))
+    return AggResult(agg, top, subs)
+
+
+def _stats(df: DataFrame, agg: StatsAgg) -> AggResult:
+    _guard_text(df, agg.field, need_numeric=True)
+    ex = _exploded(df, agg.field)
+    num = F.col("__v")["num"]
+    out = ex.agg(
+        F.count(num).alias("count"),
+        F.min(num).alias("min"),
+        F.max(num).alias("max"),
+        F.avg(num).alias("avg"),
+        F.sum(num).alias("sum"),
+    )
+    return AggResult(agg, out, [])
+
+
+def _hist(df: DataFrame, agg: HistAgg, base: DataFrame) -> AggResult:
+    _guard_text(df, agg.field, need_numeric=True)
+    ex = _exploded(df, agg.field)
+    num = F.col("__v")["num"]
+    key = (F.floor(num / agg.interval) * agg.interval).cast("double")
+    counts = ex.groupBy(key.alias("key")).agg(F.count("*").alias("objects"))
+    # bucket-range fill: ES returns every bucket between min and max observed
+    # key (and extended bounds) when minDocCount == 0
+    bounds = counts.agg(F.min("key").alias("lo"), F.max("key").alias("hi")).first()
+    lo, hi = bounds["lo"], bounds["hi"]
+    if lo is not None:
+        import math
+
+        if agg.ext_min is not None:
+            lo = min(lo, math.floor(agg.ext_min / agg.interval) * agg.interval)
+        if agg.ext_max is not None:
+            hi = max(hi, math.floor(agg.ext_max / agg.interval) * agg.interval)
+        spark = df.sparkSession
+        rng = spark.range(int((hi - lo) // agg.interval) + 1).select(
+            (F.lit(float(lo)) + F.col("id") * agg.interval).alias("key")
+        )
+        counts = (
+            rng.join(counts, "key", "left")
+            .select("key", F.coalesce("objects", F.lit(0)).alias("objects"))
+        )
+    counts = counts.where(F.col("objects") >= agg.min_doc_count).orderBy("key")
+    subs = []
+    if agg.subs:
+        membership = ex.select(key.alias("key"), "path")
+        src = df.join(membership, "path").select("key", *df.columns)
+        for sub in agg.subs:
+            subs.append(_run_grouped_flat(src, sub, ["key"]))
+    return AggResult(agg, counts, subs)
+
+
+def _sig(df: DataFrame, agg: SigAgg, base: DataFrame) -> AggResult:
+    """Significant terms (A4): JLH-like score
+    (fgPct/bgPct) * (fgPct - bgPct), foreground = filtered set, background =
+    whole visible set or backgroundTerm-filtered set
+    (FTSService.scala:991-997; ES JLH heuristic)."""
+    _guard_text(df, agg.field)
+    bg_df = base
+    if agg.background_term is not None:
+        k, v = agg.background_term
+        vals = F.col("fields").getItem(k)
+        bg_df = base.where(F.coalesce(F.exists(vals, lambda x: x["value"] == F.lit(v)), F.lit(False)))
+    fg_n = df.count()
+    bg_n = bg_df.count()
+    if fg_n == 0 or bg_n == 0:
+        empty = df.sparkSession.createDataFrame(
+            [], "key string, objects long, score double, bg_count long"
+        )
+        return AggResult(agg, empty, [])
+    fg_counts = (
+        _exploded(df, agg.field)
+        .groupBy(_key_col(agg.field).alias("key"))
+        .agg(F.countDistinct("path").alias("objects"))
+    )
+    bg_counts = (
+        _exploded(bg_df, agg.field)
+        .groupBy(_key_col(agg.field).alias("key"))
+        .agg(F.countDistinct("path").alias("bg_count"))
+    )
+    j = fg_counts.join(bg_counts, "key", "left").select(
+        "key",
+        "objects",
+        F.coalesce(F.greatest("bg_count", "objects"), F.col("objects")).alias("bg_count"),
+    )
+    fg_pct = F.col("objects") / F.lit(float(fg_n))
+    bg_pct = F.col("bg_count") / F.lit(float(bg_n))
+    scored = j.withColumn("score", (fg_pct / bg_pct) * (fg_pct - bg_pct))
+    scored = scored.where((F.col("objects") >= agg.min_doc_count) & (F.col("score") > 0))
+    top = scored.orderBy(F.desc("score"), F.asc("key")).limit(agg.size)
+    return AggResult(agg, top, [])
+
+
+def _card(df: DataFrame, agg: CardAgg, exact: bool = False) -> AggResult:
+    ex = _exploded(df, agg.field)
+    if exact:
+        out = ex.agg(F.countDistinct(_key_col(agg.field)).alias("count"))
+    else:
+        rsd = 0.01 if (agg.precision_threshold or 0) >= 10_000 else 0.05
+        out = ex.agg(F.approx_count_distinct(_key_col(agg.field), rsd).alias("count"))
+    return AggResult(agg, out, [])
+
+
+def card_exact(df: DataFrame, field_name: str) -> DataFrame:
+    """Exact-distinct variant of A5 (oracle-checkable; the approximate HLL
+    path is the reference-faithful default)."""
+    agg = CardAgg(AggField(field_name, True))
+    return _card(df, agg, exact=True).df
+
+
+def _run_grouped_flat(src_with_key: DataFrame, sub: AggFilter, key_cols: list[str]) -> AggResult:
+    """Evaluate a child aggregation grouped by the parent bucket key columns
+    already attached to `src_with_key`."""
+    f = sub.field
+    vals = F.col("fields").getItem(f.name)
+    ex = src_with_key.where(vals.isNotNull() & (F.size(vals) > 0)).select(
+        *key_cols, "path", F.explode(vals).alias("__v")
+    )
+    if isinstance(sub, TermAgg):
+        counts = ex.groupBy(*key_cols, F.col("__v")["value"].alias("key2")).agg(F.count("*").alias("objects"))
+        w = Window.partitionBy(*key_cols).orderBy(F.desc("objects"), F.asc("key2"))
+        top = counts.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") <= sub.size).drop("__rn")
+        return AggResult(sub, top.orderBy(*key_cols, F.desc("objects"), F.asc("key2")), [])
+    if isinstance(sub, StatsAgg):
+        num = F.col("__v")["num"]
+        out = ex.groupBy(*key_cols).agg(
+            F.count(num).alias("count"),
+            F.min(num).alias("min"),
+            F.max(num).alias("max"),
+            F.avg(num).alias("avg"),
+            F.sum(num).alias("sum"),
+        )
+        return AggResult(sub, out.orderBy(*key_cols), [])
+    if isinstance(sub, CardAgg):
+        out = ex.groupBy(*key_cols).agg(F.approx_count_distinct(F.col("__v")["value"]).alias("count"))
+        return AggResult(sub, out.orderBy(*key_cols), [])
+    if isinstance(sub, HistAgg):
+        num = F.col("__v")["num"]
+        key = (F.floor(num / sub.interval) * sub.interval).cast("double")
+        counts = ex.groupBy(*key_cols, key.alias("key2")).agg(F.count("*").alias("objects"))
+        counts = counts.where(F.col("objects") >= sub.min_doc_count)
+        return AggResult(sub, counts.orderBy(*key_cols, "key2"), [])
+    raise AggregationError(f"unsupported nested aggregation {type(sub).__name__}")

@@ -88,7 +88,7 @@ def search(
     enforce_limits: bool = True,
 ) -> DataFrame:
     """One declarative plan for the full search surface. Returns infoton rows."""
-    if enforce_limits:
+    if enforce_limits and length is not None:
         if offset > MAX_OFFSET:
             raise ValueError(f"offset is limited to {MAX_OFFSET}")
         if length > MAX_LENGTH:

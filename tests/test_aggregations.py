@@ -1,0 +1,129 @@
+import pytest
+from pyspark.sql import functions as F
+
+from cm_well_spark.operators.aggregations import AggregationError, aggregate, card_exact
+from cm_well_spark.operators.search import search
+from cm_well_spark.parsers.ap import ApParseError, parse_ap, TermAgg, HistAgg
+
+
+def test_ap_parser_defaults():
+    aggs = parse_ap("type:term,field::mktsegment")
+    assert isinstance(aggs[0], TermAgg)
+    assert aggs[0].size == 10 and aggs[0].field.exact
+
+
+def test_ap_parser_nested_and_options():
+    aggs = parse_ap("type:term,name:seg,field::mktsegment,size:3<type:stats,field::acctbal>")
+    t = aggs[0]
+    assert t.name == "seg" and t.size == 3
+    assert len(t.subs) == 1 and t.subs[0].field.name == "acctbal"
+
+
+def test_ap_parser_multi():
+    aggs = parse_ap("type:stats,field::a~type:card,field::b,precisionThreshold:100")
+    assert len(aggs) == 2
+    assert aggs[1].precision_threshold == 100
+
+
+def test_ap_parser_rejects():
+    with pytest.raises(ApParseError):
+        parse_ap("type:bogus,field::x")
+    with pytest.raises(ApParseError):
+        parse_ap(None)
+
+
+def test_term_agg(infotons, spark, sf_dir):
+    from cm_well_spark.sources import tables as tbl
+
+    cust = search(infotons, qp="rdfType::Customer", length=None)
+    res = aggregate(cust, "type:term,field::mktsegment")[0]
+    got = {r["key"]: r["objects"] for r in res.df.collect()}
+    raw = tbl.load_table(spark, sf_dir, "customer")
+    exp = {r["c_mktsegment"]: r["cnt"] for r in raw.groupBy("c_mktsegment").agg(F.count("*").alias("cnt")).collect()}
+    assert got == exp
+
+
+def test_term_agg_analyzed_text_rejected(infotons):
+    cust = search(infotons, qp="rdfType::Customer", length=None)
+    with pytest.raises(AggregationError, match="fielddata disabled"):
+        aggregate(cust, "type:term,field:mktsegment")
+
+
+def test_stats_agg(infotons, spark, sf_dir):
+    from cm_well_spark.sources import tables as tbl
+
+    li = search(infotons, qp="rdfType::Lineitem", length=None)
+    res = aggregate(li, "type:stats,field::quantity")[0]
+    row = res.df.first()
+    raw = tbl.load_table(spark, sf_dir, "lineitem")
+    exp = raw.agg(
+        F.count("l_quantity").alias("c"),
+        F.min("l_quantity").alias("mn"),
+        F.max("l_quantity").alias("mx"),
+        F.avg("l_quantity").alias("av"),
+        F.sum("l_quantity").alias("sm"),
+    ).first()
+    assert row["count"] == exp["c"]
+    assert row["min"] == exp["mn"] and row["max"] == exp["mx"]
+    assert abs(row["avg"] - exp["av"]) < 1e-9
+    assert abs(row["sum"] - exp["sm"]) < 1e-6
+
+
+def test_hist_agg_fill(infotons):
+    parts = search(infotons, qp="rdfType::Part", length=None)
+    res = aggregate(parts, "type:hist,field::size,interval:10")[0]
+    rows = res.df.collect()
+    keys = [r["key"] for r in rows]
+    # contiguous buckets, interval 10
+    assert keys == sorted(keys)
+    diffs = {round(b - a) for a, b in zip(keys, keys[1:])}
+    assert diffs in ({10}, set())
+
+
+def test_hist_min_doc_count(infotons):
+    parts = search(infotons, qp="rdfType::Part", length=None)
+    res = aggregate(parts, "type:hist,field::size,interval:10,minDocCount:1")[0]
+    assert all(r["objects"] >= 1 for r in res.df.collect())
+
+
+def test_card_exact(infotons, spark, sf_dir):
+    from cm_well_spark.sources import tables as tbl
+
+    li = search(infotons, qp="rdfType::Lineitem", length=None)
+    got = card_exact(li, "ofPart").first()["count"]
+    raw = tbl.load_table(spark, sf_dir, "lineitem")
+    assert got == raw.select("l_partkey").distinct().count()
+
+
+def test_card_approx_within_tolerance(infotons):
+    li = search(infotons, qp="rdfType::Lineitem", length=None)
+    approx = aggregate(li, "type:card,field::ofPart,precisionThreshold:10000")[0].df.first()["count"]
+    exact = card_exact(li, "ofPart").first()["count"]
+    assert abs(approx - exact) / exact < 0.1  # reference docs: ±5-10%
+
+
+def test_sig_terms(infotons):
+    # foreground: high-balance customers; background: all customers
+    base = search(infotons, qp="rdfType::Customer", length=None)
+    fg = search(infotons, qp="rdfType::Customer,acctbal>9000", length=None)
+    res = aggregate(fg, "type:sig,field::mktsegment,minDocCount:1", base=base)[0]
+    rows = res.df.collect()
+    assert all(r["score"] > 0 for r in rows)
+    # every returned term must be over-represented in fg vs bg
+    fg_n = fg.count()
+    bg_n = base.count()
+    for r in rows:
+        assert r["objects"] / fg_n > r["bg_count"] / bg_n
+
+
+def test_term_with_stats_sub(infotons, spark, sf_dir):
+    from cm_well_spark.sources import tables as tbl
+
+    cust = search(infotons, qp="rdfType::Customer", length=None)
+    res = aggregate(cust, "type:term,field::mktsegment<type:stats,field::acctbal>")[0]
+    sub = res.subs[0].df
+    got = {r["key"]: (r["count"], round(r["sum"], 2)) for r in sub.collect()}
+    raw = tbl.load_table(spark, sf_dir, "customer")
+    exp_rows = raw.groupBy("c_mktsegment").agg(F.count("*").alias("c"), F.sum("c_acctbal").alias("s")).collect()
+    exp = {r["c_mktsegment"]: (r["c"], round(r["s"], 2)) for r in exp_rows}
+    assert got == exp
