@@ -84,10 +84,15 @@ def materialize(spark: SparkSession, sf_dir: str, root: str | None = None, force
             if fh.read() == fp:
                 return out
     inf = build_infotons(spark, sf_dir)
-    # sortWithinPartitions("path"): parquet min/max on path per row-group ->
-    # point lookups and prefix scans skip files.
+    # Hash-distribute for even 32-way write parallelism, sort WITHIN each
+    # task by path: parquet row groups inside every file stay tightly
+    # sorted, so row-group min/max skipping works on point lookups/prefix
+    # scans even though file-level ranges overlap. (repartitionByRange
+    # measured 8x slower here — sampling + skewed ranges; a real cluster
+    # would get the file-level clustering from a compaction/OPTIMIZE pass
+    # instead of paying it on the ingest path.)
     (
-        inf.repartition("kind")
+        inf.repartition(32, "kind", "path")
         .sortWithinPartitions("path")
         .write.mode("overwrite")
         .partitionBy("kind")
@@ -96,8 +101,8 @@ def materialize(spark: SparkSession, sf_dir: str, root: str | None = None, force
     infotons = spark.read.parquet(os.path.join(out, "infotons"))
     (
         triples_of(infotons)
-        .repartition("p")
-        .sortWithinPartitions("o")
+        .repartition(32, "p", "o")
+        .sortWithinPartitions("p", "o")
         .write.mode("overwrite")
         .partitionBy("p")
         .parquet(os.path.join(out, "triples"))
@@ -117,14 +122,30 @@ def materialize(spark: SparkSession, sf_dir: str, root: str | None = None, force
     return out
 
 
+# Memoized per (session, table) so repeated queries share one DataFrame —
+# with CMW_CACHE=1 the store is also persisted in memory (warm-store mode,
+# the analog of the reference's hot ES page cache; BASELINE targets are
+# "warm"). At 100 TB you cache the working set, not everything — partition
+# pruning still does the heavy lifting there.
+_DF_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _load(spark: SparkSession, out: str, table: str) -> DataFrame:
+    key = (id(spark), out, table)
+    if key not in _DF_CACHE:
+        df = spark.read.parquet(os.path.join(out, table))
+        if os.environ.get("CMW_CACHE") == "1":
+            df = df.persist()
+        _DF_CACHE[key] = df
+    return _DF_CACHE[key]
+
+
 def load_infotons(spark: SparkSession, sf_dir: str, root: str | None = None) -> DataFrame:
-    out = materialize(spark, sf_dir, root)
-    return spark.read.parquet(os.path.join(out, "infotons"))
+    return _load(spark, materialize(spark, sf_dir, root), "infotons")
 
 
 def load_triples(spark: SparkSession, sf_dir: str, root: str | None = None) -> DataFrame:
-    out = materialize(spark, sf_dir, root)
-    return spark.read.parquet(os.path.join(out, "triples"))
+    return _load(spark, materialize(spark, sf_dir, root), "triples")
 
 
 def load_predicate_stats(spark: SparkSession, sf_dir: str, root: str | None = None) -> dict[str, dict]:

@@ -1,0 +1,293 @@
+"""Versioned merge writer — the write-path operator (W1-W4, SURVEY.md §2.8).
+
+Re-implements the reference's pure merge logic (cmwell-bg Merger.scala:55-239)
+as a batch/micro-batch fold over commands grouped by path:
+
+  write    field-UNION with the previous version (merge_f:55-75); a write
+           on top of a DeletedInfoton resurrects (write_merge:180).
+  update   delete-then-add in one version (update_f:121-127); if nothing
+           remains -> DeletedInfoton tombstone (update_merge:147).
+  delete_attributes
+           value/field/quad-precise deletes (delete_f:77-119):
+             {field: []}                      -> wipe the whole field
+             {field: [(value,quad)]}          -> that value; quad None
+                                                 matches untagged, '*' any
+             {field: [(None, quad)]}          -> every value tagged quad
+             {'*':   [(None, quad-or-'*')]}   -> wildcard across all fields
+           empty result -> DeletedInfoton (delete_merge:133-137).
+  delete_path
+           tombstone; delete-on-delete is a no-op (delete_merge:141).
+
+Execution: `apply_commands` cogroups (current-version rows, commands) by
+path with applyInPandas — Arrow-batched, distributed, and only the CHANGED
+paths flow through Python; the rest of the table is untouched until the
+final current-flag flip (the Spark analog of ImpStream's
+group-commands-by-path micro-batching, ImpStream.scala:96-99). The new
+version's uuid recomputes with the same content-hash recipe as ingest
+(Infoton.scala:139-168 shape); index_time is assigned by the writer like
+the reference assigns it at index time (SURVEY §3.4).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from datetime import datetime
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cm_well_spark.model.schema import FIELD_VALUE_TYPE
+
+# ---------------------------------------------------------------------------
+# pure merge logic (python dicts: fields = {name: [fv dict]})
+# fv dict keys: value, vtype, lang, quad, num, ts, bool  (value None = FNull)
+# ---------------------------------------------------------------------------
+
+
+def merge_fields(prev: dict | None, curr: dict | None) -> dict:
+    """Field-union (merge_f): per-field set union of values."""
+    prev = prev or {}
+    curr = curr or {}
+    out: dict = {}
+    for k in set(prev) | set(curr):
+        seen, vals = set(), []
+        for fv in list(prev.get(k, [])) + list(curr.get(k, [])):
+            key = (fv.get("value"), fv.get("quad"), fv.get("lang"))
+            if key not in seen:
+                seen.add(key)
+                vals.append(fv)
+        if vals:
+            out[k] = vals
+    return out
+
+
+def delete_fields_f(curr: dict | None, deletes: dict) -> dict:
+    """Value/field/quad-precise delete (delete_f)."""
+    curr = dict(curr or {})
+    star = deletes.get("*")
+    asterix = star is not None
+    star_quads = {fv.get("quad") for fv in (star or []) if fv.get("value") is None}
+    star_all = "*" in star_quads
+
+    def quad_matches_star(q):
+        return asterix and (star_all or q in star_quads)
+
+    named = {k: v for k, v in deletes.items() if k != "*"}
+    out: dict = {}
+    for k, vs in curr.items():
+        if k in named or asterix:
+            spec = named.get(k)
+            if spec is not None and len(spec) == 0:
+                continue  # field wipe
+            kept = []
+            for fv in vs:
+                dead = quad_matches_star(fv.get("quad"))
+                for d in spec or []:
+                    if dead:
+                        break
+                    dv, dq = d.get("value"), d.get("quad")
+                    if dv is None:  # FNull: quad-targeted delete within field
+                        dead = dq == "*" or fv.get("quad") == dq
+                    elif dv == fv.get("value"):
+                        if dq is None:
+                            dead = fv.get("quad") is None
+                        elif dq == "*":
+                            dead = True
+                        else:
+                            dead = fv.get("quad") == dq
+                if not dead:
+                    kept.append(fv)
+            if kept:
+                out[k] = kept
+        else:
+            out[k] = vs
+    return out
+
+
+def apply_command(state: tuple[str, dict], cmd: dict) -> tuple[str, dict]:
+    """Fold one command into (kind, fields) state. kind 'missing' means no
+    previous version exists."""
+    kind, fields = state
+    op = cmd["op"]
+    if op == "delete_path":
+        return ("DeletedInfoton", {})
+    if op == "delete_attributes":
+        if kind == "DeletedInfoton":
+            return (kind, fields)  # delete-on-delete no-op
+        nf = delete_fields_f(fields, cmd.get("delete_fields") or {})
+        return (("ObjectInfoton", nf) if nf else ("DeletedInfoton", {}))
+    if op == "update":
+        if kind == "DeletedInfoton" or kind == "missing":
+            nf = merge_fields(None, cmd.get("fields") or {})
+        else:
+            after_del = delete_fields_f(fields, cmd.get("delete_fields") or {})
+            nf = merge_fields(after_del, cmd.get("fields") or {})
+        return (("ObjectInfoton", nf) if nf else ("DeletedInfoton", {}))
+    if op == "write":
+        if kind in ("DeletedInfoton", "missing"):
+            return ("ObjectInfoton", merge_fields(None, cmd.get("fields") or {}))
+        return ("ObjectInfoton", merge_fields(fields, cmd.get("fields") or {}))
+    raise ValueError(f"unknown command op {op!r}")
+
+
+def content_uuid(path: str, last_modified: datetime, fields: dict) -> str:
+    """Same canonical recipe as the ingest builder (model/builder.py) so
+    batch-built and merge-written versions hash identically."""
+    canon = ";".join(
+        sorted(
+            f"{k}:" + "|".join(sorted(str(fv.get("value")) for fv in vs))
+            for k, vs in fields.items()
+            if vs
+        )
+    )
+    lm = last_modified.strftime("%Y-%m-%dT%H:%M:%SZ")
+    return hashlib.md5(f"{path}\n{lm}\n{canon}".encode()).hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# Spark surface
+# ---------------------------------------------------------------------------
+
+COMMAND_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType(), False),
+        T.StructField("seq", T.LongType(), False),  # per-path ordering
+        T.StructField("op", T.StringType(), False),
+        T.StructField("fields", T.MapType(T.StringType(), T.ArrayType(FIELD_VALUE_TYPE))),
+        T.StructField("delete_fields", T.MapType(T.StringType(), T.ArrayType(FIELD_VALUE_TYPE))),
+        T.StructField("last_modified", T.TimestampType()),
+        T.StructField("protocol", T.StringType()),
+    ]
+)
+
+_VERSION_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("uuid", T.StringType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("last_modified", T.TimestampType()),
+        T.StructField("fields", T.MapType(T.StringType(), T.ArrayType(FIELD_VALUE_TYPE))),
+        T.StructField("protocol", T.StringType()),
+        T.StructField("seq", T.LongType()),
+    ]
+)
+
+
+def _fields_to_py(m) -> dict:
+    if m is None:
+        return {}
+    out = {}
+    for k, vs in (m.items() if isinstance(m, dict) else m):
+        out[k] = [v.asDict() if hasattr(v, "asDict") else dict(v) for v in (vs or [])]
+    return out
+
+
+def _merge_group(base_pdf: pd.DataFrame, cmd_pdf: pd.DataFrame) -> pd.DataFrame:
+    """Cogrouped fold: current version (0/1 rows) + ordered commands ->
+    one output row per command (the version it produced)."""
+    if len(cmd_pdf) == 0:
+        return pd.DataFrame(columns=[f.name for f in _VERSION_SCHEMA.fields])
+    path = cmd_pdf["path"].iloc[0]
+    if len(base_pdf):
+        b = base_pdf.iloc[0]
+        state = (b["kind"], _fields_to_py(b["fields"]))
+        protocol = b.get("protocol", "https")
+    else:
+        state = ("missing", {})
+        protocol = "https"
+    rows = []
+    for _, cmd in cmd_pdf.sort_values("seq").iterrows():
+        c = {
+            "op": cmd["op"],
+            "fields": _fields_to_py(cmd["fields"]),
+            "delete_fields": _fields_to_py(cmd["delete_fields"]),
+        }
+        state = apply_command(state, c)
+        lm = cmd["last_modified"].to_pydatetime() if hasattr(cmd["last_modified"], "to_pydatetime") else cmd["last_modified"]
+        rows.append(
+            {
+                "path": path,
+                "uuid": content_uuid(path, lm, state[1]),
+                "kind": state[0],
+                "last_modified": lm,
+                "fields": state[1] or None,
+                "protocol": cmd["protocol"] or protocol,
+                "seq": int(cmd["seq"]),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def merge_versions(infotons: DataFrame, commands: DataFrame) -> DataFrame:
+    """Fold commands into new version rows (one per command), distributed
+    per-path via cogrouped applyInPandas. Only affected paths are read."""
+    affected = commands.select("path").distinct()
+    base = (
+        infotons.where(F.col("current"))
+        .join(F.broadcast(affected), "path", "left_semi")
+        .select("path", "kind", "fields", "protocol")
+    )
+    return (
+        base.groupBy("path")
+        .cogroup(commands.groupBy("path"))
+        .applyInPandas(_merge_group, schema=_VERSION_SCHEMA)
+    )
+
+
+def apply_commands(infotons: DataFrame, commands: DataFrame, index_time_base: int | None = None) -> DataFrame:
+    """Full write-path batch: returns the UPDATED infoton table (old
+    versions kept with current=False, new versions appended; only the last
+    version per path is current — W3+W4 'current flip' in one plan).
+
+    index_time: writer-assigned, monotonically after the table's max
+    (the reference assigns indexTime at index time, SURVEY §3.4)."""
+    versions = merge_versions(infotons, commands)
+    if index_time_base is None:
+        row = infotons.agg(F.max("index_time").alias("m")).first()
+        index_time_base = (row["m"] or 0) + 1
+    from pyspark.sql import Window
+
+    w_seq = F.row_number().over(Window.orderBy("path", "seq"))
+    new_rows = (
+        versions.withColumn("index_time", F.lit(index_time_base) + w_seq - 1)
+        .withColumn("parent", F.when(F.regexp_replace("path", "/[^/]+$", "") == "", "/").otherwise(F.regexp_replace("path", "/[^/]+$", "")))
+        .withColumn(
+            "parent_hierarchy",
+            F.concat(
+                F.array(F.lit("/")),
+                F.filter(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(F.split(F.col("path"), "/")) - F.lit(2)),
+                        lambda i: F.concat_ws("/", F.slice(F.split(F.col("path"), "/"), 1, i + 1)),
+                    ),
+                    lambda p: p != "",
+                ),
+            ),
+        )
+        .withColumn("last_modified_by", F.lit("merge-writer"))
+        .withColumn("dc", F.lit("local"))
+        .withColumn("current", F.lit(False))
+        .withColumn("mime_type", F.lit(None).cast("string"))
+        .withColumn("data", F.lit(None).cast("binary"))
+        .withColumn("data_pointer", F.lit(None).cast("string"))
+        .withColumn("link_to", F.lit(None).cast("string"))
+        .withColumn("link_kind", F.lit(None).cast("int"))
+        .drop("seq")
+    )
+    from pyspark.sql import Window
+
+    affected = versions.select("path").distinct()
+    # Only affected paths pay the current-flip window; the untouched bulk of
+    # the table passes through via a broadcast anti join (no shuffle).
+    untouched = infotons.join(F.broadcast(affected), "path", "left_anti")
+    touched_old = infotons.join(F.broadcast(affected), "path", "left_semi")
+    touched = touched_old.unionByName(new_rows.select(*infotons.columns))
+    w = Window.partitionBy("path").orderBy(F.desc("index_time"))
+    # current marks the latest version per path — tombstones included; the
+    # search visibility filter excludes DeletedInfoton separately
+    # (FTSService.scala:850-854).
+    touched = touched.withColumn("current", F.row_number().over(w) == 1)
+    return untouched.unionByName(touched)

@@ -105,6 +105,15 @@ def search(
         ff = parse_qp(qp) if isinstance(qp, str) else qp
         df = df.where(compile_filter(ff))
 
+    # Export mode (length=None, no explicit sort) skips the sort entirely:
+    # an unbounded orderBy would force a full shuffle-sort that downstream
+    # consumers (aggregations, traversal seeds, streams) don't need. With
+    # paging, orderBy+limit plans as TakeOrderedAndProject (no full sort).
+    if length is None and sort_by is None:
+        if fields_mask is not None:
+            df = df.withColumn("fields", F.map_filter(F.col("fields"), lambda k, v: k.isin(*fields_mask)))
+        return df
+
     keys = parse_sort_by(sort_by) if (sort_by is None or isinstance(sort_by, str)) else sort_by
     exprs = _sort_exprs(keys or DEFAULT_SORT)
     df = df.orderBy(*exprs)

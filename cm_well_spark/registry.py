@@ -389,3 +389,295 @@ def agg_term_nested_stats(spark, sf_dir):
     return sub.select(
         "key", "count", "min", "max", F.round("avg", 2).alias("avg"), F.round("sum", 2).alias("sum")
     )
+
+
+# ---------------------------------------------------------------------------
+# J1-J3: graph traversals (xg / yg / gqp)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "xg_expand_out",
+    oracle="""
+    SELECT '/tpch/orders/' || o_orderkey AS path FROM orders WHERE o_orderkey < 100
+    UNION
+    SELECT DISTINCT '/tpch/customer/' || o_custkey FROM orders WHERE o_orderkey < 100
+    """,
+)
+def xg_expand_out(spark, sf_dir):
+    """J1 xg 1-level: dereference FReference fields via semi join
+    (deepExpandGraph wsutil:716-749)."""
+    from cm_well_spark.operators.traversal import expand_out
+
+    inf = _inf(spark, sf_dir)
+    seeds = S.search(inf, qp="rdfType::Order,orderkey<100", length=None)
+    return expand_out(inf, seeds, "byCustomer").select("path")
+
+
+@register(
+    "xg_two_levels",
+    oracle="""
+    SELECT '/tpch/customer/' || c_custkey AS path FROM customer WHERE c_custkey < 20
+    UNION
+    SELECT DISTINCT '/tpch/nation/' || c_nationkey FROM customer WHERE c_custkey < 20
+    UNION
+    SELECT DISTINCT '/tpch/region/' || n_regionkey FROM customer
+    JOIN nation ON n_nationkey = c_nationkey WHERE c_custkey < 20
+    """,
+)
+def xg_two_levels(spark, sf_dir):
+    """J1 xg chained levels: unrolled bounded join loop (<=9 levels)."""
+    from cm_well_spark.operators.traversal import expand_out
+
+    inf = _inf(spark, sf_dir)
+    seeds = S.search(inf, qp="rdfType::Customer,custkey<20", length=None)
+    return expand_out(inf, seeds, "inNation>ofRegion").select("path")
+
+
+@register(
+    "xg_ghost_skip",
+    oracle="SELECT '/events/' || event_id AS path FROM events",
+)
+def xg_ghost_skip(spark, sf_dir):
+    """J7 ghost skipping: /users/* targets were never written; the
+    expansion joins to nothing and the seeds flow through
+    (GhostInfoton Infoton.scala:320; ExpansionTests.scala:238-243)."""
+    from cm_well_spark.operators.traversal import expand_out
+
+    inf = _inf(spark, sf_dir)
+    seeds = S.search(inf, qp="rdfType::Event", length=None)
+    return expand_out(inf, seeds, "byUser", limit=1_000_000).select("path")
+
+
+@register(
+    "yg_reverse",
+    oracle="""
+    SELECT '/tpch/nation/3' AS path
+    UNION
+    SELECT '/tpch/customer/' || c_custkey FROM customer WHERE c_nationkey = 3
+    """,
+)
+def yg_reverse(spark, sf_dir):
+    """J2 yg '<field': reverse join via the predicate-partitioned triples
+    table (expandUp wsutil:617-714)."""
+    from cm_well_spark.operators.traversal import expand_paths
+
+    inf = _inf(spark, sf_dir)
+    seeds = S.search(inf, qp="rdfType::Nation,nationkey::3", length=None)
+    return expand_paths(inf, _tri(spark, sf_dir), seeds, "<inNation[rdfType::Customer]", limit=1_000_000).select("path")
+
+
+@register(
+    "gqp_semi_filter",
+    oracle="""
+    SELECT '/tpch/orders/' || o_orderkey AS path
+    FROM orders WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    """,
+)
+def gqp_semi_filter(spark, sf_dir):
+    """J3 gqp: graph-pattern SEMI filter — keeps originals, adds nothing
+    (gqpFilter wsutil:751-849)."""
+    from cm_well_spark.operators.traversal import gqp_filter
+
+    inf = _inf(spark, sf_dir)
+    orders = S.search(inf, qp="rdfType::Order", length=None)
+    return gqp_filter(inf, _tri(spark, sf_dir), orders, ">byCustomer[mktsegment::BUILDING]").select("path")
+
+
+@register(
+    "gqp_two_hop",
+    oracle="""
+    SELECT '/tpch/orders/' || o_orderkey AS path
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_nationkey = 3
+    """,
+)
+def gqp_two_hop(spark, sf_dir):
+    """J3 gqp chained hops through two reference fields."""
+    from cm_well_spark.operators.traversal import gqp_filter
+
+    inf = _inf(spark, sf_dir)
+    orders = S.search(inf, qp="rdfType::Order", length=None)
+    return gqp_filter(inf, _tri(spark, sf_dir), orders, ">byCustomer>inNation[nationkey::3]").select("path")
+
+
+# ---------------------------------------------------------------------------
+# J4/J5: SPARQL over the triples view
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sparql_bgp_join",
+    oracle="""
+    SELECT '/tpch/customer/' || c_custkey AS c, n_name AS n
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def sparql_bgp_join(spark, sf_dir):
+    """J4 3-pattern BGP join with greedy reorder from predicate_stats
+    (replaces sortTriplePatternsByAmount JenaArqExtensionsUtils:187-225)."""
+    from cm_well_spark.model.lakehouse import load_predicate_stats
+    from cm_well_spark.operators.sparql import sparql_query
+
+    stats = load_predicate_stats(spark, sf_dir)
+    return sparql_query(
+        _tri(spark, sf_dir),
+        """
+        SELECT ?c ?n WHERE {
+          ?c <inNation> ?nat .
+          ?nat <name> ?n .
+          ?c <mktsegment> "BUILDING" .
+        }
+        """,
+        stats=stats,
+        limit_cap=None,
+    )
+
+
+@register(
+    "sparql_filter_num",
+    oracle="""
+    SELECT '/tpch/customer/' || c_custkey AS c, c_acctbal AS b
+    FROM customer WHERE c_acctbal > 5000
+    """,
+)
+def sparql_filter_num(spark, sf_dir):
+    """J5 FILTER with numeric comparison through the typed num shadow."""
+    from cm_well_spark.operators.sparql import sparql_query
+
+    df = sparql_query(
+        _tri(spark, sf_dir),
+        'SELECT ?c ?b WHERE { ?c <acctbal> ?b . ?c <rdfType> "Customer" . FILTER(?b > 5000) }',
+        limit_cap=None,
+    )
+    return df.withColumn("b", F.col("b").cast("double"))
+
+
+@register(
+    "sparql_optional",
+    oracle="""
+    SELECT '/tpch/region/' || r_regionkey AS r, '/tpch/nation/' || n_nationkey AS n
+    FROM region LEFT JOIN nation ON n_regionkey = r_regionkey
+    """,
+)
+def sparql_optional(spark, sf_dir):
+    """J5 OPTIONAL -> left outer join."""
+    from cm_well_spark.operators.sparql import sparql_query
+
+    return sparql_query(
+        _tri(spark, sf_dir),
+        'SELECT ?r ?n WHERE { ?r <rdfType> "Region" . OPTIONAL { ?n <ofRegion> ?r } }',
+        limit_cap=None,
+    )
+
+
+@register(
+    "sparql_union",
+    oracle="""
+    SELECT '/tpch/region/' || r_regionkey AS x FROM region
+    UNION ALL
+    SELECT '/tpch/nation/' || n_nationkey AS x FROM nation
+    """,
+)
+def sparql_union(spark, sf_dir):
+    """J5 UNION -> unionByName."""
+    from cm_well_spark.operators.sparql import sparql_query
+
+    return sparql_query(
+        _tri(spark, sf_dir),
+        'SELECT ?x WHERE { { ?x <rdfType> "Region" } UNION { ?x <rdfType> "Nation" } }',
+        limit_cap=None,
+    )
+
+
+@register(
+    "sparql_construct",
+    oracle="""
+    SELECT '/tpch/nation/' || n_nationkey AS s, 'locatedIn' AS p,
+           '/tpch/region/' || n_regionkey AS o
+    FROM nation
+    """,
+)
+def sparql_construct(spark, sf_dir):
+    """J5 CONSTRUCT -> instantiated template triples DataFrame(s,p,o)."""
+    from cm_well_spark.operators.sparql import sparql_query
+
+    return sparql_query(
+        _tri(spark, sf_dir),
+        "CONSTRUCT { ?n <locatedIn> ?r } WHERE { ?n <ofRegion> ?r }",
+        limit_cap=None,
+    )
+
+
+# ---------------------------------------------------------------------------
+# W3/W4 + S5: versioned merge writer & history
+# ---------------------------------------------------------------------------
+
+
+def _merge_fixture(spark, sf_dir):
+    from datetime import datetime
+
+    from cm_well_spark.operators.merge import COMMAND_SCHEMA, apply_commands
+
+    def sfv(v):
+        return {"value": v, "vtype": "s", "lang": None, "quad": None, "num": None, "ts": None, "bool": None}
+
+    lm = datetime(2024, 1, 1)
+    rows = [
+        ("/tpch/region/0", 1, "write", {"extra": [sfv("e1")]}, None, lm, "https"),
+        ("/tpch/region/0", 2, "write", {"extra": [sfv("e2")]}, None, lm, "https"),
+        ("/tpch/region/1", 1, "delete_attributes", None, {"name": []}, lm, "https"),
+        ("/tpch/region/2", 1, "delete_path", None, None, lm, "https"),
+        ("/tpch/region/2", 2, "write", {"name": [sfv("REBORN")]}, None, lm, "https"),
+        ("/tpch/region/99", 1, "write", {"name": [sfv("NEWREGION")]}, None, lm, "https"),
+    ]
+    cmds = spark.createDataFrame(rows, COMMAND_SCHEMA)
+    return apply_commands(_inf(spark, sf_dir), cmds)
+
+
+@register(
+    "merge_writer_current",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('/tpch/region/0', 'ObjectInfoton', 'AFRICA',   'e1|e2'),
+      ('/tpch/region/1', 'ObjectInfoton', NULL,       NULL),
+      ('/tpch/region/2', 'ObjectInfoton', 'REBORN',   NULL),
+      ('/tpch/region/99','ObjectInfoton', 'NEWREGION',NULL)
+    ) AS t(path, kind, name, extra)
+    """,
+)
+def merge_writer_current(spark, sf_dir):
+    """W3 merge semantics end-to-end: field union, field wipe, tombstone +
+    resurrect, new-path create (Merger.scala:55-239). Constant oracle —
+    the command fixture is fixed."""
+    table = _merge_fixture(spark, sf_dir)
+    cur = table.where(
+        F.col("current") & F.col("path").isin("/tpch/region/0", "/tpch/region/1", "/tpch/region/2", "/tpch/region/99")
+    )
+    return cur.select(
+        "path",
+        "kind",
+        fv.first_value("name").alias("name"),
+        F.concat_ws("|", F.array_sort(F.transform(F.coalesce(F.col("fields").getItem("extra"), F.array()), lambda v: v["value"]))).alias("extra"),
+    ).withColumn("extra", F.when(F.col("extra") == "", None).otherwise(F.col("extra")))
+
+
+@register(
+    "history_versions",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('/tpch/region/0', 3, 1),
+      ('/tpch/region/2', 3, 1)
+    ) AS t(path, n_versions, n_current)
+    """,
+)
+def history_versions(spark, sf_dir):
+    """S5 with-history: all versions retained, exactly one current
+    (CRUDServiceFS.getInfotonHistory:197-228)."""
+    table = _merge_fixture(spark, sf_dir)
+    h = table.where(F.col("path").isin("/tpch/region/0", "/tpch/region/2"))
+    return h.groupBy("path").agg(
+        F.count("*").cast("int").alias("n_versions"),
+        F.sum(F.when(F.col("current"), 1).otherwise(0)).cast("int").alias("n_current"),
+    )

@@ -1,0 +1,158 @@
+import pytest
+from pyspark.sql import functions as F
+
+from cm_well_spark.operators.sparql import sparql_query
+from cm_well_spark.operators.sparql.compiler import SparqlCompileError
+from cm_well_spark.operators.sparql.parser import SparqlParseError, parse_sparql
+
+
+# ---- parser --------------------------------------------------------------
+
+
+def test_parse_select():
+    q = parse_sparql("SELECT ?s ?o WHERE { ?s <name> ?o }")
+    assert q.form == "select"
+    assert [v.name for v in q.variables] == ["s", "o"]
+    assert len(q.where.triples) == 1
+
+
+def test_parse_prefix_and_a():
+    q = parse_sparql("PREFIX ex: <http://ex.org/> SELECT ?s WHERE { ?s a ex:Thing }")
+    tp = q.where.triples[0]
+    assert tp.p.value.endswith("#type")
+    assert tp.o.value == "http://ex.org/Thing"
+
+
+def test_parse_modifiers():
+    q = parse_sparql("SELECT DISTINCT ?s WHERE { ?s <x> ?o } ORDER BY DESC(?s) LIMIT 5 OFFSET 2")
+    assert q.distinct and q.limit == 5 and q.offset == 2
+    assert q.order_by[0][1] is True
+
+
+def test_parse_rejects_other_forms():
+    with pytest.raises(SparqlParseError, match="SELECT or CONSTRUCT"):
+        parse_sparql("ASK { ?s <x> ?o }")
+
+
+def test_parse_semicolon_comma_sugar():
+    q = parse_sparql('SELECT * WHERE { ?s <a> ?x ; <b> "v1", "v2" . }')
+    assert len(q.where.triples) == 3
+
+
+# ---- compiler over the engine's triples ----------------------------------
+
+
+def test_bgp_join(triples, spark, sf_dir):
+    from cm_well_spark.sources import tables as tbl
+
+    out = sparql_query(
+        triples,
+        """
+        SELECT ?c ?n WHERE {
+          ?c <inNation> ?nat .
+          ?nat <name> ?n .
+          ?c <mktsegment> "BUILDING" .
+        }
+        """,
+    )
+    raw_c = tbl.load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    assert out.count() == raw_c.count()
+
+
+def test_const_subject(triples):
+    out = sparql_query(triples, "SELECT ?o WHERE { </tpch/nation/3> <name> ?o }")
+    rows = out.collect()
+    assert len(rows) == 1
+
+
+def test_filter_numeric(triples, spark, sf_dir):
+    from cm_well_spark.sources import tables as tbl
+
+    out = sparql_query(
+        triples,
+        "SELECT ?c ?b WHERE { ?c <acctbal> ?b . ?c <rdfType> \"Customer\" . FILTER(?b > 5000) }",
+    )
+    raw = tbl.load_table(spark, sf_dir, "customer").where(F.col("c_acctbal") > 5000)
+    assert out.count() == raw.count()
+
+
+def test_optional_left_join(triples, spark, sf_dir):
+    # every region, optionally a nation that points at it
+    out = sparql_query(
+        triples,
+        """
+        SELECT ?r ?n WHERE {
+          ?r <rdfType> "Region" .
+          OPTIONAL { ?n <ofRegion> ?r }
+        }
+        """,
+    )
+    from cm_well_spark.sources import tables as tbl
+
+    n_nation = tbl.load_table(spark, sf_dir, "nation").count()
+    assert out.count() == n_nation  # all 5 regions referenced; one row per nation
+    assert out.where(F.col("n").isNull()).count() == 0
+
+
+def test_union(triples):
+    out = sparql_query(
+        triples,
+        """
+        SELECT ?x WHERE {
+          { ?x <rdfType> "Region" } UNION { ?x <rdfType> "Nation" }
+        }
+        """,
+    )
+    assert out.count() == 30
+
+
+def test_regex_filter(triples):
+    out = sparql_query(
+        triples,
+        'SELECT ?n WHERE { ?x <rdfType> "Region" . ?x <name> ?n . FILTER(regex(?n, "^A")) }',
+    )
+    names = {r["n"] for r in out.collect()}
+    assert all(n.startswith("A") for n in names) and names
+
+
+def test_order_limit(triples):
+    out = sparql_query(
+        triples,
+        'SELECT ?n WHERE { ?x <rdfType> "Nation" . ?x <name> ?n } ORDER BY ?n LIMIT 5',
+    )
+    names = [r["n"] for r in out.collect()]
+    assert names == sorted(names) and len(names) == 5
+
+
+def test_construct(triples):
+    out = sparql_query(
+        triples,
+        """
+        CONSTRUCT { ?n <locatedIn> ?r } WHERE { ?n <ofRegion> ?r }
+        """,
+    )
+    assert out.columns == ["s", "p", "o"]
+    assert out.count() == 25
+    assert out.select("p").distinct().first()["p"] == "locatedIn"
+
+
+def test_fully_unbound_rejected(triples):
+    with pytest.raises(SparqlCompileError, match="fully unbound"):
+        sparql_query(triples, "SELECT ?s WHERE { ?s ?p ?o }").count()
+
+
+def test_select_unknown_var_rejected(triples):
+    with pytest.raises(SparqlCompileError, match="not bound"):
+        sparql_query(triples, "SELECT ?zz WHERE { ?s <name> ?o }")
+
+
+def test_var_predicate(triples):
+    # bound subject, unbound predicate: enumerate one infoton's triples
+    out = sparql_query(triples, "SELECT ?p ?o WHERE { </tpch/region/0> ?p ?o }")
+    ps = {r["p"] for r in out.collect()}
+    assert {"name", "regionkey", "rdfType"} <= ps
+
+
+def test_results_cap(triples):
+    out = sparql_query(triples, "SELECT ?s ?o WHERE { ?s <rdfType> ?o }")
+    assert out.count() <= 10_000
