@@ -1,0 +1,131 @@
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from cm_well_spark.streaming.subscribe import (
+    Rule,
+    RuleParseError,
+    ingest_stream,
+    parse_rule,
+    rule_filter,
+    subscribe,
+)
+
+TMP = "/root/repo/.checkpoints/test_streaming"
+
+
+@pytest.fixture(autouse=True)
+def _clean():
+    shutil.rmtree(TMP, ignore_errors=True)
+    os.makedirs(TMP, exist_ok=True)
+    yield
+
+
+# ---- rule grammar (RTSQueryPredicate, Parsers.scala:303-351) -------------
+
+
+def test_rule_default_recursive_path():
+    r = parse_rule("", "/tpch")
+    assert r == Rule("/tpch", True, ())
+
+
+def test_rule_dash_nonrecursive():
+    r = parse_rule("-", "/tpch")
+    assert r.recursive is False
+
+
+def test_rule_star_ignores_path():
+    r = parse_rule("*", "/tpch")
+    assert r.path is None
+
+
+def test_rule_match_map():
+    r = parse_rule("mktsegment:[BUILDING,MACHINERY],name:x", "/")
+    assert dict(r.match_map) == {"mktsegment": ("BUILDING", "MACHINERY"), "name": ("x",)}
+
+
+def test_rule_bad():
+    with pytest.raises(RuleParseError):
+        parse_rule("::", "/")
+
+
+# ---- batch semantics of the filter ---------------------------------------
+
+
+def test_rule_filter_path_and_match(infotons):
+    r = parse_rule("mktsegment:BUILDING", "/tpch/customer")
+    n = infotons.where(rule_filter(r)).count()
+    expected = infotons.where(
+        F.col("path").startswith("/tpch/customer/")
+        & F.coalesce(
+            F.exists(F.col("fields").getItem("mktsegment"), lambda v: v["value"] == "BUILDING"), F.lit(False)
+        )
+    ).count()
+    assert n == expected > 0
+
+
+def test_rule_match_or_semantics(infotons):
+    # MatchMap: ANY entry firing is a match
+    r = parse_rule("*rdfType:[Region],name:AFRICA", "/")
+    n = infotons.where(rule_filter(r)).count()
+    assert n == 5  # all regions (rdfType=Region fires regardless of name)
+
+
+# ---- streaming end-to-end -------------------------------------------------
+
+
+def test_subscribe_stream_end_to_end(spark, infotons):
+    feed_dir = os.path.join(TMP, "feed")
+    os.makedirs(feed_dir, exist_ok=True)
+    # wave 1: regions
+    infotons.where(F.col("path").startswith("/tpch/region")).write.mode("append").parquet(feed_dir)
+    stream = subscribe(ingest_stream(spark, feed_dir), "", "/tpch/region")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("subs1")
+        .option("checkpointLocation", os.path.join(TMP, "ck1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) AS n FROM subs1").first()["n"]
+    assert got == 5
+
+
+def test_materializer_incremental(spark, infotons, triples):
+    from cm_well_spark.streaming.materializer import SparqlTriggeredProcessor
+
+    derived_dir = os.path.join(TMP, "derived")
+    proc = SparqlTriggeredProcessor(
+        spark,
+        triples,
+        "CONSTRUCT { ?n <locatedIn> ?r } WHERE { ?n <ofRegion> ?r }",
+        derived_dir,
+    )
+    # batch 1: nations 0..9 change
+    b1 = infotons.where(
+        F.col("path").startswith("/tpch/nation/") & (F.element_at(F.col("fields").getItem("nationkey"), 1)["num"] < 10)
+    )
+    proc.process_batch(b1, 0)
+    d1 = proc.read_derived()
+    assert d1.count() == 10
+    # batch 2: remaining nations
+    b2 = infotons.where(
+        F.col("path").startswith("/tpch/nation/") & (F.element_at(F.col("fields").getItem("nationkey"), 1)["num"] >= 10)
+    )
+    proc.process_batch(b2, 1)
+    d2 = proc.read_derived()
+    assert d2.count() == 25
+    # idempotent re-process of batch 1: no duplicates
+    proc.process_batch(b1, 2)
+    assert proc.read_derived().count() == 25
+    assert proc.read_derived().select("p").distinct().first()["p"] == "locatedIn"
+
+
+def test_materializer_requires_construct(spark, triples):
+    from cm_well_spark.streaming.materializer import SparqlTriggeredProcessor
+
+    with pytest.raises(ValueError, match="CONSTRUCT"):
+        SparqlTriggeredProcessor(spark, triples, "SELECT ?s WHERE { ?s <x> ?o }", TMP)
