@@ -1,0 +1,261 @@
+"""Deduplication for large-scale training-data pipelines.
+
+Five dedup families, each expressed for scale:
+
+  exact          md5-of-normalized-text groupBy (one shuffle on a 16-byte
+                 key; at 100 TB this is the cheapest possible full-corpus
+                 dedup and the first pass before any fuzzy method).
+  ngram-jaccard  shingle-explode + self-equi-join on shingle + per-pair
+                 intersection counts -> |A∩B| / (|A|+|B|-|A∩B|); the join
+                 key is the shingle so co-occurring docs meet without a
+                 cross join.
+  minhash+LSH    k permutation-free min-hashes from splittable seeded
+                 xxhash64; banded into b buckets; candidate pairs meet in
+                 a bucket-equi-join; verified by exact jaccard on the
+                 (small) candidate set only. The classic Broder scheme —
+                 cross-join-free, scales linearly in corpus size.
+  simhash        64-bit sign-sum of token hashes; near-dups = hamming
+                 distance <= r. Bucketed by 4 16-bit blocks (a pair within
+                 hamming<=3 shares at least one block — pigeonhole), so
+                 candidates meet in a block-equi-join.
+  embedding      cosine >= tau over the embeddings table (see
+                 similarity.py for the shared kernels).
+
+Approximate methods (minhash/simhash) are inherently probabilistic: their
+registry entries are rows-only, but tests assert recall against the exact
+jaccard ground truth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cm_well_spark.operators.text import normalize_text
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicate_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical (normalized) documents: (fingerprint,
+    n_docs, doc_ids sorted)."""
+    fp = F.md5(normalize_text(F.col(text_col)))
+    return (
+        df.select(fp.alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def distinct_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per exact-duplicate class."""
+    fp = F.md5(normalize_text(F.col(text_col)))
+    keep = df.select(fp.alias("fp"), F.col(id_col)).groupBy("fp").agg(F.min(id_col).alias(id_col))
+    return df.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# shingles + exact jaccard
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(c: Column, k: int = 3) -> Column:
+    """Distinct word k-grams of the normalized text."""
+    words = F.split(normalize_text(c), " ")
+    n = F.size(words)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+        )
+    )
+
+
+def _shingle_rows(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), k)).alias("sh")
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= t).
+    Docs only meet through shared shingles — no cross join; skew-prone
+    ultra-common shingles are the known hazard (AQE skew-join handles
+    moderate skew; a production pipeline drops top-frequency shingles)."""
+    sh = _shingle_rows(df, text_col, id_col, k)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    out = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")))
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# minhash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame, num_hashes: int = 64, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """num_hashes min-hashes per doc: h_i(doc) = min over shingles of
+    xxhash64(shingle, seed=i). Seeded xxhash64 replaces the classic
+    (a*x+b) mod p permutation family — same independence story, one
+    JVM-side function."""
+    shingles = word_shingles(F.col(text_col), k)
+    sig = F.array(
+        *[F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i)))) for i in range(num_hashes)]
+    )
+    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16) -> DataFrame:
+    """Band the signature; docs sharing any band-bucket become candidates.
+    Bucket join key = (band index, hash of the band slice)."""
+    n = signatures.select(F.size("sig").alias("n")).first()["n"]
+    rows_per_band = n // bands
+    banded = signatures.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(F.concat_ws(",", *[F.element_at("sig", b * rows_per_band + r + 1).cast("string") for r in range(rows_per_band)])).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full LSH pipeline: signatures -> banded buckets -> candidate pairs
+    -> exact-jaccard VERIFY on candidates only. Output = verified pairs."""
+    cands = lsh_candidate_pairs(minhash_signatures(df, num_hashes, k, text_col, id_col), bands)
+    shingle_sets = df.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), k).alias("shs")
+    )
+    a = shingle_sets.select(F.col("id").alias("id_a"), F.col("shs").alias("shs_a"))
+    b = shingle_sets.select(F.col("id").alias("id_b"), F.col("shs").alias("shs_b"))
+    out = (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("n_common", F.size(F.array_intersect("shs_a", "shs_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.size("shs_a") + F.size("shs_b") - F.col("n_common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+
+def simhash(c: Column) -> Column:
+    """64-bit simhash of the normalized token stream: for each bit b,
+    sign(sum over tokens of ±1 by token-hash bit b). Pure column algebra
+    over a 64-slot sequence — no UDF."""
+    from functools import reduce
+
+    words = F.split(normalize_text(c), " ")
+    hashes = F.transform(words, lambda w: F.xxhash64(w))
+    # unrolled over the 64 bit positions (shiftright needs literal counts);
+    # each bit is a sign-sum aggregate over the token-hash array
+    def _bit_merge(b):
+        # PySpark binds HOF lambdas by arity — a defaulted third param would
+        # make it look 3-ary, so close over b via a factory instead
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    bit_cols = []
+    for b in range(64):
+        s = F.aggregate(hashes, F.lit(0), _bit_merge(b))
+        bit_cols.append(F.when(s > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")))
+    return reduce(
+        lambda acc, pair: acc.bitwiseOR(F.shiftleft(pair[1], pair[0])),
+        enumerate(bit_cols),
+        F.lit(0).cast("long"),
+    )
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(
+    df: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance, bucketed by 16-bit
+    blocks (pigeonhole: hamming<=3 over 4 blocks => >=1 identical block),
+    so candidates meet in an equi-join instead of a cross join."""
+    sigs = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh"))
+    blocks = sigs.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(*[F.struct(F.lit(i).alias("blk"), F.shiftrightunsigned("sh", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("val")) for i in range(4)])
+        ).alias("b"),
+    ).select("id", "sh", "b.blk", "b.val")
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk")) & (F.col("a.val") == F.col("b.val")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"))
+        .distinct()
+    )
+    return (
+        cands.withColumn("hamming", hamming64(F.col("sh_a"), F.col("sh_b")))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

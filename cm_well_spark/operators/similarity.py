@@ -1,0 +1,231 @@
+"""Similarity search over embedding columns (array<float>).
+
+Three tiers, all cross-join-free where possible:
+
+  brute-force top-k   F.zip_with dot product + TakeOrderedAndProject —
+                      the exact baseline; one scan, no shuffle beyond the
+                      final top-k reduce.
+  random-hyperplane   sign-of-dot-product bit buckets (SRP-LSH): vectors
+  LSH buckets         sharing a bucket are candidates; tune n_planes for
+                      recall/cost. Scale path for pairwise near-dup.
+  IVF (coarse         deterministic k-means-lite: centroids seeded from
+  quantizer)          evenly-spaced vectors, a few Lloyd iterations via
+                      joins; queries probe the nearest n_probe cells only.
+                      Scale path for query-time ANN at 100 TB (cells are
+                      the partition key; a probe touches nprobe/k of data).
+
+Embedding-cosine near-dup pairs reuse the LSH buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k for one query vector. orderBy+limit plans as
+    TakeOrderedAndProject (per-partition heap + final merge — no global
+    sort)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scored = df.select(F.col(id_col), F.round(cosine(cast, q), 6).alias("cosine"))
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# SRP-LSH (random hyperplanes)
+# ---------------------------------------------------------------------------
+
+
+def _planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (LCG — reproducible across
+    engines and runs without numpy RNG state)."""
+    out = []
+    state = seed
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append(((state >> 33) / float(1 << 31)) - 1.0)  # [-1, 1)
+        out.append(row)
+    return out
+
+
+def srp_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Bit-bucket id: bit i = sign(vec . plane_i)."""
+    from functools import reduce
+
+    bits = []
+    for i, p in enumerate(planes):
+        pc = F.array(*[F.lit(float(x)) for x in p])
+        bits.append(F.when(dot(vec, pc) > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")))
+    return reduce(lambda acc, pair: acc.bitwiseOR(F.shiftleft(pair[1], pair[0])), enumerate(bits), F.lit(0).cast("long"))
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k: score only vectors in the query's SRP bucket (fall back
+    to exact if the bucket is smaller than k — recall guard)."""
+    dim = len(query_vec)
+    planes = _planes(dim, n_planes, seed)
+    cast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    bucketed = df.select(F.col(id_col), cast.alias("v"), srp_bucket(cast, planes).alias("bucket"))
+    qb = 0
+    for i, p in enumerate(planes):
+        if sum(a * b for a, b in zip(query_vec, p)) > 0:
+            qb |= 1 << i
+    cand = bucketed.where(F.col("bucket") == qb)
+    if cand.count() < k:
+        cand = bucketed
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        cand.select(F.col(id_col), F.round(cosine(F.col("v"), q), 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def cosine_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine >= threshold).
+
+    exact=True: full pairwise via a range-free self-join (quadratic — only
+    for oracle checks at small SF). Default: SRP bucket-join candidates,
+    then exact cosine verify — the scale path."""
+    cast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(F.col(id_col).alias("id"), cast.alias("v"))
+    if exact:
+        a, b = base.alias("a"), base.alias("b")
+        pairs = a.join(b, F.col("a.id") < F.col("b.id"))
+    else:
+        dim = df.select(F.size(vec_col).alias("d")).first()["d"]
+        planes = _planes(dim, n_planes, seed)
+        bucketed = base.withColumn("bucket", srp_bucket(F.col("v"), planes))
+        a, b = bucketed.alias("a"), bucketed.alias("b")
+        pairs = a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+    return (
+        pairs.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF coarse quantizer
+# ---------------------------------------------------------------------------
+
+
+def ivf_assign(
+    df: DataFrame,
+    n_cells: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """Deterministic IVF: centroids init from evenly-spaced vectors by id
+    order, refined with `iters` Lloyd steps (each step = one broadcast
+    join + one groupBy — no MLlib dependency). Returns (assignments,
+    centroids)."""
+    cast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(F.col(id_col).alias("id"), cast.alias("v"))
+    ids = [r["id"] for r in base.select("id").orderBy("id").collect()]
+    step = max(1, len(ids) // n_cells)
+    seed_ids = ids[::step][:n_cells]
+    cents = [
+        (i, r["v"])
+        for i, r in enumerate(base.where(F.col("id").isin(seed_ids)).orderBy("id").collect())
+    ]
+
+    def assign(cdf, cents_local):
+        arrs = F.array(
+            *[
+                F.struct(
+                    F.lit(ci).alias("cell"),
+                    dot(F.col("v"), F.array(*[F.lit(float(x)) for x in cv])).alias("sim"),
+                )
+                for ci, cv in cents_local
+            ]
+        )
+        best = F.array_max(F.transform(arrs, lambda s: F.struct(s["sim"].alias("sim"), s["cell"].alias("cell"))))
+        return cdf.withColumn("cell", best["cell"])
+
+    assigned = assign(base, cents)
+    for _ in range(iters):
+        rows = (
+            assigned.groupBy("cell")
+            .agg(F.collect_list("v").alias("vs"))
+            .select(
+                "cell",
+                F.transform(
+                    F.sequence(F.lit(0), F.size(F.element_at("vs", 1)) - 1),
+                    lambda i: F.aggregate(F.col("vs"), F.lit(0.0), lambda acc, v: acc + v[i])
+                    / F.size("vs"),
+                ).alias("centroid"),
+            )
+            .collect()
+        )
+        cents = [(r["cell"], r["centroid"]) for r in rows]
+        assigned = assign(base, cents)
+    return assigned, cents
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k probing the n_probe nearest cells only. At 100 TB the
+    assignments are written partitioned by cell, so a probe reads
+    n_probe/n_cells of the data — partition pruning does the work."""
+    assigned, cents = ivf_assign(df, n_cells, 2, vec_col, id_col)
+    scored_cells = sorted(
+        cents, key=lambda c: -sum(a * b for a, b in zip(query_vec, c[1]))
+    )[:n_probe]
+    probe = [c[0] for c in scored_cells]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cand = assigned.where(F.col("cell").isin(probe))
+    return (
+        cand.select(F.col("id").alias(id_col), F.round(cosine(F.col("v"), q), 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )

@@ -1,0 +1,155 @@
+"""Text analysis for large-scale training-data pipelines.
+
+Not part of the reference's surface — these are the operators a 100 TB
+document pipeline needs on top of it (language ID, quality scoring, token
+counting, fingerprinting). All pure `pyspark.sql.functions` expressions:
+JVM-side, whole-stage-codegen'd, no Python in the hot path, and each one
+has a DuckDB-expressible twin for the correctness oracle.
+
+Inputs are DataFrames with a text column (default `text`), e.g. the
+`documents` test table or the `data` payload of FileInfotons.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# token counting
+# ---------------------------------------------------------------------------
+
+# BPE-ish pre-tokenizer: word pieces, numbers, or single non-space symbols —
+# the shape GPT-2-style byte-pair encoders split on before merges.
+BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def whitespace_token_count(c: Column) -> Column:
+    return F.size(F.split(F.trim(c), r"\s+"))
+
+
+def bpeish_token_count(c: Column) -> Column:
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_RE), 0))
+
+
+def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        whitespace_token_count(c).alias("ws_tokens"),
+        bpeish_token_count(c).alias("bpe_tokens"),
+        F.length(c).alias("n_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that", "for", "on", "with", "as")
+
+
+def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Length / punctuation / stopword / word-shape features + a composite
+    [0,1] quality score (heuristics in the spirit of C4/Gopher data-quality
+    filters, computed as columnar expressions)."""
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    words = F.split(F.trim(F.lower(c)), r"\s+")
+    n_words = F.size(words)
+    n_punct = F.size(F.regexp_extract_all(c, F.lit(r"[.,;:!?]"), 0))
+    n_alpha = F.size(F.regexp_extract_all(c, F.lit(r"[A-Za-z]"), 0))
+    stop_hits = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+    mean_word_len = (n_chars - (n_words - 1)) / n_words
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
+    alpha_ratio = n_alpha / F.greatest(n_chars, F.lit(1))
+    stop_ratio = stop_hits / F.greatest(n_words, F.lit(1))
+    # composite: alpha-heavy, some stopwords, sane word length, not
+    # punctuation-soup
+    score = (
+        F.least(alpha_ratio / 0.7, F.lit(1.0)) * 0.4
+        + F.least(stop_ratio / 0.3, F.lit(1.0)) * 0.3
+        + F.when((mean_word_len >= 3) & (mean_word_len <= 10), 1.0).otherwise(0.3) * 0.2
+        + F.when(punct_ratio <= 0.1, 1.0).otherwise(0.5) * 0.1
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# language identification (n-gram / marker-word heuristic)
+# ---------------------------------------------------------------------------
+
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "is", "to"),
+    "de": ("der", "die", "und", "ist", "nicht"),
+    "fr": ("le", "la", "et", "est", "les"),
+    "es": ("el", "la", "que", "es", "los"),
+}
+
+
+def lang_scores(c: Column) -> list[tuple[str, Column]]:
+    words = F.split(F.trim(F.lower(c)), r"\s+")
+    out = []
+    for lang, markers in LANG_MARKERS.items():
+        out.append((lang, F.size(F.filter(words, lambda w: w.isin(*markers)))))
+    return out
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """argmax over per-language marker-word hits; 'und' (undetermined) when
+    nothing matches. Deterministic tie-break by language code."""
+    c = F.col(text_col)
+    scores = lang_scores(c)
+    pairs = F.array(*[F.struct(s.alias("hits"), F.lit(lang).alias("lang")) for lang, s in sorted(scores)])
+    best = F.array_max(pairs)  # struct compare: hits first, then lang desc? -> max hits, tie: max lang
+    return df.select(
+        F.col(id_col),
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_pred"),
+        best["hits"].alias("marker_hits"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# fingerprinting
+# ---------------------------------------------------------------------------
+
+
+def normalize_text(c: Column) -> Column:
+    """Canonical form for hashing: lowercase, collapse whitespace &
+    punctuation to single spaces."""
+    return F.trim(F.regexp_replace(F.lower(c), r"[^a-z0-9]+", " "))
+
+
+def doc_fingerprint(c: Column) -> Column:
+    """Whole-document content fingerprint: md5 of the normalized text
+    (md5 so the DuckDB oracle can reproduce it bit-for-bit)."""
+    return F.md5(normalize_text(c))
+
+
+def kgram_min_fingerprint(c: Column, k: int = 8) -> Column:
+    """Rolling k-gram fingerprint: minimum md5 over all character k-grams
+    of the normalized text (the winnowing/minhash building block, expressed
+    with sequence+transform — no UDF)."""
+    norm = normalize_text(c)
+    n = F.length(norm)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: norm.substr(i, F.lit(k)),
+    )
+    return F.array_min(F.transform(grams, F.md5))
+
+
+def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8) -> DataFrame:
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        doc_fingerprint(c).alias("fp_doc"),
+        kgram_min_fingerprint(c, k).alias("fp_kgram_min"),
+    )

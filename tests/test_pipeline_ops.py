@@ -1,0 +1,221 @@
+"""Training-data pipeline operators: text analysis, dedup, similarity,
+multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cm_well_spark.sources import tables as tbl
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return tbl.load_table(spark, sf_dir, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def embs(spark, sf_dir):
+    return tbl.load_table(spark, sf_dir, "embeddings").cache()
+
+
+# ---- text ----------------------------------------------------------------
+
+
+def test_token_counts(docs):
+    from cm_well_spark.operators.text import token_counts
+
+    out = token_counts(docs).collect()
+    assert all(r["bpe_tokens"] >= r["ws_tokens"] > 0 for r in out if r["n_chars"] > 0)
+
+
+def test_quality_features(docs):
+    from cm_well_spark.operators.text import quality_features
+
+    out = quality_features(docs)
+    rows = out.collect()
+    assert all(0 <= r["quality"] <= 1.0 + 1e-9 for r in rows)
+    assert all(0 <= r["stop_ratio"] <= 1 for r in rows)
+
+
+def test_lang_id(spark):
+    from cm_well_spark.operators.text import lang_id
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is on the mat and the dog"),
+            (2, "der hund ist nicht die katze und der vogel"),
+            (3, "le chat est sur la table et les chiens"),
+            (4, "zzz qqq xxx"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["lang_pred"] for r in lang_id(df).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "und"}
+
+
+def test_fingerprints_normalization(spark):
+    from cm_well_spark.operators.text import fingerprints
+
+    df = spark.createDataFrame(
+        [(1, "Hello,   World!"), (2, "hello world"), (3, "different text")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in fingerprints(df).collect()}
+    assert rows[1]["fp_doc"] == rows[2]["fp_doc"] != rows[3]["fp_doc"]
+    assert rows[1]["fp_kgram_min"] == rows[2]["fp_kgram_min"]
+
+
+# ---- dedup ---------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    base = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat again and again"),  # near dup of 1
+        (4, "completely unrelated text about spark dataframes and shuffles"),
+        (5, "another unrelated document mentioning parquet row groups only"),
+        (6, "The Quick Brown Fox jumps over the lazy dog AGAIN and again!"),  # norm-dup of 1
+    ]
+    return spark.createDataFrame(base, ["doc_id", "text"])
+
+
+def test_exact_dup_groups(dup_docs):
+    from cm_well_spark.operators.dedup import exact_duplicate_groups
+
+    groups = exact_duplicate_groups(dup_docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["doc_ids"] == [1, 2, 6]
+
+
+def test_distinct_documents(dup_docs):
+    from cm_well_spark.operators.dedup import distinct_documents
+
+    kept = {r["doc_id"] for r in distinct_documents(dup_docs).collect()}
+    assert kept == {1, 3, 4, 5}
+
+
+def test_jaccard_pairs(dup_docs):
+    from cm_well_spark.operators.dedup import jaccard_pairs
+
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in jaccard_pairs(dup_docs, threshold=0.5).collect()}
+    assert pairs[(1, 2)] == 1.0 and pairs[(1, 6)] == 1.0 and pairs[(2, 6)] == 1.0
+    assert 0.5 <= pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs
+
+
+def test_minhash_recall_vs_exact(dup_docs):
+    from cm_well_spark.operators.dedup import jaccard_pairs, minhash_dedup_pairs
+
+    exact = {(r["id_a"], r["id_b"]) for r in jaccard_pairs(dup_docs, threshold=0.5).collect()}
+    mh = {(r["id_a"], r["id_b"]) for r in minhash_dedup_pairs(dup_docs, threshold=0.5).collect()}
+    # verified LSH: no false positives by construction; recall on this
+    # corpus with 64 hashes / 16 bands should be total
+    assert mh <= exact
+    assert mh == exact
+
+
+def test_simhash_near_dups(dup_docs):
+    from cm_well_spark.operators.dedup import simhash_pairs
+
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_pairs(dup_docs, max_hamming=3).collect()}
+    assert pairs[(1, 2)] == 0 and pairs[(1, 6)] == 0  # identical normalized text
+    assert all(h <= 3 for h in pairs.values())
+    assert (1, 4) not in pairs and (4, 5) not in pairs
+
+
+# ---- similarity ----------------------------------------------------------
+
+
+def test_brute_force_topk_self(embs):
+    from cm_well_spark.operators.similarity import brute_force_topk
+
+    q = embs.orderBy("vec_id").first()
+    out = brute_force_topk(embs, [float(x) for x in q["embedding"]], k=5).collect()
+    assert out[0]["vec_id"] == q["vec_id"]
+    assert abs(out[0]["cosine"] - 1.0) < 1e-5
+    scores = [r["cosine"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_lsh_topk_recall(embs):
+    from cm_well_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    q = embs.orderBy("vec_id").first()
+    qv = [float(x) for x in q["embedding"]]
+    exact = [r["vec_id"] for r in brute_force_topk(embs, qv, k=10).collect()]
+    approx = [r["vec_id"] for r in lsh_topk(embs, qv, k=10, n_planes=6).collect()]
+    # ANN contract: the query's own vector is found; ≥40% of the exact
+    # top-10 retrieved with 6 planes on this corpus
+    assert approx[0] == q["vec_id"]
+    assert len(set(exact) & set(approx)) >= 4
+
+
+def test_ivf_topk_recall(embs):
+    from cm_well_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    q = embs.orderBy("vec_id").first()
+    qv = [float(x) for x in q["embedding"]]
+    exact = [r["vec_id"] for r in brute_force_topk(embs, qv, k=10).collect()]
+    approx = [r["vec_id"] for r in ivf_topk(embs, qv, k=10, n_cells=8, n_probe=4).collect()]
+    assert approx[0] == q["vec_id"]
+    assert len(set(exact) & set(approx)) >= 5
+
+
+def test_cosine_dup_pairs_lsh_vs_exact(embs):
+    from cm_well_spark.operators.similarity import cosine_dup_pairs
+
+    sample = embs.where(F.col("vec_id") < 100)
+    exact = {(r["id_a"], r["id_b"]) for r in cosine_dup_pairs(sample, threshold=0.95, exact=True).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in cosine_dup_pairs(sample, threshold=0.95, n_planes=4).collect()}
+    assert lsh <= exact  # verify step kills false positives
+
+
+# ---- multimodal ----------------------------------------------------------
+
+
+def test_image_decode_plumbing(spark):
+    from cm_well_spark.operators.multimodal import decode_images, fake_image
+
+    df = spark.createDataFrame(
+        [(1, fake_image(4, 6, 3, 100)), (2, fake_image(2, 2, 1, 200)), (3, b"NOTANIMAGE")],
+        ["id", "data"],
+    )
+    rows = {r["id"]: r for r in decode_images(df).collect()}
+    assert (rows[1]["height"], rows[1]["width"], rows[1]["channels"]) == (4, 6, 3)
+    assert rows[1]["ok"] and abs(rows[1]["mean_byte"] - 100.0) < 1e-9
+    assert rows[3]["ok"] is False
+
+
+def test_image_resize_roundtrip(spark):
+    from cm_well_spark.operators.multimodal import decode_images, fake_image, resize_images
+
+    df = spark.createDataFrame([(1, fake_image(8, 8, 3, 50))], ["id", "data"])
+    resized = resize_images(df, 2, 3)
+    meta = decode_images(resized).first()
+    assert (meta["height"], meta["width"]) == (2, 3) and meta["ok"]
+
+
+def test_frame_sampling(spark):
+    from cm_well_spark.operators.multimodal import fake_image, sample_frames
+
+    video = b"".join(fake_image(2, 2, 1, i) for i in range(25))
+    df = spark.createDataFrame([(7, video)], ["id", "data"])
+    frames = sample_frames(df, every_n=10).collect()
+    assert [r["frame_idx"] for r in frames] == [0, 10, 20]
+
+
+def test_audio_features(spark):
+    from cm_well_spark.operators.multimodal import extract_audio_features, fake_audio
+
+    df = spark.createDataFrame([(1, fake_audio(16000, 32000, 64)), (2, b"junk")], ["id", "data"])
+    rows = {r["id"]: r for r in extract_audio_features(df).collect()}
+    assert rows[1]["ok"] and rows[1]["duration_s"] == 2.0 and abs(rows[1]["rms"] - 64.0) < 1e-9
+    assert rows[2]["ok"] is False
+
+
+def test_real_codec_is_gated(spark):
+    from cm_well_spark.operators.multimodal import decode_images, fake_image
+
+    df = spark.createDataFrame([(1, fake_image(2, 2))], ["id", "data"])
+    with pytest.raises(NotImplementedError, match="fake"):
+        decode_images(df, codec="pil")

@@ -1,0 +1,102 @@
+"""RDF source parser (S6) + output formatters (S9), incl. round trip."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from cm_well_spark.formats.render import to_delimited, to_json_rows, triple_lines
+from cm_well_spark.sources.rdf import infotons_from_rdf, parse_rdf_lines, uri_to_path
+
+NT_FIXTURE = [
+    '<http://example.org/people/alice> <http://purl.org/vocab/relationship/friendOf> <http://example.org/people/bob> .',
+    '<http://example.org/people/alice> <http://xmlns.com/foaf/0.1/name> "Alice" .',
+    '<http://example.org/people/alice> <http://example.org/age> "33"^^<http://www.w3.org/2001/XMLSchema#integer> .',
+    '<http://example.org/people/bob> <http://xmlns.com/foaf/0.1/name> "Bob le \\"grand\\""@fr .',
+    '# a comment line',
+    '',
+    '<http://example.org/people/bob> <http://example.org/score> "1.5"^^<http://www.w3.org/2001/XMLSchema#double> <http://example.org/graphs/g1> .',
+]
+
+
+@pytest.fixture(scope="module")
+def nt_df(spark):
+    return spark.createDataFrame([(l,) for l in NT_FIXTURE], ["value"])
+
+
+def test_parse_basic_triples(nt_df):
+    t = parse_rdf_lines(nt_df)
+    rows = t.collect()
+    assert len(rows) == 5  # comment + blank skipped
+    by_p = {(r["s"], r["p"]): r for r in rows}
+    friend = by_p[("http://example.org/people/alice", "http://purl.org/vocab/relationship/friendOf")]
+    assert friend["o"] == "http://example.org/people/bob" and friend["vtype"] == "s"
+
+
+def test_parse_typed_literal(nt_df):
+    t = parse_rdf_lines(nt_df)
+    age = t.where(F.col("p") == "http://example.org/age").first()
+    assert age["o"] == "33" and age["vtype"] == "l"
+
+
+def test_parse_lang_and_escapes(nt_df):
+    t = parse_rdf_lines(nt_df)
+    name = t.where((F.col("s").endswith("bob")) & (F.col("p").endswith("name"))).first()
+    assert name["lang"] == "fr"
+    assert name["o"] == 'Bob le "grand"'
+
+
+def test_parse_quad(nt_df):
+    t = parse_rdf_lines(nt_df)
+    q = t.where(F.col("g").isNotNull()).first()
+    assert q["g"] == "http://example.org/graphs/g1" and q["vtype"] == "w"
+
+
+def test_infotons_from_rdf(nt_df):
+    docs = infotons_from_rdf(parse_rdf_lines(nt_df))
+    rows = {r["path"]: dict(r["fields"]) for r in docs.collect()}
+    alice = rows["/example.org/people/alice"]
+    assert alice["name"][0]["value"] == "Alice"
+    assert alice["age"][0]["num"] == 33.0
+    bob = rows["/example.org/people/bob"]
+    assert bob["score"][0]["quad"] == "http://example.org/graphs/g1"
+
+
+def test_json_formatter(infotons):
+    out = to_json_rows(infotons.where(F.col("path") == "/tpch/region/0")).first()["json"]
+    obj = json.loads(out)
+    assert obj["system"]["path"] == "/tpch/region/0"
+    assert obj["fields"]["name"] == ["AFRICA"]
+    assert "uuid" in obj["system"] and "indexTime" in obj["system"]
+
+
+def test_delimited_formatter(infotons):
+    lines = to_delimited(
+        infotons.where(F.col("path") == "/tpch/region/0"), ["name", "rdfType"], sep="\t"
+    ).first()["line"]
+    parts = lines.split("\t")
+    assert parts[0] == "/tpch/region/0" and parts[2] == "AFRICA" and parts[3] == "Region"
+
+
+def test_ntriples_round_trip(spark, triples):
+    sample = triples.where((F.col("s") == "/tpch/nation/3") & F.col("current"))
+    lines = triple_lines(sample, quads=False)
+    reparsed = parse_rdf_lines(lines, text_col="line")
+    back = {(r["p"], r["o"]) for r in reparsed.collect()}
+    orig = {(r["p"], "cmwell://" + r["o"][1:] if r["o"].startswith("/") and r["vtype"] == "s" else r["o"])
+            for r in sample.select("p", "o", "vtype").collect()}
+    # predicates survive; reference objects render as IRIs with the base
+    assert {p for p, _ in back} == {p for p, _ in orig}
+    assert len(back) == len(orig)
+
+
+def test_nquads_graph_tag(spark, infotons):
+    from cm_well_spark.model.lakehouse import triples_of
+
+    docs = infotons.where(F.col("path") == "/docs/1")
+    t = triples_of(docs).where(F.col("p") == "source")
+    line = triple_lines(t, quads=True).first()["line"]
+    # s + p + g are IRIs; the object is a quoted literal
+    assert line.count("<") == 3 and line.rstrip().endswith(".")
+    assert '"src' in line
+    assert "cmwell://graphs/" in line
