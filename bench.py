@@ -34,8 +34,41 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     qs = queries()
+    # representative headline set covering BASELINE.md B1-B8 + pipeline ops;
+    # CMW_BENCH_QUERIES=all runs every registry query
+    headline = [
+        "read_point",
+        "search_equals",
+        "search_range_num",
+        "search_sort_page",
+        "search_contains",
+        "agg_term",
+        "agg_stats",
+        "agg_hist",
+        "agg_card_exact",
+        "agg_sig_terms",
+        "xg_expand_out",
+        "xg_two_levels",
+        "yg_reverse",
+        "gqp_semi_filter",
+        "sparql_bgp_join",
+        "sparql_optional",
+        "consume_first_chunk",
+        "bulk_consume_range",
+        "merge_writer_current",
+        "dedup_exact_groups",
+        "dedup_minhash_lsh",
+        "similarity_topk_cosine",
+        "text_token_counts",
+        "multimodal_decode",
+    ]
     bench_names = os.environ.get("CMW_BENCH_QUERIES")
-    names = bench_names.split(",") if bench_names else list(qs)
+    if bench_names == "all":
+        names = list(qs)
+    elif bench_names:
+        names = bench_names.split(",")
+    else:
+        names = [n for n in headline if n in qs]
     for name in names:
         fn = qs[name]
         t0 = time.time()

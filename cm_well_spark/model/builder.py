@@ -274,12 +274,29 @@ def orders_infotons(df: DataFrame) -> DataFrame:
 
 
 def lineitem_infotons(df: DataFrame) -> DataFrame:
-    key = F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    # the synthetic lineitem table does NOT have a unique
+    # (l_orderkey, l_linenumber) key — disambiguate with a deterministic
+    # ordinal (same window is reproducible in the DuckDB oracle), keeping
+    # the path-uniqueness invariant of the infoton model
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_orderkey", "l_linenumber").orderBy(
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_shipdate", "l_partkey", "l_suppkey"
+    )
+    df = df.withColumn("__rn", F.row_number().over(w))
+    key = (F.col("l_orderkey") * 10 + F.col("l_linenumber")) * 8 + (F.col("__rn") - 1)
     return _build(
         df,
         "lineitem",
         key,
-        F.concat(F.lit("/tpch/lineitem/"), F.col("l_orderkey"), F.lit("-"), F.col("l_linenumber")),
+        F.concat(
+            F.lit("/tpch/lineitem/"),
+            F.col("l_orderkey"),
+            F.lit("-"),
+            F.col("l_linenumber"),
+            F.lit("-"),
+            F.col("__rn"),
+        ),
         [
             ("orderkey", single(F.col("l_orderkey"), "l")),
             ("linenumber", single(F.col("l_linenumber"), "i")),

@@ -83,7 +83,7 @@ def materialize(spark: SparkSession, sf_dir: str, root: str | None = None, force
         with open(stamp) as fh:
             if fh.read() == fp:
                 return out
-    inf = build_infotons(spark, sf_dir)
+    inf = build_infotons(spark, sf_dir).persist()
     # Hash-distribute for even 32-way write parallelism, sort WITHIN each
     # task by path: parquet row groups inside every file stay tightly
     # sorted, so row-group min/max skipping works on point lookups/prefix
@@ -98,9 +98,10 @@ def materialize(spark: SparkSession, sf_dir: str, root: str | None = None, force
         .partitionBy("kind")
         .parquet(os.path.join(out, "infotons"))
     )
-    infotons = spark.read.parquet(os.path.join(out, "infotons"))
+    # derive triples from the cached build (not a re-read of the written
+    # files): one build pays for both tables
     (
-        triples_of(infotons)
+        triples_of(inf)
         .repartition(32, "p", "o")
         .sortWithinPartitions("p", "o")
         .write.mode("overwrite")
@@ -111,6 +112,7 @@ def materialize(spark: SparkSession, sf_dir: str, root: str | None = None, force
     # analog of the reference's live count() per predicate
     # (JenaArqExtensionsUtils.sortTriplePatternsByAmount:187-225).
     t = spark.read.parquet(os.path.join(out, "triples"))
+    inf.unpersist()
     t.groupBy("p").agg(
         F.count("*").alias("n_triples"),
         F.approx_count_distinct("o").alias("n_distinct_obj"),

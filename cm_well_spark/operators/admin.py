@@ -1,0 +1,221 @@
+"""Administrative / auxiliary surface: overwrite, purge, KV store,
+virtual infotons, qstream, tracking, audit (S7/S8/S10/S11/S12, W6/W7).
+"""
+
+from __future__ import annotations
+
+import uuid as _uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# S7: _ow overwrite (DC-sync writes: complete versions, no merge)
+# ---------------------------------------------------------------------------
+
+
+def overwrite(infotons: DataFrame, version_rows: DataFrame) -> DataFrame:
+    """`_ow`: append complete externally-authored versions (explicit uuid +
+    index_time, histories included), NO merge — the inter-DC sync write
+    path (InputHandler.scala:131; CRUDServiceFS.putOverwrites:301). The
+    only computed bit is the current-flag flip per affected path."""
+    affected = version_rows.select("path").distinct()
+    untouched = infotons.join(F.broadcast(affected), "path", "left_anti")
+    touched = infotons.join(F.broadcast(affected), "path", "left_semi").unionByName(
+        version_rows.select(*infotons.columns)
+    )
+    w = Window.partitionBy("path").orderBy(F.desc("index_time"))
+    touched = touched.withColumn("current", F.row_number().over(w) == 1)
+    return untouched.unionByName(touched)
+
+
+# ---------------------------------------------------------------------------
+# S8: delete / purge APIs
+# ---------------------------------------------------------------------------
+
+
+def purge_path(infotons: DataFrame, path: str) -> DataFrame:
+    """purge-all: physically remove every version of a path
+    (Application.scala:2842-2848). Contrast with DELETE -> tombstone via
+    the merge writer (delete_path command)."""
+    return infotons.where(F.col("path") != path)
+
+
+def purge_history(infotons: DataFrame, path: str) -> DataFrame:
+    """purge-history: keep only the current version of a path."""
+    return infotons.where((F.col("path") != path) | F.col("current"))
+
+
+def delete_recursive_commands(spark: SparkSession, infotons: DataFrame, path: str, seq_start: int = 1) -> DataFrame:
+    """recursive delete = a delete_path command per descendant, fed to the
+    merge writer (tombstones, history retained)."""
+    from cm_well_spark.operators.merge import COMMAND_SCHEMA
+    from cm_well_spark.operators.search import PathFilter, path_filter_col
+
+    targets = (
+        infotons.where(F.col("current"))
+        .where(path_filter_col(PathFilter(path, descendants=True)) | (F.col("path") == path))
+        .select(F.col("path").alias("__target"))
+        .distinct()
+        # commands will be joined back against the same table inside the
+        # merge writer — cut the shared lineage (fresh attribute ids via
+        # the alias + checkpoint) so Catalyst doesn't see an ambiguous
+        # self-join; the target list is small (one subtree)
+        .localCheckpoint(eager=True)
+    )
+    return targets.select(
+        F.col("__target").alias("path"),
+        F.lit(seq_start).cast("long").alias("seq"),
+        F.lit("delete_path").alias("op"),
+        F.lit(None).cast(COMMAND_SCHEMA["fields"].dataType).alias("fields"),
+        F.lit(None).cast(COMMAND_SCHEMA["delete_fields"].dataType).alias("delete_fields"),
+        F.current_timestamp().alias("last_modified"),
+        F.lit("https").alias("protocol"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S10: zz KV store
+# ---------------------------------------------------------------------------
+
+
+class ZzStore:
+    """Opaque KV blob store (`zz` API / zstore, ZStore.scala) as a small
+    parquet table. At scale this is an object store; the API is the
+    contract."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def _read(self) -> DataFrame:
+        import os
+
+        if not os.path.exists(self.path):
+            return self.spark.createDataFrame([], "key string, value binary, ts timestamp")
+        return self.spark.read.parquet(self.path)
+
+    def put(self, key: str, value: bytes) -> None:
+        cur = self._read().where(F.col("key") != key)
+        new = self.spark.createDataFrame([(key, bytearray(value))], "key string, value binary").withColumn(
+            "ts", F.current_timestamp()
+        )
+        out = cur.unionByName(new)
+        tmp = self.path + "._tmp"
+        out.write.mode("overwrite").parquet(tmp)
+        self.spark.read.parquet(tmp).write.mode("overwrite").parquet(self.path)
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    def get(self, key: str) -> bytes | None:
+        row = self._read().where(F.col("key") == key).first()
+        return bytes(row["value"]) if row else None
+
+    def list_keys(self) -> list[str]:
+        return [r["key"] for r in self._read().select("key").orderBy("key").collect()]
+
+
+# ---------------------------------------------------------------------------
+# S11: virtual /proc infotons
+# ---------------------------------------------------------------------------
+
+
+def proc_infotons(infotons: DataFrame) -> DataFrame:
+    """Computed system/monitoring tables served as infotons
+    (ActiveInfotonGenerator): per-kind row counts + index_time horizon as
+    virtual rows under /proc (never persisted)."""
+    stats = (
+        infotons.groupBy("kind")
+        .agg(
+            F.count("*").alias("versions"),
+            F.sum(F.when(F.col("current"), 1).otherwise(0)).alias("current_rows"),
+            F.max("index_time").alias("max_index_time"),
+        )
+        .withColumn("path", F.concat(F.lit("/proc/kind/"), F.col("kind")))
+    )
+    return stats.select(
+        "path",
+        F.lit("VirtualInfoton").alias("kind_v"),
+        "kind",
+        "versions",
+        "current_rows",
+        "max_index_time",
+    ).withColumnRenamed("kind_v", "virtual_kind")
+
+
+# ---------------------------------------------------------------------------
+# S12: op=qstream — raw persist-queue passthrough
+# ---------------------------------------------------------------------------
+
+
+def qstream(spark: SparkSession, bootstrap_servers: str, topic: str, starting_offsets: str = "earliest"):
+    """Kafka persist-topic passthrough (CRUDServiceFS.consumeKafka:474) —
+    a readStream builder; requires the spark-sql-kafka package at runtime
+    (not present in this environment)."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+
+
+# ---------------------------------------------------------------------------
+# W6: write tracking
+# ---------------------------------------------------------------------------
+
+
+def assign_tracking_ids(commands: DataFrame) -> tuple[str, DataFrame]:
+    """`_track`: one tracking id per write batch; per-path status derives
+    from the table afterwards (tracking actor -> plain columns)."""
+    tid = _uuid.uuid4().hex[:16]
+    return tid, commands.withColumn("tracking_id", F.lit(tid))
+
+
+def tracking_status(infotons: DataFrame, commands: DataFrame) -> DataFrame:
+    """Status per tracked path: Done when a version at/after the command's
+    seq exists (eventual-consistency poll made trivial by the single
+    table)."""
+    latest = infotons.where(F.col("current")).select("path", "index_time")
+    return (
+        commands.select("path", "tracking_id")
+        .distinct()
+        .join(latest, "path", "left")
+        .select(
+            "tracking_id",
+            "path",
+            F.when(F.col("index_time").isNotNull(), F.lit("Done")).otherwise(F.lit("InProgress")).alias("status"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# W7: data-quality audit (replaces the consistency crawler)
+# ---------------------------------------------------------------------------
+
+
+def audit(infotons: DataFrame) -> DataFrame:
+    """Single-source-of-truth invariant checks (the reference needs a
+    crawler to reconcile C* vs ES — CrawlerStream.scala; we only need to
+    assert table invariants): returns (check, violations) rows."""
+    by_path = infotons.groupBy("path").agg(
+        F.sum(F.when(F.col("current"), 1).otherwise(0)).alias("n_current"),
+        F.count("*").alias("n_versions"),
+    )
+    checks = [
+        ("exactly_one_current_per_path", by_path.where(F.col("n_current") != 1).count()),
+        ("uuid_present", infotons.where(F.col("uuid").isNull() | (F.col("uuid") == "")).count()),
+        ("path_parent_consistent", infotons.where(
+            ~F.col("path").startswith(F.col("parent")) & (F.col("parent") != "/")
+        ).count()),
+        ("index_time_present", infotons.where(F.col("index_time").isNull()).count()),
+        (
+            "tombstones_have_no_fields",
+            infotons.where((F.col("kind") == "DeletedInfoton") & (F.size(F.map_keys("fields")) > 0)).count(),
+        ),
+    ]
+    spark = infotons.sparkSession
+    return spark.createDataFrame(checks, "check string, violations long")

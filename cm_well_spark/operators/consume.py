@@ -78,7 +78,10 @@ def encode_token(st: ConsumeState) -> str:
 def decode_token(token: str) -> ConsumeState:
     if not token:
         raise ValueError("position cannot be empty")
-    raw = gzip.decompress(base64.urlsafe_b64decode(token)).decode()
+    try:
+        raw = gzip.decompress(base64.urlsafe_b64decode(token)).decode()
+    except Exception as e:  # noqa: BLE001
+        raise ValueError(f"malformed position token (not gzip+base64): {e}") from e
     parts = raw.split("|", 6)
     if len(parts) != 7:
         raise ValueError(f"malformed position token: {raw!r}")

@@ -176,6 +176,12 @@ _VERSION_SCHEMA = T.StructType(
 )
 
 
+def _fields_sig(fields: dict) -> frozenset:
+    return frozenset(
+        (k, frozenset((v.get("value"), v.get("quad"), v.get("lang")) for v in vs)) for k, vs in fields.items()
+    )
+
+
 def _fields_to_py(m) -> dict:
     if m is None:
         return {}
@@ -199,6 +205,7 @@ def _merge_group(base_pdf: pd.DataFrame, cmd_pdf: pd.DataFrame) -> pd.DataFrame:
         state = ("missing", {})
         protocol = "https"
     rows = []
+    prev_sig = (state[0], _fields_sig(state[1])) if state[0] != "missing" else None
     for _, cmd in cmd_pdf.sort_values("seq").iterrows():
         c = {
             "op": cmd["op"],
@@ -206,6 +213,12 @@ def _merge_group(base_pdf: pd.DataFrame, cmd_pdf: pd.DataFrame) -> pd.DataFrame:
             "delete_fields": _fields_to_py(cmd["delete_fields"]),
         }
         state = apply_command(state, c)
+        # null-update detection: identical merged content produces NO new
+        # version (the reference's merger skips no-op merges)
+        sig = (state[0], _fields_sig(state[1]))
+        if sig == prev_sig:
+            continue
+        prev_sig = sig
         lm = cmd["last_modified"].to_pydatetime() if hasattr(cmd["last_modified"], "to_pydatetime") else cmd["last_modified"]
         rows.append(
             {
@@ -224,10 +237,13 @@ def _merge_group(base_pdf: pd.DataFrame, cmd_pdf: pd.DataFrame) -> pd.DataFrame:
 def merge_versions(infotons: DataFrame, commands: DataFrame) -> DataFrame:
     """Fold commands into new version rows (one per command), distributed
     per-path via cogrouped applyInPandas. Only affected paths are read."""
-    affected = commands.select("path").distinct()
+    # alias both sides: commands may derive from this very table (e.g.
+    # recursive delete), which otherwise trips the ambiguous-self-join check
+    affected = commands.select(F.col("path").alias("__ap")).distinct().alias("__aff")
     base = (
-        infotons.where(F.col("current"))
-        .join(F.broadcast(affected), "path", "left_semi")
+        infotons.alias("__base")
+        .where(F.col("current"))
+        .join(F.broadcast(affected), F.col("__base.path") == F.col("__aff.__ap"), "left_semi")
         .select("path", "kind", "fields", "protocol")
     )
     return (
@@ -279,11 +295,15 @@ def apply_commands(infotons: DataFrame, commands: DataFrame, index_time_base: in
     )
     from pyspark.sql import Window
 
-    affected = versions.select("path").distinct()
+    affected = versions.select(F.col("path").alias("__ap")).distinct()
     # Only affected paths pay the current-flip window; the untouched bulk of
     # the table passes through via a broadcast anti join (no shuffle).
-    untouched = infotons.join(F.broadcast(affected), "path", "left_anti")
-    touched_old = infotons.join(F.broadcast(affected), "path", "left_semi")
+    untouched = infotons.alias("__t").join(
+        F.broadcast(affected.alias("__a1")), F.col("__t.path") == F.col("__a1.__ap"), "left_anti"
+    )
+    touched_old = infotons.alias("__t2").join(
+        F.broadcast(affected.alias("__a2")), F.col("__t2.path") == F.col("__a2.__ap"), "left_semi"
+    )
     touched = touched_old.unionByName(new_rows.select(*infotons.columns))
     w = Window.partitionBy("path").orderBy(F.desc("index_time"))
     # current marks the latest version per path — tombstones included; the

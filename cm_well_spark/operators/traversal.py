@@ -3,14 +3,13 @@
 These are CM-Well's "joins": URI-identity equi joins between FReference
 field values and infoton paths.
 
-  xg  (J1) expand-out: bounded (<=9) unrolled loop of
-      explode(refs) -> join(infotons, ref == path), accumulating distinct
-      paths (reference: deepExpandGraph wsutil/package.scala:716-749,
-      expandIn :521-615; limit 10000 application.conf:71).
+  xg  (J1) expand-out: bounded (<=9) unrolled loop of edge hops,
+      accumulating distinct paths (reference: deepExpandGraph
+      wsutil/package.scala:716-749, expandIn :521-615; limit 10000
+      application.conf:71).
   yg  (J2) expand-up/in chains: '<field' = reverse join (who points at
-      me) via the predicate-partitioned triples table (partition-pruned
-      scan on p + broadcast of the frontier), '>field' = forward deref
-      (pathExpansionParser wsutil:850-963, expandUp :617-714).
+      me), '>field' = forward deref (pathExpansionParser wsutil:850-963,
+      expandUp :617-714).
   gqp (J3) like yg but only FILTERS the result set: an original survives
       iff the whole segment chain reaches a non-empty population
       (gqpFilter wsutil:751-849) -> chain of semi joins.
@@ -18,11 +17,12 @@ field values and infoton paths.
       other side of the join; the chain continues from what matched
       (GhostInfoton Infoton.scala:320; ExpansionTests.scala:238-243).
 
-Scale posture: the frontier is bounded by the xg limit (10k), so the
-frontier side of every join is broadcastable; the big side is one
-partition-pruned triples scan (reverse) or one doc-table join (forward)
-per hop — no iteration over collect()ed rows, no graph library needed for
-bounded-depth expansion.
+Scale shape: every hop reads EDGES from the predicate-partitioned
+`triples` table — a narrow, partition-pruned scan (bound field names
+prune to their `p` partitions) with the bounded frontier broadcast —
+never a scan of the wide doc-table field maps. Per-level `[qp]` filters
+hydrate only the candidate target paths. The traversal bookkeeping is
+path sets; full infoton rows are fetched ONCE at the end via a semi join.
 """
 
 from __future__ import annotations
@@ -47,21 +47,6 @@ from cm_well_spark.plans.compile import compile_filter
 XG_LIMIT = 10_000  # webservice.xg.limit (application.conf:71)
 
 
-def _ref_values(fields_col: Column, selectors: tuple[FilteredField, ...]) -> Column:
-    """Array of reference-candidate values of the selected fields.
-    Joker (None) selects every field, mirroring JokerPattern."""
-    named = [s.field for s in selectors if s.field is not None]
-    joker = any(s.field is None for s in selectors)
-    if joker:
-        vals = F.flatten(F.map_values(fields_col))
-    else:
-        arrs = [F.coalesce(fields_col.getItem(n), F.array()) for n in named]
-        vals = F.flatten(F.array(*arrs))
-    refs = F.transform(vals, lambda v: v["value"])
-    # our references are path-valued ("/...") — cheap pre-filter before join
-    return F.array_distinct(F.filter(refs, lambda r: r.startswith("/")))
-
-
 def _target_filter(selectors: tuple[FilteredField, ...]) -> Column | None:
     qps = [s.qp for s in selectors if s.qp is not None]
     if not qps:
@@ -69,27 +54,45 @@ def _target_filter(selectors: tuple[FilteredField, ...]) -> Column | None:
     return reduce(lambda a, b: a & b, (compile_filter(q) for q in qps))
 
 
-def _forward_targets(infotons: DataFrame, frontier: DataFrame, selectors) -> DataFrame:
-    """One expand-in hop: frontier infoton rows -> dereferenced target rows."""
-    refs = frontier.select(F.explode(_ref_values(F.col("fields"), selectors)).alias("path")).distinct()
-    targets = infotons.where(F.col("current")).join(refs, "path", "left_semi")
-    tf = _target_filter(selectors)
-    return targets.where(tf) if tf is not None else targets
-
-
-def _reverse_sources(infotons: DataFrame, triples: DataFrame, frontier: DataFrame, selectors) -> DataFrame:
-    """One expand-up hop: who points at the frontier through these fields?
-    Triples scan is partition-pruned on p (bound predicates) and the
-    frontier is broadcast — the big side never shuffles."""
+def _edges(triples: DataFrame, selectors, reverse: bool) -> DataFrame:
+    """(src, dst) edge pairs through the selected fields. Bound field
+    names prune the triples scan to their `p` partitions; the joker
+    reads all reference-valued rows."""
     named = [s.field for s in selectors if s.field is not None]
+    joker = any(s.field is None for s in selectors)
     t = triples.where(F.col("current"))
-    if named:
+    if named and not joker:
         t = t.where(F.col("p").isin(named))
-    fr = frontier.select(F.col("path").alias("o")).distinct()
-    srcs = t.join(F.broadcast(fr), "o", "left_semi").select(F.col("s").alias("path")).distinct()
-    sources = infotons.where(F.col("current")).join(srcs, "path", "left_semi")
+    t = t.where((F.col("vtype") == "s") & F.col("o").startswith("/"))
+    if reverse:
+        return t.select(F.col("o").alias("src"), F.col("s").alias("dst"))
+    return t.select(F.col("s").alias("src"), F.col("o").alias("dst"))
+
+
+def _filtered_paths(infotons: DataFrame, paths: DataFrame, selectors) -> DataFrame:
+    """Apply the per-level [qp] filter by hydrating ONLY the candidate
+    paths (broadcast semi join), returning the surviving path set."""
     tf = _target_filter(selectors)
-    return sources.where(tf) if tf is not None else sources
+    live = infotons.where(F.col("current"))
+    hydrated = live.join(F.broadcast(paths), "path", "left_semi")
+    if tf is not None:
+        hydrated = hydrated.where(tf)
+    return hydrated.select("path")
+
+
+def _hop(infotons: DataFrame, triples: DataFrame, frontier_paths: DataFrame, selectors, reverse: bool) -> DataFrame:
+    edges = _edges(triples, selectors, reverse)
+    src = frontier_paths.select(F.col("path").alias("src")).distinct()
+    dsts = edges.join(F.broadcast(src), "src", "left_semi").select(F.col("dst").alias("path")).distinct()
+    # ghost skip (J7): only paths that exist as current infotons survive,
+    # and the per-level filter applies to the hydrated targets
+    return _filtered_paths(infotons, dsts, selectors)
+
+
+def _hydrate(infotons: DataFrame, paths: DataFrame, limit: int) -> DataFrame:
+    return infotons.where(F.col("current")).join(
+        F.broadcast(paths.distinct().limit(limit)), "path", "left_semi"
+    )
 
 
 def expand_out(
@@ -97,20 +100,25 @@ def expand_out(
     seeds: DataFrame,
     xg: str | list[LevelExpansion] = "",
     limit: int = XG_LIMIT,
+    triples: DataFrame | None = None,
 ) -> DataFrame:
     """J1 xg: returns seeds plus all expanded infotons (distinct by path).
-
     Levels are bounded at 9 by the grammar, so the loop unrolls into one
-    declarative plan; each hop is a semi join on path."""
+    declarative plan."""
+    from cm_well_spark.model.lakehouse import triples_of
+
+    t = triples if triples is not None else triples_of(infotons)
     levels = parse_xg(xg) if isinstance(xg, str) else xg
-    acc = seeds
-    frontier = seeds
+    # iterative expansion: materialize the (bounded, <=10k-path) frontier
+    # each level — without this the accumulated plan re-evaluates the
+    # whole chain 2^levels times (measured 10x wall on a 2-level xg)
+    acc = seeds.select("path").localCheckpoint(eager=True)
+    frontier = acc
     for level in levels:
-        targets = _forward_targets(infotons, frontier, level.fields)
-        # drop already-seen paths to keep the frontier minimal
-        frontier = targets.join(acc.select("path"), "path", "left_anti")
-        acc = acc.unionByName(frontier)
-    return acc.dropDuplicates(["path"]).limit(limit)
+        targets = _hop(infotons, t, frontier, level.fields, reverse=False)
+        frontier = targets.join(acc, "path", "left_anti").localCheckpoint(eager=True)
+        acc = acc.unionByName(frontier).localCheckpoint(eager=True)
+    return _hydrate(infotons, acc, limit)
 
 
 def expand_paths(
@@ -123,16 +131,16 @@ def expand_paths(
     """J2 yg: walk each `|`-alternative segment chain from the seeds and
     keep the WHOLE discovered path (seeds + every intermediate + final)."""
     pe = parse_yg(yg) if isinstance(yg, str) else yg
-    acc = seeds
+    seed_paths = seeds.select("path").localCheckpoint(eager=True)
+    acc = seed_paths
     for path in pe.paths:
-        frontier = seeds
+        frontier = seed_paths  # each |-alternative restarts from the seeds
         for seg in path.segments:
-            if isinstance(seg, ExpandIn):
-                frontier = _forward_targets(infotons, frontier, seg.fields)
-            elif isinstance(seg, ExpandUp):
-                frontier = _reverse_sources(infotons, triples, frontier, seg.fields)
-            acc = acc.unionByName(frontier)
-    return acc.dropDuplicates(["path"]).limit(limit)
+            frontier = _hop(infotons, triples, frontier, seg.fields, reverse=isinstance(seg, ExpandUp)).localCheckpoint(
+                eager=True
+            )
+            acc = acc.unionByName(frontier).localCheckpoint(eager=True)
+    return _hydrate(infotons, acc, limit)
 
 
 def gqp_filter(
@@ -144,9 +152,9 @@ def gqp_filter(
     """J3 gqp: keep only result rows whose full segment chain reaches a
     non-empty population; adds nothing to the result set.
 
-    Implemented as a per-alternative chain of (orig, cur) hops — the
-    original key rides along so the final distinct(orig) is a semi-join
-    mask. A result survives if ANY `|`-alternative survives."""
+    The original key rides along each hop as (orig, cur) pairs so the
+    final distinct(orig) is a semi-join mask; a result survives if ANY
+    `|`-alternative survives. Edges come from the pruned triples table."""
     pe = parse_gqp(gqp) if isinstance(gqp, str) else gqp
     survivor_sets = []
     for path in pe.paths:
@@ -154,30 +162,16 @@ def gqp_filter(
             continue
         pop = results.select(F.col("path").alias("orig"), F.col("path").alias("cur"))
         for seg in path.segments:
-            cur_inf = infotons.where(F.col("current")).join(
-                pop.select(F.col("cur").alias("path")).distinct(), "path", "left_semi"
-            )
-            if isinstance(seg, ExpandIn):
-                nxt = _forward_targets(infotons, cur_inf, seg.fields)
-                # edges: cur -> ref target
-                edges = (
-                    cur_inf.select(F.col("path").alias("cur"), F.explode(_ref_values(F.col("fields"), seg.fields)).alias("nxt"))
-                )
-            else:
-                nxt = _reverse_sources(infotons, triples, cur_inf, seg.fields)
-                named = [s.field for s in seg.fields if s.field is not None]
-                t = triples.where(F.col("current"))
-                if named:
-                    t = t.where(F.col("p").isin(named))
-                edges = t.select(F.col("o").alias("cur"), F.col("s").alias("nxt"))
-            nxt_paths = nxt.select(F.col("path").alias("nxt"))
-            step = (
-                pop.join(edges, "cur")
-                .join(nxt_paths, "nxt", "left_semi")
-                .select("orig", F.col("nxt").alias("cur"))
+            reverse = isinstance(seg, ExpandUp)
+            edges = _edges(triples, seg.fields, reverse)
+            stepped = (
+                pop.join(edges, pop.cur == edges.src)
+                .select("orig", F.col("dst").alias("cur"))
                 .distinct()
             )
-            pop = step
+            # targets must exist (ghost skip) and satisfy the per-level filter
+            valid = _filtered_paths(infotons, stepped.select(F.col("cur").alias("path")).distinct(), seg.fields)
+            pop = stepped.join(valid.withColumnRenamed("path", "cur"), "cur", "left_semi")
         survivor_sets.append(pop.select("orig").distinct())
     if not survivor_sets:
         return results

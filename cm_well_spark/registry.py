@@ -112,10 +112,13 @@ def search_range_num(spark, sf_dir):
 @register(
     "search_range_date",
     oracle="""
-    SELECT '/tpch/lineitem/' || l_orderkey || '-' || l_linenumber AS path,
+    SELECT '/tpch/lineitem/' || l_orderkey || '-' || l_linenumber || '-' ||
+           row_number() OVER (PARTITION BY l_orderkey, l_linenumber
+             ORDER BY l_quantity, l_extendedprice, l_discount, l_tax,
+                      l_shipdate, l_partkey, l_suppkey) AS path,
            l_quantity AS quantity, strftime(l_shipdate, '%Y-%m-%d') AS shipdate
     FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+    QUALIFY l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
     """,
 )
 def search_range_date(spark, sf_dir):
@@ -412,7 +415,7 @@ def xg_expand_out(spark, sf_dir):
 
     inf = _inf(spark, sf_dir)
     seeds = S.search(inf, qp="rdfType::Order,orderkey<100", length=None)
-    return expand_out(inf, seeds, "byCustomer").select("path")
+    return expand_out(inf, seeds, "byCustomer", triples=_tri(spark, sf_dir)).select("path")
 
 
 @register(
@@ -432,7 +435,7 @@ def xg_two_levels(spark, sf_dir):
 
     inf = _inf(spark, sf_dir)
     seeds = S.search(inf, qp="rdfType::Customer,custkey<20", length=None)
-    return expand_out(inf, seeds, "inNation>ofRegion").select("path")
+    return expand_out(inf, seeds, "inNation>ofRegion", triples=_tri(spark, sf_dir)).select("path")
 
 
 @register(
@@ -447,7 +450,7 @@ def xg_ghost_skip(spark, sf_dir):
 
     inf = _inf(spark, sf_dir)
     seeds = S.search(inf, qp="rdfType::Event", length=None)
-    return expand_out(inf, seeds, "byUser", limit=1_000_000).select("path")
+    return expand_out(inf, seeds, "byUser", limit=1_000_000, triples=_tri(spark, sf_dir)).select("path")
 
 
 @register(
@@ -1070,3 +1073,100 @@ def multimodal_decode(spark, sf_dir):
 
     imgs = docs.mapInPandas(gen, T.StructType([T.StructField("id", T.LongType()), T.StructField("data", T.BinaryType())]))
     return decode_images(imgs)
+
+
+# ---------------------------------------------------------------------------
+# F9 + S7/S8/S11 + W6/W7: namespaces, overwrite, purge, proc, audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ns_resolved_search",
+    oracle="""
+    SELECT '/tpch/nation/' || n_nationkey AS path, n_name AS name
+    FROM nation WHERE n_nationkey > 20
+    """,
+)
+def ns_resolved_search(spark, sf_dir):
+    """F9 namespace resolution: external `local.prefix` field keys rewrite
+    to internal names via the broadcast namespaces dim table before
+    compilation (RawFieldFilter.eval analog)."""
+    from cm_well_spark.functions.namespaces import NamespaceRegistry
+    from cm_well_spark.parsers.qp import parse_qp
+    from cm_well_spark.plans.compile import compile_filter
+
+    reg = NamespaceRegistry({"tpch": "cmwell://meta/tpch"})
+    ff = reg.resolve_filter(parse_qp("rdfType.tpch::Nation,nationkey.tpch>20"))
+    df = _inf(spark, sf_dir).where(F.col("current")).where(compile_filter(ff))
+    return df.select("path", fv.first_value("name").alias("name"))
+
+
+@register(
+    "admin_delete_recursive",
+    oracle="""
+    SELECT 0 AS live_regions, 5 AS tombstones
+    """,
+)
+def admin_delete_recursive(spark, sf_dir):
+    """S8 recursive delete: tombstone command per descendant through the
+    merge writer; search stops seeing them, history keeps them."""
+    from cm_well_spark.operators.admin import delete_recursive_commands
+    from cm_well_spark.operators.merge import apply_commands
+    from cm_well_spark.operators.search import list_children
+
+    inf = _inf(spark, sf_dir)
+    cmds = delete_recursive_commands(spark, inf, "/tpch/region")
+    t = apply_commands(inf, cmds)
+    live = list_children(t, "/tpch/region").count()
+    tombs = t.where(
+        F.col("path").startswith("/tpch/region/") & F.col("current") & (F.col("kind") == "DeletedInfoton")
+    ).count()
+    return spark.createDataFrame([(live, tombs)], "live_regions int, tombstones int")
+
+
+@register(
+    "admin_overwrite_ow",
+    oracle="SELECT 2 AS n_versions, 'ow-uuid-1' AS current_uuid",
+)
+def admin_overwrite_ow(spark, sf_dir):
+    """S7 `_ow`: complete externally-authored version appended without
+    merge; current flips to the highest index_time."""
+    from cm_well_spark.operators.admin import overwrite
+
+    inf = _inf(spark, sf_dir)
+    rows = (
+        inf.where("path = '/tpch/region/0'")
+        .withColumn("index_time", F.col("index_time") + 1000)
+        .withColumn("uuid", F.lit("ow-uuid-1"))
+    )
+    out = overwrite(inf, rows)
+    h = out.where("path = '/tpch/region/0'")
+    cur = h.where("current").first()
+    return spark.createDataFrame([(h.count(), cur["uuid"])], "n_versions int, current_uuid string")
+
+
+@register(
+    "admin_audit",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('exactly_one_current_per_path', 0), ('index_time_present', 0),
+      ('path_parent_consistent', 0), ('tombstones_have_no_fields', 0),
+      ('uuid_present', 0)
+    ) AS t(check_name, violations)
+    """,
+)
+def admin_audit(spark, sf_dir):
+    """W7: table-invariant audit (the single-source-of-truth replacement
+    for the C*/ES consistency crawler)."""
+    from cm_well_spark.operators.admin import audit
+
+    return audit(_inf(spark, sf_dir)).select(F.col("check").alias("check_name"), F.col("violations").cast("int"))
+
+
+@register("virtual_proc_infotons")
+def virtual_proc_infotons(spark, sf_dir):
+    """S11 /proc virtual infotons (computed monitoring rows; shape varies
+    with the store so rows-only)."""
+    from cm_well_spark.operators.admin import proc_infotons
+
+    return proc_infotons(_inf(spark, sf_dir))

@@ -222,3 +222,21 @@ def test_apply_commands_versioning(infotons, commands_df):
     assert any(r["kind"] == "DeletedInfoton" for r in h2)
     # untouched paths unchanged
     assert table.where("path = '/tpch/region/3' AND current").count() == 1
+
+
+def test_null_update_skipped(infotons, spark):
+    from datetime import datetime
+
+    from cm_well_spark.operators.merge import COMMAND_SCHEMA, apply_commands
+
+    def sfv(v):
+        return {"value": v, "vtype": "s", "lang": None, "quad": None, "num": None, "ts": None, "bool": None}
+
+    cmds = spark.createDataFrame(
+        [("/tpch/region/4", 1, "write", {"tag": [sfv("a")]}, None, datetime(2024, 1, 1), "https")],
+        COMMAND_SCHEMA,
+    )
+    t1 = apply_commands(infotons, cmds)
+    t2 = apply_commands(t1, cmds)  # identical content -> no new version
+    assert t2.where("path = '/tpch/region/4'").count() == 2  # original + 1 merge
+    assert t2.where("path = '/tpch/region/4' AND current").count() == 1
