@@ -241,3 +241,23 @@ def next_chunk(
     if boundary["n"] == 0:
         return token, page, 204
     return encode_token(replace(st, ts=int(boundary["m"]))), page, 200
+
+
+# ---- T2: mstream / sstream — partition-parallel export --------------------
+
+
+def mstream(infotons: DataFrame, path: str | None = None, qp: str | None = None, descendants: bool = False):
+    """op=mstream/sstream: the reference opens parallel scrolls per index/
+    per shard with node affinity (FTSService.startSuperScroll:673-711).
+    In Spark the scan IS partition-parallel; this exposes the per-partition
+    iterator surface for streaming sinks: returns (n_partitions, rdd of
+    rows) so callers can foreachPartition with locality."""
+    df = stream(infotons, path=path, qp=qp, descendants=descendants)
+    return df.rdd.getNumPartitions(), df
+
+
+def sstream_partition_counts(infotons: DataFrame, path: str | None = None, qp: str | None = None) -> DataFrame:
+    """Per-partition row counts — the observable analog of per-shard
+    scroll fan-out (useful for sizing parallel consumers)."""
+    df = stream(infotons, path=path, qp=qp)
+    return df.select(F.spark_partition_id().alias("partition")).groupBy("partition").count()

@@ -1170,3 +1170,88 @@ def virtual_proc_infotons(spark, sf_dir):
     from cm_well_spark.operators.admin import proc_infotons
 
     return proc_infotons(_inf(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Like-fuzzy, events windows, gremlin, stored queries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "search_like_fuzzy",
+    oracle="""
+    SELECT '/tpch/region/' || r_regionkey AS path, r_name AS name
+    FROM region WHERE levenshtein(lower(r_name), 'evrope') <= 2
+    """,
+)
+def search_like_fuzzy(spark, sf_dir):
+    """F1 `~` Like -> fuzzy match with ES AUTO edit-distance buckets
+    (len>5 -> 2 edits), via levenshtein on the exact value."""
+    df = S.search(_inf(spark, sf_dir), qp="rdfType::Region,name~EVROPE", length=None)
+    return df.select("path", fv.first_value("name").alias("name"))
+
+
+@register(
+    "events_window_agg",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:00') AS window_start,
+           event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_window_agg(spark, sf_dir):
+    """Tumbling-window aggregation over the events stream table — the
+    batch twin of the Structured Streaming windowed agg (the reference
+    has no windowing, SURVEY §2.9 T6 note; this is pipeline surface)."""
+    from cm_well_spark.sources import tables as tbl
+
+    ev = tbl.load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:00").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "gremlin_out_chain",
+    oracle="""
+    SELECT DISTINCT '/tpch/region/' || n_regionkey AS path
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def gremlin_out_chain(spark, sf_dir):
+    """J6 gremlin-style traversal: V().has(...).out().out() over the same
+    pruned edge hops as xg/yg."""
+    from cm_well_spark.operators.gremlin import g
+
+    t = (
+        g(_inf(spark, sf_dir), _tri(spark, sf_dir))
+        .V()
+        .has("rdfType", "Customer")
+        .has("mktsegment", "BUILDING")
+        .out("inNation")
+        .out("ofRegion")
+    )
+    return t.paths()
+
+
+@register(
+    "stored_query_param",
+    oracle="""
+    SELECT '/tpch/nation/' || n_nationkey AS x FROM nation
+    """,
+)
+def stored_query_param(spark, sf_dir):
+    """§2.10 stored queries with %var% substitution (SpHandler:467-473)."""
+    from cm_well_spark.functions.udfs import StoredQueries
+
+    sq = StoredQueries()
+    sq.put("by_type", 'SELECT ?x WHERE { ?x <rdfType> "%kind%" }')
+    return sq.run_sparql(_tri(spark, sf_dir), "by_type", kind="Nation")

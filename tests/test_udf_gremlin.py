@@ -1,0 +1,92 @@
+import pytest
+from pyspark.sql import functions as F
+
+from cm_well_spark.functions.udfs import FunctionRegistry, StoredQueries
+from cm_well_spark.operators.gremlin import g
+
+
+# ---- §2.10 user functions + stored queries -------------------------------
+
+
+def test_python_udf_registration(spark, infotons):
+    reg = FunctionRegistry(spark)
+    reg.register_python("rev_str", lambda s: s[::-1] if s else None)
+    infotons.createOrReplaceTempView("inf_udf_test")
+    row = spark.sql("SELECT rev_str(path) AS r FROM inf_udf_test WHERE path = '/tpch/region/0'").first()
+    assert row["r"] == "/tpch/region/0"[::-1]
+
+
+def test_sql_function_registration(spark):
+    reg = FunctionRegistry(spark)
+    reg.register_sql("shout", ["s"], "upper(concat(s, '!'))")
+    assert spark.sql("SELECT shout('hi') AS r").first()["r"] == "HI!"
+
+
+def test_stored_queries_substitution(spark, triples):
+    sq = StoredQueries()
+    sq.put("by_type", 'SELECT ?x WHERE { ?x <rdfType> "%kind%" }')
+    out = sq.run_sparql(triples, "by_type", kind="Region")
+    assert out.count() == 5
+
+
+def test_stored_queries_missing_placeholder():
+    sq = StoredQueries()
+    sq.put("q", "SELECT %a% FROM t WHERE x = %b%")
+    with pytest.raises(ValueError, match="unsubstituted"):
+        sq.get("q", a="1")
+
+
+def test_stored_queries_unknown():
+    with pytest.raises(KeyError):
+        StoredQueries().get("nope")
+
+
+# ---- J6 gremlin-style traversal ------------------------------------------
+
+
+def test_gremlin_out_chain(infotons, triples):
+    n = g(infotons, triples).V().has("rdfType", "Customer").out("inNation").out("ofRegion").count()
+    assert n == 5  # all regions reachable
+
+
+def test_gremlin_in_step(infotons, triples, spark, sf_dir):
+    from cm_well_spark.sources import tables as tbl
+
+    raw = tbl.load_table(spark, sf_dir, "customer").where(F.col("c_nationkey") == 3).count()
+    n = (
+        g(infotons, triples)
+        .V("/tpch/nation/3")
+        .in_("inNation")
+        .has("rdfType", "Customer")
+        .count()
+    )
+    assert n == raw
+
+
+def test_gremlin_values(infotons, triples):
+    vals = g(infotons, triples).V("/tpch/nation/3").out("ofRegion").values("name").collect()
+    assert len(vals) == 1 and vals[0]["value"].isupper()
+
+
+def test_gremlin_ghost_skip(infotons, triples):
+    # events point at /users/* ghosts: out() lands nowhere
+    n = g(infotons, triples).V().has("rdfType", "Event").out("byUser").count()
+    assert n == 0
+
+
+def test_gremlin_both(infotons, triples):
+    # nation 3: out(ofRegion) -> 1 region; in(inNation) -> customers+suppliers
+    t = g(infotons, triples).V("/tpch/nation/3")
+    assert t.both("ofRegion").count() == 1  # only the region (no one points at nation/3 via ofRegion)
+
+
+# ---- T2 mstream ----------------------------------------------------------
+
+
+def test_mstream_partitions(infotons):
+    from cm_well_spark.operators.consume import mstream, sstream_partition_counts
+
+    n_parts, df = mstream(infotons, path="/tpch/nation")
+    assert n_parts >= 1 and df.count() == 25
+    counts = sstream_partition_counts(infotons, path="/tpch/nation")
+    assert counts.agg(F.sum("count")).first()[0] == 25
