@@ -83,7 +83,10 @@ def materialize(spark: SparkSession, sf_dir: str, root: str | None = None, force
         with open(stamp) as fh:
             if fh.read() == fp:
                 return out
-    inf = build_infotons(spark, sf_dir).persist()
+    # NOTE: do NOT persist() the build — caching the wide fields-map table
+    # measured 114s at sf0.1 (memory-store serialization) vs 45s to just
+    # write it; triples derive from the cheap re-read of the written files.
+    inf = build_infotons(spark, sf_dir)
     # Hash-distribute for even 32-way write parallelism, sort WITHIN each
     # task by path: parquet row groups inside every file stay tightly
     # sorted, so row-group min/max skipping works on point lookups/prefix
@@ -98,10 +101,9 @@ def materialize(spark: SparkSession, sf_dir: str, root: str | None = None, force
         .partitionBy("kind")
         .parquet(os.path.join(out, "infotons"))
     )
-    # derive triples from the cached build (not a re-read of the written
-    # files): one build pays for both tables
+    infotons = spark.read.parquet(os.path.join(out, "infotons"))
     (
-        triples_of(inf)
+        triples_of(infotons)
         .repartition(32, "p", "o")
         .sortWithinPartitions("p", "o")
         .write.mode("overwrite")
@@ -112,7 +114,6 @@ def materialize(spark: SparkSession, sf_dir: str, root: str | None = None, force
     # analog of the reference's live count() per predicate
     # (JenaArqExtensionsUtils.sortTriplePatternsByAmount:187-225).
     t = spark.read.parquet(os.path.join(out, "triples"))
-    inf.unpersist()
     t.groupBy("p").agg(
         F.count("*").alias("n_triples"),
         F.approx_count_distinct("o").alias("n_distinct_obj"),

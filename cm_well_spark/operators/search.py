@@ -86,8 +86,15 @@ def search(
     with_deleted: bool = False,
     fields_mask: list[str] | None = None,
     enforce_limits: bool = True,
+    triples: DataFrame | None = None,
 ) -> DataFrame:
-    """One declarative plan for the full search surface. Returns infoton rows."""
+    """One declarative plan for the full search surface. Returns infoton rows.
+
+    When `triples` is supplied, qp field filters execute INDEX-FIRST: the
+    predicate-partitioned triples table computes the candidate path set
+    (narrow pruned scans — the ES-index analog, SURVEY §3.1 steps 4-6),
+    then the doc table hydrates only candidates. Without it, filters
+    compile directly over the doc table's fields map."""
     if enforce_limits and length is not None:
         if offset > MAX_OFFSET:
             raise ValueError(f"offset is limited to {MAX_OFFSET}")
@@ -103,7 +110,18 @@ def search(
         df = df.where(F.col("last_modified") <= F.lit(dates_to))
     if qp is not None:
         ff = parse_qp(qp) if isinstance(qp, str) else qp
-        df = df.where(compile_filter(ff))
+        if triples is not None and not with_history:
+            from cm_well_spark.plans.index_route import index_search_paths
+
+            paths, residual = index_search_paths(triples, ff)
+            if paths is not None:
+                df = df.join(paths, "path", "left_semi")
+                if residual is not None:
+                    df = df.where(residual)
+            else:
+                df = df.where(residual if residual is not None else compile_filter(ff))
+        else:
+            df = df.where(compile_filter(ff))
 
     # Export mode (length=None, no explicit sort) skips the sort entirely:
     # an unbounded orderBy would force a full shuffle-sort that downstream

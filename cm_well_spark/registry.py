@@ -92,7 +92,7 @@ def list_children_q(spark, sf_dir):
 )
 def search_equals(spark, sf_dir):
     """F1 `::` Equals -> termQuery on exact value (FTSService.scala:898)."""
-    df = S.search(_inf(spark, sf_dir), qp="rdfType::Customer,mktsegment::BUILDING", length=10_000)
+    df = S.search(_inf(spark, sf_dir), qp="rdfType::Customer,mktsegment::BUILDING", length=10_000, triples=_tri(spark, sf_dir))
     return df.select("path", fv.first_value("name").alias("name"), fv.first_num("acctbal").alias("acctbal"))
 
 
@@ -105,7 +105,7 @@ def search_equals(spark, sf_dir):
 )
 def search_range_num(spark, sf_dir):
     """F1 `>` range on a typed (double) field — typed shadow comparison."""
-    df = S.search(_inf(spark, sf_dir), qp="rdfType::Customer,acctbal>5000", length=10_000)
+    df = S.search(_inf(spark, sf_dir), qp="rdfType::Customer,acctbal>5000", length=10_000, triples=_tri(spark, sf_dir))
     return df.select("path", fv.first_num("acctbal").alias("acctbal"))
 
 
@@ -127,6 +127,7 @@ def search_range_date(spark, sf_dir):
         _inf(spark, sf_dir),
         qp="rdfType::Lineitem,shipdate>>1995-01-01,shipdate<1996-01-01",
         length=None,
+        triples=_tri(spark, sf_dir),
     )
     return df.select(
         "path",
@@ -144,7 +145,7 @@ def search_range_date(spark, sf_dir):
 )
 def search_mustnot(spark, sf_dir):
     """F1 `-` MustNot -> bool mustNot clause."""
-    df = S.search(_inf(spark, sf_dir), qp="rdfType::Customer,-mktsegment::BUILDING", length=10_000)
+    df = S.search(_inf(spark, sf_dir), qp="rdfType::Customer,-mktsegment::BUILDING", length=10_000, triples=_tri(spark, sf_dir))
     return df.select("path", fv.first_value("mktsegment").alias("mktsegment"))
 
 
@@ -161,6 +162,7 @@ def search_should_group(spark, sf_dir):
         _inf(spark, sf_dir),
         qp="rdfType::Customer,[*mktsegment::BUILDING,*mktsegment::MACHINERY]",
         length=10_000,
+        triples=_tri(spark, sf_dir),
     )
     return df.select("path", fv.first_value("mktsegment").alias("mktsegment"))
 
@@ -180,6 +182,7 @@ def search_exists(spark, sf_dir):
         path_filter=S.PathFilter("/tpch", descendants=True),
         qp="acctbal:",
         length=None,
+        triples=_tri(spark, sf_dir),
     )
     return df.select("path")
 
@@ -195,7 +198,7 @@ def search_exists(spark, sf_dir):
 def search_contains(spark, sf_dir):
     """F1 `:` Contains -> matchPhrase on the analyzed field (simple
     lowercase/word-split analyzer; divergence documented SURVEY §7.3)."""
-    df = S.search(_inf(spark, sf_dir), qp="rdfType::Part,name:widget", length=10_000)
+    df = S.search(_inf(spark, sf_dir), qp="rdfType::Part,name:widget", length=10_000, triples=_tri(spark, sf_dir))
     return df.select("path", fv.first_value("name").alias("name"))
 
 
@@ -211,7 +214,7 @@ def search_contains(spark, sf_dir):
 )
 def search_sort_page(spark, sf_dir):
     """O1 typed sort + O2 offset/length paging with reference guards."""
-    df = S.search(_inf(spark, sf_dir), qp="rdfType::Customer", sort_by="-acctbal", offset=10, length=20)
+    df = S.search(_inf(spark, sf_dir), qp="rdfType::Customer", sort_by="-acctbal", offset=10, length=20, triples=_tri(spark, sf_dir))
     return df.select("path", fv.first_num("acctbal").alias("acctbal"))
 
 
@@ -1187,7 +1190,7 @@ def virtual_proc_infotons(spark, sf_dir):
 def search_like_fuzzy(spark, sf_dir):
     """F1 `~` Like -> fuzzy match with ES AUTO edit-distance buckets
     (len>5 -> 2 edits), via levenshtein on the exact value."""
-    df = S.search(_inf(spark, sf_dir), qp="rdfType::Region,name~EVROPE", length=None)
+    df = S.search(_inf(spark, sf_dir), qp="rdfType::Region,name~EVROPE", length=None, triples=_tri(spark, sf_dir))
     return df.select("path", fv.first_value("name").alias("name"))
 
 
