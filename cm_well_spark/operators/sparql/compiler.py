@@ -176,9 +176,46 @@ def sparql_query(
     SELECT -> DataFrame of the projected variable columns.
     CONSTRUCT -> DataFrame(s, p, o) of instantiated template triples.
     """
+    from cm_well_spark.operators.sparql.parser import AggExpr
+
     q = parse_sparql(query) if isinstance(query, str) else query
     df = _compile_group(triples, q.where, stats)
     if q.form == "select":
+        aggs = [v for v in q.variables if isinstance(v, AggExpr)]
+        if aggs or q.group_by:
+            # SPARQL 1.1 aggregates -> groupBy + agg (partial+final hash agg
+            # via Catalyst); numeric aggs use the typed num shadow column
+            def agg_col(a: AggExpr) -> Column:
+                if a.fn == "count":
+                    if a.var is None:
+                        c = F.count("*")
+                    elif a.distinct:
+                        c = F.countDistinct(a.var.name)
+                    else:
+                        c = F.count(a.var.name)
+                    return c.alias(a.alias)
+                shadow = f"__num__{a.var.name}"
+                src = F.col(shadow) if shadow in df.columns else F.col(a.var.name).cast("double")
+                fns = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}
+                return fns[a.fn](src).alias(a.alias)
+
+            keys = [v.name for v in q.group_by]
+            plain = [v.name for v in q.variables if isinstance(v, Var)]
+            missing_keys = [v for v in plain if v not in keys]
+            if missing_keys:
+                raise SparqlCompileError(
+                    f"non-aggregated SELECT variables must appear in GROUP BY: {missing_keys}"
+                )
+            gdf = df.groupBy(*keys) if keys else df.groupBy()
+            df = gdf.agg(*[agg_col(a) for a in aggs]) if aggs else gdf.agg(F.count("*").alias("__n")).drop("__n")
+            df = df.select(*[v.name if isinstance(v, Var) else v.alias for v in q.variables])
+            if q.distinct:
+                df = df.distinct()
+            if q.order_by:
+                df = df.orderBy(*[F.col(v.name).desc() if d else F.col(v.name).asc() for v, d in q.order_by])
+            if q.limit is not None:
+                df = df.limit(q.limit)
+            return df
         if q.variables:
             missing = [v.name for v in q.variables if v.name not in df.columns]
             if missing:

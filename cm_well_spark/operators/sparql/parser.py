@@ -64,6 +64,16 @@ class Filter:
     args: tuple
 
 
+@dataclass(frozen=True)
+class AggExpr:
+    """SPARQL 1.1 aggregate projection: (FN(?v) AS ?alias)."""
+
+    fn: str  # count | sum | avg | min | max
+    var: Var | None  # None = COUNT(*)
+    alias: str
+    distinct: bool = False
+
+
 @dataclass
 class Group:
     """A basic graph pattern group: triples + filters + optionals + unions."""
@@ -77,7 +87,7 @@ class Group:
 @dataclass
 class Query:
     form: str  # 'select' | 'construct'
-    variables: list  # [Var] or [] for *
+    variables: list  # [Var | AggExpr] or [] for *
     distinct: bool
     where: Group
     template: list = field(default_factory=list)  # construct triples
@@ -85,6 +95,7 @@ class Query:
     limit: int | None = None
     offset: int | None = None
     prefixes: dict = field(default_factory=dict)
+    group_by: list = field(default_factory=list)  # [Var]
 
 
 _TOKEN = re.compile(
@@ -298,12 +309,34 @@ def parse_sparql(q: str) -> Query:
         prefixes[pfx] = iri[1:-1]
     if p.kw("SELECT"):
         distinct = p.kw("DISTINCT")
-        variables: list[Var] = []
+        variables: list = []
         if p.peek() == "*":
             p.next()
         else:
-            while p.peek().startswith(("?", "$")):
-                variables.append(Var(p.next()[1:]))
+            while True:
+                tok = p.peek()
+                if tok.startswith(("?", "$")):
+                    variables.append(Var(p.next()[1:]))
+                elif tok == "(":
+                    # (AGGFN([DISTINCT] ?v | *) AS ?alias)
+                    p.next()
+                    fn = p.next().lower()
+                    if fn not in ("count", "sum", "avg", "min", "max"):
+                        raise SparqlParseError(f"unsupported aggregate {fn!r}")
+                    p.expect("(")
+                    agg_distinct = p.kw("DISTINCT")
+                    if p.peek() == "*":
+                        p.next()
+                        v = None
+                    else:
+                        v = Var(p.next()[1:])
+                    p.expect(")")
+                    p.expect("AS")
+                    alias = p.next()[1:]
+                    p.expect(")")
+                    variables.append(AggExpr(fn, v, alias, agg_distinct))
+                else:
+                    break
             if not variables:
                 raise SparqlParseError("SELECT needs '*' or variables")
         p.kw("WHERE")
@@ -327,6 +360,12 @@ def parse_sparql(q: str) -> Query:
         # same contract as the reference: only SELECT/CONSTRUCT evaluate
         raise SparqlParseError("Query Type must be either SELECT or CONSTRUCT")
     # solution modifiers
+    if p.kw("GROUP"):
+        p.expect("BY")
+        while p.peek().startswith(("?", "$")):
+            q_out.group_by.append(Var(p.next()[1:]))
+        if not q_out.group_by:
+            raise SparqlParseError("GROUP BY needs at least one variable")
     if p.kw("ORDER"):
         p.expect("BY")
         while True:

@@ -1258,3 +1258,43 @@ def stored_query_param(spark, sf_dir):
     sq = StoredQueries()
     sq.put("by_type", 'SELECT ?x WHERE { ?x <rdfType> "%kind%" }')
     return sq.run_sparql(_tri(spark, sf_dir), "by_type", kind="Nation")
+
+
+@register(
+    "sparql_graph_revenue",
+    oracle="""
+    SELECT r_name AS rname, round(sum(l_extendedprice), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def sparql_graph_revenue(spark, sf_dir):
+    """Flagship graph-analytics query: 6-pattern SPARQL BGP walk
+    lineitem->order->customer->nation->region with GROUP BY + SUM/COUNT
+    (SPARQL 1.1 aggregates; greedy reorder from predicate_stats). The
+    whole pipeline is one Catalyst plan: 5 joins + hash aggregation."""
+    from cm_well_spark.model.lakehouse import load_predicate_stats
+    from cm_well_spark.operators.sparql import sparql_query
+
+    stats = load_predicate_stats(spark, sf_dir)
+    df = sparql_query(
+        _tri(spark, sf_dir),
+        """
+        SELECT ?rname (SUM(?price) AS ?revenue) (COUNT(*) AS ?n_items) WHERE {
+          ?li <extendedprice> ?price .
+          ?li <ofOrder> ?o .
+          ?o <byCustomer> ?c .
+          ?c <inNation> ?n .
+          ?n <ofRegion> ?r .
+          ?r <name> ?rname .
+        } GROUP BY ?rname
+        """,
+        stats=stats,
+        limit_cap=None,
+    )
+    return df.select("rname", F.round("revenue", 2).alias("revenue"), "n_items")

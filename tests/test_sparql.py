@@ -156,3 +156,40 @@ def test_var_predicate(triples):
 def test_results_cap(triples):
     out = sparql_query(triples, "SELECT ?s ?o WHERE { ?s <rdfType> ?o }")
     assert out.count() <= 10_000
+
+
+def test_group_by_count(triples):
+    out = sparql_query(
+        triples,
+        'SELECT ?t (COUNT(*) AS ?n) WHERE { ?x <rdfType> ?t } GROUP BY ?t ORDER BY ?t',
+    )
+    rows = {r["t"]: r["n"] for r in out.collect()}
+    assert rows["Region"] == 5 and rows["Nation"] == 25
+
+
+def test_group_by_sum_avg(triples, spark, sf_dir):
+    from cm_well_spark.sources import tables as tbl
+    from pyspark.sql import functions as F
+
+    out = sparql_query(
+        triples,
+        'SELECT ?seg (SUM(?b) AS ?total) (AVG(?b) AS ?mean) WHERE { ?c <mktsegment> ?seg . ?c <acctbal> ?b } GROUP BY ?seg',
+    )
+    got = {r["seg"]: round(r["total"], 2) for r in out.collect()}
+    raw = tbl.load_table(spark, sf_dir, "customer")
+    exp_rows = raw.groupBy("c_mktsegment").agg(F.sum("c_acctbal").alias("s")).collect()
+    exp = {r["c_mktsegment"]: round(r["s"], 2) for r in exp_rows}
+    assert got == exp
+
+
+def test_count_distinct(triples):
+    out = sparql_query(
+        triples,
+        'SELECT (COUNT(DISTINCT ?seg) AS ?n) WHERE { ?c <mktsegment> ?seg }',
+    )
+    assert out.first()["n"] == 5
+
+
+def test_ungrouped_var_rejected(triples):
+    with pytest.raises(SparqlCompileError, match="GROUP BY"):
+        sparql_query(triples, 'SELECT ?x (COUNT(*) AS ?n) WHERE { ?x <rdfType> ?t } GROUP BY ?t')
