@@ -33,6 +33,13 @@ DEFAULT_ROOT = os.environ.get("CMW_LAKEHOUSE", "/root/repo/.lakehouse")
 def _fingerprint(sf_dir: str) -> str:
     files = sorted(os.listdir(sf_dir))
     sig = [(f, os.path.getmtime(os.path.join(sf_dir, f)), os.path.getsize(os.path.join(sf_dir, f))) for f in files]
+    # builder-code fingerprint: a schema/builder change must invalidate the
+    # materialized store, not just a source-data change
+    model_dir = os.path.dirname(os.path.abspath(__file__))
+    for fn in sorted(os.listdir(model_dir)):
+        if fn.endswith(".py"):
+            p = os.path.join(model_dir, fn)
+            sig.append((f"__code__/{fn}", os.path.getmtime(p), os.path.getsize(p)))
     return json.dumps(sig)
 
 
