@@ -1166,13 +1166,33 @@ def admin_audit(spark, sf_dir):
     return audit(_inf(spark, sf_dir)).select(F.col("check").alias("check_name"), F.col("violations").cast("int"))
 
 
-@register("virtual_proc_infotons")
+@register(
+    "virtual_proc_infotons",
+    oracle="""
+    SELECT '/proc/kind/ObjectInfoton' AS path, 'ObjectInfoton' AS kind,
+           (SELECT count(*) FROM region) + (SELECT count(*) FROM nation)
+         + (SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier)
+         + (SELECT count(*) FROM part) + (SELECT count(*) FROM orders)
+         + (SELECT count(*) FROM lineitem) + (SELECT count(*) FROM events)
+         + (SELECT count(*) FROM documents) AS versions,
+           (SELECT count(*) FROM region) + (SELECT count(*) FROM nation)
+         + (SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier)
+         + (SELECT count(*) FROM part) + (SELECT count(*) FROM orders)
+         + (SELECT count(*) FROM lineitem) + (SELECT count(*) FROM events)
+         + (SELECT count(*) FROM documents) AS current_rows,
+           1780000000000 + (SELECT max(doc_id) FROM documents) AS max_index_time
+    """,
+)
 def virtual_proc_infotons(spark, sf_dir):
-    """S11 /proc virtual infotons (computed monitoring rows; shape varies
-    with the store so rows-only)."""
+    """S11 /proc virtual infotons (ActiveInfotonGenerator analog): per-kind
+    version counts + index_time horizon, computed on demand. The oracle
+    derives the same stats from the raw tables (documents hold the highest
+    index_time slot)."""
     from cm_well_spark.operators.admin import proc_infotons
 
-    return proc_infotons(_inf(spark, sf_dir))
+    return proc_infotons(_inf(spark, sf_dir)).select(
+        "path", "kind", "versions", "current_rows", "max_index_time"
+    )
 
 
 # ---------------------------------------------------------------------------
