@@ -266,7 +266,16 @@ def apply_commands(infotons: DataFrame, commands: DataFrame, index_time_base: in
         index_time_base = (row["m"] or 0) + 1
     from pyspark.sql import Window
 
-    w_seq = F.row_number().over(Window.orderBy("path", "seq"))
+    # Writer-assigned index_time, scale-safe: a PER-PATH row_number (the
+    # window partitions by path — no single-partition global sort, so a
+    # 100 TB ingest batch parallelizes across executors). Every new version
+    # gets index_time >= base > the table's previous max (monotone batch
+    # semantics, like the reference assigns indexTime at index time,
+    # ImpStream.scala:96-137), and versions of one path stay strictly
+    # ordered by seq. Cross-path values may collide — the reference makes
+    # the same non-guarantee across parallel indexers; all readers
+    # (current-flip below, consume/history) order per-path or handle ties.
+    w_seq = F.row_number().over(Window.partitionBy("path").orderBy("seq"))
     new_rows = (
         versions.withColumn("index_time", F.lit(index_time_base) + w_seq - 1)
         .withColumn("parent", F.when(F.regexp_replace("path", "/[^/]+$", "") == "", "/").otherwise(F.regexp_replace("path", "/[^/]+$", "")))
