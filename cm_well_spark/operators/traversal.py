@@ -152,28 +152,40 @@ def gqp_filter(
     """J3 gqp: keep only result rows whose full segment chain reaches a
     non-empty population; adds nothing to the result set.
 
-    The original key rides along each hop as (orig, cur) pairs so the
-    final distinct(orig) is a semi-join mask; a result survives if ANY
-    `|`-alternative survives. Edges come from the pruned triples table."""
+    Scale shape: the chain is evaluated BACKWARDS as path-set semi joins.
+    For segments s1..sn, compute once the set S_i of paths from which the
+    suffix s_i..s_n succeeds:  S_n+1 = (no constraint);  S_i = sources of
+    s_i-edges whose target exists (ghost skip, J7), satisfies the per-level
+    [qp] filter, and lies in S_i+1.  The final mask is one semi join of the
+    results against S_1.  Every intermediate is a DISTINCT path set — never
+    (orig, cur) pairs — so cost is O(|edges| + |paths|) per segment and
+    independent of |results| x fan-out (the pair-carrying blowup this
+    replaces).  A result survives if ANY `|`-alternative survives
+    (gqpFilter wsutil/package.scala:751-849)."""
     pe = parse_gqp(gqp) if isinstance(gqp, str) else gqp
     survivor_sets = []
     for path in pe.paths:
         if not path.segments:
             continue
-        pop = results.select(F.col("path").alias("orig"), F.col("path").alias("cur"))
-        for seg in path.segments:
+        later: DataFrame | None = None  # S_{i+1}; None = unconstrained suffix
+        for seg in reversed(path.segments):
             reverse = isinstance(seg, ExpandUp)
             edges = _edges(triples, seg.fields, reverse)
-            stepped = (
-                pop.join(edges, pop.cur == edges.src)
-                .select("orig", F.col("dst").alias("cur"))
+            # valid targets: current infotons (ghost skip) meeting the filter
+            tf = _target_filter(seg.fields)
+            targets = infotons.where(F.col("current"))
+            if tf is not None:
+                targets = targets.where(tf)
+            targets = targets.select("path")
+            if later is not None:
+                targets = targets.join(later, "path", "left_semi")
+            later = (
+                edges.join(targets.withColumnRenamed("path", "dst"), "dst", "left_semi")
+                .select(F.col("src").alias("path"))
                 .distinct()
             )
-            # targets must exist (ghost skip) and satisfy the per-level filter
-            valid = _filtered_paths(infotons, stepped.select(F.col("cur").alias("path")).distinct(), seg.fields)
-            pop = stepped.join(valid.withColumnRenamed("path", "cur"), "cur", "left_semi")
-        survivor_sets.append(pop.select("orig").distinct())
+        survivor_sets.append(later)
     if not survivor_sets:
         return results
     survivors = reduce(lambda a, b: a.unionByName(b), survivor_sets).distinct()
-    return results.join(survivors.withColumnRenamed("orig", "path"), "path", "left_semi")
+    return results.join(survivors, "path", "left_semi")
