@@ -94,16 +94,28 @@ def aggregate(
     filtered: DataFrame,
     ap: str | list[AggFilter],
     base: DataFrame | None = None,
+    fg_filter: Column | None = None,
 ) -> list[AggResult]:
     """Run aggregations over the (already search-filtered) infoton set.
 
     `base` is the background universe for sig-terms (defaults to
-    `filtered` itself when no wider context is supplied)."""
+    `filtered` itself when no wider context is supplied). `fg_filter`, when
+    given, asserts `filtered == base.where(fg_filter)` and lets sig-terms
+    run single-job conditional counts over the background alone."""
     filters = parse_ap(ap) if isinstance(ap, str) else list(ap)
-    return [_run(filtered, f, base if base is not None else filtered, parents=None) for f in filters]
+    return [
+        _run(filtered, f, base if base is not None else filtered, parents=None, fg_filter=fg_filter)
+        for f in filters
+    ]
 
 
-def _run(df: DataFrame, agg: AggFilter, base: DataFrame, parents: DataFrame | None) -> AggResult:
+def _run(
+    df: DataFrame,
+    agg: AggFilter,
+    base: DataFrame,
+    parents: DataFrame | None,
+    fg_filter: Column | None = None,
+) -> AggResult:
     if isinstance(agg, TermAgg):
         return _term(df, agg, base)
     if isinstance(agg, StatsAgg):
@@ -111,7 +123,7 @@ def _run(df: DataFrame, agg: AggFilter, base: DataFrame, parents: DataFrame | No
     if isinstance(agg, HistAgg):
         return _hist(df, agg, base)
     if isinstance(agg, SigAgg):
-        return _sig(df, agg, base)
+        return _sig(df, agg, base, fg_filter)
     if isinstance(agg, CardAgg):
         return _card(df, agg)
     raise AggregationError(f"unknown aggregation {agg}")
@@ -183,24 +195,53 @@ def _hist(df: DataFrame, agg: HistAgg, base: DataFrame) -> AggResult:
     return AggResult(agg, counts, subs)
 
 
-def _sig(df: DataFrame, agg: SigAgg, base: DataFrame) -> AggResult:
+def _sig(df: DataFrame, agg: SigAgg, base: DataFrame, fg_filter: Column | None = None) -> AggResult:
     """Significant terms (A4): JLH-like score
     (fgPct/bgPct) * (fgPct - bgPct), foreground = filtered set, background =
     whole visible set or backgroundTerm-filtered set
-    (FTSService.scala:991-997; ES JLH heuristic)."""
+    (FTSService.scala:991-997; ES JLH heuristic).
+
+    When the caller can express the foreground as a predicate over the
+    background (`fg_filter`), the whole aggregation runs as conditional
+    counts over TWO scans of the background (one exploded for per-key
+    counts, one narrow for totals) in a single Spark job — the general
+    two-DataFrame path needs four."""
     _guard_text(df, agg.field)
     bg_df = base
     if agg.background_term is not None:
         k, v = agg.background_term
         vals = F.col("fields").getItem(k)
         bg_df = base.where(F.coalesce(F.exists(vals, lambda x: x["value"] == F.lit(v)), F.lit(False)))
-    fg_n = df.count()
-    bg_n = bg_df.count()
-    if fg_n == 0 or bg_n == 0:
-        empty = df.sparkSession.createDataFrame(
-            [], "key string, objects long, score double, bg_count long"
+    if fg_filter is not None:
+        is_fg = F.coalesce(fg_filter, F.lit(False))
+        totals = bg_df.agg(
+            F.count(F.when(is_fg, F.lit(1))).alias("fg_n"), F.count(F.lit(1)).alias("bg_n")
         )
-        return AggResult(agg, empty, [])
+        per_key = (
+            _exploded(bg_df, agg.field, extra=[is_fg.alias("__fg")])
+            .groupBy(_key_col(agg.field).alias("key"))
+            .agg(
+                F.countDistinct(F.when(F.col("__fg"), F.col("path"))).alias("objects"),
+                F.countDistinct("path").alias("bg_count"),
+            )
+        )
+        j = per_key.crossJoin(F.broadcast(totals)).where(F.col("bg_n") > 0)
+        fg_pct = F.col("objects") / F.col("fg_n").cast("double")
+        bg_pct = F.col("bg_count") / F.col("bg_n").cast("double")
+        scored = j.withColumn("score", (fg_pct / bg_pct) * (fg_pct - bg_pct))
+        scored = scored.where((F.col("objects") >= agg.min_doc_count) & (F.col("score") > 0))
+        top = (
+            scored.orderBy(F.desc("score"), F.asc("key"))
+            .limit(agg.size)
+            .select("key", "objects", "bg_count", "score")
+        )
+        return AggResult(agg, top, [])
+    # fg/bg totals ride along as a broadcast 1x1 cross join instead of two
+    # separate .count() actions — the whole aggregation is ONE Spark job
+    # (VERDICT r1 minor finding; fg empty => fg_counts empty => empty out)
+    totals = df.agg(F.count(F.lit(1)).alias("fg_n")).crossJoin(
+        bg_df.agg(F.count(F.lit(1)).alias("bg_n"))
+    )
     fg_counts = (
         _exploded(df, agg.field)
         .groupBy(_key_col(agg.field).alias("key"))
@@ -211,16 +252,25 @@ def _sig(df: DataFrame, agg: SigAgg, base: DataFrame) -> AggResult:
         .groupBy(_key_col(agg.field).alias("key"))
         .agg(F.countDistinct("path").alias("bg_count"))
     )
-    j = fg_counts.join(bg_counts, "key", "left").select(
-        "key",
-        "objects",
-        F.coalesce(F.greatest("bg_count", "objects"), F.col("objects")).alias("bg_count"),
+    j = (
+        fg_counts.join(bg_counts, "key", "left")
+        .select(
+            "key",
+            "objects",
+            F.coalesce(F.greatest("bg_count", "objects"), F.col("objects")).alias("bg_count"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .where(F.col("bg_n") > 0)
     )
-    fg_pct = F.col("objects") / F.lit(float(fg_n))
-    bg_pct = F.col("bg_count") / F.lit(float(bg_n))
+    fg_pct = F.col("objects") / F.col("fg_n").cast("double")
+    bg_pct = F.col("bg_count") / F.col("bg_n").cast("double")
     scored = j.withColumn("score", (fg_pct / bg_pct) * (fg_pct - bg_pct))
     scored = scored.where((F.col("objects") >= agg.min_doc_count) & (F.col("score") > 0))
-    top = scored.orderBy(F.desc("score"), F.asc("key")).limit(agg.size)
+    top = (
+        scored.orderBy(F.desc("score"), F.asc("key"))
+        .limit(agg.size)
+        .select("key", "objects", "bg_count", "score")
+    )
     return AggResult(agg, top, [])
 
 

@@ -24,22 +24,38 @@ from cm_well_spark.model import fieldvals as fv
 
 
 class GraphTraversal:
-    def __init__(self, infotons: DataFrame, triples: DataFrame, frontier: DataFrame | None = None):
+    """`bounded` tracks whether the current frontier is PROVABLY small:
+    True only for explicit `V(paths)` seed lists (optionally narrowed by
+    `has`). A hop's fan-out is unbounded — even from a tiny seed set —
+    and `V()` is the whole vertex set, so those frontiers carry no static
+    broadcast hint; AQE's runtime size check converts the semi join to a
+    broadcast when the actual set is small (VERDICT r1 finding 4)."""
+
+    def __init__(
+        self,
+        infotons: DataFrame,
+        triples: DataFrame,
+        frontier: DataFrame | None = None,
+        bounded: bool = False,
+    ):
         self.infotons = infotons.where(F.col("current"))
         self.triples = triples.where(F.col("current"))
         self.frontier = frontier  # DataFrame["path"]
+        self.bounded = bounded
 
-    def _with(self, frontier: DataFrame) -> "GraphTraversal":
-        return GraphTraversal(self.infotons, self.triples, frontier)
+    def _with(self, frontier: DataFrame, bounded: bool = False) -> "GraphTraversal":
+        return GraphTraversal(self.infotons, self.triples, frontier, bounded)
+
+    def _hinted(self, df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if self.bounded else df
 
     # ---- steps ----
 
     def V(self, *paths: str) -> "GraphTraversal":
         if paths:
             f = self.infotons.sparkSession.createDataFrame([(p,) for p in paths], ["path"])
-        else:
-            f = self.infotons.select("path")
-        return self._with(f)
+            return self._with(f, bounded=True)
+        return self._with(self.infotons.select("path"), bounded=False)
 
     def has(self, field: str, value: str | None = None) -> "GraphTraversal":
         vals = F.col("fields").getItem(field)
@@ -47,7 +63,7 @@ class GraphTraversal:
         if value is not None:
             cond = cond & F.coalesce(F.exists(vals, lambda v: v["value"] == F.lit(value)), F.lit(False))
         keep = self.infotons.where(cond).select("path")
-        return self._with(self.frontier.join(keep, "path", "left_semi"))
+        return self._with(self.frontier.join(keep, "path", "left_semi"), bounded=self.bounded)
 
     def _edge_hop(self, labels: tuple[str, ...], reverse: bool) -> DataFrame:
         t = self.triples.where((F.col("vtype") == "s") & F.col("o").startswith("/"))
@@ -55,8 +71,8 @@ class GraphTraversal:
             t = t.where(F.col("p").isin(list(labels)))
         src, dst = ("o", "s") if reverse else ("s", "o")
         e = t.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        fr = self.frontier.select(F.col("path").alias("src")).distinct()
-        out = e.join(F.broadcast(fr), "src", "left_semi").select(F.col("dst").alias("path")).distinct()
+        fr = self._hinted(self.frontier.select(F.col("path").alias("src")).distinct())
+        out = e.join(fr, "src", "left_semi").select(F.col("dst").alias("path")).distinct()
         # vertices must exist (ghost skip)
         return out.join(self.infotons.select("path"), "path", "left_semi")
 
@@ -77,7 +93,7 @@ class GraphTraversal:
         return self.frontier.distinct()
 
     def values(self, field: str) -> DataFrame:
-        hydrated = self.infotons.join(F.broadcast(self.frontier.distinct()), "path", "left_semi")
+        hydrated = self.infotons.join(self._hinted(self.frontier.distinct()), "path", "left_semi")
         return hydrated.select(
             "path", F.explode(F.transform(F.col("fields").getItem(field), lambda v: v["value"])).alias("value")
         )
@@ -86,7 +102,7 @@ class GraphTraversal:
         return self.frontier.distinct().count()
 
     def to_infotons(self) -> DataFrame:
-        return self.infotons.join(F.broadcast(self.frontier.distinct()), "path", "left_semi")
+        return self.infotons.join(self._hinted(self.frontier.distinct()), "path", "left_semi")
 
 
 def g(infotons: DataFrame, triples: DataFrame) -> GraphTraversal:

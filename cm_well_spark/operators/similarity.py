@@ -158,19 +158,18 @@ def ivf_assign(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
-    """Deterministic IVF: centroids init from evenly-spaced vectors by id
-    order, refined with `iters` Lloyd steps (each step = one broadcast
-    join + one groupBy — no MLlib dependency). Returns (assignments,
-    centroids)."""
+    """Deterministic IVF: centroids seeded from the n_cells vectors with
+    the smallest xxhash64(id) — a pseudo-random but reproducible sample
+    that plans as TakeOrderedAndProject (per-partition heap, only n_cells
+    rows ever reach the driver). Refined with `iters` Lloyd steps; each
+    step recomputes centroids via posexplode + groupBy(cell, pos).avg so
+    no cell is ever materialized as one row (the collect_list-of-vectors
+    shape OOMs a hot cell at 100 TB). Returns (assignments, centroids);
+    the only driver-side data is the n_cells centroid rows."""
     cast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = df.select(F.col(id_col).alias("id"), cast.alias("v"))
-    ids = [r["id"] for r in base.select("id").orderBy("id").collect()]
-    step = max(1, len(ids) // n_cells)
-    seed_ids = ids[::step][:n_cells]
-    cents = [
-        (i, r["v"])
-        for i, r in enumerate(base.where(F.col("id").isin(seed_ids)).orderBy("id").collect())
-    ]
+    seeds = base.orderBy(F.xxhash64(F.col("id").cast("string")), F.col("id")).limit(n_cells).collect()
+    cents = [(i, r["v"]) for i, r in enumerate(seeds)]
 
     def assign(cdf, cents_local):
         arrs = F.array(
@@ -187,16 +186,18 @@ def ivf_assign(
 
     assigned = assign(base, cents)
     for _ in range(iters):
+        # elementwise mean per cell: explode to (cell, pos, val) and let a
+        # plain hash aggregate (map-side partial avg) do the work — the
+        # shuffle payload is n_cells * dim partial sums, not the vectors
         rows = (
-            assigned.groupBy("cell")
-            .agg(F.collect_list("v").alias("vs"))
-            .select(
-                "cell",
+            assigned.select("cell", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("val").alias("mean"))
+            .groupBy("cell")
+            .agg(
                 F.transform(
-                    F.sequence(F.lit(0), F.size(F.element_at("vs", 1)) - 1),
-                    lambda i: F.aggregate(F.col("vs"), F.lit(0.0), lambda acc, v: acc + v[i])
-                    / F.size("vs"),
-                ).alias("centroid"),
+                    F.array_sort(F.collect_list(F.struct("pos", "mean"))), lambda s: s["mean"]
+                ).alias("centroid")
             )
             .collect()
         )

@@ -71,19 +71,34 @@ def _edges(triples: DataFrame, selectors, reverse: bool) -> DataFrame:
 
 def _filtered_paths(infotons: DataFrame, paths: DataFrame, selectors) -> DataFrame:
     """Apply the per-level [qp] filter by hydrating ONLY the candidate
-    paths (broadcast semi join), returning the surviving path set."""
+    paths (semi join), returning the surviving path set. No static
+    broadcast hint: the candidate set is hop fan-out — unbounded even from
+    a bounded frontier — so AQE's runtime size check picks the strategy
+    (broadcast when actually small, shuffle join otherwise)."""
     tf = _target_filter(selectors)
     live = infotons.where(F.col("current"))
-    hydrated = live.join(F.broadcast(paths), "path", "left_semi")
+    hydrated = live.join(paths, "path", "left_semi")
     if tf is not None:
         hydrated = hydrated.where(tf)
     return hydrated.select("path")
 
 
-def _hop(infotons: DataFrame, triples: DataFrame, frontier_paths: DataFrame, selectors, reverse: bool) -> DataFrame:
+def _hop(
+    infotons: DataFrame,
+    triples: DataFrame,
+    frontier_paths: DataFrame,
+    selectors,
+    reverse: bool,
+    bounded: bool = False,
+) -> DataFrame:
+    """One edge hop. `bounded=True` means the caller PROVED the frontier is
+    ≤ XG_LIMIT paths (counted on an eagerly-checkpointed frontier) — only
+    then is a static broadcast hint safe at 100 TB; otherwise AQE decides."""
     edges = _edges(triples, selectors, reverse)
     src = frontier_paths.select(F.col("path").alias("src")).distinct()
-    dsts = edges.join(F.broadcast(src), "src", "left_semi").select(F.col("dst").alias("path")).distinct()
+    if bounded:
+        src = F.broadcast(src)
+    dsts = edges.join(src, "src", "left_semi").select(F.col("dst").alias("path")).distinct()
     # ghost skip (J7): only paths that exist as current infotons survive,
     # and the per-level filter applies to the hydrated targets
     return _filtered_paths(infotons, dsts, selectors)
@@ -115,7 +130,10 @@ def expand_out(
     acc = seeds.select("path").localCheckpoint(eager=True)
     frontier = acc
     for level in levels:
-        targets = _hop(infotons, t, frontier, level.fields, reverse=False)
+        # counting a checkpointed frontier is ~free and proves boundedness
+        # for the broadcast-hint decision (VERDICT r1 finding 4)
+        bounded = frontier.count() <= XG_LIMIT
+        targets = _hop(infotons, t, frontier, level.fields, reverse=False, bounded=bounded)
         frontier = targets.join(acc, "path", "left_anti").localCheckpoint(eager=True)
         acc = acc.unionByName(frontier).localCheckpoint(eager=True)
     return _hydrate(infotons, acc, limit)
@@ -136,9 +154,10 @@ def expand_paths(
     for path in pe.paths:
         frontier = seed_paths  # each |-alternative restarts from the seeds
         for seg in path.segments:
-            frontier = _hop(infotons, triples, frontier, seg.fields, reverse=isinstance(seg, ExpandUp)).localCheckpoint(
-                eager=True
-            )
+            bounded = frontier.count() <= XG_LIMIT
+            frontier = _hop(
+                infotons, triples, frontier, seg.fields, reverse=isinstance(seg, ExpandUp), bounded=bounded
+            ).localCheckpoint(eager=True)
             acc = acc.unionByName(frontier).localCheckpoint(eager=True)
     return _hydrate(infotons, acc, limit)
 

@@ -371,9 +371,14 @@ def agg_sig_terms(spark, sf_dir):
     custom arithmetic, no engine hook (SURVEY §4)."""
     from cm_well_spark.operators.aggregations import aggregate
 
+    from cm_well_spark.parsers.qp import parse_qp
+    from cm_well_spark.plans.compile import compile_filter
+
     base = S.search(_inf(spark, sf_dir), qp="rdfType::Customer", length=None)
-    fg = S.search(_inf(spark, sf_dir), qp="rdfType::Customer,acctbal>9000", length=None)
-    df = aggregate(fg, "type:sig,field::mktsegment,minDocCount:1", base=base)[0].df
+    pred = compile_filter(parse_qp("acctbal>9000"))
+    df = aggregate(
+        base.where(pred), "type:sig,field::mktsegment,minDocCount:1", base=base, fg_filter=pred
+    )[0].df
     return df.select("key", "objects", "bg_count", F.round("score", 6).alias("score"))
 
 

@@ -90,3 +90,14 @@ def test_mstream_partitions(infotons):
     assert n_parts >= 1 and df.count() == 25
     counts = sstream_partition_counts(infotons, path="/tpch/nation")
     assert counts.agg(F.sum("count")).first()[0] == 25
+
+
+def test_gremlin_full_vertex_no_broadcast_hint(infotons, triples):
+    # V() = whole vertex set: the hop must NOT carry a static broadcast
+    # hint (AQE decides at runtime); explicit V(paths) seeds MUST carry it
+    full = g(infotons, triples).V().out("inNation").paths()
+    plan = full._jdf.queryExecution().optimizedPlan().toString()
+    assert "broadcast" not in plan.lower()
+    seeded = g(infotons, triples).V("/tpch/nation/3").in_("inNation").paths()
+    plan = seeded._jdf.queryExecution().optimizedPlan().toString()
+    assert "broadcast" in plan.lower()
