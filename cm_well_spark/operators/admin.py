@@ -90,24 +90,23 @@ class ZzStore:
         self.path = path
 
     def _read(self) -> DataFrame:
-        import os
+        from cm_well_spark.model.atomic import read_versioned
 
-        if not os.path.exists(self.path):
+        df = read_versioned(self.spark, self.path, "kv")
+        if df is None:
             return self.spark.createDataFrame([], "key string, value binary, ts timestamp")
-        return self.spark.read.parquet(self.path)
+        return df
 
     def put(self, key: str, value: bytes) -> None:
+        # atomic version-swap write (ADVICE r1: the two-step overwrite
+        # lost the whole KV table on a crash between the writes)
+        from cm_well_spark.model.atomic import write_versioned
+
         cur = self._read().where(F.col("key") != key)
         new = self.spark.createDataFrame([(key, bytearray(value))], "key string, value binary").withColumn(
             "ts", F.current_timestamp()
         )
-        out = cur.unionByName(new)
-        tmp = self.path + "._tmp"
-        out.write.mode("overwrite").parquet(tmp)
-        self.spark.read.parquet(tmp).write.mode("overwrite").parquet(self.path)
-        import shutil
-
-        shutil.rmtree(tmp, ignore_errors=True)
+        write_versioned(self.path, {"kv": cur.unionByName(new)})
 
     def get(self, key: str) -> bytes | None:
         row = self._read().where(F.col("key") == key).first()

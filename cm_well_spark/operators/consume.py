@@ -232,14 +232,17 @@ def next_chunk(
     cursor is stable without a session actor (ScrollActor.scala)."""
     st = decode_token(token)
     feed = _feed_filter(infotons, ConsumeState(0, st.qp, None, None, st.path, st.descendants, st.history))
-    page = (
-        feed.where(F.col("index_time") > st.ts)
-        .orderBy(F.asc("index_time"), F.asc("uuid"))
-        .limit(length)
-    )
-    boundary = page.agg(F.max("index_time").alias("m"), F.count("*").alias("n")).first()
+    pending = feed.where(F.col("index_time") > st.ts)
+    probe = pending.orderBy(F.asc("index_time"), F.asc("uuid")).limit(length)
+    boundary = probe.agg(F.max("index_time").alias("m"), F.count("*").alias("n")).first()
     if boundary["n"] == 0:
-        return token, page, 204
+        return token, probe, 204
+    # deliver every row sharing the boundary index_time (ADVICE r1: a
+    # cursor that advances past a tied boundary silently drops the
+    # remainder — ties are reachable via overwrite()'s external times)
+    page = pending.where(F.col("index_time") <= boundary["m"]).orderBy(
+        F.asc("index_time"), F.asc("uuid")
+    )
     return encode_token(replace(st, ts=int(boundary["m"]))), page, 200
 
 

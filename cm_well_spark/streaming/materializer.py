@@ -7,37 +7,61 @@ cmwell-sparql-agent .../SparqlProcessorManager.scala): an agent consumes
 per-"sensor" change feeds, detects changed subjects, re-runs a stored
 SPARQL materializer over them, and writes derived infotons back.
 
-Spark-first shape: ONE streaming query with foreachBatch —
-  micro-batch of changed infotons
-    -> affected subject set (the "sensor")
-    -> re-run the SPARQL materializer restricted to affected subjects
-    -> upsert the derived rows into the materialized table.
+Spark-first shape: ONE streaming query with foreachBatch doing
+SEMI-NAIVE incremental view maintenance:
 
-The CONSTRUCT form writes derived TRIPLES (the reference writes derived
-infotons; triples are our canonical derived form — they re-assemble into
-infotons via the doc-table builder). State = the streaming checkpoint;
-exactly-once per micro-batch comes from the sink's idempotent overwrite
-of affected subjects.
+  micro-batch of changed infotons (tiny, broadcastable)
+    -> Δ-solutions: the BGP evaluated once per pattern with THAT pattern's
+       frame restricted to triples of changed docs (a changed doc only
+       changes triples whose SUBJECT is its path, so this is a sound delta)
+    -> affected derived-subject set A = Δ-solution subjects
+       ∪ provenance(src ∈ changed) ∪ changed
+    -> recompute solutions for A only (the pattern binding the template
+       subject is seeded with A — a broadcast semi join, not a full scan)
+    -> delete derived rows with subject ∈ A, append the recomputed rows
+       (retraction falls out: a subject whose solutions vanished gets
+       deletes and no re-inserts).
+
+A provenance table (derived subject, source doc path) — populated from the
+path-valued variable bindings of each solution — makes retraction and
+object-side dependencies exact: any doc bound anywhere in an old solution
+pulls that solution's subject into A when it changes. No full-base shuffle,
+no driver-side subject lists; the only non-incremental fallback is a query
+form the delta planner doesn't cover (OPTIONAL/UNION), which recomputes
+the view wholesale per batch and is documented as such.
+
+Writes are atomic via versioned directories + a _VERSION pointer file:
+readers resolve the pointer, a crash mid-write leaves the old version live
+(ADVICE r1: the overwrite-in-place two-step lost the table on crash).
 """
 
 from __future__ import annotations
 
 import os
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cm_well_spark.model.atomic import resolve_version as _resolve_version
+from cm_well_spark.model.atomic import write_versioned
 from cm_well_spark.model.lakehouse import triples_of
 from cm_well_spark.operators.sparql import sparql_query
-from cm_well_spark.operators.sparql.parser import parse_sparql
+from cm_well_spark.operators.sparql.compiler import (
+    _est_cost,
+    _filter_col,
+    _join,
+    _pattern_df,
+)
+from cm_well_spark.operators.sparql.parser import Var, parse_sparql
 
 
 class SparqlTriggeredProcessor:
     """Materializes a CONSTRUCT query incrementally over a change feed.
 
     base_triples: the full triples table (for joins that reach beyond the
-    changed subjects). derived_dir: parquet dir holding the materialized
-    triples, upserted per batch (delete-matching-subjects + append)."""
+    changed subjects). derived_dir: versioned parquet root holding the
+    materialized triples + provenance, swapped per batch."""
 
     def __init__(
         self,
@@ -53,43 +77,150 @@ class SparqlTriggeredProcessor:
             raise ValueError("materializer requires a CONSTRUCT query")
         self.construct_sparql = construct_sparql
         self.derived_dir = derived_dir
+        g = self.query.where
+        # delta planning covers plain BGP(+FILTER) groups; OPTIONAL/UNION
+        # fall back to full per-batch recompute (reference STP re-runs the
+        # whole query per sensor anyway — SparqlTriggeredProcessor.scala:95+)
+        self.incremental = not g.unions and not g.optionals and bool(g.triples)
+        subj = self.query.template[0].s if self.query.template else None
+        self.subj_var = subj.name if isinstance(subj, Var) else None
+
+    # ---- BGP evaluation with one seeded frame --------------------------
+
+    def _bgp(self, scope: DataFrame, seeded_idx: int | None, seed: DataFrame | None) -> DataFrame:
+        """Evaluate the (plain) BGP over `scope`; if `seeded_idx` is given,
+        that pattern's frame is built from scope semi-joined to `seed`
+        subjects (broadcast) and joined FIRST, so every later join starts
+        from the small side."""
+        g = self.query.where
+        order = sorted(range(len(g.triples)), key=lambda i: _est_cost(g.triples[i], None))
+        if seeded_idx is not None:
+            order = [seeded_idx] + [i for i in order if i != seeded_idx]
+        frames = {}
+        for i in order:
+            src = scope
+            if seeded_idx is not None and i == seeded_idx and seed is not None:
+                src = scope.join(F.broadcast(seed.withColumnRenamed("path", "s")), "s", "left_semi")
+            frames[i] = _pattern_df(src, g.triples[i], i)[0]
+        df = reduce(_join, [frames[i] for i in order])
+        for flt in g.filters:
+            df = df.where(_filter_col(flt, df))
+        return df
+
+    def _delta_solutions(self, scope: DataFrame, changed: DataFrame) -> DataFrame:
+        """Solutions involving ≥1 triple of a changed doc: union over
+        patterns of the BGP with that one pattern seeded by `changed`."""
+        g = self.query.where
+        parts = [self._bgp(scope, i, changed) for i in range(len(g.triples))]
+        return reduce(lambda a, b: a.unionByName(b), parts).distinct()
+
+    def _template_rows(self, sols: DataFrame) -> DataFrame:
+        parts = []
+        for tp in self.query.template:
+            def col_of(term):
+                if isinstance(term, Var):
+                    return F.col(term.name).cast("string")
+                from cm_well_spark.operators.sparql.compiler import _term_str
+
+                return F.lit(_term_str(term))
+
+            parts.append(
+                sols.select(col_of(tp.s).alias("s"), col_of(tp.p).alias("p"), col_of(tp.o).alias("o"))
+            )
+        return reduce(lambda a, b: a.unionByName(b), parts).distinct()
+
+    def _provenance(self, sols: DataFrame) -> DataFrame:
+        """(derived subject, source doc path) edges: every path-valued
+        variable binding of a solution is a source dependency."""
+        vars_ = [c for c in sols.columns if not c.startswith("__")]
+        srcs = F.array_distinct(
+            F.filter(
+                F.array(*[F.col(v).cast("string") for v in vars_]),
+                lambda v: v.startswith("/"),
+            )
+        )
+        return (
+            sols.select(F.col(self.subj_var).cast("string").alias("s"), F.explode(srcs).alias("src"))
+            .distinct()
+        )
+
+    # ---- batch body ----------------------------------------------------
 
     def process_batch(self, batch_df: DataFrame, batch_id: int = 0) -> DataFrame:
-        """foreachBatch body: recompute derived triples for subjects whose
-        source infotons changed; upsert into the derived table."""
-        changed = batch_df.select("path").distinct()
-        # restrict the materializer to solutions touching a changed subject:
-        # run on (triples of changed docs) UNION (base triples), then keep
-        # derived rows whose subject is changed-adjacent. Simple + correct;
-        # an engine with Delta would MERGE on the solution keys instead.
-        batch_triples = triples_of(batch_df)
-        scope = self.base_triples.unionByName(
-            batch_triples.select(*self.base_triples.columns), allowMissingColumns=True
-        ).dropDuplicates(["s", "p", "o", "g"])
-        derived = sparql_query(scope, self.construct_sparql, limit_cap=None)
-        touched = derived.join(
-            changed.withColumnRenamed("path", "s"), "s", "left_semi"
+        """foreachBatch body: incremental recompute for affected subjects
+        (see module docstring); returns the freshly derived rows."""
+        changed = batch_df.select("path").distinct().localCheckpoint(eager=True)
+        batch_triples = triples_of(batch_df).select(*self.base_triples.columns)
+        # live scope: changed docs' triples come from the batch; their OLD
+        # rows in base are masked by a broadcast anti join (no global dedup)
+        scope = self.base_triples.join(
+            F.broadcast(changed.withColumnRenamed("path", "s")), "s", "left_anti"
+        ).unionByName(batch_triples)
+
+        if not (self.incremental and self.subj_var):
+            derived = sparql_query(scope, self.construct_sparql, limit_cap=None)
+            self._write(derived, None, full=True, batch_id=batch_id)
+            return derived
+
+        delta = self._delta_solutions(scope, changed)
+        new_subjects = delta.select(F.col(self.subj_var).cast("string").alias("path")).distinct()
+        live = _resolve_version(self.derived_dir)
+        affected = changed.unionByName(new_subjects)
+        if live is not None:
+            prov = self.spark.read.parquet(os.path.join(live, "provenance"))
+            old_affected = (
+                prov.join(F.broadcast(changed.withColumnRenamed("path", "src")), "src", "left_semi")
+                .select(F.col("s").alias("path"))
+            )
+            affected = affected.unionByName(old_affected)
+        affected = affected.distinct().localCheckpoint(eager=True)
+
+        # recompute solutions ONLY for affected subjects: seed the pattern
+        # binding the template subject with the affected set
+        g = self.query.where
+        subj_idx = next(
+            (i for i, tp in enumerate(g.triples) if isinstance(tp.s, Var) and tp.s.name == self.subj_var),
+            None,
         )
-        self._upsert(touched)
-        return touched
-
-    def _upsert(self, derived: DataFrame) -> None:
-        os.makedirs(self.derived_dir, exist_ok=True)
-        existing_path = os.path.join(self.derived_dir, "triples")
-        subjects = [r["s"] for r in derived.select("s").distinct().collect()]
-        if os.path.exists(existing_path):
-            old = self.spark.read.parquet(existing_path)
-            keep = old.where(~F.col("s").isin(subjects)) if subjects else old
-            out = keep.unionByName(derived)
+        if subj_idx is None:
+            # template subject never appears as a pattern subject: recompute
+            # solutions then mask (still no full-base shuffle — the BGP is
+            # the query's own cost)
+            sols = self._bgp(scope, None, None).join(
+                F.broadcast(affected.withColumnRenamed("path", self.subj_var)),
+                self.subj_var,
+                "left_semi",
+            )
         else:
-            out = derived
-        tmp = existing_path + "._tmp"
-        out.write.mode("overwrite").parquet(tmp)
-        final = self.spark.read.parquet(tmp)
-        final.write.mode("overwrite").parquet(existing_path)
-        import shutil
+            sols = self._bgp(scope, subj_idx, affected)
+        fresh = self._template_rows(sols)
+        fresh_prov = self._provenance(sols)
+        self._write(fresh, fresh_prov, full=False, batch_id=batch_id, affected=affected)
+        return fresh
 
-        shutil.rmtree(tmp, ignore_errors=True)
+    # ---- versioned storage ---------------------------------------------
+
+    def _write(
+        self,
+        derived: DataFrame,
+        prov: DataFrame | None,
+        full: bool,
+        batch_id: int,
+        affected: DataFrame | None = None,
+    ) -> None:
+        live = _resolve_version(self.derived_dir)
+        if full or live is None:
+            out, out_prov = derived, prov
+        else:
+            mask = F.broadcast(affected.withColumnRenamed("path", "s"))
+            old = self.spark.read.parquet(os.path.join(live, "triples"))
+            out = old.join(mask, "s", "left_anti").unionByName(derived)
+            old_prov = self.spark.read.parquet(os.path.join(live, "provenance"))
+            out_prov = old_prov.join(mask, "s", "left_anti").unionByName(prov)
+        tables = {"triples": out}
+        if out_prov is not None:
+            tables["provenance"] = out_prov
+        write_versioned(self.derived_dir, tables)
 
     def start(self, feed: DataFrame, checkpoint_dir: str, trigger_available_now: bool = True):
         """Attach to a streaming feed of infoton rows."""
@@ -101,4 +232,7 @@ class SparqlTriggeredProcessor:
         return writer.start()
 
     def read_derived(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.derived_dir, "triples"))
+        live = _resolve_version(self.derived_dir)
+        if live is None:
+            raise FileNotFoundError(f"no materialized version under {self.derived_dir}")
+        return self.spark.read.parquet(os.path.join(live, "triples"))

@@ -96,3 +96,23 @@ def test_iterator_pages(infotons):
 
 def test_stream_full_export(infotons):
     assert stream(infotons, path="/tpch/nation").count() == 25
+
+
+def test_iterator_boundary_ties_not_dropped(spark):
+    """ADVICE r1: >length rows sharing one index_time must all be
+    delivered — the tied page extends past `length` rather than skipping."""
+    from cm_well_spark.operators.consume import create_iterator, next_chunk
+
+    rows = [(f"/t/doc{i}", "/t", f"u{i}", 1_000, True, "ObjectInfoton") for i in range(7)] + [
+        ("/t/doc7", "/t", "u7", 2_000, True, "ObjectInfoton")
+    ]
+    inf = spark.createDataFrame(
+        rows, "path string, parent string, uuid string, index_time long, current boolean, kind string"
+    )
+    token = create_iterator(path="/t")
+    token, p1, s1 = next_chunk(inf, token, length=3)
+    assert s1 == 200 and p1.count() == 7  # all tied rows in one page
+    token, p2, s2 = next_chunk(inf, token, length=3)
+    assert s2 == 200 and p2.count() == 1
+    _, _, s3 = next_chunk(inf, token, length=3)
+    assert s3 == 204

@@ -129,3 +129,89 @@ def test_materializer_requires_construct(spark, triples):
 
     with pytest.raises(ValueError, match="CONSTRUCT"):
         SparqlTriggeredProcessor(spark, triples, "SELECT ?s WHERE { ?s <x> ?o }", TMP)
+
+
+def test_materializer_retraction(spark, infotons, triples):
+    """A changed doc that no longer matches WHERE loses its derived rows
+    (ADVICE r1 medium: the r1 upsert never retracted)."""
+    from cm_well_spark.streaming.materializer import SparqlTriggeredProcessor
+
+    derived_dir = os.path.join(TMP, "derived_retract")
+    proc = SparqlTriggeredProcessor(
+        spark,
+        triples,
+        "CONSTRUCT { ?n <locatedIn> ?r } WHERE { ?n <ofRegion> ?r }",
+        derived_dir,
+    )
+    nations = infotons.where(F.col("path").startswith("/tpch/nation/"))
+    proc.process_batch(nations, 0)
+    assert proc.read_derived().count() == 25
+    # nation/3 changes: new version WITHOUT the ofRegion field
+    gone = nations.where(F.col("path") == "/tpch/nation/3").withColumn(
+        "fields", F.map_filter(F.col("fields"), lambda k, v: k != "ofRegion")
+    )
+    proc.process_batch(gone, 1)
+    d = proc.read_derived()
+    assert d.count() == 24
+    assert d.where(F.col("s") == "/tpch/nation/3").count() == 0
+
+
+def test_materializer_object_side_dependency(spark, infotons, triples):
+    """A doc bound as a JOINED term (not the derived subject) pulls the
+    dependent subjects into the recompute when it changes."""
+    from cm_well_spark.streaming.materializer import SparqlTriggeredProcessor
+
+    derived_dir = os.path.join(TMP, "derived_objdep")
+    proc = SparqlTriggeredProcessor(
+        spark,
+        triples,
+        "CONSTRUCT { ?n <inRegionNamed> ?rn } WHERE { ?n <ofRegion> ?r . ?r <name> ?rn }",
+        derived_dir,
+    )
+    nations = infotons.where(F.col("path").startswith("/tpch/nation/"))
+    regions = infotons.where(F.col("path").startswith("/tpch/region/"))
+    proc.process_batch(nations.unionByName(regions), 0)
+    d0 = proc.read_derived()
+    assert d0.count() == 25
+    # region/1 renamed: every nation in region/1 must pick up the new name
+    r1 = regions.where(F.col("path") == "/tpch/region/1")
+    renamed = r1.withColumn(
+        "fields",
+        F.map_zip_with(
+            F.col("fields"),
+            F.col("fields"),
+            lambda k, v, _: F.when(
+                k == "name", F.transform(v, lambda x: x.withField("value", F.lit("RENAMED")))
+            ).otherwise(v),
+        ),
+    )
+    proc.process_batch(renamed, 1)
+    d1 = proc.read_derived()
+    assert d1.count() == 25
+    in_r1 = infotons.where(
+        F.col("path").startswith("/tpch/nation/")
+        & F.exists(F.col("fields").getItem("ofRegion"), lambda v: v["value"] == "/tpch/region/1")
+    ).count()
+    assert in_r1 > 0
+    assert d1.where(F.col("o") == "RENAMED").count() == in_r1
+    # subjects outside region/1 are untouched
+    assert d1.exceptAll(d0).count() == in_r1
+
+
+def test_materializer_no_full_base_dedup_plan(spark, infotons, triples):
+    """The per-batch scope must NOT shuffle the whole base table: no
+    Deduplicate/dropDuplicates over base∪batch in the recompute plan."""
+    from cm_well_spark.streaming.materializer import SparqlTriggeredProcessor
+
+    derived_dir = os.path.join(TMP, "derived_plan")
+    proc = SparqlTriggeredProcessor(
+        spark,
+        triples,
+        "CONSTRUCT { ?n <locatedIn> ?r } WHERE { ?n <ofRegion> ?r }",
+        derived_dir,
+    )
+    b = infotons.where(F.col("path").startswith("/tpch/nation/"))
+    out = proc.process_batch(b, 0)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "dropDuplicates" not in plan
+    assert " IN (" not in plan  # no driver-collected literal subject lists
