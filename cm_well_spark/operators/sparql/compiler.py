@@ -33,9 +33,11 @@ from pyspark.sql import functions as F
 
 from cm_well_spark.operators.sparql.parser import (
     Filter,
+    Func,
     Group,
     Iri,
     Literal,
+    PathPattern,
     Query,
     SparqlParseError,
     TriplePattern,
@@ -44,6 +46,9 @@ from cm_well_spark.operators.sparql.parser import (
 )
 
 RESULTS_LIMIT = 10_000  # Config.defaultConfig resultsLimit (JenaArqExtensions.scala:311-321)
+PATH_PLUS_MAX = 6  # bounded depth for `p+` paths (documented subset of ARQ's unbounded +)
+
+_fresh = itertools.count()
 
 
 class SparqlCompileError(ValueError):
@@ -92,9 +97,13 @@ def _pattern_df(triples: DataFrame, tp: TriplePattern, idx: int) -> tuple[DataFr
     if isinstance(tp.o, Var):
         cols.append(F.col("o").alias(tp.o.name))
         cols.append(F.col("num").alias(f"__num__{tp.o.name}"))
+        cols.append(F.col("lang").alias(f"__lang__{tp.o.name}"))
         binds[tp.o.name] = "o"
     if not cols:
-        cols = [F.lit(1).alias(f"__exists__{idx}")]
+        # fully-constant pattern: a pure existence gate — limit(1) so the
+        # later crossJoin cannot multiply solutions when the same triple
+        # exists in several quads (ADVICE r1)
+        return t.select(F.lit(1).alias(f"__exists__{idx}")).limit(1), binds
     return t.select(*cols), binds
 
 
@@ -110,15 +119,53 @@ def _join(left: DataFrame, right: DataFrame) -> DataFrame:
     shared = [c for c in left.columns if c in right.columns and not c.startswith("__")]
     if shared:
         # drop duplicate shadow columns from the right side
-        dup_shadows = [c for c in right.columns if c.startswith("__num__") and c in left.columns]
+        dup_shadows = [
+            c for c in right.columns if c.startswith(("__num__", "__lang__")) and c in left.columns
+        ]
         right = right.drop(*dup_shadows)
         return left.join(right, shared, "inner")
     return left.crossJoin(right)
 
 
+def _path_chain(triples: DataFrame, s, preds: list, o) -> DataFrame:
+    """One fixed-length predicate chain s -p1-> x1 ... -pn-> o as joined
+    pattern frames; returns only the endpoint variable columns, DISTINCT
+    (SPARQL path solutions are sets over the endpoints — intermediate
+    nodes must not multiply solutions)."""
+    uid = next(_fresh)
+    terms = [s] + [Var(f"__pp{uid}_{i}") for i in range(len(preds) - 1)] + [o]
+    frames = [
+        _pattern_df(triples, TriplePattern(terms[i], preds[i], terms[i + 1]), i)[0]
+        for i in range(len(preds))
+    ]
+    # chain joins share the __pp vars explicitly (they carry the "__" prefix
+    # so generic code ignores them)
+    df = frames[0]
+    for i in range(1, len(frames)):
+        key = f"__pp{uid}_{i - 1}"
+        df = df.join(frames[i], key, "inner").drop(key)
+    keep = [t.name for t in (s, o) if isinstance(t, Var)]
+    if not keep:
+        return df.select(F.lit(1).alias(f"__exists__path{uid}")).limit(1)
+    return df.select(*keep).distinct()
+
+
+def _path_frame(triples: DataFrame, pp: PathPattern) -> DataFrame:
+    """Sequence path = one chain; `p+` = union of chains of depth 1..
+    PATH_PLUS_MAX (bounded subset of ARQ's unbounded one-or-more)."""
+    if not pp.plus:
+        return _path_chain(triples, pp.s, list(pp.parts), pp.o)
+    pred = pp.parts[0]
+    chains = [
+        _path_chain(triples, pp.s, [pred] * d, pp.o) for d in range(1, PATH_PLUS_MAX + 1)
+    ]
+    return reduce(lambda a, b: a.unionByName(b), chains).distinct()
+
+
 def _compile_group(triples: DataFrame, g: Group, stats: dict | None) -> DataFrame:
     patterns = sorted(g.triples, key=lambda tp: _est_cost(tp, stats))
     dfs = [_pattern_df(triples, tp, i)[0] for i, tp in enumerate(patterns)]
+    dfs.extend(_path_frame(triples, pp) for pp in g.paths)
     if dfs:
         df = reduce(_join, dfs)
     else:
@@ -127,16 +174,84 @@ def _compile_group(triples: DataFrame, g: Group, stats: dict | None) -> DataFram
         parts = [_compile_group(triples, b, stats) for b in branches]
         u = reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), parts)
         df = u if df is None else _join(df, u)
+    for vars_, rows in g.values:
+        spark = triples.sparkSession
+        vdf = spark.createDataFrame(rows, [v.name for v in vars_])
+        # inline data is small by construction: broadcast
+        vdf = F.broadcast(vdf)
+        df = vdf if df is None else _join(df, vdf)
     if df is None:
         raise SparqlCompileError("empty graph pattern")
     for opt in g.optionals:
         right = _compile_group(triples, opt, stats)
         shared = [c for c in df.columns if c in right.columns and not c.startswith("__")]
-        right = right.drop(*[c for c in right.columns if c.startswith("__num__") and c in df.columns])
+        right = right.drop(
+            *[c for c in right.columns if c.startswith(("__num__", "__lang__")) and c in df.columns]
+        )
         df = df.join(right, shared, "left") if shared else df.crossJoin(right)
+    for v, e in g.binds:
+        col, numeric = _value_col(e, df)
+        df = df.withColumn(v.name, col.cast("string"))
+        if numeric:
+            df = df.withColumn(f"__num__{v.name}", col.cast("double"))
     for flt in g.filters:
         df = df.where(_filter_col(flt, df))
+    for m in g.minuses:
+        right = _compile_group(triples, m, stats)
+        shared = [c for c in df.columns if c in right.columns and not c.startswith("__")]
+        # SPARQL MINUS: remove solutions compatible on >=1 shared var;
+        # disjoint domains remove nothing (W3C SPARQL 1.1 §8.3)
+        if shared:
+            df = df.join(right.select(*shared).distinct(), shared, "left_anti")
     return df
+
+
+def _value_col(e, df: DataFrame) -> tuple[Column, bool]:
+    """Evaluate a value expression (Term or builtin Func) to a Column;
+    second element = 'numeric-valued'. Every builtin maps to a native
+    Catalyst expression — no UDFs in the filter path."""
+    if isinstance(e, Var):
+        return F.col(e.name), False
+    if isinstance(e, Literal):
+        if e.dtype == "number":
+            return F.lit(float(e.value)), True
+        return F.lit(e.value), False
+    if isinstance(e, Iri):
+        return F.lit(e.value), False
+    if isinstance(e, Func):
+        args = [_value_col(a, df) for a in e.args]
+
+        def num(i: int) -> Column:
+            a = e.args[i]
+            if isinstance(a, Var):
+                shadow = f"__num__{a.name}"
+                return F.col(shadow) if shadow in df.columns else F.col(a.name).cast("double")
+            return args[i][0].cast("double")
+
+        if e.fn == "str":
+            return args[0][0].cast("string"), False
+        if e.fn == "lang":
+            a = e.args[0]
+            if isinstance(a, Var) and f"__lang__{a.name}" in df.columns:
+                return F.coalesce(F.col(f"__lang__{a.name}"), F.lit("")), False
+            return F.lit(""), False
+        if e.fn == "strlen":
+            return F.length(args[0][0].cast("string")).cast("double"), True
+        if e.fn == "ucase":
+            return F.upper(args[0][0].cast("string")), False
+        if e.fn == "lcase":
+            return F.lower(args[0][0].cast("string")), False
+        if e.fn == "abs":
+            return F.abs(num(0)), True
+        if e.fn == "ceil":
+            return F.ceil(num(0)).cast("double"), True
+        if e.fn == "floor":
+            return F.floor(num(0)).cast("double"), True
+        if e.fn == "round":
+            return F.round(num(0), 0), True
+        if e.fn == "concat":
+            return F.concat(*[a[0].cast("string") for a in args]), False
+    raise SparqlCompileError(f"unsupported value expression {e!r}")
 
 
 def _filter_col(f: Filter, df: DataFrame) -> Column:
@@ -148,20 +263,41 @@ def _filter_col(f: Filter, df: DataFrame) -> Column:
         return ~_filter_col(f.args[0], df)
     if f.op == "regex":
         v, pat, flags = f.args
-        col = F.col(v.name)
+        col = _value_col(v, df)[0].cast("string")
         rx = pat.value
         if flags is not None and "i" in flags.value:
             rx = "(?i)" + rx
         return col.rlike(rx)
+    if f.op in ("contains", "strstarts", "strends"):
+        hay = _value_col(f.args[0], df)[0].cast("string")
+        needle = _value_col(f.args[1], df)[0].cast("string")
+        if f.op == "contains":
+            return hay.contains(needle)
+        if f.op == "strstarts":
+            return hay.startswith(needle)
+        return hay.endswith(needle)
+    if f.op == "bound":
+        a = f.args[0]
+        if not isinstance(a, Var):
+            raise SparqlCompileError("BOUND needs a variable")
+        return F.col(a.name).isNotNull() if a.name in df.columns else F.lit(False)
     left, right = f.args
     ops = {"=": "__eq__", "!=": "__ne__", "<": "__lt__", "<=": "__le__", ">": "__gt__", ">=": "__ge__"}
     py = ops[f.op]
-    if isinstance(left, Var) and isinstance(right, Literal) and right.dtype == "number":
-        shadow = f"__num__{left.name}"
-        col = F.col(shadow) if shadow in df.columns else F.col(left.name).cast("double")
-        return getattr(col, py)(F.lit(float(right.value)))
-    lcol = F.col(left.name) if isinstance(left, Var) else F.lit(_term_str(left))
-    rcol = F.col(right.name) if isinstance(right, Var) else F.lit(_term_str(right))
+    lcol, lnum = _value_col(left, df)
+    rcol, rnum = _value_col(right, df)
+    if lnum or rnum:
+        # numeric context: plain Vars compare through their typed shadow
+        if isinstance(left, Var):
+            shadow = f"__num__{left.name}"
+            lcol = F.col(shadow) if shadow in df.columns else F.col(left.name).cast("double")
+        elif not lnum:
+            lcol = lcol.cast("double")
+        if isinstance(right, Var):
+            shadow = f"__num__{right.name}"
+            rcol = F.col(shadow) if shadow in df.columns else F.col(right.name).cast("double")
+        elif not rnum:
+            rcol = rcol.cast("double")
     return getattr(lcol, py)(rcol)
 
 
@@ -194,6 +330,14 @@ def sparql_query(
                     else:
                         c = F.count(a.var.name)
                     return c.alias(a.alias)
+                if a.fn == "group_concat":
+                    vals = F.collect_set(a.var.name) if a.distinct else F.collect_list(a.var.name)
+                    # sorted for a deterministic result (SPARQL leaves the
+                    # order implementation-defined; sorted is oracle-checkable)
+                    return F.concat_ws(a.sep, F.array_sort(vals)).alias(a.alias)
+                if a.fn == "sample":
+                    # SAMPLE is implementation-defined: deterministic min
+                    return F.min(a.var.name).alias(a.alias)
                 shadow = f"__num__{a.var.name}"
                 src = F.col(shadow) if shadow in df.columns else F.col(a.var.name).cast("double")
                 fns = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}
@@ -209,14 +353,9 @@ def sparql_query(
             gdf = df.groupBy(*keys) if keys else df.groupBy()
             df = gdf.agg(*[agg_col(a) for a in aggs]) if aggs else gdf.agg(F.count("*").alias("__n")).drop("__n")
             df = df.select(*[v.name if isinstance(v, Var) else v.alias for v in q.variables])
-            if q.distinct:
-                df = df.distinct()
-            if q.order_by:
-                df = df.orderBy(*[F.col(v.name).desc() if d else F.col(v.name).asc() for v, d in q.order_by])
-            if q.limit is not None:
-                df = df.limit(q.limit)
-            return df
-        if q.variables:
+            # falls through to the shared DISTINCT/ORDER/OFFSET/cap logic
+            # (ADVICE r1: the early return here bypassed the 10k OpSlice cap)
+        elif q.variables:
             missing = [v.name for v in q.variables if v.name not in df.columns]
             if missing:
                 raise SparqlCompileError(f"SELECT variables not bound in pattern: {missing}")

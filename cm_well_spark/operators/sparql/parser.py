@@ -2,24 +2,36 @@
 
 The reference evaluates SELECT and CONSTRUCT only (everything else is
 rejected: SpHandler.scala:630-631 "Query Type must be either SELECT or
-CONSTRUCT"), over BGPs with FILTER / OPTIONAL / UNION, ORDER BY, LIMIT,
-OFFSET, DISTINCT (SpHandler.evaluateSparql:598-670; whole-graph engine
+CONSTRUCT"), over full Jena ARQ pattern syntax
+(SpHandler.evaluateSparql:598-670; whole-graph engine
 JenaArqExtensions.scala:375-519). This hand-rolled recursive-descent
-parser covers exactly that subset and rejects the rest with explicit
-errors, mirroring the reference's error contract (SparqlTests.scala:89
-pins "fully unbound pattern" rejection — enforced at compile time in
-compiler.py).
+parser covers BGPs with FILTER / OPTIONAL / UNION / MINUS / BIND /
+VALUES, sequence and bounded one-or-more property paths, the common
+builtin function library, SPARQL 1.1 aggregates (incl. GROUP_CONCAT and
+SAMPLE), ORDER BY / LIMIT / OFFSET / DISTINCT — and rejects the rest
+with explicit errors, mirroring the reference's error contract
+(SparqlTests.scala:89 pins "fully unbound pattern" rejection — enforced
+at compile time in compiler.py).
 
 Grammar (informal):
     query    := prefix* (select | construct)
     prefix   := 'PREFIX' pname ':' '<' iri '>'
-    select   := 'SELECT' 'DISTINCT'? ('*' | var+) 'WHERE'? group modifiers
+    select   := 'SELECT' 'DISTINCT'? ('*' | proj+) 'WHERE'? group modifiers
+    proj     := var | '(' AGGFN '(' ['DISTINCT'] (var|'*') [';' 'SEPARATOR' '=' str] ')' 'AS' var ')'
     construct:= 'CONSTRUCT' '{' template '}' 'WHERE' group modifiers
-    group    := '{' (triple | filter | optional | union-block | group)* '}'
-    optional := 'OPTIONAL' group
+    group    := '{' (triple | filter | optional | minus | bind | values
+                     | union-block | group)* '}'
+    optional := 'OPTIONAL' group         minus := 'MINUS' group
+    bind     := 'BIND' '(' expr 'AS' var ')'
+    values   := 'VALUES' (var | '(' var+ ')') '{' row* '}'
     union    := group 'UNION' group ('UNION' group)*
-    filter   := 'FILTER' '(' expr ')'   -- comparison / regex / logical
-    modifiers:= ('ORDER' 'BY' ('ASC'|'DESC'|var)+)? ('LIMIT' n)? ('OFFSET' n)?
+    path     := term ('/' term)* '+'?    -- predicate position only;
+                '+' is bounded depth (PATH_PLUS_MAX, documented subset of
+                the unbounded ARQ semantics)
+    filter   := 'FILTER' '(' expr ')'    -- comparison / logical / builtins
+    expr     := value ops over: STR LANG STRLEN UCASE LCASE ABS CEIL FLOOR
+                ROUND CONCAT; boolean: REGEX CONTAINS STRSTARTS STRENDS BOUND
+    modifiers:= ('GROUP' 'BY' var+)? ('ORDER' 'BY' ...)? ('LIMIT' n)? ('OFFSET' n)?
 """
 
 from __future__ import annotations
@@ -68,20 +80,46 @@ class Filter:
 class AggExpr:
     """SPARQL 1.1 aggregate projection: (FN(?v) AS ?alias)."""
 
-    fn: str  # count | sum | avg | min | max
+    fn: str  # count | sum | avg | min | max | group_concat | sample
     var: Var | None  # None = COUNT(*)
     alias: str
     distinct: bool = False
+    sep: str = " "  # GROUP_CONCAT separator
+
+
+@dataclass(frozen=True)
+class Func:
+    """Builtin function application inside FILTER / BIND expressions."""
+
+    fn: str  # str | lang | strlen | ucase | lcase | abs | ceil | floor | round | concat
+    args: tuple
+
+
+@dataclass(frozen=True)
+class PathPattern:
+    """Property-path pattern: s (p1/p2/... , optional +) o.
+
+    `plus` applies to a SINGLE predicate only (bounded one-or-more)."""
+
+    s: Term
+    parts: tuple  # tuple[Iri, ...]
+    o: Term
+    plus: bool = False
 
 
 @dataclass
 class Group:
-    """A basic graph pattern group: triples + filters + optionals + unions."""
+    """A basic graph pattern group: triples + filters + optionals + unions
+    + minuses + binds + values + property paths."""
 
     triples: list = field(default_factory=list)
     filters: list = field(default_factory=list)
     optionals: list = field(default_factory=list)  # list[Group]
     unions: list = field(default_factory=list)  # list[list[Group]] (branches)
+    minuses: list = field(default_factory=list)  # list[Group]
+    binds: list = field(default_factory=list)  # list[(Var, expr)]
+    values: list = field(default_factory=list)  # list[(list[Var], list[tuple])]
+    paths: list = field(default_factory=list)  # list[PathPattern]
 
 
 @dataclass
@@ -107,7 +145,7 @@ _TOKEN = re.compile(
     | (?P<number>[+-]?\d+(?:\.\d+)?)
     | (?P<pname>[A-Za-z_][\w\-]*:[\w\-./#%]*)
     | (?P<kw>[A-Za-z_][\w]*)
-    | (?P<punct>\{|\}|\(|\)|\.|;|,|\*|=|!=|<=|>=|<|>|&&|\|\||!|:)
+    | (?P<punct>\{|\}|\(|\)|\.|;|,|\*|=|!=|<=|>=|<|>|&&|\|\||!|:|/|\+)
     )""",
     re.VERBOSE,
 )
@@ -204,6 +242,25 @@ class _P:
                 self.next()
                 g.optionals.append(self.group())
                 continue
+            if up == "MINUS":
+                self.next()
+                g.minuses.append(self.group())
+                continue
+            if up == "BIND":
+                self.next()
+                self.expect("(")
+                e = self.value_expr()
+                self.expect("AS")
+                v = self.term()
+                if not isinstance(v, Var):
+                    raise SparqlParseError("BIND target must be a variable")
+                self.expect(")")
+                g.binds.append((v, e))
+                continue
+            if up == "VALUES":
+                self.next()
+                g.values.append(self.values_block())
+                continue
             if tok == "{":
                 # either a UNION chain or a plain nested group
                 first = self.group()
@@ -219,13 +276,29 @@ class _P:
                     g.optionals.extend(first.optionals)
                     g.unions.extend(first.unions)
                 continue
-            # triple pattern (with ; and , continuations)
+            # triple pattern (with ; and , continuations; predicate may be
+            # a property path — sequence '/' and bounded '+')
             s = self.term()
             while True:
                 p = self.term()
+                parts, plus = [p], False
+                while self.peek() == "/":
+                    self.next()
+                    parts.append(self.term())
+                if self.peek() == "+":
+                    self.next()
+                    plus = True
+                    if len(parts) > 1:
+                        raise SparqlParseError("'+' path applies to a single predicate only")
+                is_path = plus or len(parts) > 1
+                if is_path and any(isinstance(x, Var) for x in parts):
+                    raise SparqlParseError("property-path predicates must be IRIs")
                 while True:
                     o = self.term()
-                    g.triples.append(TriplePattern(s, p, o))
+                    if is_path:
+                        g.paths.append(PathPattern(s, tuple(parts), o, plus))
+                    else:
+                        g.triples.append(TriplePattern(s, p, o))
                     if self.peek() == ",":
                         self.next()
                         continue
@@ -238,6 +311,50 @@ class _P:
                 break
             if self.peek() == ".":
                 self.next()
+
+    # ---- VALUES ----
+
+    def values_block(self):
+        vars_: list[Var] = []
+        if self.peek() == "(":
+            self.next()
+            while self.peek() != ")":
+                v = self.term()
+                if not isinstance(v, Var):
+                    raise SparqlParseError("VALUES header must list variables")
+                vars_.append(v)
+            self.next()
+        else:
+            v = self.term()
+            if not isinstance(v, Var):
+                raise SparqlParseError("VALUES header must list variables")
+            vars_.append(v)
+        self.expect("{")
+        rows: list[tuple] = []
+        while self.peek() != "}":
+            if self.peek() == "(":
+                self.next()
+                row = []
+                while self.peek() != ")":
+                    row.append(self._values_cell())
+                self.next()
+            else:
+                row = [self._values_cell()]
+            if len(row) != len(vars_):
+                raise SparqlParseError("VALUES row arity mismatch")
+            rows.append(tuple(row))
+        self.next()
+        return vars_, rows
+
+    def _values_cell(self):
+        if self.peek().upper() == "UNDEF":
+            # UNDEF is a wildcard binding — inner-join semantics can't
+            # express it; reject explicitly rather than silently mismatch
+            raise SparqlParseError("VALUES UNDEF is not supported")
+        t = self.term()
+        if isinstance(t, Var):
+            raise SparqlParseError("VALUES cells must be constants")
+        return t.value
 
     # ---- FILTER expressions ----
 
@@ -261,19 +378,37 @@ class _P:
             left = Filter("&&", (left, self.unary_expr()))
         return left
 
+    VALUE_FNS = ("STR", "LANG", "STRLEN", "UCASE", "LCASE", "ABS", "CEIL", "FLOOR", "ROUND", "CONCAT")
+    BOOL_FNS = ("CONTAINS", "STRSTARTS", "STRENDS", "BOUND")
+
+    def value_expr(self):
+        """A value expression: a term or a builtin function application."""
+        tok = self.peek().upper()
+        if tok in self.VALUE_FNS and self.peek(1) == "(":
+            fn = self.next().lower()
+            self.expect("(")
+            args = [self.value_expr()]
+            while self.peek() == ",":
+                self.next()
+                args.append(self.value_expr())
+            self.expect(")")
+            return Func(fn, tuple(args))
+        return self.term()
+
     def unary_expr(self) -> Filter:
         if self.peek() == "!":
             self.next()
             return Filter("!", (self.unary_expr(),))
-        if self.peek() == "(":
+        up = self.peek().upper()
+        if self.peek() == "(" and up not in self.VALUE_FNS:
             self.next()
             e = self.or_expr()
             self.expect(")")
             return e
-        if self.peek().upper() == "REGEX":
+        if up == "REGEX":
             self.next()
             self.expect("(")
-            v = self.term()
+            v = self.value_expr()
             self.expect(",")
             pat = self.term()
             flags = None
@@ -282,11 +417,20 @@ class _P:
                 flags = self.term()
             self.expect(")")
             return Filter("regex", (v, pat, flags))
-        left = self.term()
+        if up in self.BOOL_FNS and self.peek(1) == "(":
+            fn = self.next().lower()
+            self.expect("(")
+            args = [self.value_expr()]
+            while self.peek() == ",":
+                self.next()
+                args.append(self.value_expr())
+            self.expect(")")
+            return Filter(fn, tuple(args))
+        left = self.value_expr()
         op = self.next()
         if op not in ("=", "!=", "<", "<=", ">", ">="):
             raise SparqlParseError(f"unsupported FILTER operator {op!r}")
-        right = self.term()
+        right = self.value_expr()
         return Filter(op, (left, right))
 
 
@@ -318,10 +462,10 @@ def parse_sparql(q: str) -> Query:
                 if tok.startswith(("?", "$")):
                     variables.append(Var(p.next()[1:]))
                 elif tok == "(":
-                    # (AGGFN([DISTINCT] ?v | *) AS ?alias)
+                    # (AGGFN([DISTINCT] ?v | * [; SEPARATOR="s"]) AS ?alias)
                     p.next()
                     fn = p.next().lower()
-                    if fn not in ("count", "sum", "avg", "min", "max"):
+                    if fn not in ("count", "sum", "avg", "min", "max", "group_concat", "sample"):
                         raise SparqlParseError(f"unsupported aggregate {fn!r}")
                     p.expect("(")
                     agg_distinct = p.kw("DISTINCT")
@@ -330,11 +474,20 @@ def parse_sparql(q: str) -> Query:
                         v = None
                     else:
                         v = Var(p.next()[1:])
+                    sep = " "
+                    if p.peek() == ";":
+                        p.next()
+                        p.expect("SEPARATOR")
+                        p.expect("=")
+                        sep_tok = p.next()
+                        if not sep_tok.startswith('"'):
+                            raise SparqlParseError("SEPARATOR needs a string literal")
+                        sep = sep_tok[1:-1].encode().decode("unicode_escape")
                     p.expect(")")
                     p.expect("AS")
                     alias = p.next()[1:]
                     p.expect(")")
-                    variables.append(AggExpr(fn, v, alias, agg_distinct))
+                    variables.append(AggExpr(fn, v, alias, agg_distinct, sep))
                 else:
                     break
             if not variables:

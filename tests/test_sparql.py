@@ -193,3 +193,125 @@ def test_count_distinct(triples):
 def test_ungrouped_var_rejected(triples):
     with pytest.raises(SparqlCompileError, match="GROUP BY"):
         sparql_query(triples, 'SELECT ?x (COUNT(*) AS ?n) WHERE { ?x <rdfType> ?t } GROUP BY ?t')
+
+
+# ---- SPARQL 1.1 surface added in r2: MINUS / BIND / VALUES / paths / fns ----
+
+
+def test_minus_shared_var(triples):
+    out = sparql_query(
+        triples,
+        'SELECT ?s WHERE { ?s <rdfType> "Nation" MINUS { ?s <nationkey> 3 } }',
+    )
+    paths = {r["s"] for r in out.collect()}
+    assert len(paths) == 24 and "/tpch/nation/3" not in paths
+
+
+def test_minus_disjoint_removes_nothing(triples):
+    # W3C §8.3: MINUS with no shared variables removes nothing
+    out = sparql_query(
+        triples,
+        'SELECT ?s WHERE { ?s <rdfType> "Region" MINUS { ?x <rdfType> "Nation" } }',
+    )
+    assert out.count() == 5
+
+
+def test_bind_and_builtins(triples):
+    out = sparql_query(
+        triples,
+        'SELECT ?s ?u WHERE { ?s <rdfType> "Region" . ?s <name> ?n . '
+        "BIND(CONCAT(LCASE(?n), \"!\") AS ?u) FILTER(STRLEN(?n) > 3) }",
+    )
+    rows = out.collect()
+    assert len(rows) == 5 and all(r["u"].endswith("!") and r["u"][:-1].islower() for r in rows)
+
+
+def test_bind_numeric_filterable(triples):
+    out = sparql_query(
+        triples,
+        'SELECT ?s WHERE { ?s <rdfType> "Nation" . ?s <name> ?n . '
+        "BIND(STRLEN(?n) AS ?l) FILTER(?l >= 9) }",
+    )
+    # NATION_10..NATION_24 have length 9
+    assert out.count() == 15
+
+
+def test_values_single_and_multi(triples):
+    out = sparql_query(
+        triples,
+        'SELECT ?s ?n WHERE { ?s <name> ?n . VALUES ?n { "NATION_3" "NATION_7" } }',
+    )
+    assert out.count() == 2
+    out2 = sparql_query(
+        triples,
+        'SELECT ?s WHERE { ?s <name> ?n . ?s <nationkey> ?k . '
+        'VALUES (?n) { ("NATION_3") } }',
+    )
+    assert out2.first()["s"] == "/tpch/nation/3"
+
+
+def test_values_undef_rejected(triples):
+    with pytest.raises(SparqlParseError, match="UNDEF"):
+        sparql_query(triples, 'SELECT ?s WHERE { ?s <name> ?n . VALUES ?n { UNDEF } }')
+
+
+def test_path_sequence(triples):
+    out = sparql_query(
+        triples,
+        "SELECT DISTINCT ?r WHERE { </tpch/customer/1> <inNation>/<ofRegion> ?r }",
+    )
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["r"].startswith("/tpch/region/")
+
+
+def test_path_plus_bounded(triples):
+    out = sparql_query(
+        triples,
+        "SELECT DISTINCT ?r WHERE { </tpch/nation/3> <ofRegion>+ ?r }",
+    )
+    assert out.count() == 1
+
+
+def test_path_internal_vars_hidden(triples):
+    out = sparql_query(
+        triples,
+        "SELECT * WHERE { ?c <inNation>/<ofRegion> ?r . ?c <rdfType> \"Supplier\" }",
+    )
+    assert set(out.columns) == {"c", "r"}
+
+
+def test_group_concat_and_sample(triples):
+    out = sparql_query(
+        triples,
+        'SELECT ?r (GROUP_CONCAT(?n; SEPARATOR="|") AS ?names) (SAMPLE(?n) AS ?one) '
+        'WHERE { ?s <ofRegion> ?r . ?s <name> ?n . ?s <rdfType> "Nation" } GROUP BY ?r',
+    )
+    rows = out.collect()
+    assert len(rows) == 5
+    for r in rows:
+        parts = r["names"].split("|")
+        assert parts == sorted(parts) and r["one"] == parts[0]
+
+
+def test_aggregate_respects_cap_and_offset(triples):
+    # ADVICE r1: aggregate SELECT must flow through the shared cap/offset
+    out = sparql_query(
+        triples,
+        'SELECT ?t (COUNT(*) AS ?n) WHERE { ?s <rdfType> ?t } GROUP BY ?t ORDER BY ?t LIMIT 2 OFFSET 1',
+    )
+    rows = out.collect()
+    assert len(rows) == 2
+    all_rows = sparql_query(
+        triples,
+        'SELECT ?t (COUNT(*) AS ?n) WHERE { ?s <rdfType> ?t } GROUP BY ?t ORDER BY ?t',
+    ).collect()
+    assert [r["t"] for r in rows] == [r["t"] for r in all_rows[1:3]]
+
+
+def test_constant_pattern_existence_gate(triples):
+    # ADVICE r1: a fully-constant pattern must not multiply solutions
+    out = sparql_query(
+        triples,
+        'SELECT ?s WHERE { ?s <rdfType> "Region" . </tpch/nation/3> <nationkey> 3 }',
+    )
+    assert out.count() == 5
