@@ -127,6 +127,99 @@ def _join(left: DataFrame, right: DataFrame) -> DataFrame:
     return left.crossJoin(right)
 
 
+def _join_connected(dfs: list[DataFrame]) -> DataFrame:
+    """Join the pattern frames preferring VARIABLE-CONNECTED pairs: start
+    from the first frame, repeatedly pick the next frame (in given cost
+    order) that shares a variable with the accumulated solution, and only
+    cross join when the pattern graph is genuinely disconnected. A blind
+    left-fold cross joins the moment two adjacent frames in cost order
+    are disjoint — O(n*m) row blowup that equi joins later would have
+    avoided entirely."""
+    remaining = list(dfs)
+    df = remaining.pop(0)
+    while remaining:
+        pick = None
+        for i, cand in enumerate(remaining):
+            if any(c in df.columns and not c.startswith("__") for c in cand.columns):
+                pick = i
+                break
+        if pick is None:
+            pick = 0  # disconnected component: cross join is the semantics
+        df = _join(df, remaining.pop(pick))
+    return df
+
+
+def _squash_frame(infotons: DataFrame, subj, tps: list) -> DataFrame:
+    """Same-subject pattern group evaluated as ONE doc-table scan.
+
+    The reference's squashBySubject merges a subject's pattern chain into
+    a single engine query (JenaArqExtensionsUtils.scala:84-106); here the
+    doc table's `fields` map IS the subject-grouped layout, so N patterns
+    become N column predicates/extractions on one scan — no self-joins,
+    no shuffle. Constant objects filter via exists(); variable objects
+    explode their value arrays sequentially (the cartesian of per-field
+    value lists is exactly SPARQL's multi-valued solution semantics)."""
+    live = infotons.where(F.col("current"))
+    if not isinstance(subj, Var):
+        live = live.where(F.col("path") == _term_str(subj))
+    # factory closures: PySpark HOF lambdas bind by arity, so default-arg
+    # captures (lambda v, _n=...) mis-resolve as two-argument lambdas
+    def _num_pred(n):
+        return lambda v: v["num"] == n
+
+    def _str_pred(s):
+        return lambda v: v["value"] == s
+
+    arrs = []
+    for i, tp in enumerate(tps):
+        vals = F.col("fields").getItem(tp.p.value)
+        if isinstance(tp.o, Var):
+            live = live.where(vals.isNotNull() & (F.size(vals) > 0))
+            arrs.append((i, tp.o.name))
+        elif isinstance(tp.o, Literal) and tp.o.dtype == "number":
+            live = live.where(
+                F.coalesce(F.exists(vals, _num_pred(float(tp.o.value))), F.lit(False))
+            )
+        else:
+            live = live.where(
+                F.coalesce(F.exists(vals, _str_pred(_term_str(tp.o))), F.lit(False))
+            )
+    cols = [F.col("path").alias(subj.name)] if isinstance(subj, Var) else []
+    df = live.select(*cols, *[F.col("fields").getItem(tps[i].p.value).alias(f"__sq{i}") for i, _ in arrs])
+    for i, vname in arrs:
+        ex = F.explode(F.col(f"__sq{i}"))
+        if vname in df.columns:
+            # same var bound twice in the group: explode then require equality
+            df = df.select("*", ex.alias("__sqv")).where(F.col("__sqv")["value"] == F.col(vname)).drop("__sqv", f"__sq{i}")
+        else:
+            df = (
+                df.select("*", ex.alias("__sqv"))
+                .withColumn(vname, F.col("__sqv")["value"])
+                .withColumn(f"__num__{vname}", F.col("__sqv")["num"])
+                .withColumn(f"__lang__{vname}", F.col("__sqv")["lang"])
+                .drop("__sqv", f"__sq{i}")
+            )
+    return df
+
+
+def _squash_groups(g_triples: list, infotons: DataFrame | None):
+    """Partition patterns into squashable same-subject groups (>=2 patterns,
+    all predicates constant) and the remainder."""
+    if infotons is None:
+        return [], list(g_triples)
+    by_subj: dict = {}
+    for tp in g_triples:
+        key = ("v", tp.s.name) if isinstance(tp.s, Var) else ("c", _term_str(tp.s))
+        by_subj.setdefault(key, []).append(tp)
+    squashed, rest = [], []
+    for _key, tps in by_subj.items():
+        if len(tps) >= 2 and all(isinstance(tp.p, Iri) for tp in tps):
+            squashed.append((tps[0].s, tps))
+        else:
+            rest.extend(tps)
+    return squashed, rest
+
+
 def _path_chain(triples: DataFrame, s, preds: list, o) -> DataFrame:
     """One fixed-length predicate chain s -p1-> x1 ... -pn-> o as joined
     pattern frames; returns only the endpoint variable columns, DISTINCT
@@ -162,16 +255,25 @@ def _path_frame(triples: DataFrame, pp: PathPattern) -> DataFrame:
     return reduce(lambda a, b: a.unionByName(b), chains).distinct()
 
 
-def _compile_group(triples: DataFrame, g: Group, stats: dict | None) -> DataFrame:
-    patterns = sorted(g.triples, key=lambda tp: _est_cost(tp, stats))
-    dfs = [_pattern_df(triples, tp, i)[0] for i, tp in enumerate(patterns)]
+def _compile_group(
+    triples: DataFrame, g: Group, stats: dict | None, infotons: DataFrame | None = None
+) -> DataFrame:
+    # squash-by-subject (JenaArqExtensionsUtils.scala:84-106): same-subject
+    # const-predicate groups route to ONE doc-table scan; singletons and
+    # var-predicate patterns stay on the pruned triples scans. Squashed
+    # frames join first — they carry the most predicates, so they're the
+    # most selective starting point.
+    groups, rest = _squash_groups(g.triples, infotons)
+    patterns = sorted(rest, key=lambda tp: _est_cost(tp, stats))
+    dfs = [_squash_frame(infotons, subj, tps) for subj, tps in groups]
+    dfs.extend(_pattern_df(triples, tp, i)[0] for i, tp in enumerate(patterns))
     dfs.extend(_path_frame(triples, pp) for pp in g.paths)
     if dfs:
-        df = reduce(_join, dfs)
+        df = _join_connected(dfs)
     else:
         df = None
     for branches in g.unions:
-        parts = [_compile_group(triples, b, stats) for b in branches]
+        parts = [_compile_group(triples, b, stats, infotons) for b in branches]
         u = reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), parts)
         df = u if df is None else _join(df, u)
     for vars_, rows in g.values:
@@ -183,7 +285,7 @@ def _compile_group(triples: DataFrame, g: Group, stats: dict | None) -> DataFram
     if df is None:
         raise SparqlCompileError("empty graph pattern")
     for opt in g.optionals:
-        right = _compile_group(triples, opt, stats)
+        right = _compile_group(triples, opt, stats, infotons)
         shared = [c for c in df.columns if c in right.columns and not c.startswith("__")]
         right = right.drop(
             *[c for c in right.columns if c.startswith(("__num__", "__lang__")) and c in df.columns]
@@ -197,7 +299,7 @@ def _compile_group(triples: DataFrame, g: Group, stats: dict | None) -> DataFram
     for flt in g.filters:
         df = df.where(_filter_col(flt, df))
     for m in g.minuses:
-        right = _compile_group(triples, m, stats)
+        right = _compile_group(triples, m, stats, infotons)
         shared = [c for c in df.columns if c in right.columns and not c.startswith("__")]
         # SPARQL MINUS: remove solutions compatible on >=1 shared var;
         # disjoint domains remove nothing (W3C SPARQL 1.1 §8.3)
@@ -306,16 +408,21 @@ def sparql_query(
     query: str | Query,
     stats: dict | None = None,
     limit_cap: int = RESULTS_LIMIT,
+    infotons: DataFrame | None = None,
 ) -> DataFrame:
     """Compile + plan a SPARQL query over the triples table.
 
     SELECT -> DataFrame of the projected variable columns.
     CONSTRUCT -> DataFrame(s, p, o) of instantiated template triples.
+
+    `infotons` (the wide doc table) enables the squash-by-subject route:
+    same-subject constant-predicate pattern groups evaluate as one
+    doc-table scan instead of N triples self-joins.
     """
     from cm_well_spark.operators.sparql.parser import AggExpr
 
     q = parse_sparql(query) if isinstance(query, str) else query
-    df = _compile_group(triples, q.where, stats)
+    df = _compile_group(triples, q.where, stats, infotons)
     if q.form == "select":
         aggs = [v for v in q.variables if isinstance(v, AggExpr)]
         if aggs or q.group_by:

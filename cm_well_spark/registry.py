@@ -544,6 +544,7 @@ def sparql_bgp_join(spark, sf_dir):
         """,
         stats=stats,
         limit_cap=None,
+        infotons=_inf(spark, sf_dir),
     )
 
 
@@ -1457,5 +1458,6 @@ def sparql_graph_revenue(spark, sf_dir):
         """,
         stats=stats,
         limit_cap=None,
+        infotons=_inf(spark, sf_dir),
     )
     return df.select("rname", F.round("revenue", 2).alias("revenue"), "n_items")

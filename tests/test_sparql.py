@@ -315,3 +315,22 @@ def test_constant_pattern_existence_gate(triples):
         'SELECT ?s WHERE { ?s <rdfType> "Region" . </tpch/nation/3> <nationkey> 3 }',
     )
     assert out.count() == 5
+
+
+def test_squash_by_subject_one_doc_scan(triples, infotons):
+    """Same-subject const-predicate groups route to ONE doc-table scan
+    (squashBySubject, JenaArqExtensionsUtils.scala:84-106) instead of N
+    triples self-joins — and the connected join order never cross joins."""
+    out = sparql_query(
+        triples,
+        'SELECT ?c ?n WHERE { ?c <inNation> ?nat . ?nat <name> ?n . ?c <mktsegment> "BUILDING" }',
+        infotons=infotons,
+    )
+    baseline = sparql_query(
+        triples,
+        'SELECT ?c ?n WHERE { ?c <inNation> ?nat . ?nat <name> ?n . ?c <mktsegment> "BUILDING" }',
+    )
+    assert out.count() == baseline.count() > 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("/infotons") == 1  # the squashed ?c group: one doc scan
+    assert "NestedLoop" not in plan
