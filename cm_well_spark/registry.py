@@ -786,6 +786,71 @@ def _merge_fixture(spark, sf_dir):
 
 
 @register(
+    "rdf_ingest_turtle",
+    oracle="""
+    SELECT '/example.org/nation/' || n_nationkey AS path, n_name AS name,
+           CAST(n_regionkey AS DOUBLE) AS regionkey
+    FROM nation
+    """,
+)
+def rdf_ingest_turtle(spark, sf_dir):
+    """S6 Turtle ingest: render the nation table as a Turtle document
+    (prefixes, 'a', ';' predicate lists, typed numbers), parse it back
+    through the distributed document parser, assemble infotons, and
+    surface (path, name, regionkey) — LDFormatParser.scala semantics on
+    the engine's own data."""
+    from cm_well_spark.sources.rdf import infotons_from_rdf
+    from cm_well_spark.sources.rdf_formats import parse_rdf_documents
+    from cm_well_spark.sources.tables import load_table
+
+    rows = load_table(spark, sf_dir, "nation").collect()
+    lines = ["@prefix ex: <http://example.org/> .", "@prefix n: <http://example.org/nation/> ."]
+    for r in rows:
+        lines.append(
+            f'n:{r["n_nationkey"]} a ex:Nation ; ex:name "{r["n_name"]}" ; '
+            f'ex:regionkey {r["n_regionkey"]} .'
+        )
+    docs = spark.createDataFrame([("\n".join(lines),)], ["value"])
+    inf = infotons_from_rdf(parse_rdf_documents(docs, "ttl"))
+    return inf.select(
+        "path",
+        fv.first_value("name").alias("name"),
+        fv.first_num("regionkey").alias("regionkey"),
+    )
+
+
+@register(
+    "rdf_ingest_jsonld",
+    oracle="""
+    SELECT '/example.org/region/' || r_regionkey AS path, r_name AS name
+    FROM region
+    """,
+)
+def rdf_ingest_jsonld(spark, sf_dir):
+    """S6 JSON-LD ingest: @context/@graph/@id document of the region
+    table, parsed distributed and assembled into infotons."""
+    import json as _json
+
+    from cm_well_spark.sources.rdf import infotons_from_rdf
+    from cm_well_spark.sources.rdf_formats import parse_rdf_documents
+    from cm_well_spark.sources.tables import load_table
+
+    rows = load_table(spark, sf_dir, "region").collect()
+    doc = _json.dumps(
+        {
+            "@context": {"@vocab": "http://example.org/"},
+            "@graph": [
+                {"@id": f"http://example.org/region/{r['r_regionkey']}", "name": r["r_name"]}
+                for r in rows
+            ],
+        }
+    )
+    docs = spark.createDataFrame([(doc,)], ["value"])
+    inf = infotons_from_rdf(parse_rdf_documents(docs, "jsonld"))
+    return inf.select("path", fv.first_value("name").alias("name"))
+
+
+@register(
     "merge_writer_current",
     oracle="""
     SELECT * FROM (VALUES

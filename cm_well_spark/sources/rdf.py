@@ -4,9 +4,9 @@ The reference ingests RDF via Jena through `_in`
 (InputHandler.scala:67,259,375; LDFormatParser.scala). Spark-first we
 parse the two line-oriented formats (which cover every integration-test
 fixture — SURVEY §5) entirely with JVM-side regexp expressions: one scan,
-no Python in the row path, splittable by line at any scale. Turtle/RDF-XML
-/JSON-LD would plug in behind the same triples schema via a Pandas-UDF
-rdflib bridge (not available in this environment; seam documented).
+no Python in the row path, splittable by line at any scale. Turtle /
+JSON-LD / RDF-XML (not line-splittable) parse per-document via
+mapInPandas in sources/rdf_formats.py behind the same triples schema.
 
 Grammar handled per line:
     <s> <p> <o> [<g>] .

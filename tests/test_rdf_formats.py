@@ -100,3 +100,111 @@ def test_nquads_graph_tag(spark, infotons):
     assert line.count("<") == 3 and line.rstrip().endswith(".")
     assert '"src' in line
     assert "cmwell://graphs/" in line
+
+
+# ---- S6 document formats: Turtle / JSON-LD / RDF-XML ----------------------
+
+
+TTL_FIXTURE = """
+@prefix ex: <http://example.org/> .
+@prefix foaf: <http://xmlns.com/foaf/0.1/> .
+
+ex:alice a foaf:Person ;
+    foaf:name "Alice" , "Alicia"@es ;
+    ex:age 33 ;
+    ex:score 1.5 ;
+    foaf:knows ex:bob , [ foaf:name "Anon" ] .
+
+ex:bob foaf:name \"\"\"Bob
+multi\"\"\" ;
+    ex:birth "1990-01-01"^^<http://www.w3.org/2001/XMLSchema#date> .
+"""
+
+
+def test_turtle_parse_distributed(spark):
+    from cm_well_spark.sources.rdf_formats import parse_rdf_documents
+
+    docs = spark.createDataFrame([(TTL_FIXTURE,)], ["value"])
+    t = parse_rdf_documents(docs, "ttl")
+    rows = t.collect()
+    assert len(rows) == 10
+    by = {(r["s"], r["p"], r["o"]): r for r in rows}
+    assert ("http://example.org/alice", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+            "http://xmlns.com/foaf/0.1/Person") in by
+    age = by[("http://example.org/alice", "http://example.org/age", "33")]
+    assert age["vtype"] == "l"
+    alicia = by[("http://example.org/alice", "http://xmlns.com/foaf/0.1/name", "Alicia")]
+    assert alicia["lang"] == "es"
+    assert any(r["o"].startswith("_:") for r in rows)  # [ ... ] bnode linked
+
+
+def test_turtle_to_infotons(spark):
+    from cm_well_spark.sources.rdf import infotons_from_rdf
+    from cm_well_spark.sources.rdf_formats import parse_rdf_documents
+
+    docs = spark.createDataFrame([(TTL_FIXTURE,)], ["value"])
+    inf = infotons_from_rdf(parse_rdf_documents(docs, "ttl"))
+    rows = {r["path"]: dict(r["fields"]) for r in inf.collect()}
+    alice = rows["/example.org/alice"]
+    assert {v["value"] for v in alice["name"]} == {"Alice", "Alicia"}
+    assert alice["age"][0]["num"] == 33.0
+
+
+def test_turtle_collections_rejected(spark):
+    from cm_well_spark.sources.rdf_formats import RdfParseError, turtle_to_triples
+
+    with pytest.raises(RdfParseError, match="collections"):
+        turtle_to_triples('@prefix ex: <http://e.org/> . ex:a ex:list (1 2 3) .')
+
+
+def test_jsonld_parse(spark):
+    from cm_well_spark.sources.rdf_formats import parse_rdf_documents
+
+    doc = json.dumps({
+        "@context": {"@vocab": "http://example.org/",
+                     "foaf": "http://xmlns.com/foaf/0.1/",
+                     "name": "foaf:name",
+                     "knows": {"@id": "foaf:knows", "@type": "@id"}},
+        "@graph": [
+            {"@id": "http://example.org/alice", "@type": "foaf:Person",
+             "name": "Alice", "age": 33,
+             "knows": "http://example.org/bob"},
+            {"@id": "http://example.org/bob",
+             "name": {"@value": "Bobo", "@language": "fr"}},
+        ],
+    })
+    docs = spark.createDataFrame([(doc,)], ["value"])
+    rows = parse_rdf_documents(docs, "jsonld").collect()
+    by = {(r["s"], r["p"]): r for r in rows}
+    assert by[("http://example.org/alice", "http://example.org/age")]["vtype"] == "l"
+    assert by[("http://example.org/alice", "http://xmlns.com/foaf/0.1/knows")]["o"] == "http://example.org/bob"
+    assert by[("http://example.org/bob", "http://xmlns.com/foaf/0.1/name")]["lang"] == "fr"
+
+
+def test_rdfxml_parse(spark):
+    from cm_well_spark.sources.rdf_formats import parse_rdf_documents
+
+    xml = (
+        '<?xml version="1.0"?>'
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"'
+        ' xmlns:foaf="http://xmlns.com/foaf/0.1/" xmlns:ex="http://example.org/">'
+        '<foaf:Person rdf:about="http://example.org/alice">'
+        '<foaf:name xml:lang="en">Alice</foaf:name>'
+        '<ex:age rdf:datatype="http://www.w3.org/2001/XMLSchema#integer">33</ex:age>'
+        '<foaf:knows rdf:resource="http://example.org/bob"/>'
+        "</foaf:Person></rdf:RDF>"
+    )
+    docs = spark.createDataFrame([(xml,)], ["value"])
+    rows = parse_rdf_documents(docs, "rdfxml").collect()
+    by = {(r["s"], r["p"]): r for r in rows}
+    assert by[("http://example.org/alice", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type")]["o"].endswith("Person")
+    assert by[("http://example.org/alice", "http://xmlns.com/foaf/0.1/name")]["lang"] == "en"
+    assert by[("http://example.org/alice", "http://example.org/age")]["vtype"] == "l"
+
+
+def test_unknown_format_rejected(spark):
+    from cm_well_spark.sources.rdf_formats import RdfParseError, parse_rdf_documents
+
+    docs = spark.createDataFrame([("x",)], ["value"])
+    with pytest.raises(RdfParseError, match="unknown RDF format"):
+        parse_rdf_documents(docs, "trix")
