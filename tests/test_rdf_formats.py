@@ -208,3 +208,87 @@ def test_unknown_format_rejected(spark):
     docs = spark.createDataFrame([("x",)], ["value"])
     with pytest.raises(RdfParseError, match="unknown RDF format"):
         parse_rdf_documents(docs, "trix")
+
+
+# ---- S9 output formatters (r2): ttl/rdfxml/jsonld round trips + the rest ---
+
+
+@pytest.fixture(scope="module")
+def nations3(infotons):
+    return infotons.where(F.col("path").isin("/tpch/nation/1", "/tpch/nation/2", "/tpch/nation/3"))
+
+
+def _roundtrip(spark, docs_df, fmt):
+    from cm_well_spark.sources.rdf_formats import parse_rdf_documents
+
+    return parse_rdf_documents(docs_df.withColumnRenamed("doc", "value"), fmt)
+
+
+def test_turtle_render_roundtrip(spark, nations3):
+    from cm_well_spark.formats.render import to_turtle
+
+    t = _roundtrip(spark, to_turtle(nations3), "ttl")
+    rows = t.collect()
+    # every nation renders name/nationkey/ofRegion/rdfType; typed values keep vtype
+    assert {r["s"] for r in rows} == {f"cmwell://tpch/nation/{i}" for i in (1, 2, 3)}
+    nk = [r for r in rows if r["p"].endswith("nationkey")]
+    assert all(r["vtype"] == "l" for r in nk) and len(nk) == 3
+    refs = [r for r in rows if r["p"].endswith("ofRegion")]
+    assert all(r["o"].startswith("cmwell://tpch/region/") for r in refs)
+
+
+def test_rdfxml_render_roundtrip(spark, nations3):
+    from cm_well_spark.formats.render import RDFXML_CLOSE, RDFXML_OPEN, to_rdfxml
+
+    docs = to_rdfxml(nations3).collect()
+    xml = RDFXML_OPEN + "".join(r["doc"] for r in docs) + RDFXML_CLOSE
+    t = _roundtrip(spark, spark.createDataFrame([(xml,)], ["doc"]), "rdfxml")
+    rows = t.collect()
+    assert {r["s"] for r in rows} == {f"cmwell://tpch/nation/{i}" for i in (1, 2, 3)}
+    nk = [r for r in rows if r["p"].endswith("nationkey")]
+    assert all(r["vtype"] == "l" for r in nk)
+
+
+def test_jsonld_render_roundtrip(spark, nations3):
+    from cm_well_spark.formats.render import to_jsonld
+
+    t = _roundtrip(spark, to_jsonld(nations3), "jsonld")
+    rows = t.collect()
+    assert {r["s"] for r in rows} == {f"cmwell://tpch/nation/{i}" for i in (1, 2, 3)}
+    by = {(r["s"], r["p"].split("/")[-1]): r for r in rows}
+    assert by[("cmwell://tpch/nation/2", "nationkey")]["vtype"] == "l"
+    assert by[("cmwell://tpch/nation/2", "name")]["o"] == "NATION_2"
+
+
+def test_yaml_and_atom_and_trix(spark, nations3, triples):
+    from cm_well_spark.formats.render import (
+        ATOM_CLOSE,
+        ATOM_OPEN,
+        TRIX_CLOSE,
+        TRIX_OPEN,
+        to_atom_entries,
+        to_trig,
+        to_trix,
+        to_yaml,
+    )
+    import xml.etree.ElementTree as ET
+
+    y = to_yaml(nations3).first()["doc"]
+    assert y.startswith('path: "') and "fields:" in y and '    - "' in y
+    entries = to_atom_entries(nations3).collect()
+    feed = ATOM_OPEN + "".join(r["doc"] for r in entries) + ATOM_CLOSE
+    parsed = ET.fromstring(feed)
+    assert len(parsed.findall("{http://www.w3.org/2005/Atom}entry")) == 3
+    tri3 = triples.where(F.col("s") == "/tpch/nation/3")
+    trix = TRIX_OPEN + "".join(r["line"] for r in to_trix(tri3).collect()) + TRIX_CLOSE
+    assert ET.fromstring(trix) is not None
+    trig = to_trig(tri3).first()["line"]
+    assert trig.endswith(" . }") and "{ <cmwell://tpch/nation/3>" in trig
+
+
+def test_formatters_registry_covers_reference_list():
+    from cm_well_spark.formats.render import FORMATTERS, TRIPLE_FORMATTERS
+
+    # FormatExtractor.scala:50-66 families, minus api-only ones
+    assert {"json", "jsonl", "yaml", "text", "ttl", "n3", "rdfxml", "jsonld", "atom"} <= set(FORMATTERS)
+    assert {"nt", "nq", "trig", "trix"} <= set(TRIPLE_FORMATTERS)
