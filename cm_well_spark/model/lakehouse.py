@@ -125,6 +125,9 @@ def materialize(spark: SparkSession, sf_dir: str, root: str | None = None, force
         F.count("*").alias("n_triples"),
         F.approx_count_distinct("o").alias("n_distinct_obj"),
         F.approx_count_distinct("s").alias("n_distinct_subj"),
+        # the F9 types cache (RawFieldFilter typesCache analog) rides the
+        # same one-pass aggregation: vtype codes seen per field
+        F.array_sort(F.collect_set("vtype")).alias("vtypes"),
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out, "predicate_stats"))
     os.makedirs(out, exist_ok=True)
     with open(stamp, "w") as fh:

@@ -149,9 +149,15 @@ def _single_match(ff: SingleFieldFilter) -> Column:
     """Match column for one field predicate (ignoring its field_op, which
     the enclosing bool level consumes)."""
     name = ff.name
-    # strip type-mangle prefix ("X$name", Infoton.scala:527-537 / in-memory
-    # unmangling FTSService.scala:1860)
+    # type-mangle prefix ("X$name", Infoton.scala:527-537 / in-memory
+    # unmangling FTSService.scala:1860): a mangled name restricts the
+    # match to values of THAT type — the compile-side half of F9 type-set
+    # expansion (RawFieldFilter.scala:103-148); unmangled names match any
+    # type, so the expansion to a Should-group of mangled variants is
+    # semantics-preserving
+    vtype_code = None
     if len(name) > 2 and name[1] == "$":
+        vtype_code = name[0]
         name = name[2:]
     if name == "system.quad":
         # quad filter (F8): any value of any field tagged with this graph
@@ -165,12 +171,21 @@ def _single_match(ff: SingleFieldFilter) -> Column:
     if name in SYSTEM_COLUMNS:
         return _system_pred(ff)
     vals = F.col("fields").getItem(name)
+    if vtype_code is not None:
+        vals = F.filter(vals, _vtype_pred(vtype_code))
     if ff.value is None:
         return vals.isNotNull() & (F.size(vals) > 0)
     pred = _value_pred(ff.value_op, ff.value)
     # multi-valued semantics: the field matches if ANY value matches
     # (fields are value sets; ES indexes each value)
     return F.coalesce(F.exists(vals, pred), F.lit(False))
+
+
+def _vtype_pred(code: str):
+    # int/long and float/double collapse pairwise in this engine's typed
+    # struct, like the reference's in-memory unmangling treats them
+    group = {"i": ("i", "l"), "l": ("i", "l"), "f": ("f", "w"), "w": ("f", "w")}.get(code, (code,))
+    return lambda v: v["vtype"].isin(*group)
 
 
 def compile_filter(ff: FieldFilter) -> Column:

@@ -786,6 +786,29 @@ def _merge_fixture(spark, sf_dir):
 
 
 @register(
+    "typed_field_expansion",
+    oracle="""
+    SELECT '/tpch/customer/' || c_custkey AS path, c_acctbal AS acctbal
+    FROM customer WHERE c_acctbal > 5000.0
+    """,
+)
+def typed_field_expansion(spark, sf_dir):
+    """F9 type-set expansion (RawFieldFilter.scala:103-148, ManglingTests):
+    the external field `acctbal` resolves through the store's types cache
+    to its mangled variant(s) (w$acctbal here), each compiled as a
+    vtype-restricted match — same rows as the unexpanded query."""
+    from cm_well_spark.functions.types_cache import FieldTypesCache
+    from cm_well_spark.parsers.qp import parse_qp
+    from cm_well_spark.plans.compile import compile_filter
+
+    inf = _inf(spark, sf_dir)
+    cache = FieldTypesCache.from_lakehouse(spark, sf_dir)
+    expanded = cache.expand_filter(parse_qp("rdfType::Customer,acctbal>5000"))
+    df = S.search(inf, qp=expanded, length=None)
+    return df.select("path", fv.first_num("acctbal").alias("acctbal"))
+
+
+@register(
     "rdf_ingest_turtle",
     oracle="""
     SELECT '/example.org/nation/' || n_nationkey AS path, n_name AS name,

@@ -154,3 +154,71 @@ def test_audit_detects_double_current(infotons, spark):
     broken = infotons.unionByName(dup)
     rows = {r["check"]: r["violations"] for r in audit(broken).collect()}
     assert rows["exactly_one_current_per_path"] == 1
+
+
+# ---- F9 type-set expansion (RawFieldFilter.scala:103-148, ManglingTests) ---
+
+
+TYPED_NT = [
+    '<http://e.org/a> <http://e.org/val> "33"^^<http://www.w3.org/2001/XMLSchema#long> .',
+    '<http://e.org/b> <http://e.org/val> "33" .',
+    '<http://e.org/c> <http://e.org/val> "44"^^<http://www.w3.org/2001/XMLSchema#long> .',
+    '<http://e.org/d> <http://e.org/other> "x" .',
+]
+
+
+@pytest.fixture()
+def mixed_typed(spark):
+    from cm_well_spark.model.lakehouse import triples_of
+    from cm_well_spark.sources.rdf import infotons_from_rdf, parse_rdf_lines
+
+    lines = spark.createDataFrame([(l,) for l in TYPED_NT], ["value"])
+    docs = infotons_from_rdf(parse_rdf_lines(lines))
+    inf = docs.withColumn("current", F.lit(True)).withColumn("kind", F.lit("ObjectInfoton")).withColumn(
+        "parent", F.lit("/e.org")
+    )
+    return inf, triples_of(inf.withColumn("index_time", F.lit(1)))
+
+
+def test_types_cache_builds_from_triples(mixed_typed):
+    from cm_well_spark.functions.types_cache import FieldTypesCache
+
+    _, tri = mixed_typed
+    cache = FieldTypesCache.from_triples(tri)
+    assert set(cache.field_vtypes["val"]) == {"l", "s"}
+    assert cache.field_vtypes["other"] == ("s",)
+
+
+def test_expand_multi_typed_to_should_group(mixed_typed):
+    from cm_well_spark.functions.types_cache import FieldTypesCache
+    from cm_well_spark.parsers.qp import MultiFieldFilter, parse_qp
+    from cm_well_spark.plans.compile import compile_filter
+
+    inf, tri = mixed_typed
+    cache = FieldTypesCache.from_triples(tri)
+    expanded = cache.expand_filter(parse_qp("val::33"))
+    assert isinstance(expanded, MultiFieldFilter)
+    assert {f.name for f in expanded.filters} == {"l$val", "s$val"}
+    # expansion matches BOTH the long-typed and string-typed docs
+    got = {r["path"] for r in inf.where(compile_filter(expanded)).select("path").collect()}
+    assert got == {"/e.org/a", "/e.org/b"}
+
+
+def test_mangled_name_restricts_to_type(mixed_typed):
+    from cm_well_spark.parsers.qp import parse_qp
+    from cm_well_spark.plans.compile import compile_filter
+
+    inf, _ = mixed_typed
+    only_long = {r["path"] for r in inf.where(compile_filter(parse_qp("l$val::33"))).collect()}
+    only_str = {r["path"] for r in inf.where(compile_filter(parse_qp("s$val::33"))).collect()}
+    assert only_long == {"/e.org/a"} and only_str == {"/e.org/b"}
+
+
+def test_single_typed_field_expands_to_mangled(mixed_typed):
+    from cm_well_spark.functions.types_cache import FieldTypesCache
+    from cm_well_spark.parsers.qp import SingleFieldFilter, parse_qp
+
+    _, tri = mixed_typed
+    cache = FieldTypesCache.from_triples(tri)
+    out = cache.expand_filter(parse_qp("other::x"))
+    assert isinstance(out, SingleFieldFilter) and out.name == "s$other"
