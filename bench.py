@@ -51,8 +51,11 @@ def main() -> None:
         "xg_two_levels",
         "yg_reverse",
         "gqp_semi_filter",
+        "gqp_two_hop",
         "sparql_bgp_join",
         "sparql_optional",
+        "sparql_graph_revenue",
+        "sparql_path_seq",
         "consume_first_chunk",
         "bulk_consume_range",
         "merge_writer_current",

@@ -86,11 +86,46 @@ def jaccard_pairs(
     k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_shingle_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= t).
-    Docs only meet through shared shingles — no cross join; skew-prone
-    ultra-common shingles are the known hazard (AQE skew-join handles
-    moderate skew; a production pipeline drops top-frequency shingles)."""
+    Docs only meet through shared shingles — no cross join.
+
+    `max_shingle_freq` is the skew guard for 100 TB corpora: shingles
+    appearing in more docs than this are excluded from CANDIDATE
+    GENERATION only (a boilerplate shingle shared by 10M docs would
+    otherwise shuffle 10M^2/2 join rows through one key). The jaccard is
+    then computed EXACTLY per candidate pair via array_intersect over the
+    full shingle sets, so scores are unaffected; the only approximation
+    is that a pair whose shared shingles are ALL hot is never considered
+    — documented false-negative, standard for production dedup."""
+    if max_shingle_freq is not None:
+        sh = _shingle_rows(df, text_col, id_col, k)
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.countDistinct("id").alias("n"))
+            .where(F.col("n") > max_shingle_freq)
+            .select("sh")
+        )
+        cold = sh.join(F.broadcast(hot), "sh", "left_anti")
+        a, b = cold.alias("a"), cold.alias("b")
+        cand = (
+            a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()
+        )
+        arrays = df.select(F.col(id_col).alias("id"), word_shingles(F.col(text_col), k).alias("shs"))
+        out = (
+            cand.join(arrays.select(F.col("id").alias("id_a"), F.col("shs").alias("shs_a")), "id_a")
+            .join(arrays.select(F.col("id").alias("id_b"), F.col("shs").alias("shs_b")), "id_b")
+            .withColumn(
+                "jaccard",
+                F.size(F.array_intersect("shs_a", "shs_b"))
+                / F.size(F.array_union("shs_a", "shs_b")),
+            )
+            .where(F.col("jaccard") >= threshold)
+        )
+        return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     sh = _shingle_rows(df, text_col, id_col, k)
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")

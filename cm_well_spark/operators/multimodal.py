@@ -27,6 +27,7 @@ from __future__ import annotations
 import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -59,8 +60,8 @@ def _decode_fake_image(b: bytes):
     if b is None or len(b) < 13 or b[:4] != b"IMG1":
         return None
     h, w, c = struct.unpack(">IIB", b[4:13])
-    payload = b[13:]
-    mean = sum(payload) / len(payload) if payload else 0.0
+    payload = np.frombuffer(b, dtype=np.uint8, offset=13)
+    mean = float(payload.mean()) if payload.size else 0.0
     return h, w, c, len(b), mean
 
 
@@ -77,17 +78,19 @@ def decode_images(
         )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # zip over the column ndarrays (iterrows materializes a Series per
+        # row — ~100x slower); the byte math is numpy inside the decoder
         for pdf in it:
             out = []
-            for _, row in pdf.iterrows():
-                meta = _decode_fake_image(row[data_col])
+            for rid, b in zip(pdf[id_col].to_numpy(), pdf[data_col].to_numpy()):
+                meta = _decode_fake_image(b)
                 if meta is None:
-                    out.append({"id": row[id_col], "height": None, "width": None, "channels": None,
-                                "n_bytes": len(row[data_col]) if row[data_col] is not None else 0,
+                    out.append({"id": rid, "height": None, "width": None, "channels": None,
+                                "n_bytes": len(b) if b is not None else 0,
                                 "mean_byte": None, "ok": False})
                 else:
                     h, w, c, nb, mean = meta
-                    out.append({"id": row[id_col], "height": h, "width": w, "channels": c,
+                    out.append({"id": rid, "height": h, "width": w, "channels": c,
                                 "n_bytes": nb, "mean_byte": mean, "ok": True})
             yield pd.DataFrame(out, columns=[f.name for f in IMAGE_META.fields])
 
@@ -116,13 +119,13 @@ def resize_images(
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = []
-            for _, row in pdf.iterrows():
-                meta = _decode_fake_image(row[data_col])
+            for rid, b in zip(pdf[id_col].to_numpy(), pdf[data_col].to_numpy()):
+                meta = _decode_fake_image(b)
                 if meta is None:
                     continue
                 _, _, c, _, mean = meta
                 out.append(
-                    {"id": row[id_col], "data": fake_image(height, width, c, int(mean)), "height": height, "width": width}
+                    {"id": rid, "data": fake_image(height, width, c, int(mean)), "height": height, "width": width}
                 )
             yield pd.DataFrame(out, columns=[f.name for f in RESIZED_SCHEMA.fields])
 
@@ -158,10 +161,10 @@ def sample_frames(
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = []
-            for _, row in pdf.iterrows():
-                for idx, fr in enumerate(split_frames(row[data_col])):
+            for rid, b in zip(pdf[id_col].to_numpy(), pdf[data_col].to_numpy()):
+                for idx, fr in enumerate(split_frames(b)):
                     if idx % every_n == 0:
-                        out.append({"id": row[id_col], "frame_idx": idx, "frame": fr})
+                        out.append({"id": rid, "frame_idx": idx, "frame": fr})
             yield pd.DataFrame(out, columns=[f.name for f in FRAME_SCHEMA.fields])
 
     return df.select(F.col(id_col).alias(id_col), F.col(data_col)).mapInPandas(batches, FRAME_SCHEMA)
@@ -188,16 +191,15 @@ def extract_audio_features(
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = []
-            for _, row in pdf.iterrows():
-                b = row[data_col]
+            for rid, b in zip(pdf[id_col].to_numpy(), pdf[data_col].to_numpy()):
                 if b is None or len(b) < 12 or b[:4] != b"AUD1":
-                    out.append({"id": row[id_col], "sample_rate": None, "n_samples": None,
+                    out.append({"id": rid, "sample_rate": None, "n_samples": None,
                                 "duration_s": None, "rms": None, "ok": False})
                     continue
                 sr, n = struct.unpack(">II", b[4:12])
-                payload = b[12 : 12 + n]
-                rms = (sum(x * x for x in payload) / len(payload)) ** 0.5 if payload else 0.0
-                out.append({"id": row[id_col], "sample_rate": sr, "n_samples": n,
+                payload = np.frombuffer(b, dtype=np.uint8, offset=12)[:n].astype(np.float64)
+                rms = float(np.sqrt((payload * payload).mean())) if payload.size else 0.0
+                out.append({"id": rid, "sample_rate": sr, "n_samples": n,
                             "duration_s": n / sr if sr else None, "rms": rms, "ok": True})
             yield pd.DataFrame(out, columns=[f.name for f in AUDIO_META.fields])
 

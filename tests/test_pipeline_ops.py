@@ -219,3 +219,17 @@ def test_real_codec_is_gated(spark):
     df = spark.createDataFrame([(1, fake_image(2, 2))], ["id", "data"])
     with pytest.raises(NotImplementedError, match="fake"):
         decode_images(df, codec="pil")
+
+
+def test_jaccard_skew_guard_matches_exact(docs):
+    """max_shingle_freq excludes hot shingles from candidate generation
+    only — with a threshold above the corpus hot-spot the pairs and exact
+    scores are identical to the unguarded path."""
+    from cm_well_spark.operators.dedup import jaccard_pairs
+
+    exact = {(r["id_a"], r["id_b"], r["jaccard"]) for r in jaccard_pairs(docs, threshold=0.5).collect()}
+    guarded = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in jaccard_pairs(docs, threshold=0.5, max_shingle_freq=1000).collect()
+    }
+    assert exact == guarded and len(exact) > 0
