@@ -60,7 +60,12 @@ def _sort_exprs(keys: tuple[SortKey, ...]) -> list[Column]:
     exprs: list[Column] = []
     for k in keys:
         if k.field == "system.score":
-            continue  # relevance has no analog — deterministic order instead
+            # TF relevance score, computed as __score by search() from the
+            # query's analyzed clauses (functions/scoring.py; FTSService
+            # :302-314 analog — documented TF-not-BM25 divergence).
+            # `-system.score` = best-first, like any other sort field.
+            exprs.append(F.col("__score").desc_nulls_last() if k.desc else F.col("__score").asc_nulls_last())
+            continue
         if k.field in SYSTEM_COLUMNS:
             cols: list[Column] = [F.col(SYSTEM_COLUMNS[k.field])]
         else:
@@ -133,7 +138,14 @@ def search(
         return df
 
     keys = parse_sort_by(sort_by) if (sort_by is None or isinstance(sort_by, str)) else sort_by
-    exprs = _sort_exprs(keys or DEFAULT_SORT)
+    keys = keys or DEFAULT_SORT
+    scored = any(k.field == "system.score" for k in keys)
+    if scored:
+        from cm_well_spark.functions.scoring import score_column
+
+        ff_parsed = (parse_qp(qp) if isinstance(qp, str) else qp) if qp is not None else None
+        df = df.withColumn("__score", score_column(ff_parsed))
+    exprs = _sort_exprs(keys)
     df = df.orderBy(*exprs)
 
     if length is not None:
@@ -145,6 +157,8 @@ def search(
             w = Window.orderBy(*exprs)
             df = df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") > offset).drop("__rn")
 
+    if scored:
+        df = df.drop("__score")  # internal — output schema stays the infoton row
     if fields_mask is not None:
         df = df.withColumn("fields", F.map_filter(F.col("fields"), lambda k, v: k.isin(*fields_mask)))
     return df

@@ -786,6 +786,32 @@ def _merge_fixture(spark, sf_dir):
 
 
 @register(
+    "search_score_sort",
+    oracle="""
+    SELECT path, score FROM (
+      SELECT '/tpch/part/' || p_partkey AS path,
+             CAST((length(lower(p_name)) - length(replace(lower(p_name), 'widget', '')))
+                  / length('widget') AS DOUBLE) AS score
+      FROM part
+      WHERE contains(' ' || trim(regexp_replace(lower(p_name), '[^a-z0-9]+', ' ', 'g')) || ' ', ' widget ')
+      ORDER BY score DESC, path ASC
+    ) LIMIT 15
+    """,
+)
+def search_score_sort(spark, sf_dir):
+    """O1 relevance sort: sort-by=-system.score ranks by the TF score of
+    the query's analyzed clauses (FTSService.scala:302-314 analog;
+    documented TF-not-BM25 divergence, functions/scoring.py)."""
+    from cm_well_spark.functions.scoring import score_column
+    from cm_well_spark.parsers.qp import parse_qp
+
+    df = S.search(
+        _inf(spark, sf_dir), qp="rdfType::Part,name:widget", sort_by="-system.score", length=15
+    )
+    return df.select("path", F.round(score_column(parse_qp("name:widget")), 6).alias("score"))
+
+
+@register(
     "typed_field_expansion",
     oracle="""
     SELECT '/tpch/customer/' || c_custkey AS path, c_acctbal AS acctbal

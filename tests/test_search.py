@@ -126,3 +126,32 @@ def test_quad_filter(infotons, spark, sf_dir):
     expected = docs.where(F.col("source") == any_source).count()
     got = search(infotons, qp=f"system.quad::/graphs/{any_source}", length=10_000).count()
     assert got == expected
+
+
+def test_score_sort_ranks_by_term_frequency(spark):
+    """-system.score ranks docs with more term occurrences first
+    (TF analog of FTSService _score sort; functions/scoring.py)."""
+    from cm_well_spark.operators.search import search
+
+    rows = [
+        ("/t/a", "/t", True, "ObjectInfoton", {"txt": [("widget widget widget", "s")]}),
+        ("/t/b", "/t", True, "ObjectInfoton", {"txt": [("one widget", "s")]}),
+        ("/t/c", "/t", True, "ObjectInfoton", {"txt": [("widget widget", "s")]}),
+        ("/t/d", "/t", True, "ObjectInfoton", {"txt": [("no match here", "s")]}),
+    ]
+    from pyspark.sql import types as T
+
+    vt = T.StructType([T.StructField("value", T.StringType()), T.StructField("vtype", T.StringType())])
+    schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("parent", T.StringType()),
+            T.StructField("current", T.BooleanType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("fields", T.MapType(T.StringType(), T.ArrayType(vt))),
+        ]
+    )
+    inf = spark.createDataFrame(rows, schema)
+    out = search(inf, qp="txt:widget", sort_by="-system.score", length=10)
+    assert [r["path"] for r in out.collect()] == ["/t/a", "/t/c", "/t/b"]
+    assert "__score" not in out.columns
