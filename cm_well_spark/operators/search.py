@@ -20,7 +20,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from datetime import datetime
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from cm_well_spark.parsers.qp import FieldFilter, parse_qp
@@ -149,13 +149,12 @@ def search(
     df = df.orderBy(*exprs)
 
     if length is not None:
-        # TopK: Catalyst plans TakeOrderedAndProject for orderBy+limit — no
-        # full sort at scale. The offset slice re-ranks only the K kept rows
-        # (offset is capped at 1000, mirroring the reference's guard).
-        df = df.limit(offset + length)
+        # TopK: orderBy + offset + limit plans as one TakeOrderedAndProject
+        # (per-partition heaps + merge of offset+length rows, ≤ 11k by the
+        # reference's guards) — no full sort, no single-partition window
         if offset:
-            w = Window.orderBy(*exprs)
-            df = df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") > offset).drop("__rn")
+            df = df.offset(offset)
+        df = df.limit(length)
 
     if scored:
         df = df.drop("__score")  # internal — output schema stays the infoton row

@@ -321,6 +321,12 @@ def _value_col(e, df: DataFrame) -> tuple[Column, bool]:
     if isinstance(e, Iri):
         return F.lit(e.value), False
     if isinstance(e, Func):
+        if e.fn == "if":
+            # first arg is a boolean expression, not a value
+            cond = _filter_col(e.args[0], df)
+            t_col, t_num = _value_col(e.args[1], df)
+            f_col, f_num = _value_col(e.args[2], df)
+            return F.when(cond, t_col).otherwise(f_col), t_num and f_num
         args = [_value_col(a, df) for a in e.args]
 
         def num(i: int) -> Column:
@@ -353,6 +359,31 @@ def _value_col(e, df: DataFrame) -> tuple[Column, bool]:
             return F.round(num(0), 0), True
         if e.fn == "concat":
             return F.concat(*[a[0].cast("string") for a in args]), False
+        if e.fn in ("strbefore", "strafter"):
+            s = args[0][0].cast("string")
+            sub = args[1][0].cast("string")
+            pos = F.call_function("instr", s, sub)
+            if e.fn == "strbefore":
+                col = F.when(pos > 0, F.call_function("substr", s, F.lit(1), pos - 1)).otherwise(F.lit(""))
+            else:
+                col = F.when(
+                    pos > 0, F.call_function("substr", s, pos + F.length(sub))
+                ).otherwise(F.lit(""))
+            return col, False
+        if e.fn == "substr":
+            s = args[0][0].cast("string")
+            start = args[1][0].cast("int")
+            if len(args) > 2:
+                return F.call_function("substr", s, start, args[2][0].cast("int")), False
+            return F.call_function("substr", s, start), False
+        if e.fn == "replace":
+            # SPARQL REPLACE is regex-based (XPath fn:replace)
+            return (
+                F.regexp_replace(args[0][0].cast("string"), args[1][0].cast("string"), args[2][0].cast("string")),
+                False,
+            )
+        if e.fn == "coalesce":
+            return F.coalesce(*[a[0] for a in args]), all(a[1] for a in args)
     raise SparqlCompileError(f"unsupported value expression {e!r}")
 
 
@@ -490,17 +521,12 @@ def sparql_query(
     if q.limit is not None:
         cap = min(q.limit, limit_cap) if limit_cap else q.limit
     if q.offset:
-        from pyspark.sql import Window
-
-        order = [F.col(v.name).desc() if d else F.col(v.name).asc() for v, d in q.order_by] or [
-            F.col(df.columns[0]).asc()
-        ]
-        w = Window.orderBy(*order)
-        df = (
-            df.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") > q.offset)
-            .drop("__rn")
-        )
+        # deterministic slice needs an order; default to the first column
+        # when the query gave none (matches the prior contract)
+        if not q.order_by:
+            df = df.orderBy(F.col(df.columns[0]).asc())
+        # native offset: orderBy+offset+limit is one TakeOrderedAndProject
+        df = df.offset(q.offset)
     if cap:
         df = df.limit(cap)
     return df

@@ -378,12 +378,26 @@ class _P:
             left = Filter("&&", (left, self.unary_expr()))
         return left
 
-    VALUE_FNS = ("STR", "LANG", "STRLEN", "UCASE", "LCASE", "ABS", "CEIL", "FLOOR", "ROUND", "CONCAT")
+    VALUE_FNS = (
+        "STR", "LANG", "STRLEN", "UCASE", "LCASE", "ABS", "CEIL", "FLOOR", "ROUND", "CONCAT",
+        "STRBEFORE", "STRAFTER", "SUBSTR", "REPLACE", "COALESCE",
+    )
     BOOL_FNS = ("CONTAINS", "STRSTARTS", "STRENDS", "BOUND")
 
     def value_expr(self):
         """A value expression: a term or a builtin function application."""
         tok = self.peek().upper()
+        if tok == "IF" and self.peek(1) == "(":
+            # IF(boolean-expr, then-value, else-value)
+            self.next()
+            self.expect("(")
+            cond = self.or_expr()
+            self.expect(",")
+            then_v = self.value_expr()
+            self.expect(",")
+            else_v = self.value_expr()
+            self.expect(")")
+            return Func("if", (cond, then_v, else_v))
         if tok in self.VALUE_FNS and self.peek(1) == "(":
             fn = self.next().lower()
             self.expect("(")

