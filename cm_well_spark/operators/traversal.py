@@ -46,6 +46,13 @@ from cm_well_spark.plans.compile import compile_filter
 
 XG_LIMIT = 10_000  # webservice.xg.limit (application.conf:71)
 
+# broadcast-hint ceiling for PATH SETS (short strings, ~64B/row): 1M rows
+# ≈ the session's 64MB autoBroadcastJoinThreshold. Below it a counted set
+# broadcasts (hash-map semi join, no shuffle of the wide doc table);
+# above it the hint is withheld and AQE plans the join — the 100 TB
+# posture where a frontier can be billions of paths.
+BROADCAST_PATHS_MAX = 1_000_000
+
 
 def _target_filter(selectors: tuple[FilteredField, ...]) -> Column | None:
     qps = [s.qp for s in selectors if s.qp is not None]
@@ -87,6 +94,22 @@ def _filtered_paths(
     return hydrated.select("path")
 
 
+def _stats_dst_bound(selectors, reverse: bool, stats: dict | None) -> int | None:
+    """Upper bound on a hop's distinct target count from predicate_stats:
+    forward targets are the fields' distinct objects, reverse targets the
+    distinct subjects. None when unprovable (joker field / missing stats)."""
+    if stats is None:
+        return None
+    named = [s.field for s in selectors if s.field is not None]
+    if not named or any(s.field is None for s in selectors):
+        return None
+    key = "dsubj" if reverse else "dobj"
+    try:
+        return sum(int(stats[f][key]) for f in named)
+    except KeyError:
+        return 0  # field never seen in the store: hop lands nowhere
+
+
 def _hop(
     infotons: DataFrame,
     triples: DataFrame,
@@ -94,26 +117,29 @@ def _hop(
     selectors,
     reverse: bool,
     bounded: bool = False,
+    stats: dict | None = None,
 ) -> DataFrame:
     """One edge hop. `bounded=True` means the caller PROVED the frontier is
-    ≤ XG_LIMIT paths (counted on an eagerly-checkpointed frontier) — only
-    then is a static broadcast hint safe at 100 TB; otherwise AQE decides.
-    The hop TARGETS are materialized and counted the same way, so the
-    doc-table hydration join broadcasts exactly when the fan-out is
-    actually small — proven at runtime, never assumed."""
+    ≤ BROADCAST_PATHS_MAX paths (counted on an eagerly-checkpointed
+    frontier) — only then is a static broadcast hint safe at 100 TB;
+    otherwise AQE decides.
+    The hop TARGETS' boundedness is proven the cheapest way available:
+    from predicate_stats when the fields are named (no extra job at all),
+    else by materializing + counting the target set — never assumed."""
     edges = _edges(triples, selectors, reverse)
     src = frontier_paths.select(F.col("path").alias("src")).distinct()
     if bounded:
         src = F.broadcast(src)
-    dsts = (
-        edges.join(src, "src", "left_semi")
-        .select(F.col("dst").alias("path"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    dsts = edges.join(src, "src", "left_semi").select(F.col("dst").alias("path")).distinct()
+    stat_bound = _stats_dst_bound(selectors, reverse, stats)
+    if stat_bound is not None:
+        dst_bounded = stat_bound <= BROADCAST_PATHS_MAX
+    else:
+        dsts = dsts.localCheckpoint(eager=True)
+        dst_bounded = dsts.count() <= BROADCAST_PATHS_MAX
     # ghost skip (J7): only paths that exist as current infotons survive,
     # and the per-level filter applies to the hydrated targets
-    return _filtered_paths(infotons, dsts, selectors, bounded=dsts.count() <= XG_LIMIT)
+    return _filtered_paths(infotons, dsts, selectors, bounded=dst_bounded)
 
 
 def _hydrate(infotons: DataFrame, paths: DataFrame, limit: int) -> DataFrame:
@@ -128,6 +154,7 @@ def expand_out(
     xg: str | list[LevelExpansion] = "",
     limit: int = XG_LIMIT,
     triples: DataFrame | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """J1 xg: returns seeds plus all expanded infotons (distinct by path).
     Levels are bounded at 9 by the grammar, so the loop unrolls into one
@@ -144,8 +171,8 @@ def expand_out(
     for level in levels:
         # counting a checkpointed frontier is ~free and proves boundedness
         # for the broadcast-hint decision (VERDICT r1 finding 4)
-        bounded = frontier.count() <= XG_LIMIT
-        targets = _hop(infotons, t, frontier, level.fields, reverse=False, bounded=bounded)
+        bounded = frontier.count() <= BROADCAST_PATHS_MAX
+        targets = _hop(infotons, t, frontier, level.fields, reverse=False, bounded=bounded, stats=stats)
         frontier = targets.join(acc, "path", "left_anti").localCheckpoint(eager=True)
         acc = acc.unionByName(frontier).localCheckpoint(eager=True)
     return _hydrate(infotons, acc, limit)
@@ -157,6 +184,7 @@ def expand_paths(
     seeds: DataFrame,
     yg: str | PathsExpansion,
     limit: int = XG_LIMIT,
+    stats: dict | None = None,
 ) -> DataFrame:
     """J2 yg: walk each `|`-alternative segment chain from the seeds and
     keep the WHOLE discovered path (seeds + every intermediate + final)."""
@@ -166,9 +194,10 @@ def expand_paths(
     for path in pe.paths:
         frontier = seed_paths  # each |-alternative restarts from the seeds
         for seg in path.segments:
-            bounded = frontier.count() <= XG_LIMIT
+            bounded = frontier.count() <= BROADCAST_PATHS_MAX
             frontier = _hop(
-                infotons, triples, frontier, seg.fields, reverse=isinstance(seg, ExpandUp), bounded=bounded
+                infotons, triples, frontier, seg.fields, reverse=isinstance(seg, ExpandUp),
+                bounded=bounded, stats=stats,
             ).localCheckpoint(eager=True)
             acc = acc.unionByName(frontier).localCheckpoint(eager=True)
     return _hydrate(infotons, acc, limit)

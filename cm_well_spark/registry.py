@@ -46,6 +46,12 @@ def _tri(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_triples(spark, sf_dir)
 
 
+def _stats(spark: SparkSession, sf_dir: str) -> dict:
+    from cm_well_spark.model.lakehouse import load_predicate_stats
+
+    return load_predicate_stats(spark, sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # S1/S4: point + children reads
 # ---------------------------------------------------------------------------
@@ -423,7 +429,7 @@ def xg_expand_out(spark, sf_dir):
 
     inf = _inf(spark, sf_dir)
     seeds = S.search(inf, qp="rdfType::Order,orderkey<100", length=None)
-    return expand_out(inf, seeds, "byCustomer", triples=_tri(spark, sf_dir)).select("path")
+    return expand_out(inf, seeds, "byCustomer", triples=_tri(spark, sf_dir), stats=_stats(spark, sf_dir)).select("path")
 
 
 @register(
@@ -443,7 +449,7 @@ def xg_two_levels(spark, sf_dir):
 
     inf = _inf(spark, sf_dir)
     seeds = S.search(inf, qp="rdfType::Customer,custkey<20", length=None)
-    return expand_out(inf, seeds, "inNation>ofRegion", triples=_tri(spark, sf_dir)).select("path")
+    return expand_out(inf, seeds, "inNation>ofRegion", triples=_tri(spark, sf_dir), stats=_stats(spark, sf_dir)).select("path")
 
 
 @register(
@@ -458,7 +464,7 @@ def xg_ghost_skip(spark, sf_dir):
 
     inf = _inf(spark, sf_dir)
     seeds = S.search(inf, qp="rdfType::Event", length=None)
-    return expand_out(inf, seeds, "byUser", limit=1_000_000, triples=_tri(spark, sf_dir)).select("path")
+    return expand_out(inf, seeds, "byUser", limit=1_000_000, triples=_tri(spark, sf_dir), stats=_stats(spark, sf_dir)).select("path")
 
 
 @register(
@@ -476,7 +482,7 @@ def yg_reverse(spark, sf_dir):
 
     inf = _inf(spark, sf_dir)
     seeds = S.search(inf, qp="rdfType::Nation,nationkey::3", length=None)
-    return expand_paths(inf, _tri(spark, sf_dir), seeds, "<inNation[rdfType::Customer]", limit=1_000_000).select("path")
+    return expand_paths(inf, _tri(spark, sf_dir), seeds, "<inNation[rdfType::Customer]", limit=1_000_000, stats=_stats(spark, sf_dir)).select("path")
 
 
 @register(
