@@ -220,16 +220,27 @@ def _squash_groups(g_triples: list, infotons: DataFrame | None):
     return squashed, rest
 
 
-def _path_chain(triples: DataFrame, s, preds: list, o) -> DataFrame:
-    """One fixed-length predicate chain s -p1-> x1 ... -pn-> o as joined
-    pattern frames; returns only the endpoint variable columns, DISTINCT
+def _path_step(triples: DataFrame, s_term, elem, o_term, idx: int) -> DataFrame:
+    """One path element: alternation of (predicate, inverse) pairs as a
+    union of pattern frames; an inverse alternative swaps subject/object."""
+    frames = []
+    for p, inverse in elem.preds:
+        tp = TriplePattern(o_term, p, s_term) if inverse else TriplePattern(s_term, p, o_term)
+        frames.append(_pattern_df(triples, tp, idx)[0])
+    # alternatives can bind different shadow columns (a var in subject
+    # position carries no __num__/__lang__); align by name, null-fill
+    return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), frames)
+
+
+def _path_chain(triples: DataFrame, s, elems: list, o) -> DataFrame:
+    """One fixed-length path-element chain s -e1-> x1 ... -en-> o as
+    joined frames; returns only the endpoint variable columns, DISTINCT
     (SPARQL path solutions are sets over the endpoints — intermediate
     nodes must not multiply solutions)."""
     uid = next(_fresh)
-    terms = [s] + [Var(f"__pp{uid}_{i}") for i in range(len(preds) - 1)] + [o]
+    terms = [s] + [Var(f"__pp{uid}_{i}") for i in range(len(elems) - 1)] + [o]
     frames = [
-        _pattern_df(triples, TriplePattern(terms[i], preds[i], terms[i + 1]), i)[0]
-        for i in range(len(preds))
+        _path_step(triples, terms[i], elems[i], terms[i + 1], i) for i in range(len(elems))
     ]
     # chain joins share the __pp vars explicitly (they carry the "__" prefix
     # so generic code ignores them)
@@ -248,9 +259,9 @@ def _path_frame(triples: DataFrame, pp: PathPattern) -> DataFrame:
     PATH_PLUS_MAX (bounded subset of ARQ's unbounded one-or-more)."""
     if not pp.plus:
         return _path_chain(triples, pp.s, list(pp.parts), pp.o)
-    pred = pp.parts[0]
+    elem = pp.parts[0]
     chains = [
-        _path_chain(triples, pp.s, [pred] * d, pp.o) for d in range(1, PATH_PLUS_MAX + 1)
+        _path_chain(triples, pp.s, [elem] * d, pp.o) for d in range(1, PATH_PLUS_MAX + 1)
     ]
     return reduce(lambda a, b: a.unionByName(b), chains).distinct()
 

@@ -96,13 +96,21 @@ class Func:
 
 
 @dataclass(frozen=True)
-class PathPattern:
-    """Property-path pattern: s (p1/p2/... , optional +) o.
+class PathElem:
+    """One step of a property path: alternation of (predicate, inverse)
+    alternatives — `^` binds tighter than `|`, so `^p1|p2` is
+    (object->subject via p1) OR (subject->object via p2)."""
 
-    `plus` applies to a SINGLE predicate only (bounded one-or-more)."""
+    preds: tuple  # tuple[(Iri, inverse: bool), ...]
+
+
+@dataclass(frozen=True)
+class PathPattern:
+    """Property-path pattern: s elem1/elem2/... o, each elem `[^]p(|p)*`,
+    with optional trailing `+` (bounded one-or-more, single-elem only)."""
 
     s: Term
-    parts: tuple  # tuple[Iri, ...]
+    parts: tuple  # tuple[PathElem, ...]
     o: Term
     plus: bool = False
 
@@ -145,7 +153,7 @@ _TOKEN = re.compile(
     | (?P<number>[+-]?\d+(?:\.\d+)?)
     | (?P<pname>[A-Za-z_][\w\-]*:[\w\-./#%]*)
     | (?P<kw>[A-Za-z_][\w]*)
-    | (?P<punct>\{|\}|\(|\)|\.|;|,|\*|=|!=|<=|>=|<|>|&&|\|\||!|:|/|\+)
+    | (?P<punct>\{|\}|\(|\)|\.|;|,|\*|=|!=|<=|>=|<|>|&&|\|\||!|:|/|\+|\||\^)
     )""",
     re.VERBOSE,
 )
@@ -277,21 +285,44 @@ class _P:
                     g.unions.extend(first.unions)
                 continue
             # triple pattern (with ; and , continuations; predicate may be
-            # a property path — sequence '/' and bounded '+')
+            # a property path — sequence '/', inverse '^', alternatives
+            # '|', bounded '+')
             s = self.term()
             while True:
-                p = self.term()
-                parts, plus = [p], False
+
+                def path_alt():
+                    inv = self.peek() == "^"
+                    if inv:
+                        self.next()
+                    return self.term(), inv
+
+                def path_elem():
+                    alts = [path_alt()]
+                    while self.peek() == "|":
+                        self.next()
+                        alts.append(path_alt())
+                    return PathElem(tuple(alts))
+
+                first = path_elem()
+                p = first.preds[0][0]  # plain-predicate fallback for non-paths
+                parts, plus = [first], False
                 while self.peek() == "/":
                     self.next()
-                    parts.append(self.term())
+                    parts.append(path_elem())
                 if self.peek() == "+":
                     self.next()
                     plus = True
                     if len(parts) > 1:
-                        raise SparqlParseError("'+' path applies to a single predicate only")
-                is_path = plus or len(parts) > 1
-                if is_path and any(isinstance(x, Var) for x in parts):
+                        raise SparqlParseError("'+' path applies to a single path element only")
+                is_path = (
+                    plus
+                    or len(parts) > 1
+                    or len(first.preds) > 1
+                    or first.preds[0][1]
+                )
+                if is_path and any(
+                    isinstance(x, Var) for elem in parts for x, _ in elem.preds
+                ):
                     raise SparqlParseError("property-path predicates must be IRIs")
                 while True:
                     o = self.term()

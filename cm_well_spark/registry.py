@@ -724,6 +724,26 @@ def sparql_path_plus(spark, sf_dir):
 
 
 @register(
+    "sparql_path_inverse",
+    oracle="""
+    SELECT DISTINCT '/tpch/orders/' || o_orderkey AS o
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_nationkey = 3
+    """,
+)
+def sparql_path_inverse(spark, sf_dir):
+    """J5 inverse path steps: ^p walks object->subject; chained with '/'
+    (ARQ path algebra subset; alternatives p1|p2 also compile)."""
+    from cm_well_spark.operators.sparql import sparql_query
+
+    return sparql_query(
+        _tri(spark, sf_dir),
+        "SELECT DISTINCT ?o WHERE { </tpch/nation/3> ^<inNation>/^<byCustomer> ?o }",
+        limit_cap=None,
+    )
+
+
+@register(
     "sparql_builtin_fns",
     oracle="""
     SELECT '/tpch/nation/' || n_nationkey AS s, upper(n_name) AS un FROM nation

@@ -364,3 +364,35 @@ def test_builtin_replace_if_coalesce(triples):
         'BIND(COALESCE(?m, "fallback") AS ?v) }',
     )
     assert {r["v"] for r in out2.collect()} == {"fallback"}
+
+
+def test_path_inverse_and_alternatives(triples, spark, sf_dir):
+    from cm_well_spark.sources import tables as tbl
+
+    members = sparql_query(triples, "SELECT ?m WHERE { </tpch/nation/3> ^<inNation> ?m }")
+    cust = tbl.load_table(spark, sf_dir, "customer").where(F.col("c_nationkey") == 3).count()
+    supp = tbl.load_table(spark, sf_dir, "supplier").where(F.col("s_nationkey") == 3).count()
+    assert members.count() == cust + supp
+    alts = sparql_query(
+        triples, 'SELECT ?s ?n WHERE { ?s <rdfType> "Nation" . ?s <name>|<nationkey> ?n }'
+    )
+    assert alts.count() == 50  # 25 names + 25 keys
+    chain = sparql_query(
+        triples, "SELECT DISTINCT ?o WHERE { </tpch/nation/3> ^<inNation>/^<byCustomer> ?o }"
+    )
+    # orders of nation-3 customers
+    ok = tbl.load_table(spark, sf_dir, "orders").join(
+        tbl.load_table(spark, sf_dir, "customer").where(F.col("c_nationkey") == 3),
+        F.col("o_custkey") == F.col("c_custkey"),
+        "left_semi",
+    ).count()
+    assert chain.count() == ok
+
+
+def test_path_mixed_inverse_alternative(triples):
+    # '^' binds tighter than '|': ^inNation|ofRegion = members OR region
+    out = sparql_query(
+        triples, "SELECT DISTINCT ?x WHERE { </tpch/nation/3> ^<inNation>|<ofRegion> ?x }"
+    )
+    xs = {r["x"] for r in out.collect()}
+    assert "/tpch/region/3" in xs and len(xs) == 7
