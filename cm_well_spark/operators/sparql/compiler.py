@@ -289,10 +289,33 @@ def _compile_group(
         df = u if df is None else _join(df, u)
     for vars_, rows in g.values:
         spark = triples.sparkSession
-        vdf = spark.createDataFrame(rows, [v.name for v in vars_])
+        names = [v.name for v in vars_]
+        schema = ", ".join(f"`{n}` string" for n in names)
+        vdf = spark.createDataFrame(rows, schema)
         # inline data is small by construction: broadcast
-        vdf = F.broadcast(vdf)
-        df = vdf if df is None else _join(df, vdf)
+        if df is None:
+            if any(cell is None for row in rows for cell in row):
+                raise SparqlCompileError("VALUES with UNDEF needs a pattern to join against")
+            df = F.broadcast(vdf)
+        elif any(cell is None for row in rows for cell in row):
+            # UNDEF cells are wildcards: null-safe OR-equality per var —
+            # a broadcast theta semi join over the tiny inline table. The
+            # vars must already be bound by the pattern (an UNDEF row
+            # cannot introduce a per-row-unbound column).
+            unbound = [n for n in names if n not in df.columns]
+            if unbound:
+                raise SparqlCompileError(
+                    f"VALUES with UNDEF requires pattern-bound variables (unbound: {unbound})"
+                )
+            renamed = vdf
+            for n in names:
+                renamed = renamed.withColumnRenamed(n, f"__val_{n}")
+            cond = F.lit(True)
+            for n in names:
+                cond = cond & (F.col(f"__val_{n}").isNull() | (F.col(f"__val_{n}") == F.col(n)))
+            df = df.join(F.broadcast(renamed), cond, "left_semi")
+        else:
+            df = _join(df, F.broadcast(vdf))
     if df is None:
         raise SparqlCompileError("empty graph pattern")
     for opt in g.optionals:

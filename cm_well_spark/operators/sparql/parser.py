@@ -379,9 +379,8 @@ class _P:
 
     def _values_cell(self):
         if self.peek().upper() == "UNDEF":
-            # UNDEF is a wildcard binding — inner-join semantics can't
-            # express it; reject explicitly rather than silently mismatch
-            raise SparqlParseError("VALUES UNDEF is not supported")
+            self.next()
+            return None  # wildcard: matches any binding (compiled null-safe)
         t = self.term()
         if isinstance(t, Var):
             raise SparqlParseError("VALUES cells must be constants")

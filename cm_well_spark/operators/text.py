@@ -153,3 +153,36 @@ def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", 
         doc_fingerprint(c).alias("fp_doc"),
         kgram_min_fingerprint(c, k).alias("fp_kgram_min"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LM-score proxy: unigram cross-entropy quality filter
+# ---------------------------------------------------------------------------
+
+
+def unigram_cross_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Perplexity-proxy quality score: mean -log2 P(token) per doc under
+    the CORPUS unigram distribution — the cheap stand-in for an LM-based
+    quality filter in a training-data pipeline (low score = repetitive /
+    boilerplate, high score = rare-token soup; both tails get filtered).
+
+    Shape at 100 TB: one exploded token pass builds the frequency table
+    (hash aggregate, map-side partial), tokens join their frequencies on
+    the token key (skew on stopwords is bounded — the table is
+    vocabulary-sized and AQE handles hot keys), then one per-doc average.
+    Everything is JVM-side; log2 arithmetic is exact for the DuckDB
+    oracle."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    freqs = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    total = toks.count()
+    scored = toks.join(freqs, "tok").select(
+        F.col(id_col),
+        (-F.log2(F.col("n") / F.lit(float(total)))).alias("nll"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.round(F.avg("nll"), 6).alias("bits_per_token"), F.count("*").alias("n_tokens")
+    )

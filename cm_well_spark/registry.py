@@ -1105,6 +1105,36 @@ def text_token_counts(spark, sf_dir):
 
 
 @register(
+    "text_unigram_entropy",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, tok FROM (
+        SELECT doc_id, unnest(string_split(
+          trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS tok
+        FROM documents
+      ) WHERE tok <> ''
+    ),
+    freqs AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+    total AS (SELECT count(*) AS t FROM toks)
+    SELECT doc_id,
+           round(avg(-log2(n / (SELECT t * 1.0 FROM total))), 6) AS bits_per_token,
+           count(*) AS n_tokens
+    FROM toks JOIN freqs USING (tok)
+    GROUP BY doc_id
+    """,
+)
+def text_unigram_entropy(spark, sf_dir):
+    """LM-score proxy: per-doc mean -log2 P(token) under the corpus
+    unigram distribution — the cheap quality-filter signal a training
+    pipeline thresholds on both tails."""
+    from cm_well_spark.operators.text import unigram_cross_entropy
+
+    from cm_well_spark.sources import tables as tbl
+
+    return unigram_cross_entropy(tbl.load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "text_lang_id",
     oracle="""
     WITH w AS (

@@ -233,3 +233,19 @@ def test_jaccard_skew_guard_matches_exact(docs):
         for r in jaccard_pairs(docs, threshold=0.5, max_shingle_freq=1000).collect()
     }
     assert exact == guarded and len(exact) > 0
+
+
+def test_unigram_cross_entropy_orders_quality(spark):
+    """Repetitive docs score low bits/token; rare-token docs score high."""
+    from cm_well_spark.operators.text import unigram_cross_entropy
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the the the the the the the the"),
+            (2, "the quick brown fox jumps over lazy dogs"),
+            (3, "zxqv wblk pqrs mntd qqac"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["bits_per_token"] for r in unigram_cross_entropy(docs).collect()}
+    assert rows[1] < rows[2] < rows[3]

@@ -250,9 +250,22 @@ def test_values_single_and_multi(triples):
     assert out2.first()["s"] == "/tpch/nation/3"
 
 
-def test_values_undef_rejected(triples):
-    with pytest.raises(SparqlParseError, match="UNDEF"):
-        sparql_query(triples, 'SELECT ?s WHERE { ?s <name> ?n . VALUES ?n { UNDEF } }')
+def test_values_undef_wildcard(triples):
+    # UNDEF matches anything: (n=NATION_3, k=*) OR (n=*, k=7)
+    out = sparql_query(
+        triples,
+        'SELECT ?s WHERE { ?s <name> ?n . ?s <nationkey> ?k . '
+        'VALUES (?n ?k) { ("NATION_3" UNDEF) (UNDEF "7") } }',
+    )
+    assert {r["s"] for r in out.collect()} == {"/tpch/nation/3", "/tpch/nation/7"}
+
+
+def test_values_undef_needs_bound_vars(triples):
+    with pytest.raises(SparqlCompileError, match="UNDEF"):
+        sparql_query(
+            triples,
+            'SELECT ?s WHERE { ?s <name> ?n . VALUES (?n ?zz) { ("NATION_3" UNDEF) } }',
+        ).count()
 
 
 def test_path_sequence(triples):
