@@ -79,7 +79,7 @@ _TTL_TOKEN = re.compile(
     | (?P<bnode>_:[A-Za-z0-9_\-]+)
     | (?P<pname>[A-Za-z_][\w\-.]*)?:(?P<plocal>[\w\-.:%/#]*)
     | (?P<kw>[A-Za-z_][\w\-]*)
-    | (?P<punct>\.|;|,|\[|\]|\(|\))
+    | (?P<punct>\.|;|,|\[|\]|\(|\)|\{|\})
     )""",
     re.VERBOSE,
 )
@@ -100,13 +100,15 @@ def _ttl_tokens(text: str):
 
 
 class _TurtleParser:
-    def __init__(self, text: str):
+    def __init__(self, text: str, trig: bool = False):
         self.toks = list(_ttl_tokens(text))
         self.i = 0
         self.prefixes: dict[str, str] = {}
         self.base = ""
         self.bn = itertools.count()
         self.out: list[tuple] = []
+        self.trig = trig
+        self.graph: str | None = None  # current TriG graph label
 
     def peek(self):
         return self.toks[self.i] if self.i < len(self.toks) else None
@@ -143,10 +145,40 @@ class _TurtleParser:
                     if not self._punct("."):
                         raise RdfParseError("@base must end with '.'")
                 continue
+            if self.trig and self._graph_block():
+                continue
             self._triples()
             if not self._punct("."):
                 raise RdfParseError("statement must end with '.'")
         return self.out
+
+    def _graph_block(self) -> bool:
+        """TriG: `[GRAPH] <label>? { triples* }` — returns True if a block
+        was consumed. A bare `{` opens the default graph."""
+        save = self.i
+        t = self.peek()
+        word = t.group(0).strip()
+        if t.lastgroup == "kw" and word.upper() == "GRAPH":
+            self.next()
+            t = self.peek()
+            word = t.group(0).strip() if t else ""
+        label: str | None = None
+        if t is not None and (t.lastgroup in ("iri", "bnode") or t.group("plocal") is not None):
+            lv, lk, _, _ = self._term(as_subject=True)
+            label = lv
+            t = self.peek()
+        if t is None or not (t.lastgroup == "punct" and t.group(0).strip() == "{"):
+            self.i = save  # not a graph block — plain triples statement
+            return False
+        self.next()
+        self.graph = label
+        while not self._punct("}"):
+            if self.peek() is None:
+                raise RdfParseError("unterminated graph block")
+            self._triples()
+            self._punct(".")  # '.' between triples is optional before '}'
+        self.graph = None
+        return True
 
     def _prefix(self, directive: bool):
         t = self.next()
@@ -241,7 +273,7 @@ class _TurtleParser:
                 raise RdfParseError("predicate must be an IRI")
             while True:
                 ov, ok, vt, lang = self._term()
-                self.out.append((subj, pv, ov, None, vt if ok == "lit" else "s", lang))
+                self.out.append((subj, pv, ov, self.graph, vt if ok == "lit" else "s", lang))
                 if not self._punct(","):
                     break
             if self._punct(";"):
@@ -254,6 +286,11 @@ class _TurtleParser:
 
 def turtle_to_triples(text: str) -> list[tuple]:
     return _TurtleParser(text).parse()
+
+
+def trig_to_triples(text: str) -> list[tuple]:
+    """TriG = Turtle + named-graph blocks; quads carry the graph label."""
+    return _TurtleParser(text, trig=True).parse()
 
 
 # ---------------------------------------------------------------------------
@@ -408,6 +445,7 @@ _PARSERS = {
     "ttl": turtle_to_triples,
     "turtle": turtle_to_triples,
     "n3": turtle_to_triples,  # the reference treats .n3 fixtures as Turtle
+    "trig": trig_to_triples,
     "jsonld": jsonld_to_triples,
     "rdfxml": rdfxml_to_triples,
     "xml": rdfxml_to_triples,

@@ -292,3 +292,68 @@ def test_formatters_registry_covers_reference_list():
     # FormatExtractor.scala:50-66 families, minus api-only ones
     assert {"json", "jsonl", "yaml", "text", "ttl", "n3", "rdfxml", "jsonld", "atom"} <= set(FORMATTERS)
     assert {"nt", "nq", "trig", "trix"} <= set(TRIPLE_FORMATTERS)
+
+
+def test_trig_parse_and_render_roundtrip(spark, triples):
+    from cm_well_spark.formats.render import to_trig
+    from cm_well_spark.sources.rdf_formats import parse_rdf_documents, trig_to_triples
+
+    trig = (
+        "@prefix ex: <http://e.org/> .\n"
+        "<http://g.org/g1> { ex:a ex:name \"A\" . ex:a ex:knows ex:b . }\n"
+        "GRAPH ex:g2 { ex:b ex:name \"B\"@en . }\n"
+        "ex:d ex:name \"D\" .\n"
+    )
+    rows = trig_to_triples(trig)
+    assert len(rows) == 4
+    assert {r[3] for r in rows} == {"http://g.org/g1", "http://e.org/g2", None}
+    assert [r for r in rows if r[5] == "en"][0][3] == "http://e.org/g2"
+    # render the engine's own triples as TriG, parse back, compare rows
+    tri3 = triples.where(F.col("s") == "/tpch/nation/3")
+    rendered = to_trig(tri3)
+    docs = spark.createDataFrame([("\n".join(r["line"] for r in rendered.collect()),)], ["value"])
+    back = parse_rdf_documents(docs, "trig")
+    assert back.count() == tri3.count()
+    assert back.select("g").distinct().first()["g"] == "urn:x-cmwell:default"
+
+
+def test_formatters_handle_empty_fields(spark):
+    """Every doc formatter must survive infotons with empty/null fields
+    (deleted docs, bare directories) without raising."""
+    from pyspark.sql import types as T
+
+    from cm_well_spark.formats.render import FORMATTERS
+
+    vt = T.StructType(
+        [
+            T.StructField("value", T.StringType()),
+            T.StructField("vtype", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("quad", T.StringType()),
+            T.StructField("num", T.DoubleType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("bool", T.BooleanType()),
+        ]
+    )
+    schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("uuid", T.StringType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("parent", T.StringType()),
+            T.StructField("last_modified", T.TimestampType()),
+            T.StructField("last_modified_by", T.StringType()),
+            T.StructField("dc", T.StringType()),
+            T.StructField("index_time", T.LongType()),
+            T.StructField("protocol", T.StringType()),
+            T.StructField("fields", T.MapType(T.StringType(), T.ArrayType(vt))),
+        ]
+    )
+    inf = spark.createDataFrame(
+        [("/t/empty", "u1", "ObjectInfoton", "/t", None, None, None, None, None, {}),
+         ("/t/null", "u2", "ObjectInfoton", "/t", None, None, None, None, None, None)],
+        schema,
+    )
+    for name, fn in FORMATTERS.items():
+        rows = fn(inf).collect()
+        assert len(rows) == 2, name
