@@ -254,16 +254,38 @@ def _path_chain(triples: DataFrame, s, elems: list, o) -> DataFrame:
     return df.select(*keep).distinct()
 
 
+def _zero_length_frame(triples: DataFrame, s, o) -> DataFrame:
+    """The zero-length case of `p*`: endpoints bind to the SAME node.
+    Var-var pairs every graph node with itself (distinct subjects ∪
+    objects — the ARQ node domain); a constant endpoint yields one row."""
+    spark = triples.sparkSession
+    if isinstance(s, Var) and isinstance(o, Var):
+        t = triples.where(F.col("current"))
+        nodes = t.select(F.col("s").alias("n")).union(t.select(F.col("o").alias("n"))).distinct()
+        return nodes.select(F.col("n").alias(s.name), F.col("n").alias(o.name))
+    if isinstance(s, Var):
+        return spark.createDataFrame([(_term_str(o),)], [s.name])
+    if isinstance(o, Var):
+        return spark.createDataFrame([(_term_str(s),)], [o.name])
+    uid = next(_fresh)
+    if _term_str(s) == _term_str(o):
+        return spark.range(1).select(F.lit(1).alias(f"__exists__path{uid}"))
+    return spark.range(0).select(F.lit(1).alias(f"__exists__path{uid}"))
+
+
 def _path_frame(triples: DataFrame, pp: PathPattern) -> DataFrame:
-    """Sequence path = one chain; `p+` = union of chains of depth 1..
-    PATH_PLUS_MAX (bounded subset of ARQ's unbounded one-or-more)."""
-    if not pp.plus:
+    """Sequence path = one chain; `p+` / `p*` = union of chains of depth
+    1..PATH_PLUS_MAX, `*` adding the zero-length identity (bounded subset
+    of ARQ's unbounded closure)."""
+    if not (pp.plus or pp.star):
         return _path_chain(triples, pp.s, list(pp.parts), pp.o)
     elem = pp.parts[0]
     chains = [
         _path_chain(triples, pp.s, [elem] * d, pp.o) for d in range(1, PATH_PLUS_MAX + 1)
     ]
-    return reduce(lambda a, b: a.unionByName(b), chains).distinct()
+    if pp.star:
+        chains.insert(0, _zero_length_frame(triples, pp.s, pp.o))
+    return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), chains).distinct()
 
 
 def _compile_group(

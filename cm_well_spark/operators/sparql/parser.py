@@ -25,9 +25,10 @@ Grammar (informal):
     bind     := 'BIND' '(' expr 'AS' var ')'
     values   := 'VALUES' (var | '(' var+ ')') '{' row* '}'
     union    := group 'UNION' group ('UNION' group)*
-    path     := term ('/' term)* '+'?    -- predicate position only;
-                '+' is bounded depth (PATH_PLUS_MAX, documented subset of
-                the unbounded ARQ semantics)
+    path     := elem ('/' elem)* ('+'|'*')?   -- predicate position only;
+                elem := '^'? iri ('|' '^'? iri)*  ('^' binds tighter than '|');
+                '+'/'*' are bounded depth (PATH_PLUS_MAX, documented
+                subset of the unbounded ARQ closure; '*' adds identity)
     filter   := 'FILTER' '(' expr ')'    -- comparison / logical / builtins
     expr     := value ops over: STR LANG STRLEN UCASE LCASE ABS CEIL FLOOR
                 ROUND CONCAT; boolean: REGEX CONTAINS STRSTARTS STRENDS BOUND
@@ -107,12 +108,14 @@ class PathElem:
 @dataclass(frozen=True)
 class PathPattern:
     """Property-path pattern: s elem1/elem2/... o, each elem `[^]p(|p)*`,
-    with optional trailing `+` (bounded one-or-more, single-elem only)."""
+    with optional trailing `+`/`*` (bounded one-or-more / zero-or-more,
+    single-elem only)."""
 
     s: Term
     parts: tuple  # tuple[PathElem, ...]
     o: Term
     plus: bool = False
+    star: bool = False
 
 
 @dataclass
@@ -309,13 +312,23 @@ class _P:
                 while self.peek() == "/":
                     self.next()
                     parts.append(path_elem())
+                star = False
                 if self.peek() == "+":
                     self.next()
                     plus = True
-                    if len(parts) > 1:
-                        raise SparqlParseError("'+' path applies to a single path element only")
+                elif self.peek() == "*" and len(parts) > 1:
+                    # only consume '*' as a path op when we're clearly in a
+                    # path; a bare `?s p * ?o` would be a grammar error
+                    self.next()
+                    star = True
+                elif self.peek() == "*" and (len(first.preds) > 1 or first.preds[0][1] or not isinstance(p, Var)):
+                    self.next()
+                    star = True
+                if (plus or star) and len(parts) > 1:
+                    raise SparqlParseError("'+'/'*' path applies to a single path element only")
                 is_path = (
                     plus
+                    or star
                     or len(parts) > 1
                     or len(first.preds) > 1
                     or first.preds[0][1]
@@ -327,7 +340,7 @@ class _P:
                 while True:
                     o = self.term()
                     if is_path:
-                        g.paths.append(PathPattern(s, tuple(parts), o, plus))
+                        g.paths.append(PathPattern(s, tuple(parts), o, plus, star))
                     else:
                         g.triples.append(TriplePattern(s, p, o))
                     if self.peek() == ",":

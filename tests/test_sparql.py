@@ -409,3 +409,15 @@ def test_path_mixed_inverse_alternative(triples):
     )
     xs = {r["x"] for r in out.collect()}
     assert "/tpch/region/3" in xs and len(xs) == 7
+
+
+def test_path_star_includes_identity(triples):
+    out = sparql_query(triples, "SELECT DISTINCT ?x WHERE { </tpch/nation/3> <ofRegion>* ?x }")
+    xs = {r["x"] for r in out.collect()}
+    assert xs == {"/tpch/nation/3", "/tpch/region/3"}
+    # var-var star: every node pairs with itself (plus 1-hop edges)
+    out2 = sparql_query(
+        triples, 'SELECT ?a ?b WHERE { ?a <ofRegion>* ?b . ?a <rdfType> "Region" }'
+    )
+    rows = {(r["a"], r["b"]) for r in out2.collect()}
+    assert all(a == b for a, b in rows) and len(rows) == 5  # regions have no ofRegion edge
