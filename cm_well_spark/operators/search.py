@@ -60,9 +60,9 @@ def _sort_exprs(keys: tuple[SortKey, ...]) -> list[Column]:
     exprs: list[Column] = []
     for k in keys:
         if k.field == "system.score":
-            # TF relevance score, computed as __score by search() from the
-            # query's analyzed clauses (functions/scoring.py; FTSService
-            # :302-314 analog — documented TF-not-BM25 divergence).
+            # BM25 relevance, computed as __score by search() from the
+            # query's analyzed clauses + one corpus-stats aggregate
+            # (functions/scoring.py; FTSService:302-314 / Lucene analog).
             # `-system.score` = best-first, like any other sort field.
             exprs.append(F.col("__score").desc_nulls_last() if k.desc else F.col("__score").asc_nulls_last())
             continue
@@ -92,6 +92,7 @@ def search(
     fields_mask: list[str] | None = None,
     enforce_limits: bool = True,
     triples: DataFrame | None = None,
+    keep_score: bool = False,
 ) -> DataFrame:
     """One declarative plan for the full search surface. Returns infoton rows.
 
@@ -113,6 +114,7 @@ def search(
         df = df.where(F.col("last_modified") >= F.lit(dates_from))
     if dates_to is not None:
         df = df.where(F.col("last_modified") <= F.lit(dates_to))
+    base_df = df  # pre-qp universe: the BM25 corpus for score sorts
     if qp is not None:
         ff = parse_qp(qp) if isinstance(qp, str) else qp
         if triples is not None and not with_history:
@@ -141,10 +143,10 @@ def search(
     keys = keys or DEFAULT_SORT
     scored = any(k.field == "system.score" for k in keys)
     if scored:
-        from cm_well_spark.functions.scoring import score_column
+        from cm_well_spark.functions.scoring import with_bm25
 
         ff_parsed = (parse_qp(qp) if isinstance(qp, str) else qp) if qp is not None else None
-        df = df.withColumn("__score", score_column(ff_parsed))
+        df = with_bm25(df, base_df, ff_parsed)
     exprs = _sort_exprs(keys)
     df = df.orderBy(*exprs)
 
@@ -156,7 +158,7 @@ def search(
             df = df.offset(offset)
         df = df.limit(length)
 
-    if scored:
+    if scored and not keep_score:
         df = df.drop("__score")  # internal — output schema stays the infoton row
     if fields_mask is not None:
         df = df.withColumn("fields", F.map_filter(F.col("fields"), lambda k, v: k.isin(*fields_mask)))

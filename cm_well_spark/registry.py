@@ -814,27 +814,42 @@ def _merge_fixture(spark, sf_dir):
 @register(
     "search_score_sort",
     oracle="""
+    WITH base AS (SELECT p_partkey, lower(p_name) AS text FROM part),
+    stats AS (
+      SELECT count(*) AS n_docs,
+             count(*) FILTER (WHERE length(text) > length(replace(text, 'widget', ''))) AS dft,
+             avg(len(string_split(text, ' '))) AS avgdl
+      FROM base
+    )
     SELECT path, score FROM (
       SELECT '/tpch/part/' || p_partkey AS path,
-             CAST((length(lower(p_name)) - length(replace(lower(p_name), 'widget', '')))
-                  / length('widget') AS DOUBLE) AS score
-      FROM part
-      WHERE contains(' ' || trim(regexp_replace(lower(p_name), '[^a-z0-9]+', ' ', 'g')) || ' ', ' widget ')
+             round(ln(1 + (n_docs - dft + 0.5) / (dft + 0.5))
+                   * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 6) AS score
+      FROM (
+        SELECT p_partkey, text,
+               (length(text) - length(replace(text, 'widget', ''))) / 6.0 AS tf,
+               len(string_split(text, ' ')) * 1.0 AS dl
+        FROM base
+        WHERE contains(' ' || trim(regexp_replace(text, '[^a-z0-9]+', ' ', 'g')) || ' ', ' widget ')
+      ), stats
       ORDER BY score DESC, path ASC
     ) LIMIT 15
     """,
 )
 def search_score_sort(spark, sf_dir):
-    """O1 relevance sort: sort-by=-system.score ranks by the TF score of
-    the query's analyzed clauses (FTSService.scala:302-314 analog;
-    documented TF-not-BM25 divergence, functions/scoring.py)."""
-    from cm_well_spark.functions.scoring import score_column
-    from cm_well_spark.parsers.qp import parse_qp
-
+    """O1 relevance sort: sort-by=-system.score ranks by Okapi BM25 over
+    the query's analyzed clauses — corpus stats (N, df, avgdl) from one
+    broadcast aggregate over the search's base set (FTSService.scala:
+    302-314 / Lucene BM25 analog; functions/scoring.py)."""
     df = S.search(
-        _inf(spark, sf_dir), qp="rdfType::Part,name:widget", sort_by="-system.score", length=15
+        _inf(spark, sf_dir),
+        path_filter=S.PathFilter("/tpch/part"),
+        qp="name:widget",
+        sort_by="-system.score",
+        length=15,
+        keep_score=True,
     )
-    return df.select("path", F.round(score_column(parse_qp("name:widget")), 6).alias("score"))
+    return df.select("path", F.round("__score", 6).alias("score"))
 
 
 @register(
