@@ -438,6 +438,54 @@ def rdfxml_to_triples(text: str) -> list[tuple]:
 
 
 # ---------------------------------------------------------------------------
+# TriX
+# ---------------------------------------------------------------------------
+
+_TRIX_NS = "{http://www.w3.org/2004/03/trix/trix-1/}"
+
+
+def trix_to_triples(text: str) -> list[tuple]:
+    """TriX (W3C note): <TriX><graph><uri>label?</uri><triple>s p o</triple>
+    ...</graph></TriX>; terms are <uri>, <id> (bnode), <plainLiteral
+    xml:lang?> or <typedLiteral datatype=...>."""
+    root = ET.fromstring(text)
+    if root.tag != _TRIX_NS + "TriX":
+        raise RdfParseError(f"not a TriX document (root {root.tag!r})")
+    out: list[tuple] = []
+
+    def term(el: ET.Element):
+        tag = el.tag.removeprefix(_TRIX_NS)
+        txt = el.text or ""
+        if tag == "uri":
+            return txt, "s", None
+        if tag == "id":
+            return f"_:{txt}", "s", None
+        if tag == "plainLiteral":
+            return txt, "s", el.get(_XML_NS + "lang")
+        if tag == "typedLiteral":
+            return txt, _vtype_of(el.get("datatype")), None
+        raise RdfParseError(f"unknown TriX term element {tag!r}")
+
+    for graph in root:
+        label = None
+        for child in graph:
+            tag = child.tag.removeprefix(_TRIX_NS)
+            if tag == "uri":
+                label = child.text  # graph label
+                continue
+            if tag != "triple":
+                raise RdfParseError(f"unexpected TriX element {tag!r}")
+            terms = list(child)
+            if len(terms) != 3:
+                raise RdfParseError("TriX triple needs exactly 3 terms")
+            s, _, _ = term(terms[0])
+            p, _, _ = term(terms[1])
+            o, vt, lang = term(terms[2])
+            out.append((s, p, o, label, vt, lang))
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Spark plumbing — one row per document, Arrow-batched parse
 # ---------------------------------------------------------------------------
 
@@ -446,6 +494,7 @@ _PARSERS = {
     "turtle": turtle_to_triples,
     "n3": turtle_to_triples,  # the reference treats .n3 fixtures as Turtle
     "trig": trig_to_triples,
+    "trix": trix_to_triples,
     "jsonld": jsonld_to_triples,
     "rdfxml": rdfxml_to_triples,
     "xml": rdfxml_to_triples,

@@ -207,7 +207,7 @@ def test_unknown_format_rejected(spark):
 
     docs = spark.createDataFrame([("x",)], ["value"])
     with pytest.raises(RdfParseError, match="unknown RDF format"):
-        parse_rdf_documents(docs, "trix")
+        parse_rdf_documents(docs, "nosuchfmt")
 
 
 # ---- S9 output formatters (r2): ttl/rdfxml/jsonld round trips + the rest ---
@@ -357,3 +357,18 @@ def test_formatters_handle_empty_fields(spark):
     for name, fn in FORMATTERS.items():
         rows = fn(inf).collect()
         assert len(rows) == 2, name
+
+
+def test_trix_render_parse_roundtrip(spark, triples):
+    from cm_well_spark.formats.render import TRIX_CLOSE, TRIX_OPEN, to_trix
+    from cm_well_spark.sources.rdf_formats import parse_rdf_documents
+
+    tri3 = triples.where(F.col("s").isin("/tpch/nation/3", "/tpch/nation/4"))
+    doc = TRIX_OPEN + "".join(r["line"] for r in to_trix(tri3).collect()) + TRIX_CLOSE
+    back = parse_rdf_documents(spark.createDataFrame([(doc,)], ["value"]), "trix")
+    rows = back.collect()
+    assert len(rows) == tri3.count()
+    # typed values keep their vtype codes through the round trip
+    by_p = {(r["s"].split("/")[-1], r["p"]): r for r in rows}
+    assert by_p[("3", "nationkey")]["vtype"] == "l"
+    assert by_p[("3", "name")]["o"] == "NATION_3"
