@@ -55,10 +55,17 @@ def to_jsonl(infotons: DataFrame) -> DataFrame:
     return to_json_rows(infotons)  # jsonl = one object per line
 
 
+def delimited_header(field_names: list[str], sep: str = ",") -> str:
+    """The header line matching to_delimited's column layout (the
+    reference's CSVFormatter emits path,lastModified + field columns)."""
+    return sep.join(["path", "lastModified", *field_names])
+
+
 def to_delimited(infotons: DataFrame, field_names: list[str], sep: str = ",") -> DataFrame:
     """csv/tsv: path + lastModified + one column per requested field
-    (first value; multi-values joined with '|'). Returns printable lines
-    including a header row convention left to the writer."""
+    (first value; multi-values joined with '|'). Returns printable lines;
+    prepend delimited_header(field_names, sep) writer-side (like the
+    Atom/RDF-XML envelopes, the header is a constant, not data)."""
     cols = [
         F.col("path"),
         F.date_format("last_modified", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("lastModified"),

@@ -372,3 +372,14 @@ def test_trix_render_parse_roundtrip(spark, triples):
     by_p = {(r["s"].split("/")[-1], r["p"]): r for r in rows}
     assert by_p[("3", "nationkey")]["vtype"] == "l"
     assert by_p[("3", "name")]["o"] == "NATION_3"
+
+
+def test_delimited_header_matches_layout(spark, infotons):
+    from cm_well_spark.formats.render import delimited_header, to_delimited
+
+    hdr = delimited_header(["name", "acctbal"], sep="\t")
+    assert hdr == "path\tlastModified\tname\tacctbal"
+    line = to_delimited(
+        infotons.where(F.col("path") == "/tpch/nation/3"), ["name", "acctbal"], sep="\t"
+    ).first()["line"]
+    assert len(line.split("\t")) == len(hdr.split("\t"))
