@@ -222,7 +222,27 @@ def _squash_groups(g_triples: list, infotons: DataFrame | None):
 
 def _path_step(triples: DataFrame, s_term, elem, o_term, idx: int) -> DataFrame:
     """One path element: alternation of (predicate, inverse) pairs as a
-    union of pattern frames; an inverse alternative swaps subject/object."""
+    union of pattern frames; an inverse alternative swaps subject/object.
+    A negated set `!(p1|p2)` is a single scan filtered to predicates NOT
+    in the set (one partition-pruned anti-filter, no union)."""
+    if elem.neg:
+        t = triples.where(F.col("current")).where(
+            ~F.col("p").isin([p.value for p, _ in elem.preds])
+        )
+        if not isinstance(s_term, Var):
+            t = t.where(F.col("s") == _term_str(s_term))
+        if not isinstance(o_term, Var):
+            t = t.where(F.col("o") == _term_str(o_term))
+        cols = []
+        if isinstance(s_term, Var):
+            cols.append(F.col("s").alias(s_term.name))
+        if isinstance(o_term, Var):
+            cols.append(F.col("o").alias(o_term.name))
+            cols.append(F.col("num").alias(f"__num__{o_term.name}"))
+            cols.append(F.col("lang").alias(f"__lang__{o_term.name}"))
+        if not cols:
+            return t.select(F.lit(1).alias(f"__exists__{idx}")).limit(1)
+        return t.select(*cols)
     frames = []
     for p, inverse in elem.preds:
         tp = TriplePattern(o_term, p, s_term) if inverse else TriplePattern(s_term, p, o_term)
@@ -276,7 +296,11 @@ def _zero_length_frame(triples: DataFrame, s, o) -> DataFrame:
 def _path_frame(triples: DataFrame, pp: PathPattern) -> DataFrame:
     """Sequence path = one chain; `p+` / `p*` = union of chains of depth
     1..PATH_PLUS_MAX, `*` adding the zero-length identity (bounded subset
-    of ARQ's unbounded closure)."""
+    of ARQ's unbounded closure); `p?` = zero-length identity ∪ one step."""
+    if pp.opt:
+        one = _path_chain(triples, pp.s, [pp.parts[0]], pp.o)
+        zero = _zero_length_frame(triples, pp.s, pp.o)
+        return zero.unionByName(one, allowMissingColumns=True).distinct()
     if not (pp.plus or pp.star):
         return _path_chain(triples, pp.s, list(pp.parts), pp.o)
     elem = pp.parts[0]
@@ -301,6 +325,10 @@ def _compile_group(
     dfs = [_squash_frame(infotons, subj, tps) for subj, tps in groups]
     dfs.extend(_pattern_df(triples, tp, i)[0] for i, tp in enumerate(patterns))
     dfs.extend(_path_frame(triples, pp) for pp in g.paths)
+    # nested sub-SELECTs evaluate bottom-up to a solution frame (their own
+    # aggregates/DISTINCT/LIMIT applied, no implicit cap) and join on
+    # shared projected variables (SPARQL 1.1 §12)
+    dfs.extend(_select_frame(triples, sq, stats, infotons, limit_cap=0) for sq in g.subqueries)
     if dfs:
         df = _join_connected(dfs)
     else:
@@ -354,6 +382,21 @@ def _compile_group(
             df = df.withColumn(f"__num__{v.name}", col.cast("double"))
     for flt in g.filters:
         df = df.where(_filter_col(flt, df))
+    for grp, negated in g.exists:
+        # FILTER [NOT] EXISTS: pattern-existence against the current
+        # solution — a semi/anti join on the shared variables (the inner
+        # group sees the outer bindings through the join keys). With no
+        # shared variables the inner pattern is an independent gate:
+        # broadcast its limit(1) existence row, keep/drop all solutions.
+        right = _compile_group(triples, grp, stats, infotons)
+        shared = [c for c in df.columns if c in right.columns and not c.startswith("__")]
+        if shared:
+            how = "left_anti" if negated else "left_semi"
+            df = df.join(right.select(*shared).distinct(), shared, how)
+        else:
+            gate = F.broadcast(right.select(F.lit(1).alias("__e")).limit(1))
+            df = df.join(gate, F.lit(True), "left")
+            df = df.where(F.col("__e").isNull() if negated else F.col("__e").isNotNull()).drop("__e")
     for m in g.minuses:
         right = _compile_group(triples, m, stats, infotons)
         shared = [c for c in df.columns if c in right.columns and not c.startswith("__")]
@@ -490,6 +533,92 @@ def _filter_col(f: Filter, df: DataFrame) -> Column:
     return getattr(lcol, py)(rcol)
 
 
+def _apply_slice(df: DataFrame, q: Query, limit_cap: int) -> DataFrame:
+    cap = limit_cap
+    if q.limit is not None:
+        cap = min(q.limit, limit_cap) if limit_cap else q.limit
+    if q.offset:
+        # deterministic slice needs an order; default to the first column
+        # when the query gave none (matches the prior contract)
+        if not q.order_by:
+            df = df.orderBy(F.col(df.columns[0]).asc())
+        # native offset: orderBy+offset+limit is one TakeOrderedAndProject
+        df = df.offset(q.offset)
+    if cap:
+        df = df.limit(cap)
+    return df
+
+
+def _select_frame(
+    triples: DataFrame,
+    q: Query,
+    stats: dict | None,
+    infotons: DataFrame | None,
+    limit_cap: int,
+) -> DataFrame:
+    """SELECT form -> projected solution frame, with aggregates / HAVING /
+    DISTINCT / ORDER / OFFSET / LIMIT applied. Subqueries call this with
+    limit_cap=0 (no implicit cap — only an explicit inner LIMIT slices)."""
+    from cm_well_spark.operators.sparql.parser import AggExpr
+
+    df = _compile_group(triples, q.where, stats, infotons)
+    aggs = [v for v in q.variables if isinstance(v, AggExpr)]
+    if aggs or q.group_by:
+        # SPARQL 1.1 aggregates -> groupBy + agg (partial+final hash agg
+        # via Catalyst); numeric aggs use the typed num shadow column
+        def agg_col(a: AggExpr) -> Column:
+            if a.fn == "count":
+                if a.var is None:
+                    c = F.count("*")
+                elif a.distinct:
+                    c = F.countDistinct(a.var.name)
+                else:
+                    c = F.count(a.var.name)
+                return c.alias(a.alias)
+            if a.fn == "group_concat":
+                vals = F.collect_set(a.var.name) if a.distinct else F.collect_list(a.var.name)
+                # sorted for a deterministic result (SPARQL leaves the
+                # order implementation-defined; sorted is oracle-checkable)
+                return F.concat_ws(a.sep, F.array_sort(vals)).alias(a.alias)
+            if a.fn == "sample":
+                # SAMPLE is implementation-defined: deterministic min
+                return F.min(a.var.name).alias(a.alias)
+            shadow = f"__num__{a.var.name}"
+            src = F.col(shadow) if shadow in df.columns else F.col(a.var.name).cast("double")
+            fns = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}
+            return fns[a.fn](src).alias(a.alias)
+
+        keys = [v.name for v in q.group_by]
+        plain = [v.name for v in q.variables if isinstance(v, Var)]
+        missing_keys = [v for v in plain if v not in keys]
+        if missing_keys:
+            raise SparqlCompileError(
+                f"non-aggregated SELECT variables must appear in GROUP BY: {missing_keys}"
+            )
+        gdf = df.groupBy(*keys) if keys else df.groupBy()
+        df = gdf.agg(*[agg_col(a) for a in aggs]) if aggs else gdf.agg(F.count("*").alias("__n")).drop("__n")
+        for h in q.having:
+            # post-aggregation filter over projected aggregate aliases
+            df = df.where(_filter_col(h, df))
+        df = df.select(*[v.name if isinstance(v, Var) else v.alias for v in q.variables])
+        # falls through to the shared DISTINCT/ORDER/OFFSET/cap logic
+        # (ADVICE r1: the early return here bypassed the 10k OpSlice cap)
+    elif q.having:
+        raise SparqlCompileError("HAVING requires aggregation (GROUP BY or aggregate projections)")
+    elif q.variables:
+        missing = [v.name for v in q.variables if v.name not in df.columns]
+        if missing:
+            raise SparqlCompileError(f"SELECT variables not bound in pattern: {missing}")
+        df = df.select(*[v.name for v in q.variables])
+    else:
+        df = df.select(*[c for c in df.columns if not c.startswith("__")])
+    if q.distinct:
+        df = df.distinct()
+    if q.order_by:
+        df = df.orderBy(*[F.col(v.name).desc() if d else F.col(v.name).asc() for v, d in q.order_by])
+    return _apply_slice(df, q, limit_cap)
+
+
 def sparql_query(
     triples: DataFrame,
     query: str | Query,
@@ -506,83 +635,20 @@ def sparql_query(
     same-subject constant-predicate pattern groups evaluate as one
     doc-table scan instead of N triples self-joins.
     """
-    from cm_well_spark.operators.sparql.parser import AggExpr
-
     q = parse_sparql(query) if isinstance(query, str) else query
-    df = _compile_group(triples, q.where, stats, infotons)
     if q.form == "select":
-        aggs = [v for v in q.variables if isinstance(v, AggExpr)]
-        if aggs or q.group_by:
-            # SPARQL 1.1 aggregates -> groupBy + agg (partial+final hash agg
-            # via Catalyst); numeric aggs use the typed num shadow column
-            def agg_col(a: AggExpr) -> Column:
-                if a.fn == "count":
-                    if a.var is None:
-                        c = F.count("*")
-                    elif a.distinct:
-                        c = F.countDistinct(a.var.name)
-                    else:
-                        c = F.count(a.var.name)
-                    return c.alias(a.alias)
-                if a.fn == "group_concat":
-                    vals = F.collect_set(a.var.name) if a.distinct else F.collect_list(a.var.name)
-                    # sorted for a deterministic result (SPARQL leaves the
-                    # order implementation-defined; sorted is oracle-checkable)
-                    return F.concat_ws(a.sep, F.array_sort(vals)).alias(a.alias)
-                if a.fn == "sample":
-                    # SAMPLE is implementation-defined: deterministic min
-                    return F.min(a.var.name).alias(a.alias)
-                shadow = f"__num__{a.var.name}"
-                src = F.col(shadow) if shadow in df.columns else F.col(a.var.name).cast("double")
-                fns = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}
-                return fns[a.fn](src).alias(a.alias)
+        return _select_frame(triples, q, stats, infotons, limit_cap)
+    # construct
+    sols = _compile_group(triples, q.where, stats, infotons)
+    parts = []
+    for tp in q.template:
+        def col_of(term):
+            if isinstance(term, Var):
+                if term.name not in sols.columns:
+                    raise SparqlCompileError(f"CONSTRUCT variable ?{term.name} not bound")
+                return F.col(term.name).cast("string")
+            return F.lit(_term_str(term))
 
-            keys = [v.name for v in q.group_by]
-            plain = [v.name for v in q.variables if isinstance(v, Var)]
-            missing_keys = [v for v in plain if v not in keys]
-            if missing_keys:
-                raise SparqlCompileError(
-                    f"non-aggregated SELECT variables must appear in GROUP BY: {missing_keys}"
-                )
-            gdf = df.groupBy(*keys) if keys else df.groupBy()
-            df = gdf.agg(*[agg_col(a) for a in aggs]) if aggs else gdf.agg(F.count("*").alias("__n")).drop("__n")
-            df = df.select(*[v.name if isinstance(v, Var) else v.alias for v in q.variables])
-            # falls through to the shared DISTINCT/ORDER/OFFSET/cap logic
-            # (ADVICE r1: the early return here bypassed the 10k OpSlice cap)
-        elif q.variables:
-            missing = [v.name for v in q.variables if v.name not in df.columns]
-            if missing:
-                raise SparqlCompileError(f"SELECT variables not bound in pattern: {missing}")
-            df = df.select(*[v.name for v in q.variables])
-        else:
-            df = df.select(*[c for c in df.columns if not c.startswith("__")])
-        if q.distinct:
-            df = df.distinct()
-        if q.order_by:
-            df = df.orderBy(*[F.col(v.name).desc() if d else F.col(v.name).asc() for v, d in q.order_by])
-    else:  # construct
-        sols = df
-        parts = []
-        for tp in q.template:
-            def col_of(term):
-                if isinstance(term, Var):
-                    if term.name not in sols.columns:
-                        raise SparqlCompileError(f"CONSTRUCT variable ?{term.name} not bound")
-                    return F.col(term.name).cast("string")
-                return F.lit(_term_str(term))
-
-            parts.append(sols.select(col_of(tp.s).alias("s"), col_of(tp.p).alias("p"), col_of(tp.o).alias("o")))
-        df = reduce(lambda a, b: a.unionByName(b), parts).distinct()
-    cap = limit_cap
-    if q.limit is not None:
-        cap = min(q.limit, limit_cap) if limit_cap else q.limit
-    if q.offset:
-        # deterministic slice needs an order; default to the first column
-        # when the query gave none (matches the prior contract)
-        if not q.order_by:
-            df = df.orderBy(F.col(df.columns[0]).asc())
-        # native offset: orderBy+offset+limit is one TakeOrderedAndProject
-        df = df.offset(q.offset)
-    if cap:
-        df = df.limit(cap)
-    return df
+        parts.append(sols.select(col_of(tp.s).alias("s"), col_of(tp.p).alias("p"), col_of(tp.o).alias("o")))
+    df = reduce(lambda a, b: a.unionByName(b), parts).distinct()
+    return _apply_slice(df, q, limit_cap)

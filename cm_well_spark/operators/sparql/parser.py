@@ -6,9 +6,11 @@ CONSTRUCT"), over full Jena ARQ pattern syntax
 (SpHandler.evaluateSparql:598-670; whole-graph engine
 JenaArqExtensions.scala:375-519). This hand-rolled recursive-descent
 parser covers BGPs with FILTER / OPTIONAL / UNION / MINUS / BIND /
-VALUES, sequence and bounded one-or-more property paths, the common
-builtin function library, SPARQL 1.1 aggregates (incl. GROUP_CONCAT and
-SAMPLE), ORDER BY / LIMIT / OFFSET / DISTINCT — and rejects the rest
+VALUES / FILTER [NOT] EXISTS / nested sub-SELECTs, sequence and bounded
+one-or-more property paths plus `p?` and negated property sets, the
+common builtin function library, SPARQL 1.1 aggregates (incl.
+GROUP_CONCAT and SAMPLE), GROUP BY / HAVING / ORDER BY / LIMIT /
+OFFSET / DISTINCT — and rejects the rest
 with explicit errors, mirroring the reference's error contract
 (SparqlTests.scala:89 pins "fully unbound pattern" rejection — enforced
 at compile time in compiler.py).
@@ -20,19 +22,25 @@ Grammar (informal):
     proj     := var | '(' AGGFN '(' ['DISTINCT'] (var|'*') [';' 'SEPARATOR' '=' str] ')' 'AS' var ')'
     construct:= 'CONSTRUCT' '{' template '}' 'WHERE' group modifiers
     group    := '{' (triple | filter | optional | minus | bind | values
-                     | union-block | group)* '}'
+                     | union-block | group | subselect)* '}'
+    subselect:= '{' 'SELECT' ... '}'     -- nested sub-query, joins into
+                                            the enclosing group
     optional := 'OPTIONAL' group         minus := 'MINUS' group
     bind     := 'BIND' '(' expr 'AS' var ')'
     values   := 'VALUES' (var | '(' var+ ')') '{' row* '}'
     union    := group 'UNION' group ('UNION' group)*
-    path     := elem ('/' elem)* ('+'|'*')?   -- predicate position only;
-                elem := '^'? iri ('|' '^'? iri)*  ('^' binds tighter than '|');
+    path     := elem ('/' elem)* ('+'|'*'|'?')?  -- predicate position only;
+                elem := '!'? '^'? iri ('|' '^'? iri)*  ('^' binds tighter
+                than '|'; '!' negates the whole alternation set, forward
+                predicates only);
                 '+'/'*' are bounded depth (PATH_PLUS_MAX, documented
-                subset of the unbounded ARQ closure; '*' adds identity)
-    filter   := 'FILTER' '(' expr ')'    -- comparison / logical / builtins
+                subset of the unbounded ARQ closure; '*' adds identity,
+                '?' is zero-or-one)
+    filter   := 'FILTER' ('(' expr ')' | ['NOT'] 'EXISTS' group)
     expr     := value ops over: STR LANG STRLEN UCASE LCASE ABS CEIL FLOOR
                 ROUND CONCAT; boolean: REGEX CONTAINS STRSTARTS STRENDS BOUND
-    modifiers:= ('GROUP' 'BY' var+)? ('ORDER' 'BY' ...)? ('LIMIT' n)? ('OFFSET' n)?
+    modifiers:= ('GROUP' 'BY' var+)? ('HAVING' '(' expr ')')?
+                ('ORDER' 'BY' ...)? ('LIMIT' n)? ('OFFSET' n)?
 """
 
 from __future__ import annotations
@@ -100,22 +108,26 @@ class Func:
 class PathElem:
     """One step of a property path: alternation of (predicate, inverse)
     alternatives — `^` binds tighter than `|`, so `^p1|p2` is
-    (object->subject via p1) OR (subject->object via p2)."""
+    (object->subject via p1) OR (subject->object via p2). `neg` marks a
+    negated property set `!(p1|p2)` — match any predicate NOT in the set
+    (forward predicates only)."""
 
     preds: tuple  # tuple[(Iri, inverse: bool), ...]
+    neg: bool = False
 
 
 @dataclass(frozen=True)
 class PathPattern:
-    """Property-path pattern: s elem1/elem2/... o, each elem `[^]p(|p)*`,
-    with optional trailing `+`/`*` (bounded one-or-more / zero-or-more,
-    single-elem only)."""
+    """Property-path pattern: s elem1/elem2/... o, each elem `[!][^]p(|p)*`,
+    with optional trailing `+`/`*`/`?` (bounded one-or-more /
+    zero-or-more / zero-or-one, single-elem only)."""
 
     s: Term
     parts: tuple  # tuple[PathElem, ...]
     o: Term
     plus: bool = False
     star: bool = False
+    opt: bool = False  # zero-or-one `p?`
 
 
 @dataclass
@@ -131,6 +143,8 @@ class Group:
     binds: list = field(default_factory=list)  # list[(Var, expr)]
     values: list = field(default_factory=list)  # list[(list[Var], list[tuple])]
     paths: list = field(default_factory=list)  # list[PathPattern]
+    exists: list = field(default_factory=list)  # list[(Group, negated: bool)]
+    subqueries: list = field(default_factory=list)  # list[Query]
 
 
 @dataclass
@@ -145,6 +159,7 @@ class Query:
     offset: int | None = None
     prefixes: dict = field(default_factory=dict)
     group_by: list = field(default_factory=list)  # [Var]
+    having: list = field(default_factory=list)  # [Filter] over agg aliases
 
 
 _TOKEN = re.compile(
@@ -156,7 +171,7 @@ _TOKEN = re.compile(
     | (?P<number>[+-]?\d+(?:\.\d+)?)
     | (?P<pname>[A-Za-z_][\w\-]*:[\w\-./#%]*)
     | (?P<kw>[A-Za-z_][\w]*)
-    | (?P<punct>\{|\}|\(|\)|\.|;|,|\*|=|!=|<=|>=|<|>|&&|\|\||!|:|/|\+|\||\^)
+    | (?P<punct>\{|\}|\(|\)|\.|;|,|\*|=|!=|<=|>=|<|>|&&|\|\||!|:|/|\+|\||\^|\?)
     )""",
     re.VERBOSE,
 )
@@ -247,7 +262,20 @@ class _P:
             up = tok.upper()
             if up == "FILTER":
                 self.next()
-                g.filters.append(self.filter_expr())
+                # FILTER [NOT] EXISTS { ... } — pattern-existence filters
+                # compile to semi/anti joins, not boolean Columns, so they
+                # live on the group, separate from value filters
+                neg = False
+                if self.peek().upper() == "NOT" and self.peek(1).upper() == "EXISTS":
+                    self.next()
+                    self.next()
+                    neg = True
+                elif self.peek().upper() == "EXISTS" and self.peek(1) == "{":
+                    self.next()
+                else:
+                    g.filters.append(self.filter_expr())
+                    continue
+                g.exists.append((self.group(), neg))
                 continue
             if up == "OPTIONAL":
                 self.next()
@@ -271,6 +299,16 @@ class _P:
             if up == "VALUES":
                 self.next()
                 g.values.append(self.values_block())
+                continue
+            if tok == "{" and self.peek(1).upper() == "SELECT":
+                # nested sub-SELECT: parse the full query form, join its
+                # projected solution into the enclosing group (SPARQL 1.1
+                # §12; evaluated bottom-up)
+                self.next()
+                self.expect("SELECT")
+                sq = _parse_select(self, dict(self.prefixes))
+                self.expect("}")
+                g.subqueries.append(sq)
                 continue
             if tok == "{":
                 # either a UNION chain or a plain nested group
@@ -300,11 +338,25 @@ class _P:
                     return self.term(), inv
 
                 def path_elem():
-                    alts = [path_alt()]
-                    while self.peek() == "|":
+                    neg = False
+                    if self.peek() == "!":
                         self.next()
-                        alts.append(path_alt())
-                    return PathElem(tuple(alts))
+                        neg = True
+                    if neg and self.peek() == "(":
+                        self.next()
+                        alts = [path_alt()]
+                        while self.peek() == "|":
+                            self.next()
+                            alts.append(path_alt())
+                        self.expect(")")
+                    else:
+                        alts = [path_alt()]
+                        while self.peek() == "|":
+                            self.next()
+                            alts.append(path_alt())
+                    if neg and any(inv for _, inv in alts):
+                        raise SparqlParseError("negated property sets support forward predicates only")
+                    return PathElem(tuple(alts), neg)
 
                 first = path_elem()
                 p = first.preds[0][0]  # plain-predicate fallback for non-paths
@@ -312,10 +364,13 @@ class _P:
                 while self.peek() == "/":
                     self.next()
                     parts.append(path_elem())
-                star = False
+                star = opt = False
                 if self.peek() == "+":
                     self.next()
                     plus = True
+                elif self.peek() == "?":
+                    self.next()
+                    opt = True
                 elif self.peek() == "*" and len(parts) > 1:
                     # only consume '*' as a path op when we're clearly in a
                     # path; a bare `?s p * ?o` would be a grammar error
@@ -324,14 +379,16 @@ class _P:
                 elif self.peek() == "*" and (len(first.preds) > 1 or first.preds[0][1] or not isinstance(p, Var)):
                     self.next()
                     star = True
-                if (plus or star) and len(parts) > 1:
-                    raise SparqlParseError("'+'/'*' path applies to a single path element only")
+                if (plus or star or opt) and len(parts) > 1:
+                    raise SparqlParseError("'+'/'*'/'?' path applies to a single path element only")
                 is_path = (
                     plus
                     or star
+                    or opt
                     or len(parts) > 1
                     or len(first.preds) > 1
                     or first.preds[0][1]
+                    or first.neg
                 )
                 if is_path and any(
                     isinstance(x, Var) for elem in parts for x, _ in elem.preds
@@ -340,7 +397,7 @@ class _P:
                 while True:
                     o = self.term()
                     if is_path:
-                        g.paths.append(PathPattern(s, tuple(parts), o, plus, star))
+                        g.paths.append(PathPattern(s, tuple(parts), o, plus, star, opt))
                     else:
                         g.triples.append(TriplePattern(s, p, o))
                     if self.peek() == ",":
@@ -491,91 +548,20 @@ class _P:
         return Filter(op, (left, right))
 
 
-def parse_sparql(q: str) -> Query:
-    toks = _tokenize(q)
-    prefixes: dict[str, str] = {}
-    p = _P(toks, prefixes)
-    while p.kw("PREFIX"):
-        pname = p.next()
-        if pname.endswith(":"):
-            pfx = pname[:-1]
-        elif ":" in pname:
-            pfx = pname.split(":", 1)[0]
-        else:
-            pfx = pname
-            p.expect(":")
-        iri = p.next()
-        if not iri.startswith("<"):
-            raise SparqlParseError(f"expected IRI after PREFIX, got {iri!r}")
-        prefixes[pfx] = iri[1:-1]
-    if p.kw("SELECT"):
-        distinct = p.kw("DISTINCT")
-        variables: list = []
-        if p.peek() == "*":
-            p.next()
-        else:
-            while True:
-                tok = p.peek()
-                if tok.startswith(("?", "$")):
-                    variables.append(Var(p.next()[1:]))
-                elif tok == "(":
-                    # (AGGFN([DISTINCT] ?v | * [; SEPARATOR="s"]) AS ?alias)
-                    p.next()
-                    fn = p.next().lower()
-                    if fn not in ("count", "sum", "avg", "min", "max", "group_concat", "sample"):
-                        raise SparqlParseError(f"unsupported aggregate {fn!r}")
-                    p.expect("(")
-                    agg_distinct = p.kw("DISTINCT")
-                    if p.peek() == "*":
-                        p.next()
-                        v = None
-                    else:
-                        v = Var(p.next()[1:])
-                    sep = " "
-                    if p.peek() == ";":
-                        p.next()
-                        p.expect("SEPARATOR")
-                        p.expect("=")
-                        sep_tok = p.next()
-                        if not sep_tok.startswith('"'):
-                            raise SparqlParseError("SEPARATOR needs a string literal")
-                        sep = sep_tok[1:-1].encode().decode("unicode_escape")
-                    p.expect(")")
-                    p.expect("AS")
-                    alias = p.next()[1:]
-                    p.expect(")")
-                    variables.append(AggExpr(fn, v, alias, agg_distinct, sep))
-                else:
-                    break
-            if not variables:
-                raise SparqlParseError("SELECT needs '*' or variables")
-        p.kw("WHERE")
-        where = p.group()
-        q_out = Query("select", variables, distinct, where, prefixes=prefixes)
-    elif p.kw("CONSTRUCT"):
-        p.expect("{")
-        template = []
-        while p.peek() != "}":
-            s = p.term()
-            pr = p.term()
-            o = p.term()
-            template.append(TriplePattern(s, pr, o))
-            if p.peek() == ".":
-                p.next()
-        p.expect("}")
-        p.expect("WHERE")
-        where = p.group()
-        q_out = Query("construct", [], False, where, template=template, prefixes=prefixes)
-    else:
-        # same contract as the reference: only SELECT/CONSTRUCT evaluate
-        raise SparqlParseError("Query Type must be either SELECT or CONSTRUCT")
-    # solution modifiers
+def _parse_modifiers(p: _P, q_out: Query) -> None:
+    """GROUP BY / HAVING / ORDER BY / LIMIT / OFFSET — shared by the
+    top-level query and nested sub-SELECTs (which carry their own
+    modifiers inside the braces, SPARQL 1.1 §12)."""
     if p.kw("GROUP"):
         p.expect("BY")
         while p.peek().startswith(("?", "$")):
             q_out.group_by.append(Var(p.next()[1:]))
         if not q_out.group_by:
             raise SparqlParseError("GROUP BY needs at least one variable")
+    while p.kw("HAVING"):
+        # HAVING (?alias op value): the post-aggregation filter references
+        # projected aggregate aliases (the common implementation form)
+        q_out.having.append(p.filter_expr())
     if p.kw("ORDER"):
         p.expect("BY")
         while True:
@@ -595,6 +581,95 @@ def parse_sparql(q: str) -> Query:
         q_out.limit = int(p.next())
     if p.kw("OFFSET"):
         q_out.offset = int(p.next())
+
+
+def _parse_select(p: _P, prefixes: dict) -> Query:
+    """Parse a SELECT form, the SELECT keyword already consumed. Used for
+    both the top-level query and `{ SELECT ... }` subqueries."""
+    distinct = p.kw("DISTINCT")
+    variables: list = []
+    if p.peek() == "*":
+        p.next()
+    else:
+        while True:
+            tok = p.peek()
+            if tok.startswith(("?", "$")):
+                variables.append(Var(p.next()[1:]))
+            elif tok == "(":
+                # (AGGFN([DISTINCT] ?v | * [; SEPARATOR="s"]) AS ?alias)
+                p.next()
+                fn = p.next().lower()
+                if fn not in ("count", "sum", "avg", "min", "max", "group_concat", "sample"):
+                    raise SparqlParseError(f"unsupported aggregate {fn!r}")
+                p.expect("(")
+                agg_distinct = p.kw("DISTINCT")
+                if p.peek() == "*":
+                    p.next()
+                    v = None
+                else:
+                    v = Var(p.next()[1:])
+                sep = " "
+                if p.peek() == ";":
+                    p.next()
+                    p.expect("SEPARATOR")
+                    p.expect("=")
+                    sep_tok = p.next()
+                    if not sep_tok.startswith('"'):
+                        raise SparqlParseError("SEPARATOR needs a string literal")
+                    sep = sep_tok[1:-1].encode().decode("unicode_escape")
+                p.expect(")")
+                p.expect("AS")
+                alias = p.next()[1:]
+                p.expect(")")
+                variables.append(AggExpr(fn, v, alias, agg_distinct, sep))
+            else:
+                break
+        if not variables:
+            raise SparqlParseError("SELECT needs '*' or variables")
+    p.kw("WHERE")
+    where = p.group()
+    q_out = Query("select", variables, distinct, where, prefixes=prefixes)
+    _parse_modifiers(p, q_out)
+    return q_out
+
+
+def parse_sparql(q: str) -> Query:
+    toks = _tokenize(q)
+    prefixes: dict[str, str] = {}
+    p = _P(toks, prefixes)
+    while p.kw("PREFIX"):
+        pname = p.next()
+        if pname.endswith(":"):
+            pfx = pname[:-1]
+        elif ":" in pname:
+            pfx = pname.split(":", 1)[0]
+        else:
+            pfx = pname
+            p.expect(":")
+        iri = p.next()
+        if not iri.startswith("<"):
+            raise SparqlParseError(f"expected IRI after PREFIX, got {iri!r}")
+        prefixes[pfx] = iri[1:-1]
+    if p.kw("SELECT"):
+        q_out = _parse_select(p, prefixes)
+    elif p.kw("CONSTRUCT"):
+        p.expect("{")
+        template = []
+        while p.peek() != "}":
+            s = p.term()
+            pr = p.term()
+            o = p.term()
+            template.append(TriplePattern(s, pr, o))
+            if p.peek() == ".":
+                p.next()
+        p.expect("}")
+        p.expect("WHERE")
+        where = p.group()
+        q_out = Query("construct", [], False, where, template=template, prefixes=prefixes)
+        _parse_modifiers(p, q_out)
+    else:
+        # same contract as the reference: only SELECT/CONSTRUCT evaluate
+        raise SparqlParseError("Query Type must be either SELECT or CONSTRUCT")
     if p.peek():
         raise SparqlParseError(f"unexpected trailing token {p.peek()!r}")
     return q_out

@@ -421,3 +421,140 @@ def test_path_star_includes_identity(triples):
     )
     rows = {(r["a"], r["b"]) for r in out2.collect()}
     assert all(a == b for a, b in rows) and len(rows) == 5  # regions have no ofRegion edge
+
+
+# ---- round-4 surface: EXISTS / subqueries / HAVING / p? / !(...) ---------
+
+
+def _supplier_nations(triples):
+    sup = triples.where(F.col("current") & (F.col("p") == "rdfType") & (F.col("o") == "Supplier"))
+    inn = triples.where(F.col("current") & (F.col("p") == "inNation"))
+    return (
+        sup.select("s").join(inn, "s", "inner").select("o").distinct()
+    )
+
+
+def test_filter_exists(triples):
+    out = sparql_query(
+        triples,
+        """
+        SELECT ?n WHERE {
+          ?n <rdfType> "Nation" .
+          FILTER EXISTS { ?s <inNation> ?n . ?s <rdfType> "Supplier" }
+        }
+        """,
+    )
+    assert out.count() == _supplier_nations(triples).count()
+
+
+def test_filter_not_exists(triples):
+    out = sparql_query(
+        triples,
+        """
+        SELECT ?n WHERE {
+          ?n <rdfType> "Nation" .
+          FILTER NOT EXISTS { ?s <inNation> ?n . ?s <rdfType> "Supplier" }
+        }
+        """,
+    )
+    all_nations = triples.where(
+        F.col("current") & (F.col("p") == "rdfType") & (F.col("o") == "Nation")
+    ).count()
+    assert out.count() == all_nations - _supplier_nations(triples).count()
+
+
+def test_not_exists_disjoint_gate(triples):
+    # no shared variables: the inner pattern is a global gate; an empty
+    # inner match keeps every solution
+    out = sparql_query(
+        triples,
+        """
+        SELECT ?n WHERE {
+          ?n <rdfType> "Region" .
+          FILTER NOT EXISTS { ?x <noSuchPredicate> ?y }
+        }
+        """,
+    )
+    assert out.count() == 5
+
+
+def test_subquery_join(triples):
+    out = sparql_query(
+        triples,
+        """
+        SELECT ?name ?cnt WHERE {
+          { SELECT ?nat (COUNT(?c) AS ?cnt) WHERE {
+              ?c <inNation> ?nat . ?c <rdfType> "Customer" }
+            GROUP BY ?nat }
+          ?nat <name> ?name .
+        }
+        """,
+    )
+    cust = triples.where(F.col("current") & (F.col("p") == "rdfType") & (F.col("o") == "Customer"))
+    inn = triples.where(F.col("current") & (F.col("p") == "inNation"))
+    exp = cust.select("s").join(inn, "s").groupBy("o").count()
+    got = {(r["name"], r["cnt"]) for r in out.collect()}
+    assert len(got) == exp.count()
+    assert sum(c for _, c in got) == exp.agg(F.sum("count")).first()[0]
+
+
+def test_subquery_inner_limit(triples):
+    # inner LIMIT slices the subquery, not the outer pattern
+    out = sparql_query(
+        triples,
+        """
+        SELECT ?nat WHERE {
+          { SELECT ?nat WHERE { ?nat <rdfType> "Nation" } ORDER BY ?nat LIMIT 3 }
+        }
+        """,
+    )
+    assert out.count() == 3
+
+
+def test_having(triples):
+    rows = sparql_query(
+        triples,
+        """
+        SELECT ?nat (COUNT(?c) AS ?cnt) WHERE {
+          ?c <inNation> ?nat . ?c <rdfType> "Customer" }
+        GROUP BY ?nat HAVING (?cnt >= 8)
+        """,
+    ).collect()
+    cust = triples.where(F.col("current") & (F.col("p") == "rdfType") & (F.col("o") == "Customer"))
+    inn = triples.where(F.col("current") & (F.col("p") == "inNation"))
+    exp = cust.select("s").join(inn, "s").groupBy("o").count().where(F.col("count") >= 8)
+    assert {(r["nat"], r["cnt"]) for r in rows} == {(r["o"], r["count"]) for r in exp.collect()}
+
+
+def test_having_without_agg_rejected(triples):
+    with pytest.raises(SparqlCompileError, match="HAVING requires aggregation"):
+        sparql_query(triples, "SELECT ?s WHERE { ?s <name> ?o } HAVING (?s > 1)")
+
+
+def test_path_zero_or_one(triples):
+    out = sparql_query(triples, "SELECT DISTINCT ?x WHERE { </tpch/nation/3> <ofRegion>? ?x }")
+    xs = {r["x"] for r in out.collect()}
+    assert xs == {"/tpch/nation/3", "/tpch/region/3"}
+
+
+def test_negated_property_set(triples):
+    out = sparql_query(
+        triples, "SELECT ?o WHERE { </tpch/nation/3> !(<name>|<rdfType>) ?o }"
+    )
+    exp = triples.where(
+        F.col("current") & (F.col("s") == "/tpch/nation/3") & ~F.col("p").isin("name", "rdfType")
+    )
+    assert out.count() == exp.count() > 0
+
+
+def test_negated_single_predicate(triples):
+    out = sparql_query(triples, "SELECT ?o WHERE { </tpch/region/0> !<rdfType> ?o }")
+    exp = triples.where(
+        F.col("current") & (F.col("s") == "/tpch/region/0") & (F.col("p") != "rdfType")
+    )
+    assert out.count() == exp.count() > 0
+
+
+def test_negated_set_rejects_inverse(triples):
+    with pytest.raises(SparqlParseError, match="forward predicates only"):
+        parse_sparql("SELECT ?o WHERE { ?s !(<a>|^<b>) ?o }")
