@@ -1,0 +1,127 @@
+"""Training-data curation operators: sampling, decontamination, filtering.
+
+The corpus-preparation steps a 100 TB LLM data pipeline runs after dedup
+(dedup.py) and scoring (text.py):
+
+  stratified_sample   deterministic hash-split Bernoulli sampling with a
+                      per-stratum rate (language / source rebalancing).
+                      Pure map-side filter: no RNG state, no shuffle, and
+                      the same rows survive re-partitioning, retries, and
+                      re-runs — the reproducibility property `df.sample()`
+                      cannot give across cluster topologies.
+  contamination       benchmark n-gram overlap detection (the GPT-3/PaLM
+                      style eval-decontamination check): corpus docs that
+                      share word k-grams with a benchmark set meet it
+                      through a shingle equi-join — the benchmark side is
+                      tiny by construction, so it broadcasts; the corpus
+                      side streams map-side. No cross join at any scale.
+  quality_filter      keep/drop verdicts composing the text.py quality
+                      score with hard length bounds (C4/Gopher-style rule
+                      filters), emitting the first failing reason per doc
+                      so drop-rate dashboards can pivot on it.
+
+All of it is columnar expressions + one broadcast join — no Python in the
+row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cm_well_spark.operators.dedup import _shingle_rows
+from cm_well_spark.operators.text import quality_features
+
+
+def _rate_hex(rate: float) -> str:
+    """Rate -> 4-hex-char threshold; md5-prefix < threshold keeps the row.
+    Lexicographic compare of fixed-width lowercase hex == numeric compare,
+    and both Spark and DuckDB render md5 as lowercase hex — so the oracle
+    can reproduce the exact sample with string comparison alone. rate>=1
+    uses 'zzzz' (> every hex string): keep all."""
+    if rate >= 1.0:
+        return "zzzz"
+    return format(max(int(rate * 65536), 0), "04x")
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    rates: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "cmw",
+) -> DataFrame:
+    """Per-stratum deterministic Bernoulli sample: keep a row iff the
+    first 4 hex chars of md5('<salt>:<id>') sort below the stratum's rate
+    threshold. Strata absent from `rates` drop entirely (rate 0)."""
+    key = F.substring(
+        F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))), 1, 4
+    )
+    pairs = []
+    for stratum, rate in rates.items():
+        pairs.extend([F.lit(stratum), F.lit(_rate_hex(rate))])
+    thr = F.create_map(*pairs).getItem(F.col(stratum_col))
+    return df.where(thr.isNotNull() & (key < thr))
+
+
+def contamination_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_hits): distinct word-k-grams each corpus doc shares with
+    the benchmark set. The benchmark shingle set is deduplicated then
+    broadcast (eval suites are ~MBs against a ~100 TB corpus); corpus
+    shingles never shuffle."""
+    c = _shingle_rows(corpus, text_col, id_col, k)
+    b = _shingle_rows(benchmark, text_col, id_col, k).select("sh").distinct()
+    return (
+        c.join(F.broadcast(b), "sh")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_hits"))
+        .select(F.col("id").alias(id_col), "n_hits")
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    k: int = 3,
+    min_hits: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus minus contaminated docs (>= min_hits shared k-grams): an
+    anti join against the (small) contaminated-id set."""
+    bad = contamination_overlap(corpus, benchmark, k, text_col, id_col).where(
+        F.col("n_hits") >= min_hits
+    )
+    return corpus.join(F.broadcast(bad.select(id_col)), id_col, "left_anti")
+
+
+def quality_filter(
+    docs: DataFrame,
+    min_quality: float = 0.5,
+    min_words: int = 5,
+    max_words: int = 100_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, keep, reason): rule-based keep/drop verdicts. Reasons are
+    checked in a fixed order (too_short, too_long, low_quality, ok) so the
+    first failing rule labels the doc — same contract as C4's filter-
+    reason accounting."""
+    q = quality_features(docs, text_col=text_col, id_col=id_col)
+    reason = (
+        F.when(F.col("n_words") < min_words, F.lit("too_short"))
+        .when(F.col("n_words") > max_words, F.lit("too_long"))
+        .when(F.col("quality") < min_quality, F.lit("low_quality"))
+        .otherwise(F.lit("ok"))
+    )
+    return q.select(
+        F.col(id_col),
+        reason.alias("reason"),
+        (reason == "ok").alias("keep"),
+    )

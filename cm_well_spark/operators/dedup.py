@@ -297,3 +297,60 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicate clustering: connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def duplicate_clusters(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 15,
+) -> DataFrame:
+    """Connected components over a near-dup pair list -> (doc_id, cluster),
+    cluster = min doc id reachable (singletons label themselves). This is
+    the step that turns pairwise near-dup evidence into dedup groups a
+    keep-one-representative policy can act on.
+
+    Min-label propagation: each round, every node takes the minimum of its
+    own label and its neighbors' labels — one edge/label equi-join plus one
+    groupBy-min per round, both plain shuffles Catalyst plans freely; no
+    driver-side state or adjacency materialization. Rounds needed = label
+    propagation distance; threshold-join components are near-cliques, so
+    2-3 rounds in practice (long chains would want the large-star/small-star
+    doubling variant — same join-shape per round, O(log d) rounds).
+    `localCheckpoint` truncates the growing lineage each round so the plan
+    stays constant-size; convergence is detected with a limit(1) probe of
+    changed labels (cheap: stops the scan at the first hit)."""
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).union(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    labels = nodes.select(
+        F.col(id_col).cast("long").alias("id"), F.col(id_col).cast("long").alias("cluster")
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(
+                labels.select(F.col("id").alias("src"), F.col("cluster").alias("lsrc")), "src"
+            )
+            .groupBy("dst")
+            .agg(F.min("lsrc").alias("lmin"))
+            .select(F.col("dst").alias("id"), "lmin")
+        )
+        new_labels = labels.join(neigh, "id", "left").select(
+            "id", F.least(F.col("cluster"), F.coalesce("lmin", F.col("cluster"))).alias("cluster")
+        ).localCheckpoint(eager=True)
+        changed = (
+            labels.select("id", F.col("cluster").alias("old"))
+            .join(new_labels, "id")
+            .where(F.col("old") != F.col("cluster"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias(id_col), "cluster")

@@ -2004,3 +2004,158 @@ def format_ntriples_lines(spark, sf_dir):
 
     t = _tri(spark, sf_dir).where(F.col("current") & F.col("s").startswith("/tpch/region/"))
     return triple_lines(t)
+
+
+# ---------------------------------------------------------------------------
+# Round 4: curation — dup clustering, sampling, decontamination, filtering
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_cluster_components",
+    oracle=f"""
+    WITH RECURSIVE d AS (
+      SELECT doc_id, string_split({_NORM_SQL.format(c='text')}, ' ') AS w
+      FROM documents WHERE doc_id < 300
+    ), s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(w) - 3, 0) + 2),
+               i -> array_to_string(w[i:i+2], ' '))) AS shs
+      FROM d
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.shs, b.shs)) * 1.0
+            / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))) >= 0.5
+    ), e AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ), reach AS (
+      SELECT doc_id AS id, doc_id AS r FROM d
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id
+    )
+    SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id
+    """,
+)
+def dedup_cluster_components(spark, sf_dir):
+    """Near-dup pair list -> connected components (min-label propagation,
+    one join + one groupBy-min per round) -> (doc_id, cluster). The dedup
+    step that turns pairwise evidence into keep-one-representative groups.
+    Oracle = transitive closure via DuckDB recursive CTE."""
+    from cm_well_spark.operators.dedup import duplicate_clusters, jaccard_pairs
+    from cm_well_spark.sources import tables as tbl
+
+    docs = tbl.load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    pairs = jaccard_pairs(docs, threshold=0.5)
+    return duplicate_clusters(docs, pairs)
+
+
+@register(
+    "curation_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    WHERE substring(md5('cmw:' || doc_id), 1, 4) <
+          CASE lang WHEN 'en' THEN '8000' WHEN 'de' THEN 'zzzz' WHEN 'fr' THEN '4000' END
+    """,
+)
+def curation_stratified_sample(spark, sf_dir):
+    """Deterministic hash-split stratified sampling (en 50% / de 100% /
+    fr 25%, other strata dropped): a pure map-side filter, reproducible
+    across partitioning, retries and engines — the md5-prefix threshold
+    is the contract, so DuckDB reproduces the exact membership."""
+    from cm_well_spark.operators.curation import stratified_sample
+    from cm_well_spark.sources import tables as tbl
+
+    docs = tbl.load_table(spark, sf_dir, "documents")
+    return stratified_sample(docs, "lang", {"en": 0.5, "de": 1.0, "fr": 0.25}).select(
+        "doc_id", "lang"
+    )
+
+
+@register(
+    "curation_contamination",
+    oracle=f"""
+    WITH corp AS (
+      SELECT doc_id, string_split({_NORM_SQL.format(c='text')}, ' ') AS w
+      FROM documents WHERE doc_id >= 50
+    ), bench AS (
+      SELECT doc_id, string_split({_NORM_SQL.format(c='text')}, ' ') AS w
+      FROM documents WHERE doc_id < 50
+    ), cs AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(w) - 3, 0) + 2),
+               i -> array_to_string(w[i:i+2], ' ')))) AS sh
+      FROM corp
+    ), bs AS (
+      SELECT DISTINCT unnest(list_distinct(list_transform(
+               range(1, greatest(len(w) - 3, 0) + 2),
+               i -> array_to_string(w[i:i+2], ' ')))) AS sh
+      FROM bench
+    )
+    SELECT doc_id, count(*) AS n_hits FROM cs JOIN bs USING (sh) GROUP BY doc_id
+    """,
+)
+def curation_contamination(spark, sf_dir):
+    """Benchmark decontamination check: corpus docs (id>=50) sharing word
+    3-grams with the benchmark set (id<50) meet through a broadcast
+    shingle equi-join — (doc_id, n_hits)."""
+    from cm_well_spark.operators.curation import contamination_overlap
+    from cm_well_spark.sources import tables as tbl
+
+    docs = tbl.load_table(spark, sf_dir, "documents")
+    return contamination_overlap(
+        docs.where(F.col("doc_id") >= 50), docs.where(F.col("doc_id") < 50), k=3
+    )
+
+
+@register(
+    "curation_quality_filter",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len(string_split_regex(trim(lower(text)), '\\s+')) AS n_words,
+             len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+             len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+             len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                 w -> w IN ('the','a','an','and','or','of','to','in','is','it',
+                            'that','for','on','with','as'))) AS stop_hits
+      FROM documents
+    ), r AS (
+      SELECT doc_id, n_words,
+             (n_chars - (n_words - 1)) * 1.0 / n_words AS mean_word_len,
+             n_punct * 1.0 / greatest(n_chars, 1) AS punct_ratio,
+             n_alpha * 1.0 / greatest(n_chars, 1) AS alpha_ratio,
+             stop_hits * 1.0 / greatest(n_words, 1) AS stop_ratio
+      FROM q
+    ), scored AS (
+      SELECT doc_id, n_words,
+             least(alpha_ratio / 0.7, 1.0) * 0.4
+             + least(stop_ratio / 0.3, 1.0) * 0.3
+             + (CASE WHEN mean_word_len >= 3 AND mean_word_len <= 10 THEN 1.0 ELSE 0.3 END) * 0.2
+             + (CASE WHEN punct_ratio <= 0.1 THEN 1.0 ELSE 0.5 END) * 0.1 AS quality
+      FROM r
+    )
+    SELECT doc_id,
+           CASE WHEN n_words < 5 THEN 'too_short'
+                WHEN n_words > 100000 THEN 'too_long'
+                WHEN quality < 0.5 THEN 'low_quality'
+                ELSE 'ok' END AS reason,
+           CASE WHEN n_words < 5 THEN FALSE
+                WHEN n_words > 100000 THEN FALSE
+                WHEN quality < 0.5 THEN FALSE
+                ELSE TRUE END AS keep
+    FROM scored
+    """,
+)
+def curation_quality_filter(spark, sf_dir):
+    """C4/Gopher-style rule filter verdicts (doc_id, reason, keep): hard
+    length bounds + composite quality score threshold, first failing rule
+    labels the doc. All columnar — the oracle replicates the exact score
+    formula in SQL."""
+    from cm_well_spark.operators.curation import quality_filter
+    from cm_well_spark.sources import tables as tbl
+
+    return quality_filter(tbl.load_table(spark, sf_dir, "documents"))

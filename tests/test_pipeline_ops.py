@@ -249,3 +249,90 @@ def test_unigram_cross_entropy_orders_quality(spark):
     )
     rows = {r["doc_id"]: r["bits_per_token"] for r in unigram_cross_entropy(docs).collect()}
     assert rows[1] < rows[2] < rows[3]
+
+
+# ---- curation: clustering / sampling / decontamination / filtering -------
+
+
+def test_duplicate_clusters_chain(spark):
+    # a 4-node chain (0-1, 1-2, 2-3) + isolated 9: propagation needs
+    # several rounds (worst case for min-label), all land on cluster 0
+    from cm_well_spark.operators.dedup import duplicate_clusters
+
+    nodes = spark.createDataFrame([(i,) for i in (0, 1, 2, 3, 9)], ["doc_id"])
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], ["id_a", "id_b"])
+    got = {r["doc_id"]: r["cluster"] for r in duplicate_clusters(nodes, pairs).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 9: 9}
+
+
+def test_duplicate_clusters_two_components(spark):
+    from cm_well_spark.operators.dedup import duplicate_clusters
+
+    nodes = spark.createDataFrame([(i,) for i in range(6)], ["doc_id"])
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (4, 5), (3, 4)], ["id_a", "id_b"])
+    got = {r["doc_id"]: r["cluster"] for r in duplicate_clusters(nodes, pairs).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 3}
+
+
+def test_stratified_sample_deterministic_and_bounded(docs):
+    from cm_well_spark.operators.curation import stratified_sample
+
+    rates = {"en": 0.5, "de": 1.0, "fr": 0.25}
+    s1 = stratified_sample(docs, "lang", rates)
+    s2 = stratified_sample(docs, "lang", rates)
+    # deterministic: identical doc_id sets across runs
+    ids1 = {r["doc_id"] for r in s1.select("doc_id").collect()}
+    ids2 = {r["doc_id"] for r in s2.select("doc_id").collect()}
+    assert ids1 == ids2 and ids1
+    by_lang = {r["lang"]: r["count"] for r in s1.groupBy("lang").count().collect()}
+    totals = {r["lang"]: r["count"] for r in docs.groupBy("lang").count().collect()}
+    assert set(by_lang) <= {"en", "de", "fr"}  # absent strata dropped
+    assert by_lang.get("de") == totals["de"]  # rate 1.0 keeps everything
+    # Bernoulli at rate r: observed fraction within a loose band
+    frac_en = by_lang.get("en", 0) / totals["en"]
+    assert 0.25 < frac_en < 0.75
+
+
+def test_stratified_sample_salt_changes_membership(docs):
+    from cm_well_spark.operators.curation import stratified_sample
+
+    a = {r["doc_id"] for r in stratified_sample(docs, "lang", {"en": 0.5}, salt="a").collect()}
+    b = {r["doc_id"] for r in stratified_sample(docs, "lang", {"en": 0.5}, salt="b").collect()}
+    assert a and b and a != b
+
+
+def test_contamination_detects_planted_overlap(spark):
+    from cm_well_spark.operators.curation import contamination_overlap, decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "a totally unrelated document about spark partitions"),
+            (2, "he saw the quick brown fox jumps far away"),
+            (3, "nothing in common here at all whatsoever"),
+        ],
+        ["doc_id", "text"],
+    )
+    hits = {r["doc_id"]: r["n_hits"] for r in contamination_overlap(corpus, bench, k=3).collect()}
+    assert 2 in hits and 1 not in hits and 3 not in hits
+    clean = {r["doc_id"] for r in decontaminate(corpus, bench, k=3).collect()}
+    assert clean == {1, 3}
+
+
+def test_quality_filter_reasons(spark):
+    from cm_well_spark.operators.curation import quality_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, "tiny"),
+            (2, "the cat sat on the mat and it was a good day for everyone involved"),
+            (3, "!!!! ???? ;;;; :::: !!!! ???? ;;;; :::: !!!! ????"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: (r["keep"], r["reason"]) for r in quality_filter(df, min_words=3).collect()}
+    assert out[1] == (False, "too_short")
+    assert out[2] == (True, "ok")
+    assert out[3][0] is False and out[3][1] == "low_quality"
