@@ -56,14 +56,20 @@ def main() -> None:
         "sparql_optional",
         "sparql_graph_revenue",
         "sparql_path_seq",
+        "sparql_exists",
+        "sparql_subquery",
         "consume_first_chunk",
         "bulk_consume_range",
         "merge_writer_current",
         "dedup_exact_groups",
         "dedup_minhash_lsh",
+        "dedup_cluster_components",
         "similarity_topk_cosine",
         "text_token_counts",
         "multimodal_decode",
+        "curation_stratified_sample",
+        "curation_contamination",
+        "curation_quality_filter",
     ]
     bench_names = os.environ.get("CMW_BENCH_QUERIES")
     if bench_names == "all":

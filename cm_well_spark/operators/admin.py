@@ -152,7 +152,8 @@ def proc_infotons(infotons: DataFrame) -> DataFrame:
 def qstream(spark: SparkSession, bootstrap_servers: str, topic: str, starting_offsets: str = "earliest"):
     """Kafka persist-topic passthrough (CRUDServiceFS.consumeKafka:474) —
     a readStream builder; requires the spark-sql-kafka package at runtime
-    (not present in this environment)."""
+    (not present in this environment). qstream_dir below is the same
+    surface over a file-source transport and runs everywhere."""
     return (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
@@ -160,6 +161,32 @@ def qstream(spark: SparkSession, bootstrap_servers: str, topic: str, starting_of
         .option("startingOffsets", starting_offsets)
         .load()
     )
+
+
+def qstream_dir(
+    spark: SparkSession,
+    feed_dir: str,
+    qp: str | None = None,
+    path: str | None = None,
+    descendants: bool = True,
+) -> DataFrame:
+    """S12 op=qstream without a broker: the continuously-filtered ingest
+    feed (`_qstream` streams matching infotons as they index —
+    Application.scala:1236) as file-source Structured Streaming over the
+    lakehouse append dir. Same qp grammar and path semantics as search();
+    only the transport differs from the Kafka variant above — the filter
+    Column is shared, so a deployment swaps .format() and nothing else."""
+    from cm_well_spark.operators.search import PathFilter, path_filter_col, visibility_filter
+    from cm_well_spark.parsers.qp import parse_qp
+    from cm_well_spark.plans.compile import compile_filter
+    from cm_well_spark.streaming.subscribe import ingest_stream
+
+    feed = ingest_stream(spark, feed_dir).where(visibility_filter())
+    if path:
+        feed = feed.where(path_filter_col(PathFilter(path, descendants)))
+    if qp:
+        feed = feed.where(compile_filter(parse_qp(qp)))
+    return feed
 
 
 # ---------------------------------------------------------------------------

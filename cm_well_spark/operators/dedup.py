@@ -325,12 +325,17 @@ def duplicate_clusters(
     `localCheckpoint` truncates the growing lineage each round so the plan
     stays constant-size; convergence is detected with a limit(1) probe of
     changed labels (cheap: stops the scan at the first hit)."""
-    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).union(
-        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        # materialize once: the pair list often carries an expensive lineage
+        # (e.g. a jaccard shingle join) that every propagation round would
+        # otherwise recompute from scratch
+        .localCheckpoint(eager=True)
     )
     labels = nodes.select(
         F.col(id_col).cast("long").alias("id"), F.col(id_col).cast("long").alias("cluster")
-    )
+    ).localCheckpoint(eager=True)
     for _ in range(max_iter):
         neigh = (
             edges.join(
