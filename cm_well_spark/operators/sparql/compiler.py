@@ -87,6 +87,10 @@ def _pattern_df(triples: DataFrame, tp: TriplePattern, idx: int) -> tuple[DataFr
             t = t.where(F.col("num") == float(tp.o.value))
         else:
             t = t.where(F.col("o") == _term_str(tp.o))
+            if isinstance(tp.o, Literal) and tp.o.lang:
+                # "..."@tag matches only same-language triples (RDF term
+                # equality; tags compare case-insensitively)
+                t = t.where(F.lower(F.col("lang")) == tp.o.lang.lower())
     cols, binds = [], {}
     if isinstance(tp.s, Var):
         cols.append(F.col("s").alias(tp.s.name))
@@ -213,7 +217,14 @@ def _squash_groups(g_triples: list, infotons: DataFrame | None):
         by_subj.setdefault(key, []).append(tp)
     squashed, rest = [], []
     for _key, tps in by_subj.items():
-        if len(tps) >= 2 and all(isinstance(tp.p, Iri) for tp in tps):
+        # lang-tagged constant objects need the triples table's lang
+        # column — the doc-table fields route drops them from squashing
+        squashable = (
+            len(tps) >= 2
+            and all(isinstance(tp.p, Iri) for tp in tps)
+            and not any(isinstance(tp.o, Literal) and tp.o.lang for tp in tps)
+        )
+        if squashable:
             squashed.append((tps[0].s, tps))
         else:
             rest.extend(tps)
@@ -508,6 +519,15 @@ def _filter_col(f: Filter, df: DataFrame) -> Column:
         if f.op == "strstarts":
             return hay.startswith(needle)
         return hay.endswith(needle)
+    if f.op == "langmatches":
+        # LANGMATCHES(LANG(?v), "range"): case-insensitive; "*" matches any
+        # non-empty tag; a bare primary range matches its subtags ("en"
+        # matches "en-US") — RFC 4647 basic filtering
+        tag = F.lower(_value_col(f.args[0], df)[0].cast("string"))
+        rng = F.lower(_value_col(f.args[1], df)[0].cast("string"))
+        return F.when(rng == "*", tag != "").otherwise(
+            (tag == rng) | tag.startswith(F.concat(rng, F.lit("-")))
+        )
     if f.op == "bound":
         a = f.args[0]
         if not isinstance(a, Var):

@@ -66,7 +66,8 @@ class Iri:
 @dataclass(frozen=True)
 class Literal:
     value: str
-    dtype: str | None = None  # xsd type iri or None
+    dtype: str | None = None  # 'number', an xsd type iri, or None
+    lang: str | None = None  # language tag from "..."@tag
 
 
 Term = Var | Iri | Literal
@@ -168,6 +169,7 @@ _TOKEN = re.compile(
     | (?P<iri><[^>\s]*>)
     | (?P<var>[?$][A-Za-z_][\w]*)
     | (?P<string>"(?:[^"\\]|\\.)*")
+    | (?P<langtag>@[A-Za-z][A-Za-z0-9\-]*)
     | (?P<number>[+-]?\d+(?:\.\d+)?)
     | (?P<pname>[A-Za-z_][\w\-]*:[\w\-./#%]*)
     | (?P<kw>[A-Za-z_][\w]*)
@@ -229,9 +231,21 @@ class _P:
         if tok.startswith('"'):
             self.next()
             lit = tok[1:-1].encode().decode("unicode_escape")
-            dtype = None
-            if self.peek() == "^^" or (self.peek() == "^" and self.peek(1) == "^"):
-                raise SparqlParseError("typed literal syntax '^^' not supported; use plain literals")
+            if self.peek().startswith("@"):
+                return Literal(lit, lang=self.next()[1:])
+            if self.peek() == "^" and self.peek(1) == "^":
+                self.next()
+                self.next()
+                dt = self.term()
+                if not isinstance(dt, Iri):
+                    raise SparqlParseError("datatype of a typed literal must be an IRI")
+                local = dt.value.rsplit("#", 1)[-1].rsplit("/", 1)[-1]
+                if local in ("int", "integer", "long", "short", "byte", "float", "double",
+                             "decimal", "nonNegativeInteger", "positiveInteger"):
+                    return Literal(lit, dtype="number")
+                if local == "string":
+                    return Literal(lit)
+                return Literal(lit, dtype=dt.value)
             return Literal(lit)
         if re.fullmatch(r"[+-]?\d+(?:\.\d+)?", tok):
             self.next()
@@ -482,7 +496,7 @@ class _P:
         "STR", "LANG", "STRLEN", "UCASE", "LCASE", "ABS", "CEIL", "FLOOR", "ROUND", "CONCAT",
         "STRBEFORE", "STRAFTER", "SUBSTR", "REPLACE", "COALESCE",
     )
-    BOOL_FNS = ("CONTAINS", "STRSTARTS", "STRENDS", "BOUND")
+    BOOL_FNS = ("CONTAINS", "STRSTARTS", "STRENDS", "BOUND", "LANGMATCHES")
 
     def value_expr(self):
         """A value expression: a term or a builtin function application."""

@@ -2159,3 +2159,40 @@ def curation_quality_filter(spark, sf_dir):
     from cm_well_spark.sources import tables as tbl
 
     return quality_filter(tbl.load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "sparql_lang_filter",
+    oracle="""
+    SELECT 'http://example.org/nation/' || n_nationkey AS s,
+           lower(n_name) AS n
+    FROM nation
+    """,
+)
+def sparql_lang_filter(spark, sf_dir):
+    """J5 lang-tagged literals end-to-end: Turtle with "..."@en / "..."@fr
+    names parses to lang-carrying triples (S6), then LANGMATCHES(LANG(?n),
+    "fr") selects the French ones — the lang column rides the same pruned
+    scans as the value."""
+    from cm_well_spark.operators.sparql import sparql_query
+    from cm_well_spark.sources.rdf_formats import parse_rdf_documents
+    from cm_well_spark.sources.tables import load_table
+
+    rows = load_table(spark, sf_dir, "nation").collect()
+    lines = ["@prefix ex: <http://example.org/> .", "@prefix n: <http://example.org/nation/> ."]
+    for r in rows:
+        lines.append(
+            f'n:{r["n_nationkey"]} ex:name "{r["n_name"]}"@en, "{r["n_name"].lower()}"@fr .'
+        )
+    docs = spark.createDataFrame([("\n".join(lines),)], ["value"])
+    triples = (
+        parse_rdf_documents(docs, "ttl")
+        .withColumn("num", F.lit(None).cast("double"))
+        .withColumn("current", F.lit(True))
+    )
+    return sparql_query(
+        triples,
+        'SELECT ?s ?n WHERE { ?s <http://example.org/name> ?n . '
+        'FILTER(LANGMATCHES(LANG(?n), "fr")) }',
+        limit_cap=None,
+    )

@@ -558,3 +558,58 @@ def test_negated_single_predicate(triples):
 def test_negated_set_rejects_inverse(triples):
     with pytest.raises(SparqlParseError, match="forward predicates only"):
         parse_sparql("SELECT ?o WHERE { ?s !(<a>|^<b>) ?o }")
+
+
+# ---- lang-tagged + typed literals ----------------------------------------
+
+
+@pytest.fixture()
+def lang_triples(spark):
+    return spark.createDataFrame(
+        [
+            ("s1", "name", "bonjour", None, "fr", True),
+            ("s1", "name", "hello", None, "en", True),
+            ("s2", "name", "hallo", None, "de", True),
+            ("s2", "age", "7", 7.0, None, True),
+        ],
+        "s string, p string, o string, num double, lang string, current boolean",
+    )
+
+
+def test_lang_tagged_constant_match(lang_triples):
+    out = sparql_query(lang_triples, 'SELECT ?s WHERE { ?s <name> "bonjour"@fr }')
+    assert [r["s"] for r in out.collect()] == ["s1"]
+    # same lexical form, wrong language -> no match
+    out2 = sparql_query(lang_triples, 'SELECT ?s WHERE { ?s <name> "bonjour"@de }')
+    assert out2.count() == 0
+
+
+def test_langmatches_filter(lang_triples):
+    out = sparql_query(
+        lang_triples,
+        'SELECT ?s ?n WHERE { ?s <name> ?n . FILTER(LANGMATCHES(LANG(?n), "en")) }',
+    )
+    assert [(r["s"], r["n"]) for r in out.collect()] == [("s1", "hello")]
+    star = sparql_query(
+        lang_triples,
+        'SELECT ?n WHERE { ?s <name> ?n . FILTER(LANGMATCHES(LANG(?n), "*")) }',
+    )
+    assert star.count() == 3
+
+
+def test_typed_literal_numeric(lang_triples):
+    out = sparql_query(
+        lang_triples,
+        'PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> '
+        'SELECT ?s WHERE { ?s <age> "7"^^xsd:int }',
+    )
+    assert [r["s"] for r in out.collect()] == ["s2"]
+
+
+def test_typed_literal_parse_forms():
+    q = parse_sparql('PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> '
+                     'SELECT ?s WHERE { ?s <p> "x"^^xsd:string . ?s <q> "y"@en-US }')
+    lit_s = q.where.triples[0].o
+    lit_l = q.where.triples[1].o
+    assert lit_s.dtype is None and lit_s.lang is None
+    assert lit_l.lang == "en-US"
