@@ -230,3 +230,18 @@ def ivf_topk(
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+def label_centroids(embs: DataFrame, vec_col: str = "embedding", label_col: str = "label") -> DataFrame:
+    """Per-label centroid of an embedding column as LONG rows (label, pos,
+    centroid component). posexplode + groupBy(label, pos).avg is the
+    scale-safe vector aggregation: no collect_list of whole vectors into a
+    single row (a 1M-member cell would OOM an executor), partial aggregation
+    map-side, one shuffle keyed (label, pos). Re-assemble with
+    array_agg-sorted-by-pos only where a consumer genuinely needs the
+    dense form."""
+    return (
+        embs.select(label_col, F.posexplode(vec_col).alias("pos", "val"))
+        .groupBy(label_col, "pos")
+        .agg(F.avg("val").alias("centroid"))
+    )

@@ -2196,3 +2196,53 @@ def sparql_lang_filter(spark, sf_dir):
         'FILTER(LANGMATCHES(LANG(?n), "fr")) }',
         limit_cap=None,
     )
+
+
+@register(
+    "embedding_label_centroids",
+    oracle="""
+    SELECT label, pos - 1 AS pos, round(avg(val), 5) AS centroid FROM (
+      SELECT label, unnest(embedding) AS val,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ) GROUP BY label, pos
+    """,
+)
+def embedding_label_centroids(spark, sf_dir):
+    """Per-label embedding centroids via posexplode + (label, pos) avg —
+    the vector aggregation shape that never materializes a cell's members
+    in one row (the IVF centroid step uses the same kernel)."""
+    from cm_well_spark.operators.similarity import label_centroids
+    from cm_well_spark.sources import tables as tbl
+
+    embs = tbl.load_table(spark, sf_dir, "embeddings")
+    out = label_centroids(embs)
+    return out.select("label", "pos", F.round("centroid", 5).alias("centroid"))
+
+
+@register(
+    "curation_token_stats",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           round(avg(len(regexp_extract_all(trim(text), '\\S+'))), 4) AS avg_tokens,
+           min(len(regexp_extract_all(trim(text), '\\S+'))) AS min_tokens,
+           max(len(regexp_extract_all(trim(text), '\\S+'))) AS max_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def curation_token_stats(spark, sf_dir):
+    """Per-language token-count statistics — the corpus-sizing report a
+    data pipeline runs before mixing ratios; partial-aggregated one-shuffle
+    groupBy over a columnar token count."""
+    from cm_well_spark.operators.text import whitespace_token_count
+    from cm_well_spark.sources import tables as tbl
+
+    docs = tbl.load_table(spark, sf_dir, "documents")
+    toks = docs.select("lang", whitespace_token_count(F.col("text")).alias("t"))
+    return toks.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("t"), 4).alias("avg_tokens"),
+        F.min("t").alias("min_tokens"),
+        F.max("t").alias("max_tokens"),
+    )
