@@ -533,6 +533,17 @@ def _filter_col(f: Filter, df: DataFrame) -> Column:
         if not isinstance(a, Var):
             raise SparqlCompileError("BOUND needs a variable")
         return F.col(a.name).isNotNull() if a.name in df.columns else F.lit(False)
+    if f.op in ("in", "not_in"):
+        expr, vals = f.args
+        numeric = all(isinstance(v, Literal) and v.dtype == "number" for v in vals)
+        if numeric and isinstance(expr, Var) and f"__num__{expr.name}" in df.columns:
+            col = F.col(f"__num__{expr.name}")
+            items = [float(v.value) for v in vals]
+        else:
+            col = _value_col(expr, df)[0].cast("string")
+            items = [_term_str(v) for v in vals]
+        cond = col.isin(items)
+        return ~cond if f.op == "not_in" else cond
     left, right = f.args
     ops = {"=": "__eq__", "!=": "__ne__", "<": "__lt__", "<=": "__le__", ">": "__gt__", ">=": "__ge__"}
     py = ops[f.op]

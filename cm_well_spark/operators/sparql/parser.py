@@ -555,6 +555,21 @@ class _P:
             self.expect(")")
             return Filter(fn, tuple(args))
         left = self.value_expr()
+        if self.peek().upper() in ("IN", "NOT"):
+            # ?x [NOT] IN (v1, v2, ...) — SPARQL 1.1 §17.4.1.9
+            negated = self.kw("NOT")
+            self.expect("IN")
+            self.expect("(")
+            vals = []
+            while self.peek() != ")":
+                v = self.term()
+                if isinstance(v, Var):
+                    raise SparqlParseError("IN list items must be constants")
+                vals.append(v)
+                if self.peek() == ",":
+                    self.next()
+            self.next()
+            return Filter("not_in" if negated else "in", (left, tuple(vals)))
         op = self.next()
         if op not in ("=", "!=", "<", "<=", ">", ">="):
             raise SparqlParseError(f"unsupported FILTER operator {op!r}")

@@ -2246,3 +2246,22 @@ def curation_token_stats(spark, sf_dir):
         F.min("t").alias("min_tokens"),
         F.max("t").alias("max_tokens"),
     )
+
+
+@register(
+    "sparql_filter_in",
+    oracle="""
+    SELECT '/tpch/nation/' || n_nationkey AS s FROM nation
+    WHERE n_nationkey IN (3, 7)
+    """,
+)
+def sparql_filter_in(spark, sf_dir):
+    """J5 FILTER ?x IN (...) -> Column.isin through the typed num shadow
+    for numeric lists (SPARQL 1.1 §17.4.1.9)."""
+    from cm_well_spark.operators.sparql import sparql_query
+
+    return sparql_query(
+        _tri(spark, sf_dir),
+        "SELECT ?s WHERE { ?s <nationkey> ?k . FILTER(?k IN (3, 7)) }",
+        limit_cap=None,
+    )

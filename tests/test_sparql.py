@@ -613,3 +613,26 @@ def test_typed_literal_parse_forms():
     lit_l = q.where.triples[1].o
     assert lit_s.dtype is None and lit_s.lang is None
     assert lit_l.lang == "en-US"
+
+
+def test_filter_in_and_not_in(triples):
+    out = sparql_query(
+        triples,
+        'SELECT ?s ?n WHERE { ?s <rdfType> "Nation" . ?s <name> ?n . '
+        'FILTER(?n IN ("NATION_3", "NATION_7")) }',
+    )
+    assert {r["n"] for r in out.collect()} == {"NATION_3", "NATION_7"}
+    out2 = sparql_query(
+        triples,
+        'SELECT ?n WHERE { ?s <rdfType> "Region" . ?s <name> ?n . '
+        'FILTER(?n NOT IN ("AFRICA")) }',
+    )
+    assert out2.count() == 4
+
+
+def test_filter_in_numeric_shadow(triples):
+    out = sparql_query(
+        triples,
+        'SELECT ?s WHERE { ?s <nationkey> ?k . FILTER(?k IN (3, 7)) }',
+    )
+    assert out.count() == 2
