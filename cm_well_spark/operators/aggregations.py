@@ -324,3 +324,35 @@ def _run_grouped_flat(src_with_key: DataFrame, sub: AggFilter, key_cols: list[st
         counts = counts.where(F.col("objects") >= sub.min_doc_count)
         return AggResult(sub, counts.orderBy(*key_cols, "key2"), [])
     raise AggregationError(f"unsupported nested aggregation {type(sub).__name__}")
+
+
+# ---------------------------------------------------------------------------
+# gap-based session windows (events table; batch twin of the streaming form)
+# ---------------------------------------------------------------------------
+
+
+def session_window_agg(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    key: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+) -> DataFrame:
+    """Per-key gap-based sessionization via the built-in
+    `F.session_window` (merge while next.ts < last.ts + gap; session end =
+    last event + gap). One shuffle on (key, overlapping-window), partial
+    merge map-side — the same expression runs under readStream with a
+    watermark for the streaming form, so batch backfill and live
+    sessionization share one definition."""
+    w = F.session_window(F.col(ts_col), gap)
+    return (
+        events.groupBy(F.col(key), w)
+        .agg(F.count("*").alias("n_events"), F.round(F.sum(val_col), 2).alias("sum_value"))
+        .select(
+            key,
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+            F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -2265,3 +2265,37 @@ def sparql_filter_in(spark, sf_dir):
         "SELECT ?s WHERE { ?s <nationkey> ?k . FILTER(?k IN (3, 7)) }",
         limit_cap=None,
     )
+
+
+@register(
+    "events_session_agg",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+      SELECT user_id, ts, value,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def events_session_agg(spark, sf_dir):
+    """Gap-based session windows over the events stream (30 min idle gap):
+    built-in session_window groupBy; the oracle derives the same islands
+    with lag()+cumulative-sum."""
+    from cm_well_spark.operators.aggregations import session_window_agg
+    from cm_well_spark.sources import tables as tbl
+
+    return session_window_agg(tbl.load_table(spark, sf_dir, "events"), gap="30 minutes")

@@ -127,3 +127,29 @@ def test_term_with_stats_sub(infotons, spark, sf_dir):
     exp_rows = raw.groupBy("c_mktsegment").agg(F.count("*").alias("c"), F.sum("c_acctbal").alias("s")).collect()
     exp = {r["c_mktsegment"]: (r["c"], round(r["s"], 2)) for r in exp_rows}
     assert got == exp
+
+
+def test_session_window_gap_semantics(spark):
+    from datetime import datetime
+
+    from cm_well_spark.operators.aggregations import session_window_agg
+
+    rows = [
+        # user 1: two events 10 min apart -> one session; third 40 min
+        # after the second -> new session
+        (1, datetime(2024, 1, 1, 0, 0, 0), 1.0),
+        (1, datetime(2024, 1, 1, 0, 10, 0), 2.0),
+        (1, datetime(2024, 1, 1, 0, 50, 0), 4.0),
+        # user 2: single event
+        (2, datetime(2024, 1, 1, 12, 0, 0), 8.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = session_window_agg(df, gap="30 minutes").collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert len(by_user[1]) == 2 and len(by_user[2]) == 1
+    first = sorted(by_user[1], key=lambda r: r["session_start"])[0]
+    assert first["n_events"] == 2 and first["sum_value"] == 3.0
+    # session end = last event + gap
+    assert first["session_end"].startswith("2024-01-01 00:40:00")
