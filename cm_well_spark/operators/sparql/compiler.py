@@ -494,6 +494,15 @@ def _value_col(e, df: DataFrame) -> tuple[Column, bool]:
             )
         if e.fn == "coalesce":
             return F.coalesce(*[a[0] for a in args]), all(a[1] for a in args)
+        if e.fn == "md5":
+            return F.md5(args[0][0].cast("string")), False
+        if e.fn == "sha1":
+            return F.sha1(args[0][0].cast("string")), False
+        if e.fn == "sha256":
+            return F.sha2(args[0][0].cast("string"), 256), False
+        if e.fn == "encode_for_uri":
+            # percent-encode everything outside RFC 3986 unreserved
+            return F.url_encode(args[0][0].cast("string")), False
     raise SparqlCompileError(f"unsupported value expression {e!r}")
 
 

@@ -495,6 +495,7 @@ class _P:
     VALUE_FNS = (
         "STR", "LANG", "STRLEN", "UCASE", "LCASE", "ABS", "CEIL", "FLOOR", "ROUND", "CONCAT",
         "STRBEFORE", "STRAFTER", "SUBSTR", "REPLACE", "COALESCE",
+        "MD5", "SHA1", "SHA256", "ENCODE_FOR_URI",
     )
     BOOL_FNS = ("CONTAINS", "STRSTARTS", "STRENDS", "BOUND", "LANGMATCHES")
 

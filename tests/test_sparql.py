@@ -636,3 +636,19 @@ def test_filter_in_numeric_shadow(triples):
         'SELECT ?s WHERE { ?s <nationkey> ?k . FILTER(?k IN (3, 7)) }',
     )
     assert out.count() == 2
+
+
+def test_hash_builtins(triples):
+    out = sparql_query(
+        triples,
+        'SELECT ?s ?h WHERE { ?s <rdfType> "Region" . ?s <name> ?n . BIND(MD5(?n) AS ?h) }',
+    )
+    import hashlib
+    rows = {r["s"]: r["h"] for r in out.collect()}
+    assert len(rows) == 5
+    # spot-check one value against hashlib
+    name = sparql_query(triples, "SELECT ?n WHERE { </tpch/region/0> <name> ?n }").first()["n"]
+    got = sparql_query(
+        triples, 'SELECT ?h WHERE { </tpch/region/0> <name> ?n . BIND(SHA256(?n) AS ?h) }'
+    ).first()["h"]
+    assert got == hashlib.sha256(name.encode()).hexdigest()
