@@ -2299,3 +2299,81 @@ def events_session_agg(spark, sf_dir):
     from cm_well_spark.sources import tables as tbl
 
     return session_window_agg(tbl.load_table(spark, sf_dir, "events"), gap="30 minutes")
+
+
+@register(
+    "multimodal_resize_decode",
+    oracle="""
+    SELECT doc_id AS id,
+           2 AS height, 3 AS width, 3 AS channels,
+           CAST(13 + 2 * 3 * 3 AS BIGINT) AS n_bytes,
+           CAST(doc_id % 256 AS DOUBLE) AS mean_byte,
+           true AS ok
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def multimodal_resize_decode(spark, sf_dir):
+    """Multimodal resize plumbing: fake-codec images resized to 2x3 then
+    decoded again — the round trip pins payload sizing and mean-byte
+    preservation through two Arrow-batched mapInPandas stages."""
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    from cm_well_spark.operators.multimodal import decode_images, fake_image, resize_images
+    from cm_well_spark.sources import tables as tbl
+
+    docs = tbl.load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200).select("doc_id")
+
+    def gen(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "id": pdf["doc_id"],
+                    "data": [
+                        fake_image(int(i) % 8 + 1, int(i) % 5 + 1, 3, int(i) % 256) for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    imgs = docs.mapInPandas(
+        gen, T.StructType([T.StructField("id", T.LongType()), T.StructField("data", T.BinaryType())])
+    )
+    return decode_images(resize_images(imgs, 2, 3))
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id AS id,
+           CAST((doc_id % 6 + 1 + 1) // 2 AS BIGINT) AS n_sampled
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Video frame sampling: a fake 'video' of k=doc_id%6+1 concatenated
+    IMG1 frames, sampled every 2nd frame -> ceil(k/2) rows per id after
+    the mapInPandas explode."""
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    from cm_well_spark.operators.multimodal import fake_image, sample_frames
+    from cm_well_spark.sources import tables as tbl
+
+    docs = tbl.load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200).select("doc_id")
+
+    def gen(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "id": pdf["doc_id"],
+                    "data": [
+                        b"".join(fake_image(2, 2, 3, f) for f in range(int(i) % 6 + 1))
+                        for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    vids = docs.mapInPandas(
+        gen, T.StructType([T.StructField("id", T.LongType()), T.StructField("data", T.BinaryType())])
+    )
+    return sample_frames(vids, every_n=2).groupBy("id").agg(F.count("*").alias("n_sampled"))
