@@ -785,135 +785,6 @@ def sparql_group_concat(spark, sf_dir):
     )
 
 
-@register(
-    "sparql_exists",
-    oracle="""
-    SELECT '/tpch/nation/' || n_nationkey AS n FROM nation
-    WHERE n_nationkey IN (SELECT s_nationkey FROM supplier)
-    """,
-)
-def sparql_exists(spark, sf_dir):
-    """J5 FILTER EXISTS -> left_semi join on the shared variables (full ARQ
-    in the reference, SpHandler.scala:598-670)."""
-    from cm_well_spark.operators.sparql import sparql_query
-
-    return sparql_query(
-        _tri(spark, sf_dir),
-        'SELECT ?n WHERE { ?n <rdfType> "Nation" . '
-        'FILTER EXISTS { ?s <inNation> ?n . ?s <rdfType> "Supplier" } }',
-        limit_cap=None,
-    )
-
-
-@register(
-    "sparql_not_exists",
-    oracle="""
-    SELECT '/tpch/nation/' || n_nationkey AS n FROM nation
-    WHERE n_nationkey NOT IN (SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000)
-    """,
-)
-def sparql_not_exists(spark, sf_dir):
-    """J5 FILTER NOT EXISTS -> left_anti join on the shared variables:
-    nations with no high-balance supplier."""
-    from cm_well_spark.operators.sparql import sparql_query
-
-    return sparql_query(
-        _tri(spark, sf_dir),
-        'SELECT ?n WHERE { ?n <rdfType> "Nation" . '
-        "FILTER NOT EXISTS { ?s <inNation> ?n . ?s <acctbal> ?b . "
-        '?s <rdfType> "Supplier" . FILTER(?b > 9000) } }',
-        limit_cap=None,
-    )
-
-
-@register(
-    "sparql_subquery",
-    oracle="""
-    SELECT n_name AS name, cnt FROM nation
-    JOIN (SELECT c_nationkey, COUNT(*) AS cnt FROM customer GROUP BY c_nationkey) c
-      ON n_nationkey = c.c_nationkey
-    """,
-)
-def sparql_subquery(spark, sf_dir):
-    """J5 nested sub-SELECT (SPARQL 1.1 §12): the inner aggregation
-    evaluates bottom-up to a solution frame, then joins the outer pattern
-    on the shared ?nat variable — one shuffle for the groupBy, a broadcast
-    hash join for the 25-row name lookup under AQE."""
-    from cm_well_spark.operators.sparql import sparql_query
-
-    return sparql_query(
-        _tri(spark, sf_dir),
-        """
-        SELECT ?name ?cnt WHERE {
-          { SELECT ?nat (COUNT(?c) AS ?cnt) WHERE {
-              ?c <inNation> ?nat . ?c <rdfType> "Customer" }
-            GROUP BY ?nat }
-          ?nat <name> ?name .
-        }
-        """,
-        limit_cap=None,
-    )
-
-
-@register(
-    "sparql_having",
-    oracle="""
-    SELECT '/tpch/nation/' || c_nationkey AS nat, COUNT(*) AS cnt
-    FROM customer GROUP BY c_nationkey HAVING COUNT(*) >= 50
-    """,
-)
-def sparql_having(spark, sf_dir):
-    """J5 HAVING: post-aggregation filter over the projected aggregate
-    alias — a where() on the agg frame, still one hash-agg job."""
-    from cm_well_spark.operators.sparql import sparql_query
-
-    return sparql_query(
-        _tri(spark, sf_dir),
-        'SELECT ?nat (COUNT(?c) AS ?cnt) WHERE { ?c <inNation> ?nat . '
-        '?c <rdfType> "Customer" } GROUP BY ?nat HAVING (?cnt >= 50)',
-        limit_cap=None,
-    )
-
-
-@register(
-    "sparql_path_zero_or_one",
-    oracle="""
-    SELECT '/tpch/nation/3' AS x
-    UNION
-    SELECT '/tpch/region/' || n_regionkey FROM nation WHERE n_nationkey = 3
-    """,
-)
-def sparql_path_zero_or_one(spark, sf_dir):
-    """J5 `p?` zero-or-one property path: zero-length identity ∪ one hop."""
-    from cm_well_spark.operators.sparql import sparql_query
-
-    return sparql_query(
-        _tri(spark, sf_dir),
-        "SELECT DISTINCT ?x WHERE { </tpch/nation/3> <ofRegion>? ?x }",
-        limit_cap=None,
-    )
-
-
-@register(
-    "sparql_negated_pset",
-    oracle="""
-    SELECT CAST(n_nationkey AS VARCHAR) AS o FROM nation WHERE n_nationkey = 3
-    UNION ALL
-    SELECT '/tpch/region/' || n_regionkey FROM nation WHERE n_nationkey = 3
-    """,
-)
-def sparql_negated_pset(spark, sf_dir):
-    """J5 negated property set `!(p1|p2)`: one scan filtered to predicates
-    NOT in the set — a partition-level anti-filter, no unions or joins."""
-    from cm_well_spark.operators.sparql import sparql_query
-
-    return sparql_query(
-        _tri(spark, sf_dir),
-        "SELECT ?o WHERE { </tpch/nation/3> !(<name>|<rdfType>) ?o }",
-        limit_cap=None,
-    )
-
-
 # ---------------------------------------------------------------------------
 # W3/W4 + S5: versioned merge writer & history
 # ---------------------------------------------------------------------------
@@ -1775,6 +1646,135 @@ def sparql_graph_revenue(spark, sf_dir):
         infotons=_inf(spark, sf_dir),
     )
     return df.select("rname", F.round("revenue", 2).alias("revenue"), "n_items")
+
+
+@register(
+    "sparql_exists",
+    oracle="""
+    SELECT '/tpch/nation/' || n_nationkey AS n FROM nation
+    WHERE n_nationkey IN (SELECT s_nationkey FROM supplier)
+    """,
+)
+def sparql_exists(spark, sf_dir):
+    """J5 FILTER EXISTS -> left_semi join on the shared variables (full ARQ
+    in the reference, SpHandler.scala:598-670)."""
+    from cm_well_spark.operators.sparql import sparql_query
+
+    return sparql_query(
+        _tri(spark, sf_dir),
+        'SELECT ?n WHERE { ?n <rdfType> "Nation" . '
+        'FILTER EXISTS { ?s <inNation> ?n . ?s <rdfType> "Supplier" } }',
+        limit_cap=None,
+    )
+
+
+@register(
+    "sparql_not_exists",
+    oracle="""
+    SELECT '/tpch/nation/' || n_nationkey AS n FROM nation
+    WHERE n_nationkey NOT IN (SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000)
+    """,
+)
+def sparql_not_exists(spark, sf_dir):
+    """J5 FILTER NOT EXISTS -> left_anti join on the shared variables:
+    nations with no high-balance supplier."""
+    from cm_well_spark.operators.sparql import sparql_query
+
+    return sparql_query(
+        _tri(spark, sf_dir),
+        'SELECT ?n WHERE { ?n <rdfType> "Nation" . '
+        "FILTER NOT EXISTS { ?s <inNation> ?n . ?s <acctbal> ?b . "
+        '?s <rdfType> "Supplier" . FILTER(?b > 9000) } }',
+        limit_cap=None,
+    )
+
+
+@register(
+    "sparql_subquery",
+    oracle="""
+    SELECT n_name AS name, cnt FROM nation
+    JOIN (SELECT c_nationkey, COUNT(*) AS cnt FROM customer GROUP BY c_nationkey) c
+      ON n_nationkey = c.c_nationkey
+    """,
+)
+def sparql_subquery(spark, sf_dir):
+    """J5 nested sub-SELECT (SPARQL 1.1 §12): the inner aggregation
+    evaluates bottom-up to a solution frame, then joins the outer pattern
+    on the shared ?nat variable — one shuffle for the groupBy, a broadcast
+    hash join for the 25-row name lookup under AQE."""
+    from cm_well_spark.operators.sparql import sparql_query
+
+    return sparql_query(
+        _tri(spark, sf_dir),
+        """
+        SELECT ?name ?cnt WHERE {
+          { SELECT ?nat (COUNT(?c) AS ?cnt) WHERE {
+              ?c <inNation> ?nat . ?c <rdfType> "Customer" }
+            GROUP BY ?nat }
+          ?nat <name> ?name .
+        }
+        """,
+        limit_cap=None,
+    )
+
+
+@register(
+    "sparql_having",
+    oracle="""
+    SELECT '/tpch/nation/' || c_nationkey AS nat, COUNT(*) AS cnt
+    FROM customer GROUP BY c_nationkey HAVING COUNT(*) >= 50
+    """,
+)
+def sparql_having(spark, sf_dir):
+    """J5 HAVING: post-aggregation filter over the projected aggregate
+    alias — a where() on the agg frame, still one hash-agg job."""
+    from cm_well_spark.operators.sparql import sparql_query
+
+    return sparql_query(
+        _tri(spark, sf_dir),
+        'SELECT ?nat (COUNT(?c) AS ?cnt) WHERE { ?c <inNation> ?nat . '
+        '?c <rdfType> "Customer" } GROUP BY ?nat HAVING (?cnt >= 50)',
+        limit_cap=None,
+    )
+
+
+@register(
+    "sparql_path_zero_or_one",
+    oracle="""
+    SELECT '/tpch/nation/3' AS x
+    UNION
+    SELECT '/tpch/region/' || n_regionkey FROM nation WHERE n_nationkey = 3
+    """,
+)
+def sparql_path_zero_or_one(spark, sf_dir):
+    """J5 `p?` zero-or-one property path: zero-length identity ∪ one hop."""
+    from cm_well_spark.operators.sparql import sparql_query
+
+    return sparql_query(
+        _tri(spark, sf_dir),
+        "SELECT DISTINCT ?x WHERE { </tpch/nation/3> <ofRegion>? ?x }",
+        limit_cap=None,
+    )
+
+
+@register(
+    "sparql_negated_pset",
+    oracle="""
+    SELECT CAST(n_nationkey AS VARCHAR) AS o FROM nation WHERE n_nationkey = 3
+    UNION ALL
+    SELECT '/tpch/region/' || n_regionkey FROM nation WHERE n_nationkey = 3
+    """,
+)
+def sparql_negated_pset(spark, sf_dir):
+    """J5 negated property set `!(p1|p2)`: one scan filtered to predicates
+    NOT in the set — a partition-level anti-filter, no unions or joins."""
+    from cm_well_spark.operators.sparql import sparql_query
+
+    return sparql_query(
+        _tri(spark, sf_dir),
+        "SELECT ?o WHERE { </tpch/nation/3> !(<name>|<rdfType>) ?o }",
+        limit_cap=None,
+    )
 
 
 # ---------------------------------------------------------------------------
