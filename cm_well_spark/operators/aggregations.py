@@ -69,14 +69,50 @@ def _exploded(df: DataFrame, f: AggField, extra: list[Column] | None = None) -> 
     return out
 
 
-def _guard_text(df: DataFrame, f: AggField, need_numeric: bool = False) -> str:
+def _exploded_indexed(triples: DataFrame, df: DataFrame, f: AggField) -> DataFrame:
+    """The index-first twin of _exploded: one pruned scan of the agg
+    field's predicate partition (the ES doc-values analog — SURVEY §1.4),
+    semi-joined to the filtered universe's path set. At 100 TB this reads
+    ONE predicate's column data instead of deserializing every filtered
+    doc's whole fields map; the path set is a narrow column-pruned
+    projection that AQE broadcasts when small."""
+    t = triples.where(F.col("current") & (F.col("p") == f.name))
+    ex = t.select(
+        F.col("s").alias("path"),
+        F.struct(
+            F.col("o").alias("value"),
+            F.col("vtype").alias("vtype"),
+            F.col("lang").alias("lang"),
+            F.col("g").alias("quad"),
+            F.col("num").alias("num"),
+            F.col("ts").alias("ts"),
+            F.col("bool").alias("bool"),
+        ).alias("__v"),
+    )
+    return ex.join(df.select("path"), "path", "left_semi")
+
+
+def _exploded_any(df: DataFrame, f: AggField, triples: DataFrame | None) -> DataFrame:
+    if triples is not None:
+        return _exploded_indexed(triples, df, f)
+    return _exploded(df, f)
+
+
+def _guard_text(
+    df: DataFrame, f: AggField, need_numeric: bool = False, triples: DataFrame | None = None
+) -> str:
     """Returns the sampled vtype; raises the reference's exact error when an
     analyzed (`:`) aggregation hits a string field, or stats hits text."""
-    row = (
-        df.where(F.col("fields").getItem(f.name).isNotNull())
-        .select(F.element_at(F.col("fields").getItem(f.name), 1)["vtype"].alias("vt"))
-        .first()
-    )
+    if triples is not None:
+        row = (
+            triples.where(F.col("current") & (F.col("p") == f.name)).select(F.col("vtype").alias("vt")).first()
+        )
+    else:
+        row = (
+            df.where(F.col("fields").getItem(f.name).isNotNull())
+            .select(F.element_at(F.col("fields").getItem(f.name), 1)["vtype"].alias("vt"))
+            .first()
+        )
     vt = row["vt"] if row else None
     if vt == "s" and (not f.exact) :
         raise AggregationError("aggregations failure due to fielddata disabled")
@@ -95,16 +131,24 @@ def aggregate(
     ap: str | list[AggFilter],
     base: DataFrame | None = None,
     fg_filter: Column | None = None,
+    triples: DataFrame | None = None,
 ) -> list[AggResult]:
     """Run aggregations over the (already search-filtered) infoton set.
 
     `base` is the background universe for sig-terms (defaults to
     `filtered` itself when no wider context is supplied). `fg_filter`, when
     given, asserts `filtered == base.where(fg_filter)` and lets sig-terms
-    run single-job conditional counts over the background alone."""
+    run single-job conditional counts over the background alone.
+
+    `triples` enables the INDEX-FIRST route: the agg field's values come
+    from its pruned predicate partition (ES doc-values analog) instead of
+    exploding every filtered doc's fields map — the 100 TB posture.
+    Sig-terms and nested child aggregations stay on the doc route (they
+    need doc-level predicates / bucket membership)."""
     filters = parse_ap(ap) if isinstance(ap, str) else list(ap)
     return [
-        _run(filtered, f, base if base is not None else filtered, parents=None, fg_filter=fg_filter)
+        _run(filtered, f, base if base is not None else filtered, parents=None,
+             fg_filter=fg_filter, triples=triples)
         for f in filters
     ]
 
@@ -115,23 +159,24 @@ def _run(
     base: DataFrame,
     parents: DataFrame | None,
     fg_filter: Column | None = None,
+    triples: DataFrame | None = None,
 ) -> AggResult:
     if isinstance(agg, TermAgg):
-        return _term(df, agg, base)
+        return _term(df, agg, base, triples)
     if isinstance(agg, StatsAgg):
-        return _stats(df, agg)
+        return _stats(df, agg, triples)
     if isinstance(agg, HistAgg):
-        return _hist(df, agg, base)
+        return _hist(df, agg, base, triples)
     if isinstance(agg, SigAgg):
         return _sig(df, agg, base, fg_filter)
     if isinstance(agg, CardAgg):
-        return _card(df, agg)
+        return _card(df, agg, triples=triples)
     raise AggregationError(f"unknown aggregation {agg}")
 
 
-def _term(df: DataFrame, agg: TermAgg, base: DataFrame) -> AggResult:
-    _guard_text(df, agg.field)
-    ex = _exploded(df, agg.field)
+def _term(df: DataFrame, agg: TermAgg, base: DataFrame, triples: DataFrame | None = None) -> AggResult:
+    _guard_text(df, agg.field, triples=triples)
+    ex = _exploded_any(df, agg.field, triples)
     counts = ex.groupBy(_key_col(agg.field).alias("key")).agg(F.count("*").alias("objects"))
     top = counts.orderBy(F.desc("objects"), F.asc("key")).limit(agg.size)
     subs = []
@@ -146,9 +191,9 @@ def _term(df: DataFrame, agg: TermAgg, base: DataFrame) -> AggResult:
     return AggResult(agg, top, subs)
 
 
-def _stats(df: DataFrame, agg: StatsAgg) -> AggResult:
-    _guard_text(df, agg.field, need_numeric=True)
-    ex = _exploded(df, agg.field)
+def _stats(df: DataFrame, agg: StatsAgg, triples: DataFrame | None = None) -> AggResult:
+    _guard_text(df, agg.field, need_numeric=True, triples=triples)
+    ex = _exploded_any(df, agg.field, triples)
     num = F.col("__v")["num"]
     out = ex.agg(
         F.count(num).alias("count"),
@@ -160,9 +205,9 @@ def _stats(df: DataFrame, agg: StatsAgg) -> AggResult:
     return AggResult(agg, out, [])
 
 
-def _hist(df: DataFrame, agg: HistAgg, base: DataFrame) -> AggResult:
-    _guard_text(df, agg.field, need_numeric=True)
-    ex = _exploded(df, agg.field)
+def _hist(df: DataFrame, agg: HistAgg, base: DataFrame, triples: DataFrame | None = None) -> AggResult:
+    _guard_text(df, agg.field, need_numeric=True, triples=triples)
+    ex = _exploded_any(df, agg.field, triples)
     num = F.col("__v")["num"]
     key = (F.floor(num / agg.interval) * agg.interval).cast("double")
     counts = ex.groupBy(key.alias("key")).agg(F.count("*").alias("objects"))
@@ -274,8 +319,10 @@ def _sig(df: DataFrame, agg: SigAgg, base: DataFrame, fg_filter: Column | None =
     return AggResult(agg, top, [])
 
 
-def _card(df: DataFrame, agg: CardAgg, exact: bool = False) -> AggResult:
-    ex = _exploded(df, agg.field)
+def _card(
+    df: DataFrame, agg: CardAgg, exact: bool = False, triples: DataFrame | None = None
+) -> AggResult:
+    ex = _exploded_any(df, agg.field, triples)
     if exact:
         out = ex.agg(F.countDistinct(_key_col(agg.field)).alias("count"))
     else:
@@ -284,11 +331,11 @@ def _card(df: DataFrame, agg: CardAgg, exact: bool = False) -> AggResult:
     return AggResult(agg, out, [])
 
 
-def card_exact(df: DataFrame, field_name: str) -> DataFrame:
+def card_exact(df: DataFrame, field_name: str, triples: DataFrame | None = None) -> DataFrame:
     """Exact-distinct variant of A5 (oracle-checkable; the approximate HLL
     path is the reference-faithful default)."""
     agg = CardAgg(AggField(field_name, True))
-    return _card(df, agg, exact=True).df
+    return _card(df, agg, exact=True, triples=triples).df
 
 
 def _run_grouped_flat(src_with_key: DataFrame, sub: AggFilter, key_cols: list[str]) -> AggResult:

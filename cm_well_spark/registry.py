@@ -292,8 +292,9 @@ def agg_term(spark, sf_dir):
     """A1 type:term -> groupBy.count ordered by doc count (FTSService:978)."""
     from cm_well_spark.operators.aggregations import aggregate
 
-    cust = S.search(_inf(spark, sf_dir), qp="rdfType::Customer", length=None)
-    return aggregate(cust, "type:term,field::mktsegment")[0].df
+    tri = _tri(spark, sf_dir)
+    cust = S.search(_inf(spark, sf_dir), qp="rdfType::Customer", length=None, triples=tri)
+    return aggregate(cust, "type:term,field::mktsegment", triples=tri)[0].df
 
 
 @register(
@@ -309,8 +310,9 @@ def agg_stats(spark, sf_dir):
     """A2 type:stats -> count/min/max/avg/sum (FTSService:980)."""
     from cm_well_spark.operators.aggregations import aggregate
 
-    li = S.search(_inf(spark, sf_dir), qp="rdfType::Lineitem", length=None)
-    df = aggregate(li, "type:stats,field::quantity")[0].df
+    tri = _tri(spark, sf_dir)
+    li = S.search(_inf(spark, sf_dir), qp="rdfType::Lineitem", length=None, triples=tri)
+    df = aggregate(li, "type:stats,field::quantity", triples=tri)[0].df
     return df.select(
         "count", "min", "max", F.round("avg", 2).alias("avg"), F.round("sum", 2).alias("sum")
     )
@@ -327,8 +329,9 @@ def agg_hist(spark, sf_dir):
     """A3 type:hist -> interval bucketing with minDocCount (FTSService:982)."""
     from cm_well_spark.operators.aggregations import aggregate
 
-    parts = S.search(_inf(spark, sf_dir), qp="rdfType::Part", length=None)
-    return aggregate(parts, "type:hist,field::size,interval:10,minDocCount:1")[0].df
+    tri = _tri(spark, sf_dir)
+    parts = S.search(_inf(spark, sf_dir), qp="rdfType::Part", length=None, triples=tri)
+    return aggregate(parts, "type:hist,field::size,interval:10,minDocCount:1", triples=tri)[0].df
 
 
 @register(
@@ -340,8 +343,9 @@ def agg_card_exact(spark, sf_dir):
     reference-faithful default; this entry is the oracle-checkable one)."""
     from cm_well_spark.operators.aggregations import card_exact
 
-    li = S.search(_inf(spark, sf_dir), qp="rdfType::Lineitem", length=None)
-    return card_exact(li, "ofPart")
+    tri = _tri(spark, sf_dir)
+    li = S.search(_inf(spark, sf_dir), qp="rdfType::Lineitem", length=None, triples=tri)
+    return card_exact(li, "ofPart", triples=tri)
 
 
 @register("agg_card_approx")
@@ -350,8 +354,9 @@ def agg_card_approx(spark, sf_dir):
     oracle by design; driver records rows-only."""
     from cm_well_spark.operators.aggregations import aggregate
 
-    li = S.search(_inf(spark, sf_dir), qp="rdfType::Lineitem", length=None)
-    return aggregate(li, "type:card,field::ofPart,precisionThreshold:10000")[0].df
+    tri = _tri(spark, sf_dir)
+    li = S.search(_inf(spark, sf_dir), qp="rdfType::Lineitem", length=None, triples=tri)
+    return aggregate(li, "type:card,field::ofPart,precisionThreshold:10000", triples=tri)[0].df
 
 
 @register(
@@ -401,8 +406,9 @@ def agg_term_nested_stats(spark, sf_dir):
     """A1<A2> nested sub-aggregation -> multi-level groupBy rollup."""
     from cm_well_spark.operators.aggregations import aggregate
 
-    cust = S.search(_inf(spark, sf_dir), qp="rdfType::Customer", length=None)
-    res = aggregate(cust, "type:term,field::mktsegment<type:stats,field::acctbal>")[0]
+    tri = _tri(spark, sf_dir)
+    cust = S.search(_inf(spark, sf_dir), qp="rdfType::Customer", length=None, triples=tri)
+    res = aggregate(cust, "type:term,field::mktsegment<type:stats,field::acctbal>", triples=tri)[0]
     sub = res.subs[0].df
     return sub.select(
         "key", "count", "min", "max", F.round("avg", 2).alias("avg"), F.round("sum", 2).alias("sum")
