@@ -92,8 +92,27 @@ def _exploded_indexed(triples: DataFrame, df: DataFrame, f: AggField) -> DataFra
     return ex.join(df.select("path"), "path", "left_semi")
 
 
-def _exploded_any(df: DataFrame, f: AggField, triples: DataFrame | None) -> DataFrame:
-    if triples is not None:
+INDEXED_AGG_THRESHOLD = 2_000_000  # predicate rows above which the pruned
+# partition scan + path semi-join beats re-reading the filtered docs' maps
+
+
+def _use_indexed(f: AggField, triples: DataFrame | None, stats: dict | None) -> bool:
+    """Stats-driven route choice (the agg analog of the BGP reorderer):
+    on a small predicate the cached doc-map explode is cheaper than an
+    extra semi-join; past the threshold the fields-map re-read dominates
+    and the doc-values-style pruned scan wins. No stats + explicit
+    triples = the caller opted into the indexed route."""
+    if triples is None:
+        return False
+    if stats is None:
+        return True
+    return stats.get(f.name, {}).get("n", 0) >= INDEXED_AGG_THRESHOLD
+
+
+def _exploded_any(
+    df: DataFrame, f: AggField, triples: DataFrame | None, stats: dict | None = None
+) -> DataFrame:
+    if _use_indexed(f, triples, stats):
         return _exploded_indexed(triples, df, f)
     return _exploded(df, f)
 
@@ -132,6 +151,7 @@ def aggregate(
     base: DataFrame | None = None,
     fg_filter: Column | None = None,
     triples: DataFrame | None = None,
+    stats: dict | None = None,
 ) -> list[AggResult]:
     """Run aggregations over the (already search-filtered) infoton set.
 
@@ -148,7 +168,7 @@ def aggregate(
     filters = parse_ap(ap) if isinstance(ap, str) else list(ap)
     return [
         _run(filtered, f, base if base is not None else filtered, parents=None,
-             fg_filter=fg_filter, triples=triples)
+             fg_filter=fg_filter, triples=triples, stats=stats)
         for f in filters
     ]
 
@@ -160,23 +180,28 @@ def _run(
     parents: DataFrame | None,
     fg_filter: Column | None = None,
     triples: DataFrame | None = None,
+    stats: dict | None = None,
 ) -> AggResult:
     if isinstance(agg, TermAgg):
-        return _term(df, agg, base, triples)
+        return _term(df, agg, base, triples, stats)
     if isinstance(agg, StatsAgg):
-        return _stats(df, agg, triples)
+        return _stats(df, agg, triples, stats)
     if isinstance(agg, HistAgg):
-        return _hist(df, agg, base, triples)
+        return _hist(df, agg, base, triples, stats)
     if isinstance(agg, SigAgg):
         return _sig(df, agg, base, fg_filter)
     if isinstance(agg, CardAgg):
-        return _card(df, agg, triples=triples)
+        return _card(df, agg, triples=triples, stats=stats)
     raise AggregationError(f"unknown aggregation {agg}")
 
 
-def _term(df: DataFrame, agg: TermAgg, base: DataFrame, triples: DataFrame | None = None) -> AggResult:
-    _guard_text(df, agg.field, triples=triples)
-    ex = _exploded_any(df, agg.field, triples)
+def _term(
+    df: DataFrame, agg: TermAgg, base: DataFrame,
+    triples: DataFrame | None = None, stats: dict | None = None,
+) -> AggResult:
+    use_t = triples if _use_indexed(agg.field, triples, stats) else None
+    _guard_text(df, agg.field, triples=use_t)
+    ex = _exploded_any(df, agg.field, triples, stats)
     counts = ex.groupBy(_key_col(agg.field).alias("key")).agg(F.count("*").alias("objects"))
     top = counts.orderBy(F.desc("objects"), F.asc("key")).limit(agg.size)
     subs = []
@@ -191,9 +216,13 @@ def _term(df: DataFrame, agg: TermAgg, base: DataFrame, triples: DataFrame | Non
     return AggResult(agg, top, subs)
 
 
-def _stats(df: DataFrame, agg: StatsAgg, triples: DataFrame | None = None) -> AggResult:
-    _guard_text(df, agg.field, need_numeric=True, triples=triples)
-    ex = _exploded_any(df, agg.field, triples)
+def _stats(
+    df: DataFrame, agg: StatsAgg,
+    triples: DataFrame | None = None, stats: dict | None = None,
+) -> AggResult:
+    use_t = triples if _use_indexed(agg.field, triples, stats) else None
+    _guard_text(df, agg.field, need_numeric=True, triples=use_t)
+    ex = _exploded_any(df, agg.field, triples, stats)
     num = F.col("__v")["num"]
     out = ex.agg(
         F.count(num).alias("count"),
@@ -205,9 +234,13 @@ def _stats(df: DataFrame, agg: StatsAgg, triples: DataFrame | None = None) -> Ag
     return AggResult(agg, out, [])
 
 
-def _hist(df: DataFrame, agg: HistAgg, base: DataFrame, triples: DataFrame | None = None) -> AggResult:
-    _guard_text(df, agg.field, need_numeric=True, triples=triples)
-    ex = _exploded_any(df, agg.field, triples)
+def _hist(
+    df: DataFrame, agg: HistAgg, base: DataFrame,
+    triples: DataFrame | None = None, stats: dict | None = None,
+) -> AggResult:
+    use_t = triples if _use_indexed(agg.field, triples, stats) else None
+    _guard_text(df, agg.field, need_numeric=True, triples=use_t)
+    ex = _exploded_any(df, agg.field, triples, stats)
     num = F.col("__v")["num"]
     key = (F.floor(num / agg.interval) * agg.interval).cast("double")
     counts = ex.groupBy(key.alias("key")).agg(F.count("*").alias("objects"))
@@ -320,9 +353,10 @@ def _sig(df: DataFrame, agg: SigAgg, base: DataFrame, fg_filter: Column | None =
 
 
 def _card(
-    df: DataFrame, agg: CardAgg, exact: bool = False, triples: DataFrame | None = None
+    df: DataFrame, agg: CardAgg, exact: bool = False,
+    triples: DataFrame | None = None, stats: dict | None = None,
 ) -> AggResult:
-    ex = _exploded_any(df, agg.field, triples)
+    ex = _exploded_any(df, agg.field, triples, stats)
     if exact:
         out = ex.agg(F.countDistinct(_key_col(agg.field)).alias("count"))
     else:
@@ -331,11 +365,14 @@ def _card(
     return AggResult(agg, out, [])
 
 
-def card_exact(df: DataFrame, field_name: str, triples: DataFrame | None = None) -> DataFrame:
+def card_exact(
+    df: DataFrame, field_name: str,
+    triples: DataFrame | None = None, stats: dict | None = None,
+) -> DataFrame:
     """Exact-distinct variant of A5 (oracle-checkable; the approximate HLL
     path is the reference-faithful default)."""
     agg = CardAgg(AggField(field_name, True))
-    return _card(df, agg, exact=True, triples=triples).df
+    return _card(df, agg, exact=True, triples=triples, stats=stats).df
 
 
 def _run_grouped_flat(src_with_key: DataFrame, sub: AggFilter, key_cols: list[str]) -> AggResult:

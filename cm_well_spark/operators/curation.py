@@ -60,7 +60,7 @@ def stratified_sample(
     pairs = []
     for stratum, rate in rates.items():
         pairs.extend([F.lit(stratum), F.lit(_rate_hex(rate))])
-    thr = F.create_map(*pairs).getItem(F.col(stratum_col))
+    thr = F.create_map(*pairs)[F.col(stratum_col)]
     return df.where(thr.isNotNull() & (key < thr))
 
 

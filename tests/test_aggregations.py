@@ -153,3 +153,23 @@ def test_session_window_gap_semantics(spark):
     assert first["n_events"] == 2 and first["sum_value"] == 3.0
     # session end = last event + gap
     assert first["session_end"].startswith("2024-01-01 00:40:00")
+
+
+def test_indexed_route_matches_doc_route(spark, infotons, triples, sf_dir):
+    # triples without stats forces the indexed route; results must be
+    # identical to the doc-map explode route
+    from cm_well_spark.operators.aggregations import aggregate
+    from cm_well_spark.operators.search import search
+
+    cust = search(infotons, qp="rdfType::Customer", length=None)
+    doc = aggregate(cust, "type:term,field::mktsegment")[0].df
+    idx = aggregate(cust, "type:term,field::mktsegment", triples=triples)[0].df
+    assert sorted(map(tuple, doc.collect())) == sorted(map(tuple, idx.collect()))
+    # with stats and a small predicate, the doc route is chosen (no join
+    # against the triples table in the plan)
+    small_stats = {"mktsegment": {"n": 10}}
+    import io, contextlib
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        aggregate(cust, "type:term,field::mktsegment", triples=triples, stats=small_stats)[0].df.explain()
+    assert "LeftSemi" not in buf.getvalue()
