@@ -2383,3 +2383,22 @@ def multimodal_frame_sample(spark, sf_dir):
         gen, T.StructType([T.StructField("id", T.LongType()), T.StructField("data", T.BinaryType())])
     )
     return sample_frames(vids, every_n=2).groupBy("id").agg(F.count("*").alias("n_sampled"))
+
+
+@register(
+    "drain_all_chunks",
+    oracle="""
+    SELECT '/tpch/nation/' || n_nationkey AS path FROM nation
+    """,
+)
+def drain_all_chunks(spark, sf_dir):
+    """T8 data-tools Downloader: client-style consume loop until 204,
+    chunks unioned — must deliver exactly the feed, no dupes, no gaps."""
+    from functools import reduce
+
+    from cm_well_spark.operators.consume import create_consumer, drain
+
+    token = create_consumer(path="/tpch/nation")
+    _, chunks = drain(_inf(spark, sf_dir), token, chunk=7, now_ms=_FEED_NOW)
+    assert chunks
+    return reduce(lambda a, b: a.unionByName(b), chunks).select("path")
