@@ -2402,3 +2402,47 @@ def drain_all_chunks(spark, sf_dir):
     _, chunks = drain(_inf(spark, sf_dir), token, chunk=7, now_ms=_FEED_NOW)
     assert chunks
     return reduce(lambda a, b: a.unionByName(b), chunks).select("path")
+
+
+@register(
+    "multimodal_audio_features",
+    oracle="""
+    SELECT doc_id AS id, 8000 AS sample_rate,
+           CAST((doc_id % 5 + 1) * 100 AS INT) AS n_samples,
+           round((doc_id % 5 + 1) * 100 / 8000.0, 6) AS duration_s,
+           CAST(doc_id % 128 AS DOUBLE) AS rms,
+           true AS ok
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def multimodal_audio_features(spark, sf_dir):
+    """Audio feature extraction plumbing (fake codec): sample-rate /
+    duration / RMS through the Arrow-batched mapInPandas seam — constant
+    payload makes RMS exactly the fill byte, so the oracle pins the
+    decode math."""
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    from cm_well_spark.operators.multimodal import extract_audio_features, fake_audio
+    from cm_well_spark.sources import tables as tbl
+
+    docs = tbl.load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200).select("doc_id")
+
+    def gen(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "id": pdf["doc_id"],
+                    "data": [
+                        fake_audio(8000, (int(i) % 5 + 1) * 100, int(i) % 128) for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    auds = docs.mapInPandas(
+        gen, T.StructType([T.StructField("id", T.LongType()), T.StructField("data", T.BinaryType())])
+    )
+    out = extract_audio_features(auds)
+    return out.select(
+        "id", "sample_rate", "n_samples", F.round("duration_s", 6).alias("duration_s"), "rms", "ok"
+    )
