@@ -70,6 +70,7 @@ def main() -> None:
         "curation_stratified_sample",
         "curation_contamination",
         "curation_quality_filter",
+        "curation_full_pipeline",
     ]
     bench_names = os.environ.get("CMW_BENCH_QUERIES")
     if bench_names == "all":

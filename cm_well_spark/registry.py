@@ -2446,3 +2446,91 @@ def multimodal_audio_features(spark, sf_dir):
     return out.select(
         "id", "sample_rate", "n_samples", F.round("duration_s", 6).alias("duration_s"), "rms", "ok"
     )
+
+
+@register(
+    "curation_full_pipeline",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, lang, text, md5({_NORM_SQL.format(c='text')}) AS fp
+      FROM documents WHERE doc_id >= 50
+    ), dedup AS (
+      SELECT doc_id, lang, text FROM corpus c
+      WHERE doc_id = (SELECT min(doc_id) FROM corpus c2 WHERE c2.fp = c.fp)
+    ), q AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len(string_split_regex(trim(lower(text)), '\\s+')) AS n_words,
+             len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+             len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+             len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                 w -> w IN ('the','a','an','and','or','of','to','in','is','it',
+                            'that','for','on','with','as'))) AS stop_hits
+      FROM dedup
+    ), scored AS (
+      SELECT doc_id, n_words,
+             least((n_alpha * 1.0 / greatest(n_chars, 1)) / 0.7, 1.0) * 0.4
+             + least((stop_hits * 1.0 / greatest(n_words, 1)) / 0.3, 1.0) * 0.3
+             + (CASE WHEN (n_chars - (n_words - 1)) * 1.0 / n_words BETWEEN 3 AND 10
+                     THEN 1.0 ELSE 0.3 END) * 0.2
+             + (CASE WHEN n_punct * 1.0 / greatest(n_chars, 1) <= 0.1
+                     THEN 1.0 ELSE 0.5 END) * 0.1 AS quality
+      FROM q
+    ), kept AS (
+      SELECT d.doc_id, d.lang, d.text FROM dedup d JOIN scored s ON d.doc_id = s.doc_id
+      WHERE s.n_words >= 5 AND s.n_words <= 100000 AND s.quality >= 0.5
+    ), kw AS (
+      SELECT doc_id, lang, string_split({_NORM_SQL.format(c='text')}, ' ') AS w FROM kept
+    ), bw AS (
+      SELECT string_split({_NORM_SQL.format(c='text')}, ' ') AS w
+      FROM documents WHERE doc_id < 50
+    ), ks AS (
+      SELECT doc_id, lang, unnest(list_distinct(list_transform(
+               range(1, greatest(len(w) - 3, 0) + 2),
+               i -> array_to_string(w[i:i+2], ' ')))) AS sh FROM kw
+    ), bs AS (
+      SELECT DISTINCT unnest(list_distinct(list_transform(
+               range(1, greatest(len(w) - 3, 0) + 2),
+               i -> array_to_string(w[i:i+2], ' ')))) AS sh FROM bw
+    ), contaminated AS (
+      SELECT DISTINCT doc_id FROM ks JOIN bs USING (sh)
+    ), clean AS (
+      SELECT doc_id, lang FROM kept
+      WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ), sampled AS (
+      SELECT doc_id, lang FROM clean
+      WHERE substring(md5('cmw:' || doc_id), 1, 4) <
+            CASE lang WHEN 'en' THEN '8000' WHEN 'de' THEN 'zzzz'
+                      WHEN 'fr' THEN 'zzzz' WHEN 'es' THEN '4000'
+                      WHEN 'zh' THEN '4000' END
+    )
+    SELECT lang, count(*) AS n_docs FROM sampled GROUP BY lang
+    """,
+)
+def curation_full_pipeline(spark, sf_dir):
+    """Flagship training-data curation pipeline — the composed corpus
+    build a 100 TB data job runs end-to-end: exact dedup (keep min-id per
+    content hash) -> C4-style quality filter -> benchmark n-gram
+    decontamination (broadcast shingle join) -> deterministic stratified
+    rebalance -> per-language corpus sizes. Each stage is a proven
+    operator; the whole thing is ONE Catalyst plan, no driver-side
+    materialization between stages."""
+    from cm_well_spark.operators.curation import (
+        decontaminate,
+        quality_filter,
+        stratified_sample,
+    )
+    from cm_well_spark.operators.dedup import distinct_documents
+    from cm_well_spark.sources import tables as tbl
+
+    docs = tbl.load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") >= 50)
+    benchmark = docs.where(F.col("doc_id") < 50)
+    deduped = distinct_documents(corpus)
+    verdicts = quality_filter(deduped)
+    kept = deduped.join(verdicts.where(F.col("keep")).select("doc_id"), "doc_id", "left_semi")
+    clean = decontaminate(kept, benchmark, k=3, min_hits=1)
+    sampled = stratified_sample(
+        clean, "lang", {"en": 0.5, "de": 1.0, "fr": 1.0, "es": 0.25, "zh": 0.25}
+    )
+    return sampled.groupBy("lang").agg(F.count("*").alias("n_docs"))
