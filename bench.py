@@ -70,7 +70,10 @@ def main() -> None:
         "curation_stratified_sample",
         "curation_contamination",
         "curation_quality_filter",
-        "curation_full_pipeline",
+        # curation_full_pipeline is oracle-checked but benched separately
+        # (CMW_BENCH_QUERIES=curation_full_pipeline): ~20-35 s at sf0.1,
+        # which under host contention + the warm-rerun rule would risk the
+        # driver's bench timeout for no targeted BASELINE class
     ]
     bench_names = os.environ.get("CMW_BENCH_QUERIES")
     if bench_names == "all":
