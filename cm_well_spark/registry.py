@@ -2526,9 +2526,12 @@ def curation_full_pipeline(spark, sf_dir):
     docs = tbl.load_table(spark, sf_dir, "documents")
     corpus = docs.where(F.col("doc_id") >= 50)
     benchmark = docs.where(F.col("doc_id") < 50)
-    deduped = distinct_documents(corpus)
+    # branch-shared frames: deduped feeds the verdicts AND the keep join;
+    # kept feeds the shingle scan AND the anti-join base — cache both so
+    # the md5-dedup and quality subtrees compute once, not per branch
+    deduped = distinct_documents(corpus).cache()
     verdicts = quality_filter(deduped)
-    kept = deduped.join(verdicts.where(F.col("keep")).select("doc_id"), "doc_id", "left_semi")
+    kept = deduped.join(verdicts.where(F.col("keep")).select("doc_id"), "doc_id", "left_semi").cache()
     clean = decontaminate(kept, benchmark, k=3, min_hits=1)
     sampled = stratified_sample(
         clean, "lang", {"en": 0.5, "de": 1.0, "fr": 1.0, "es": 0.25, "zh": 0.25}
