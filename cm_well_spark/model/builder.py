@@ -328,6 +328,20 @@ def events_infotons(df: DataFrame) -> DataFrame:
             ("props", single(F.col("props"), "s")),
             # ghost reference: /users/* is never written
             ("byUser", single(F.concat(F.lit("/users/"), F.col("user_id")), "s")),
+            # deep same-predicate chains (depth 15 within each 16-block):
+            # the fixture for unbounded `p+` closure — a bounded-depth
+            # implementation answers these incompletely. NULL at block
+            # heads drops the field via _finish's map_filter.
+            (
+                "prevEvent",
+                single(
+                    F.when(
+                        F.col("event_id") % 16 != 0,
+                        F.concat(F.lit("/events/"), F.col("event_id") - 1),
+                    ),
+                    "s",
+                ),
+            ),
             ("rdfType", single(F.lit("Event"), "s")),
         ],
     )

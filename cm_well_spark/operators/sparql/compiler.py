@@ -46,7 +46,10 @@ from cm_well_spark.operators.sparql.parser import (
 )
 
 RESULTS_LIMIT = 10_000  # Config.defaultConfig resultsLimit (JenaArqExtensions.scala:311-321)
-PATH_PLUS_MAX = 6  # bounded depth for `p+` paths (documented subset of ARQ's unbounded +)
+# `p+`/`p*` closures iterate to fixpoint (unbounded, like ARQ); expansion
+# stops with a partial-result warning when the reached set exceeds the
+# reference's intermediate limit (Config.intermediateLimit, same loc).
+INTERMEDIATE_LIMIT = 10_000
 
 _fresh = itertools.count()
 
@@ -69,10 +72,14 @@ def _est_cost(tp: TriplePattern, stats: dict | None) -> tuple:
     return (const_s, est)
 
 
-def _pattern_df(triples: DataFrame, tp: TriplePattern, idx: int) -> tuple[DataFrame, dict]:
+def _pattern_df(
+    triples: DataFrame, tp: TriplePattern, idx: int, gvar: str | None = None
+) -> tuple[DataFrame, dict]:
     """One triple pattern -> filtered scan projecting its variables.
     Bound predicate prunes to one `p` partition; bound object hits the
-    o-sorted files' min/max."""
+    o-sorted files' min/max. Inside `GRAPH ?g` scope (`gvar`), the quad
+    column joins the projection so every pattern binds the graph variable
+    and same-group patterns equi-join on it (same-graph semantics)."""
     if isinstance(tp.s, Var) and isinstance(tp.p, Var) and isinstance(tp.o, Var):
         raise SparqlCompileError(
             "fully unbound triple pattern is not allowed (bind at least one of subject/predicate/object)"
@@ -103,6 +110,18 @@ def _pattern_df(triples: DataFrame, tp: TriplePattern, idx: int) -> tuple[DataFr
         cols.append(F.col("num").alias(f"__num__{tp.o.name}"))
         cols.append(F.col("lang").alias(f"__lang__{tp.o.name}"))
         binds[tp.o.name] = "o"
+    if gvar is not None:
+        if gvar in binds:
+            # GRAPH ?g { ?g <p> ?o }: the graph var doubles as a pattern
+            # var — constrain equality instead of a duplicate projection
+            t = t.where(F.col("g") == F.col(binds[gvar]))
+        else:
+            cols.append(F.col("g").alias(gvar))
+            binds[gvar] = "g"
+        if not any(isinstance(x, Var) for x in (tp.s, tp.p, tp.o)):
+            # fully-constant pattern under GRAPH ?g: binds ?g per matching
+            # named graph
+            return t.select(F.col("g").alias(gvar)).distinct(), binds
     if not cols:
         # fully-constant pattern: a pure existence gate — limit(1) so the
         # later crossJoin cannot multiply solutions when the same triple
@@ -231,7 +250,9 @@ def _squash_groups(g_triples: list, infotons: DataFrame | None):
     return squashed, rest
 
 
-def _path_step(triples: DataFrame, s_term, elem, o_term, idx: int) -> DataFrame:
+def _path_step(
+    triples: DataFrame, s_term, elem, o_term, idx: int, gvar: str | None = None
+) -> DataFrame:
     """One path element: alternation of (predicate, inverse) pairs as a
     union of pattern frames; an inverse alternative swaps subject/object.
     A negated set `!(p1|p2)` is a single scan filtered to predicates NOT
@@ -251,35 +272,42 @@ def _path_step(triples: DataFrame, s_term, elem, o_term, idx: int) -> DataFrame:
             cols.append(F.col("o").alias(o_term.name))
             cols.append(F.col("num").alias(f"__num__{o_term.name}"))
             cols.append(F.col("lang").alias(f"__lang__{o_term.name}"))
+        if gvar is not None:
+            cols.append(F.col("g").alias(gvar))
         if not cols:
             return t.select(F.lit(1).alias(f"__exists__{idx}")).limit(1)
         return t.select(*cols)
     frames = []
     for p, inverse in elem.preds:
         tp = TriplePattern(o_term, p, s_term) if inverse else TriplePattern(s_term, p, o_term)
-        frames.append(_pattern_df(triples, tp, idx)[0])
+        frames.append(_pattern_df(triples, tp, idx, gvar)[0])
     # alternatives can bind different shadow columns (a var in subject
     # position carries no __num__/__lang__); align by name, null-fill
     return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), frames)
 
 
-def _path_chain(triples: DataFrame, s, elems: list, o) -> DataFrame:
+def _path_chain(triples: DataFrame, s, elems: list, o, gvar: str | None = None) -> DataFrame:
     """One fixed-length path-element chain s -e1-> x1 ... -en-> o as
     joined frames; returns only the endpoint variable columns, DISTINCT
     (SPARQL path solutions are sets over the endpoints — intermediate
-    nodes must not multiply solutions)."""
+    nodes must not multiply solutions). Under GRAPH ?g scope the steps
+    additionally equi-join on the graph column (a path stays within one
+    named graph)."""
     uid = next(_fresh)
     terms = [s] + [Var(f"__pp{uid}_{i}") for i in range(len(elems) - 1)] + [o]
     frames = [
-        _path_step(triples, terms[i], elems[i], terms[i + 1], i) for i in range(len(elems))
+        _path_step(triples, terms[i], elems[i], terms[i + 1], i, gvar) for i in range(len(elems))
     ]
     # chain joins share the __pp vars explicitly (they carry the "__" prefix
     # so generic code ignores them)
     df = frames[0]
     for i in range(1, len(frames)):
         key = f"__pp{uid}_{i - 1}"
-        df = df.join(frames[i], key, "inner").drop(key)
+        keys = [key] + ([gvar] if gvar is not None else [])
+        df = df.join(frames[i], keys, "inner").drop(key)
     keep = [t.name for t in (s, o) if isinstance(t, Var)]
+    if gvar is not None:
+        keep.append(gvar)
     if not keep:
         return df.select(F.lit(1).alias(f"__exists__path{uid}")).limit(1)
     return df.select(*keep).distinct()
@@ -304,48 +332,166 @@ def _zero_length_frame(triples: DataFrame, s, o) -> DataFrame:
     return spark.range(0).select(F.lit(1).alias(f"__exists__path{uid}"))
 
 
-def _path_frame(triples: DataFrame, pp: PathPattern) -> DataFrame:
-    """Sequence path = one chain; `p+` / `p*` = union of chains of depth
-    1..PATH_PLUS_MAX, `*` adding the zero-length identity (bounded subset
-    of ARQ's unbounded closure); `p?` = zero-length identity ∪ one step."""
+def _closure_frame(triples: DataFrame, pp: PathPattern, gvar: str | None = None) -> DataFrame:
+    """`p+` transitive closure by semi-naive fixpoint iteration: frontier
+    join + seen-set anti-join + localCheckpoint per round (the same
+    machinery as traversal.expand_out), replacing the old bounded depth-6
+    union — an 8-deep chain now answers completely, like ARQ's unbounded
+    closure. Expansion stops with a partial-result warning when the
+    reached set exceeds the reference's 10k intermediate limit
+    (Config.intermediateLimit, JenaArqExtensions.scala:311-321,:480).
+
+    The edge relation stays a lazy predicate-pruned scan re-evaluated per
+    round (never materialized), so a constant-endpoint closure at 100 TB
+    is |frontier| joins against one predicate partition per round — the
+    frontier and reached sets are the only materialized state."""
+    import warnings
+
+    elem = pp.parts[0]
+    uid = next(_fresh)
+    a, b, n, m = f"__cl{uid}a", f"__cl{uid}b", f"__cl{uid}n", f"__cl{uid}m"
+    gcols = [gvar] if gvar is not None else []
+    edges = _path_step(triples, Var(a), elem, Var(b), 0, gvar).select(a, b, *gcols)
+    s_const = not isinstance(pp.s, Var)
+    o_const = not isinstance(pp.o, Var)
+
+    def expand(reached: DataFrame, frontier: DataFrame, step_of) -> DataFrame:
+        total = frontier.count()
+        while total <= INTERMEDIATE_LIMIT:
+            frontier = (
+                step_of(frontier)
+                .distinct()
+                .join(reached, [c for c in reached.columns], "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            new_n = frontier.count()
+            if new_n == 0:
+                return reached
+            total += new_n
+            reached = reached.unionByName(frontier).localCheckpoint(eager=True)
+        warnings.warn(
+            f"property-path closure exceeded the {INTERMEDIATE_LIMIT} intermediate-results"
+            " limit; returning partial results (reference contract:"
+            " Config.intermediateLimit, JenaArqExtensions.scala:480)",
+            RuntimeWarning,
+            stacklevel=4,
+        )
+        return reached
+
+    if s_const or o_const:
+        # single-endpoint walk: forward from a constant subject, or
+        # backwards (inverse edges) from a constant object
+        if s_const:
+            frontier = edges.where(F.col(a) == _term_str(pp.s)).select(F.col(b).alias(n), *gcols)
+
+            def step_of(fr):
+                return edges.join(fr.withColumnRenamed(n, a), [a] + gcols, "inner").select(
+                    F.col(b).alias(n), *gcols
+                )
+
+        else:
+            frontier = edges.where(F.col(b) == _term_str(pp.o)).select(F.col(a).alias(n), *gcols)
+
+            def step_of(fr):
+                return edges.join(fr.withColumnRenamed(n, b), [b] + gcols, "inner").select(
+                    F.col(a).alias(n), *gcols
+                )
+
+        frontier = frontier.distinct().localCheckpoint(eager=True)
+        reached = expand(frontier, frontier, step_of)
+        if s_const and o_const:
+            gate = reached.where(F.col(n) == _term_str(pp.o))
+            if gvar is not None:
+                return gate.select(gvar).distinct()
+            return gate.select(F.lit(1).alias(f"__exists__path{uid}")).limit(1)
+        endpoint = pp.o.name if s_const else pp.s.name
+        return reached.select(F.col(n).alias(endpoint), *gcols)
+    # var-var: full closure of the (pruned) edge relation — depth-1 pairs
+    # seed the reached set; each round extends the newest pairs by one edge
+    reached = edges.distinct().localCheckpoint(eager=True)
+
+    def step_pairs(fr):
+        f2 = fr.select(F.col(a), F.col(b).alias(m), *gcols)
+        e2 = edges.select(F.col(a).alias(m), F.col(b), *gcols)
+        return f2.join(e2, [m] + gcols, "inner").select(a, b, *gcols)
+
+    reached = expand(reached, reached, step_pairs)
+    return reached.select(F.col(a).alias(pp.s.name), F.col(b).alias(pp.o.name), *gcols)
+
+
+def _path_frame(triples: DataFrame, pp: PathPattern, gvar: str | None = None) -> DataFrame:
+    """Sequence path = one chain; `p+` / `p*` = iterative fixpoint closure
+    (`*` adding the zero-length identity); `p?` = identity ∪ one step."""
+    if (pp.opt or pp.star) and gvar is not None:
+        # zero-length solutions pair every node of every named graph with
+        # itself — a var-graph node domain we don't model; documented gap
+        raise SparqlCompileError(
+            "zero-length paths (`p?`/`p*`) inside GRAPH ?var are not supported"
+        )
     if pp.opt:
         one = _path_chain(triples, pp.s, [pp.parts[0]], pp.o)
         zero = _zero_length_frame(triples, pp.s, pp.o)
         return zero.unionByName(one, allowMissingColumns=True).distinct()
     if not (pp.plus or pp.star):
-        return _path_chain(triples, pp.s, list(pp.parts), pp.o)
-    elem = pp.parts[0]
-    chains = [
-        _path_chain(triples, pp.s, [elem] * d, pp.o) for d in range(1, PATH_PLUS_MAX + 1)
-    ]
+        return _path_chain(triples, pp.s, list(pp.parts), pp.o, gvar)
+    closure = _closure_frame(triples, pp, gvar)
     if pp.star:
-        chains.insert(0, _zero_length_frame(triples, pp.s, pp.o))
-    return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), chains).distinct()
+        zero = _zero_length_frame(triples, pp.s, pp.o)
+        return zero.unionByName(closure, allowMissingColumns=True).distinct()
+    return closure
 
 
 def _compile_group(
-    triples: DataFrame, g: Group, stats: dict | None, infotons: DataFrame | None = None
+    triples: DataFrame,
+    g: Group,
+    stats: dict | None,
+    infotons: DataFrame | None = None,
+    gvar: str | None = None,
+    in_graph: bool = False,
 ) -> DataFrame:
     # squash-by-subject (JenaArqExtensionsUtils.scala:84-106): same-subject
     # const-predicate groups route to ONE doc-table scan; singletons and
     # var-predicate patterns stay on the pruned triples scans. Squashed
     # frames join first — they carry the most predicates, so they're the
-    # most selective starting point.
-    groups, rest = _squash_groups(g.triples, infotons)
+    # most selective starting point. GRAPH ?var scope disables the squash
+    # route: the doc-table fields route can't bind the per-value quad.
+    groups, rest = _squash_groups(g.triples, None if gvar is not None else infotons)
     patterns = sorted(rest, key=lambda tp: _est_cost(tp, stats))
     dfs = [_squash_frame(infotons, subj, tps) for subj, tps in groups]
-    dfs.extend(_pattern_df(triples, tp, i)[0] for i, tp in enumerate(patterns))
-    dfs.extend(_path_frame(triples, pp) for pp in g.paths)
+    dfs.extend(_pattern_df(triples, tp, i, gvar)[0] for i, tp in enumerate(patterns))
+    dfs.extend(_path_frame(triples, pp, gvar) for pp in g.paths)
     # nested sub-SELECTs evaluate bottom-up to a solution frame (their own
     # aggregates/DISTINCT/LIMIT applied, no implicit cap) and join on
     # shared projected variables (SPARQL 1.1 §12)
+    if g.subqueries and gvar is not None:
+        raise SparqlCompileError("sub-SELECT inside GRAPH ?var is not supported")
     dfs.extend(_select_frame(triples, sq, stats, infotons, limit_cap=0) for sq in g.subqueries)
+    # GRAPH <iri> { ... }: the scoped pattern compiles against the quads of
+    # that one named graph (a `g ==` filter the parquet scan pushes down).
+    # GRAPH ?var { ... }: scoped to tagged quads, with ?var bound from the
+    # quad column in every enclosed pattern — patterns equi-join on it, so
+    # one solution stays within one named graph (SPARQL 1.1 §13.3; the
+    # reference's _sp path gets this from Jena ARQ over the fetched quad
+    # dataset, while its whole-graph engine maps named-graph lookups to the
+    # union graph — JenaArqExtensions.scala:361-364; our DEFAULT graph is
+    # that union, so non-GRAPH patterns keep the reference's semantics).
+    for gterm, inner in g.graphs:
+        if in_graph:
+            raise SparqlCompileError("nested GRAPH clauses are not supported")
+        if isinstance(gterm, Iri):
+            scoped = triples.where(F.col("g") == gterm.value)
+            dfs.append(_compile_group(scoped, inner, stats, None, in_graph=True))
+        else:
+            scoped = triples.where(F.col("g").isNotNull())
+            dfs.append(
+                _compile_group(scoped, inner, stats, None, gvar=gterm.name, in_graph=True)
+            )
     if dfs:
         df = _join_connected(dfs)
     else:
         df = None
     for branches in g.unions:
-        parts = [_compile_group(triples, b, stats, infotons) for b in branches]
+        parts = [_compile_group(triples, b, stats, infotons, gvar, in_graph) for b in branches]
         u = reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), parts)
         df = u if df is None else _join(df, u)
     for vars_, rows in g.values:
@@ -380,7 +526,7 @@ def _compile_group(
     if df is None:
         raise SparqlCompileError("empty graph pattern")
     for opt in g.optionals:
-        right = _compile_group(triples, opt, stats, infotons)
+        right = _compile_group(triples, opt, stats, infotons, gvar, in_graph)
         shared = [c for c in df.columns if c in right.columns and not c.startswith("__")]
         right = right.drop(
             *[c for c in right.columns if c.startswith(("__num__", "__lang__")) and c in df.columns]
@@ -399,7 +545,7 @@ def _compile_group(
         # group sees the outer bindings through the join keys). With no
         # shared variables the inner pattern is an independent gate:
         # broadcast its limit(1) existence row, keep/drop all solutions.
-        right = _compile_group(triples, grp, stats, infotons)
+        right = _compile_group(triples, grp, stats, infotons, gvar, in_graph)
         shared = [c for c in df.columns if c in right.columns and not c.startswith("__")]
         if shared:
             how = "left_anti" if negated else "left_semi"
@@ -409,7 +555,7 @@ def _compile_group(
             df = df.join(gate, F.lit(True), "left")
             df = df.where(F.col("__e").isNull() if negated else F.col("__e").isNotNull()).drop("__e")
     for m in g.minuses:
-        right = _compile_group(triples, m, stats, infotons)
+        right = _compile_group(triples, m, stats, infotons, gvar, in_graph)
         shared = [c for c in df.columns if c in right.columns and not c.startswith("__")]
         # SPARQL MINUS: remove solutions compatible on >=1 shared var;
         # disjoint domains remove nothing (W3C SPARQL 1.1 §8.3)

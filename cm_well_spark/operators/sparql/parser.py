@@ -33,8 +33,8 @@ Grammar (informal):
                 elem := '!'? '^'? iri ('|' '^'? iri)*  ('^' binds tighter
                 than '|'; '!' negates the whole alternation set, forward
                 predicates only);
-                '+'/'*' are bounded depth (PATH_PLUS_MAX, documented
-                subset of the unbounded ARQ closure; '*' adds identity,
+                '+'/'*' iterate to fixpoint (unbounded, like ARQ, capped
+                by the 10k intermediate limit; '*' adds identity,
                 '?' is zero-or-one)
     filter   := 'FILTER' ('(' expr ')' | ['NOT'] 'EXISTS' group)
     expr     := value ops over: STR LANG STRLEN UCASE LCASE ABS CEIL FLOOR
@@ -146,6 +146,7 @@ class Group:
     paths: list = field(default_factory=list)  # list[PathPattern]
     exists: list = field(default_factory=list)  # list[(Group, negated: bool)]
     subqueries: list = field(default_factory=list)  # list[Query]
+    graphs: list = field(default_factory=list)  # list[(Iri | Var, Group)]
 
 
 @dataclass
@@ -295,6 +296,17 @@ class _P:
                 self.next()
                 g.optionals.append(self.group())
                 continue
+            if up == "GRAPH":
+                # GRAPH <iri>/{?g} { ... } — named-graph scoping (SPARQL 1.1
+                # §13.3). The reference's `_sp` path evaluates this through
+                # Jena ARQ over the fetched quad dataset; the whole-graph
+                # engine unions graphs (JenaArqExtensions.scala:361-364).
+                self.next()
+                gt = self.term()
+                if not isinstance(gt, (Var, Iri)):
+                    raise SparqlParseError("GRAPH needs an IRI or a variable")
+                g.graphs.append((gt, self.group()))
+                continue
             if up == "MINUS":
                 self.next()
                 g.minuses.append(self.group())
@@ -333,11 +345,19 @@ class _P:
                         branches.append(self.group())
                     g.unions.append(branches)
                 else:
-                    # plain nested group: merge
+                    # plain nested group: merge (every pattern kind — a
+                    # dropped member here silently changes semantics)
                     g.triples.extend(first.triples)
                     g.filters.extend(first.filters)
                     g.optionals.extend(first.optionals)
                     g.unions.extend(first.unions)
+                    g.minuses.extend(first.minuses)
+                    g.binds.extend(first.binds)
+                    g.values.extend(first.values)
+                    g.paths.extend(first.paths)
+                    g.exists.extend(first.exists)
+                    g.subqueries.extend(first.subqueries)
+                    g.graphs.extend(first.graphs)
                 continue
             # triple pattern (with ; and , continuations; predicate may be
             # a property path — sequence '/', inverse '^', alternatives

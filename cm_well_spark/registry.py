@@ -2537,3 +2537,77 @@ def curation_full_pipeline(spark, sf_dir):
         clean, "lang", {"en": 0.5, "de": 1.0, "fr": 1.0, "es": 0.25, "zh": 0.25}
     )
     return sampled.groupBy("lang").agg(F.count("*").alias("n_docs"))
+
+
+# ---------------------------------------------------------------------------
+# Round 5: named-graph SPARQL (GRAPH clause), unbounded path closure,
+# link-infoton resolution, widened Gremlin
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sparql_graph_const",
+    oracle="""
+    SELECT '/docs/' || doc_id AS d, source AS src FROM documents
+    WHERE source = 'src7'
+    """,
+)
+def sparql_graph_const(spark, sf_dir):
+    """J4/J5 GRAPH <iri> { ... }: the enclosed BGP scopes to one named
+    graph — a pushed-down `g ==` filter on the quad column (SPARQL 1.1
+    §13.3; reference quad model: QuadTests.scala fixtures, value-level
+    quad tags Infoton.scala:507)."""
+    from cm_well_spark.operators.sparql import sparql_query
+
+    return sparql_query(
+        _tri(spark, sf_dir),
+        "SELECT ?d ?src WHERE { GRAPH </graphs/src7> { ?d <source> ?src } }",
+        limit_cap=None,
+    )
+
+
+@register(
+    "sparql_graph_var",
+    oracle="""
+    SELECT '/graphs/' || source AS g2, count(*) AS n
+    FROM documents GROUP BY 1
+    """,
+)
+def sparql_graph_var(spark, sf_dir):
+    """J4/J5 GRAPH ?g { ... }: iterate named graphs, binding ?g from the
+    quad column in every enclosed pattern (patterns equi-join on it, so a
+    solution stays within one graph). Provenance-grouped counting — the
+    multi-source curation query shape."""
+    from cm_well_spark.operators.sparql import sparql_query
+
+    return sparql_query(
+        _tri(spark, sf_dir),
+        "SELECT ?g2 (COUNT(?d) AS ?n) WHERE { GRAPH ?g2 { ?d <source> ?src } } "
+        "GROUP BY ?g2",
+        limit_cap=None,
+    )
+
+
+@register(
+    "sparql_path_plus_deep",
+    oracle="""
+    WITH RECURSIVE reach(x) AS (
+      SELECT 30 UNION
+      SELECT x - 1 FROM reach WHERE x % 16 != 0
+    )
+    SELECT '/events/' || x AS e FROM reach
+    """,
+)
+def sparql_path_plus_deep(spark, sf_dir):
+    """J5 unbounded `p+` closure: /events/31 -prevEvent-> 30 -> ... -> 16
+    (15 hops — deeper than the old depth-6 bound, which answered this
+    incompletely). Fixpoint frontier iteration capped at the reference's
+    10k intermediate limit (Config.intermediateLimit,
+    JenaArqExtensions.scala:311-321)."""
+    from cm_well_spark.operators.sparql import sparql_query
+
+    return sparql_query(
+        _tri(spark, sf_dir),
+        "SELECT ?e WHERE { </events/31> <prevEvent>+ ?e }",
+        limit_cap=None,
+    )

@@ -652,3 +652,136 @@ def test_hash_builtins(triples):
         triples, 'SELECT ?h WHERE { </tpch/region/0> <name> ?n . BIND(SHA256(?n) AS ?h) }'
     ).first()["h"]
     assert got == hashlib.sha256(name.encode()).hexdigest()
+
+
+# ---- GRAPH clause (named-graph scoping, SPARQL 1.1 §13.3) ----------------
+
+
+def test_graph_const_scopes_to_one_graph(triples, spark, sf_dir):
+    from cm_well_spark.sources import tables as tbl
+
+    out = sparql_query(
+        triples,
+        "SELECT ?d ?src WHERE { GRAPH </graphs/src3> { ?d <source> ?src } }",
+    )
+    rows = out.collect()
+    raw = tbl.load_table(spark, sf_dir, "documents").where(F.col("source") == "src3")
+    assert len(rows) == raw.count()
+    assert all(r["src"] == "src3" for r in rows)
+
+
+def test_default_graph_is_union(triples):
+    # non-GRAPH patterns keep matching quad-tagged triples (the reference's
+    # whole-graph engine maps named-graph lookups to the union graph —
+    # JenaArqExtensions.scala:361-364)
+    scoped = sparql_query(
+        triples, "SELECT ?d WHERE { GRAPH </graphs/src3> { ?d <source> ?src } }"
+    ).count()
+    union = sparql_query(triples, 'SELECT ?d WHERE { ?d <source> "src3" }').count()
+    assert scoped == union > 0
+
+
+def test_graph_var_binds_graph_column(triples, spark, sf_dir):
+    from cm_well_spark.sources import tables as tbl
+
+    out = sparql_query(
+        triples,
+        "SELECT DISTINCT ?g WHERE { GRAPH ?g { ?d <source> ?src } }",
+    )
+    n_sources = (
+        tbl.load_table(spark, sf_dir, "documents").select("source").distinct().count()
+    )
+    rows = out.collect()
+    assert len(rows) == n_sources
+    assert all(r["g"].startswith("/graphs/") for r in rows)
+
+
+def test_graph_var_joins_outer_pattern(triples):
+    # ?d is shared between the graph-scoped pattern and an outer pattern
+    out = sparql_query(
+        triples,
+        """
+        SELECT ?d ?g WHERE {
+          GRAPH ?g { ?d <source> ?src }
+          ?d <lang> "en" .
+        }
+        """,
+    )
+    rows = out.collect()
+    assert len(rows) > 0
+    assert all(r["g"].startswith("/graphs/") for r in rows)
+
+
+def test_graph_var_excludes_untagged_triples(triples):
+    # rdfType values carry no quad tag -> inside GRAPH ?g they match nothing
+    out = sparql_query(
+        triples,
+        'SELECT ?d WHERE { GRAPH ?g { ?d <source> ?src . ?d <rdfType> "Document" } }',
+    )
+    assert out.count() == 0
+
+
+def test_graph_nested_rejected(triples):
+    with pytest.raises(SparqlCompileError, match="nested GRAPH"):
+        sparql_query(
+            triples,
+            "SELECT ?d WHERE { GRAPH ?g { GRAPH </graphs/src1> { ?d <source> ?src } } }",
+        ).count()
+
+
+def test_graph_const_with_path(triples, spark, sf_dir):
+    # property paths inside a constant GRAPH scope work (pre-filtered scan);
+    # the <lang> alternative matches nothing (lang values are untagged)
+    from cm_well_spark.sources import tables as tbl
+
+    out = sparql_query(
+        triples,
+        "SELECT ?d ?v WHERE { GRAPH </graphs/src2> { ?d <source>|<lang> ?v } }",
+    )
+    raw = tbl.load_table(spark, sf_dir, "documents").where(F.col("source") == "src2")
+    assert out.count() == raw.count()
+
+
+# ---- unbounded p+ / p* fixpoint closure ----------------------------------
+
+
+def test_path_plus_deep_chain(triples):
+    # /events/31 -prevEvent-> 30 -> ... -> 16 (15 hops; the old depth-6
+    # bound answered this incompletely)
+    out = sparql_query(triples, "SELECT ?e WHERE { </events/31> <prevEvent>+ ?e }")
+    got = sorted(r["e"] for r in out.collect())
+    assert got == sorted(f"/events/{i}" for i in range(16, 31))
+
+
+def test_path_plus_reverse_deep(triples):
+    # constant OBJECT: walk backwards — all events that reach /events/16
+    out = sparql_query(triples, "SELECT ?e WHERE { ?e <prevEvent>+ </events/16> }")
+    got = sorted(r["e"] for r in out.collect())
+    assert got == sorted(f"/events/{i}" for i in range(17, 32))
+
+
+def test_path_plus_both_const_gate(triples):
+    hit = sparql_query(
+        triples, "SELECT ?n WHERE { </events/31> <prevEvent>+ </events/16> . </tpch/nation/3> <name> ?n }"
+    )
+    assert hit.count() == 1
+    miss = sparql_query(
+        triples, "SELECT ?n WHERE { </events/31> <prevEvent>+ </events/15> . </tpch/nation/3> <name> ?n }"
+    )
+    assert miss.count() == 0
+
+
+def test_path_plus_intermediate_limit_warning(triples, monkeypatch):
+    import warnings
+
+    from cm_well_spark.operators.sparql import compiler as C
+
+    monkeypatch.setattr(C, "INTERMEDIATE_LIMIT", 5)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = sparql_query(
+            triples, "SELECT ?e WHERE { </events/31> <prevEvent>+ ?e }"
+        )
+        n = out.count()
+    assert any("intermediate-results" in str(x.message) for x in w)
+    assert 0 < n < 15  # partial results, per the reference's contract
