@@ -1,35 +1,48 @@
 """Gremlin-style traversal DSL (J6) — fluent wrapper over the engine's
 join-based traversal kernels.
 
-Reference: the cmwell-plugin-gremlin module exposes a Blueprints graph
-over the fetched Jena model (JenaGraph.scala, GremlinParser.scala) —
-out-of-MVP in SURVEY §2.3 but expressible as iterated joins. This module
-implements the core step vocabulary (V/has/out/in/both/values/path-count)
-as compositions of the same pruned triples-edge hops the xg/yg operators
-use, so basic gremlin traversals port 1:1:
+Reference: the cmwell-plugin-gremlin module evaluates full Gremlin Groovy
+over a Blueprints graph wrapping the fetched Jena model (JenaGraph.scala,
+GremlinParser.scala:28-99), so its step surface is the classic TinkerPop
+2 pipe library. This module implements that vocabulary — V / has /
+filter / out / in / both / loop / repeat / as_-back-select / dedup /
+path-values-count — as compositions of the same pruned triples-edge hops
+the xg/yg operators use, so gremlin traversals port 1:1:
 
-    g(infotons, triples).V().has("rdfType", "Customer") \
-        .out("inNation").out("ofRegion").values("name")
+    g(infotons, triples).V().has("rdfType", "Order") \
+        .filter("totalprice", ">", 400000).as_("o") \
+        .out("byCustomer").has("mktsegment", "BUILDING").back("o").paths()
 
 Each step stays a declarative DataFrame transform; nothing collects until
-the caller acts.
+the caller acts. Labeled steps (`as_`) thread their column through later
+hops, so `back`/`select` are projections, not re-traversals — the
+Blueprints pipe semantics (elements at the named step for which the
+downstream pipeline matched) expressed as one Catalyst plan.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from cm_well_spark.model import fieldvals as fv
+_LBL = "__as_"  # label-column prefix: internal, never user-visible
 
 
 class GraphTraversal:
     """`bounded` tracks whether the current frontier is PROVABLY small:
     True only for explicit `V(paths)` seed lists (optionally narrowed by
-    `has`). A hop's fan-out is unbounded — even from a tiny seed set —
-    and `V()` is the whole vertex set, so those frontiers carry no static
-    broadcast hint; AQE's runtime size check converts the semi join to a
-    broadcast when the actual set is small (VERDICT r1 finding 4)."""
+    `has`/`filter`). A hop's fan-out is unbounded — even from a tiny seed
+    set — and `V()` is the whole vertex set, so those frontiers carry no
+    static broadcast hint; AQE's runtime size check converts the semi
+    join to a broadcast when the actual set is small (VERDICT r1
+    finding 4).
+
+    The frontier frame is `path` plus one `__as_<name>` column per
+    `as_` label seen so far; hops preserve label columns via an inner
+    join when labels exist and stay on the cheaper semi-join route when
+    the traversal is unlabeled."""
 
     def __init__(
         self,
@@ -40,7 +53,7 @@ class GraphTraversal:
     ):
         self.infotons = infotons.where(F.col("current"))
         self.triples = triples.where(F.col("current"))
-        self.frontier = frontier  # DataFrame["path"]
+        self.frontier = frontier  # DataFrame["path" (+ label cols)]
         self.bounded = bounded
 
     def _with(self, frontier: DataFrame, bounded: bool = False) -> "GraphTraversal":
@@ -48,6 +61,9 @@ class GraphTraversal:
 
     def _hinted(self, df: DataFrame) -> DataFrame:
         return F.broadcast(df) if self.bounded else df
+
+    def _labels(self) -> list[str]:
+        return [c for c in self.frontier.columns if c.startswith(_LBL)]
 
     # ---- steps ----
 
@@ -65,14 +81,57 @@ class GraphTraversal:
         keep = self.infotons.where(cond).select("path")
         return self._with(self.frontier.join(keep, "path", "left_semi"), bounded=self.bounded)
 
+    def filter(self, field: str, op: str = "==", value=None) -> "GraphTraversal":
+        """Property-predicate filter (the `filter{...}` closure pipe,
+        declaratively): keep vertices where SOME value of `field`
+        satisfies `op value`. Numeric ops compare through the typed `num`
+        shadow, never a lexical cast."""
+        vals = F.col("fields").getItem(field)
+
+        def pred(v):
+            if op == "==":
+                return v["value"] == F.lit(str(value))
+            if op == "!=":
+                return v["value"] != F.lit(str(value))
+            if op == "contains":
+                return v["value"].contains(F.lit(str(value)))
+            num = v["num"]
+            if op == ">":
+                return num > float(value)
+            if op == ">=":
+                return num >= float(value)
+            if op == "<":
+                return num < float(value)
+            if op == "<=":
+                return num <= float(value)
+            raise ValueError(f"unsupported filter op {op!r}")
+
+        keep = self.infotons.where(
+            F.coalesce(F.exists(vals, pred), F.lit(False))
+        ).select("path")
+        return self._with(self.frontier.join(keep, "path", "left_semi"), bounded=self.bounded)
+
+    def where_(self, cond: Column) -> "GraphTraversal":
+        """Escape hatch: arbitrary Column predicate over the hydrated
+        infoton row (`fields` map etc.)."""
+        keep = self.infotons.where(cond).select("path")
+        return self._with(self.frontier.join(keep, "path", "left_semi"), bounded=self.bounded)
+
     def _edge_hop(self, labels: tuple[str, ...], reverse: bool) -> DataFrame:
         t = self.triples.where((F.col("vtype") == "s") & F.col("o").startswith("/"))
         if labels:
             t = t.where(F.col("p").isin(list(labels)))
         src, dst = ("o", "s") if reverse else ("s", "o")
         e = t.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        fr = self._hinted(self.frontier.select(F.col("path").alias("src")).distinct())
-        out = e.join(fr, "src", "left_semi").select(F.col("dst").alias("path")).distinct()
+        lbls = self._labels()
+        if lbls:
+            # labeled traversal: inner join carries the label columns to
+            # the hop targets (needed by back/select)
+            fr = self._hinted(self.frontier.select(F.col("path").alias("src"), *lbls).distinct())
+            out = e.join(fr, "src", "inner").select(F.col("dst").alias("path"), *lbls).distinct()
+        else:
+            fr = self._hinted(self.frontier.select(F.col("path").alias("src")).distinct())
+            out = e.join(fr, "src", "left_semi").select(F.col("dst").alias("path")).distinct()
         # vertices must exist (ghost skip)
         return out.join(self.infotons.select("path"), "path", "left_semi")
 
@@ -87,22 +146,90 @@ class GraphTraversal:
         rev = self._edge_hop(labels, reverse=True)
         return self._with(fwd.unionByName(rev).distinct())
 
+    def repeat(
+        self,
+        times: int,
+        step: Callable[["GraphTraversal"], "GraphTraversal"],
+        emit: bool = False,
+    ) -> "GraphTraversal":
+        """Bounded `loop`/`repeat` pipe: apply `step` `times` times.
+        `emit=True` unions every intermediate frontier (seed included)
+        into the result — TinkerPop's emitting loop. Each round's
+        frontier is localCheckpoint'd so the accumulated plan doesn't
+        re-derive the whole chain per level (same discipline as
+        traversal.expand_out)."""
+        if times < 0:
+            raise ValueError("repeat times must be >= 0")
+        cur: GraphTraversal = self
+        acc = self.frontier.select("path")
+        for _ in range(times):
+            cur = step(cur)
+            cur = cur._with(cur.frontier.localCheckpoint(eager=True), cur.bounded)
+            if emit:
+                acc = acc.unionByName(cur.frontier.select("path")).distinct()
+        if emit:
+            return self._with(acc.localCheckpoint(eager=True))
+        return cur
+
+    def loop(self, times: int, *labels: str, emit: bool = True) -> "GraphTraversal":
+        """`loop` sugar: repeat an out-hop over `labels` `times` times,
+        emitting seed + every intermediate (the friend-of-friend-depth-n
+        shape)."""
+        return self.repeat(times, lambda t: t.out(*labels), emit=emit)
+
+    def as_(self, name: str) -> "GraphTraversal":
+        """Label the current step (`as` pipe): remembered for back/select."""
+        return self._with(
+            self.frontier.withColumn(f"{_LBL}{name}", F.col("path")), self.bounded
+        )
+
+    def back(self, name: str) -> "GraphTraversal":
+        """`back(name)`: rewind to the elements at the labeled step for
+        which the rest of the pipeline matched — a projection of the
+        label column, no re-traversal."""
+        col = f"{_LBL}{name}"
+        if col not in self.frontier.columns:
+            raise ValueError(f"no step labeled {name!r}")
+        return self._with(self.frontier.select(F.col(col).alias("path")).distinct())
+
+    def dedup(self) -> "GraphTraversal":
+        return self._with(self.frontier.distinct(), self.bounded)
+
     # ---- terminals ----
 
     def paths(self) -> DataFrame:
-        return self.frontier.distinct()
+        return self.frontier.select("path").distinct()
+
+    def select(self, *names: str) -> DataFrame:
+        """`select(a, b, ...)`: one row per surviving binding of the
+        labeled steps (current position included as `path`)."""
+        cols = []
+        for n in names:
+            col = f"{_LBL}{n}"
+            if col not in self.frontier.columns:
+                raise ValueError(f"no step labeled {n!r}")
+            cols.append(F.col(col).alias(n))
+        return self.frontier.select(*cols, "path").distinct()
+
+    def path(self) -> DataFrame:
+        """Full labeled trail: every `as_` column (in label order) plus the
+        current position."""
+        lbls = self._labels()
+        return self.frontier.select(
+            *[F.col(c).alias(c[len(_LBL):]) for c in lbls], "path"
+        ).distinct()
 
     def values(self, field: str) -> DataFrame:
-        hydrated = self.infotons.join(self._hinted(self.frontier.distinct()), "path", "left_semi")
+        hydrated = self.infotons.join(self._hinted(self.frontier.select("path").distinct()), "path", "left_semi")
         return hydrated.select(
             "path", F.explode(F.transform(F.col("fields").getItem(field), lambda v: v["value"])).alias("value")
         )
 
     def count(self) -> int:
-        return self.frontier.distinct().count()
+        return self.frontier.select("path").distinct().count()
 
     def to_infotons(self) -> DataFrame:
-        return self.infotons.join(self._hinted(self.frontier.distinct()), "path", "left_semi")
+        return self.infotons.join(self._hinted(self.frontier.select("path").distinct()), "path", "left_semi")
 
 
 def g(infotons: DataFrame, triples: DataFrame) -> GraphTraversal:

@@ -2611,3 +2611,54 @@ def sparql_path_plus_deep(spark, sf_dir):
         "SELECT ?e WHERE { </events/31> <prevEvent>+ ?e }",
         limit_cap=None,
     )
+
+
+@register(
+    "gremlin_loop_filter",
+    oracle="""
+    SELECT '/events/' || event_id AS path FROM events
+    WHERE event_id BETWEEN 37 AND 40 AND value > 0
+    """,
+)
+def gremlin_loop_filter(spark, sf_dir):
+    """J6 Gremlin loop + filter pipes (GremlinParser.scala evaluates the
+    full TinkerPop pipe library; this is the emitting bounded loop):
+    walk prevEvent 3 hops from /events/40 emitting seed + intermediates,
+    then keep vertices with a positive value."""
+    from cm_well_spark.operators.gremlin import g as gremlin_g
+
+    t = (
+        gremlin_g(_inf(spark, sf_dir), _tri(spark, sf_dir))
+        .V("/events/40")
+        .loop(3, "prevEvent")
+        .filter("value", ">", 0)
+    )
+    return t.paths()
+
+
+@register(
+    "gremlin_back_select",
+    oracle="""
+    SELECT '/tpch/orders/' || o_orderkey AS path
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_totalprice > 400000 AND c_mktsegment = 'BUILDING'
+    """,
+)
+def gremlin_back_select(spark, sf_dir):
+    """J6 Gremlin as/back pipes: orders over 400k whose customer sits in
+    the BUILDING segment — `back` rewinds to the labeled step keeping
+    only bindings the downstream pipeline matched (a projection of the
+    threaded label column, no re-traversal)."""
+    from cm_well_spark.operators.gremlin import g as gremlin_g
+
+    t = (
+        gremlin_g(_inf(spark, sf_dir), _tri(spark, sf_dir))
+        .V()
+        .has("rdfType", "Order")
+        .filter("totalprice", ">", 400000)
+        .as_("o")
+        .out("byCustomer")
+        .has("mktsegment", "BUILDING")
+        .back("o")
+    )
+    return t.paths()

@@ -101,3 +101,96 @@ def test_gremlin_full_vertex_no_broadcast_hint(infotons, triples):
     seeded = g(infotons, triples).V("/tpch/nation/3").in_("inNation").paths()
     plan = seeded._jdf.queryExecution().optimizedPlan().toString()
     assert "broadcast" in plan.lower()
+
+
+def test_gremlin_filter_numeric(infotons, triples, spark, sf_dir):
+    from cm_well_spark.sources import tables as tbl
+
+    n = (
+        g(infotons, triples)
+        .V()
+        .has("rdfType", "Order")
+        .filter("totalprice", ">", 400000)
+        .count()
+    )
+    raw = tbl.load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    assert n == raw.count()
+
+
+def test_gremlin_loop_emits_chain(infotons, triples):
+    got = sorted(
+        r["path"]
+        for r in g(infotons, triples).V("/events/40").loop(3, "prevEvent").paths().collect()
+    )
+    assert got == [f"/events/{i}" for i in (37, 38, 39, 40)]
+
+
+def test_gremlin_repeat_final_only(infotons, triples):
+    got = [
+        r["path"]
+        for r in g(infotons, triples)
+        .V("/events/40")
+        .repeat(3, lambda t: t.out("prevEvent"))
+        .paths()
+        .collect()
+    ]
+    assert got == ["/events/37"]
+
+
+def test_gremlin_as_back(infotons, triples, spark, sf_dir):
+    from cm_well_spark.sources import tables as tbl
+
+    t = (
+        g(infotons, triples)
+        .V()
+        .has("rdfType", "Order")
+        .as_("o")
+        .out("byCustomer")
+        .has("mktsegment", "BUILDING")
+        .back("o")
+    )
+    raw = (
+        tbl.load_table(spark, sf_dir, "orders")
+        .join(
+            tbl.load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    assert t.count() == raw.count()
+
+
+def test_gremlin_select_and_path(infotons, triples):
+    t = (
+        g(infotons, triples)
+        .V("/tpch/nation/3")
+        .as_("n")
+        .out("ofRegion")
+        .as_("r")
+        .out()  # region has no outgoing refs -> empty
+    )
+    assert t.count() == 0
+    t2 = g(infotons, triples).V("/tpch/nation/3").as_("n").out("ofRegion")
+    rows = t2.select("n").collect()
+    assert len(rows) == 1 and rows[0]["n"] == "/tpch/nation/3"
+    trail = t2.path().collect()[0]
+    assert trail["n"] == "/tpch/nation/3" and trail["path"].startswith("/tpch/region/")
+
+
+def test_gremlin_back_unknown_label(infotons, triples):
+    with pytest.raises(ValueError, match="no step labeled"):
+        g(infotons, triples).V("/tpch/nation/3").back("nope")
+
+
+def test_gremlin_dedup_and_where(infotons, triples):
+    t = (
+        g(infotons, triples)
+        .V()
+        .has("rdfType", "Nation")
+        .out("ofRegion")
+        .dedup()
+    )
+    assert t.count() == 5
+    t2 = g(infotons, triples).V().has("rdfType", "Nation").where_(
+        F.element_at(F.col("fields").getItem("name"), 1)["value"] == "NATION_3"
+    )
+    assert t2.count() == 1
