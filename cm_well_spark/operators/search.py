@@ -165,9 +165,83 @@ def search(
     return df
 
 
-def read_path(infotons: DataFrame, path: str) -> DataFrame:
-    """S1 point lookup: latest version at path (CRUDServiceFS.scala:129-195)."""
-    return infotons.where((F.col("path") == path) & F.col("current"))
+# LinkInfoton link kinds (LinkType, Infoton.scala:269-273)
+LINK_PERMANENT, LINK_TEMPORARY, LINK_FORWARD = 0, 1, 2
+
+
+def read_path(infotons: DataFrame, path: str, follow_links: int = 0) -> DataFrame:
+    """S1 point lookup: latest version at path (CRUDServiceFS.scala:129-195).
+
+    `follow_links` > 0 resolves LinkInfoton Forward chains recursively —
+    each hop is a point-pruned lookup; the bound and the "too deep
+    forward link chain detected!" error match the reference
+    (infotonOptionToReply recursiveCalls=30, Application.scala:2502-2517).
+    Permanent/Temporary links return the link row itself (the HTTP layer
+    redirects those; only Forward is transparent). Default 0 keeps the
+    plain read a single-job plan — pass 30 for the reference's HTTP-layer
+    default."""
+    df = infotons.where((F.col("path") == path) & F.col("current"))
+    if follow_links <= 0:
+        return df
+    seen = {path}
+    hops = follow_links
+    while True:
+        row = df.select("kind", "link_to", "link_kind").first()
+        if row is None or row["kind"] != "LinkInfoton" or row["link_kind"] != LINK_FORWARD:
+            return df
+        if hops <= 0 or row["link_to"] in seen:
+            # cycles exhaust the budget by definition; fail fast with the
+            # reference's exact error either way
+            raise ValueError("too deep forward link chain detected!")
+        hops -= 1
+        seen.add(row["link_to"])
+        df = infotons.where((F.col("path") == row["link_to"]) & F.col("current"))
+
+
+def resolve_forward_links(infotons: DataFrame, max_depth: int = 30) -> DataFrame:
+    """Batch twin of read_path(follow_links=...): map EVERY current
+    Forward link to its final non-link target in one distributed pass —
+    the 100 TB shape, where per-path recursion would be a driver loop.
+
+    Pointer doubling: each round substitutes a link's endpoint with that
+    endpoint's own endpoint, so ceil(log2(max_depth))+1 self-joins cover
+    chains of max_depth (5 joins for the reference's 30-hop budget)
+    instead of 30 sequential lookups. Chains still unresolved after the
+    budget (deeper, or cyclic) yield resolved=NULL — the batch analog of
+    the "too deep forward link chain" error.
+
+    Returns (link_path, resolved) for every Forward link."""
+    import math
+
+    links = (
+        infotons.where(
+            F.col("current")
+            & (F.col("kind") == "LinkInfoton")
+            & (F.col("link_kind") == LINK_FORWARD)
+        )
+        .select(F.col("path").alias("src"), F.col("link_to").alias("dst"))
+    )
+    m = links.localCheckpoint(eager=True)
+    for _ in range(max(1, math.ceil(math.log2(max_depth + 1)))):
+        stepped = (
+            m.alias("a")
+            .join(m.alias("b"), F.col("a.dst") == F.col("b.src"), "left")
+            .select(
+                F.col("a.src").alias("src"),
+                F.coalesce(F.col("b.dst"), F.col("a.dst")).alias("dst"),
+            )
+        )
+        m = stepped.localCheckpoint(eager=True)
+    # an endpoint that is still a link did not resolve within the budget
+    still_link = links.select(F.col("src").alias("dst"))
+    resolved = m.join(still_link, "dst", "left_anti").withColumnRenamed("dst", "resolved")
+    unresolved = m.join(still_link, "dst", "left_semi").select(
+        "src", F.lit(None).cast("string").alias("resolved")
+    )
+    return (
+        resolved.select(F.col("src").alias("link_path"), "resolved")
+        .unionByName(unresolved.select(F.col("src").alias("link_path"), "resolved"))
+    )
 
 
 def read_uuid(infotons: DataFrame, uuid: str) -> DataFrame:

@@ -2662,3 +2662,33 @@ def gremlin_back_select(spark, sf_dir):
         .back("o")
     )
     return t.paths()
+
+
+@register(
+    "read_link_forward",
+    oracle="""
+    SELECT '/tpch/region/0' AS path, r_name AS name FROM region WHERE r_regionkey = 0
+    """,
+)
+def read_link_forward(spark, sf_dir):
+    """S1 completeness: read_path resolves LinkInfoton Forward chains
+    (/links/a -> /links/b -> /tpch/region/0) transparently, bounded at
+    the reference's 30-hop budget (LinkType.Forward Infoton.scala:269-273;
+    recurseRead Application.scala:2502-2517)."""
+    inf = _inf(spark, sf_dir)
+    base = inf.where("path = '/tpch/region/0' AND current")
+
+    def link(path: str, to: str, uid: str):
+        return (
+            base.withColumn("path", F.lit(path))
+            .withColumn("kind", F.lit("LinkInfoton"))
+            .withColumn("link_to", F.lit(to))
+            .withColumn("link_kind", F.lit(2).cast("int"))
+            .withColumn("uuid", F.lit(uid))
+        )
+
+    inf2 = inf.unionByName(link("/links/a", "/links/b", "link-a")).unionByName(
+        link("/links/b", "/tpch/region/0", "link-b")
+    )
+    df = S.read_path(inf2, "/links/a", follow_links=30)
+    return df.select("path", fv.first_value("name").alias("name"))

@@ -213,12 +213,52 @@ def test_audio_features(spark):
     assert rows[2]["ok"] is False
 
 
-def test_real_codec_is_gated(spark):
+def test_unknown_codec_is_gated(spark):
     from cm_well_spark.operators.multimodal import decode_images, fake_image
 
     df = spark.createDataFrame([(1, fake_image(2, 2))], ["id", "data"])
-    with pytest.raises(NotImplementedError, match="fake"):
-        decode_images(df, codec="pil")
+    with pytest.raises(NotImplementedError, match="seam"):
+        decode_images(df, codec="webp")
+
+
+def _has_pil() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(not _has_pil(), reason="Pillow not installed in this environment")
+def test_pil_decode_and_resize_real_png(spark):
+    """Real-codec adapter: a PNG round-trips through decode + resize."""
+    import io
+
+    from PIL import Image
+
+    from cm_well_spark.operators.multimodal import decode_images, resize_images
+
+    buf = io.BytesIO()
+    Image.new("RGB", (8, 6), color=(10, 20, 30)).save(buf, format="PNG")
+    df = spark.createDataFrame([(1, buf.getvalue()), (2, b"junk")], ["id", "data"])
+    rows = {r["id"]: r for r in decode_images(df, codec="pil").collect()}
+    assert rows[1]["ok"] and (rows[1]["height"], rows[1]["width"], rows[1]["channels"]) == (6, 8, 3)
+    assert rows[2]["ok"] is False
+    rs = resize_images(df, 3, 4, codec="pil").collect()
+    assert len(rs) == 1  # junk row dropped
+    meta = decode_images(spark.createDataFrame([(1, rs[0]["data"])], ["id", "data"]), codec="pil").first()
+    assert (meta["height"], meta["width"]) == (3, 4)
+
+
+@pytest.mark.skipif(_has_pil(), reason="covers the missing-Pillow executor error")
+def test_pil_codec_missing_library_errors_at_seam(spark):
+    from cm_well_spark.operators.multimodal import decode_images, fake_image
+
+    df = spark.createDataFrame([(1, fake_image(2, 2))], ["id", "data"])
+    # the seam raises on the executor; Spark surfaces it as a PythonException
+    with pytest.raises(Exception, match="Pillow"):
+        decode_images(df, codec="pil").collect()
 
 
 def test_jaccard_skew_guard_matches_exact(docs):

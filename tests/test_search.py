@@ -155,3 +155,81 @@ def test_score_sort_ranks_by_term_frequency(spark):
     out = search(inf, qp="txt:widget", sort_by="-system.score", length=10)
     assert [r["path"] for r in out.collect()] == ["/t/a", "/t/c", "/t/b"]
     assert "__score" not in out.columns
+
+
+# ---- LinkInfoton forward resolution (S1 completeness) ---------------------
+
+
+def _with_links(infotons, chain):
+    from pyspark.sql import functions as F
+
+    base = infotons.where("path = '/tpch/region/0' AND current")
+    out = infotons
+    for path, to, kind in chain:
+        out = out.unionByName(
+            base.withColumn("path", F.lit(path))
+            .withColumn("kind", F.lit("LinkInfoton"))
+            .withColumn("link_to", F.lit(to))
+            .withColumn("link_kind", F.lit(kind).cast("int"))
+            .withColumn("uuid", F.lit(f"link-{path}"))
+        )
+    return out
+
+
+def test_read_path_follows_forward_chain(infotons):
+    from cm_well_spark.operators.search import read_path
+
+    inf2 = _with_links(
+        infotons, [("/l/a", "/l/b", 2), ("/l/b", "/tpch/region/0", 2)]
+    )
+    row = read_path(inf2, "/l/a", follow_links=30).first()
+    assert row["path"] == "/tpch/region/0"
+
+
+def test_read_path_permanent_link_not_followed(infotons):
+    from cm_well_spark.operators.search import read_path
+
+    inf2 = _with_links(infotons, [("/l/p", "/tpch/region/0", 0)])
+    row = read_path(inf2, "/l/p", follow_links=30).first()
+    assert row["path"] == "/l/p"  # HTTP layer would redirect; read returns the link
+
+
+def test_read_path_link_cycle_raises(infotons):
+    import pytest
+
+    from cm_well_spark.operators.search import read_path
+
+    inf2 = _with_links(infotons, [("/l/x", "/l/y", 2), ("/l/y", "/l/x", 2)])
+    with pytest.raises(ValueError, match="too deep forward link chain"):
+        read_path(inf2, "/l/x", follow_links=30)
+
+
+def test_read_path_depth_budget(infotons):
+    import pytest
+
+    from cm_well_spark.operators.search import read_path
+
+    inf2 = _with_links(
+        infotons, [("/l/0", "/l/1", 2), ("/l/1", "/l/2", 2), ("/l/2", "/tpch/region/0", 2)]
+    )
+    with pytest.raises(ValueError, match="too deep"):
+        read_path(inf2, "/l/0", follow_links=2)
+    assert read_path(inf2, "/l/0", follow_links=3).first()["path"] == "/tpch/region/0"
+
+
+def test_resolve_forward_links_batch(infotons):
+    from cm_well_spark.operators.search import resolve_forward_links
+
+    inf2 = _with_links(
+        infotons,
+        [
+            ("/l/a", "/l/b", 2),
+            ("/l/b", "/tpch/region/0", 2),
+            ("/l/c1", "/l/c2", 2),  # cycle -> NULL
+            ("/l/c2", "/l/c1", 2),
+        ],
+    )
+    got = {r["link_path"]: r["resolved"] for r in resolve_forward_links(inf2).collect()}
+    assert got["/l/a"] == "/tpch/region/0"
+    assert got["/l/b"] == "/tpch/region/0"
+    assert got["/l/c1"] is None and got["/l/c2"] is None
