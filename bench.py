@@ -82,21 +82,19 @@ def main() -> None:
         names = bench_names.split(",")
     else:
         names = [n for n in headline if n in qs]
-    # BASELINE.md targets are WARM numbers; on a contended host a single
-    # cold sample can be 5-10x the warm cost. Queries whose first sample
-    # exceeds the re-run threshold get one warm re-run and report the min.
-    rerun_over = float(os.environ.get("CMW_BENCH_RERUN_OVER_SEC", "2.0"))
+    # BASELINE.md targets are WARM numbers; on a contended host any single
+    # sample can be 5-30x the warm cost (the r4 adjudication traced a
+    # phantom 35x "regression" to host CPU steal). Every query therefore
+    # takes min-of-2 samples unconditionally (VERDICT r4 item 7).
+    samples = int(os.environ.get("CMW_BENCH_SAMPLES", "2"))
     for name in names:
         fn = qs[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        took = time.time() - t0
-        if took > rerun_over:
-            t1 = time.time()
-            fn(spark, sf_dir).count()
-            took = min(took, time.time() - t1)
-        timings[name] = round(took, 3)
+        best, n = float("inf"), 0
+        for _ in range(max(1, samples)):
+            t0 = time.time()
+            n = fn(spark, sf_dir).count()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
@@ -112,6 +110,9 @@ def main() -> None:
         "queries": timings,
         "ingest_sec": round(ingest_s, 3),
         "warmup_sec": round(warm_s, 3),
+        # host 1/5/15-min load averages: makes the record self-diagnosing
+        # under external CPU steal (the r4 phantom-regression signature)
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
         "sf": sf_val,
     }
     print(json.dumps(out))

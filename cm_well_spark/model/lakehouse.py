@@ -164,4 +164,14 @@ def load_triples(spark: SparkSession, sf_dir: str, root: str | None = None) -> D
 def load_predicate_stats(spark: SparkSession, sf_dir: str, root: str | None = None) -> dict[str, dict]:
     out = materialize(spark, sf_dir, root)
     rows = spark.read.parquet(os.path.join(out, "predicate_stats")).collect()
-    return {r["p"]: {"n": r["n_triples"], "dobj": r["n_distinct_obj"], "dsubj": r["n_distinct_subj"]} for r in rows}
+    return {
+        r["p"]: {
+            "n": r["n_triples"],
+            "dobj": r["n_distinct_obj"],
+            "dsubj": r["n_distinct_subj"],
+            # vtype codes seen for the field (F9 types cache): lets the
+            # aggregation text guard answer without a probe job
+            "vtypes": list(r["vtypes"] or []),
+        }
+        for r in rows
+    }

@@ -118,21 +118,34 @@ def _exploded_any(
 
 
 def _guard_text(
-    df: DataFrame, f: AggField, need_numeric: bool = False, triples: DataFrame | None = None
+    df: DataFrame,
+    f: AggField,
+    need_numeric: bool = False,
+    triples: DataFrame | None = None,
+    stats: dict | None = None,
 ) -> str:
-    """Returns the sampled vtype; raises the reference's exact error when an
-    analyzed (`:`) aggregation hits a string field, or stats hits text."""
-    if triples is not None:
+    """Returns the field's vtype; raises the reference's exact error when
+    an analyzed (`:`) aggregation hits a string field, or stats hits text.
+
+    The vtype comes FREE from predicate_stats (materialized once per
+    store, VERDICT r4 item 6) whenever the field has exactly one observed
+    vtype — no probe job at all; only mixed-type fields (or stats-less
+    callers) fall back to sampling one row."""
+    vts = (stats or {}).get(f.name, {}).get("vtypes")
+    if vts is not None and len(vts) <= 1:
+        vt = vts[0] if vts else None
+    elif triples is not None:
         row = (
             triples.where(F.col("current") & (F.col("p") == f.name)).select(F.col("vtype").alias("vt")).first()
         )
+        vt = row["vt"] if row else None
     else:
         row = (
             df.where(F.col("fields").getItem(f.name).isNotNull())
             .select(F.element_at(F.col("fields").getItem(f.name), 1)["vtype"].alias("vt"))
             .first()
         )
-    vt = row["vt"] if row else None
+        vt = row["vt"] if row else None
     if vt == "s" and (not f.exact) :
         raise AggregationError("aggregations failure due to fielddata disabled")
     if need_numeric and vt == "s":
@@ -200,7 +213,7 @@ def _term(
     triples: DataFrame | None = None, stats: dict | None = None,
 ) -> AggResult:
     use_t = triples if _use_indexed(agg.field, triples, stats) else None
-    _guard_text(df, agg.field, triples=use_t)
+    _guard_text(df, agg.field, triples=use_t, stats=stats)
     ex = _exploded_any(df, agg.field, triples, stats)
     counts = ex.groupBy(_key_col(agg.field).alias("key")).agg(F.count("*").alias("objects"))
     top = counts.orderBy(F.desc("objects"), F.asc("key")).limit(agg.size)
@@ -221,7 +234,7 @@ def _stats(
     triples: DataFrame | None = None, stats: dict | None = None,
 ) -> AggResult:
     use_t = triples if _use_indexed(agg.field, triples, stats) else None
-    _guard_text(df, agg.field, need_numeric=True, triples=use_t)
+    _guard_text(df, agg.field, need_numeric=True, triples=use_t, stats=stats)
     ex = _exploded_any(df, agg.field, triples, stats)
     num = F.col("__v")["num"]
     out = ex.agg(
@@ -239,30 +252,41 @@ def _hist(
     triples: DataFrame | None = None, stats: dict | None = None,
 ) -> AggResult:
     use_t = triples if _use_indexed(agg.field, triples, stats) else None
-    _guard_text(df, agg.field, need_numeric=True, triples=use_t)
+    _guard_text(df, agg.field, need_numeric=True, triples=use_t, stats=stats)
     ex = _exploded_any(df, agg.field, triples, stats)
     num = F.col("__v")["num"]
     key = (F.floor(num / agg.interval) * agg.interval).cast("double")
     counts = ex.groupBy(key.alias("key")).agg(F.count("*").alias("objects"))
     # bucket-range fill: ES returns every bucket between min and max observed
-    # key (and extended bounds) when minDocCount == 0
-    bounds = counts.agg(F.min("key").alias("lo"), F.max("key").alias("hi")).first()
-    lo, hi = bounds["lo"], bounds["hi"]
-    if lo is not None:
-        import math
+    # key (and extended bounds) when minDocCount == 0. The bounds stay
+    # INSIDE the plan — a 1-row agg frame exploded with sequence() — so the
+    # whole histogram is one job instead of a driver bounds round-trip
+    # first (VERDICT r4 item 6).
+    import math
 
-        if agg.ext_min is not None:
-            lo = min(lo, math.floor(agg.ext_min / agg.interval) * agg.interval)
-        if agg.ext_max is not None:
-            hi = max(hi, math.floor(agg.ext_max / agg.interval) * agg.interval)
-        spark = df.sparkSession
-        rng = spark.range(int((hi - lo) // agg.interval) + 1).select(
-            (F.lit(float(lo)) + F.col("id") * agg.interval).alias("key")
+    lo_col, hi_col = F.col("lo"), F.col("hi")
+    if agg.ext_min is not None:
+        lo_col = F.least(lo_col, F.lit(math.floor(agg.ext_min / agg.interval) * agg.interval))
+    if agg.ext_max is not None:
+        hi_col = F.greatest(hi_col, F.lit(math.floor(agg.ext_max / agg.interval) * agg.interval))
+    rng = (
+        counts.agg(F.min("key").alias("lo"), F.max("key").alias("hi"))
+        .where(F.col("lo").isNotNull())
+        .select(
+            lo_col.alias("__lo"),
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.round((hi_col - lo_col) / agg.interval, 0).cast("long"),
+                )
+            ).alias("__i"),
         )
-        counts = (
-            rng.join(counts, "key", "left")
-            .select("key", F.coalesce("objects", F.lit(0)).alias("objects"))
-        )
+        .select((F.col("__lo") + F.col("__i") * agg.interval).alias("key"))
+    )
+    counts = (
+        rng.join(counts, "key", "left")
+        .select("key", F.coalesce("objects", F.lit(0)).alias("objects"))
+    )
     counts = counts.where(F.col("objects") >= agg.min_doc_count).orderBy("key")
     subs = []
     if agg.subs:

@@ -173,3 +173,50 @@ def test_indexed_route_matches_doc_route(spark, infotons, triples, sf_dir):
     with contextlib.redirect_stdout(buf):
         aggregate(cust, "type:term,field::mktsegment", triples=triples, stats=small_stats)[0].df.explain()
     assert "LeftSemi" not in buf.getvalue()
+
+
+def test_guard_text_answers_from_stats_without_job(spark, infotons, triples, sf_dir):
+    """VERDICT r4 item 6: the vtype guard must not fire a probe job when
+    predicate_stats already carries the field's vtypes."""
+    import pytest
+
+    from cm_well_spark.model.lakehouse import load_predicate_stats
+    from cm_well_spark.operators.aggregations import AggregationError, _guard_text
+    from cm_well_spark.parsers.ap import AggField
+
+    stats = load_predicate_stats(spark, sf_dir)
+    assert stats["acctbal"]["vtypes"] == ["w"]
+    sc = spark.sparkContext
+    sc.setJobGroup("guard_probe_test", "stats-only guard")
+    try:
+        vt = _guard_text(
+            infotons, AggField("acctbal", True), need_numeric=True, triples=triples, stats=stats
+        )
+        with pytest.raises(AggregationError, match="fielddata disabled"):
+            _guard_text(infotons, AggField("name", False), triples=triples, stats=stats)
+        jobs = sc.statusTracker().getJobIdsForGroup("guard_probe_test")
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert vt == "w"
+    assert list(jobs) == []  # both answers came from stats alone
+
+
+def test_hist_extended_bounds_in_plan(infotons, triples, spark, sf_dir):
+    """The bucket-range fill (including extended bounds) happens inside the
+    plan — results identical to the old driver-side bounds round trip."""
+    from cm_well_spark.model.lakehouse import load_predicate_stats
+    from cm_well_spark.operators.aggregations import aggregate
+
+    stats = load_predicate_stats(spark, sf_dir)
+    parts = infotons.where(F.col("path").startswith("/tpch/part/"))
+    out = aggregate(
+        parts,
+        "type:hist,field::size,interval:10,minDocCount:0,extMax:120",
+        triples=triples,
+        stats=stats,
+    )[0].df
+    rows = {r["key"]: r["objects"] for r in out.collect()}
+    assert max(rows) >= 120.0
+    # contiguous buckets, zero-filled
+    keys = sorted(rows)
+    assert keys == [keys[0] + 10.0 * i for i in range(len(keys))]

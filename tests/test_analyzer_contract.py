@@ -1,0 +1,73 @@
+"""Tokenizer-contract tests: pin exactly WHERE the engine's analyzer
+(lowercase + collapse non-alphanumerics to spaces, plans/compile.py
+analyze_expr) diverges from Lucene's StandardAnalyzer (UAX#29 word
+break), which backs the reference's `:` Contains (matchPhraseQuery,
+FTSService.scala:898-905) and `~` fuzzy (fuzzyQuery).
+
+The point is not parity — it is that every divergence is ENUMERATED and
+asserted, so a behavior change in either direction fails a test instead
+of shifting recall silently. The same table lives in SURVEY.md §7.3.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cm_well_spark.plans.compile import analyze_expr
+
+# (input, our tokens, Lucene StandardAnalyzer tokens, diverges?)
+# Lucene column per UAX#29: apostrophes/periods INSIDE words are kept
+# (MidLetter/MidNum), underscores join (ExtendNumLet), CJK emits unigrams.
+CONTRACT = [
+    ("Hello, World!", "hello world", ["hello", "world"], False),
+    ("state-of-the-art", "state of the art", ["state", "of", "the", "art"], False),
+    ("O'Brien", "o brien", ["o'brien"], True),
+    ("dog's", "dog s", ["dog's"], True),
+    ("3.14 rounds", "3 14 rounds", ["3.14", "rounds"], True),
+    ("foo_bar", "foo bar", ["foo_bar"], True),
+    ("mail a@b.com", "mail a b com", ["mail", "a", "b.com"], True),
+    ("日本語 text", "日本語 text", ["日", "本", "語", "text"], True),
+]
+
+
+@pytest.fixture(scope="module")
+def analyze(spark):
+    def run(s: str) -> str:
+        return spark.range(1).select(analyze_expr(F.lit(s)).alias("t")).first()["t"]
+
+    return run
+
+
+@pytest.mark.parametrize("raw,ours,lucene,diverges", CONTRACT)
+def test_analyzer_contract(analyze, raw, ours, lucene, diverges):
+    got = analyze(raw)
+    assert got == ours, f"engine analyzer changed for {raw!r}"
+    # the divergence flag must stay truthful: if our token stream equals
+    # Lucene's, the row must say so (and vice versa)
+    assert (got.split(" ") != lucene) == diverges
+
+
+def test_contains_word_boundary_semantics(infotons, triples):
+    """`:` Contains matches whole analyzed words, not substrings — same as
+    matchPhrase on the analyzed field for single terms."""
+    from cm_well_spark.operators.search import search
+
+    full = search(infotons, qp="rdfType::Part,name:widget", length=None, triples=triples).count()
+    # 'plu' is a strict prefix of the token, not a token -> no match
+    prefix = search(infotons, qp="rdfType::Part,name:widg", length=None, triples=triples).count()
+    assert full > 0 and prefix == 0
+
+
+def test_fuzzy_whole_value_divergence(spark, infotons, triples):
+    """`~` fuzzy: ours is whole-value lowercase levenshtein; Lucene's
+    fuzzyQuery is per-analyzed-term. Pinned: a one-word query within
+    edit distance of ONE TOKEN of a multi-word value matches in Lucene
+    but not here."""
+    from cm_well_spark.operators.search import search
+
+    # whole-value edit distance 1: matches (both engines would; AUTO
+    # fuzziness distance 2 also admits other close names — set semantics)
+    hits = {r["path"] for r in search(infotons, qp="rdfType::Nation,name~NATIN_3", length=None, triples=triples).select("path").collect()}
+    assert "/tpch/nation/3" in hits
+    # part names are multi-word ("large widget"): Lucene fuzzyQuery on
+    # 'widgt' would match the 'widget' token; whole-value distance is huge
+    assert search(infotons, qp="rdfType::Part,name~widgt", length=None, triples=triples).count() == 0
