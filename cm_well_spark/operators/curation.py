@@ -125,3 +125,41 @@ def quality_filter(
         reason.alias("reason"),
         (reason == "ok").alias("keep"),
     )
+
+
+# Default PII pattern set (RE2/Java-compatible, no backrefs — runs
+# identically under Catalyst and DuckDB). Phone deliberately excludes '.'
+# separators so IPv4 addresses never double-count as phones.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"(?:\d{1,3}\.){3}\d{1,3}",
+    "phone": r"\+?\d{2,4}[-\s]\d{3}[-\s]\d{1,6}",
+}
+
+
+def scrub_pii(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    patterns: dict[str, str] | None = None,
+    token: str = "[PII]",
+) -> DataFrame:
+    """Redact PII spans (emails, IPv4 addresses, phone numbers by default;
+    the pattern set is caller-extensible) and count matches per category.
+
+    Everything is chained regexp_replace / regexp_extract_all — ONE
+    codegen'd projection, zero Python in the row path, so scrubbing rides
+    the same scan as any other columnar step at 100 TB. Replacements
+    apply in pattern-dict order (email before phone, so an address's
+    digits are redacted as an address, not a phone); per-category counts
+    are measured on the ORIGINAL text, independent of redaction order."""
+    pats = patterns or PII_PATTERNS
+    c = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(c, F.lit(p), 0)).alias(f"n_{name}")
+        for name, p in pats.items()
+    ]
+    scrubbed = c
+    for p in pats.values():
+        scrubbed = F.regexp_replace(scrubbed, p, token.replace("$", r"\$"))
+    return docs.select(F.col(id_col), scrubbed.alias(text_col), *counts)

@@ -109,6 +109,7 @@ def _pattern_df(
         cols.append(F.col("o").alias(tp.o.name))
         cols.append(F.col("num").alias(f"__num__{tp.o.name}"))
         cols.append(F.col("lang").alias(f"__lang__{tp.o.name}"))
+        cols.append(F.col("vtype").alias(f"__vt__{tp.o.name}"))
         binds[tp.o.name] = "o"
     if gvar is not None:
         if gvar in binds:
@@ -143,7 +144,7 @@ def _join(left: DataFrame, right: DataFrame) -> DataFrame:
     if shared:
         # drop duplicate shadow columns from the right side
         dup_shadows = [
-            c for c in right.columns if c.startswith(("__num__", "__lang__")) and c in left.columns
+            c for c in right.columns if c.startswith(("__num__", "__lang__", "__vt__")) and c in left.columns
         ]
         right = right.drop(*dup_shadows)
         return left.join(right, shared, "inner")
@@ -220,6 +221,7 @@ def _squash_frame(infotons: DataFrame, subj, tps: list) -> DataFrame:
                 .withColumn(vname, F.col("__sqv")["value"])
                 .withColumn(f"__num__{vname}", F.col("__sqv")["num"])
                 .withColumn(f"__lang__{vname}", F.col("__sqv")["lang"])
+                .withColumn(f"__vt__{vname}", F.col("__sqv")["vtype"])
                 .drop("__sqv", f"__sq{i}")
             )
     return df
@@ -272,6 +274,7 @@ def _path_step(
             cols.append(F.col("o").alias(o_term.name))
             cols.append(F.col("num").alias(f"__num__{o_term.name}"))
             cols.append(F.col("lang").alias(f"__lang__{o_term.name}"))
+            cols.append(F.col("vtype").alias(f"__vt__{o_term.name}"))
         if gvar is not None:
             cols.append(F.col("g").alias(gvar))
         if not cols:
@@ -529,7 +532,7 @@ def _compile_group(
         right = _compile_group(triples, opt, stats, infotons, gvar, in_graph)
         shared = [c for c in df.columns if c in right.columns and not c.startswith("__")]
         right = right.drop(
-            *[c for c in right.columns if c.startswith(("__num__", "__lang__")) and c in df.columns]
+            *[c for c in right.columns if c.startswith(("__num__", "__lang__", "__vt__")) and c in df.columns]
         )
         df = df.join(right, shared, "left") if shared else df.crossJoin(right)
     for v, e in g.binds:
@@ -649,7 +652,59 @@ def _value_col(e, df: DataFrame) -> tuple[Column, bool]:
         if e.fn == "encode_for_uri":
             # percent-encode everything outside RFC 3986 unreserved
             return F.url_encode(args[0][0].cast("string")), False
+        if e.fn in ("year", "month", "day", "hours", "minutes", "seconds"):
+            # xsd:dateTime accessors (SPARQL 1.1 §17.4.5): values carry the
+            # canonical ISO lexical form, so parse at the use site — no
+            # per-var timestamp shadow column needed
+            ts = F.to_timestamp(args[0][0].cast("string"))
+            fns = {"year": F.year, "month": F.month, "day": F.dayofmonth,
+                   "hours": F.hour, "minutes": F.minute, "seconds": F.second}
+            return fns[e.fn](ts).cast("int"), True
+        if e.fn == "tz":
+            # engine stores UTC canonical forms; TZ is "Z" for any
+            # date-typed lexical value, "" otherwise (§17.4.5.7)
+            s = args[0][0].cast("string")
+            return F.when(s.endswith("Z"), F.lit("Z")).otherwise(F.lit("")), False
+        if e.fn == "datatype":
+            a = e.args[0]
+            if isinstance(a, Var) and f"__vt__{a.name}" in df.columns:
+                vt = F.col(f"__vt__{a.name}")
+                lang = (
+                    F.col(f"__lang__{a.name}")
+                    if f"__lang__{a.name}" in df.columns
+                    else F.lit(None)
+                )
+                xsd = "http://www.w3.org/2001/XMLSchema#"
+                return (
+                    F.when(lang.isNotNull(),
+                           F.lit("http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"))
+                    .when(vt == "i", F.lit(xsd + "int"))
+                    .when(vt == "l", F.lit(xsd + "long"))
+                    .when(vt == "f", F.lit(xsd + "float"))
+                    .when(vt == "w", F.lit(xsd + "double"))
+                    .when(vt == "d", F.lit(xsd + "dateTime"))
+                    .when(vt == "b", F.lit(xsd + "boolean"))
+                    .otherwise(F.lit(xsd + "string"))
+                ), False
+            # BIND-derived values: numeric shadow -> double, else string
+            num_shadow = f"__num__{a.name}" if isinstance(a, Var) else None
+            if num_shadow and num_shadow in df.columns:
+                return F.when(
+                    F.col(num_shadow).isNotNull(),
+                    F.lit("http://www.w3.org/2001/XMLSchema#double"),
+                ).otherwise(F.lit("http://www.w3.org/2001/XMLSchema#string")), False
+            return F.lit("http://www.w3.org/2001/XMLSchema#string"), False
+        if e.fn in ("iri", "uri"):
+            # terms are strings in this engine (subjects = infoton paths);
+            # IRI() is the identity on the lexical form
+            return args[0][0].cast("string"), False
     raise SparqlCompileError(f"unsupported value expression {e!r}")
+
+
+def _is_iri_col(col: Column) -> Column:
+    """Model mapping for isIRI/isURI: IRIs are infoton paths (`/...`) or
+    absolute http(s) URIs — FReference values, Infoton.scala:672."""
+    return col.rlike(r"^(/|https?://)")
 
 
 def _filter_col(f: Filter, df: DataFrame) -> Column:
@@ -688,6 +743,21 @@ def _filter_col(f: Filter, df: DataFrame) -> Column:
         if not isinstance(a, Var):
             raise SparqlCompileError("BOUND needs a variable")
         return F.col(a.name).isNotNull() if a.name in df.columns else F.lit(False)
+    if f.op in ("isiri", "isuri"):
+        return _is_iri_col(_value_col(f.args[0], df)[0].cast("string"))
+    if f.op == "isliteral":
+        return ~_is_iri_col(_value_col(f.args[0], df)[0].cast("string"))
+    if f.op == "isnumeric":
+        a = f.args[0]
+        if isinstance(a, Var) and f"__num__{a.name}" in df.columns:
+            return F.col(f"__num__{a.name}").isNotNull()
+        return _value_col(a, df)[0].cast("double").isNotNull()
+    if f.op == "isblank":
+        return F.lit(False)  # the infoton model has no blank nodes
+    if f.op == "sameterm":
+        lhs = _value_col(f.args[0], df)[0].cast("string")
+        rhs = _value_col(f.args[1], df)[0].cast("string")
+        return lhs.eqNullSafe(rhs)
     if f.op in ("in", "not_in"):
         expr, vals = f.args
         numeric = all(isinstance(v, Literal) and v.dtype == "number" for v in vals)

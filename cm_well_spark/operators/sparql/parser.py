@@ -516,8 +516,13 @@ class _P:
         "STR", "LANG", "STRLEN", "UCASE", "LCASE", "ABS", "CEIL", "FLOOR", "ROUND", "CONCAT",
         "STRBEFORE", "STRAFTER", "SUBSTR", "REPLACE", "COALESCE",
         "MD5", "SHA1", "SHA256", "ENCODE_FOR_URI",
+        "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS", "TZ",
+        "DATATYPE", "IRI", "URI",
     )
-    BOOL_FNS = ("CONTAINS", "STRSTARTS", "STRENDS", "BOUND", "LANGMATCHES")
+    BOOL_FNS = (
+        "CONTAINS", "STRSTARTS", "STRENDS", "BOUND", "LANGMATCHES",
+        "ISIRI", "ISURI", "ISLITERAL", "ISNUMERIC", "ISBLANK", "SAMETERM",
+    )
 
     def value_expr(self):
         """A value expression: a term or a builtin function application."""

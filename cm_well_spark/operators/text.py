@@ -186,3 +186,90 @@ def unigram_cross_entropy(
     return scored.groupBy(id_col).agg(
         F.round(F.avg("nll"), 6).alias("bits_per_token"), F.count("*").alias("n_tokens")
     )
+
+
+# ---------------------------------------------------------------------------
+# repetition signals (Gopher / MassiveText quality rules)
+# ---------------------------------------------------------------------------
+
+
+def _word_ngrams_all(c: Column, k: int) -> Column:
+    """ALL word k-grams of the normalized text (with repeats — unlike
+    dedup.word_shingles, which dedups for set semantics; repetition
+    signals need the multiset)."""
+    words = F.split(normalize_text(c), " ")
+    n = F.size(words)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k), lambda i: F.concat_ws(" ", F.slice(words, i + 1, k))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 2,
+    dup_k: int = 5,
+) -> DataFrame:
+    """Gopher/MassiveText repetition filters (Rae et al. 2021, A1.1):
+
+      dup_line_frac       fraction of line occurrences that are repeats
+                          (a line occurring c>1 times contributes all c)
+      dup_line_char_frac  character-weighted version of the same
+      top_kgram_frac      fraction of k-gram occurrences taken by the
+                          single most frequent k-gram (k=top_k)
+      dup_kgram_frac      fraction of k-gram occurrences that are repeats
+                          (k=dup_k)
+
+    Boilerplate-heavy and degenerate-repetition documents light up these
+    signals long before perplexity filters see them.
+
+    Shape at 100 TB: three explode -> (doc, key) hash aggregations ->
+    per-doc aggregates. Every stage combines map-side on (doc, key); no
+    joins except the final per-doc assembly on the id column. Docs
+    shorter than k words report 0 (nothing to repeat)."""
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+
+    def dup_frac(weighted: bool) -> Column:
+        w = (F.length("key") * F.col("c")) if weighted else F.col("c")
+        return F.coalesce(
+            F.sum(F.when(F.col("c") > 1, w).otherwise(F.lit(0))) / F.sum(w), F.lit(0.0)
+        )
+
+    lines = base.select("id", F.explode(F.split(F.col("__t"), "\n")).alias("key"))
+    lc = lines.groupBy("id", "key").agg(F.count("*").alias("c"))
+    line_stats = lc.groupBy("id").agg(
+        dup_frac(weighted=False).alias("dup_line_frac"),
+        dup_frac(weighted=True).alias("dup_line_char_frac"),
+    )
+
+    g_top = base.select("id", F.explode(_word_ngrams_all(F.col("__t"), top_k)).alias("key"))
+    tc = g_top.groupBy("id", "key").agg(F.count("*").alias("c"))
+    top_stats = tc.groupBy("id").agg(
+        (F.max("c") / F.sum("c")).alias("top_kgram_frac")
+    )
+
+    g_dup = base.select("id", F.explode(_word_ngrams_all(F.col("__t"), dup_k)).alias("key"))
+    dc = g_dup.groupBy("id", "key").agg(F.count("*").alias("c"))
+    dup_stats = dc.groupBy("id").agg(
+        (F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))) / F.sum("c")).alias(
+            "dup_kgram_frac"
+        )
+    )
+
+    ids = base.select("id").distinct()
+    out = (
+        ids.join(line_stats, "id", "left")
+        .join(top_stats, "id", "left")
+        .join(dup_stats, "id", "left")
+    )
+    return out.select(
+        F.col("id").alias(id_col),
+        *[
+            F.coalesce(F.col(c), F.lit(0.0)).alias(c)
+            for c in ("dup_line_frac", "dup_line_char_frac", "top_kgram_frac", "dup_kgram_frac")
+        ],
+    )

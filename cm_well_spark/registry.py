@@ -2692,3 +2692,142 @@ def read_link_forward(spark, sf_dir):
     )
     df = S.read_path(inf2, "/links/a", follow_links=30)
     return df.select("path", fv.first_value("name").alias("name"))
+
+
+@register(
+    "sparql_builtin_datetime",
+    oracle="""
+    SELECT '/tpch/orders/' || o_orderkey AS s, CAST(year(o_orderdate) AS VARCHAR) AS y
+    FROM orders WHERE month(o_orderdate) = 3
+    """,
+)
+def sparql_builtin_datetime(spark, sf_dir):
+    """J5 SPARQL 1.1 §17.4.5 datetime accessors (YEAR/MONTH/DAY/HOURS/
+    MINUTES/SECONDS/TZ): parse the canonical ISO lexical form at the use
+    site — native Catalyst to_timestamp/year/month, no shadow columns."""
+    from cm_well_spark.operators.sparql import sparql_query
+
+    return sparql_query(
+        _tri(spark, sf_dir),
+        'SELECT ?s ?y WHERE { ?s <rdfType> "Order" . ?s <orderdate> ?d . '
+        "BIND(YEAR(?d) AS ?y) FILTER(MONTH(?d) = 3) }",
+        limit_cap=None,
+    )
+
+
+@register(
+    "sparql_term_fns",
+    oracle="""
+    SELECT '/tpch/region/' || r_regionkey AS s,
+           'http://www.w3.org/2001/XMLSchema#long' AS dt
+    FROM region
+    """,
+)
+def sparql_term_fns(spark, sf_dir):
+    """J5 RDF term functions (§17.4.1-2): DATATYPE from the typed vtype
+    shadow; ISNUMERIC/ISIRI/ISLITERAL/SAMETERM as native predicates over
+    the engine's term model (IRIs = paths / http URIs)."""
+    from cm_well_spark.operators.sparql import sparql_query
+
+    return sparql_query(
+        _tri(spark, sf_dir),
+        'SELECT ?s ?dt WHERE { ?s <rdfType> "Region" . ?s <regionkey> ?k . '
+        "BIND(DATATYPE(?k) AS ?dt) FILTER(ISNUMERIC(?k) && !ISIRI(?k)) }",
+        limit_cap=None,
+    )
+
+
+@register(
+    "curation_repetition_signals",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, text, string_split({_NORM_SQL.format(c='text')}, ' ') AS w
+      FROM documents
+    ), ln AS (
+      SELECT doc_id, unnest(string_split(text, chr(10))) AS key FROM documents
+    ), lc AS (
+      SELECT doc_id, key, count(*) AS c FROM ln GROUP BY 1, 2
+    ), ls AS (
+      SELECT doc_id,
+             round(coalesce(sum(CASE WHEN c > 1 THEN c END) * 1.0 / sum(c), 0), 6)
+               AS dup_line_frac,
+             round(coalesce(sum(CASE WHEN c > 1 THEN length(key) * c END) * 1.0
+                            / sum(length(key) * c), 0), 6) AS dup_line_char_frac
+      FROM lc GROUP BY 1
+    ), g2 AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(w) - 2 + 2),
+                                           i -> array_to_string(w[i:i+1], ' '))) AS key
+      FROM w WHERE len(w) >= 2
+    ), c2 AS (
+      SELECT doc_id, key, count(*) AS c FROM g2 GROUP BY 1, 2
+    ), t2 AS (
+      SELECT doc_id, round(max(c) * 1.0 / sum(c), 6) AS top_kgram_frac FROM c2 GROUP BY 1
+    ), g5 AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(w) - 5 + 2),
+                                           i -> array_to_string(w[i:i+4], ' '))) AS key
+      FROM w WHERE len(w) >= 5
+    ), c5 AS (
+      SELECT doc_id, key, count(*) AS c FROM g5 GROUP BY 1, 2
+    ), d5 AS (
+      SELECT doc_id,
+             round(coalesce(sum(CASE WHEN c > 1 THEN c END) * 1.0 / sum(c), 0), 6)
+               AS dup_kgram_frac
+      FROM c5 GROUP BY 1
+    )
+    SELECT d.doc_id,
+           coalesce(ls.dup_line_frac, 0) AS dup_line_frac,
+           coalesce(ls.dup_line_char_frac, 0) AS dup_line_char_frac,
+           coalesce(t2.top_kgram_frac, 0) AS top_kgram_frac,
+           coalesce(d5.dup_kgram_frac, 0) AS dup_kgram_frac
+    FROM documents d
+    LEFT JOIN ls USING (doc_id) LEFT JOIN t2 USING (doc_id) LEFT JOIN d5 USING (doc_id)
+    """,
+)
+def curation_repetition_signals(spark, sf_dir):
+    """Gopher/MassiveText repetition quality signals (Rae et al. 2021
+    A1.1): duplicate-line fraction (count- and char-weighted), most-
+    frequent-2gram occupancy, duplicated-5gram fraction. Three explode ->
+    keyed hash aggregations, all map-side combining — the rule filters a
+    100 TB corpus build runs alongside the C4-style quality score."""
+    from cm_well_spark.operators.text import repetition_signals
+    from cm_well_spark.sources import tables as tbl
+
+    out = repetition_signals(tbl.load_table(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        *[
+            F.round(F.col(c), 6).alias(c)
+            for c in ("dup_line_frac", "dup_line_char_frac", "top_kgram_frac", "dup_kgram_frac")
+        ],
+    )
+
+
+@register(
+    "curation_pii_scrub",
+    oracle="""
+    SELECT c_custkey AS doc_id,
+           'contact [PII] or [PII] or [PII] now' AS text,
+           1 AS n_email, 1 AS n_ipv4, 1 AS n_phone
+    FROM customer
+    """,
+)
+def curation_pii_scrub(spark, sf_dir):
+    """PII scrubbing for corpus prep: emails / IPv4s / phones redacted by
+    chained regexp_replace in one codegen'd projection, with per-category
+    counts. The entry synthesizes deterministic PII-bearing text from the
+    customer table so the oracle pins the exact redaction output, not a
+    mirrored regex."""
+    from cm_well_spark.operators.curation import scrub_pii
+    from cm_well_spark.sources import tables as tbl
+
+    cust = tbl.load_table(spark, sf_dir, "customer")
+    docs = cust.select(
+        F.col("c_custkey").alias("doc_id"),
+        F.concat(
+            F.lit("contact user"), F.col("c_custkey"),
+            F.lit("@corp.example.com or 10.0.0."), F.col("c_custkey") % 200,
+            F.lit(" or 555-000-"), F.col("c_custkey"), F.lit(" now"),
+        ).alias("text"),
+    )
+    out = scrub_pii(docs)
+    return out.select("doc_id", "text", "n_email", "n_ipv4", "n_phone")

@@ -376,3 +376,48 @@ def test_quality_filter_reasons(spark):
     assert out[1] == (False, "too_short")
     assert out[2] == (True, "ok")
     assert out[3][0] is False and out[3][1] == "low_quality"
+
+
+def test_repetition_signals_synthetic(spark):
+    from cm_well_spark.operators.text import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            # 4 lines, "dup" twice: dup_line_frac = 2/4; chars: dup lines
+            # contribute 3*2=6 of 3+3+5+4=15 chars
+            (1, "dup\ndup\nalpha\nbeta"),
+            # degenerate repetition: "a b" 2-gram everywhere
+            (2, "a b a b a b a b"),
+            (3, "all words distinct here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in repetition_signals(docs).collect()}
+    assert abs(got[1]["dup_line_frac"] - 0.5) < 1e-9
+    assert abs(got[1]["dup_line_char_frac"] - 6 / 15) < 1e-9
+    # doc 2: 2-grams = [a b, b a, a b, b a, a b, b a, a b] -> top 'a b' 4/7
+    assert abs(got[2]["top_kgram_frac"] - 4 / 7) < 1e-9
+    assert got[2]["dup_kgram_frac"] == 1.0  # all 5-grams repeat
+    assert got[3]["dup_line_frac"] == 0.0 and got[3]["dup_kgram_frac"] == 0.0
+    # doc 3 has 5 words -> exactly one 5-gram, occurring once
+    assert got[3]["top_kgram_frac"] < 0.5
+
+
+def test_scrub_pii(spark):
+    from cm_well_spark.operators.curation import scrub_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at a.b+c@ex-ample.co.uk or call +1 555-123-4567 ok"),
+            (2, "server 192.168.1.100 and 10.0.0.1 no phone"),
+            (3, "nothing sensitive here"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in scrub_pii(docs).collect()}
+    assert got[1]["n_email"] == 1 and got[1]["n_phone"] == 1
+    assert "[PII]" in got[1]["text"] and "@" not in got[1]["text"]
+    assert "555" not in got[1]["text"]
+    assert got[2]["n_ipv4"] == 2 and got[2]["text"].count("[PII]") == 2
+    assert got[3]["text"] == "nothing sensitive here"
+    assert got[3]["n_email"] == got[3]["n_ipv4"] == got[3]["n_phone"] == 0

@@ -785,3 +785,69 @@ def test_path_plus_intermediate_limit_warning(triples, monkeypatch):
         n = out.count()
     assert any("intermediate-results" in str(x.message) for x in w)
     assert 0 < n < 15  # partial results, per the reference's contract
+
+
+# ---- round-5 builtin widening (§17.4: datetime accessors, term fns) ------
+
+
+def test_datetime_accessors(triples):
+    out = sparql_query(
+        triples,
+        'SELECT ?s ?m ?d WHERE { ?s <rdfType> "Order" . ?s <orderdate> ?dt . '
+        "BIND(MONTH(?dt) AS ?m) BIND(DAY(?dt) AS ?d) FILTER(YEAR(?dt) = 1995) }",
+    )
+    rows = out.collect()
+    assert rows and all(1 <= int(r["m"]) <= 12 and 1 <= int(r["d"]) <= 31 for r in rows)
+
+
+def test_tz_accessor(triples):
+    out = sparql_query(
+        triples,
+        'SELECT ?z WHERE { </tpch/orders/1> <orderdate> ?d . BIND(TZ(?d) AS ?z) }',
+    )
+    assert out.first()["z"] == "Z"
+
+
+def test_datatype_typed_and_langstring(triples):
+    out = sparql_query(
+        triples,
+        "SELECT ?dt WHERE { </tpch/region/0> <regionkey> ?k . BIND(DATATYPE(?k) AS ?dt) }",
+    )
+    assert out.first()["dt"] == "http://www.w3.org/2001/XMLSchema#long"
+    # documents text carries a lang tag -> rdf:langString
+    out2 = sparql_query(
+        triples,
+        "SELECT ?dt WHERE { </docs/0> <text> ?t . BIND(DATATYPE(?t) AS ?dt) }",
+    )
+    assert out2.first()["dt"] == "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+
+
+def test_isiri_isliteral_partition(triples):
+    # ofRegion values are reference IRIs; name values are plain literals
+    iri = sparql_query(
+        triples,
+        "SELECT ?v WHERE { </tpch/nation/3> <ofRegion> ?v . FILTER(ISIRI(?v)) }",
+    ).count()
+    lit = sparql_query(
+        triples,
+        "SELECT ?v WHERE { </tpch/nation/3> <name> ?v . FILTER(ISLITERAL(?v)) }",
+    ).count()
+    not_iri = sparql_query(
+        triples,
+        "SELECT ?v WHERE { </tpch/nation/3> <name> ?v . FILTER(ISIRI(?v)) }",
+    ).count()
+    assert iri == 1 and lit == 1 and not_iri == 0
+
+
+def test_sameterm_and_isnumeric(triples):
+    out = sparql_query(
+        triples,
+        'SELECT ?s WHERE { ?s <rdfType> "Nation" . ?s <name> ?n . '
+        'FILTER(SAMETERM(?n, "NATION_3")) }',
+    )
+    assert out.first()["s"] == "/tpch/nation/3"
+    n = sparql_query(
+        triples,
+        'SELECT ?s WHERE { ?s <rdfType> "Nation" . ?s <nationkey> ?k . FILTER(ISNUMERIC(?k)) }',
+    ).count()
+    assert n == 25
