@@ -350,11 +350,15 @@ def _closure_frame(triples: DataFrame, pp: PathPattern, gvar: str | None = None)
     frontier and reached sets are the only materialized state."""
     import warnings
 
-    elem = pp.parts[0]
     uid = next(_fresh)
     a, b, n, m = f"__cl{uid}a", f"__cl{uid}b", f"__cl{uid}n", f"__cl{uid}m"
     gcols = [gvar] if gvar is not None else []
-    edges = _path_step(triples, Var(a), elem, Var(b), 0, gvar).select(a, b, *gcols)
+    if len(pp.parts) == 1:
+        edges = _path_step(triples, Var(a), pp.parts[0], Var(b), 0, gvar).select(a, b, *gcols)
+    else:
+        # grouped sequence closure (p1/p2)+: one composite step = the
+        # fixed chain, already endpoint-projected + DISTINCT
+        edges = _path_chain(triples, Var(a), list(pp.parts), Var(b), gvar)
     s_const = not isinstance(pp.s, Var)
     o_const = not isinstance(pp.o, Var)
 
@@ -383,9 +387,14 @@ def _closure_frame(triples: DataFrame, pp: PathPattern, gvar: str | None = None)
 
     if s_const or o_const:
         # single-endpoint walk: forward from a constant subject, or
-        # backwards (inverse edges) from a constant object
+        # backwards (inverse edges) from a constant object. The FIRST step
+        # pushes the constant into the (chain) scan — a composite step
+        # evaluates as a const-anchored chain, not a filter over all pairs
         if s_const:
-            frontier = edges.where(F.col(a) == _term_str(pp.s)).select(F.col(b).alias(n), *gcols)
+            if len(pp.parts) == 1:
+                frontier = edges.where(F.col(a) == _term_str(pp.s)).select(F.col(b).alias(n), *gcols)
+            else:
+                frontier = _path_chain(triples, pp.s, list(pp.parts), Var(n), gvar)
 
             def step_of(fr):
                 return edges.join(fr.withColumnRenamed(n, a), [a] + gcols, "inner").select(
@@ -393,7 +402,10 @@ def _closure_frame(triples: DataFrame, pp: PathPattern, gvar: str | None = None)
                 )
 
         else:
-            frontier = edges.where(F.col(b) == _term_str(pp.o)).select(F.col(a).alias(n), *gcols)
+            if len(pp.parts) == 1:
+                frontier = edges.where(F.col(b) == _term_str(pp.o)).select(F.col(a).alias(n), *gcols)
+            else:
+                frontier = _path_chain(triples, Var(n), list(pp.parts), pp.o, gvar)
 
             def step_of(fr):
                 return edges.join(fr.withColumnRenamed(n, b), [b] + gcols, "inner").select(
@@ -432,7 +444,7 @@ def _path_frame(triples: DataFrame, pp: PathPattern, gvar: str | None = None) ->
             "zero-length paths (`p?`/`p*`) inside GRAPH ?var are not supported"
         )
     if pp.opt:
-        one = _path_chain(triples, pp.s, [pp.parts[0]], pp.o)
+        one = _path_chain(triples, pp.s, list(pp.parts), pp.o)
         zero = _zero_length_frame(triples, pp.s, pp.o)
         return zero.unionByName(one, allowMissingColumns=True).distinct()
     if not (pp.plus or pp.star):

@@ -392,20 +392,34 @@ class _P:
                         raise SparqlParseError("negated property sets support forward predicates only")
                     return PathElem(tuple(alts), neg)
 
-                first = path_elem()
-                p = first.preds[0][0]  # plain-predicate fallback for non-paths
-                parts, plus = [first], False
-                while self.peek() == "/":
+                def path_seq():
+                    seq = [path_elem()]
+                    while self.peek() == "/":
+                        self.next()
+                        seq.append(path_elem())
+                    return seq
+
+                # `( seq )` groups a sequence so a closure op applies to
+                # the WHOLE chain — ARQ's (p1/p2)+ (negated sets `!(...)`
+                # are consumed inside path_elem, so a bare '(' here is
+                # unambiguously a path group)
+                grouped = self.peek() == "("
+                if grouped:
                     self.next()
-                    parts.append(path_elem())
-                star = opt = False
+                    parts = path_seq()
+                    self.expect(")")
+                else:
+                    parts = path_seq()
+                first = parts[0]
+                p = first.preds[0][0]  # plain-predicate fallback for non-paths
+                plus = star = opt = False
                 if self.peek() == "+":
                     self.next()
                     plus = True
                 elif self.peek() == "?":
                     self.next()
                     opt = True
-                elif self.peek() == "*" and len(parts) > 1:
+                elif self.peek() == "*" and (grouped or len(parts) > 1):
                     # only consume '*' as a path op when we're clearly in a
                     # path; a bare `?s p * ?o` would be a grammar error
                     self.next()
@@ -413,10 +427,15 @@ class _P:
                 elif self.peek() == "*" and (len(first.preds) > 1 or first.preds[0][1] or not isinstance(p, Var)):
                     self.next()
                     star = True
-                if (plus or star or opt) and len(parts) > 1:
-                    raise SparqlParseError("'+'/'*'/'?' path applies to a single path element only")
+                if (plus or star or opt) and len(parts) > 1 and not grouped:
+                    # SPARQL precedence: in `a/b+` the op binds to `b`
+                    # alone; parenthesize `(a/b)+` for a sequence closure
+                    raise SparqlParseError(
+                        "'+'/'*'/'?' applies to a single path element — group the sequence as (p1/p2)+ to close over the chain"
+                    )
                 is_path = (
-                    plus
+                    grouped
+                    or plus
                     or star
                     or opt
                     or len(parts) > 1

@@ -2831,3 +2831,42 @@ def curation_pii_scrub(spark, sf_dir):
     )
     out = scrub_pii(docs)
     return out.select("doc_id", "text", "n_email", "n_ipv4", "n_phone")
+
+
+@register("similarity_lsh_topk_batch")
+def similarity_lsh_topk_batch(spark, sf_dir):
+    """Batched SRP-LSH ANN (rows-only by nature — approximate): top-5 per
+    query for 4 query vectors, bucket equi-join candidates, the recall
+    guard fused in-plan (anti-join selects short queries; only those
+    re-score against the full corpus). pytest pins parity with the
+    single-query operator and the fallback contract."""
+    from cm_well_spark.operators.similarity import lsh_topk_batch
+    from cm_well_spark.sources import tables as tbl
+
+    embs = tbl.load_table(spark, sf_dir, "embeddings")
+    qrows = embs.orderBy("vec_id").limit(4).collect()
+    queries = spark.createDataFrame(
+        [(r["vec_id"], [float(x) for x in r["embedding"]]) for r in qrows],
+        "query_id long, embedding array<double>",
+    )
+    return lsh_topk_batch(embs, queries, k=5, n_planes=6)
+
+
+@register(
+    "sparql_path_group_plus",
+    oracle="""
+    SELECT '/events/' || x AS e FROM range(32, 39, 2) t(x)
+    """,
+)
+def sparql_path_group_plus(spark, sf_dir):
+    """J5 grouped-sequence closure (p1/p2)+ — ARQ path algebra: the
+    closure's composite step is the fixed chain (const-anchored on the
+    first step), iterated by the same fixpoint machinery as single-elem
+    p+. /events/40 double-hops the prevEvent chain: 38, 36, 34, 32."""
+    from cm_well_spark.operators.sparql import sparql_query
+
+    return sparql_query(
+        _tri(spark, sf_dir),
+        "SELECT ?e WHERE { </events/40> (<prevEvent>/<prevEvent>)+ ?e }",
+        limit_cap=None,
+    )

@@ -421,3 +421,40 @@ def test_scrub_pii(spark):
     assert got[2]["n_ipv4"] == 2 and got[2]["text"].count("[PII]") == 2
     assert got[3]["text"] == "nothing sensitive here"
     assert got[3]["n_email"] == got[3]["n_ipv4"] == got[3]["n_phone"] == 0
+
+
+def test_lsh_topk_batch_matches_single(embs):
+    from cm_well_spark.operators.similarity import lsh_topk, lsh_topk_batch
+
+    qrows = embs.orderBy("vec_id").limit(3).collect()
+    queries = embs.sparkSession.createDataFrame(
+        [(r["vec_id"], [float(x) for x in r["embedding"]]) for r in qrows],
+        "query_id long, embedding array<double>",
+    )
+    batch = lsh_topk_batch(embs, queries, k=5, n_planes=6)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["query_id"], []).append((r["vec_id"], r["cosine"]))
+    assert set(got) == {r["vec_id"] for r in qrows}
+    for r in qrows:
+        single = [
+            (x["vec_id"], x["cosine"])
+            for x in lsh_topk(embs, [float(v) for v in r["embedding"]], k=5, n_planes=6).collect()
+        ]
+        assert sorted(got[r["vec_id"]], key=lambda t: (-t[1], t[0])) == single
+        # self-match comes first
+        assert single[0][0] == r["vec_id"]
+
+
+def test_lsh_topk_batch_fallback_guard(embs, spark):
+    from cm_well_spark.operators.similarity import lsh_topk_batch
+
+    # with many planes the query bucket is almost surely sparse -> the
+    # fused fallback must still deliver k results per query
+    q = embs.orderBy("vec_id").first()
+    queries = spark.createDataFrame(
+        [(q["vec_id"], [float(x) for x in q["embedding"]])], "query_id long, embedding array<double>"
+    )
+    out = lsh_topk_batch(embs, queries, k=10, n_planes=16).collect()
+    assert len(out) == 10
+    assert out[0]["vec_id"] == q["vec_id"] or any(r["vec_id"] == q["vec_id"] for r in out)

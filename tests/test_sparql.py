@@ -851,3 +851,42 @@ def test_sameterm_and_isnumeric(triples):
         'SELECT ?s WHERE { ?s <rdfType> "Nation" . ?s <nationkey> ?k . FILTER(ISNUMERIC(?k)) }',
     ).count()
     assert n == 25
+
+
+# ---- grouped-sequence closures (p1/p2)+ ----------------------------------
+
+
+def test_grouped_sequence_closure(triples):
+    # double-hop closure over the prevEvent chain: 40 -> 38 -> 36 -> 34 -> 32
+    out = sparql_query(
+        triples,
+        "SELECT ?e WHERE { </events/40> (<prevEvent>/<prevEvent>)+ ?e }",
+    )
+    got = sorted(r["e"] for r in out.collect())
+    assert got == [f"/events/{i}" for i in (32, 34, 36, 38)]
+
+
+def test_grouped_sequence_single_step_equiv(triples):
+    plain = sparql_query(
+        triples, "SELECT DISTINCT ?c ?r WHERE { ?c <inNation>/<ofRegion> ?r }"
+    )
+    grouped = sparql_query(
+        triples, "SELECT DISTINCT ?c ?r WHERE { ?c (<inNation>/<ofRegion>)+ ?r }"
+    )
+    # regions have no inNation edge, so the closure adds nothing
+    assert plain.count() == grouped.count()
+
+
+def test_ungrouped_sequence_plus_still_rejected(triples):
+    with pytest.raises(SparqlParseError, match="group the sequence"):
+        sparql_query(triples, "SELECT ?r WHERE { ?c <inNation>/<ofRegion>+ ?r }")
+
+
+def test_grouped_zero_or_one(triples):
+    out = sparql_query(
+        triples,
+        "SELECT ?x WHERE { </tpch/customer/5> (<inNation>/<ofRegion>)? ?x }",
+    )
+    got = {r["x"] for r in out.collect()}
+    assert "/tpch/customer/5" in got  # zero-length identity
+    assert any(x.startswith("/tpch/region/") for x in got)
