@@ -106,10 +106,11 @@ def _pattern_df(
         cols.append(F.col("p").alias(tp.p.name))
         binds[tp.p.name] = "p"
     if isinstance(tp.o, Var):
+        vt = F.col("vtype") if "vtype" in triples.columns else F.lit(None).cast("string")
         cols.append(F.col("o").alias(tp.o.name))
         cols.append(F.col("num").alias(f"__num__{tp.o.name}"))
         cols.append(F.col("lang").alias(f"__lang__{tp.o.name}"))
-        cols.append(F.col("vtype").alias(f"__vt__{tp.o.name}"))
+        cols.append(vt.alias(f"__vt__{tp.o.name}"))
         binds[tp.o.name] = "o"
     if gvar is not None:
         if gvar in binds:
@@ -271,10 +272,11 @@ def _path_step(
         if isinstance(s_term, Var):
             cols.append(F.col("s").alias(s_term.name))
         if isinstance(o_term, Var):
+            vt = F.col("vtype") if "vtype" in triples.columns else F.lit(None).cast("string")
             cols.append(F.col("o").alias(o_term.name))
             cols.append(F.col("num").alias(f"__num__{o_term.name}"))
             cols.append(F.col("lang").alias(f"__lang__{o_term.name}"))
-            cols.append(F.col("vtype").alias(f"__vt__{o_term.name}"))
+            cols.append(vt.alias(f"__vt__{o_term.name}"))
         if gvar is not None:
             cols.append(F.col("g").alias(gvar))
         if not cols:
@@ -607,6 +609,11 @@ def _value_col(e, df: DataFrame) -> tuple[Column, bool]:
                 return F.col(shadow) if shadow in df.columns else F.col(a.name).cast("double")
             return args[i][0].cast("double")
 
+        if e.fn in ("+", "-", "*", "/"):
+            # SPARQL 1.1 §17.3 numeric operators — typed num shadows, so
+            # "5"^^xsd:double * lexical never string-compares
+            ops = {"+": "__add__", "-": "__sub__", "*": "__mul__", "/": "__truediv__"}
+            return getattr(num(0), ops[e.fn])(num(1)), True
         if e.fn == "str":
             return args[0][0].cast("string"), False
         if e.fn == "lang":
@@ -827,34 +834,46 @@ def _select_frame(
     """SELECT form -> projected solution frame, with aggregates / HAVING /
     DISTINCT / ORDER / OFFSET / LIMIT applied. Subqueries call this with
     limit_cap=0 (no implicit cap — only an explicit inner LIMIT slices)."""
-    from cm_well_spark.operators.sparql.parser import AggExpr
+    from cm_well_spark.operators.sparql.parser import AggExpr, ExprProj
 
     df = _compile_group(triples, q.where, stats, infotons)
     aggs = [v for v in q.variables if isinstance(v, AggExpr)]
+    exprs = [v for v in q.variables if isinstance(v, ExprProj)]
     if aggs or q.group_by:
         # SPARQL 1.1 aggregates -> groupBy + agg (partial+final hash agg
-        # via Catalyst); numeric aggs use the typed num shadow column
+        # via Catalyst); numeric aggs use the typed num shadow column.
+        # Aggregate arguments may be full expressions (SUM(?a * ?b)).
+        def agg_arg_num(a: AggExpr) -> Column:
+            if isinstance(a.var, Var):
+                shadow = f"__num__{a.var.name}"
+                return F.col(shadow) if shadow in df.columns else F.col(a.var.name).cast("double")
+            return _value_col(a.var, df)[0].cast("double")
+
+        def agg_arg_str(a: AggExpr) -> Column:
+            if isinstance(a.var, Var):
+                return F.col(a.var.name)
+            return _value_col(a.var, df)[0].cast("string")
+
         def agg_col(a: AggExpr) -> Column:
             if a.fn == "count":
                 if a.var is None:
                     c = F.count("*")
                 elif a.distinct:
-                    c = F.countDistinct(a.var.name)
+                    c = F.count_distinct(agg_arg_str(a))
                 else:
-                    c = F.count(a.var.name)
+                    c = F.count(agg_arg_str(a))
                 return c.alias(a.alias)
             if a.fn == "group_concat":
-                vals = F.collect_set(a.var.name) if a.distinct else F.collect_list(a.var.name)
+                src = agg_arg_str(a)
+                vals = F.collect_set(src) if a.distinct else F.collect_list(src)
                 # sorted for a deterministic result (SPARQL leaves the
                 # order implementation-defined; sorted is oracle-checkable)
                 return F.concat_ws(a.sep, F.array_sort(vals)).alias(a.alias)
             if a.fn == "sample":
                 # SAMPLE is implementation-defined: deterministic min
-                return F.min(a.var.name).alias(a.alias)
-            shadow = f"__num__{a.var.name}"
-            src = F.col(shadow) if shadow in df.columns else F.col(a.var.name).cast("double")
+                return F.min(agg_arg_str(a)).alias(a.alias)
             fns = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}
-            return fns[a.fn](src).alias(a.alias)
+            return fns[a.fn](agg_arg_num(a)).alias(a.alias)
 
         keys = [v.name for v in q.group_by]
         plain = [v.name for v in q.variables if isinstance(v, Var)]
@@ -868,16 +887,24 @@ def _select_frame(
         for h in q.having:
             # post-aggregation filter over projected aggregate aliases
             df = df.where(_filter_col(h, df))
+        # projection expressions evaluate over the aggregated frame (group
+        # keys + aggregate aliases), e.g. (?revenue / ?n AS ?avg_item)
+        for ep in exprs:
+            df = df.withColumn(ep.alias, _value_col(ep.expr, df)[0])
         df = df.select(*[v.name if isinstance(v, Var) else v.alias for v in q.variables])
         # falls through to the shared DISTINCT/ORDER/OFFSET/cap logic
         # (ADVICE r1: the early return here bypassed the 10k OpSlice cap)
     elif q.having:
         raise SparqlCompileError("HAVING requires aggregation (GROUP BY or aggregate projections)")
     elif q.variables:
-        missing = [v.name for v in q.variables if v.name not in df.columns]
+        # non-aggregate projection expressions evaluate like BINDs
+        for ep in exprs:
+            df = df.withColumn(ep.alias, _value_col(ep.expr, df)[0])
+        names = [v.name if isinstance(v, Var) else v.alias for v in q.variables]
+        missing = [n for n in names if n not in df.columns]
         if missing:
             raise SparqlCompileError(f"SELECT variables not bound in pattern: {missing}")
-        df = df.select(*[v.name for v in q.variables])
+        df = df.select(*names)
     else:
         df = df.select(*[c for c in df.columns if not c.startswith("__")])
     if q.distinct:

@@ -88,13 +88,21 @@ class Filter:
 
 @dataclass(frozen=True)
 class AggExpr:
-    """SPARQL 1.1 aggregate projection: (FN(?v) AS ?alias)."""
+    """SPARQL 1.1 aggregate projection: (FN(?v | expr) AS ?alias)."""
 
     fn: str  # count | sum | avg | min | max | group_concat | sample
-    var: Var | None  # None = COUNT(*)
+    var: object | None  # Var, an expression (Func tree), or None = COUNT(*)
     alias: str
     distinct: bool = False
     sep: str = " "  # GROUP_CONCAT separator
+
+
+@dataclass(frozen=True)
+class ExprProj:
+    """Non-aggregate projection expression: SELECT (expr AS ?alias)."""
+
+    expr: object  # Term | Func tree
+    alias: str
 
 
 @dataclass(frozen=True)
@@ -174,7 +182,7 @@ _TOKEN = re.compile(
     | (?P<number>[+-]?\d+(?:\.\d+)?)
     | (?P<pname>[A-Za-z_][\w\-]*:[\w\-./#%]*)
     | (?P<kw>[A-Za-z_][\w]*)
-    | (?P<punct>\{|\}|\(|\)|\.|;|,|\*|=|!=|<=|>=|<|>|&&|\|\||!|:|/|\+|\||\^|\?)
+    | (?P<punct>\{|\}|\(|\)|\.|;|,|\*|=|!=|<=|>=|<|>|&&|\|\||!|:|/|\+|-|\||\^|\?)
     )""",
     re.VERBOSE,
 )
@@ -314,7 +322,7 @@ class _P:
             if up == "BIND":
                 self.next()
                 self.expect("(")
-                e = self.value_expr()
+                e = self.arith_expr()
                 self.expect("AS")
                 v = self.term()
                 if not isinstance(v, Var):
@@ -552,21 +560,50 @@ class _P:
             self.expect("(")
             cond = self.or_expr()
             self.expect(",")
-            then_v = self.value_expr()
+            then_v = self.arith_expr()
             self.expect(",")
-            else_v = self.value_expr()
+            else_v = self.arith_expr()
             self.expect(")")
             return Func("if", (cond, then_v, else_v))
         if tok in self.VALUE_FNS and self.peek(1) == "(":
             fn = self.next().lower()
             self.expect("(")
-            args = [self.value_expr()]
+            args = [self.arith_expr()]
             while self.peek() == ",":
                 self.next()
-                args.append(self.value_expr())
+                args.append(self.arith_expr())
             self.expect(")")
             return Func(fn, tuple(args))
+        if self.peek() == "(":
+            # parenthesized sub-expression inside a value context
+            self.next()
+            e = self.arith_expr()
+            self.expect(")")
+            return e
         return self.term()
+
+    # ---- arithmetic (SPARQL 1.1 §17.3 numeric expressions) ----
+
+    def mul_expr(self):
+        left = self.value_expr()
+        while self.peek() in ("*", "/"):
+            op = self.next()
+            left = Func(op, (left, self.value_expr()))
+        return left
+
+    def arith_expr(self):
+        left = self.mul_expr()
+        while True:
+            tok = self.peek()
+            if tok in ("+", "-"):
+                self.next()
+                left = Func(tok, (left, self.mul_expr()))
+            elif re.fullmatch(r"[+-]\d+(?:\.\d+)?", tok):
+                # "?a+1" lexes the sign into the number token: re-split
+                self.next()
+                left = Func(tok[0], (left, Literal(tok[1:], dtype="number")))
+            else:
+                return left
 
     def unary_expr(self) -> Filter:
         if self.peek() == "!":
@@ -581,7 +618,7 @@ class _P:
         if up == "REGEX":
             self.next()
             self.expect("(")
-            v = self.value_expr()
+            v = self.arith_expr()
             self.expect(",")
             pat = self.term()
             flags = None
@@ -593,13 +630,13 @@ class _P:
         if up in self.BOOL_FNS and self.peek(1) == "(":
             fn = self.next().lower()
             self.expect("(")
-            args = [self.value_expr()]
+            args = [self.arith_expr()]
             while self.peek() == ",":
                 self.next()
-                args.append(self.value_expr())
+                args.append(self.arith_expr())
             self.expect(")")
             return Filter(fn, tuple(args))
-        left = self.value_expr()
+        left = self.arith_expr()
         if self.peek().upper() in ("IN", "NOT"):
             # ?x [NOT] IN (v1, v2, ...) — SPARQL 1.1 §17.4.1.9
             negated = self.kw("NOT")
@@ -618,7 +655,7 @@ class _P:
         op = self.next()
         if op not in ("=", "!=", "<", "<=", ">", ">="):
             raise SparqlParseError(f"unsupported FILTER operator {op!r}")
-        right = self.value_expr()
+        right = self.arith_expr()
         return Filter(op, (left, right))
 
 
@@ -669,19 +706,27 @@ def _parse_select(p: _P, prefixes: dict) -> Query:
             tok = p.peek()
             if tok.startswith(("?", "$")):
                 variables.append(Var(p.next()[1:]))
+            elif tok == "(" and p.peek(1).lower() not in (
+                "count", "sum", "avg", "min", "max", "group_concat", "sample"
+            ):
+                # (expr AS ?alias) — non-aggregate projection expression
+                p.next()
+                e = p.arith_expr()
+                p.expect("AS")
+                alias = p.next()[1:]
+                p.expect(")")
+                variables.append(ExprProj(e, alias))
             elif tok == "(":
-                # (AGGFN([DISTINCT] ?v | * [; SEPARATOR="s"]) AS ?alias)
+                # (AGGFN([DISTINCT] ?v | expr | * [; SEPARATOR="s"]) AS ?alias)
                 p.next()
                 fn = p.next().lower()
-                if fn not in ("count", "sum", "avg", "min", "max", "group_concat", "sample"):
-                    raise SparqlParseError(f"unsupported aggregate {fn!r}")
                 p.expect("(")
                 agg_distinct = p.kw("DISTINCT")
                 if p.peek() == "*":
                     p.next()
                     v = None
                 else:
-                    v = Var(p.next()[1:])
+                    v = p.arith_expr()
                 sep = " "
                 if p.peek() == ";":
                     p.next()
@@ -727,6 +772,19 @@ def parse_sparql(q: str) -> Query:
     if p.kw("SELECT"):
         q_out = _parse_select(p, prefixes)
     elif p.kw("CONSTRUCT"):
+        if p.peek().upper() == "WHERE":
+            # CONSTRUCT WHERE { ... } shorthand (SPARQL 1.1 §10.2.2): the
+            # template IS the pattern's plain triples
+            p.expect("WHERE")
+            where = p.group()
+            q_out = Query(
+                "construct", [], False, where,
+                template=list(where.triples), prefixes=prefixes,
+            )
+            _parse_modifiers(p, q_out)
+            if p.peek():
+                raise SparqlParseError(f"unexpected trailing token {p.peek()!r}")
+            return q_out
         p.expect("{")
         template = []
         while p.peek() != "}":

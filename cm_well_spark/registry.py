@@ -2870,3 +2870,66 @@ def sparql_path_group_plus(spark, sf_dir):
         "SELECT ?e WHERE { </events/40> (<prevEvent>/<prevEvent>)+ ?e }",
         limit_cap=None,
     )
+
+
+@register(
+    "sparql_sum_expr_revenue",
+    oracle="""
+    SELECT l_returnflag AS rf,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem GROUP BY 1
+    """,
+)
+def sparql_sum_expr_revenue(spark, sf_dir):
+    """J5/§2.7 aggregate over an arithmetic expression — the TPC-H Q1
+    revenue form SUM(price * (1 - discount)), now expressible directly:
+    SPARQL 1.1 §17.3 numeric operators compile onto the typed num
+    shadows, aggregates accept full expression arguments."""
+    from cm_well_spark.operators.sparql import sparql_query
+
+    df = sparql_query(
+        _tri(spark, sf_dir),
+        "SELECT ?rf (SUM(?p * (1 - ?d)) AS ?revenue) WHERE { "
+        "?li <returnflag> ?rf . ?li <extendedprice> ?p . ?li <discount> ?d } "
+        "GROUP BY ?rf",
+        limit_cap=None,
+    )
+    return df.select("rf", F.round("revenue", 2).alias("revenue"))
+
+
+@register(
+    "sparql_select_expr",
+    oracle="""
+    SELECT '/tpch/region/' || r_regionkey AS s,
+           CAST(r_regionkey * 10 + 1 AS DOUBLE) AS scaled
+    FROM region
+    """,
+)
+def sparql_select_expr(spark, sf_dir):
+    """J5 SELECT (expr AS ?alias) projection expressions (SPARQL 1.1
+    §16.1.2) — evaluated like BINDs over the solution frame."""
+    from cm_well_spark.operators.sparql import sparql_query
+
+    return sparql_query(
+        _tri(spark, sf_dir),
+        'SELECT ?s (?k * 10 + 1 AS ?scaled) WHERE { ?s <rdfType> "Region" . ?s <regionkey> ?k }',
+        limit_cap=None,
+    )
+
+
+@register(
+    "sparql_construct_where",
+    oracle="""
+    SELECT '/tpch/nation/' || n_nationkey AS s, 'ofRegion' AS p,
+           '/tpch/region/' || n_regionkey AS o
+    FROM nation
+    """,
+)
+def sparql_construct_where(spark, sf_dir):
+    """J4 CONSTRUCT WHERE shorthand (§10.2.2): template = the pattern's
+    own triples."""
+    from cm_well_spark.operators.sparql import sparql_query
+
+    return sparql_query(
+        _tri(spark, sf_dir), "CONSTRUCT WHERE { ?n <ofRegion> ?r }", limit_cap=None
+    )

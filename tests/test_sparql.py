@@ -890,3 +890,62 @@ def test_grouped_zero_or_one(triples):
     got = {r["x"] for r in out.collect()}
     assert "/tpch/customer/5" in got  # zero-length identity
     assert any(x.startswith("/tpch/region/") for x in got)
+
+
+# ---- arithmetic expressions, SELECT exprs, CONSTRUCT WHERE ---------------
+
+
+def test_arithmetic_in_filter(triples, spark, sf_dir):
+    from cm_well_spark.sources import tables as tbl
+
+    out = sparql_query(
+        triples,
+        'SELECT ?c WHERE { ?c <rdfType> "Customer" . ?c <acctbal> ?b . FILTER(?b * 2 > 19000) }',
+    )
+    raw = tbl.load_table(spark, sf_dir, "customer").where(F.col("c_acctbal") * 2 > 19000)
+    assert out.count() == raw.count()
+
+
+def test_select_expression_projection(triples):
+    out = sparql_query(
+        triples,
+        'SELECT ?s (?k * 10 + 1 AS ?scaled) WHERE { ?s <rdfType> "Region" . ?s <regionkey> ?k }',
+    )
+    got = {r["s"]: float(r["scaled"]) for r in out.collect()}
+    assert got["/tpch/region/3"] == 31.0
+
+
+def test_sum_over_expression(triples, spark, sf_dir):
+    from cm_well_spark.sources import tables as tbl
+
+    out = sparql_query(
+        triples,
+        "SELECT (SUM(?p * (1 - ?d)) AS ?rev) WHERE { ?li <extendedprice> ?p . ?li <discount> ?d }",
+    )
+    li = tbl.load_table(spark, sf_dir, "lineitem")
+    exp = li.select(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("r")).first()["r"]
+    assert abs(out.first()["rev"] - exp) < 1e-6
+
+
+def test_expression_over_aggregates(triples):
+    out = sparql_query(
+        triples,
+        'SELECT ?t (COUNT(*) AS ?n) (?n * 2 AS ?n2) WHERE { ?x <rdfType> ?t } GROUP BY ?t',
+    )
+    rows = {r["t"]: (r["n"], float(r["n2"])) for r in out.collect()}
+    assert rows["Region"] == (5, 10.0)
+
+
+def test_bind_arithmetic(triples):
+    out = sparql_query(
+        triples,
+        'SELECT ?s ?v WHERE { ?s <rdfType> "Region" . ?s <regionkey> ?k . '
+        "BIND((?k + 1) * (?k + 1) AS ?v) }",
+    )
+    got = {r["s"]: float(r["v"]) for r in out.collect()}
+    assert got["/tpch/region/2"] == 9.0
+
+
+def test_construct_where_shorthand(triples):
+    out = sparql_query(triples, 'CONSTRUCT WHERE { ?n <ofRegion> ?r }')
+    assert out.columns == ["s", "p", "o"] and out.count() == 25
