@@ -245,3 +245,43 @@ def audit(infotons: DataFrame) -> DataFrame:
     ]
     spark = infotons.sparkSession
     return spark.createDataFrame(checks, "check string, violations long")
+
+
+def replace_graph(infotons: DataFrame, graph: str, index_time_bump: int = 1000) -> DataFrame:
+    """Graph-wide retraction — the reference's
+    `<> <cmwell://meta/sys#replaceGraph> <g>` write directive
+    (QuadTests.scala:143,298; InputHandler replaceGraph handling):
+    retract EVERY value tagged with named graph `g` across the whole
+    store, as new versions of only the affected paths (history retained,
+    current flips).
+
+    Scale shape: affected paths are found with a map-exists predicate on
+    the fields map (no explode, rides the scan); stripping is a columnar
+    transform_values + filter; untouched rows pass through bit-identical.
+    One shuffle-free pass plus the union."""
+    has_g = F.exists(
+        F.map_values(F.col("fields")),
+        lambda arr: F.coalesce(F.exists(arr, lambda v: v["quad"] == graph), F.lit(False)),
+    )
+    hit = F.col("current") & F.coalesce(has_g, F.lit(False))
+    stripped = (
+        infotons.where(hit)
+        .withColumn(
+            "fields",
+            F.map_filter(
+                F.transform_values(
+                    F.col("fields"),
+                    lambda k, arr: F.filter(arr, lambda v: v["quad"].isNull() | (v["quad"] != graph)),
+                ),
+                lambda k, v: F.size(v) > 0,
+            ),
+        )
+        .withColumn("index_time", F.col("index_time") + index_time_bump)
+        .withColumn("last_modified", F.current_timestamp())
+        # deterministic new version id from (path, predecessor, graph)
+        .withColumn("uuid", F.md5(F.concat_ws("\n", F.col("path"), F.col("uuid"), F.lit(graph))))
+    )
+    demoted = infotons.withColumn(
+        "current", F.when(hit, F.lit(False)).otherwise(F.col("current"))
+    )
+    return demoted.unionByName(stripped)

@@ -117,6 +117,8 @@ def search(
     base_df = df  # pre-qp universe: the BM25 corpus for score sorts
     if qp is not None:
         ff = parse_qp(qp) if isinstance(qp, str) else qp
+        if triples is not None:
+            ff = resolve_quad_aliases(ff, triples)
         if triples is not None and not with_history:
             from cm_well_spark.plans.index_route import index_search_paths
 
@@ -167,6 +169,44 @@ def search(
 
 # LinkInfoton link kinds (LinkType, Infoton.scala:269-273)
 LINK_PERMANENT, LINK_TEMPORARY, LINK_FORWARD = 0, 1, 2
+
+
+def _is_quad_uri(v: str) -> bool:
+    """The reference treats a quad value as explicit when it's a URI ref
+    (FReference.isUriRef); anything else is an alias to resolve."""
+    return v.startswith(("http://", "https://", "cmwell://", "/"))
+
+
+def resolve_quad_aliases(ff, triples: DataFrame):
+    """F8 graph-alias resolution (RawFieldFilter.eval, UnevaluatedQuadFilter
+    -> getQuadUrlForAlias; registration via the `graphAlias` meta operation,
+    QuadTests.scala:258): a `system.quad::<alias>` filter whose value is
+    not a URI resolves through the store's graphAlias statements — the
+    alias is the VALUE, the graph is its quad tag. Missing alias raises
+    the reference's exact error. Each lookup is one predicate-pruned
+    point scan; the filter tree is rebuilt immutably."""
+    from cm_well_spark.parsers.qp import MultiFieldFilter, SingleFieldFilter
+
+    if isinstance(ff, MultiFieldFilter):
+        return MultiFieldFilter(ff.field_op, tuple(resolve_quad_aliases(f, triples) for f in ff.filters))
+    if (
+        isinstance(ff, SingleFieldFilter)
+        and ff.name == "system.quad"
+        and ff.value is not None
+        and not _is_quad_uri(ff.value)
+    ):
+        row = (
+            triples.where(F.col("current") & (F.col("p") == "graphAlias") & (F.col("o") == ff.value))
+            .select("g")
+            .first()
+        )
+        if row is None or row["g"] is None:
+            raise ValueError(
+                f"The alias '{ff.value}' provided for quad in search does not exist. "
+                "Use explicit quad URL, or register a new alias using `graphAlias` meta operation."
+            )
+        return SingleFieldFilter(ff.field_op, ff.value_op, ff.name, row["g"])
+    return ff
 
 
 def read_path(infotons: DataFrame, path: str, follow_links: int = 0) -> DataFrame:

@@ -2933,3 +2933,57 @@ def sparql_construct_where(spark, sf_dir):
     return sparql_query(
         _tri(spark, sf_dir), "CONSTRUCT WHERE { ?n <ofRegion> ?r }", limit_cap=None
     )
+
+
+@register(
+    "admin_replace_graph",
+    oracle="""
+    SELECT '/docs/' || doc_id AS path, (source != 'src7') AS has_source
+    FROM documents
+    """,
+)
+def admin_replace_graph(spark, sf_dir):
+    """W3/F8 graph-wide retraction (`replaceGraph`, QuadTests fixtures):
+    every value tagged /graphs/src7 is retracted store-wide as new
+    versions — src7 documents lose their (quad-tagged) source value,
+    everything else is untouched."""
+    from cm_well_spark.operators.admin import replace_graph
+
+    out = replace_graph(_inf(spark, sf_dir), "/graphs/src7")
+    docs = out.where(F.col("current") & F.col("path").startswith("/docs/"))
+    return docs.select(
+        "path", F.col("fields").getItem("source").isNotNull().alias("has_source")
+    )
+
+
+@register(
+    "search_quad_alias",
+    oracle="""
+    SELECT '/docs/' || doc_id AS path FROM documents WHERE source = 'src7'
+    UNION ALL SELECT '/meta/quad/seven'
+    """,
+)
+def search_quad_alias(spark, sf_dir):
+    """F8 graph-alias quad filter (UnevaluatedQuadFilter ->
+    getQuadUrlForAlias; alias registered via the graphAlias meta op,
+    QuadTests.scala:258): `system.quad::seven` resolves through the
+    store's graphAlias statement to /graphs/src7. The registration
+    infoton itself carries the quad tag, so it matches too — same as the
+    reference's quad-tagged meta statement."""
+    from cm_well_spark.model.lakehouse import triples_of
+
+    inf = _inf(spark, sf_dir)
+    base = inf.where("path = '/tpch/region/0' AND current")
+    reg = (
+        base.withColumn("path", F.lit("/meta/quad/seven"))
+        .withColumn("uuid", F.lit("alias-seven"))
+        .withColumn(
+            "fields",
+            F.create_map(
+                F.lit("graphAlias"), fv.single(F.lit("seven"), "s", quad=F.lit("/graphs/src7"))
+            ),
+        )
+    )
+    inf2 = inf.unionByName(reg)
+    df = S.search(inf2, qp="system.quad::seven", length=None, triples=triples_of(inf2))
+    return df.select("path")

@@ -222,3 +222,34 @@ def test_single_typed_field_expands_to_mangled(mixed_typed):
     cache = FieldTypesCache.from_triples(tri)
     out = cache.expand_filter(parse_qp("other::x"))
     assert isinstance(out, SingleFieldFilter) and out.name == "s$other"
+
+
+def test_replace_graph_retracts_and_versions(infotons):
+    from pyspark.sql import functions as F
+
+    from cm_well_spark.operators.admin import replace_graph
+
+    out = replace_graph(infotons, "/graphs/src3")
+    # affected docs: new current version without the source field
+    affected_cur = out.where(
+        F.col("current") & F.col("path").startswith("/docs/")
+        & F.col("fields").getItem("source").isNull()
+    )
+    n_src3 = infotons.where(
+        F.col("current")
+        & F.coalesce(
+            F.exists(
+                F.col("fields").getItem("source"), lambda v: v["quad"] == "/graphs/src3"
+            ),
+            F.lit(False),
+        )
+    ).count()
+    assert affected_cur.count() == n_src3 > 0
+    # history retained: each affected path now has one extra version
+    one = affected_cur.select("path").first()["path"]
+    assert out.where(F.col("path") == one).count() == infotons.where(F.col("path") == one).count() + 1
+    assert out.where((F.col("path") == one) & F.col("current")).count() == 1
+    # untouched rows pass through: non-doc current count unchanged
+    before = infotons.where(F.col("current") & ~F.col("path").startswith("/docs/")).count()
+    after = out.where(F.col("current") & ~F.col("path").startswith("/docs/")).count()
+    assert before == after

@@ -233,3 +233,20 @@ def test_resolve_forward_links_batch(infotons):
     assert got["/l/a"] == "/tpch/region/0"
     assert got["/l/b"] == "/tpch/region/0"
     assert got["/l/c1"] is None and got["/l/c2"] is None
+
+
+def test_quad_alias_unknown_raises(infotons, triples):
+    import pytest
+
+    from cm_well_spark.operators.search import search
+
+    with pytest.raises(ValueError, match="register a new alias"):
+        search(infotons, qp="system.quad::nosuchalias", length=None, triples=triples)
+
+
+def test_quad_alias_uri_passthrough(infotons, triples):
+    from cm_well_spark.operators.search import search
+
+    # explicit URI quads bypass alias resolution entirely
+    n = search(infotons, qp="system.quad::/graphs/src3", length=None, triples=triples).count()
+    assert n > 0
