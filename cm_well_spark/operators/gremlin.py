@@ -22,6 +22,7 @@ downstream pipeline matched) expressed as one Catalyst plan.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame
@@ -234,3 +235,83 @@ class GraphTraversal:
 
 def g(infotons: DataFrame, triples: DataFrame) -> GraphTraversal:
     return GraphTraversal(infotons, triples)
+
+
+# ---------------------------------------------------------------------------
+# string front-end: evaluate a gremlin pipe-chain query string
+# ---------------------------------------------------------------------------
+
+_SEG = re.compile(r"\.(?=(?:[^\"']|\"[^\"]*\"|'[^']*')*$)")  # dots outside quotes
+_CALL = re.compile(r"^\s*(\w+)\s*\((.*)\)\s*$", re.DOTALL)
+_ARG = re.compile(r"\"([^\"]*)\"|'([^']*)'|([+-]?\d+(?:\.\d+)?)")
+
+
+class GremlinParseError(ValueError):
+    pass
+
+
+def _parse_args(raw: str) -> list:
+    out = []
+    for m in _ARG.finditer(raw):
+        if m.group(3) is not None:
+            v = m.group(3)
+            out.append(float(v) if "." in v else int(v))
+        else:
+            out.append(m.group(1) if m.group(1) is not None else m.group(2))
+    return out
+
+
+def eval_gremlin(infotons: DataFrame, triples: DataFrame, query: str):
+    """Evaluate a Gremlin pipe-chain STRING — the front-end the reference
+    plugin exposes (GremlinParser.eval feeds the query to the Groovy
+    engine over a Blueprints graph; this maps the same chain syntax onto
+    the fluent DSL, step for step):
+
+        g.V().has("rdfType", "Order").filter("totalprice", ">", 400000)
+         .as("o").out("byCustomer").has("mktsegment", "BUILDING")
+         .back("o").paths()
+
+    Groovy closures are out of scope — `filter` takes the declarative
+    (field, op, value) form. Terminal steps (paths/values/count/select/
+    path/toList) return their result; a chain without a terminal returns
+    the traversal's path frame."""
+    q = query.strip()
+    if not (q == "g" or q.startswith("g.")):
+        raise GremlinParseError("gremlin query must start at the graph: g.V()...")
+    segments = [s for s in _SEG.split(q)[1:] if s.strip()]
+    t: GraphTraversal = g(infotons, triples)
+    steps = {
+        "v": lambda tr, *a: tr.V(*a),
+        "V": lambda tr, *a: tr.V(*a),
+        "has": lambda tr, *a: tr.has(*a),
+        "filter": lambda tr, *a: tr.filter(*a),
+        "out": lambda tr, *a: tr.out(*a),
+        "in": lambda tr, *a: tr.in_(*a),
+        "both": lambda tr, *a: tr.both(*a),
+        "loop": lambda tr, n, *lbls: tr.loop(int(n), *lbls),
+        "as": lambda tr, name: tr.as_(name),
+        "back": lambda tr, name: tr.back(name),
+        "dedup": lambda tr: tr.dedup(),
+    }
+    terminals = {
+        "paths": lambda tr: tr.paths(),
+        "toList": lambda tr: tr.paths(),
+        "values": lambda tr, f: tr.values(f),
+        "count": lambda tr: tr.count(),
+        "select": lambda tr, *names: tr.select(*names),
+        "path": lambda tr: tr.path(),
+    }
+    for i, seg in enumerate(segments):
+        m = _CALL.match(seg)
+        if not m:
+            raise GremlinParseError(f"cannot parse step {seg!r}")
+        name, raw_args = m.group(1), m.group(2)
+        args = _parse_args(raw_args)
+        if name in terminals:
+            if i != len(segments) - 1:
+                raise GremlinParseError(f"terminal step {name!r} must end the chain")
+            return terminals[name](t, *args)
+        if name not in steps:
+            raise GremlinParseError(f"unsupported gremlin step {name!r}")
+        t = steps[name](t, *args)
+    return t.paths()

@@ -465,6 +465,7 @@ def _compile_group(
     infotons: DataFrame | None = None,
     gvar: str | None = None,
     in_graph: bool = False,
+    named_source: DataFrame | None = None,
 ) -> DataFrame:
     # squash-by-subject (JenaArqExtensionsUtils.scala:84-106): same-subject
     # const-predicate groups route to ONE doc-table scan; singletons and
@@ -492,14 +493,15 @@ def _compile_group(
     # dataset, while its whole-graph engine maps named-graph lookups to the
     # union graph — JenaArqExtensions.scala:361-364; our DEFAULT graph is
     # that union, so non-GRAPH patterns keep the reference's semantics).
+    ns = named_source if named_source is not None else triples
     for gterm, inner in g.graphs:
         if in_graph:
             raise SparqlCompileError("nested GRAPH clauses are not supported")
         if isinstance(gterm, Iri):
-            scoped = triples.where(F.col("g") == gterm.value)
+            scoped = ns.where(F.col("g") == gterm.value)
             dfs.append(_compile_group(scoped, inner, stats, None, in_graph=True))
         else:
-            scoped = triples.where(F.col("g").isNotNull())
+            scoped = ns.where(F.col("g").isNotNull())
             dfs.append(
                 _compile_group(scoped, inner, stats, None, gvar=gterm.name, in_graph=True)
             )
@@ -508,7 +510,7 @@ def _compile_group(
     else:
         df = None
     for branches in g.unions:
-        parts = [_compile_group(triples, b, stats, infotons, gvar, in_graph) for b in branches]
+        parts = [_compile_group(triples, b, stats, infotons, gvar, in_graph, named_source) for b in branches]
         u = reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), parts)
         df = u if df is None else _join(df, u)
     for vars_, rows in g.values:
@@ -543,7 +545,7 @@ def _compile_group(
     if df is None:
         raise SparqlCompileError("empty graph pattern")
     for opt in g.optionals:
-        right = _compile_group(triples, opt, stats, infotons, gvar, in_graph)
+        right = _compile_group(triples, opt, stats, infotons, gvar, in_graph, named_source)
         shared = [c for c in df.columns if c in right.columns and not c.startswith("__")]
         right = right.drop(
             *[c for c in right.columns if c.startswith(("__num__", "__lang__", "__vt__")) and c in df.columns]
@@ -562,7 +564,7 @@ def _compile_group(
         # group sees the outer bindings through the join keys). With no
         # shared variables the inner pattern is an independent gate:
         # broadcast its limit(1) existence row, keep/drop all solutions.
-        right = _compile_group(triples, grp, stats, infotons, gvar, in_graph)
+        right = _compile_group(triples, grp, stats, infotons, gvar, in_graph, named_source)
         shared = [c for c in df.columns if c in right.columns and not c.startswith("__")]
         if shared:
             how = "left_anti" if negated else "left_semi"
@@ -572,7 +574,7 @@ def _compile_group(
             df = df.join(gate, F.lit(True), "left")
             df = df.where(F.col("__e").isNull() if negated else F.col("__e").isNotNull()).drop("__e")
     for m in g.minuses:
-        right = _compile_group(triples, m, stats, infotons, gvar, in_graph)
+        right = _compile_group(triples, m, stats, infotons, gvar, in_graph, named_source)
         shared = [c for c in df.columns if c in right.columns and not c.startswith("__")]
         # SPARQL MINUS: remove solutions compatible on >=1 shared var;
         # disjoint domains remove nothing (W3C SPARQL 1.1 §8.3)
@@ -824,6 +826,27 @@ def _apply_slice(df: DataFrame, q: Query, limit_cap: int) -> DataFrame:
     return df
 
 
+
+def _dataset_frames(triples: DataFrame, q: Query):
+    """FROM / FROM NAMED dataset construction (SPARQL 1.1 §13.2): when any
+    dataset clause is present, the dataset is EXACTLY what's listed — the
+    FROM graphs merge into the default graph, FROM NAMED lists the only
+    graphs a GRAPH clause can address, and a side omitted from the
+    clauses is EMPTY (spec-faithful: FROM-only queries see no named
+    graphs; FROM NAMED-only queries have an empty default graph). The
+    `g isin` filters push to the parquet scan like any quad filter."""
+    if not q.from_default and not q.from_named:
+        return triples, None
+    if q.from_default:
+        src = triples.where(F.col("g").isin(q.from_default))
+    else:
+        src = triples.where(F.lit(False))
+    if q.from_named:
+        named = triples.where(F.col("g").isin(q.from_named))
+    else:
+        named = triples.where(F.lit(False))
+    return src, named
+
 def _select_frame(
     triples: DataFrame,
     q: Query,
@@ -836,7 +859,12 @@ def _select_frame(
     limit_cap=0 (no implicit cap — only an explicit inner LIMIT slices)."""
     from cm_well_spark.operators.sparql.parser import AggExpr, ExprProj
 
-    df = _compile_group(triples, q.where, stats, infotons)
+    src, named = _dataset_frames(triples, q)
+    # the doc-table squash route ignores quads — disable it under an
+    # explicit dataset clause
+    df = _compile_group(
+        src, q.where, stats, infotons if named is None else None, named_source=named
+    )
     aggs = [v for v in q.variables if isinstance(v, AggExpr)]
     exprs = [v for v in q.variables if isinstance(v, ExprProj)]
     if aggs or q.group_by:
@@ -910,7 +938,13 @@ def _select_frame(
     if q.distinct:
         df = df.distinct()
     if q.order_by:
-        df = df.orderBy(*[F.col(v.name).desc() if d else F.col(v.name).asc() for v, d in q.order_by])
+        # order keys may be expressions over the projected columns
+        # (ORDER BY DESC(STRLEN(?n))); plain vars stay column refs
+        keys = []
+        for v, d in q.order_by:
+            c = F.col(v.name) if isinstance(v, Var) else _value_col(v, df)[0]
+            keys.append(c.desc() if d else c.asc())
+        df = df.orderBy(*keys)
     return _apply_slice(df, q, limit_cap)
 
 
@@ -934,7 +968,10 @@ def sparql_query(
     if q.form == "select":
         return _select_frame(triples, q, stats, infotons, limit_cap)
     # construct
-    sols = _compile_group(triples, q.where, stats, infotons)
+    src, named = _dataset_frames(triples, q)
+    sols = _compile_group(
+        src, q.where, stats, infotons if named is None else None, named_source=named
+    )
     parts = []
     for tp in q.template:
         def col_of(term):

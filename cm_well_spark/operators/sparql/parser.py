@@ -170,6 +170,8 @@ class Query:
     prefixes: dict = field(default_factory=dict)
     group_by: list = field(default_factory=list)  # [Var]
     having: list = field(default_factory=list)  # [Filter] over agg aliases
+    from_default: list = field(default_factory=list)  # FROM <g> graph iris
+    from_named: list = field(default_factory=list)  # FROM NAMED <g> iris
 
 
 _TOKEN = re.compile(
@@ -677,11 +679,12 @@ def _parse_modifiers(p: _P, q_out: Query) -> None:
         p.expect("BY")
         while True:
             tok = p.peek()
-            if tok.upper() in ("ASC", "DESC"):
+            if tok.upper() in ("ASC", "DESC") and p.peek(1) == "(":
                 desc = tok.upper() == "DESC"
                 p.next()
                 p.expect("(")
-                v = p.term()
+                # full value expression allowed: ORDER BY DESC(STRLEN(?n))
+                v = p.arith_expr()
                 p.expect(")")
                 q_out.order_by.append((v, desc))
             elif tok.startswith(("?", "$")):
@@ -745,11 +748,28 @@ def _parse_select(p: _P, prefixes: dict) -> Query:
                 break
         if not variables:
             raise SparqlParseError("SELECT needs '*' or variables")
+    from_default, from_named = _parse_dataset_clauses(p)
     p.kw("WHERE")
     where = p.group()
-    q_out = Query("select", variables, distinct, where, prefixes=prefixes)
+    q_out = Query(
+        "select", variables, distinct, where, prefixes=prefixes,
+        from_default=from_default, from_named=from_named,
+    )
     _parse_modifiers(p, q_out)
     return q_out
+
+
+def _parse_dataset_clauses(p: _P) -> tuple[list, list]:
+    """FROM <g> / FROM NAMED <g> dataset clauses (SPARQL 1.1 §13.2)."""
+    from_default: list[str] = []
+    from_named: list[str] = []
+    while p.kw("FROM"):
+        named = p.kw("NAMED")
+        t = p.term()
+        if not isinstance(t, Iri):
+            raise SparqlParseError("FROM needs an IRI")
+        (from_named if named else from_default).append(t.value)
+    return from_default, from_named
 
 
 def parse_sparql(q: str) -> Query:
@@ -772,14 +792,16 @@ def parse_sparql(q: str) -> Query:
     if p.kw("SELECT"):
         q_out = _parse_select(p, prefixes)
     elif p.kw("CONSTRUCT"):
-        if p.peek().upper() == "WHERE":
+        if p.peek().upper() in ("WHERE", "FROM"):
             # CONSTRUCT WHERE { ... } shorthand (SPARQL 1.1 §10.2.2): the
             # template IS the pattern's plain triples
+            from_default, from_named = _parse_dataset_clauses(p)
             p.expect("WHERE")
             where = p.group()
             q_out = Query(
                 "construct", [], False, where,
                 template=list(where.triples), prefixes=prefixes,
+                from_default=from_default, from_named=from_named,
             )
             _parse_modifiers(p, q_out)
             if p.peek():
@@ -795,9 +817,13 @@ def parse_sparql(q: str) -> Query:
             if p.peek() == ".":
                 p.next()
         p.expect("}")
+        from_default, from_named = _parse_dataset_clauses(p)
         p.expect("WHERE")
         where = p.group()
-        q_out = Query("construct", [], False, where, template=template, prefixes=prefixes)
+        q_out = Query(
+            "construct", [], False, where, template=template, prefixes=prefixes,
+            from_default=from_default, from_named=from_named,
+        )
         _parse_modifiers(p, q_out)
     else:
         # same contract as the reference: only SELECT/CONSTRUCT evaluate

@@ -2987,3 +2987,46 @@ def search_quad_alias(spark, sf_dir):
     inf2 = inf.unionByName(reg)
     df = S.search(inf2, qp="system.quad::seven", length=None, triples=triples_of(inf2))
     return df.select("path")
+
+
+@register(
+    "sparql_from_dataset",
+    oracle="""
+    SELECT '/docs/' || doc_id AS d, source AS src FROM documents
+    WHERE source IN ('src2', 'src9')
+    """,
+)
+def sparql_from_dataset(spark, sf_dir):
+    """J4 FROM dataset clauses (SPARQL 1.1 §13.2): the default graph is
+    the merge of the listed named graphs — pushed-down `g isin` scan
+    filters; untagged triples are excluded, and (spec-faithful) the named
+    graph set is empty unless FROM NAMED lists it."""
+    from cm_well_spark.operators.sparql import sparql_query
+
+    return sparql_query(
+        _tri(spark, sf_dir),
+        "SELECT ?d ?src FROM </graphs/src2> FROM </graphs/src9> "
+        "WHERE { ?d <source> ?src }",
+        limit_cap=None,
+    )
+
+
+@register(
+    "gremlin_string_eval",
+    oracle="""
+    SELECT '/tpch/region/' || n_regionkey AS path, r_name AS value
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    WHERE n_nationkey = 3
+    """,
+)
+def gremlin_string_eval(spark, sf_dir):
+    """J6 Gremlin STRING front-end (the reference plugin's eval surface,
+    GremlinParser.scala:32): a pipe-chain query string maps step-for-step
+    onto the fluent DSL — the full J6 path from query text to DataFrame."""
+    from cm_well_spark.operators.gremlin import eval_gremlin
+
+    return eval_gremlin(
+        _inf(spark, sf_dir),
+        _tri(spark, sf_dir),
+        'g.V("/tpch/nation/3").out("ofRegion").values("name")',
+    )

@@ -949,3 +949,49 @@ def test_bind_arithmetic(triples):
 def test_construct_where_shorthand(triples):
     out = sparql_query(triples, 'CONSTRUCT WHERE { ?n <ofRegion> ?r }')
     assert out.columns == ["s", "p", "o"] and out.count() == 25
+
+
+def test_order_by_expression(triples):
+    out = sparql_query(
+        triples,
+        'SELECT ?n WHERE { ?x <rdfType> "Nation" . ?x <name> ?n } '
+        "ORDER BY DESC(STRLEN(?n)) ?n LIMIT 3",
+    )
+    names = [r["n"] for r in out.collect()]
+    assert all(len(n) == 9 for n in names)  # NATION_1x are the longest
+    assert names == sorted(names)
+
+
+# ---- dataset clauses: FROM / FROM NAMED ----------------------------------
+
+
+def test_from_scopes_default_graph(triples, spark, sf_dir):
+    from cm_well_spark.sources import tables as tbl
+
+    out = sparql_query(
+        triples,
+        "SELECT ?d ?src FROM </graphs/src2> WHERE { ?d <source> ?src }",
+    )
+    raw = tbl.load_table(spark, sf_dir, "documents").where(F.col("source") == "src2")
+    assert out.count() == raw.count()
+    # untagged triples are NOT in the constructed default graph
+    assert sparql_query(
+        triples, 'SELECT ?x FROM </graphs/src2> WHERE { ?x <rdfType> "Region" }'
+    ).count() == 0
+
+
+def test_from_named_restricts_graph_iteration(triples):
+    out = sparql_query(
+        triples,
+        "SELECT DISTINCT ?g FROM NAMED </graphs/src1> FROM NAMED </graphs/src4> "
+        "WHERE { GRAPH ?g { ?d <source> ?src } }",
+    )
+    assert {r["g"] for r in out.collect()} == {"/graphs/src1", "/graphs/src4"}
+
+
+def test_from_only_means_no_named_graphs(triples):
+    out = sparql_query(
+        triples,
+        "SELECT ?g FROM </graphs/src1> WHERE { GRAPH ?g { ?d <source> ?src } }",
+    )
+    assert out.count() == 0

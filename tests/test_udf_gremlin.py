@@ -194,3 +194,44 @@ def test_gremlin_dedup_and_where(infotons, triples):
         F.element_at(F.col("fields").getItem("name"), 1)["value"] == "NATION_3"
     )
     assert t2.count() == 1
+
+
+def test_gremlin_string_eval_chain(infotons, triples):
+    from cm_well_spark.operators.gremlin import eval_gremlin
+
+    out = eval_gremlin(
+        infotons,
+        triples,
+        'g.V("/tpch/nation/3").out("ofRegion").values("name")',
+    )
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["path"].startswith("/tpch/region/") and rows[0]["value"]
+
+
+def test_gremlin_string_eval_back(infotons, triples):
+    from cm_well_spark.operators.gremlin import eval_gremlin, g
+
+    s = eval_gremlin(
+        infotons,
+        triples,
+        'g.V().has("rdfType", "Order").filter("totalprice", ">", 400000)'
+        '.as("o").out("byCustomer").has("mktsegment", "BUILDING").back("o").count()',
+    )
+    fluent = (
+        g(infotons, triples).V().has("rdfType", "Order").filter("totalprice", ">", 400000)
+        .as_("o").out("byCustomer").has("mktsegment", "BUILDING").back("o").count()
+    )
+    assert s == fluent > 0
+
+
+def test_gremlin_string_eval_errors(infotons, triples):
+    import pytest
+
+    from cm_well_spark.operators.gremlin import GremlinParseError, eval_gremlin
+
+    with pytest.raises(GremlinParseError, match="must start at the graph"):
+        eval_gremlin(infotons, triples, 'V().count()')
+    with pytest.raises(GremlinParseError, match="unsupported gremlin step"):
+        eval_gremlin(infotons, triples, 'g.V().frobnicate()')
+    with pytest.raises(GremlinParseError, match="must end the chain"):
+        eval_gremlin(infotons, triples, 'g.V().count().out("x")')
