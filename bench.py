@@ -58,6 +58,11 @@ def main() -> None:
         "sparql_path_seq",
         "sparql_exists",
         "sparql_subquery",
+        # round-5 operators with distinct plan shapes worth tracking
+        "sparql_graph_var",
+        "sparql_path_plus_deep",
+        "sparql_sum_expr_revenue",
+        "curation_repetition_signals",
         "consume_first_chunk",
         "bulk_consume_range",
         "merge_writer_current",
