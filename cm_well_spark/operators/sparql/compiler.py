@@ -140,8 +140,15 @@ def _term_str(t) -> str:
     raise SparqlCompileError(f"not a constant term: {t}")
 
 
+def _joinable(c: str) -> bool:
+    """Shared-variable join eligibility: internal shadow columns are
+    skipped, EXCEPT blank-node variables (__bn*) — blank nodes are
+    non-projectable but absolutely join across patterns."""
+    return not c.startswith("__") or c.startswith("__bn")
+
+
 def _join(left: DataFrame, right: DataFrame) -> DataFrame:
-    shared = [c for c in left.columns if c in right.columns and not c.startswith("__")]
+    shared = [c for c in left.columns if c in right.columns and _joinable(c)]
     if shared:
         # drop duplicate shadow columns from the right side
         dup_shadows = [
@@ -165,7 +172,7 @@ def _join_connected(dfs: list[DataFrame]) -> DataFrame:
     while remaining:
         pick = None
         for i, cand in enumerate(remaining):
-            if any(c in df.columns and not c.startswith("__") for c in cand.columns):
+            if any(c in df.columns and _joinable(c) for c in cand.columns):
                 pick = i
                 break
         if pick is None:

@@ -184,7 +184,7 @@ _TOKEN = re.compile(
     | (?P<number>[+-]?\d+(?:\.\d+)?)
     | (?P<pname>[A-Za-z_][\w\-]*:[\w\-./#%]*)
     | (?P<kw>[A-Za-z_][\w]*)
-    | (?P<punct>\{|\}|\(|\)|\.|;|,|\*|=|!=|<=|>=|<|>|&&|\|\||!|:|/|\+|-|\||\^|\?)
+    | (?P<punct>\{|\}|\(|\)|\[|\]|\.|;|,|\*|=|!=|<=|>=|<|>|&&|\|\||!|:|/|\+|-|\||\^|\?)
     )""",
     re.VERBOSE,
 )
@@ -209,6 +209,7 @@ class _P:
         self.t = toks
         self.i = 0
         self.prefixes = prefixes
+        self.bn = 0  # fresh blank-node counter
 
     def peek(self, k=0) -> str:
         return self.t[self.i + k] if self.i + k < len(self.t) else ""
@@ -271,6 +272,36 @@ class _P:
                 raise SparqlParseError(f"unknown prefix: {pfx}")
             return Iri(self.prefixes[pfx] + local)
         raise SparqlParseError(f"expected term, got {tok!r}")
+
+    def blank_node(self, g) -> Var:
+        """`[ p1 o1 ; p2 o2 ]` blank-node property list (SPARQL 1.1
+        §4.1.4): a fresh internal variable whose property triples join
+        into the enclosing group. Blank nodes are non-projectable — the
+        `__bn` prefix keeps them out of SELECT * while _join still
+        equi-joins on them."""
+        self.expect("[")
+        self.bn += 1
+        v = Var(f"__bn{self.bn}")
+        if self.peek() == "]":
+            self.next()
+            return v
+        while True:
+            pred = self.term()
+            while True:
+                o = self.blank_node(g) if self.peek() == "[" else self.term()
+                g.triples.append(TriplePattern(v, pred, o))
+                if self.peek() == ",":
+                    self.next()
+                    continue
+                break
+            if self.peek() == ";":
+                self.next()
+                if self.peek() == "]":
+                    break
+                continue
+            break
+        self.expect("]")
+        return v
 
     # ---- group graph pattern ----
 
@@ -371,8 +402,17 @@ class _P:
                 continue
             # triple pattern (with ; and , continuations; predicate may be
             # a property path — sequence '/', inverse '^', alternatives
-            # '|', bounded '+')
-            s = self.term()
+            # '|', closures '+'/'*'/'?'); subject may be a blank-node
+            # property list
+            if tok == "[":
+                s = self.blank_node(g)
+                if self.peek() in ("}", "."):
+                    # `[ p o ] .` — the property list IS the whole pattern
+                    if self.peek() == ".":
+                        self.next()
+                    continue
+            else:
+                s = self.term()
             while True:
 
                 def path_alt():
@@ -458,7 +498,7 @@ class _P:
                 ):
                     raise SparqlParseError("property-path predicates must be IRIs")
                 while True:
-                    o = self.term()
+                    o = self.blank_node(g) if self.peek() == "[" else self.term()
                     if is_path:
                         g.paths.append(PathPattern(s, tuple(parts), o, plus, star, opt))
                     else:

@@ -3030,3 +3030,23 @@ def gremlin_string_eval(spark, sf_dir):
         _tri(spark, sf_dir),
         'g.V("/tpch/nation/3").out("ofRegion").values("name")',
     )
+
+
+@register(
+    "sparql_blank_node_list",
+    oracle="""
+    SELECT n_name AS n, r_name AS rn
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def sparql_blank_node_list(spark, sf_dir):
+    """J4 blank-node property lists (§4.1.4): `[ ... ]` compiles to a
+    fresh internal variable that equi-joins across its property triples
+    but never projects (SELECT * excludes it)."""
+    from cm_well_spark.operators.sparql import sparql_query
+
+    return sparql_query(
+        _tri(spark, sf_dir),
+        'SELECT ?n ?rn WHERE { [ <rdfType> "Nation" ; <name> ?n ; <ofRegion> [ <name> ?rn ] ] }',
+        limit_cap=None,
+    )

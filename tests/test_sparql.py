@@ -995,3 +995,35 @@ def test_from_only_means_no_named_graphs(triples):
         "SELECT ?g FROM </graphs/src1> WHERE { GRAPH ?g { ?d <source> ?src } }",
     )
     assert out.count() == 0
+
+
+# ---- blank-node property lists -------------------------------------------
+
+
+def test_blank_node_object(triples, spark, sf_dir):
+    from cm_well_spark.sources import tables as tbl
+
+    out = sparql_query(
+        triples,
+        'SELECT ?n WHERE { ?x <rdfType> "Nation" . ?x <ofRegion> [ <name> ?n ] }',
+    )
+    names = {r["n"] for r in out.collect()}
+    regions = {
+        r["r_name"] for r in tbl.load_table(spark, sf_dir, "region").collect()
+    }
+    assert names == regions
+
+
+def test_blank_node_subject(triples):
+    out = sparql_query(
+        triples,
+        'SELECT ?n WHERE { [ <rdfType> "Nation" ; <name> ?n ] }',
+    )
+    assert out.count() == 25
+
+
+def test_blank_node_not_projected(triples):
+    out = sparql_query(
+        triples, 'SELECT * WHERE { ?x <ofRegion> [ <name> ?n ] }'
+    )
+    assert set(out.columns) == {"x", "n"}  # the blank node stays internal
