@@ -384,6 +384,13 @@ def _closure_frame(triples: DataFrame, pp: PathPattern, gvar: str | None = None)
             if new_n == 0:
                 return reached
             total += new_n
+            # re-materialize the reached set every round: the next round's
+            # anti-join probes it in full, and closures run deep (15+
+            # rounds) with tiny frontiers — a lazy union accumulates
+            # quadratic scan work (measured 2-5x wall on the 15-hop
+            # chain), while the checkpoint of a near-empty frame is one
+            # cheap job. (xg/yg skip this — their accumulator is consumed
+            # once per LEVEL and levels are few; see traversal.expand_out.)
             reached = reached.unionByName(frontier).localCheckpoint(eager=True)
         warnings.warn(
             f"property-path closure exceeded the {INTERMEDIATE_LIMIT} intermediate-results"

@@ -174,7 +174,11 @@ def expand_out(
         bounded = frontier.count() <= BROADCAST_PATHS_MAX
         targets = _hop(infotons, t, frontier, level.fields, reverse=False, bounded=bounded, stats=stats)
         frontier = targets.join(acc, "path", "left_anti").localCheckpoint(eager=True)
-        acc = acc.unionByName(frontier).localCheckpoint(eager=True)
+        # acc itself is NOT re-checkpointed: it stays a flat union of
+        # already-checkpointed frontiers, so its lineage is one node per
+        # level (not exponential) and we skip a full materialization per
+        # level — one less serial job under scheduler latency
+        acc = acc.unionByName(frontier)
     return _hydrate(infotons, acc, limit)
 
 
@@ -199,7 +203,9 @@ def expand_paths(
                 infotons, triples, frontier, seg.fields, reverse=isinstance(seg, ExpandUp),
                 bounded=bounded, stats=stats,
             ).localCheckpoint(eager=True)
-            acc = acc.unionByName(frontier).localCheckpoint(eager=True)
+            # flat union of checkpointed frontiers — no per-segment
+            # re-materialization of the accumulator (see expand_out)
+            acc = acc.unionByName(frontier)
     return _hydrate(infotons, acc, limit)
 
 
