@@ -1,1 +1,1 @@
-from cm_well_spark.operators.sparql.compiler import sparql_query  # noqa: F401
+from cm_well_spark.operators.sparql.compiler import sparql_explain, sparql_query  # noqa: F401

@@ -998,3 +998,27 @@ def sparql_query(
         parts.append(sols.select(col_of(tp.s).alias("s"), col_of(tp.p).alias("p"), col_of(tp.o).alias("o")))
     df = reduce(lambda a, b: a.unionByName(b), parts).distinct()
     return _apply_slice(df, q, limit_cap)
+
+
+def sparql_explain(
+    triples: DataFrame,
+    query: str | Query,
+    stats: dict | None = None,
+    limit_cap: int = RESULTS_LIMIT,
+    infotons: DataFrame | None = None,
+    mode: str = "formatted",
+) -> str:
+    """Explain-only evaluation — the reference's `explainOnly` /
+    verbose modes (Config.explainOnly JenaArqExtensions.scala:310,
+    SpHandler x-verbose): compile the query, execute NOTHING, return the
+    plan text. Catalyst's formatted plan (scan pruning, PushedFilters,
+    join strategies, codegen spans) replaces the reference's hand-built
+    message log."""
+    import contextlib
+    import io
+
+    df = sparql_query(triples, query, stats, limit_cap, infotons)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()

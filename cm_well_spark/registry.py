@@ -3050,3 +3050,48 @@ def sparql_blank_node_list(spark, sf_dir):
         'SELECT ?n ?rn WHERE { [ <rdfType> "Nation" ; <name> ?n ; <ofRegion> [ <name> ?rn ] ] }',
         limit_cap=None,
     )
+
+
+@register(
+    "streaming_exact_dedup_count",
+    oracle=f"""
+    SELECT count(DISTINCT md5({_NORM_SQL.format(c='text')})) AS n FROM documents
+    """,
+)
+def streaming_exact_dedup_count(spark, sf_dir):
+    """Streaming exact dedup (dropDuplicatesWithinWatermark over the
+    content fingerprint, bounded state): the documents table replayed as
+    a file stream, deduped in-flight; the surviving row count equals the
+    batch distinct-fingerprint count — the streaming/batch parity a
+    Lambda-free pipeline depends on."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from cm_well_spark.sources import tables as tbl
+    from cm_well_spark.streaming.dedup import streaming_exact_dedup
+
+    docs = tbl.load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        (F.to_timestamp(F.lit("2024-01-01 00:00:00")) + F.make_interval(secs=F.col("doc_id"))).alias("ts"),
+    )
+    work = tempfile.mkdtemp(prefix="cmw_sdedup_")
+    feed = os.path.join(work, "feed")
+    docs.write.mode("overwrite").parquet(feed)
+    stream = spark.readStream.schema(docs.schema).parquet(feed)
+    name = f"sdedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_exact_dedup(stream, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.sql(f"SELECT count(*) AS n FROM {name}")
+    n = out.first()["n"]  # materialize before the feed dir is removed
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame([(n,)], "n long")

@@ -1027,3 +1027,13 @@ def test_blank_node_not_projected(triples):
         triples, 'SELECT * WHERE { ?x <ofRegion> [ <name> ?n ] }'
     )
     assert set(out.columns) == {"x", "n"}  # the blank node stays internal
+
+
+def test_sparql_explain_only(triples):
+    from cm_well_spark.operators.sparql import sparql_explain
+
+    plan = sparql_explain(
+        triples, "SELECT ?d WHERE { GRAPH </graphs/src1> { ?d <source> ?s } }"
+    )
+    # compiled, not executed; the quad filter reaches the scan
+    assert "Scan" in plan and "src1" in plan

@@ -254,3 +254,62 @@ def test_qstream_dir_filtered_feed(spark, infotons):
     )
     q2.awaitTermination(120)
     assert spark.sql("SELECT count(*) AS n FROM qs2").first()["n"] == expected
+
+
+def test_streaming_exact_dedup(spark):
+    import shutil
+
+    from cm_well_spark.streaming.dedup import streaming_exact_dedup
+
+    d = os.path.join(TMP, "sdedup")
+    shutil.rmtree(d, ignore_errors=True)
+    feed = os.path.join(d, "feed")
+    os.makedirs(feed)
+    rows = [
+        (1, "the same document text", "2024-01-01 10:00:00"),
+        (2, "THE SAME   document text!", "2024-01-01 10:00:30"),  # norm-dup of 1
+        (3, "a different document", "2024-01-01 10:01:00"),
+        (4, "the same document text", "2024-01-01 10:02:00"),  # dup again
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, ts_s string").select(
+        "doc_id", "text", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    df.write.mode("append").parquet(feed)
+    stream = spark.readStream.schema(df.schema).parquet(feed)
+    out = streaming_exact_dedup(stream, watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sdedup1")
+        .option("checkpointLocation", os.path.join(d, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM sdedup1").collect()}
+    assert len(kept) == 2 and 3 in kept and len(kept & {1, 2, 4}) == 1
+
+
+def test_streaming_seen_filter_first_k(spark):
+    import shutil
+
+    from cm_well_spark.streaming.dedup import streaming_seen_filter
+
+    d = os.path.join(TMP, "sseen")
+    shutil.rmtree(d, ignore_errors=True)
+    feed = os.path.join(d, "feed")
+    os.makedirs(feed)
+    rows = [(i, "src%d" % (i % 2), float(i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, v double")
+    df.write.mode("append").parquet(feed)
+    stream = spark.readStream.schema(df.schema).parquet(feed)
+    out = streaming_seen_filter(stream, "source", limit=2)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sseen1")
+        .option("checkpointLocation", os.path.join(d, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT source, count(*) AS n FROM sseen1 GROUP BY source").collect()
+    assert {r["source"]: r["n"] for r in got} == {"src0": 2, "src1": 2}
