@@ -273,3 +273,43 @@ def repetition_signals(
             for c in ("dup_line_frac", "dup_line_char_frac", "top_kgram_frac", "dup_kgram_frac")
         ],
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    size: int = 128,
+    stride: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-size word windows with optional overlap
+    — the chunker every RAG / embedding / pretraining pipeline runs
+    before vectorizing. `stride` defaults to `size` (disjoint chunks);
+    stride < size overlaps. Output: (doc_id, chunk_idx, chunk, n_words).
+
+    Pure columnar: one split + one transform over chunk starts + one
+    explode — no shuffle at all; chunking rides the document scan, so at
+    100 TB it costs exactly one pass. The final (possibly short) window
+    is kept (standard chunker behavior); whitespace tokenization matches
+    token_counts' ws_tokens."""
+    if stride is None:
+        stride = size
+    if size <= 0 or stride <= 0:
+        raise ValueError("size and stride must be positive")
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(words)
+    # chunk start offsets: 0, stride, 2*stride, ... while start < n
+    n_chunks = F.greatest(F.ceil((n - size) / stride) + 1, F.lit(1)).cast("int")
+    starts = F.sequence(F.lit(0), (n_chunks - 1) * stride, F.lit(stride))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            F.concat_ws(" ", F.slice(words, s + 1, size)).alias("chunk"),
+            F.least(n - s, F.lit(size)).alias("n_words"),
+        ),
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "__c")
+    ).select(
+        id_col, "chunk_idx", F.col("__c.chunk").alias("chunk"), F.col("__c.n_words").alias("n_words")
+    )

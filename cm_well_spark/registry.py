@@ -3095,3 +3095,32 @@ def streaming_exact_dedup_count(spark, sf_dir):
     n = out.first()["n"]  # materialize before the feed dir is removed
     shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame([(n,)], "n long")
+
+
+@register(
+    "text_chunk_documents",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+    ), s AS (
+      SELECT doc_id, w,
+             greatest(CAST(ceil((len(w) - 32) * 1.0 / 32) AS INT) + 1, 1) AS nc
+      FROM w
+    ), e AS (
+      SELECT doc_id, w, unnest(range(0, nc)) AS ci FROM s
+    )
+    SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+           array_to_string(w[ci*32+1 : ci*32+32], ' ') AS chunk,
+           least(len(w) - ci*32, 32) AS n_words
+    FROM e
+    """,
+)
+def text_chunk_documents(spark, sf_dir):
+    """Context-window document chunking (the RAG/embedding/pretraining
+    splitter): fixed 32-word windows, no overlap here (stride=size) —
+    pure columnar split+transform+posexplode, zero shuffle, rides the
+    document scan."""
+    from cm_well_spark.operators.text import chunk_documents
+    from cm_well_spark.sources import tables as tbl
+
+    return chunk_documents(tbl.load_table(spark, sf_dir, "documents"), size=32)

@@ -458,3 +458,19 @@ def test_lsh_topk_batch_fallback_guard(embs, spark):
     out = lsh_topk_batch(embs, queries, k=10, n_planes=16).collect()
     assert len(out) == 10
     assert out[0]["vec_id"] == q["vec_id"] or any(r["vec_id"] == q["vec_id"] for r in out)
+
+
+def test_chunk_documents_disjoint_and_overlap(spark):
+    from cm_well_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))), (2, "a b c")], ["doc_id", "text"]
+    )
+    disjoint = {(r["doc_id"], r["chunk_idx"]): r for r in chunk_documents(docs, size=4).collect()}
+    assert disjoint[(1, 0)]["chunk"] == "w0 w1 w2 w3"
+    assert disjoint[(1, 2)]["chunk"] == "w8 w9" and disjoint[(1, 2)]["n_words"] == 2
+    assert disjoint[(2, 0)]["chunk"] == "a b c"  # short doc = one chunk
+    assert len([k for k in disjoint if k[0] == 1]) == 3
+    overlap = {(r["doc_id"], r["chunk_idx"]): r["chunk"] for r in chunk_documents(docs, size=4, stride=2).collect()}
+    assert overlap[(1, 1)] == "w2 w3 w4 w5"  # stride-2 overlap
+    assert len([k for k in overlap if k[0] == 1]) == 4
