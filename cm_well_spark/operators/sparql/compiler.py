@@ -914,6 +914,24 @@ def _select_frame(
             if a.fn == "sample":
                 # SAMPLE is implementation-defined: deterministic min
                 return F.min(agg_arg_str(a)).alias(a.alias)
+            if a.fn in ("min", "max") and isinstance(a.var, Var):
+                # MIN/MAX are TERM aggregates, not numeric ones: order
+                # numerics numerically (via the typed shadow), strings
+                # lexically after them, and return the winning term's
+                # LEXICAL form — so MIN(?name) over strings works and
+                # MIN(?price) still orders numerically
+                name = a.var.name
+                shadow = f"__num__{name}"
+                if shadow in df.columns:
+                    ordk = F.struct(
+                        F.col(shadow).isNull().alias("t"),
+                        F.col(shadow).alias("n"),
+                        F.col(name).alias("v"),
+                    )
+                else:
+                    ordk = F.col(name)
+                fn = F.min_by if a.fn == "min" else F.max_by
+                return fn(F.col(name), ordk).alias(a.alias)
             fns = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}
             return fns[a.fn](agg_arg_num(a)).alias(a.alias)
 

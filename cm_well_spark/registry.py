@@ -3124,3 +3124,26 @@ def text_chunk_documents(spark, sf_dir):
     from cm_well_spark.sources import tables as tbl
 
     return chunk_documents(tbl.load_table(spark, sf_dir, "documents"), size=32)
+
+
+@register(
+    "sparql_min_max_terms",
+    oracle="""
+    SELECT c_mktsegment AS seg, min(c_name) AS first_name,
+           CAST(max(c_acctbal) AS VARCHAR) AS top_bal
+    FROM customer GROUP BY 1
+    """,
+)
+def sparql_min_max_terms(spark, sf_dir):
+    """J5 MIN/MAX as TERM aggregates (§18.5.1.3-4): strings order
+    lexically, numerics numerically via the typed shadow, and the result
+    is the winning term's lexical form — MIN over names and MAX over
+    balances in one grouped query."""
+    from cm_well_spark.operators.sparql import sparql_query
+
+    return sparql_query(
+        _tri(spark, sf_dir),
+        "SELECT ?seg (MIN(?n) AS ?first_name) (MAX(?b) AS ?top_bal) WHERE { "
+        "?c <mktsegment> ?seg . ?c <name> ?n . ?c <acctbal> ?b } GROUP BY ?seg",
+        limit_cap=None,
+    )

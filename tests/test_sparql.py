@@ -1037,3 +1037,83 @@ def test_sparql_explain_only(triples):
     )
     # compiled, not executed; the quad filter reaches the scan
     assert "Scan" in plan and "src1" in plan
+
+
+# ---- property pin: fixpoint closure vs pure-Python BFS -------------------
+
+
+def test_closure_matches_bfs_on_random_graphs(spark):
+    """p+ fixpoint vs a BFS oracle over random digraphs (cycles, fan-out,
+    self-loops included) — the shapes the synthetic chain fixture can't
+    produce. Deterministic seeds; a handful of graphs is plenty since
+    every graph exercises many (source, target) pairs at once."""
+    import random
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        n = 12
+        edges = set()
+        for _ in range(24):
+            edges.add((rng.randrange(n), rng.randrange(n)))
+        rows = [
+            (f"/g/{a}", "nxt", f"/g/{b}", None, "s", None, None, None, None, 1, True, "obj")
+            for a, b in edges
+        ]
+        tri = spark.createDataFrame(
+            rows,
+            "s string, p string, o string, g string, vtype string, num double, "
+            "ts timestamp, bool boolean, lang string, index_time long, current boolean, kind string",
+        )
+        # BFS closure
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+        start = min(a for a, _ in edges)
+        seen, frontier = set(), {start}
+        while frontier:
+            nxt = set()
+            for x in frontier:
+                for y in adj.get(x, ()):
+                    if y not in seen:
+                        seen.add(y)
+                        nxt.add(y)
+            frontier = nxt
+        out = sparql_query(tri, f"SELECT ?x WHERE {{ </g/{start}> <nxt>+ ?x }}")
+        got = {r["x"] for r in out.collect()}
+        assert got == {f"/g/{i}" for i in seen}, f"seed {seed}"
+        # var-var closure: every reachable pair
+        pairs_expected = set()
+        for src in {a for a, _ in edges}:
+            s2, f2 = set(), {src}
+            while f2:
+                nx = set()
+                for x in f2:
+                    for y in adj.get(x, ()):
+                        if y not in s2:
+                            s2.add(y)
+                            nx.add(y)
+                f2 = nx
+            pairs_expected |= {(src, t) for t in s2}
+        out2 = sparql_query(tri, "SELECT ?a ?b WHERE { ?a <nxt>+ ?b }")
+        got2 = {(int(r["a"][3:]), int(r["b"][3:])) for r in out2.collect()}
+        assert got2 == pairs_expected, f"seed {seed} var-var"
+
+
+def test_min_max_term_aggregates(triples, spark, sf_dir):
+    from cm_well_spark.sources import tables as tbl
+
+    out = sparql_query(
+        triples,
+        'SELECT (MIN(?n) AS ?lo) (MAX(?n) AS ?hi) WHERE { ?x <rdfType> "Nation" . ?x <name> ?n }',
+    )
+    row = out.first()
+    names = [r["n_name"] for r in tbl.load_table(spark, sf_dir, "nation").collect()]
+    assert row["lo"] == min(names) and row["hi"] == max(names)
+    # numeric fields keep numeric ordering, result is the lexical form
+    out2 = sparql_query(
+        triples,
+        'SELECT (MAX(?b) AS ?top) WHERE { ?c <rdfType> "Customer" . ?c <acctbal> ?b }',
+    )
+    top_lex = out2.first()["top"]
+    exp = tbl.load_table(spark, sf_dir, "customer").agg(F.max("c_acctbal")).first()[0]
+    assert float(top_lex) == exp
