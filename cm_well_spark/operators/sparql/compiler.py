@@ -609,6 +609,12 @@ def _value_col(e, df: DataFrame) -> tuple[Column, bool]:
         return F.lit(e.value), False
     if isinstance(e, Iri):
         return F.lit(e.value), False
+    from cm_well_spark.operators.sparql.parser import AggExpr as _AggExpr
+
+    if isinstance(e, _AggExpr):
+        # inline HAVING aggregate: the aggregation step projected it
+        # under its hidden alias
+        return F.col(e.alias), True
     if isinstance(e, Func):
         if e.fn == "if":
             # first arg is a boolean expression, not a value
@@ -881,7 +887,23 @@ def _select_frame(
     )
     aggs = [v for v in q.variables if isinstance(v, AggExpr)]
     exprs = [v for v in q.variables if isinstance(v, ExprProj)]
-    if aggs or q.group_by:
+
+    def _collect_having_aggs(node, out):
+        if isinstance(node, AggExpr):
+            out.append(node)
+            return
+        if isinstance(node, (Filter, Func)):
+            for a in node.args:
+                if isinstance(a, tuple):
+                    for x in a:
+                        _collect_having_aggs(x, out)
+                else:
+                    _collect_having_aggs(a, out)
+
+    having_aggs: list = []
+    for h in q.having:
+        _collect_having_aggs(h, having_aggs)
+    if aggs or q.group_by or having_aggs:
         # SPARQL 1.1 aggregates -> groupBy + agg (partial+final hash agg
         # via Catalyst); numeric aggs use the typed num shadow column.
         # Aggregate arguments may be full expressions (SUM(?a * ?b)).
@@ -943,7 +965,8 @@ def _select_frame(
                 f"non-aggregated SELECT variables must appear in GROUP BY: {missing_keys}"
             )
         gdf = df.groupBy(*keys) if keys else df.groupBy()
-        df = gdf.agg(*[agg_col(a) for a in aggs]) if aggs else gdf.agg(F.count("*").alias("__n")).drop("__n")
+        all_aggs = aggs + having_aggs
+        df = gdf.agg(*[agg_col(a) for a in all_aggs]) if all_aggs else gdf.agg(F.count("*").alias("__n")).drop("__n")
         for h in q.having:
             # post-aggregation filter over projected aggregate aliases
             df = df.where(_filter_col(h, df))

@@ -210,6 +210,8 @@ class _P:
         self.i = 0
         self.prefixes = prefixes
         self.bn = 0  # fresh blank-node counter
+        self.allow_agg = False  # True only inside HAVING expressions
+        self.hv = 0  # hidden having-aggregate alias counter
 
     def peek(self, k=0) -> str:
         return self.t[self.i + k] if self.i + k < len(self.t) else ""
@@ -593,9 +595,26 @@ class _P:
         "ISIRI", "ISURI", "ISLITERAL", "ISNUMERIC", "ISBLANK", "SAMETERM",
     )
 
+    AGG_FNS = ("COUNT", "SUM", "AVG", "MIN", "MAX", "GROUP_CONCAT", "SAMPLE")
+
     def value_expr(self):
         """A value expression: a term or a builtin function application."""
         tok = self.peek().upper()
+        if self.allow_agg and tok in self.AGG_FNS and self.peek(1) == "(":
+            # aggregate call inside HAVING (SPARQL 1.1 §11.2): carried as
+            # an AggExpr node with a hidden alias; the compiler projects
+            # it into the aggregation and rewrites the filter to the alias
+            fn = self.next().lower()
+            self.expect("(")
+            distinct = self.kw("DISTINCT")
+            if self.peek() == "*":
+                self.next()
+                v = None
+            else:
+                v = self.arith_expr()
+            self.expect(")")
+            self.hv += 1
+            return AggExpr(fn, v, f"__hav{self.hv}", distinct)
         if tok == "IF" and self.peek(1) == "(":
             # IF(boolean-expr, then-value, else-value)
             self.next()
@@ -712,9 +731,13 @@ def _parse_modifiers(p: _P, q_out: Query) -> None:
         if not q_out.group_by:
             raise SparqlParseError("GROUP BY needs at least one variable")
     while p.kw("HAVING"):
-        # HAVING (?alias op value): the post-aggregation filter references
-        # projected aggregate aliases (the common implementation form)
-        q_out.having.append(p.filter_expr())
+        # HAVING over projected aggregate aliases OR inline aggregate
+        # calls — HAVING (COUNT(*) > 5) (SPARQL 1.1 §11.2)
+        p.allow_agg = True
+        try:
+            q_out.having.append(p.filter_expr())
+        finally:
+            p.allow_agg = False
     if p.kw("ORDER"):
         p.expect("BY")
         while True:

@@ -3147,3 +3147,24 @@ def sparql_min_max_terms(spark, sf_dir):
         "?c <mktsegment> ?seg . ?c <name> ?n . ?c <acctbal> ?b } GROUP BY ?seg",
         limit_cap=None,
     )
+
+
+@register(
+    "sparql_having_inline_agg",
+    oracle="""
+    SELECT c_mktsegment AS seg FROM customer
+    GROUP BY 1 HAVING count(*) > 10 AND round(avg(c_acctbal), 6) > 4000
+    """,
+)
+def sparql_having_inline_agg(spark, sf_dir):
+    """J5 HAVING with inline aggregate calls (§11.2): the aggregates ride
+    the same hash aggregation under hidden aliases; the filter rewrites
+    to the alias columns."""
+    from cm_well_spark.operators.sparql import sparql_query
+
+    return sparql_query(
+        _tri(spark, sf_dir),
+        "SELECT ?seg WHERE { ?c <mktsegment> ?seg . ?c <acctbal> ?b } "
+        "GROUP BY ?seg HAVING (COUNT(*) > 10 && AVG(?b) > 4000)",
+        limit_cap=None,
+    )

@@ -1117,3 +1117,26 @@ def test_min_max_term_aggregates(triples, spark, sf_dir):
     top_lex = out2.first()["top"]
     exp = tbl.load_table(spark, sf_dir, "customer").agg(F.max("c_acctbal")).first()[0]
     assert float(top_lex) == exp
+
+
+def test_having_inline_aggregate(triples):
+    out = sparql_query(
+        triples,
+        'SELECT ?r WHERE { ?n <ofRegion> ?r } GROUP BY ?r HAVING (COUNT(*) >= 5)',
+    )
+    # every region hosts exactly 5 nations
+    assert out.count() == 5
+    out2 = sparql_query(
+        triples,
+        'SELECT ?seg WHERE { ?c <mktsegment> ?seg . ?c <acctbal> ?b } '
+        "GROUP BY ?seg HAVING (SUM(?b) > 0 && COUNT(*) > 1)",
+    )
+    assert out2.count() == 5
+
+
+def test_having_alias_still_works(triples):
+    out = sparql_query(
+        triples,
+        'SELECT ?r (COUNT(*) AS ?n) WHERE { ?x <ofRegion> ?r } GROUP BY ?r HAVING (?n >= 5)',
+    )
+    assert out.count() == 5
