@@ -957,7 +957,13 @@ def _select_frame(
             fns = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}
             return fns[a.fn](agg_arg_num(a)).alias(a.alias)
 
-        keys = [v.name for v in q.group_by]
+        # computed group keys — GROUP BY (expr AS ?alias) — bind before
+        # the aggregation so they group and project like plain vars
+        for k in q.group_by:
+            if isinstance(k, ExprProj):
+                kcol, knum = _value_col(k.expr, df)
+                df = df.withColumn(k.alias, kcol.cast("string") if not knum else kcol)
+        keys = [k.name if isinstance(k, Var) else k.alias for k in q.group_by]
         plain = [v.name for v in q.variables if isinstance(v, Var)]
         missing_keys = [v for v in plain if v not in keys]
         if missing_keys:

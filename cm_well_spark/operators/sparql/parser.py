@@ -726,8 +726,22 @@ def _parse_modifiers(p: _P, q_out: Query) -> None:
     modifiers inside the braces, SPARQL 1.1 §12)."""
     if p.kw("GROUP"):
         p.expect("BY")
-        while p.peek().startswith(("?", "$")):
-            q_out.group_by.append(Var(p.next()[1:]))
+        while True:
+            tok = p.peek()
+            if tok.startswith(("?", "$")):
+                q_out.group_by.append(Var(p.next()[1:]))
+            elif tok == "(":
+                # GROUP BY (expr AS ?alias) — computed group key (§11.1)
+                p.next()
+                e = p.arith_expr()
+                p.expect("AS")
+                v = p.term()
+                if not isinstance(v, Var):
+                    raise SparqlParseError("GROUP BY expression needs 'AS ?var'")
+                p.expect(")")
+                q_out.group_by.append(ExprProj(e, v.name))
+            else:
+                break
         if not q_out.group_by:
             raise SparqlParseError("GROUP BY needs at least one variable")
     while p.kw("HAVING"):

@@ -3168,3 +3168,27 @@ def sparql_having_inline_agg(spark, sf_dir):
         "GROUP BY ?seg HAVING (COUNT(*) > 10 && AVG(?b) > 4000)",
         limit_cap=None,
     )
+
+
+@register(
+    "sparql_group_by_expr",
+    oracle="""
+    SELECT year(o_orderdate) AS y, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY 1
+    """,
+)
+def sparql_group_by_expr(spark, sf_dir):
+    """J5 computed group keys — GROUP BY (YEAR(?d) AS ?y) (§11.1): the
+    per-year rollup every time-series analysis starts with, one hash
+    aggregation over the bound key."""
+    from cm_well_spark.operators.sparql import sparql_query
+
+    df = sparql_query(
+        _tri(spark, sf_dir),
+        'SELECT ?y (COUNT(*) AS ?n) (SUM(?p) AS ?total) WHERE { '
+        '?o <rdfType> "Order" . ?o <orderdate> ?d . ?o <totalprice> ?p } '
+        "GROUP BY (YEAR(?d) AS ?y)",
+        limit_cap=None,
+    )
+    return df.select("y", "n", F.round("total", 2).alias("total"))

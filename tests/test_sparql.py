@@ -1140,3 +1140,20 @@ def test_having_alias_still_works(triples):
         'SELECT ?r (COUNT(*) AS ?n) WHERE { ?x <ofRegion> ?r } GROUP BY ?r HAVING (?n >= 5)',
     )
     assert out.count() == 5
+
+
+def test_group_by_expression(triples, spark, sf_dir):
+    from cm_well_spark.sources import tables as tbl
+
+    out = sparql_query(
+        triples,
+        "SELECT ?y (COUNT(*) AS ?n) WHERE { ?o <rdfType> \"Order\" . ?o <orderdate> ?d } "
+        "GROUP BY (YEAR(?d) AS ?y) ORDER BY ?y",
+    )
+    got = {int(r["y"]): r["n"] for r in out.collect()}
+    raw = tbl.load_table(spark, sf_dir, "orders")
+    exp = {
+        r["y"]: r["n"]
+        for r in raw.groupBy(F.year("o_orderdate").alias("y")).agg(F.count("*").alias("n")).collect()
+    }
+    assert got == exp
