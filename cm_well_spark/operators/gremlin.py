@@ -196,6 +196,43 @@ class GraphTraversal:
     def dedup(self) -> "GraphTraversal":
         return self._with(self.frontier.distinct(), self.bounded)
 
+    def order(self, field: str | None = None, desc: bool = False) -> "GraphTraversal":
+        """`order` pipe: by a property's first value (typed shadows first,
+        like the search sort), or by path when no field is given. Ordering
+        is a property of the FRONTIER frame — terminals preserve it only
+        until the next shuffling step, same as any DataFrame sort."""
+        if field is None:
+            return self._with(
+                self.frontier.orderBy(F.col("path").desc() if desc else F.col("path").asc()),
+                self.bounded,
+            )
+        first = F.element_at(F.col("fields").getItem(field), 1)
+        keyed = self.infotons.select(
+            "path", first["num"].alias("__k1"), first["value"].alias("__k2")
+        )
+        j = self.frontier.join(keyed, "path", "left")
+        cols = [F.col("__k1"), F.col("__k2")]
+        ordered = j.orderBy(
+            *[c.desc_nulls_last() if desc else c.asc_nulls_last() for c in cols],
+            F.col("path").asc(),
+        ).drop("__k1", "__k2")
+        return self._with(ordered, self.bounded)
+
+    def limit(self, n: int) -> "GraphTraversal":
+        """`range`/`limit` pipe."""
+        return self._with(self.frontier.limit(n), self.bounded)
+
+    def group_count(self, field: str) -> DataFrame:
+        """`groupCount` pipe over a property: (value, n) per distinct
+        value across the frontier's vertices — one explode + hash agg."""
+        hydrated = self.infotons.join(
+            self._hinted(self.frontier.select("path").distinct()), "path", "left_semi"
+        )
+        vals = hydrated.select(
+            F.explode(F.transform(F.col("fields").getItem(field), lambda v: v["value"])).alias("value")
+        )
+        return vals.groupBy("value").agg(F.count("*").alias("n"))
+
     # ---- terminals ----
 
     def paths(self) -> DataFrame:
@@ -292,6 +329,9 @@ def eval_gremlin(infotons: DataFrame, triples: DataFrame, query: str):
         "as": lambda tr, name: tr.as_(name),
         "back": lambda tr, name: tr.back(name),
         "dedup": lambda tr: tr.dedup(),
+        "order": lambda tr, *a: tr.order(*a),
+        "limit": lambda tr, n: tr.limit(int(n)),
+        "range": lambda tr, lo, hi: tr.limit(int(hi)),
     }
     terminals = {
         "paths": lambda tr: tr.paths(),
@@ -300,6 +340,7 @@ def eval_gremlin(infotons: DataFrame, triples: DataFrame, query: str):
         "count": lambda tr: tr.count(),
         "select": lambda tr, *names: tr.select(*names),
         "path": lambda tr: tr.path(),
+        "groupCount": lambda tr, f: tr.group_count(f),
     }
     for i, seg in enumerate(segments):
         m = _CALL.match(seg)

@@ -235,3 +235,18 @@ def test_gremlin_string_eval_errors(infotons, triples):
         eval_gremlin(infotons, triples, 'g.V().frobnicate()')
     with pytest.raises(GremlinParseError, match="must end the chain"):
         eval_gremlin(infotons, triples, 'g.V().count().out("x")')
+
+
+def test_gremlin_order_limit_groupcount(infotons, triples):
+    t = g(infotons, triples).V().has("rdfType", "Nation")
+    top = t.order("name", desc=True).limit(3).paths().collect()
+    assert len(top) == 3
+    gc = {r["value"]: r["n"] for r in t.group_count("ofRegion").collect()}
+    assert len(gc) == 5 and all(n == 5 for n in gc.values())
+    # string front-end
+    from cm_well_spark.operators.gremlin import eval_gremlin
+
+    out = eval_gremlin(
+        infotons, triples, 'g.V().has("rdfType", "Nation").groupCount("ofRegion")'
+    )
+    assert {r["value"]: r["n"] for r in out.collect()} == gc
