@@ -1157,3 +1157,28 @@ def test_group_by_expression(triples, spark, sf_dir):
         for r in raw.groupBy(F.year("o_orderdate").alias("y")).agg(F.count("*").alias("n")).collect()
     }
     assert got == exp
+
+
+# ---- parser robustness: malformed input never escapes the error contract --
+
+
+def test_parser_fuzz_error_contract():
+    """Random token soup must either parse or raise SparqlParseError —
+    never IndexError/AttributeError/etc. (the reference returns a clean
+    400 on bad syntax; our error contract is the exception type)."""
+    import random
+
+    vocab = [
+        "SELECT", "WHERE", "{", "}", "(", ")", "[", "]", "?x", "?y", "<p>",
+        '"v"', "FILTER", "OPTIONAL", "UNION", "GRAPH", "BIND", "AS", "+",
+        "*", "/", ".", ";", ",", "a", "5", "GROUP", "BY", "HAVING", "ORDER",
+        "LIMIT", "COUNT", "MINUS", "VALUES", "FROM", "NAMED", "^", "|", "!",
+    ]
+    rng = random.Random(1234)
+    for _ in range(300):
+        q = " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 25)))
+        try:
+            parse_sparql(q)
+        except SparqlParseError:
+            pass  # the contract
+        # any other exception type fails the test by propagating
