@@ -313,3 +313,39 @@ def chunk_documents(
     ).select(
         id_col, "chunk_idx", F.col("__c.chunk").alias("chunk"), F.col("__c.n_words").alias("n_words")
     )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k keywords per document by TF-IDF (ln-smoothed IDF:
+    ln(N / df_t)) — the classic corpus keyword extractor.
+
+    Shape at 100 TB: one exploded token pass -> per-(doc, token) term
+    counts (map-side combining hash agg), document frequencies from the
+    same keyed frame (second hash agg on token), a join on the token key
+    (vocabulary-sized build side; AQE broadcasts it when small), then a
+    per-doc window top-k. No driver-side state; ties break
+    lexicographically for deterministic oracle comparison."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    tf = toks.groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
+    n_docs = df.select(id_col).distinct().count()
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    scored = tf.join(dfreq, "tok").select(
+        id_col,
+        "tok",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "rank", "tok", F.round("tfidf", 6).alias("tfidf"))
+    )

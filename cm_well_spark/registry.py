@@ -3192,3 +3192,36 @@ def sparql_group_by_expr(spark, sf_dir):
         limit_cap=None,
     )
     return df.select("y", "n", F.round("total", 2).alias("total"))
+
+
+@register(
+    "text_tfidf_keywords",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({_NORM_SQL.format(c='text')}, ' ')) AS tok
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, tok, count(*) AS tf FROM toks WHERE tok != '' GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT tok, count(*) AS df FROM tf GROUP BY 1
+    ), scored AS (
+      SELECT doc_id, tok,
+             tf * ln((SELECT count(*) FROM documents) * 1.0 / df) AS tfidf
+      FROM tf JOIN dfreq USING (tok)
+    ), ranked AS (
+      SELECT doc_id, tok, tfidf,
+             row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC) AS rank
+      FROM scored
+    )
+    SELECT doc_id, CAST(rank AS INT) AS rank, tok, round(tfidf, 6) AS tfidf
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def text_tfidf_keywords(spark, sf_dir):
+    """TF-IDF keyword extraction (top-3 per document): two keyed hash
+    aggregations + a vocabulary join + per-doc window — the standard
+    corpus keyword/topic-signal pass."""
+    from cm_well_spark.operators.text import tfidf_keywords
+    from cm_well_spark.sources import tables as tbl
+
+    return tfidf_keywords(tbl.load_table(spark, sf_dir, "documents"), k=3)

@@ -474,3 +474,23 @@ def test_chunk_documents_disjoint_and_overlap(spark):
     overlap = {(r["doc_id"], r["chunk_idx"]): r["chunk"] for r in chunk_documents(docs, size=4, stride=2).collect()}
     assert overlap[(1, 1)] == "w2 w3 w4 w5"  # stride-2 overlap
     assert len([k for k in overlap if k[0] == 1]) == 4
+
+
+def test_tfidf_keywords_basics(spark):
+    from cm_well_spark.operators.text import tfidf_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark uniqueone common"),
+            (2, "flink flink uniquetwo common"),
+            (3, "common only here"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {}
+    for r in tfidf_keywords(docs, k=2).collect():
+        got.setdefault(r["doc_id"], []).append(r["tok"])
+    # corpus-unique high-tf terms rank first; 'common' (df=3 -> idf=0) never
+    assert got[1][0] == "spark" and "common" not in got[1]
+    assert got[2][0] == "flink" and "uniquetwo" in got[2]
+    assert all(len(v) <= 2 for v in got.values())
