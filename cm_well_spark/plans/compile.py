@@ -65,11 +65,30 @@ SYSTEM_COLUMNS = {
 }
 
 
-def analyze_expr(c: Column) -> Column:
-    """The engine's "analyzer": lowercase + collapse non-alphanumerics to
-    single spaces. Stands in for Lucene's standard analyzer (divergence
-    documented in SURVEY §7.3)."""
-    return F.trim(F.regexp_replace(F.lower(c), r"[^\p{L}\p{N}]+", " "))
+def analyze_expr(c: Column, analyzer: str | None = None) -> Column:
+    """The engine's text "analyzer" for `:` Contains / scoring.
+
+    Modes (default `simple`, or set CMW_ANALYZER):
+      simple    lowercase + collapse non-alphanumerics to single spaces —
+                the documented, oracle-pinned default (divergence table
+                in SURVEY §7.3 / tests/test_analyzer_contract.py).
+      uax29ish  closer to Lucene StandardAnalyzer's UAX#29 word break:
+                apostrophes / periods / underscores / at-signs stay
+                INSIDE words (o'brien, 3.14, foo_bar, b.com stay single
+                tokens) and are stripped only at token edges. CJK
+                unigramming remains a divergence in both modes."""
+    import os
+
+    mode = analyzer or os.environ.get("CMW_ANALYZER", "simple")
+    if mode == "simple":
+        return F.trim(F.regexp_replace(F.lower(c), r"[^\p{L}\p{N}]+", " "))
+    if mode == "uax29ish":
+        kept = F.regexp_replace(F.lower(c), r"[^\p{L}\p{N}'._@]+", " ")
+        # strip the kept punctuation at token EDGES (UAX#29 keeps it only
+        # mid-word: MidLetter/MidNum/ExtendNumLet)
+        edge_stripped = F.regexp_replace(kept, r"(?:(?<=\s)|^)['._@]+|['._@]+(?=\s|$)", "")
+        return F.trim(F.regexp_replace(edge_stripped, r"\s+", " "))
+    raise ValueError(f"unknown analyzer {mode!r} (know: simple, uax29ish)")
 
 
 def _fuzz(term: str) -> int:

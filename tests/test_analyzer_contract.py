@@ -71,3 +71,38 @@ def test_fuzzy_whole_value_divergence(spark, infotons, triples):
     # part names are multi-word ("large widget"): Lucene fuzzyQuery on
     # 'widgt' would match the 'widget' token; whole-value distance is huge
     assert search(infotons, qp="rdfType::Part,name~widgt", length=None, triples=triples).count() == 0
+
+
+# ---- opt-in uax29ish mode: divergent rows converge -----------------------
+
+UAX29ISH_CONVERGES = [
+    ("O'Brien", ["o'brien"]),
+    ("dog's", ["dog's"]),
+    ("3.14 rounds", ["3.14", "rounds"]),
+    ("foo_bar", ["foo_bar"]),
+    ("mail a@b.com", ["mail", "a@b.com"]),  # keeps the address whole
+]
+
+
+@pytest.mark.parametrize("raw,lucene_ish", UAX29ISH_CONVERGES)
+def test_uax29ish_mode_converges(spark, raw, lucene_ish):
+    got = (
+        spark.range(1)
+        .select(analyze_expr(F.lit(raw), analyzer="uax29ish").alias("t"))
+        .first()["t"]
+    )
+    assert got.split(" ") == lucene_ish
+
+
+def test_uax29ish_strips_edge_punct(spark):
+    got = (
+        spark.range(1)
+        .select(analyze_expr(F.lit("'quoted' end. _x_"), analyzer="uax29ish").alias("t"))
+        .first()["t"]
+    )
+    assert got.split(" ") == ["quoted", "end", "x"]
+
+
+def test_unknown_analyzer_rejected(spark):
+    with pytest.raises(ValueError, match="know: simple"):
+        spark.range(1).select(analyze_expr(F.lit("x"), analyzer="bogus")).first()
