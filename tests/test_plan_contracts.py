@@ -1,0 +1,108 @@
+"""Physical-plan contracts: the 100 TB posture, asserted at the Catalyst
+level. These tests read `explain` output, not timings — a plan that
+stops pushing filters, starts cartesian-joining, or shuffles a map-side
+operator fails HERE even when sf0.001 wall-clock can't tell."""
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_graph_const_pushes_quad_filter(triples):
+    from cm_well_spark.operators.sparql import sparql_query
+
+    plan = plan_of(
+        sparql_query(triples, "SELECT ?d WHERE { GRAPH </graphs/src4> { ?d <source> ?s } }")
+    )
+    assert "EqualTo(g,/graphs/src4)" in plan  # reaches the parquet scan
+    assert "(p = source)" in plan or "p#" in plan  # predicate partition pruned
+
+
+def test_bound_predicate_prunes_partition(triples):
+    from cm_well_spark.operators.sparql import sparql_query
+
+    plan = plan_of(sparql_query(triples, 'SELECT ?c WHERE { ?c <mktsegment> "BUILDING" }'))
+    assert "PartitionFilters" in plan and "p = mktsegment" in plan.replace("#", " ").replace(
+        "(", " "
+    ).replace(")", " ") or "mktsegment" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bgp_join_no_cartesian(triples, spark, sf_dir):
+    from cm_well_spark.model.lakehouse import load_predicate_stats
+    from cm_well_spark.operators.sparql import sparql_query
+
+    stats = load_predicate_stats(spark, sf_dir)
+    plan = plan_of(
+        sparql_query(
+            triples,
+            """SELECT ?c ?r WHERE { ?c <inNation> ?n . ?n <ofRegion> ?r .
+               ?c <mktsegment> "BUILDING" }""",
+            stats=stats,
+        )
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_stratified_sample_is_map_side_only(spark, sf_dir):
+    from cm_well_spark.operators.curation import stratified_sample
+    from cm_well_spark.sources import tables as tbl
+
+    docs = tbl.load_table(spark, sf_dir, "documents")
+    plan = plan_of(stratified_sample(docs, "lang", {"en": 0.5}))
+    assert "Exchange" not in plan  # deterministic hash filter: zero shuffle
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    from cm_well_spark.operators.curation import decontaminate
+    from cm_well_spark.sources import tables as tbl
+
+    docs = tbl.load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") >= 50)
+    bench = docs.where(F.col("doc_id") < 50)
+    plan = plan_of(decontaminate(corpus, bench, k=3))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_brute_topk_is_take_ordered(spark, sf_dir):
+    from cm_well_spark.operators.similarity import brute_force_topk
+    from cm_well_spark.sources import tables as tbl
+
+    embs = tbl.load_table(spark, sf_dir, "embeddings")
+    q = [0.1] * len(embs.first()["embedding"])
+    plan = plan_of(brute_force_topk(embs, q, k=5))
+    assert "TakeOrderedAndProject" in plan  # never a global sort
+
+
+def test_chunker_has_no_shuffle(spark):
+    from cm_well_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a b c d e f")], ["doc_id", "text"])
+    plan = plan_of(chunk_documents(docs, size=3))
+    assert "Exchange" not in plan  # rides the scan
+
+
+def test_pii_scrub_single_projection(spark):
+    from cm_well_spark.operators.curation import scrub_pii
+
+    docs = spark.createDataFrame([(1, "a@b.co")], ["doc_id", "text"])
+    plan = plan_of(scrub_pii(docs))
+    assert "Exchange" not in plan and plan.count("Project") >= 1
+
+
+def test_batch_get_broadcasts_keys(infotons, spark):
+    from cm_well_spark.operators.search import batch_get
+
+    keys = spark.createDataFrame([("/tpch/region/0",), ("/tpch/region/1",)], ["path"])
+    plan = plan_of(batch_get(infotons, keys))
+    assert "BroadcastExchange" in plan  # the big table never shuffles
