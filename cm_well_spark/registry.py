@@ -3225,3 +3225,25 @@ def text_tfidf_keywords(spark, sf_dir):
     from cm_well_spark.sources import tables as tbl
 
     return tfidf_keywords(tbl.load_table(spark, sf_dir, "documents"), k=3)
+
+
+@register(
+    "consume_qp_filtered",
+    oracle="""
+    SELECT '/tpch/customer/' || c_custkey AS path,
+           1720000000000 + c_custkey AS index_time
+    FROM customer WHERE c_mktsegment = 'BUILDING'
+    ORDER BY index_time ASC LIMIT 10
+    """,
+)
+def consume_qp_filtered(spark, sf_dir):
+    """T4 consume with a qp filter baked into the position token
+    (SortedConsumeState carries the qp; Parsers.scala:642-709): the
+    change feed delivers only matching infotons, ordered by index_time
+    under the watermark."""
+    from cm_well_spark.operators.consume import consume, create_consumer
+
+    token = create_consumer(path="/tpch/customer", qp="mktsegment::BUILDING")
+    _, df, status = consume(_inf(spark, sf_dir), token, chunk=10, now_ms=_FEED_NOW)
+    assert status == 200
+    return df.select("path", "index_time")
