@@ -219,8 +219,19 @@ class GraphTraversal:
         return self._with(ordered, self.bounded)
 
     def limit(self, n: int) -> "GraphTraversal":
-        """`range`/`limit` pipe."""
+        """`limit` pipe."""
         return self._with(self.frontier.limit(n), self.bounded)
+
+    def range(self, lo: int, hi: int) -> "GraphTraversal":
+        """`range(lo, hi)` pipe: the INCLUSIVE slice of the current
+        (ordered) frontier — elements lo..hi, 0-indexed, per the
+        TinkerPop-2 RangeFilterPipe contract. Compiles to
+        offset+limit, which Spark pushes into a single
+        CollectLimit/GlobalLimit over the sorted frame — no row_number
+        shuffle needed."""
+        if lo < 0 or hi < lo:
+            raise ValueError(f"invalid range [{lo}, {hi}]")
+        return self._with(self.frontier.offset(lo).limit(hi - lo + 1), self.bounded)
 
     def group_count(self, field: str) -> DataFrame:
         """`groupCount` pipe over a property: (value, n) per distinct
@@ -278,7 +289,10 @@ def g(infotons: DataFrame, triples: DataFrame) -> GraphTraversal:
 # string front-end: evaluate a gremlin pipe-chain query string
 # ---------------------------------------------------------------------------
 
-_SEG = re.compile(r"\.(?=(?:[^\"']|\"[^\"]*\"|'[^']*')*$)")  # dots outside quotes
+# step-separator dots: outside quotes AND followed by an identifier start,
+# so the decimal point of an unquoted float arg (filter(..., 400000.5))
+# never splits a step
+_SEG = re.compile(r"\.(?=[A-Za-z_])(?=(?:[^\"']|\"[^\"]*\"|'[^']*')*$)")
 _CALL = re.compile(r"^\s*(\w+)\s*\((.*)\)\s*$", re.DOTALL)
 _ARG = re.compile(r"\"([^\"]*)\"|'([^']*)'|([+-]?\d+(?:\.\d+)?)")
 
@@ -331,7 +345,7 @@ def eval_gremlin(infotons: DataFrame, triples: DataFrame, query: str):
         "dedup": lambda tr: tr.dedup(),
         "order": lambda tr, *a: tr.order(*a),
         "limit": lambda tr, n: tr.limit(int(n)),
-        "range": lambda tr, lo, hi: tr.limit(int(hi)),
+        "range": lambda tr, lo, hi: tr.range(int(lo), int(hi)),
     }
     terminals = {
         "paths": lambda tr: tr.paths(),

@@ -796,9 +796,13 @@ def _filter_col(f: Filter, df: DataFrame) -> Column:
     if f.op == "isblank":
         return F.lit(False)  # the infoton model has no blank nodes
     if f.op == "sameterm":
+        # plain (null-propagating) equality: sameTerm on an unbound
+        # argument is a SPARQL type error, so the FILTER must drop the
+        # row — eqNullSafe would make two OPTIONAL-produced nulls
+        # spuriously compare TRUE
         lhs = _value_col(f.args[0], df)[0].cast("string")
         rhs = _value_col(f.args[1], df)[0].cast("string")
-        return lhs.eqNullSafe(rhs)
+        return lhs == rhs
     if f.op in ("in", "not_in"):
         expr, vals = f.args
         numeric = all(isinstance(v, Literal) and v.dtype == "number" for v in vals)

