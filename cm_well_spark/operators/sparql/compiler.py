@@ -344,6 +344,32 @@ def _zero_length_frame(triples: DataFrame, s, o) -> DataFrame:
     return spark.range(0).select(F.lit(1).alias(f"__exists__path{uid}"))
 
 
+def _zero_length_frame_g(triples: DataFrame, s, o, gvar: str) -> DataFrame:
+    """Zero-length path solutions inside `GRAPH ?var` scope (SPARQL 1.1
+    §13.3 iterates the pattern per named graph): var-var endpoints bind
+    to the SAME node of THAT graph's node domain, while a constant
+    endpoint yields one row per named graph — mirroring the liberal
+    constant behavior of `_zero_length_frame`, just graph-partitioned.
+    The reference serves any pattern shape over quads
+    (JenaArqExtensions.scala:323-573); this closes the r5 rejection."""
+    t = triples.where(F.col("current"))
+    graphs = t.select(F.col("g").alias(gvar)).distinct()
+    if isinstance(s, Var) and isinstance(o, Var):
+        nodes = (
+            t.select(F.col("g").alias(gvar), F.col("s").alias("n"))
+            .union(t.select(F.col("g").alias(gvar), F.col("o").alias("n")))
+            .distinct()
+        )
+        return nodes.select(gvar, F.col("n").alias(s.name), F.col("n").alias(o.name))
+    if isinstance(s, Var):
+        return graphs.withColumn(s.name, F.lit(_term_str(o)))
+    if isinstance(o, Var):
+        return graphs.withColumn(o.name, F.lit(_term_str(s)))
+    if _term_str(s) == _term_str(o):
+        return graphs
+    return graphs.limit(0)
+
+
 def _closure_frame(triples: DataFrame, pp: PathPattern, gvar: str | None = None) -> DataFrame:
     """`p+` transitive closure by semi-naive fixpoint iteration: frontier
     join + seen-set anti-join + localCheckpoint per round (the same
@@ -453,22 +479,19 @@ def _closure_frame(triples: DataFrame, pp: PathPattern, gvar: str | None = None)
 def _path_frame(triples: DataFrame, pp: PathPattern, gvar: str | None = None) -> DataFrame:
     """Sequence path = one chain; `p+` / `p*` = iterative fixpoint closure
     (`*` adding the zero-length identity); `p?` = identity ∪ one step."""
-    if (pp.opt or pp.star) and gvar is not None:
-        # zero-length solutions pair every node of every named graph with
-        # itself — a var-graph node domain we don't model; documented gap
-        raise SparqlCompileError(
-            "zero-length paths (`p?`/`p*`) inside GRAPH ?var are not supported"
-        )
+    def zero():
+        if gvar is None:
+            return _zero_length_frame(triples, pp.s, pp.o)
+        return _zero_length_frame_g(triples, pp.s, pp.o, gvar)
+
     if pp.opt:
-        one = _path_chain(triples, pp.s, list(pp.parts), pp.o)
-        zero = _zero_length_frame(triples, pp.s, pp.o)
-        return zero.unionByName(one, allowMissingColumns=True).distinct()
+        one = _path_chain(triples, pp.s, list(pp.parts), pp.o, gvar)
+        return zero().unionByName(one, allowMissingColumns=True).distinct()
     if not (pp.plus or pp.star):
         return _path_chain(triples, pp.s, list(pp.parts), pp.o, gvar)
     closure = _closure_frame(triples, pp, gvar)
     if pp.star:
-        zero = _zero_length_frame(triples, pp.s, pp.o)
-        return zero.unionByName(closure, allowMissingColumns=True).distinct()
+        return zero().unionByName(closure, allowMissingColumns=True).distinct()
     return closure
 
 
@@ -494,10 +517,17 @@ def _compile_group(
     dfs.extend(_path_frame(triples, pp, gvar) for pp in g.paths)
     # nested sub-SELECTs evaluate bottom-up to a solution frame (their own
     # aggregates/DISTINCT/LIMIT applied, no implicit cap) and join on
-    # shared projected variables (SPARQL 1.1 §12)
-    if g.subqueries and gvar is not None:
-        raise SparqlCompileError("sub-SELECT inside GRAPH ?var is not supported")
-    dfs.extend(_select_frame(triples, sq, stats, infotons, limit_cap=0) for sq in g.subqueries)
+    # shared projected variables (SPARQL 1.1 §12). Under GRAPH ?var scope
+    # the subquery evaluates PER GRAPH (§13.3.2): the graph var threads
+    # through as a hidden group key / projection column so the output
+    # stays graph-correlated, and LIMIT/OFFSET slice per graph.
+    dfs.extend(
+        _select_frame(
+            triples, sq, stats, infotons if gvar is None else None,
+            limit_cap=0, gvar=gvar, named_source=named_source,
+        )
+        for sq in g.subqueries
+    )
     # GRAPH <iri> { ... }: the scoped pattern compiles against the quads of
     # that one named graph (a `g ==` filter the parquet scan pushes down).
     # GRAPH ?var { ... }: scoped to tagged quads, with ?var bound from the
@@ -507,17 +537,22 @@ def _compile_group(
     # dataset, while its whole-graph engine maps named-graph lookups to the
     # union graph — JenaArqExtensions.scala:361-364; our DEFAULT graph is
     # that union, so non-GRAPH patterns keep the reference's semantics).
+    # Nested GRAPH (GRAPH inside GRAPH, §13.3): the inner clause simply
+    # re-scopes to ITS graph term against the full named source — an
+    # inner constant overrides the outer binding for the inner patterns
+    # (which then carry no outer-var column and correlate with siblings
+    # only through shared solution vars), an inner variable binds its own
+    # var per quad. `named_source` threads the UNSCOPED quad frame down
+    # so re-scoping never compounds the outer filter.
     ns = named_source if named_source is not None else triples
     for gterm, inner in g.graphs:
-        if in_graph:
-            raise SparqlCompileError("nested GRAPH clauses are not supported")
         if isinstance(gterm, Iri):
             scoped = ns.where(F.col("g") == gterm.value)
-            dfs.append(_compile_group(scoped, inner, stats, None, in_graph=True))
+            dfs.append(_compile_group(scoped, inner, stats, None, in_graph=True, named_source=ns))
         else:
             scoped = ns.where(F.col("g").isNotNull())
             dfs.append(
-                _compile_group(scoped, inner, stats, None, gvar=gterm.name, in_graph=True)
+                _compile_group(scoped, inner, stats, None, gvar=gterm.name, in_graph=True, named_source=ns)
             )
     if dfs:
         df = _join_connected(dfs)
@@ -558,6 +593,12 @@ def _compile_group(
             df = _join(df, F.broadcast(vdf))
     if df is None:
         raise SparqlCompileError("empty graph pattern")
+    if gvar is not None and gvar not in df.columns:
+        # the group bound no quad pattern of its own (e.g. only a nested
+        # constant GRAPH): per §13.3 the outer var still iterates every
+        # named graph — cross with the tiny graph-name domain
+        dom = triples.select(F.col("g").alias(gvar)).where(F.col(gvar).isNotNull()).distinct()
+        df = df.crossJoin(F.broadcast(dom))
     for opt in g.optionals:
         right = _compile_group(triples, opt, stats, infotons, gvar, in_graph, named_source)
         shared = [c for c in df.columns if c in right.columns and not c.startswith("__")]
@@ -877,17 +918,26 @@ def _select_frame(
     stats: dict | None,
     infotons: DataFrame | None,
     limit_cap: int,
+    gvar: str | None = None,
+    named_source: DataFrame | None = None,
 ) -> DataFrame:
     """SELECT form -> projected solution frame, with aggregates / HAVING /
     DISTINCT / ORDER / OFFSET / LIMIT applied. Subqueries call this with
-    limit_cap=0 (no implicit cap — only an explicit inner LIMIT slices)."""
+    limit_cap=0 (no implicit cap — only an explicit inner LIMIT slices).
+    `gvar` = enclosing `GRAPH ?var` scope (sub-SELECT under GRAPH,
+    §13.3.2): the graph var is carried as a hidden group key / projected
+    column so the subquery's solutions stay per-graph, and LIMIT/OFFSET
+    become per-graph slices."""
     from cm_well_spark.operators.sparql.parser import AggExpr, ExprProj
 
     src, named = _dataset_frames(triples, q)
     # the doc-table squash route ignores quads — disable it under an
-    # explicit dataset clause
+    # explicit dataset clause or GRAPH ?var scope
     df = _compile_group(
-        src, q.where, stats, infotons if named is None else None, named_source=named
+        src, q.where, stats,
+        infotons if (named is None and gvar is None) else None,
+        gvar=gvar,
+        named_source=named if named is not None else named_source,
     )
     aggs = [v for v in q.variables if isinstance(v, AggExpr)]
     exprs = [v for v in q.variables if isinstance(v, ExprProj)]
@@ -974,6 +1024,9 @@ def _select_frame(
             raise SparqlCompileError(
                 f"non-aggregated SELECT variables must appear in GROUP BY: {missing_keys}"
             )
+        if gvar is not None and gvar not in keys:
+            # hidden per-graph group key (sub-SELECT under GRAPH ?var)
+            keys.append(gvar)
         gdf = df.groupBy(*keys) if keys else df.groupBy()
         all_aggs = aggs + having_aggs
         df = gdf.agg(*[agg_col(a) for a in all_aggs]) if all_aggs else gdf.agg(F.count("*").alias("__n")).drop("__n")
@@ -984,7 +1037,10 @@ def _select_frame(
         # keys + aggregate aliases), e.g. (?revenue / ?n AS ?avg_item)
         for ep in exprs:
             df = df.withColumn(ep.alias, _value_col(ep.expr, df)[0])
-        df = df.select(*[v.name if isinstance(v, Var) else v.alias for v in q.variables])
+        proj = [v.name if isinstance(v, Var) else v.alias for v in q.variables]
+        if gvar is not None and gvar not in proj:
+            proj.append(gvar)
+        df = df.select(*proj)
         # falls through to the shared DISTINCT/ORDER/OFFSET/cap logic
         # (ADVICE r1: the early return here bypassed the 10k OpSlice cap)
     elif q.having:
@@ -997,11 +1053,36 @@ def _select_frame(
         missing = [n for n in names if n not in df.columns]
         if missing:
             raise SparqlCompileError(f"SELECT variables not bound in pattern: {missing}")
+        if gvar is not None and gvar not in names:
+            names.append(gvar)
         df = df.select(*names)
     else:
         df = df.select(*[c for c in df.columns if not c.startswith("__")])
     if q.distinct:
         df = df.distinct()
+    if gvar is not None:
+        # sub-SELECT under GRAPH ?var: LIMIT/OFFSET slice PER GRAPH
+        # (§13.3.2 evaluates the subquery once per named graph) — a
+        # row_number window partitioned by the graph var; the subframe's
+        # global ordering is irrelevant to the enclosing join
+        if q.limit is not None or q.offset:
+            from pyspark.sql.window import Window
+
+            okeys = []
+            for v, d in q.order_by:
+                c = F.col(v.name) if isinstance(v, Var) else _value_col(v, df)[0]
+                okeys.append(c.desc() if d else c.asc())
+            if not okeys:
+                first = next(c for c in df.columns if c != gvar)
+                okeys = [F.col(first).asc()]
+            w = Window.partitionBy(gvar).orderBy(*okeys)
+            df = df.withColumn("__rn", F.row_number().over(w))
+            lo = q.offset or 0
+            df = df.where(F.col("__rn") > lo)
+            if q.limit is not None:
+                df = df.where(F.col("__rn") <= lo + q.limit)
+            df = df.drop("__rn")
+        return df.limit(limit_cap) if limit_cap else df
     if q.order_by:
         # order keys may be expressions over the projected columns
         # (ORDER BY DESC(STRLEN(?n))); plain vars stay column refs

@@ -310,6 +310,15 @@ class _P:
     def group(self) -> Group:
         self.expect("{")
         g = Group()
+        if self.peek().upper() == "SELECT":
+            # GroupGraphPattern ::= '{' ( SubSelect | GroupGraphPatternSub )
+            # '}' — a DIRECT SubSelect body (the GRAPH ?g { SELECT ... }
+            # form); the `{ { SELECT ... } }` nesting is handled below
+            self.expect("SELECT")
+            sq = _parse_select(self, dict(self.prefixes))
+            self.expect("}")
+            g.subqueries.append(sq)
+            return g
         while True:
             tok = self.peek()
             if tok == "}":

@@ -3274,3 +3274,71 @@ def gremlin_range(spark, sf_dir):
         _tri(spark, sf_dir),
         'g.V().has("rdfType", "Nation").order("name").range(5, 10)',
     )
+
+
+@register(
+    "sparql_graph_var_zero_path",
+    oracle="""
+    SELECT '/graphs/' || source AS g2, 2 * count(*) + 1 AS n
+    FROM documents GROUP BY source
+    """,
+)
+def sparql_graph_var_zero_path(spark, sf_dir):
+    """J4/J5 zero-length paths inside GRAPH ?var (r6 — closes the r5
+    rejection at the compiler's `p?`/`p*` guard): zero-length solutions
+    pair every node of THAT named graph with itself, so per graph the
+    `<source>*` pair count = n one-step + (n docs + 1 source value)
+    identities = 2n+1. Reference: DatasetGraphCmWell serves any pattern
+    shape over quads (JenaArqExtensions.scala:323-573)."""
+    from cm_well_spark.operators.sparql import sparql_query
+
+    return sparql_query(
+        _tri(spark, sf_dir),
+        "SELECT ?g2 (COUNT(*) AS ?n) WHERE { GRAPH ?g2 { ?d <source>* ?x } } "
+        "GROUP BY ?g2",
+        limit_cap=None,
+    )
+
+
+@register(
+    "sparql_graph_subselect",
+    oracle="""
+    SELECT '/graphs/' || source AS g2, source AS src, count(*) AS n
+    FROM documents GROUP BY source
+    """,
+)
+def sparql_graph_subselect(spark, sf_dir):
+    """J4/J5 sub-SELECT inside GRAPH ?var (SPARQL 1.1 §13.3.2, r6): the
+    subquery evaluates once per named graph — the graph var threads
+    through the aggregation as a hidden group key, keeping the output
+    graph-correlated for the enclosing join."""
+    from cm_well_spark.operators.sparql import sparql_query
+
+    return sparql_query(
+        _tri(spark, sf_dir),
+        "SELECT ?g2 ?src ?n WHERE { GRAPH ?g2 "
+        "{ SELECT ?src (COUNT(?d) AS ?n) WHERE { ?d <source> ?src } GROUP BY ?src } }",
+        limit_cap=None,
+    )
+
+
+@register(
+    "sparql_graph_nested",
+    oracle="""
+    SELECT '/graphs/src2' AS g2, '/docs/' || doc_id AS d
+    FROM documents WHERE source = 'src2'
+    """,
+)
+def sparql_graph_nested(spark, sf_dir):
+    """J4/J5 nested GRAPH clauses (r6): the inner constant graph
+    re-scopes its patterns against the full quad source independently of
+    the outer binding (SPARQL 1.1 §13.3); correlation through the shared
+    ?d var leaves only the matching outer graph."""
+    from cm_well_spark.operators.sparql import sparql_query
+
+    return sparql_query(
+        _tri(spark, sf_dir),
+        "SELECT ?g2 ?d WHERE { GRAPH ?g2 { ?d <source> ?s1 . "
+        "GRAPH </graphs/src2> { ?d <source> ?s2 } } }",
+        limit_cap=None,
+    )

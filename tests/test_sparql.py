@@ -721,12 +721,15 @@ def test_graph_var_excludes_untagged_triples(triples):
     assert out.count() == 0
 
 
-def test_graph_nested_rejected(triples):
-    with pytest.raises(SparqlCompileError, match="nested GRAPH"):
-        sparql_query(
-            triples,
-            "SELECT ?d WHERE { GRAPH ?g { GRAPH </graphs/src1> { ?d <source> ?src } } }",
-        ).count()
+def test_graph_nested_supported(triples):
+    """r6: nested GRAPH no longer rejects — the inner constant re-scopes
+    and ?g iterates the full named-graph domain (see the dedicated
+    composition tests at the end of this file)."""
+    out = sparql_query(
+        triples,
+        "SELECT ?d WHERE { GRAPH ?g { GRAPH </graphs/src1> { ?d <source> ?src } } }",
+    )
+    assert out.count() > 0
 
 
 def test_graph_const_with_path(triples, spark, sf_dir):
@@ -1210,3 +1213,109 @@ def test_projection_alias_must_be_var():
     # the valid forms still parse
     parse_sparql("SELECT (1 + 2 AS ?x) WHERE { ?s <p> ?o }")
     parse_sparql("SELECT (COUNT(*) AS ?n) WHERE { ?s <p> ?o }")
+
+
+# ---- GRAPH ?var composition (r6: closes the r5 rejections) ----------------
+
+
+def _docs_per_graph(triples):
+    out = sparql_query(
+        triples,
+        "SELECT ?g (COUNT(?d) AS ?n) WHERE { GRAPH ?g { ?d <source> ?src } } GROUP BY ?g",
+        limit_cap=None,
+    )
+    return {r["g"]: r["n"] for r in out.collect()}
+
+
+def test_graph_var_zero_length_paths(triples):
+    """`p*` / `p?` inside GRAPH ?var: zero-length solutions pair every
+    node of THAT graph with itself (per-graph node domain), so pairs per
+    graph = n one-step + (n docs + 1 source value) identities = 2n+1."""
+    base = _docs_per_graph(triples)
+    for path_op in ("*", "?"):
+        out = sparql_query(
+            triples,
+            "SELECT ?g (COUNT(*) AS ?n) WHERE { GRAPH ?g { ?d <source>%s ?x } } GROUP BY ?g"
+            % path_op,
+            limit_cap=None,
+        )
+        got = {r["g"]: r["n"] for r in out.collect()}
+        assert got == {g: 2 * n + 1 for g, n in base.items()}
+
+
+def test_graph_var_zero_length_const_endpoint(triples):
+    """Constant endpoint under GRAPH ?var: the zero-length case yields
+    one row per named graph (liberal constant behavior, per-graph)."""
+    base = _docs_per_graph(triples)
+    out = sparql_query(
+        triples,
+        "SELECT ?g ?x WHERE { GRAPH ?g { </docs/1> <source>* ?x } }",
+        limit_cap=None,
+    )
+    rows = [(r["g"], r["x"]) for r in out.collect()]
+    # every graph has the zero-length row (?x = /docs/1); exactly one
+    # graph adds the one-step row to its source value
+    assert sum(1 for _, x in rows if x == "/docs/1") == len(base)
+    assert sum(1 for _, x in rows if x != "/docs/1") == 1
+
+
+def test_graph_var_subselect(triples):
+    """Sub-SELECT inside GRAPH ?var (§13.3.2): evaluated per named graph
+    — the graph var threads through as a hidden group key."""
+    base = _docs_per_graph(triples)
+    out = sparql_query(
+        triples,
+        "SELECT ?g ?src ?n WHERE { GRAPH ?g "
+        "{ SELECT ?src (COUNT(?d) AS ?n) WHERE { ?d <source> ?src } GROUP BY ?src } }",
+        limit_cap=None,
+    )
+    got = {(r["g"], r["src"]): r["n"] for r in out.collect()}
+    assert len(got) == len(base)
+    for (g, src), n in got.items():
+        assert g == f"/graphs/{src}" and n == base[g]
+
+
+def test_graph_var_subselect_per_graph_limit(triples):
+    """LIMIT inside a GRAPH ?var sub-SELECT slices PER GRAPH, not
+    globally."""
+    from collections import Counter
+
+    base = _docs_per_graph(triples)
+    out = sparql_query(
+        triples,
+        "SELECT ?g ?d WHERE { GRAPH ?g "
+        "{ SELECT ?d WHERE { ?d <source> ?src } ORDER BY ?d LIMIT 2 } }",
+        limit_cap=None,
+    )
+    c = Counter(r["g"] for r in out.collect())
+    assert len(c) == len(base) and set(c.values()) == {2}
+
+
+def test_graph_nested_constant_overrides(triples):
+    """Nested GRAPH: the inner constant graph re-scopes its patterns
+    independently of the outer var; correlation happens through shared
+    solution vars (?d here), so only the matching outer graph survives."""
+    out = sparql_query(
+        triples,
+        "SELECT ?g ?d WHERE { GRAPH ?g { ?d <source> ?s1 . "
+        "GRAPH </graphs/src1> { ?d <source> ?s2 } } }",
+        limit_cap=None,
+    )
+    rows = out.collect()
+    assert rows and all(r["g"] == "/graphs/src1" for r in rows)
+
+
+def test_graph_var_only_nested_constant_iterates_domain(triples):
+    """GRAPH ?g wrapping ONLY a nested constant GRAPH still iterates ?g
+    over every named graph (§13.3 union semantics) — the graph-name
+    domain crosses the inner solutions."""
+    base = _docs_per_graph(triples)
+    out = sparql_query(
+        triples,
+        "SELECT ?g (COUNT(*) AS ?n) WHERE { GRAPH ?g "
+        "{ GRAPH </graphs/src1> { ?d <source> ?s2 } } } GROUP BY ?g",
+        limit_cap=None,
+    )
+    got = {r["g"]: r["n"] for r in out.collect()}
+    assert set(got) == set(base)
+    assert set(got.values()) == {base["/graphs/src1"]}
