@@ -27,6 +27,7 @@ doc-table schema — JVM-side, codegen-friendly, no Python UDFs.
 
 from __future__ import annotations
 
+import contextlib
 from datetime import datetime, timezone
 
 from pyspark.sql import Column
@@ -91,6 +92,26 @@ def analyze_expr(c: Column, analyzer: str | None = None) -> Column:
     raise ValueError(f"unknown analyzer {mode!r} (know: simple, uax29ish)")
 
 
+@contextlib.contextmanager
+def analyzer_mode(mode: str):
+    """Scope the analyzer for plans BUILT inside the block. The mode is
+    resolved at Column-construction time on the driver (analyze_expr
+    reads it while the plan is being assembled), so this selects the
+    analyzer per-plan without mutating executor state or leaking into
+    later plans."""
+    import os
+
+    prev = os.environ.get("CMW_ANALYZER")
+    os.environ["CMW_ANALYZER"] = mode
+    try:
+        yield
+    finally:
+        if prev is None:
+            os.environ.pop("CMW_ANALYZER", None)
+        else:
+            os.environ["CMW_ANALYZER"] = prev
+
+
 def _fuzz(term: str) -> int:
     # ES AUTO fuzziness buckets
     n = len(term)
@@ -136,8 +157,17 @@ def _value_pred(vo: str, value: str):
         needle = F.concat(F.lit(" "), analyze_expr(F.lit(value)), F.lit(" "))
         return lambda v: F.contains(F.concat(F.lit(" "), analyze_expr(v["value"]), F.lit(" ")), needle)
     if vo == LIKE:
+        # Lucene fuzzyQuery parity (FTSService.scala:905-910): the query
+        # term matches if ANY analyzed token of the value is within the
+        # AUTO edit distance — `name~widgt` matches "large widget". The
+        # query term itself is lowercased but NOT analyzed (FuzzyQuery
+        # bypasses analysis in Lucene too).
         k = _fuzz(value)
-        return lambda v: F.levenshtein(F.lower(v["value"]), F.lit(value.lower())) <= F.lit(k)
+        needle = F.lit(value.lower())
+        return lambda v: F.exists(
+            F.split(analyze_expr(v["value"]), " "),
+            lambda tok: F.levenshtein(tok, needle) <= F.lit(k),
+        )
     return _range_pred(vo, value)
 
 

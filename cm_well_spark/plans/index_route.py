@@ -65,7 +65,14 @@ def _triple_pred(ff: SingleFieldFilter) -> Column | None:
         needle = F.concat(F.lit(" "), analyze_expr(F.lit(v)), F.lit(" "))
         return F.contains(F.concat(F.lit(" "), analyze_expr(F.col("o")), F.lit(" ")), needle)
     if ff.value_op == LIKE:
-        return F.levenshtein(F.lower(F.col("o")), F.lit(v.lower())) <= F.lit(_fuzz(v))
+        # per-analyzed-term fuzzy, same as the doc-side predicate (r6
+        # Lucene fuzzyQuery parity) — the candidate set must stay a
+        # superset of what the residual accepts
+        needle = F.lit(v.lower())
+        return F.exists(
+            F.split(analyze_expr(F.col("o")), " "),
+            lambda tok: F.levenshtein(tok, needle) <= F.lit(_fuzz(v)),
+        )
     kind, lit = _parse_literal(v)
     ops = {GT: "__gt__", GTE: "__ge__", LT: "__lt__", LTE: "__le__"}
     op = ops[ff.value_op]

@@ -3342,3 +3342,94 @@ def sparql_graph_nested(spark, sf_dir):
         "GRAPH </graphs/src2> { ?d <source> ?s2 } } }",
         limit_cap=None,
     )
+
+
+@register(
+    "search_like_fuzzy_term",
+    oracle="""
+    SELECT '/tpch/part/' || p_partkey AS path, p_name AS name
+    FROM part
+    WHERE len(list_filter(
+        string_split(trim(regexp_replace(lower(p_name), '[^a-z0-9]+', ' ', 'g')), ' '),
+        tok -> levenshtein(tok, 'widgt') <= 1)) > 0
+    """,
+)
+def search_like_fuzzy_term(spark, sf_dir):
+    """F1 `~` Like with Lucene fuzzyQuery PARITY (r6,
+    FTSService.scala:905-910): the query term matches when ANY analyzed
+    token of the value is within the AUTO edit distance — `name~widgt`
+    matches "large widget" through its 'widget' token. Previously a
+    pinned whole-value divergence."""
+    df = S.search(_inf(spark, sf_dir), qp="rdfType::Part,name~widgt", length=None, triples=_tri(spark, sf_dir))
+    return df.select("path", fv.first_value("name").alias("name"))
+
+
+@register(
+    "search_contains_uax29ish",
+    oracle="""
+    SELECT '/tpch/part/' || p_partkey AS path, p_name AS name
+    FROM part
+    WHERE contains(
+      ' ' || trim(regexp_replace(regexp_replace(
+        ' ' || regexp_replace(lower(p_name), '[^a-z0-9''._@]+', ' ', 'g') || ' ',
+        ' [''._@]+', ' ', 'g'), '[''._@]+ ', ' ', 'g')) || ' ',
+      ' widget ')
+    """,
+)
+def search_contains_uax29ish(spark, sf_dir):
+    """F1 `:` Contains under the opt-in `uax29ish` analyzer (r6 oracle
+    pin of the r5 mode): mid-word apostrophes/periods/underscores/
+    at-signs survive tokenization, edges are stripped — the oracle
+    replicates the tokenizer in RE2-safe SQL (no lookbehind), so regex
+    drift in either regexp fails the hash. CJK unigramming remains the
+    documented divergence (SURVEY §7.3)."""
+    from cm_well_spark.plans.compile import analyzer_mode
+
+    with analyzer_mode("uax29ish"):
+        df = S.search(_inf(spark, sf_dir), qp="rdfType::Part,name:widget", length=None, triples=_tri(spark, sf_dir))
+    return df.select("path", fv.first_value("name").alias("name"))
+
+
+@register(
+    "search_score_uax29ish",
+    oracle="""
+    WITH base AS (SELECT p_partkey, lower(p_name) AS text FROM part),
+    stats AS (
+      SELECT count(*) AS n_docs,
+             count(*) FILTER (WHERE length(text) > length(replace(text, 'widget', ''))) AS dft,
+             avg(len(string_split(text, ' '))) AS avgdl
+      FROM base
+    )
+    SELECT path, score FROM (
+      SELECT '/tpch/part/' || p_partkey AS path,
+             round(ln(1 + (n_docs - dft + 0.5) / (dft + 0.5))
+                   * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 6) AS score
+      FROM (
+        SELECT p_partkey, text,
+               (length(text) - length(replace(text, 'widget', ''))) / 6.0 AS tf,
+               len(string_split(text, ' ')) * 1.0 AS dl
+        FROM base
+        WHERE contains(' ' || trim(regexp_replace(text, '[^a-z0-9]+', ' ', 'g')) || ' ', ' widget ')
+      ), stats
+      ORDER BY score DESC, path ASC
+    ) LIMIT 15
+    """,
+)
+def search_score_uax29ish(spark, sf_dir):
+    """O1 BM25 `-system.score` sort under the `uax29ish` analyzer (r6
+    oracle pin): scores and ranking must be IDENTICAL to the simple-mode
+    twin over this corpus (part names carry no mid-word punctuation, so
+    both analyzers tokenize alike — the entry pins that the mode swap
+    changes nothing it shouldn't, with the same BM25 oracle)."""
+    from cm_well_spark.plans.compile import analyzer_mode
+
+    with analyzer_mode("uax29ish"):
+        df = S.search(
+            _inf(spark, sf_dir),
+            path_filter=S.PathFilter("/tpch/part"),
+            qp="name:widget",
+            sort_by="-system.score",
+            length=15,
+            keep_score=True,
+        )
+    return df.select("path", F.round("__score", 6).alias("score"))

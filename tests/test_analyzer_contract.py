@@ -57,20 +57,27 @@ def test_contains_word_boundary_semantics(infotons, triples):
     assert full > 0 and prefix == 0
 
 
-def test_fuzzy_whole_value_divergence(spark, infotons, triples):
-    """`~` fuzzy: ours is whole-value lowercase levenshtein; Lucene's
-    fuzzyQuery is per-analyzed-term. Pinned: a one-word query within
-    edit distance of ONE TOKEN of a multi-word value matches in Lucene
-    but not here."""
+def test_fuzzy_per_term_parity(spark, infotons, triples):
+    """`~` fuzzy is PER-ANALYZED-TERM, matching Lucene fuzzyQuery
+    (FTSService.scala:905-910): a one-word query within AUTO edit
+    distance of ANY token of a multi-word value matches. (r6: this was
+    previously pinned as a whole-value divergence; now parity.)"""
     from cm_well_spark.operators.search import search
 
-    # whole-value edit distance 1: matches (both engines would; AUTO
-    # fuzziness distance 2 also admits other close names — set semantics)
-    hits = {r["path"] for r in search(infotons, qp="rdfType::Nation,name~NATIN_3", length=None, triples=triples).select("path").collect()}
-    assert "/tpch/nation/3" in hits
-    # part names are multi-word ("large widget"): Lucene fuzzyQuery on
-    # 'widgt' would match the 'widget' token; whole-value distance is huge
-    assert search(infotons, qp="rdfType::Part,name~widgt", length=None, triples=triples).count() == 0
+    # single-token value: 'NATIO' ~1 matches the 'nation' token of every
+    # NATION_k name (the simple analyzer splits the underscore)
+    hits = {r["path"] for r in search(infotons, qp="rdfType::Nation,name~NATIO", length=None, triples=triples).select("path").collect()}
+    assert len(hits) == 25
+    # part names are multi-word ("large widget"): fuzzyQuery on 'widgt'
+    # matches the 'widget' TOKEN — whole-value distance would be huge
+    assert search(infotons, qp="rdfType::Part,name~widgt", length=None, triples=triples).count() > 0
+    # and a term near NO token stays a miss
+    assert search(infotons, qp="rdfType::Part,name~zzqqx", length=None, triples=triples).count() == 0
+    # remaining analyzer-mode divergence, still pinned: under `simple`,
+    # ExtendNumLet values tokenize apart ('nation 3'), so a fuzzy query
+    # against the UNANALYZED compound ('NATIN_3', Lucene keeps it one
+    # token) misses; the opt-in uax29ish mode converges this
+    assert search(infotons, qp="rdfType::Nation,name~NATIN_3", length=None, triples=triples).count() == 0
 
 
 # ---- opt-in uax29ish mode: divergent rows converge -----------------------
@@ -106,3 +113,18 @@ def test_uax29ish_strips_edge_punct(spark):
 def test_unknown_analyzer_rejected(spark):
     with pytest.raises(ValueError, match="know: simple"):
         spark.range(1).select(analyze_expr(F.lit("x"), analyzer="bogus")).first()
+
+
+def test_fuzzy_uax29ish_converges_compound_tokens(spark, infotons, triples):
+    """Under uax29ish, ExtendNumLet compounds stay single tokens
+    ('nation_3'), so the per-term fuzzy matches the compound query that
+    `simple` mode misses — the converged half of the pinned divergence."""
+    from cm_well_spark.operators.search import search
+    from cm_well_spark.plans.compile import analyzer_mode
+
+    with analyzer_mode("uax29ish"):
+        df = search(infotons, qp="rdfType::Nation,name~NATIN_3", length=None, triples=triples)
+    hits = {r["path"] for r in df.select("path").collect()}
+    assert "/tpch/nation/3" in hits
+    # and the mode did not leak: simple still misses after the block
+    assert search(infotons, qp="rdfType::Nation,name~NATIN_3", length=None, triples=triples).count() == 0
