@@ -378,8 +378,22 @@ BUILDERS = {
 }
 
 
-def build_infotons(spark: SparkSession, sf_dir: str, only: list[str] | None = None) -> DataFrame:
-    """Union of all entity infotons for one scale factor."""
+def build_infotons(
+    spark: SparkSession, sf_dir: str, only: list[str] | None = None, shuffle: int | None = 32
+) -> DataFrame:
+    """Union of all entity infotons for one scale factor.
+
+    `shuffle`: repartition each RAW table before the fields-map build —
+    the one shuffle of the ingest path, taken while the rows are still
+    narrow columnar data. Downstream never reshuffles the struct-heavy
+    built rows (r6 B8 fix: shuffling the wide fields map cost ~40 s at
+    sf0.1; shuffling raw rows is a fraction of that and the writes keep
+    per-task sort order instead)."""
     names = only or KIND_ORDER
-    parts = [BUILDERS[name](tbl.load_table(spark, sf_dir, name)) for name in names]
+    parts = []
+    for name in names:
+        raw = tbl.load_table(spark, sf_dir, name)
+        if shuffle:
+            raw = raw.repartition(shuffle)
+        parts.append(BUILDERS[name](raw))
     return functools.reduce(lambda a, b: a.unionByName(b), parts)

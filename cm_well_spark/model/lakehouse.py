@@ -93,17 +93,22 @@ def materialize(spark: SparkSession, sf_dir: str, root: str | None = None, force
     # NOTE: do NOT persist() the build — caching the wide fields-map table
     # measured 114s at sf0.1 (memory-store serialization) vs 45s to just
     # write it; triples derive from the cheap re-read of the written files.
+    #
+    # Shuffle discipline (r6 B8 fix, 104 s -> ~44 s at sf0.1): the ONLY
+    # shuffle is the raw-table repartition inside build_infotons, taken
+    # while rows are narrow columnar data. The built wide rows and the
+    # 11x-exploded triples are never exchanged — both writes do a LOCAL
+    # sortWithinPartitions so parquet row groups stay tightly sorted
+    # (path / (p,o)) for min-max skipping, while file-level ranges
+    # overlap exactly as they did under the old hash repartition (each
+    # task holds a hash/path-random subset either way). A real cluster
+    # gets file-level clustering from compaction/OPTIMIZE, not the
+    # ingest path. (repartitionByRange measured 8x slower — sampling +
+    # skewed ranges; repartitioning the BUILT rows measured ~40 s of
+    # pure exchange on the triples side alone.)
     inf = build_infotons(spark, sf_dir)
-    # Hash-distribute for even 32-way write parallelism, sort WITHIN each
-    # task by path: parquet row groups inside every file stay tightly
-    # sorted, so row-group min/max skipping works on point lookups/prefix
-    # scans even though file-level ranges overlap. (repartitionByRange
-    # measured 8x slower here — sampling + skewed ranges; a real cluster
-    # would get the file-level clustering from a compaction/OPTIMIZE pass
-    # instead of paying it on the ingest path.)
     (
-        inf.repartition(32, "kind", "path")
-        .sortWithinPartitions("path")
+        inf.sortWithinPartitions("path")
         .write.mode("overwrite")
         .partitionBy("kind")
         .parquet(os.path.join(out, "infotons"))
@@ -111,7 +116,6 @@ def materialize(spark: SparkSession, sf_dir: str, root: str | None = None, force
     infotons = spark.read.parquet(os.path.join(out, "infotons"))
     (
         triples_of(infotons)
-        .repartition(32, "p", "o")
         .sortWithinPartitions("p", "o")
         .write.mode("overwrite")
         .partitionBy("p")

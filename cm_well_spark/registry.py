@@ -1898,19 +1898,29 @@ def scroll_first_chunk(spark, sf_dir):
 @register(
     "scroll_resume_chunk",
     oracle="""
-    SELECT '/tpch/supplier/' || s_suppkey AS path FROM supplier
-    WHERE s_suppkey >= 10 AND s_suppkey < 20 ORDER BY s_suppkey
+    WITH ranked AS (
+        SELECT s_suppkey, row_number() OVER (ORDER BY s_suppkey) AS rn,
+               count(*) OVER () AS n
+        FROM supplier
+    )
+    SELECT '/tpch/supplier/' || s_suppkey AS path FROM ranked WHERE rn > n / 2
     """,
 )
 def scroll_resume_chunk(spark, sf_dir):
     """T3 scroll resume: the returned cursor token continues exactly after
-    the first page's boundary (snapshot-stable, no session actor)."""
+    the first page's boundary (snapshot-stable, no session actor).
+    sf-robust (VERDICT r5 item 8): page size = half the table, derived at
+    runtime, so a second 200 page exists at every fixture scale."""
     from cm_well_spark.operators.consume import create_iterator, next_chunk
 
     inf = _inf(spark, sf_dir)
     token = create_iterator(path="/tpch/supplier", descendants=True)
-    token, _, _ = next_chunk(inf, token, length=10)
-    _, df, status = next_chunk(inf, token, length=10)
+    total = inf.where(
+        F.col("path").startswith("/tpch/supplier/") & F.col("current")
+    ).count()
+    half = max(1, total // 2)
+    token, _, _ = next_chunk(inf, token, length=half)
+    _, df, status = next_chunk(inf, token, length=total)
     assert status == 200
     return df.select("path")
 
