@@ -261,6 +261,112 @@ def test_pil_codec_missing_library_errors_at_seam(spark):
         decode_images(df, codec="pil").collect()
 
 
+def _has_mod(name: str) -> bool:
+    import importlib.util
+
+    return importlib.util.find_spec(name) is not None
+
+
+def test_wav_audio_features_real_codec(spark):
+    """codec='wav' is a REAL decoder (stdlib wave) — exercised everywhere,
+    no third-party dependency. A 440-sample int16 square wave at 8 kHz:
+    rms of full-scale-half amplitude 0.5 is exactly 0.5."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from cm_well_spark.operators.multimodal import extract_audio_features
+
+    samples = (np.tile([16384, -16384], 220)).astype("<i2")  # amplitude 0.5
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(samples.tobytes())
+    df = spark.createDataFrame([(1, buf.getvalue()), (2, b"RIFFjunk")], ["id", "data"])
+    rows = {r["id"]: r for r in extract_audio_features(df, codec="wav").collect()}
+    assert rows[1]["ok"] and rows[1]["sample_rate"] == 8000 and rows[1]["n_samples"] == 440
+    assert abs(rows[1]["duration_s"] - 0.055) < 1e-9
+    assert abs(rows[1]["rms"] - 0.5) < 1e-9
+    assert rows[2]["ok"] is False
+
+
+@pytest.mark.skipif(not _has_mod("soundfile"), reason="libsndfile not installed")
+def test_soundfile_audio_features_real_codec(spark):
+    import io
+
+    import numpy as np
+    import soundfile as sf
+
+    from cm_well_spark.operators.multimodal import extract_audio_features
+
+    buf = io.BytesIO()
+    sf.write(buf, np.zeros(1600), 16000, format="WAV", subtype="PCM_16")
+    df = spark.createDataFrame([(1, buf.getvalue())], ["id", "data"])
+    row = extract_audio_features(df, codec="soundfile").first()
+    assert row["ok"] and row["sample_rate"] == 16000 and row["n_samples"] == 1600
+
+
+@pytest.mark.skipif(_has_mod("soundfile"), reason="covers the missing-libsndfile executor error")
+def test_soundfile_codec_missing_library_errors_at_seam(spark):
+    from cm_well_spark.operators.multimodal import extract_audio_features, fake_audio
+
+    df = spark.createDataFrame([(1, fake_audio(8000, 100))], ["id", "data"])
+    with pytest.raises(Exception, match="soundfile"):
+        extract_audio_features(df, codec="soundfile").collect()
+
+
+@pytest.mark.skipif(not _has_mod("av"), reason="PyAV not installed")
+def test_av_frame_sampling_real_codec(spark):
+    """codec='av': encode a tiny mp4 with PyAV, sample frames back, and
+    feed them to decode_images(codec='fake') — the IMG1 re-pack contract."""
+    import io
+
+    import av
+    import numpy as np
+
+    from cm_well_spark.operators.multimodal import decode_images, sample_frames
+
+    buf = io.BytesIO()
+    with av.open(buf, "w", format="mp4") as container:
+        stream = container.add_stream("mpeg4", rate=5)
+        stream.width, stream.height, stream.pix_fmt = 16, 16, "yuv420p"
+        for i in range(10):
+            arr = np.full((16, 16, 3), i * 20, dtype=np.uint8)
+            for packet in stream.encode(av.VideoFrame.from_ndarray(arr, format="rgb24")):
+                container.mux(packet)
+        for packet in stream.encode():
+            container.mux(packet)
+    df = spark.createDataFrame([(1, buf.getvalue()), (2, b"junk")], ["id", "data"])
+    frames = sample_frames(df, every_n=4, codec="av").collect()
+    assert [r["frame_idx"] for r in frames] == [0, 4, 8]  # junk row yields none
+    meta = decode_images(
+        spark.createDataFrame([(1, frames[0]["frame"])], ["id", "data"]), codec="fake"
+    ).first()
+    assert meta["ok"] and (meta["height"], meta["width"], meta["channels"]) == (16, 16, 3)
+
+
+@pytest.mark.skipif(_has_mod("av"), reason="covers the missing-PyAV executor error")
+def test_av_codec_missing_library_errors_at_seam(spark):
+    from cm_well_spark.operators.multimodal import fake_image, sample_frames
+
+    df = spark.createDataFrame([(1, fake_image(2, 2))], ["id", "data"])
+    with pytest.raises(Exception, match="PyAV"):
+        sample_frames(df, codec="av").collect()
+
+
+def test_audio_unknown_codec_is_gated(spark):
+    from cm_well_spark.operators.multimodal import extract_audio_features, fake_audio, sample_frames
+
+    df = spark.createDataFrame([(1, fake_audio(8000, 10))], ["id", "data"])
+    with pytest.raises(NotImplementedError, match="seam"):
+        extract_audio_features(df, codec="mp3")
+    with pytest.raises(NotImplementedError, match="seam"):
+        sample_frames(df, codec="ffmpeg")
+
+
 def test_jaccard_skew_guard_matches_exact(docs):
     """max_shingle_freq excludes hot shingles from candidate generation
     only — with a threshold above the corpus hot-spot the pairs and exact
