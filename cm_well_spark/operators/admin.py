@@ -8,6 +8,7 @@ import uuid as _uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 # ---------------------------------------------------------------------------
@@ -149,18 +150,90 @@ def proc_infotons(infotons: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def qstream(spark: SparkSession, bootstrap_servers: str, topic: str, starting_offsets: str = "earliest"):
-    """Kafka persist-topic passthrough (CRUDServiceFS.consumeKafka:474) —
-    a readStream builder; requires the spark-sql-kafka package at runtime
-    (not present in this environment). qstream_dir below is the same
-    surface over a file-source transport and runs everywhere."""
-    return (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-        .load()
-    )
+# The spark-sql-kafka source's fixed wire schema (Structured Streaming
+# Kafka integration guide) — what qstream() sees before parsing. Pinned
+# here so the broker-less contract test replays fixtures in exactly the
+# shape the broker would deliver.
+KAFKA_WIRE_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.BinaryType()),
+        T.StructField("value", T.BinaryType()),
+        T.StructField("topic", T.StringType()),
+        T.StructField("partition", T.IntegerType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("timestamp", T.TimestampType()),
+        T.StructField("timestampType", T.IntegerType()),
+    ]
+)
+
+
+def qstream_reader_options(
+    bootstrap_servers: str, topic: str, starting_offsets: str = "earliest"
+) -> tuple[str, dict[str, str]]:
+    """The resolved (format, options) a qstream Kafka reader uses —
+    factored out so the contract is asserted in tests without a broker."""
+    return "kafka", {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        # at-least-once like the reference's consumer: never silently drop
+        # a pruned-offset range on resume
+        "failOnDataLoss": "true",
+    }
+
+
+def _qstream_filter(feed: DataFrame, qp: str | None, path: str | None, descendants: bool) -> DataFrame:
+    """The one filter surface both transports share: same qp grammar and
+    path semantics as search(); a deployment swaps the source format and
+    nothing else."""
+    from cm_well_spark.operators.search import PathFilter, path_filter_col, visibility_filter
+    from cm_well_spark.parsers.qp import parse_qp
+    from cm_well_spark.plans.compile import compile_filter
+
+    feed = feed.where(visibility_filter())
+    if path:
+        feed = feed.where(path_filter_col(PathFilter(path, descendants)))
+    if qp:
+        feed = feed.where(compile_filter(parse_qp(qp)))
+    return feed
+
+
+def qstream_parse(
+    wire: DataFrame,
+    qp: str | None = None,
+    path: str | None = None,
+    descendants: bool = True,
+) -> DataFrame:
+    """Kafka wire rows -> filtered infoton rows: the persist-topic payload
+    (`value`) is a JSON-serialized infoton (CRUDServiceFS.consumeKafka:474
+    deserializes the command envelope the same way). Works on the
+    streaming source and on batch fixture replays alike — the contract
+    test feeds KAFKA_WIRE_SCHEMA fixtures through this exact path."""
+    from cm_well_spark.model.schema import INFOTON_SCHEMA
+
+    rows = wire.select(
+        F.from_json(F.col("value").cast("string"), INFOTON_SCHEMA).alias("i")
+    ).select("i.*")
+    return _qstream_filter(rows, qp, path, descendants)
+
+
+def qstream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    qp: str | None = None,
+    path: str | None = None,
+    descendants: bool = True,
+) -> DataFrame:
+    """S12 op=qstream over Kafka (CRUDServiceFS.consumeKafka:474): wire
+    reader + payload parse + shared filter. Requires the spark-sql-kafka
+    package at runtime (not present in this environment — the reader
+    options and the parse/filter stages are contract-tested broker-less;
+    qstream_dir is the same surface over a file transport)."""
+    fmt, opts = qstream_reader_options(bootstrap_servers, topic, starting_offsets)
+    wire = spark.readStream.format(fmt).options(**opts).load()
+    return qstream_parse(wire, qp=qp, path=path, descendants=descendants)
 
 
 def qstream_dir(
@@ -173,20 +246,10 @@ def qstream_dir(
     """S12 op=qstream without a broker: the continuously-filtered ingest
     feed (`_qstream` streams matching infotons as they index —
     Application.scala:1236) as file-source Structured Streaming over the
-    lakehouse append dir. Same qp grammar and path semantics as search();
-    only the transport differs from the Kafka variant above — the filter
-    Column is shared, so a deployment swaps .format() and nothing else."""
-    from cm_well_spark.operators.search import PathFilter, path_filter_col, visibility_filter
-    from cm_well_spark.parsers.qp import parse_qp
-    from cm_well_spark.plans.compile import compile_filter
+    lakehouse append dir."""
     from cm_well_spark.streaming.subscribe import ingest_stream
 
-    feed = ingest_stream(spark, feed_dir).where(visibility_filter())
-    if path:
-        feed = feed.where(path_filter_col(PathFilter(path, descendants)))
-    if qp:
-        feed = feed.where(compile_filter(parse_qp(qp)))
-    return feed
+    return _qstream_filter(ingest_stream(spark, feed_dir), qp, path, descendants)
 
 
 # ---------------------------------------------------------------------------

@@ -256,6 +256,60 @@ def test_qstream_dir_filtered_feed(spark, infotons):
     assert spark.sql("SELECT count(*) AS n FROM qs2").first()["n"] == expected
 
 
+def test_qstream_kafka_contract_replay(spark, infotons):
+    """S12/W1 broker-less Kafka contract (VERDICT r5 item 9): (1) the
+    resolved reader options are exactly the spark-sql-kafka contract;
+    (2) fixture messages replayed in the wire schema through the REAL
+    parse+filter path yield the same rows and schema as the file-transport
+    twin — only the broker connection itself stays environmental."""
+    from cm_well_spark.operators.admin import (
+        KAFKA_WIRE_SCHEMA,
+        qstream_parse,
+        qstream_reader_options,
+    )
+
+    fmt, opts = qstream_reader_options("broker1:9092,broker2:9092", "persist_topic.priority")
+    assert fmt == "kafka"
+    assert opts["kafka.bootstrap.servers"] == "broker1:9092,broker2:9092"
+    assert opts["subscribe"] == "persist_topic.priority"
+    assert opts["startingOffsets"] == "earliest"
+    assert opts["failOnDataLoss"] == "true"
+
+    # fixture replay: serialize real infotons as the topic's JSON payload,
+    # wrap in the fixed Kafka wire shape (offset/partition/timestamp)
+    src = infotons.where(
+        F.col("path").startswith("/tpch/customer") | F.col("path").startswith("/tpch/nation")
+    )
+    wire = src.select(
+        F.col("uuid").cast("binary").alias("key"),
+        F.to_json(F.struct(*src.columns)).cast("binary").alias("value"),
+        F.lit("persist_topic.priority").alias("topic"),
+        (F.crc32(F.col("path")) % 4).cast("int").alias("partition"),
+        F.monotonically_increasing_id().alias("offset"),
+        F.current_timestamp().alias("timestamp"),
+        F.lit(0).alias("timestampType"),
+    )
+    def shape(schema):  # names + types; nullability is source-specific
+        return [(f.name, f.dataType) for f in schema.fields]
+
+    assert shape(wire.schema) == shape(KAFKA_WIRE_SCHEMA)
+
+    parsed = qstream_parse(wire, qp="mktsegment::BUILDING", path="/tpch/customer")
+    twin = src.where(
+        F.col("path").startswith("/tpch/customer")
+        & F.exists(F.col("fields").getItem("mktsegment"), lambda v: v["value"] == "BUILDING")
+    )
+    # same schema as the file-transport feed (ingest_stream reads with
+    # INFOTON_SCHEMA — the canonical feed shape)...
+    from cm_well_spark.model.schema import INFOTON_SCHEMA
+
+    assert shape(parsed.schema) == shape(INFOTON_SCHEMA)
+    # ...and the same delivered set
+    got = {r["uuid"] for r in parsed.select("uuid").collect()}
+    want = {r["uuid"] for r in twin.select("uuid").collect()}
+    assert got == want and len(got) > 0
+
+
 def test_streaming_exact_dedup(spark):
     import shutil
 
