@@ -120,6 +120,53 @@ def main() -> None:
         "loadavg": [round(x, 2) for x in os.getloadavg()],
         "sf": sf_val,
     }
+
+    # sf1 scale-evidence block (VERDICT r5 item 7): if the generated sf1
+    # dataset exists (tools/gen_sf1.py, ~8.9M infotons), run a compact
+    # subset LIVE against its materialized store — this exercises the
+    # route-choice thresholds (indexed-agg cutoff, broadcast caps,
+    # index-vs-doc qp route) on the other side of their cutoffs. The
+    # store build is fingerprint-cached, so per-round cost is queries
+    # only. Set CMW_BENCH_SF1=0 to skip.
+    sf1_dir = os.environ.get("CMW_BENCH_SF1_DIR", "/root/repo/.sfgen/sf1")
+    if os.environ.get("CMW_BENCH_SF1", "1") != "0" and os.path.isdir(sf1_dir):
+        t0 = time.time()
+        materialize(spark, sf1_dir)
+        sf1_ingest = time.time() - t0
+        sf1_subset = [
+            "read_point",
+            "search_equals",
+            "search_sort_page",
+            "agg_term",
+            "agg_stats",
+            "xg_expand_out",
+            "yg_reverse",
+            "sparql_bgp_join",
+            "sparql_graph_revenue",
+            "consume_first_chunk",
+            "dedup_exact_groups",
+            "similarity_topk_cosine",
+        ]
+        sf1_timings: dict[str, float] = {}
+        for name in sf1_subset:
+            if name not in qs:
+                continue
+            best = float("inf")
+            for _ in range(max(1, samples)):
+                t0 = time.time()
+                qs[name](spark, sf1_dir).count()
+                best = min(best, time.time() - t0)
+            sf1_timings[name] = round(best, 3)
+            print(f"# sf1 {name}: {sf1_timings[name]}s", file=sys.stderr)
+        out["sf1"] = {
+            "sf": 1.0,
+            "queries": sf1_timings,
+            "total_sec": round(sum(sf1_timings.values()), 3),
+            # >0 only on the round that (re)builds the store
+            "ingest_sec": round(sf1_ingest, 3),
+            "loadavg": [round(x, 2) for x in os.getloadavg()],
+        }
+
     print(json.dumps(out))
 
 
