@@ -124,7 +124,17 @@ def search(
 
             paths, residual = index_search_paths(triples, ff)
             if paths is not None:
-                df = df.join(paths, "path", "left_semi")
+                # Broadcast the candidate set when provably bounded: AQE
+                # would convert this SMJ->BHJ only AFTER the doc side has
+                # already shuffled its wide fields-map rows (measured 10+s
+                # at sf1 for 8.9M docs vs ~2s broadcast). One narrow count
+                # on the checkpointed candidates buys the proof — same
+                # contract as traversal.py's frontier broadcasts.
+                from cm_well_spark.operators.traversal import BROADCAST_PATHS_MAX
+
+                paths = paths.localCheckpoint(eager=True)
+                bounded = paths.count() <= BROADCAST_PATHS_MAX
+                df = df.join(F.broadcast(paths) if bounded else paths, "path", "left_semi")
                 if residual is not None:
                     df = df.where(residual)
             else:
