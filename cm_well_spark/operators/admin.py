@@ -236,6 +236,29 @@ def qstream(
     return qstream_parse(wire, qp=qp, path=path, descendants=descendants)
 
 
+def qstream_writer_options(bootstrap_servers: str, topic: str) -> tuple[str, dict[str, str]]:
+    """The produce-side twin of qstream_reader_options: the resolved
+    (format, options) for publishing the command/index feed to Kafka
+    (W1 — the reference's persist_topic producer, CRUDServiceFS)."""
+    return "kafka", {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "topic": topic,
+    }
+
+
+def to_kafka_wire(rows: DataFrame, key_col: str = "path") -> DataFrame:
+    """Serialize feed rows into the two columns the Kafka sink contract
+    requires: key = the partition key (path, so one infoton's versions
+    stay ordered within a partition — the reference partitions the
+    persist topic the same way), value = the JSON payload qstream_parse
+    deserializes. Round-trip parity with qstream_parse is pinned by
+    test, so the produce and consume sides share one wire format."""
+    return rows.select(
+        F.col(key_col).cast("string").cast("binary").alias("key"),
+        F.to_json(F.struct(*rows.columns)).cast("binary").alias("value"),
+    )
+
+
 def qstream_dir(
     spark: SparkSession,
     feed_dir: str,

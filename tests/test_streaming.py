@@ -268,26 +268,31 @@ def test_qstream_kafka_contract_replay(spark, infotons):
         qstream_reader_options,
     )
 
+    from cm_well_spark.operators.admin import qstream_writer_options, to_kafka_wire
+
     fmt, opts = qstream_reader_options("broker1:9092,broker2:9092", "persist_topic.priority")
     assert fmt == "kafka"
     assert opts["kafka.bootstrap.servers"] == "broker1:9092,broker2:9092"
     assert opts["subscribe"] == "persist_topic.priority"
     assert opts["startingOffsets"] == "earliest"
     assert opts["failOnDataLoss"] == "true"
+    wfmt, wopts = qstream_writer_options("broker1:9092", "persist_topic.priority")
+    assert wfmt == "kafka" and wopts["topic"] == "persist_topic.priority"
 
-    # fixture replay: serialize real infotons as the topic's JSON payload,
-    # wrap in the fixed Kafka wire shape (offset/partition/timestamp)
+    # fixture replay: the PRODUCE side serializes real infotons via
+    # to_kafka_wire (key/value — all a producer controls); the broker-
+    # assigned columns (topic/partition/offset/timestamp) are stamped on
+    # top, completing the fixed wire shape the consumer sees
     src = infotons.where(
         F.col("path").startswith("/tpch/customer") | F.col("path").startswith("/tpch/nation")
     )
-    wire = src.select(
-        F.col("uuid").cast("binary").alias("key"),
-        F.to_json(F.struct(*src.columns)).cast("binary").alias("value"),
-        F.lit("persist_topic.priority").alias("topic"),
-        (F.crc32(F.col("path")) % 4).cast("int").alias("partition"),
-        F.monotonically_increasing_id().alias("offset"),
-        F.current_timestamp().alias("timestamp"),
-        F.lit(0).alias("timestampType"),
+    wire = (
+        to_kafka_wire(src)
+        .withColumn("topic", F.lit("persist_topic.priority"))
+        .withColumn("partition", (F.crc32(F.col("key").cast("string")) % 4).cast("int"))
+        .withColumn("offset", F.monotonically_increasing_id())
+        .withColumn("timestamp", F.current_timestamp())
+        .withColumn("timestampType", F.lit(0))
     )
     def shape(schema):  # names + types; nullability is source-specific
         return [(f.name, f.dataType) for f in schema.fields]
