@@ -125,14 +125,34 @@ def materialize(spark: SparkSession, sf_dir: str, root: str | None = None, force
     # analog of the reference's live count() per predicate
     # (JenaArqExtensionsUtils.sortTriplePatternsByAmount:187-225).
     t = spark.read.parquet(os.path.join(out, "triples"))
-    t.groupBy("p").agg(
+    base = t.groupBy("p").agg(
         F.count("*").alias("n_triples"),
         F.approx_count_distinct("o").alias("n_distinct_obj"),
         F.approx_count_distinct("s").alias("n_distinct_subj"),
         # the F9 types cache (RawFieldFilter typesCache analog) rides the
         # same one-pass aggregation: vtype codes seen per field
         F.array_sort(F.collect_set("vtype")).alias("vtypes"),
-    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out, "predicate_stats"))
+    )
+    # per-predicate rdfType coverage: which entity types carry this field,
+    # and whether EVERY current subject carrying it is typed. Lets a pure
+    # type-filtered aggregation prove its path semi-join away
+    # (aggregations `universe_types`) — the "aggregate over type X" shape.
+    # Computed over distinct current (s, p) so multi-valued fields don't
+    # skew, joined back so the base aggregates stay single-pass exact.
+    cur = t.where(F.col("current"))
+    sp = cur.select("s", "p").distinct()
+    ty = cur.where(F.col("p") == "rdfType").select("s", F.col("o").alias("__ty")).distinct()
+    cov = (
+        sp.join(ty, "s", "left")
+        .groupBy("p")
+        .agg(
+            F.array_sort(F.collect_set("__ty")).alias("rdftypes"),
+            F.max(F.col("__ty").isNull().cast("int")).alias("has_untyped"),
+        )
+    )
+    base.join(cov, "p", "left").coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out, "predicate_stats")
+    )
     os.makedirs(out, exist_ok=True)
     with open(stamp, "w") as fh:
         fh.write(fp)
@@ -176,6 +196,17 @@ def load_predicate_stats(spark: SparkSession, sf_dir: str, root: str | None = No
             # vtype codes seen for the field (F9 types cache): lets the
             # aggregation text guard answer without a probe job
             "vtypes": list(r["vtypes"] or []),
+            # entity types (rdfType values) whose docs carry the predicate;
+            # None = "unknown / not total" (pre-r6 store, or some current
+            # subject with this field has no rdfType) — consumers must not
+            # elide joins without this proof
+            "rdftypes": (
+                list(r["rdftypes"])
+                if "rdftypes" in r.__fields__
+                and r["rdftypes"] is not None
+                and r["has_untyped"] == 0
+                else None
+            ),
         }
         for r in rows
     }

@@ -69,13 +69,21 @@ def _exploded(df: DataFrame, f: AggField, extra: list[Column] | None = None) -> 
     return out
 
 
-def _exploded_indexed(triples: DataFrame, df: DataFrame, f: AggField) -> DataFrame:
+def _exploded_indexed(
+    triples: DataFrame, df: DataFrame, f: AggField, skip_join: bool = False
+) -> DataFrame:
     """The index-first twin of _exploded: one pruned scan of the agg
     field's predicate partition (the ES doc-values analog — SURVEY §1.4),
     semi-joined to the filtered universe's path set. At 100 TB this reads
     ONE predicate's column data instead of deserializing every filtered
     doc's whole fields map; the path set is a narrow column-pruned
-    projection that AQE broadcasts when small."""
+    projection that AQE broadcasts when small.
+
+    `skip_join=True` = the caller PROVED the filtered universe covers
+    every doc carrying this predicate (predicate_stats rdftypes ⊆ the
+    universe's types under a pure type filter, no untyped subjects), so
+    the pruned partition scan alone IS the answer — the common
+    "aggregate over type X at 100 TB" shape with zero joins."""
     t = triples.where(F.col("current") & (F.col("p") == f.name))
     ex = t.select(
         F.col("s").alias("path"),
@@ -89,6 +97,8 @@ def _exploded_indexed(triples: DataFrame, df: DataFrame, f: AggField) -> DataFra
             F.col("bool").alias("bool"),
         ).alias("__v"),
     )
+    if skip_join:
+        return ex
     return ex.join(df.select("path"), "path", "left_semi")
 
 
@@ -110,10 +120,17 @@ def _use_indexed(f: AggField, triples: DataFrame | None, stats: dict | None) -> 
 
 
 def _exploded_any(
-    df: DataFrame, f: AggField, triples: DataFrame | None, stats: dict | None = None
+    df: DataFrame, f: AggField, triples: DataFrame | None, stats: dict | None = None,
+    ukinds: frozenset | None = None,
 ) -> DataFrame:
     if _use_indexed(f, triples, stats):
-        return _exploded_indexed(triples, df, f)
+        field_types = (stats or {}).get(f.name, {}).get("rdftypes")
+        skip = (
+            ukinds is not None
+            and field_types is not None
+            and set(field_types) <= set(ukinds)
+        )
+        return _exploded_indexed(triples, df, f, skip_join=skip)
     return _exploded(df, f)
 
 
@@ -165,6 +182,7 @@ def aggregate(
     fg_filter: Column | None = None,
     triples: DataFrame | None = None,
     stats: dict | None = None,
+    universe_types: frozenset | None = None,
 ) -> list[AggResult]:
     """Run aggregations over the (already search-filtered) infoton set.
 
@@ -177,11 +195,19 @@ def aggregate(
     from its pruned predicate partition (ES doc-values analog) instead of
     exploding every filtered doc's fields map — the 100 TB posture.
     Sig-terms and nested child aggregations stay on the doc route (they
-    need doc-level predicates / bucket membership)."""
+    need doc-level predicates / bucket membership).
+
+    `universe_types`: caller's assertion that `filtered` is EXACTLY the
+    current, visible docs whose rdfType is in this set (a pure type
+    filter — no path/dates/other qp clauses). When predicate_stats proves
+    the agg field occurs ONLY on docs of those types (rdftypes coverage
+    with no untyped subject), the indexed route drops its path semi-join
+    entirely: one pruned partition scan IS the aggregation input. Pass
+    None (default) whenever in doubt — correctness first."""
     filters = parse_ap(ap) if isinstance(ap, str) else list(ap)
     return [
         _run(filtered, f, base if base is not None else filtered, parents=None,
-             fg_filter=fg_filter, triples=triples, stats=stats)
+             fg_filter=fg_filter, triples=triples, stats=stats, ukinds=universe_types)
         for f in filters
     ]
 
@@ -194,27 +220,29 @@ def _run(
     fg_filter: Column | None = None,
     triples: DataFrame | None = None,
     stats: dict | None = None,
+    ukinds: frozenset | None = None,
 ) -> AggResult:
     if isinstance(agg, TermAgg):
-        return _term(df, agg, base, triples, stats)
+        return _term(df, agg, base, triples, stats, ukinds)
     if isinstance(agg, StatsAgg):
-        return _stats(df, agg, triples, stats)
+        return _stats(df, agg, triples, stats, ukinds)
     if isinstance(agg, HistAgg):
-        return _hist(df, agg, base, triples, stats)
+        return _hist(df, agg, base, triples, stats, ukinds)
     if isinstance(agg, SigAgg):
         return _sig(df, agg, base, fg_filter)
     if isinstance(agg, CardAgg):
-        return _card(df, agg, triples=triples, stats=stats)
+        return _card(df, agg, triples=triples, stats=stats, ukinds=ukinds)
     raise AggregationError(f"unknown aggregation {agg}")
 
 
 def _term(
     df: DataFrame, agg: TermAgg, base: DataFrame,
     triples: DataFrame | None = None, stats: dict | None = None,
+    ukinds: frozenset | None = None,
 ) -> AggResult:
     use_t = triples if _use_indexed(agg.field, triples, stats) else None
     _guard_text(df, agg.field, triples=use_t, stats=stats)
-    ex = _exploded_any(df, agg.field, triples, stats)
+    ex = _exploded_any(df, agg.field, triples, stats, ukinds)
     counts = ex.groupBy(_key_col(agg.field).alias("key")).agg(F.count("*").alias("objects"))
     top = counts.orderBy(F.desc("objects"), F.asc("key")).limit(agg.size)
     subs = []
@@ -232,10 +260,11 @@ def _term(
 def _stats(
     df: DataFrame, agg: StatsAgg,
     triples: DataFrame | None = None, stats: dict | None = None,
+    ukinds: frozenset | None = None,
 ) -> AggResult:
     use_t = triples if _use_indexed(agg.field, triples, stats) else None
     _guard_text(df, agg.field, need_numeric=True, triples=use_t, stats=stats)
-    ex = _exploded_any(df, agg.field, triples, stats)
+    ex = _exploded_any(df, agg.field, triples, stats, ukinds)
     num = F.col("__v")["num"]
     out = ex.agg(
         F.count(num).alias("count"),
@@ -250,10 +279,11 @@ def _stats(
 def _hist(
     df: DataFrame, agg: HistAgg, base: DataFrame,
     triples: DataFrame | None = None, stats: dict | None = None,
+    ukinds: frozenset | None = None,
 ) -> AggResult:
     use_t = triples if _use_indexed(agg.field, triples, stats) else None
     _guard_text(df, agg.field, need_numeric=True, triples=use_t, stats=stats)
-    ex = _exploded_any(df, agg.field, triples, stats)
+    ex = _exploded_any(df, agg.field, triples, stats, ukinds)
     num = F.col("__v")["num"]
     key = (F.floor(num / agg.interval) * agg.interval).cast("double")
     counts = ex.groupBy(key.alias("key")).agg(F.count("*").alias("objects"))
@@ -379,8 +409,9 @@ def _sig(df: DataFrame, agg: SigAgg, base: DataFrame, fg_filter: Column | None =
 def _card(
     df: DataFrame, agg: CardAgg, exact: bool = False,
     triples: DataFrame | None = None, stats: dict | None = None,
+    ukinds: frozenset | None = None,
 ) -> AggResult:
-    ex = _exploded_any(df, agg.field, triples, stats)
+    ex = _exploded_any(df, agg.field, triples, stats, ukinds)
     if exact:
         out = ex.agg(F.countDistinct(_key_col(agg.field)).alias("count"))
     else:

@@ -294,7 +294,8 @@ def agg_term(spark, sf_dir):
 
     tri = _tri(spark, sf_dir)
     cust = S.search(_inf(spark, sf_dir), qp="rdfType::Customer", length=None, triples=tri)
-    return aggregate(cust, "type:term,field::mktsegment", triples=tri, stats=_stats(spark, sf_dir))[0].df
+    return aggregate(cust, "type:term,field::mktsegment", triples=tri, stats=_stats(spark, sf_dir),
+                     universe_types=frozenset({"Customer"}))[0].df
 
 
 @register(
@@ -312,7 +313,8 @@ def agg_stats(spark, sf_dir):
 
     tri = _tri(spark, sf_dir)
     li = S.search(_inf(spark, sf_dir), qp="rdfType::Lineitem", length=None, triples=tri)
-    df = aggregate(li, "type:stats,field::quantity", triples=tri, stats=_stats(spark, sf_dir))[0].df
+    df = aggregate(li, "type:stats,field::quantity", triples=tri, stats=_stats(spark, sf_dir),
+                   universe_types=frozenset({"Lineitem"}))[0].df
     return df.select(
         "count", "min", "max", F.round("avg", 2).alias("avg"), F.round("sum", 2).alias("sum")
     )
@@ -331,7 +333,8 @@ def agg_hist(spark, sf_dir):
 
     tri = _tri(spark, sf_dir)
     parts = S.search(_inf(spark, sf_dir), qp="rdfType::Part", length=None, triples=tri)
-    return aggregate(parts, "type:hist,field::size,interval:10,minDocCount:1", triples=tri, stats=_stats(spark, sf_dir))[0].df
+    return aggregate(parts, "type:hist,field::size,interval:10,minDocCount:1", triples=tri,
+                     stats=_stats(spark, sf_dir), universe_types=frozenset({"Part"}))[0].df
 
 
 @register(
@@ -356,7 +359,8 @@ def agg_card_approx(spark, sf_dir):
 
     tri = _tri(spark, sf_dir)
     li = S.search(_inf(spark, sf_dir), qp="rdfType::Lineitem", length=None, triples=tri)
-    return aggregate(li, "type:card,field::ofPart,precisionThreshold:10000", triples=tri, stats=_stats(spark, sf_dir))[0].df
+    return aggregate(li, "type:card,field::ofPart,precisionThreshold:10000", triples=tri,
+                     stats=_stats(spark, sf_dir), universe_types=frozenset({"Lineitem"}))[0].df
 
 
 @register(

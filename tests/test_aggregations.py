@@ -175,6 +175,41 @@ def test_indexed_route_matches_doc_route(spark, infotons, triples, sf_dir):
     assert "LeftSemi" not in buf.getvalue()
 
 
+def test_universe_types_elides_semi_join(spark, infotons, triples):
+    """A pure type filter + predicate_stats rdftypes proof drops the indexed
+    route's path semi-join: one pruned partition scan is the whole input.
+    Results must match the joined route exactly."""
+    import contextlib
+    import io
+
+    from cm_well_spark.operators.aggregations import aggregate
+    from cm_well_spark.operators.search import search
+
+    cust = search(infotons, qp="rdfType::Customer", length=None)
+    # force the indexed route (n over threshold), kinds prove containment
+    proof = {"mktsegment": {"n": 10_000_000, "vtypes": ["s"], "rdftypes": ["Customer"]}}
+    joined = aggregate(cust, "type:term,field::mktsegment", triples=triples)[0].df
+    elided = aggregate(
+        cust, "type:term,field::mktsegment", triples=triples, stats=proof,
+        universe_types=frozenset({"Customer"}),
+    )[0].df
+    assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, elided.collect()))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        elided.explain()
+    assert "Join" not in buf.getvalue()
+    # no proof (kinds unknown or not contained) -> the join stays
+    for bad in (None, ["Customer", "Supplier"]):
+        stats = {"mktsegment": {"n": 10_000_000, "vtypes": ["s"], "rdftypes": bad}}
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            aggregate(
+                cust, "type:term,field::mktsegment", triples=triples, stats=stats,
+                universe_types=frozenset({"Customer"}),
+            )[0].df.explain()
+        assert "LeftSemi" in buf.getvalue()
+
+
 def test_guard_text_answers_from_stats_without_job(spark, infotons, triples, sf_dir):
     """VERDICT r4 item 6: the vtype guard must not fire a probe job when
     predicate_stats already carries the field's vtypes."""
