@@ -94,11 +94,12 @@ def list_children_q(spark, sf_dir):
     SELECT '/tpch/customer/' || c_custkey AS path, c_name AS name,
            c_acctbal AS acctbal
     FROM customer WHERE c_mktsegment = 'BUILDING'
+    ORDER BY path LIMIT 10000
     """,
 )
 def search_equals(spark, sf_dir):
     """F1 `::` Equals -> termQuery on exact value (FTSService.scala:898)."""
-    df = S.search(_inf(spark, sf_dir), qp="rdfType::Customer,mktsegment::BUILDING", length=10_000, triples=_tri(spark, sf_dir))
+    df = S.search(_inf(spark, sf_dir), qp="rdfType::Customer,mktsegment::BUILDING", sort_by="path", length=10_000, triples=_tri(spark, sf_dir))
     return df.select("path", fv.first_value("name").alias("name"), fv.first_num("acctbal").alias("acctbal"))
 
 
@@ -107,11 +108,12 @@ def search_equals(spark, sf_dir):
     oracle="""
     SELECT '/tpch/customer/' || c_custkey AS path, c_acctbal AS acctbal
     FROM customer WHERE c_acctbal > 5000.0
+    ORDER BY path LIMIT 10000
     """,
 )
 def search_range_num(spark, sf_dir):
     """F1 `>` range on a typed (double) field — typed shadow comparison."""
-    df = S.search(_inf(spark, sf_dir), qp="rdfType::Customer,acctbal>5000", length=10_000, triples=_tri(spark, sf_dir))
+    df = S.search(_inf(spark, sf_dir), qp="rdfType::Customer,acctbal>5000", sort_by="path", length=10_000, triples=_tri(spark, sf_dir))
     return df.select("path", fv.first_num("acctbal").alias("acctbal"))
 
 
@@ -147,11 +149,12 @@ def search_range_date(spark, sf_dir):
     oracle="""
     SELECT '/tpch/customer/' || c_custkey AS path, c_mktsegment AS mktsegment
     FROM customer WHERE c_mktsegment <> 'BUILDING'
+    ORDER BY path LIMIT 10000
     """,
 )
 def search_mustnot(spark, sf_dir):
     """F1 `-` MustNot -> bool mustNot clause."""
-    df = S.search(_inf(spark, sf_dir), qp="rdfType::Customer,-mktsegment::BUILDING", length=10_000, triples=_tri(spark, sf_dir))
+    df = S.search(_inf(spark, sf_dir), qp="rdfType::Customer,-mktsegment::BUILDING", sort_by="path", length=10_000, triples=_tri(spark, sf_dir))
     return df.select("path", fv.first_value("mktsegment").alias("mktsegment"))
 
 
@@ -160,6 +163,7 @@ def search_mustnot(spark, sf_dir):
     oracle="""
     SELECT '/tpch/customer/' || c_custkey AS path, c_mktsegment AS mktsegment
     FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ORDER BY path LIMIT 10000
     """,
 )
 def search_should_group(spark, sf_dir):
@@ -167,6 +171,7 @@ def search_should_group(spark, sf_dir):
     df = S.search(
         _inf(spark, sf_dir),
         qp="rdfType::Customer,[*mktsegment::BUILDING,*mktsegment::MACHINERY]",
+        sort_by="path",
         length=10_000,
         triples=_tri(spark, sf_dir),
     )
@@ -199,12 +204,13 @@ def search_exists(spark, sf_dir):
     SELECT '/tpch/part/' || p_partkey AS path, p_name AS name
     FROM part
     WHERE contains(' ' || trim(regexp_replace(lower(p_name), '[^a-z0-9]+', ' ', 'g')) || ' ', ' widget ')
+    ORDER BY path LIMIT 10000
     """,
 )
 def search_contains(spark, sf_dir):
     """F1 `:` Contains -> matchPhrase on the analyzed field (simple
     lowercase/word-split analyzer; divergence documented SURVEY §7.3)."""
-    df = S.search(_inf(spark, sf_dir), qp="rdfType::Part,name:widget", length=10_000, triples=_tri(spark, sf_dir))
+    df = S.search(_inf(spark, sf_dir), qp="rdfType::Part,name:widget", sort_by="path", length=10_000, triples=_tri(spark, sf_dir))
     return df.select("path", fv.first_value("name").alias("name"))
 
 
@@ -1847,6 +1853,7 @@ def search_dates_range(spark, sf_dir):
     SELECT '/tpch/customer/' || c_custkey AS path, c_name AS name,
            CAST(1 AS BIGINT) AS n_fields
     FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+    ORDER BY path LIMIT 10000
     """,
 )
 def search_fields_mask(spark, sf_dir):
@@ -1856,6 +1863,7 @@ def search_fields_mask(spark, sf_dir):
         _inf(spark, sf_dir),
         qp="rdfType::Customer,mktsegment::AUTOMOBILE",
         fields_mask=["name"],
+        sort_by="path",
         length=10_000,
         triples=_tri(spark, sf_dir),
     )
