@@ -31,6 +31,33 @@ from pyspark.sql import functions as F
 _LBL = "__as_"  # label-column prefix: internal, never user-visible
 
 
+def _field_pred_col(field: str, op: str, value) -> Column:
+    """SOME value of `field` satisfies `op value` — shared by the fluent
+    filter() pipe and the string front-end's closure translation. Numeric
+    ops go through the typed `num` shadow, never a lexical cast."""
+    vals = F.col("fields").getItem(field)
+
+    def pred(v):
+        if op == "==":
+            return v["value"] == F.lit(str(value))
+        if op == "!=":
+            return v["value"] != F.lit(str(value))
+        if op == "contains":
+            return v["value"].contains(F.lit(str(value)))
+        num = v["num"]
+        if op == ">":
+            return num > float(value)
+        if op == ">=":
+            return num >= float(value)
+        if op == "<":
+            return num < float(value)
+        if op == "<=":
+            return num <= float(value)
+        raise ValueError(f"unsupported filter op {op!r}")
+
+    return F.coalesce(F.exists(vals, pred), F.lit(False))
+
+
 class GraphTraversal:
     """`bounded` tracks whether the current frontier is PROVABLY small:
     True only for explicit `V(paths)` seed lists (optionally narrowed by
@@ -87,29 +114,7 @@ class GraphTraversal:
         declaratively): keep vertices where SOME value of `field`
         satisfies `op value`. Numeric ops compare through the typed `num`
         shadow, never a lexical cast."""
-        vals = F.col("fields").getItem(field)
-
-        def pred(v):
-            if op == "==":
-                return v["value"] == F.lit(str(value))
-            if op == "!=":
-                return v["value"] != F.lit(str(value))
-            if op == "contains":
-                return v["value"].contains(F.lit(str(value)))
-            num = v["num"]
-            if op == ">":
-                return num > float(value)
-            if op == ">=":
-                return num >= float(value)
-            if op == "<":
-                return num < float(value)
-            if op == "<=":
-                return num <= float(value)
-            raise ValueError(f"unsupported filter op {op!r}")
-
-        keep = self.infotons.where(
-            F.coalesce(F.exists(vals, pred), F.lit(False))
-        ).select("path")
+        keep = self.infotons.where(_field_pred_col(field, op, value)).select("path")
         return self._with(self.frontier.join(keep, "path", "left_semi"), bounded=self.bounded)
 
     def where_(self, cond: Column) -> "GraphTraversal":
@@ -289,12 +294,65 @@ def g(infotons: DataFrame, triples: DataFrame) -> GraphTraversal:
 # string front-end: evaluate a gremlin pipe-chain query string
 # ---------------------------------------------------------------------------
 
-# step-separator dots: outside quotes AND followed by an identifier start,
-# so the decimal point of an unquoted float arg (filter(..., 400000.5))
-# never splits a step
-_SEG = re.compile(r"\.(?=[A-Za-z_])(?=(?:[^\"']|\"[^\"]*\"|'[^']*')*$)")
-_CALL = re.compile(r"^\s*(\w+)\s*\((.*)\)\s*$", re.DOTALL)
+# step-separator dots: outside quotes AND outside {closure} bodies AND
+# followed by an identifier start, so neither the decimal point of an
+# unquoted float arg (filter(..., 400000.5)) nor the property access in
+# filter{it.acctbal > 3} splits a step. The lookahead requires the rest
+# of the query to be a sequence of plain chars / quoted strings /
+# brace-balanced closures — a dot inside an open closure leaves a bare
+# '}' no alternative can consume, so it never matches.
+_SEG = re.compile(r"\.(?=[A-Za-z_])(?=(?:[^{}\"']|\{[^{}]*\}|\"[^\"]*\"|'[^']*')*$)")
+_CALL = re.compile(r"^\s*(\w+)\s*(?:\((.*)\)|\{(.*)\})\s*$", re.DOTALL)
 _ARG = re.compile(r"\"([^\"]*)\"|'([^']*)'|([+-]?\d+(?:\.\d+)?)")
+
+# one closure comparison term: it.<field> (or it.getProperty("f") /
+# it["f"]) followed by a comparison or .contains(...)
+_CLOSURE_TERM = re.compile(
+    r"""^\s*it\s*
+        (?:\.\s*getProperty\(\s*(?:"(?P<f1>[^"]*)"|'(?P<f2>[^']*)')\s*\)
+          |\[\s*(?:"(?P<f3>[^"]*)"|'(?P<f4>[^']*)')\s*\]
+          |\.\s*(?P<f5>[A-Za-z_]\w*))\s*
+        (?:(?P<op>==|!=|>=|<=|>|<)\s*
+             (?:"(?P<s1>[^"]*)"|'(?P<s2>[^']*)'|(?P<n>[+-]?\d+(?:\.\d+)?))
+          |\.\s*contains\(\s*(?:"(?P<c1>[^"]*)"|'(?P<c2>[^']*)')\s*\))\s*$""",
+    re.VERBOSE,
+)
+
+
+def _closure_column(body: str) -> Column:
+    """Translate a Groovy-closure FILTER body to a Catalyst Column — a
+    safe grammar, not an evaluator (the reference feeds closures to a
+    live Groovy engine, GremlinParser.scala; we compile the property-
+    predicate subset those closures almost always are). Supported:
+    `it.field OP literal`, `it.getProperty("f")`/`it["f"]` access,
+    `.contains("x")`, chained with `&&` or `||`. Mixed connectives are
+    rejected (Groovy gives && higher precedence; refusing beats silently
+    re-associating), as is anything else (method calls, arithmetic,
+    traversal access) — those raise GremlinParseError."""
+    conns = set(re.findall(r"&&|\|\|", body))
+    if len(conns) > 1:
+        raise GremlinParseError(
+            "closure filters support a single connective per closure "
+            "(all && or all ||) — split the filter instead"
+        )
+    col = None
+    for part in re.split(r"&&|\|\|", body):
+        m = _CLOSURE_TERM.match(part)
+        if not m:
+            raise GremlinParseError(
+                f"unsupported closure term {part.strip()!r}: expected "
+                "it.<field> <op> <literal> or it.<field>.contains(<str>)"
+            )
+        d = m.groupdict()
+        field = next(d[k] for k in ("f1", "f2", "f3", "f4", "f5") if d[k] is not None)
+        if d["c1"] is not None or d["c2"] is not None:
+            op, value = "contains", d["c1"] if d["c1"] is not None else d["c2"]
+        else:
+            op = d["op"]
+            value = d["n"] if d["n"] is not None else (d["s1"] if d["s1"] is not None else d["s2"])
+        c = _field_pred_col(field, op, value)
+        col = c if col is None else (col & c if conns == {"&&"} else col | c)
+    return col
 
 
 class GremlinParseError(ValueError):
@@ -322,10 +380,13 @@ def eval_gremlin(infotons: DataFrame, triples: DataFrame, query: str):
          .as("o").out("byCustomer").has("mktsegment", "BUILDING")
          .back("o").paths()
 
-    Groovy closures are out of scope — `filter` takes the declarative
-    (field, op, value) form. Terminal steps (paths/values/count/select/
-    path/toList) return their result; a chain without a terminal returns
-    the traversal's path frame."""
+    `filter` takes the declarative (field, op, value) form OR a Groovy-
+    closure body for the property-predicate subset —
+    `filter{it.totalprice > 400000 && it.orderstatus == "O"}` — compiled
+    through a safe grammar (no Groovy evaluation; see _closure_column).
+    Closures doing more than property predicates raise. Terminal steps
+    (paths/values/count/select/path/toList) return their result; a chain
+    without a terminal returns the traversal's path frame."""
     q = query.strip()
     if not (q == "g" or q.startswith("g.")):
         raise GremlinParseError("gremlin query must start at the graph: g.V()...")
@@ -360,7 +421,14 @@ def eval_gremlin(infotons: DataFrame, triples: DataFrame, query: str):
         m = _CALL.match(seg)
         if not m:
             raise GremlinParseError(f"cannot parse step {seg!r}")
-        name, raw_args = m.group(1), m.group(2)
+        name, raw_args, closure = m.group(1), m.group(2), m.group(3)
+        if closure is not None:
+            if name != "filter":
+                raise GremlinParseError(
+                    f"closures are supported on filter{{...}} only, not {name!r}"
+                )
+            t = t.where_(_closure_column(closure))
+            continue
         args = _parse_args(raw_args)
         if name in terminals:
             if i != len(segments) - 1:

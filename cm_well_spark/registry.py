@@ -3455,3 +3455,25 @@ def search_score_uax29ish(spark, sf_dir):
             keep_score=True,
         )
     return df.select("path", F.round("__score", 6).alias("score"))
+
+
+@register(
+    "gremlin_closure_filter",
+    oracle="""
+    SELECT '/tpch/orders/' || o_orderkey AS path FROM orders
+    WHERE o_totalprice > 400000 AND o_orderstatus = 'O'
+    """,
+)
+def gremlin_closure_filter(spark, sf_dir):
+    """J6 Groovy-closure filter (GremlinParser.scala feeds closures to a
+    live Groovy engine; the string front-end compiles the property-
+    predicate subset through a safe grammar — no evaluation): conjunction
+    of a typed numeric comparison and a string equality."""
+    from cm_well_spark.operators.gremlin import eval_gremlin
+
+    return eval_gremlin(
+        _inf(spark, sf_dir),
+        _tri(spark, sf_dir),
+        'g.V().has("rdfType", "Order")'
+        '.filter{it.totalprice > 400000 && it.orderstatus == "O"}.paths()',
+    )

@@ -237,6 +237,65 @@ def test_gremlin_string_eval_errors(infotons, triples):
         eval_gremlin(infotons, triples, 'g.V().count().out("x")')
 
 
+def test_gremlin_closure_filter_matches_declarative(infotons, triples):
+    from cm_well_spark.operators.gremlin import eval_gremlin, g
+
+    got = eval_gremlin(
+        infotons, triples,
+        'g.V().has("rdfType", "Order").filter{it.totalprice > 400000}.count()',
+    )
+    want = g(infotons, triples).V().has("rdfType", "Order").filter("totalprice", ">", 400000).count()
+    assert got == want > 0
+    # getProperty access + string equality
+    got2 = eval_gremlin(
+        infotons, triples,
+        'g.V().filter{it.getProperty("mktsegment") == "BUILDING"}.count()',
+    )
+    want2 = g(infotons, triples).V().filter("mktsegment", "==", "BUILDING").count()
+    assert got2 == want2 > 0
+
+
+def test_gremlin_closure_connectives_and_contains(infotons, triples):
+    from cm_well_spark.operators.gremlin import eval_gremlin, g
+
+    conj = eval_gremlin(
+        infotons, triples,
+        'g.V().filter{it.mktsegment == "BUILDING" && it.acctbal > 5000}.count()',
+    )
+    want = (
+        g(infotons, triples).V()
+        .filter("mktsegment", "==", "BUILDING").filter("acctbal", ">", 5000).count()
+    )
+    assert conj == want > 0
+    disj = eval_gremlin(
+        infotons, triples,
+        'g.V().filter{it.mktsegment == "BUILDING" || it.mktsegment == "MACHINERY"}.count()',
+    )
+    b = g(infotons, triples).V().filter("mktsegment", "==", "BUILDING").count()
+    m = g(infotons, triples).V().filter("mktsegment", "==", "MACHINERY").count()
+    assert disj == b + m
+    sub = eval_gremlin(
+        infotons, triples, 'g.V().filter{it["name"].contains("widget")}.count()'
+    )
+    assert sub == g(infotons, triples).V().filter("name", "contains", "widget").count() > 0
+
+
+def test_gremlin_closure_rejects_unsupported(infotons, triples):
+    import pytest
+
+    from cm_well_spark.operators.gremlin import GremlinParseError, eval_gremlin
+
+    with pytest.raises(GremlinParseError, match="single connective"):
+        eval_gremlin(
+            infotons, triples,
+            'g.V().filter{it.a == "x" && it.b == "y" || it.c == "z"}.count()',
+        )
+    with pytest.raises(GremlinParseError, match="unsupported closure term"):
+        eval_gremlin(infotons, triples, 'g.V().filter{it.out("x").count() > 2}.count()')
+    with pytest.raises(GremlinParseError, match="filter"):
+        eval_gremlin(infotons, triples, 'g.V().has{it.x == 1}.count()')
+
+
 def test_gremlin_order_limit_groupcount(infotons, triples):
     t = g(infotons, triples).V().has("rdfType", "Nation")
     top = t.order("name", desc=True).limit(3).paths().collect()
