@@ -254,4 +254,11 @@ def gqp_filter(
     if not survivor_sets:
         return results
     survivors = reduce(lambda a, b: a.unionByName(b), survivor_sets).distinct()
+    # counted-broadcast the mask (same contract as search's candidate
+    # hydration): an SMJ here would exchange the WIDE result rows before
+    # AQE sees the survivor count; the survivor set is a narrow distinct
+    # path frame, cheap to checkpoint + count
+    survivors = survivors.localCheckpoint(eager=True)
+    if survivors.count() <= BROADCAST_PATHS_MAX:
+        survivors = F.broadcast(survivors)
     return results.join(survivors, "path", "left_semi")
