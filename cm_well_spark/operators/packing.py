@@ -1,0 +1,129 @@
+"""Training-export operators: sequence packing and deterministic sharding.
+
+The last mile of a 100 TB pretraining pipeline — after dedup (dedup.py),
+scoring (text.py) and curation (curation.py), the surviving corpus has to
+become fixed-budget training sequences laid out in shards a data loader
+can stream:
+
+  pack_concat_windows   GPT-style concat-and-chunk packing: documents are
+                        concatenated in a deterministic per-shard order
+                        and sliced at token-budget boundaries; a document
+                        that straddles a boundary spans both windows (the
+                        standard causal-LM packing — no padding waste,
+                        attention masks handle the seams).
+  shard_order           deterministic global shuffle: every doc gets a
+                        (shard, pos) address from a salted md5, so the
+                        training order is reproducible bit-for-bit across
+                        re-runs, retries and topology changes — the
+                        property `df.orderBy(rand())` cannot give.
+
+Scale posture: both operators shuffle ONCE on the shard key (n_shards is
+sized to the cluster, so shards are the unit of write parallelism) and do
+all per-shard work inside a window over that same partitioning — the sort
+rides the shuffle's spill machinery, nothing is ever collected. Window
+indices, spans and token offsets are pure columnar expressions; there is
+no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from cm_well_spark.operators.text import whitespace_token_count
+
+
+def _salted_md5(id_col: str, salt: str) -> Column:
+    return F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
+
+
+def pack_concat_windows(
+    docs: DataFrame,
+    budget: int = 256,
+    n_shards: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign every document its context-window spans under concat-and-
+    chunk packing. Per shard, documents are concatenated in id order; the
+    token stream is cut every `budget` tokens; a document occupying
+    stream offsets [start, end) appears in each window it overlaps, with
+    `win_tokens` of its tokens in that window.
+
+    Output: (doc_id, shard, window, win_tokens, start_off) — start_off is
+    the document's offset inside its first window (0 for docs that begin
+    a window), so a loader can reconstruct the exact byte layout.
+
+    Sharding is round-robin on the id (deterministic and balanced for
+    arbitrary id spaces; swap in a salted-hash shard for adversarial id
+    distributions — shard_order shows the md5 recipe). The cumulative
+    offset is one window function over the shard partitioning; the spans
+    explode via `sequence`, so a 100 TB corpus packs in a single shuffle
+    + per-partition sort with map-side everything else."""
+    if budget <= 0 or n_shards <= 0:
+        raise ValueError("budget and n_shards must be positive")
+    tok = whitespace_token_count(F.col(text_col))
+    base = docs.select(
+        F.col(id_col),
+        F.pmod(F.col(id_col), F.lit(n_shards)).cast("int").alias("shard"),
+        tok.alias("__tok"),
+    )
+    w = Window.partitionBy("shard").orderBy(id_col)
+    end = F.sum("__tok").over(w)
+    start = (end - F.col("__tok")).cast("long")
+    spans = base.select(
+        id_col,
+        "shard",
+        "__tok",
+        start.alias("__start"),
+        end.cast("long").alias("__end"),
+    )
+    first_w = (F.col("__start") / budget).cast("long")
+    last_w = ((F.col("__end") - 1) / budget).cast("long")
+    out = spans.select(
+        id_col,
+        "shard",
+        "__start",
+        "__end",
+        F.explode(F.sequence(first_w, last_w)).alias("window"),
+    )
+    win_lo = F.col("window") * budget
+    win_hi = win_lo + budget
+    return out.select(
+        id_col,
+        "shard",
+        "window",
+        (F.least(F.col("__end"), win_hi) - F.greatest(F.col("__start"), win_lo))
+        .cast("int")
+        .alias("win_tokens"),
+        F.greatest(F.col("__start") - win_lo, F.lit(0)).cast("int").alias("start_off"),
+    )
+
+
+def shard_order(
+    docs: DataFrame,
+    n_shards: int = 4,
+    id_col: str = "doc_id",
+    salt: str = "cmw",
+) -> DataFrame:
+    """Deterministic global shuffle for training export: (doc_id, shard,
+    pos). The salted md5 hex is the shuffle key — shard from its leading
+    byte (lexicographic bucketing of a uniform hash), position from its
+    rank within the shard. Changing `salt` is a fresh epoch permutation;
+    the same salt reproduces the same order on any cluster topology.
+
+    One shuffle on `shard`, rank via row_number over the per-shard sort.
+    The md5 prefix comparison trick (fixed-width lowercase hex compares
+    lexicographically == numerically) keeps the whole recipe portable to
+    any ANSI-SQL engine, so the layout can be audited outside Spark."""
+    if n_shards <= 0 or n_shards > 256:
+        raise ValueError("n_shards must be in 1..256")
+    h = _salted_md5(id_col, salt)
+    # leading md5 byte -> shard: equal-width hex ranges, no int parsing
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    shard = (bucket * n_shards / 256).cast("int")
+    w = Window.partitionBy("shard").orderBy("__h", id_col)
+    return (
+        docs.select(F.col(id_col), h.alias("__h"), shard.alias("shard"))
+        .select(id_col, "shard", F.row_number().over(w).alias("pos"))
+    )

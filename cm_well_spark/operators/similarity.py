@@ -323,3 +323,116 @@ def label_centroids(embs: DataFrame, vec_col: str = "embedding", label_col: str 
         .groupBy(label_col, "pos")
         .agg(F.avg("val").alias("centroid"))
     )
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup) + embedding quantization
+# ---------------------------------------------------------------------------
+
+
+def kmeans_assign_fixed(
+    df: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """One deterministic k-means assignment step with FIXED seeds: the k
+    vectors with the smallest ids are the centroids (no Lloyd refinement
+    — that's ivf_assign; this variant is the portable, oracle-checkable
+    contract any ANSI-SQL engine can replay). Each vector goes to the
+    seed maximizing the dot product; ties break to the larger cell index
+    (struct-max ordering), which any engine reproduces with an
+    (score DESC, cell DESC) rank.
+
+    The seeds are a bounded driver collect (k rows) broadcast into a
+    single projection — the assignment itself is one scan, no shuffle."""
+    cast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(F.col(id_col), cast.alias("v"))
+    seeds = base.orderBy(id_col).limit(k).collect()
+    cents = [(i, r["v"]) for i, r in enumerate(seeds)]
+    arrs = F.array(
+        *[
+            F.struct(
+                dot(F.col("v"), F.array(*[F.lit(float(x)) for x in cv])).alias("sim"),
+                F.lit(ci).alias("cell"),
+            )
+            for ci, cv in cents
+        ]
+    )
+    best = F.array_max(arrs)
+    return base.select(id_col, best["cell"].alias("cell"))
+
+
+def semantic_dedup(
+    df: DataFrame,
+    k: int = 8,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    refined: bool = False,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the embedding space, then
+    drop all-but-one of every within-cluster group of semantically
+    near-identical vectors (cosine >= threshold; the smallest id is the
+    keeper, matching the paper's keep-one-representative rule).
+
+    Output: (vec_id, cell, keep) over every input vector.
+
+    Scale shape: the pairwise check happens ONLY inside a cluster — an
+    equi-join on the cell id, never a global cross join. k is sized so
+    clusters stay bounded (the paper uses k ~ sqrt(n); at 100 TB you
+    also cap per-cell candidates the way dedup.py caps hot shingles).
+    refined=True swaps the fixed-seed assignment for ivf_assign's
+    Lloyd-refined cells (better clusters, same downstream plan) — the
+    fixed-seed default keeps the whole operator replayable in the
+    DuckDB oracle."""
+    if refined:
+        assigned, _ = ivf_assign(df, n_cells=k, iters=2, vec_col=vec_col, id_col=id_col)
+        assigned = assigned.select(F.col("id").alias(id_col), "cell")
+    else:
+        assigned = kmeans_assign_fixed(df, k, vec_col, id_col)
+    cast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    vecs = df.select(F.col(id_col), cast.alias("v")).join(assigned, id_col)
+    a = vecs.select(F.col(id_col).alias("ida"), F.col("v").alias("va"), F.col("cell").alias("cella"))
+    b = vecs.select(F.col(id_col).alias("idb"), F.col("v").alias("vb"), F.col("cell").alias("cellb"))
+    # a doc is dropped iff a SMALLER-id member of its cell sits within the
+    # threshold — the candidate set is bounded by the cell equi-join, and
+    # distinct() collapses it before the keep-flag join (no pair blowup)
+    dropped = (
+        b.join(a, (F.col("cella") == F.col("cellb")) & (F.col("ida") < F.col("idb")), "inner")
+        .where(F.round(cosine(F.col("va"), F.col("vb")), 6) >= threshold)
+        .select(F.col("idb").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped.withColumn("__drop", F.lit(True)), id_col, "left")
+        .select(id_col, "cell", F.col("__drop").isNull().alias("keep"))
+    )
+
+
+def quantize_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization — the 4x memory cut
+    every billion-vector ANN index takes before sharding. scale =
+    max|v| / 127; q_i = floor(v_i/scale + 0.5) (explicit half-up floor so
+    every engine rounds identically — round() half-even vs half-away
+    differs across engines). Zero vectors quantize to zeros with scale 0.
+
+    One projection over the scan: transform + aggregate stay inside
+    whole-stage codegen, nothing shuffles, and the output is ~1/4 the
+    input bytes — exactly what you want to write back before building
+    the IVF cells."""
+    cast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(F.col(id_col), cast.alias("v"))
+    scale = F.array_max(F.transform(F.col("v"), F.abs)) / F.lit(127.0)
+    q = F.when(
+        F.col("__scale") > 0,
+        F.transform(F.col("v"), lambda x: F.floor(x / F.col("__scale") + 0.5).cast("int")),
+    ).otherwise(F.transform(F.col("v"), lambda x: F.lit(0)))
+    return (
+        base.withColumn("__scale", scale)
+        .select(id_col, F.round("__scale", 9).alias("scale"), q.alias("q"))
+    )

@@ -3477,3 +3477,160 @@ def gremlin_closure_filter(spark, sf_dir):
         'g.V().has("rdfType", "Order")'
         '.filter{it.totalprice > 400000 && it.orderstatus == "O"}.paths()',
     )
+
+
+# ---------------------------------------------------------------------------
+# round 6 continued: semantic dedup, quantization, training export
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_kmeans_assign",
+    oracle="""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+    seeds AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS sv
+      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)
+    ),
+    scored AS (SELECT vec_id, cell, list_dot_product(v, sv) AS sim FROM e CROSS JOIN seeds)
+    SELECT vec_id, CAST(cell AS INT) AS cell FROM (
+      SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    """,
+)
+def embedding_kmeans_assign(spark, sf_dir):
+    """Deterministic fixed-seed k-means assignment (the oracle-checkable
+    core of IVF/SemDeDup clustering): every vector to the max-dot-product
+    seed, seeds = the k smallest ids. One scan, seeds broadcast as
+    literals, no shuffle."""
+    from cm_well_spark.operators.similarity import kmeans_assign_fixed
+    from cm_well_spark.sources import tables as tbl
+
+    embs = tbl.load_table(spark, sf_dir, "embeddings")
+    return kmeans_assign_fixed(embs, k=8)
+
+
+@register(
+    "embedding_semantic_dedup",
+    oracle="""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+    seeds AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS sv
+      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)
+    ),
+    assign AS (
+      SELECT vec_id, CAST(cell AS INT) AS cell FROM (
+        SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY list_dot_product(v, sv) DESC, cell DESC) AS rn
+        FROM e CROSS JOIN seeds
+      ) WHERE rn = 1
+    ),
+    vec AS (SELECT e.vec_id, e.v, a.cell FROM e JOIN assign a USING (vec_id)),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM vec a JOIN vec b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.9
+    )
+    SELECT a.vec_id, a.cell, (d.vec_id IS NULL) AS keep
+    FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+    """,
+)
+def embedding_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): within-cluster cosine near-identity
+    dedup, smallest id kept. The pairwise check is an equi-join on the
+    cell — never a global cross join."""
+    from cm_well_spark.operators.similarity import semantic_dedup
+    from cm_well_spark.sources import tables as tbl
+
+    embs = tbl.load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(embs, k=8, threshold=0.9)
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+    s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e)
+    SELECT vec_id, round(scale, 9) AS scale,
+           CASE WHEN scale > 0
+                THEN array_to_string(list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INT)), ',')
+                ELSE array_to_string(list_transform(v, x -> 0), ',') END AS q
+    FROM s
+    """,
+)
+def embedding_quantize_int8(spark, sf_dir):
+    """Symmetric per-vector int8 quantization (the 4x memory cut before
+    sharding a billion-vector index); q stringified on both sides so the
+    hash compare sees identical scalars."""
+    from cm_well_spark.operators.similarity import quantize_int8
+    from cm_well_spark.sources import tables as tbl
+
+    embs = tbl.load_table(spark, sf_dir, "embeddings")
+    out = quantize_int8(embs)
+    return out.select(
+        "vec_id",
+        "scale",
+        F.concat_ws(",", F.transform("q", lambda x: x.cast("string"))).alias("q"),
+    )
+
+
+@register(
+    "pack_windows",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, CAST(doc_id % 4 AS INT) AS shard,
+             len(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    o AS (
+      SELECT doc_id, shard, tok,
+             CAST(sum(tok) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS e
+      FROM d
+    ),
+    s AS (SELECT doc_id, shard, tok, e - tok AS st, e FROM o)
+    SELECT doc_id, shard, u.w AS window,
+           CAST(least(e, (u.w + 1) * 256) - greatest(st, u.w * 256) AS INT) AS win_tokens,
+           CAST(greatest(st - u.w * 256, 0) AS INT) AS start_off
+    FROM s, LATERAL (
+      SELECT unnest(generate_series(CAST(floor(st / 256) AS BIGINT),
+                                    CAST(floor((e - 1) / 256) AS BIGINT))) AS w
+    ) u
+    """,
+)
+def pack_windows(spark, sf_dir):
+    """GPT-style concat-and-chunk sequence packing: per-shard token
+    stream cut every 256 tokens; each doc row-expands to the windows it
+    overlaps. One shuffle on the shard key, spans via sequence+explode."""
+    from cm_well_spark.operators.packing import pack_concat_windows
+    from cm_well_spark.sources import tables as tbl
+
+    docs = tbl.load_table(spark, sf_dir, "documents")
+    return pack_concat_windows(docs, budget=256, n_shards=4)
+
+
+@register(
+    "export_shard_order",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, md5('cmw:' || CAST(doc_id AS VARCHAR)) AS h FROM documents
+    ),
+    b AS (
+      SELECT doc_id, h,
+             CAST(floor(((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+                         + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) * 4 / 256) AS INT) AS shard
+      FROM d
+    )
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS INT) AS pos
+    FROM b
+    """,
+)
+def export_shard_order(spark, sf_dir):
+    """Deterministic global shuffle for training export: salted-md5
+    (shard, pos) addresses, reproducible across topologies and replayable
+    in any ANSI-SQL engine."""
+    from cm_well_spark.operators.packing import shard_order
+    from cm_well_spark.sources import tables as tbl
+
+    docs = tbl.load_table(spark, sf_dir, "documents")
+    return shard_order(docs, n_shards=4)

@@ -1,0 +1,204 @@
+"""Round-6-continued operators: sequence packing, export sharding,
+semantic dedup, int8 quantization."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    from cm_well_spark.sources import tables as tbl
+
+    return tbl.load_table(spark, sf_dir, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def embs(spark, sf_dir):
+    from cm_well_spark.sources import tables as tbl
+
+    return tbl.load_table(spark, sf_dir, "embeddings").cache()
+
+
+# ---------------------------------------------------------------------------
+# pack_concat_windows
+# ---------------------------------------------------------------------------
+
+
+def test_pack_windows_token_conservation(docs):
+    """Every token lands in exactly one window: per-doc win_tokens sums to
+    the doc's whitespace token count."""
+    from cm_well_spark.operators.packing import pack_concat_windows
+    from cm_well_spark.operators.text import whitespace_token_count
+
+    packed = pack_concat_windows(docs, budget=64, n_shards=4)
+    per_doc = packed.groupBy("doc_id").agg(F.sum("win_tokens").alias("got"))
+    expect = docs.select("doc_id", whitespace_token_count(F.col("text")).alias("want"))
+    bad = per_doc.join(expect, "doc_id").where(F.col("got") != F.col("want"))
+    assert bad.count() == 0
+
+
+def test_pack_windows_are_dense_and_full(docs):
+    """Within a shard, windows 0..max-1 each carry exactly `budget` tokens
+    (only the last window may be short), and window ids are contiguous."""
+    from cm_well_spark.operators.packing import pack_concat_windows
+
+    budget = 64
+    packed = pack_concat_windows(docs, budget=budget, n_shards=4).cache()
+    per_win = (
+        packed.groupBy("shard", "window")
+        .agg(F.sum("win_tokens").alias("tok"))
+        .cache()
+    )
+    stats = per_win.groupBy("shard").agg(
+        F.max("window").alias("maxw"), F.count("*").alias("n")
+    )
+    for r in stats.collect():
+        assert r["n"] == r["maxw"] + 1, "window ids must be contiguous from 0"
+    short = per_win.join(
+        per_win.groupBy("shard").agg(F.max("window").alias("maxw")), "shard"
+    ).where((F.col("window") < F.col("maxw")) & (F.col("tok") != budget))
+    assert short.count() == 0, "every non-final window must be exactly full"
+    packed.unpersist()
+    per_win.unpersist()
+
+
+def test_pack_windows_start_off_layout(spark):
+    """Hand-checked layout: docs of 3/4/5 tokens, budget 6, one shard.
+    Stream: [d0:0-3, d1:3-7, d2:7-12] -> d1 straddles windows 0/1."""
+    from cm_well_spark.operators.packing import pack_concat_windows
+
+    df = spark.createDataFrame(
+        [(0, "a b c"), (4, "a b c d"), (8, "a b c d e")], ["doc_id", "text"]
+    )
+    out = {
+        (r["doc_id"], r["window"]): (r["win_tokens"], r["start_off"])
+        for r in pack_concat_windows(df, budget=6, n_shards=4).collect()
+    }
+    assert out[(0, 0)] == (3, 0)
+    assert out[(4, 0)] == (3, 3)
+    assert out[(4, 1)] == (1, 0)
+    assert out[(8, 1)] == (5, 1)
+
+
+def test_pack_windows_rejects_bad_args(docs):
+    from cm_well_spark.operators.packing import pack_concat_windows
+
+    with pytest.raises(ValueError):
+        pack_concat_windows(docs, budget=0)
+    with pytest.raises(ValueError):
+        pack_concat_windows(docs, n_shards=0)
+
+
+# ---------------------------------------------------------------------------
+# shard_order
+# ---------------------------------------------------------------------------
+
+
+def test_shard_order_is_a_permutation(docs):
+    from cm_well_spark.operators.packing import shard_order
+
+    out = shard_order(docs, n_shards=4).cache()
+    assert out.count() == docs.count()
+    assert out.select("doc_id").distinct().count() == docs.count()
+    # positions are 1..n_shard contiguous per shard
+    per = out.groupBy("shard").agg(F.max("pos").alias("mx"), F.count("*").alias("n"))
+    for r in per.collect():
+        assert r["mx"] == r["n"]
+    out.unpersist()
+
+
+def test_shard_order_salt_is_an_epoch(docs):
+    """Different salt -> different order; same salt -> identical order
+    even after a repartition (topology independence)."""
+    from cm_well_spark.operators.packing import shard_order
+
+    a = shard_order(docs, n_shards=4, salt="e1")
+    b = shard_order(docs.repartition(13), n_shards=4, salt="e1")
+    assert a.exceptAll(b).count() == 0
+    c = shard_order(docs, n_shards=4, salt="e2")
+    assert a.exceptAll(c).count() > 0
+
+
+# ---------------------------------------------------------------------------
+# kmeans / semantic dedup / quantization
+# ---------------------------------------------------------------------------
+
+
+def test_kmeans_assign_matches_brute_argmax(embs):
+    from cm_well_spark.operators.similarity import kmeans_assign_fixed
+
+    out = kmeans_assign_fixed(embs, k=4).cache()
+    assert out.count() == embs.count()
+    # recompute the argmax in pandas
+    seeds = [
+        [float(x) for x in r["embedding"]]
+        for r in embs.orderBy("vec_id").limit(4).collect()
+    ]
+    rows = embs.select("vec_id", "embedding").collect()
+    for r in rows[:50]:
+        v = [float(x) for x in r["embedding"]]
+        sims = [sum(a * b for a, b in zip(v, s)) for s in seeds]
+        want = max(range(4), key=lambda i: (sims[i], i))
+        got = out.where(F.col("vec_id") == r["vec_id"]).first()["cell"]
+        assert got == want
+    out.unpersist()
+
+
+def test_semantic_dedup_keeps_smallest_id(spark):
+    """Two near-identical vectors + one distant: the larger near-dup id
+    is dropped, everything else kept."""
+    from cm_well_spark.operators.similarity import semantic_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.999, 0.001, 0.0]),
+            (3, [0.0, 1.0, 0.0]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    out = {r["vec_id"]: r["keep"] for r in semantic_dedup(df, k=1, threshold=0.95).collect()}
+    assert out == {1: True, 2: False, 3: True}
+
+
+def test_semantic_dedup_refined_same_contract(embs):
+    """Lloyd-refined clustering changes cells, not the keep-contract
+    shape: one row per vector, keepers exist in every cell."""
+    from cm_well_spark.operators.similarity import semantic_dedup
+
+    out = semantic_dedup(embs, k=4, threshold=0.99, refined=True).cache()
+    assert out.count() == embs.count()
+    cells = out.groupBy("cell").agg(F.max(F.col("keep").cast("int")).alias("any_keep"))
+    assert cells.where(F.col("any_keep") == 0).count() == 0
+    out.unpersist()
+
+
+def test_quantize_int8_bounds_and_roundtrip(embs):
+    from cm_well_spark.operators.similarity import quantize_int8
+
+    out = quantize_int8(embs).cache()
+    # all components within int8 range
+    mx = out.select(F.max(F.array_max("q")).alias("hi"), F.min(F.array_min("q")).alias("lo")).first()
+    assert mx["hi"] <= 127 and mx["lo"] >= -127
+    # dequantized max relative error bounded by scale/2 per component
+    joined = embs.select("vec_id", "embedding").join(out, "vec_id")
+    err = joined.select(
+        F.array_max(
+            F.zip_with(
+                F.transform("embedding", lambda x: x.cast("double")),
+                "q",
+                lambda x, q: F.abs(x - q * F.col("scale")),
+            )
+        ).alias("e"),
+        "scale",
+    ).where(F.col("e") > F.col("scale") * 0.5 + 1e-12)
+    assert err.count() == 0
+    out.unpersist()
+
+
+def test_quantize_int8_zero_vector(spark):
+    from cm_well_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame([(1, [0.0, 0.0])], ["vec_id", "embedding"])
+    r = quantize_int8(df).first()
+    assert r["scale"] == 0.0 and list(r["q"]) == [0, 0]
