@@ -79,6 +79,9 @@ def main() -> None:
         "curation_stratified_sample",
         "curation_contamination",
         "curation_quality_filter",
+        # round-6 training-export operators with distinct plan shapes
+        "pack_windows",
+        "embedding_semantic_dedup",
         # curation_full_pipeline is oracle-checked but benched separately
         # (CMW_BENCH_QUERIES=curation_full_pipeline): ~20-35 s at sf0.1,
         # which under host contention + the warm-rerun rule would risk the

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from cm_well_spark.operators.text import normalize_text
+from cm_well_spark.operators.text import normalize_text, spread_for_cpu
 
 # ---------------------------------------------------------------------------
 # exact
@@ -75,7 +75,7 @@ def word_shingles(c: Column, k: int = 3) -> Column:
 
 
 def _shingle_rows(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
-    return df.select(
+    return spread_for_cpu(df).select(
         F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), k)).alias("sh")
     )
 
@@ -114,7 +114,7 @@ def jaccard_pairs(
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
             .distinct()
         )
-        arrays = df.select(F.col(id_col).alias("id"), word_shingles(F.col(text_col), k).alias("shs"))
+        arrays = spread_for_cpu(df).select(F.col(id_col).alias("id"), word_shingles(F.col(text_col), k).alias("shs"))
         out = (
             cand.join(arrays.select(F.col("id").alias("id_a"), F.col("shs").alias("shs_a")), "id_a")
             .join(arrays.select(F.col("id").alias("id_b"), F.col("shs").alias("shs_b")), "id_b")
@@ -162,7 +162,7 @@ def minhash_signatures(
     Shape: explode shingles ONCE, then one groupBy with num_hashes min
     aggregates (map-side partial agg) — computing the shingle array
     num_hashes times inside nested array expressions measured ~8x slower."""
-    sh = df.select(F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), k)).alias("sh"))
+    sh = _shingle_rows(df, text_col, id_col, k)
     aggs = [F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
     per_doc = sh.groupBy("id").agg(*aggs)
     return per_doc.select("id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
@@ -213,7 +213,7 @@ def minhash_dedup_pairs(
     """Full LSH pipeline: signatures -> banded buckets -> candidate pairs
     -> exact-jaccard VERIFY on candidates only. Output = verified pairs."""
     cands = lsh_candidate_pairs(minhash_signatures(df, num_hashes, k, text_col, id_col), bands)
-    shingle_sets = df.select(
+    shingle_sets = spread_for_cpu(df).select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), k).alias("shs")
     )
     a = shingle_sets.select(F.col("id").alias("id_a"), F.col("shs").alias("shs_a"))
@@ -274,7 +274,7 @@ def simhash_pairs(
     """Near-dup pairs by simhash hamming distance, bucketed by 16-bit
     blocks (pigeonhole: hamming<=3 over 4 blocks => >=1 identical block),
     so candidates meet in an equi-join instead of a cross join."""
-    sigs = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh"))
+    sigs = spread_for_cpu(df).select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh"))
     blocks = sigs.select(
         "id",
         "sh",

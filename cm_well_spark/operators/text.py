@@ -42,6 +42,21 @@ def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
+def spread_for_cpu(df: DataFrame) -> DataFrame:
+    """Widen under-partitioned inputs before CPU-heavy per-row work.
+
+    Shingling, minhash (64 hashes/shingle) and simhash are compute-bound
+    projections; a small single-row-group parquet file arrives as ONE
+    scan partition, so without this the whole explode runs on one core
+    (measured 7.6s single-task vs <1s spread, sf0.1 documents). At real
+    scale the scan already carries >= cores partitions and this returns
+    the input untouched — no shuffle is ever added on the big-data path."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # quality scoring
 # ---------------------------------------------------------------------------
