@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from cm_well_spark.operators.dedup import _shingle_rows
-from cm_well_spark.operators.text import quality_features
+from cm_well_spark.operators.text import quality_features, whitespace_token_count
 
 
 def _rate_hex(rate: float) -> str:
@@ -163,3 +163,43 @@ def scrub_pii(
     for p in pats.values():
         scrubbed = F.regexp_replace(scrubbed, p, token.replace("$", r"\$"))
     return docs.select(F.col(id_col), scrubbed.alias(text_col), *counts)
+
+
+def mixture_weights(
+    docs: DataFrame,
+    targets: dict[str, float],
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source sampling rates that realize a target token mixture.
+
+    Given target shares per source (the DoReMi/Pile-style domain-mixture
+    spec), the achievable corpus size is capped by the BINDING source —
+    the one whose token supply runs out first at its share: T = min over
+    sources of n_tokens_s / share_s. Every source then samples at
+    rate_s = share_s * T / n_tokens_s (the binding source at 1.0), which
+    stratified_sample consumes directly as its per-stratum rates.
+
+    Output: (source, n_tokens, rate). One groupBy on the bounded source
+    dimension + a one-row broadcast of the cap — nothing else shuffles,
+    so the solve costs one pass at any corpus size."""
+    tok = (
+        docs.groupBy(source_col)
+        .agg(F.sum(whitespace_token_count(F.col(text_col))).alias("n_tokens"))
+    )
+    pairs = []
+    for src, share in targets.items():
+        if share <= 0:
+            raise ValueError(f"share for {src!r} must be positive")
+        pairs.extend([F.lit(src), F.lit(float(share))])
+    share = F.create_map(*pairs)[F.col(source_col)]
+    t = tok.withColumn("__share", share).where(F.col("__share").isNotNull())
+    cap = t.select(F.min(F.col("n_tokens") / F.col("__share")).alias("__T"))
+    return (
+        t.crossJoin(F.broadcast(cap))
+        .select(
+            source_col,
+            "n_tokens",
+            F.round(F.col("__share") * F.col("__T") / F.col("n_tokens"), 6).alias("rate"),
+        )
+    )

@@ -436,3 +436,25 @@ def quantize_int8(
         base.withColumn("__scale", scale)
         .select(id_col, F.round("__scale", 9).alias("scale"), q.alias("q"))
     )
+
+
+def kmeans_update(
+    df: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """One Lloyd centroid-update step from the fixed-seed assignment, in
+    LONG form: (cell, pos, centroid). This is the update half of
+    ivf_assign's refinement loop exposed as an oracle-checkable contract
+    — posexplode + groupBy(cell, pos).avg, the scale-safe vector mean
+    (partial aggregation map-side, shuffle payload = k * dim partial
+    sums, never a collect_list of member vectors)."""
+    assigned = kmeans_assign_fixed(df, k, vec_col, id_col)
+    cast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    vecs = df.select(F.col(id_col), cast.alias("v")).join(assigned, id_col)
+    return (
+        vecs.select("cell", F.posexplode("v").alias("pos", "val"))
+        .groupBy("cell", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("centroid"))
+    )

@@ -3634,3 +3634,59 @@ def export_shard_order(spark, sf_dir):
 
     docs = tbl.load_table(spark, sf_dir, "documents")
     return shard_order(docs, n_shards=4)
+
+
+@register(
+    "embedding_kmeans_update",
+    oracle="""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+    seeds AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS sv
+      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)
+    ),
+    assign AS (
+      SELECT vec_id, CAST(cell AS INT) AS cell FROM (
+        SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY list_dot_product(v, sv) DESC, cell DESC) AS rn
+        FROM e CROSS JOIN seeds
+      ) WHERE rn = 1
+    ),
+    vec AS (SELECT e.vec_id, e.v, a.cell FROM e JOIN assign a USING (vec_id))
+    SELECT cell, CAST(u.i AS INT) AS pos, round(avg(v[u.i + 1]), 6) AS centroid
+    FROM vec, LATERAL (SELECT unnest(range(len(v))) AS i) u
+    GROUP BY cell, u.i
+    """,
+)
+def embedding_kmeans_update(spark, sf_dir):
+    """One Lloyd centroid-update step (the update half of ivf_assign's
+    refinement, hash-pinned): per-(cell, pos) mean in long form —
+    posexplode + partial-agg groupBy, never a collect_list of member
+    vectors."""
+    from cm_well_spark.operators.similarity import kmeans_update
+    from cm_well_spark.sources import tables as tbl
+
+    embs = tbl.load_table(spark, sf_dir, "embeddings")
+    return kmeans_update(embs, k=8)
+
+
+@register(
+    "curation_mixture_weights",
+    oracle="""
+    WITH tok AS (
+      SELECT source, sum(len(string_split_regex(trim(text), '\\s+'))) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tgt AS (SELECT * FROM (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)) AS t(source, share)),
+    j AS (SELECT tok.source, n_tokens, share FROM tok JOIN tgt USING (source)),
+    cap AS (SELECT min(n_tokens / share) AS T FROM j)
+    SELECT source, n_tokens, round(share * T / n_tokens, 6) AS rate FROM j, cap
+    """,
+)
+def curation_mixture_weights(spark, sf_dir):
+    """Domain-mixture solve (DoReMi/Pile-style): per-source sampling
+    rates realizing a target token mixture, capped by the binding
+    source. One bounded-dim groupBy + a one-row broadcast cap."""
+    from cm_well_spark.operators.curation import mixture_weights
+    from cm_well_spark.sources import tables as tbl
+
+    docs = tbl.load_table(spark, sf_dir, "documents")
+    return mixture_weights(docs, {"src0": 0.5, "src1": 0.3, "src2": 0.2})

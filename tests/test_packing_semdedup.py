@@ -202,3 +202,45 @@ def test_quantize_int8_zero_vector(spark):
     df = spark.createDataFrame([(1, [0.0, 0.0])], ["vec_id", "embedding"])
     r = quantize_int8(df).first()
     assert r["scale"] == 0.0 and list(r["q"]) == [0, 0]
+
+
+def test_kmeans_update_means_match_pandas(embs):
+    """The long-form Lloyd update equals a pandas groupby-mean."""
+    from cm_well_spark.operators.similarity import kmeans_assign_fixed, kmeans_update
+
+    assigned = {r["vec_id"]: r["cell"] for r in kmeans_assign_fixed(embs, k=4).collect()}
+    got = {(r["cell"], r["pos"]): r["centroid"] for r in kmeans_update(embs, k=4).collect()}
+    import collections
+
+    sums = collections.defaultdict(float)
+    counts = collections.defaultdict(int)
+    for r in embs.select("vec_id", "embedding").collect():
+        c = assigned[r["vec_id"]]
+        for p, v in enumerate(r["embedding"]):
+            sums[(c, p)] += float(v)
+            counts[(c, p)] += 1
+    for key, s in sums.items():
+        assert abs(got[key] - round(s / counts[key], 6)) < 2e-6
+
+
+def test_mixture_weights_binding_source(spark):
+    """The binding source samples at 1.0; realized shares hit the target."""
+    from cm_well_spark.operators.curation import mixture_weights
+
+    df = spark.createDataFrame(
+        [(i, "w " * 10, "a") for i in range(10)]       # a: 100+10 tokens? no: 10 docs x 11 tokens
+        + [(100 + i, "w " * 10, "b") for i in range(2)],  # b: 2 docs
+        ["doc_id", "text", "source"],
+    )
+    # tokens: 'w '*10 -> 'w w ... w ' split-> 10 words (trailing space trimmed)
+    out = {r["source"]: r for r in mixture_weights(df, {"a": 0.5, "b": 0.5}).collect()}
+    # b is binding: T = 20/0.5 = 40; a rate = 0.5*40/100 = 0.2
+    assert out["b"]["rate"] == 1.0
+    assert abs(out["a"]["rate"] - 0.2) < 1e-9
+
+
+def test_mixture_weights_rejects_nonpositive_share(docs):
+    from cm_well_spark.operators.curation import mixture_weights
+
+    with pytest.raises(ValueError):
+        mixture_weights(docs, {"src0": 0.0})
