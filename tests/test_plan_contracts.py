@@ -106,3 +106,65 @@ def test_batch_get_broadcasts_keys(infotons, spark):
     keys = spark.createDataFrame([("/tpch/region/0",), ("/tpch/region/1",)], ["path"])
     plan = plan_of(batch_get(infotons, keys))
     assert "BroadcastExchange" in plan  # the big table never shuffles
+
+
+def test_pack_windows_single_exchange_on_shard(spark, sf_dir):
+    """Sequence packing shuffles ONCE (on the shard key); windows, spans
+    and offsets all ride that partitioning."""
+    from cm_well_spark.operators.packing import pack_concat_windows
+    from cm_well_spark.sources import tables as tbl
+
+    docs = tbl.load_table(spark, sf_dir, "documents")
+    plan = plan_of(pack_concat_windows(docs, budget=256, n_shards=4))
+    # count in the tree section only — explain("formatted") repeats every
+    # node name in the details block below the tree
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_shard_order_single_exchange(spark, sf_dir):
+    from cm_well_spark.operators.packing import shard_order
+    from cm_well_spark.sources import tables as tbl
+
+    docs = tbl.load_table(spark, sf_dir, "documents")
+    plan = plan_of(shard_order(docs, n_shards=4))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1
+
+
+def test_quantize_int8_no_shuffle(spark, sf_dir):
+    """Quantization is one codegen'd projection over the scan."""
+    from cm_well_spark.operators.similarity import quantize_int8
+    from cm_well_spark.sources import tables as tbl
+
+    embs = tbl.load_table(spark, sf_dir, "embeddings")
+    plan = plan_of(quantize_int8(embs))
+    assert "Exchange" not in plan
+    # higher-order array fns (transform/aggregate) evaluate JVM-side but
+    # outside codegen — the contract is no shuffle and no Python row path
+    assert "EvalPython" not in plan
+
+
+def test_semantic_dedup_no_cartesian(spark, sf_dir):
+    """The SemDeDup pairwise check must stay a cell equi-join — a global
+    cross join here is the canonical 100 TB scale-killer."""
+    from cm_well_spark.operators.similarity import semantic_dedup
+    from cm_well_spark.sources import tables as tbl
+
+    embs = tbl.load_table(spark, sf_dir, "embeddings")
+    plan = plan_of(semantic_dedup(embs, k=4))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_mixture_weights_one_bounded_agg(spark, sf_dir):
+    """The mixture solve is a groupBy on the bounded source dim + a
+    one-row broadcast — the corpus never joins itself."""
+    from cm_well_spark.operators.curation import mixture_weights
+    from cm_well_spark.sources import tables as tbl
+
+    docs = tbl.load_table(spark, sf_dir, "documents")
+    plan = plan_of(mixture_weights(docs, {"src0": 0.5, "src1": 0.5}))
+    assert "CartesianProduct" not in plan  # cap joins via broadcast
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoop" in plan
