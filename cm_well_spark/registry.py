@@ -3690,3 +3690,55 @@ def curation_mixture_weights(spark, sf_dir):
 
     docs = tbl.load_table(spark, sf_dir, "documents")
     return mixture_weights(docs, {"src0": 0.5, "src1": 0.3, "src2": 0.2})
+
+
+@register(
+    "sp_paths_sparql",
+    oracle="""
+    SELECT s, name FROM (
+      SELECT '/tpch/part/' || p_partkey AS s, p_name AS name
+      FROM part WHERE p_retailprice > 910
+      UNION
+      SELECT '/tpch/part/5' AS s, p_name AS name FROM part WHERE p_partkey = 5
+    )
+    """,
+)
+def sp_paths_sparql(spark, sf_dir):
+    """§3.2 `POST /_sp`: the paths/sparql payload end-to-end — populate
+    runs each source line as its own search plan (one qp'd subtree search
+    + one bare point read here), merges the path sets, scopes the quads
+    by semi-join, and evaluates SPARQL on the subgraph
+    (SpHandler.scala:165-251, PopulateAndQuery.populate:406-442)."""
+    from cm_well_spark.operators.sp import sp_eval
+
+    payload = (
+        "PATHS\n"
+        "/tpch/part?op=search&qp=retailprice>910&recursive\n"
+        "/tpch/part/5\n"
+        "\n"
+        "SPARQL\n"
+        "SELECT ?s ?name WHERE { ?s <name> ?name }\n"
+    )
+    return sp_eval(_inf(spark, sf_dir), _tri(spark, sf_dir), payload)[0]
+
+
+@register(
+    "sp_paths_gremlin",
+    oracle="""
+    SELECT '/tpch/orders/' || o_orderkey AS path FROM orders
+    WHERE o_totalprice > 400000
+    """,
+)
+def sp_paths_gremlin(spark, sf_dir):
+    """§3.2 `POST /_sp` with a GREMLIN section: same populate machinery,
+    pipe-chain evaluated over the scoped subgraph."""
+    from cm_well_spark.operators.sp import sp_eval
+
+    payload = (
+        "PATHS\n"
+        "/tpch/orders?op=search&recursive\n"
+        "\n"
+        "GREMLIN\n"
+        'g.V().has("rdfType", "Order").filter("totalprice", ">", 400000).paths()\n'
+    )
+    return sp_eval(_inf(spark, sf_dir), _tri(spark, sf_dir), payload)[0]

@@ -1,0 +1,122 @@
+"""`POST /_sp` payload front-end: grammar, populate scoping, engines.
+Reference arcs: SPParser (SpHandler.scala:165-251), populate
+(PopulateAndQuery:406-442), SparqlTests.scala:73-119."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cm_well_spark.operators.sp import SpParseError, parse_sp_payload, populate, sp_eval
+
+
+# ---------------------------------------------------------------------------
+# grammar
+# ---------------------------------------------------------------------------
+
+
+def test_parse_sections_case_insensitive():
+    req = parse_sp_payload("Paths\n/a/b\n\nSPARQL\nSELECT ?x WHERE { ?x ?y ?z }")
+    assert req.sources == ["/a/b"] and req.engine == "sparql" and len(req.queries) == 1
+
+
+def test_parse_multi_query_split_on_minuses():
+    req = parse_sp_payload(
+        "PATHS\n/a\n\nSPARQL\nSELECT ?x WHERE {?x ?y ?z}\n----\nSELECT ?z WHERE {?x ?y ?z}"
+    )
+    assert len(req.queries) == 2
+
+
+def test_parse_import_section():
+    req = parse_sp_payload(
+        "PATHS\n/a\n\nIMPORT\nsome/jar\n\nGREMLIN\ng.V().paths()"
+    )
+    assert req.imports == ["some/jar"] and req.engine == "gremlin"
+
+
+@pytest.mark.parametrize(
+    "payload",
+    [
+        "/a\n\nSPARQL\nSELECT ?x WHERE {?x ?y ?z}",  # missing PATHS header
+        "PATHS\n\nSPARQL\nSELECT ?x WHERE {?x ?y ?z}",  # no sources
+        "PATHS\n/a\n\nSELECT ?x WHERE {?x ?y ?z}",  # missing engine header
+        "PATHS\n/a\n\nSPARQL\n",  # empty query body
+    ],
+)
+def test_parse_errors(payload):
+    with pytest.raises(SpParseError):
+        parse_sp_payload(payload)
+
+
+def test_imports_rejected_explicitly(infotons, triples):
+    with pytest.raises(NotImplementedError):
+        sp_eval(
+            infotons,
+            triples,
+            "PATHS\n/a\n\nIMPORT\nsome.jar\n\nSPARQL\nSELECT ?x WHERE {?x ?y ?z}",
+        )
+
+
+# ---------------------------------------------------------------------------
+# populate
+# ---------------------------------------------------------------------------
+
+
+def test_populate_merges_and_dedups_sources(infotons, triples):
+    paths = populate(
+        infotons,
+        triples,
+        ["/tpch/region?op=search&recursive", "/tpch/region/1", "/tpch/region/1"],
+    )
+    n_regions = infotons.where(
+        F.col("current") & F.col("path").startswith("/tpch/region/")
+    ).count()
+    assert paths.count() == n_regions  # the bare read is already in the search
+
+
+def test_populate_bare_path_is_point_read(infotons, triples):
+    paths = populate(infotons, triples, ["/tpch/region/2"])
+    assert [r["path"] for r in paths.collect()] == ["/tpch/region/2"]
+
+
+def test_populate_rejects_unknown_op(infotons, triples):
+    with pytest.raises(SpParseError):
+        populate(infotons, triples, ["/a?op=purge"])
+
+
+# ---------------------------------------------------------------------------
+# scoped evaluation
+# ---------------------------------------------------------------------------
+
+
+def test_sparql_sees_only_the_subgraph(infotons, triples):
+    """A whole-graph pattern over the scoped run returns only rows whose
+    subject survived populate — the scope IS the dataset."""
+    dfs = sp_eval(
+        infotons,
+        triples,
+        "PATHS\n/tpch/region?op=search&recursive\n\n"
+        "SPARQL\nSELECT ?s ?n WHERE { ?s <name> ?n }",
+    )
+    subjects = {r["s"] for r in dfs[0].collect()}
+    assert subjects and all(s.startswith("/tpch/region/") for s in subjects)
+
+
+def test_gremlin_engine_scoped(infotons, triples):
+    dfs = sp_eval(
+        infotons,
+        triples,
+        "PATHS\n/tpch/nation?op=search&recursive\n\n"
+        "GREMLIN\ng.V().has(\"rdfType\", \"Nation\").paths()",
+    )
+    assert dfs[0].count() == 25
+
+
+def test_multi_query_returns_one_frame_each(infotons, triples):
+    dfs = sp_eval(
+        infotons,
+        triples,
+        "PATHS\n/tpch/region?op=search&recursive\n\n"
+        "SPARQL\nSELECT ?s WHERE { ?s <name> ?n }\n---\n"
+        "SELECT ?n WHERE { ?s <name> ?n }",
+    )
+    assert len(dfs) == 2
+    assert dfs[0].columns == ["s"] and dfs[1].columns == ["n"]
