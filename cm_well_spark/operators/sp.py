@@ -27,9 +27,10 @@ Query params honored per source line: op=search (default: point read of
 the path), qp, recursive / with-descendants, length, with-history,
 with-deleted. `format`/`with-data` are populate-shaping in the reference
 (nquads wire format) and are no-ops here — the subgraph is always the
-matched infotons' triples. IMPORT sections carry jars/stored procedures
-in the reference (SparqlQuery.evaluate:525-548) and are rejected
-explicitly rather than silently dropped.
+matched infotons' triples. IMPORT lines naming stored CONSTRUCT snippets
+expand the dataset before evaluation (the reference's QueriesImporter +
+JenaUtils.expandDataset arc); `.jar`/`.scala` function imports are
+rejected explicitly rather than silently dropped.
 """
 
 from __future__ import annotations
@@ -41,6 +42,16 @@ from urllib.parse import parse_qs, unquote
 from pyspark.sql import DataFrame, functions as F
 
 from cm_well_spark.operators import search as S
+
+_PLACEHOLDER = re.compile(r"%([A-Za-z]+)%")
+
+
+def substitute_placeholders(text: str, params: dict[str, str] | None) -> str:
+    """`%var%` -> customParams[var.lower()], or the bare word when the
+    param is absent (populatePlaceHolders, SpHandler.scala:467-473 — the
+    reference strips the percent signs either way)."""
+    params = params or {}
+    return _PLACEHOLDER.sub(lambda m: params.get(m.group(1).lower(), m.group(1)), text)
 
 
 class SpParseError(ValueError):
@@ -136,31 +147,76 @@ def populate(infotons: DataFrame, triples: DataFrame, sources: list[str]) -> Dat
     return out.distinct()
 
 
+def _construct_as_quads(constructed: DataFrame, like: DataFrame) -> DataFrame:
+    """Lift CONSTRUCT output (s, p, o) into the quad schema so it can
+    union with the scoped dataset: typed shadows are re-derived from the
+    term shape (numeric literal -> `num`, boolean -> `bool`), exactly how
+    the builder types raw values — an expanded triple then matches typed
+    FILTERs like any ingested one."""
+    num = F.col("o").cast("double")
+    boolean = F.when(F.col("o").isin("true", "false"), F.col("o") == "true")
+    row = constructed.select(
+        "s",
+        "p",
+        "o",
+        F.lit(None).cast("string").alias("g"),
+        F.when(num.isNotNull(), "w").when(boolean.isNotNull(), "b").otherwise("s").alias("vtype"),
+        num.alias("num"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        boolean.alias("bool"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(0).cast("long").alias("index_time"),
+        F.lit(True).alias("current"),
+        F.lit("ObjectInfoton").alias("kind"),
+    )
+    return row.select(*[c for c in like.columns])
+
+
 def sp_eval(
     infotons: DataFrame,
     triples: DataFrame,
     payload: str,
     stats: dict | None = None,
+    stored: dict[str, str] | None = None,
+    custom_params: dict[str, str] | None = None,
 ) -> list[DataFrame]:
     """Parse + populate + evaluate; one result DataFrame per query (the
     reference concatenates rendered results — callers here keep the
     frames). The subgraph scope is a semi-join of the quads on the
     populated path set: at 100 TB that set is the size of the user's
     search result (bounded by the same guards search has), and the
-    semi-join broadcasts under AQE when it is small."""
+    semi-join broadcasts under AQE when it is small.
+
+    IMPORT lines name stored CONSTRUCT snippets (resolved from `stored`,
+    the analog of the reference's QueriesImporter fetching them from
+    CM-Well paths): each runs over the populated dataset and its
+    constructed triples are added before the main queries evaluate
+    (JenaUtils.expandDataset, SpHandler.scala:560-578) — CONSTRUCT-rule
+    inference scoped to the subgraph. `.jar` / `.scala` imports (hot
+    Jena function compilation) stay rejected. `custom_params` feeds
+    `%var%` substitution in queries and imported snippets."""
     req = parse_sp_payload(payload)
-    if req.imports:
+    jars = [i for i in req.imports if i.endswith(".jar") or i.endswith(".scala")]
+    if jars:
         raise NotImplementedError(
-            "_sp IMPORT sections (jars / stored procedures, "
+            "_sp jar/scala imports (Jena FunctionRegistry, "
             "SparqlQuery.evaluate:525-548) are not supported"
         )
     paths = populate(infotons, triples, req.sources)
-    scoped_triples = triples.join(paths.withColumnRenamed("path", "s"), "s", "left_semi")
+    scoped = triples.join(paths.withColumnRenamed("path", "s"), "s", "left_semi")
+    from cm_well_spark.operators.sparql import sparql_query
+
+    if req.imports:
+        if stored is None:
+            raise KeyError("payload has IMPORT lines but no stored-query source was provided")
+        for imp in req.imports:
+            text = substitute_placeholders(stored[imp], custom_params)
+            expansion = sparql_query(scoped, text, stats=stats, limit_cap=None)
+            scoped = scoped.unionByName(_construct_as_quads(expansion, triples))
+    queries = [substitute_placeholders(q, custom_params) for q in req.queries]
     if req.engine == "gremlin":
         from cm_well_spark.operators.gremlin import eval_gremlin
 
         scoped_inf = infotons.join(paths, "path", "left_semi")
-        return [eval_gremlin(scoped_inf, scoped_triples, q) for q in req.queries]
-    from cm_well_spark.operators.sparql import sparql_query
-
-    return [sparql_query(scoped_triples, q, stats=stats) for q in req.queries]
+        return [eval_gremlin(scoped_inf, scoped, q) for q in queries]
+    return [sparql_query(scoped, q, stats=stats) for q in queries]

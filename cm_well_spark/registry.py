@@ -3742,3 +3742,40 @@ def sp_paths_gremlin(spark, sf_dir):
         'g.V().has("rdfType", "Order").filter("totalprice", ">", 400000).paths()\n'
     )
     return sp_eval(_inf(spark, sf_dir), _tri(spark, sf_dir), payload)[0]
+
+
+@register(
+    "sp_import_expand",
+    oracle="""
+    SELECT '/tpch/customer/' || c_custkey AS c, '/tpch/region/' || r_regionkey AS r
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def sp_import_expand(spark, sf_dir):
+    """§3.2 `_sp` IMPORT arc: a stored CONSTRUCT snippet expands the
+    populated dataset (QueriesImporter + JenaUtils.expandDataset,
+    SpHandler.scala:560-578) and the main query — parameterized through
+    `%seg%` custom-params substitution — matches the inferred triples."""
+    from cm_well_spark.operators.sp import sp_eval
+
+    stored = {
+        "/queries/locate": (
+            "CONSTRUCT { ?c <locatedIn> ?r } "
+            "WHERE { ?c <inNation> ?n . ?n <ofRegion> ?r }"
+        )
+    }
+    payload = (
+        "PATHS\n/tpch?op=search&recursive\n\n"
+        "IMPORT\n/queries/locate\n\n"
+        "SPARQL\nSELECT ?c ?r WHERE { ?c <locatedIn> ?r . ?c <mktsegment> %seg% }\n"
+    )
+    return sp_eval(
+        _inf(spark, sf_dir),
+        _tri(spark, sf_dir),
+        payload,
+        stored=stored,
+        custom_params={"seg": '"BUILDING"'},
+    )[0]

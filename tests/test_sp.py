@@ -120,3 +120,43 @@ def test_multi_query_returns_one_frame_each(infotons, triples):
     )
     assert len(dfs) == 2
     assert dfs[0].columns == ["s"] and dfs[1].columns == ["n"]
+
+
+# ---------------------------------------------------------------------------
+# imports + placeholders
+# ---------------------------------------------------------------------------
+
+
+def test_placeholder_substitution():
+    from cm_well_spark.operators.sp import substitute_placeholders
+
+    assert substitute_placeholders("x %Seg% %other%", {"seg": "'A'"}) == "x 'A' other"
+
+
+def test_import_requires_stored_source(infotons, triples):
+    with pytest.raises(KeyError):
+        sp_eval(
+            infotons,
+            triples,
+            "PATHS\n/a\n\nIMPORT\n/queries/q1\n\nSPARQL\nSELECT ?x WHERE {?x ?y ?z}",
+        )
+
+
+def test_import_expands_dataset(infotons, triples):
+    """The constructed predicate exists only through the import — without
+    it the query matches nothing, with it the inferred triples join."""
+    payload = (
+        "PATHS\n/tpch/nation?op=search&recursive\n/tpch/region?op=search&recursive\n\n"
+        "IMPORT\n/queries/rollup\n\n"
+        "SPARQL\nSELECT ?n ?r WHERE { ?n <partOf> ?r }"
+    )
+    stored = {"/queries/rollup": "CONSTRUCT { ?n <partOf> ?r } WHERE { ?n <ofRegion> ?r }"}
+    dfs = sp_eval(infotons, triples, payload, stored=stored)
+    assert dfs[0].count() == 25
+    no_import = sp_eval(
+        infotons,
+        triples,
+        "PATHS\n/tpch/nation?op=search&recursive\n\n"
+        "SPARQL\nSELECT ?n ?r WHERE { ?n <partOf> ?r }",
+    )
+    assert no_import[0].count() == 0
