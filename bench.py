@@ -82,6 +82,8 @@ def main() -> None:
         # round-6 training-export operators with distinct plan shapes
         "pack_windows",
         "embedding_semantic_dedup",
+        # round-6 _sp arc: populate -> scope -> SPARQL in one plan
+        "sp_paths_sparql",
         # curation_full_pipeline is oracle-checked but benched separately
         # (CMW_BENCH_QUERIES=curation_full_pipeline): ~20-35 s at sf0.1,
         # which under host contention + the warm-rerun rule would risk the
