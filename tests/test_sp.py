@@ -160,3 +160,37 @@ def test_import_expands_dataset(infotons, triples):
         "SPARQL\nSELECT ?n ?r WHERE { ?n <partOf> ?r }",
     )
     assert no_import[0].count() == 0
+
+
+# ---------------------------------------------------------------------------
+# parser error contract (fuzz)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet=st.characters(codec="ascii"), max_size=200))
+def test_parser_never_raises_foreign_exceptions(payload):
+    """Arbitrary input either parses or raises SpParseError — never an
+    IndexError/AttributeError escape (the reference wraps everything in
+    ParsingException the same way)."""
+    try:
+        req = parse_sp_payload(payload)
+        assert req.sources and req.engine in ("sparql", "gremlin")
+    except SpParseError:
+        pass
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.from_regex(r"/[a-z0-9/]{0,20}", fullmatch=True), min_size=1, max_size=4),
+    st.sampled_from(["SPARQL", "sparql", "GREMLIN", "Gremlin"]),
+    st.integers(min_value=1, max_value=3),
+)
+def test_parser_roundtrips_wellformed_payloads(paths, engine, n_queries):
+    body = "\n---\n".join(f"SELECT ?x{i} WHERE {{ ?x{i} ?y ?z }}" for i in range(n_queries))
+    req = parse_sp_payload("PATHS\n" + "\n".join(paths) + "\n\n" + engine + "\n" + body)
+    assert req.sources == paths
+    assert req.engine == engine.lower()
+    assert len(req.queries) == n_queries
