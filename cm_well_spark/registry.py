@@ -3779,3 +3779,46 @@ def sp_import_expand(spark, sf_dir):
         stored=stored,
         custom_params={"seg": '"BUILDING"'},
     )[0]
+
+
+@register(
+    "events_asof_latest_order",
+    oracle="""
+    WITH o1 AS (
+      SELECT o_custkey AS user_id, CAST(o_orderdate AS TIMESTAMP) AS ots,
+             max(o_orderkey) AS order_key,
+             round(max_by(o_totalprice, o_orderkey), 2) AS order_price
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT e.event_id, o1.order_key, o1.order_price
+    FROM events e ASOF JOIN o1
+      ON e.user_id = o1.user_id AND e.ts >= o1.ots
+    """,
+)
+def events_asof_latest_order(spark, sf_dir):
+    """Backward as-of join (union + running-last window — Spark lacks
+    the physical ASOF operator DuckDB has, so the oracle uses DuckDB's
+    native ASOF JOIN as an independent implementation): every event gets
+    the issuing user's most recent order at-or-before the event time.
+    Right side pre-aggregated to one row per (user, date) by max
+    orderkey so tie-breaks are engine-independent."""
+    from cm_well_spark.operators.temporal import asof_join
+    from cm_well_spark.sources import tables as tbl
+
+    events = tbl.load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    orders = (
+        tbl.load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), F.col("o_orderdate").alias("ots"))
+        .agg(F.max(F.struct("o_orderkey", "o_totalprice")).alias("__top"))
+        .select(
+            "user_id",
+            "ots",
+            F.col("__top.o_orderkey").alias("order_key"),
+            F.round("__top.o_totalprice", 2).alias("order_price"),
+        )
+    )
+    out = asof_join(
+        events, orders, on="user_id", left_ts="ts", right_ts="ots",
+        right_cols=["order_key", "order_price"],
+    )
+    return out.select("event_id", "order_key", "order_price")

@@ -1,0 +1,104 @@
+"""asof_join: backward as-of semantics, tie handling, join modes."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from cm_well_spark.operators.temporal import asof_join
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "k1", _ts("2024-01-05")),
+            (2, "k1", _ts("2024-01-10")),
+            (3, "k1", _ts("2024-01-01")),  # before any right row
+            (4, "k2", _ts("2024-01-05")),  # key with no right rows
+        ],
+        ["ev", "k", "ts"],
+    )
+    right = spark.createDataFrame(
+        [
+            ("k1", _ts("2024-01-03"), "a"),
+            ("k1", _ts("2024-01-05"), "b"),  # equality matches
+            ("k1", _ts("2024-01-08"), "c"),
+        ],
+        ["k", "rts", "val"],
+    )
+    return left, right
+
+
+def test_backward_match_and_equality(frames):
+    left, right = frames
+    out = {
+        r["ev"]: r["val"]
+        for r in asof_join(left, right, on="k", left_ts="ts", right_ts="rts").collect()
+    }
+    assert out == {1: "b", 2: "c"}  # ev1 matches the equal-ts row, ev3/ev4 drop
+
+
+def test_left_join_keeps_unmatched(frames):
+    left, right = frames
+    out = {
+        r["ev"]: r["val"]
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="rts", how="left"
+        ).collect()
+    }
+    assert out == {1: "b", 2: "c", 3: None, 4: None}
+
+
+def test_rejects_bad_how(frames):
+    left, right = frames
+    with pytest.raises(ValueError):
+        asof_join(left, right, on="k", left_ts="ts", right_ts="rts", how="outer")
+
+
+def test_matches_pandas_merge_asof(spark, sf_dir):
+    """Property pin vs pandas.merge_asof over the real events/orders
+    tables (the third independent implementation after DuckDB)."""
+    import pandas as pd
+
+    from cm_well_spark.sources import tables as tbl
+
+    events = tbl.load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    orders = (
+        tbl.load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), F.col("o_orderdate").alias("ots"))
+        .agg(F.max("o_orderkey").alias("order_key"))
+    )
+    got = (
+        asof_join(
+            events, orders, on="user_id", left_ts="ts", right_ts="ots",
+            right_cols=["order_key"],
+        )
+        .select("event_id", "order_key")
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    ep = events.toPandas()
+    ep["ts"] = pd.to_datetime(ep["ts"])
+    op = orders.toPandas()
+    op["ots"] = pd.to_datetime(op["ots"])
+    want = (
+        pd.merge_asof(
+            ep.sort_values("ts"),
+            op.sort_values("ots"),
+            left_on="ts",
+            right_on="ots",
+            by="user_id",
+            direction="backward",
+        )
+        .dropna(subset=["order_key"])
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert (got["order_key"].astype("int64").values == want["order_key"].astype("int64").values).all()
