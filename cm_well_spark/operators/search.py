@@ -39,6 +39,21 @@ class PathFilter:
     descendants: bool = False
 
 
+def snapshot_at(infotons: DataFrame, ts) -> DataFrame:
+    """Time-travel read: the store as `current` stood at time `ts` — per
+    path, the latest version with last_modified <= ts, minus paths whose
+    snapshot head is a deletion tombstone. The history rows ARE the
+    snapshot index (SURVEY §1.4: history = all rows), so this is one
+    per-path window over the time-filtered scan; at 100 TB the
+    last_modified predicate prunes row groups before the window runs."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("path").orderBy(F.desc("last_modified"), F.desc("index_time"))
+    past = infotons.where(F.col("last_modified") <= F.lit(ts))
+    head = past.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
+    return head.where(F.col("kind") != "DeletedInfoton")
+
+
 def visibility_filter(with_history: bool = False, with_deleted: bool = False) -> Column:
     cond = F.lit(True)
     if not with_history:

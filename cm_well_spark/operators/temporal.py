@@ -77,3 +77,55 @@ def asof_join(
     return matched.select(
         *lcols, *[F.col("__m")[c].alias(c) for c in right_cols]
     )
+
+
+def interval_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_start: str,
+    right_end: str,
+    on: str | None = None,
+    bucket_seconds: int = 3600,
+    right_cols: list[str] | None = None,
+) -> DataFrame:
+    """Interval-overlap join: left rows paired with every right row whose
+    [right_start, right_end] interval contains left_ts (inclusive both
+    ends), optionally key-scoped by `on`.
+
+    A naive `l.ts BETWEEN r.start AND r.end` predicate is a non-equi
+    join — Spark plans it as a (broadcast) nested loop, |l| x |r| work
+    per key. The scale shape is TIME BUCKETING: the left row joins on
+    its bucket, the right interval explodes over the buckets it spans,
+    and the exact predicate re-applies as a residual filter after the
+    equi-join. Each (l, r) pair meets in exactly one bucket (the left's)
+    so no dedup is needed; size `bucket_seconds` near the typical
+    interval span so intervals explode to O(1) buckets."""
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (on, right_start, right_end)]
+    # buckets come from unix SECONDS (floor is monotone, so s<=t<=e implies
+    # bucket(s)<=bucket(t)<=bucket(e) and the pair always meets); the
+    # residual compares the ORIGINAL timestamps so sub-second precision
+    # never admits a pair the exact predicate would reject
+    sec_l = F.unix_timestamp(F.col(left_ts).cast("timestamp"))
+    keys = [on] if on else []
+    l = left.withColumn("__bkt", F.floor(sec_l / bucket_seconds))
+    r = (
+        right.withColumn("__s", F.col(right_start).cast("timestamp"))
+        .withColumn("__e", F.col(right_end).cast("timestamp"))
+        .withColumn(
+            "__bkt",
+            F.explode(
+                F.sequence(
+                    F.floor(F.unix_timestamp(F.col("__s")) / bucket_seconds),
+                    F.floor(F.unix_timestamp(F.col("__e")) / bucket_seconds),
+                )
+            ),
+        )
+        .select(*keys, "__bkt", "__s", "__e", *right_cols)
+    )
+    out = l.join(r, keys + ["__bkt"], "inner").where(
+        (F.col(left_ts).cast("timestamp") >= F.col("__s"))
+        & (F.col(left_ts).cast("timestamp") <= F.col("__e"))
+    )
+    return out.select(*left.columns, *right_cols)

@@ -3822,3 +3822,66 @@ def events_asof_latest_order(spark, sf_dir):
         right_cols=["order_key", "order_price"],
     )
     return out.select("event_id", "order_key", "order_price")
+
+
+@register(
+    "events_range_prev_hour",
+    oracle="""
+    SELECT e.event_id, count(*) AS n_prev
+    FROM events e JOIN events r
+      ON e.user_id = r.user_id
+     AND e.ts >= r.ts AND e.ts <= r.ts + INTERVAL 1 HOUR
+     AND r.event_id <> e.event_id
+    GROUP BY e.event_id
+    """,
+)
+def events_range_prev_hour(spark, sf_dir):
+    """Interval range join via time bucketing (bucket equi-join +
+    precise residual — never the nested-loop plan a raw BETWEEN
+    predicate produces): per event, how many same-user events started
+    within the preceding hour."""
+    from cm_well_spark.operators.temporal import interval_range_join
+    from cm_well_spark.sources import tables as tbl
+
+    ev = tbl.load_table(spark, sf_dir, "events")
+    left = ev.select("event_id", "ts", "user_id")
+    right = ev.select(
+        "user_id",
+        F.col("ts").alias("r_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("r_end"),
+        F.col("event_id").alias("r_id"),
+    )
+    out = interval_range_join(
+        left, right, left_ts="ts", right_start="r_start", right_end="r_end",
+        on="user_id", bucket_seconds=3600, right_cols=["r_id"],
+    )
+    return (
+        out.where(F.col("r_id") != F.col("event_id"))
+        .groupBy("event_id")
+        .agg(F.count("*").alias("n_prev"))
+    )
+
+
+@register(
+    "snapshot_at_cutoff",
+    oracle="""
+    SELECT '/tpch/customer/' || c_custkey AS path, c_name AS name
+    FROM customer
+    WHERE CAST('2020-01-01 00:00:00' AS TIMESTAMP) + INTERVAL (c_custkey % 10000000) SECOND
+          <= CAST('2020-01-01 00:02:00' AS TIMESTAMP)
+    """,
+)
+def snapshot_at_cutoff(spark, sf_dir):
+    """Time-travel read (S5 extension): the customer subtree as the
+    store stood at the cutoff — per path the latest version with
+    last_modified <= ts, tombstone heads excluded. One per-path window
+    over a time-pruned scan."""
+    import datetime as dt
+
+    from cm_well_spark.operators.search import snapshot_at
+
+    snap = snapshot_at(_inf(spark, sf_dir), dt.datetime(2020, 1, 1, 0, 2, 0))
+    return (
+        snap.where(F.col("parent") == "/tpch/customer")
+        .select("path", fv.first_value("name").alias("name"))
+    )

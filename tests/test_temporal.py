@@ -102,3 +102,82 @@ def test_matches_pandas_merge_asof(spark, sf_dir):
     )
     assert len(got) == len(want)
     assert (got["order_key"].astype("int64").values == want["order_key"].astype("int64").values).all()
+
+
+# ---------------------------------------------------------------------------
+# interval_range_join
+# ---------------------------------------------------------------------------
+
+
+def test_range_join_bucket_boundaries(spark):
+    """Pairs that straddle bucket edges still meet; the residual keeps
+    exact [start, end] inclusive semantics."""
+    from cm_well_spark.operators.temporal import interval_range_join
+
+    left = spark.createDataFrame(
+        [
+            (1, "k", _ts("2024-01-01 00:59:59")),
+            (2, "k", _ts("2024-01-01 01:00:00")),  # exactly at end: inclusive
+            (3, "k", _ts("2024-01-01 01:00:01")),  # past end
+            (4, "k", _ts("2024-01-01 00:00:00")),  # exactly at start
+        ],
+        ["ev", "k", "ts"],
+    )
+    right = spark.createDataFrame(
+        [("k", _ts("2024-01-01 00:00:00"), _ts("2024-01-01 01:00:00"), "w1")],
+        ["k", "s", "e", "wid"],
+    )
+    out = sorted(
+        r["ev"]
+        for r in interval_range_join(
+            left, right, left_ts="ts", right_start="s", right_end="e",
+            on="k", bucket_seconds=600, right_cols=["wid"],
+        ).collect()
+    )
+    assert out == [1, 2, 4]
+
+
+def test_range_join_no_duplicate_pairs(spark, sf_dir):
+    """An interval spanning many buckets still yields each pair once."""
+    from cm_well_spark.operators.temporal import interval_range_join
+    from cm_well_spark.sources import tables as tbl
+
+    ev = tbl.load_table(spark, sf_dir, "events").limit(200)
+    left = ev.select("event_id", "ts", "user_id")
+    right = ev.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("e"),
+        F.col("event_id").alias("rid"),
+    )
+    out = interval_range_join(
+        left, right, left_ts="ts", right_start="s", right_end="e",
+        on="user_id", bucket_seconds=900, right_cols=["rid"],
+    )
+    assert out.count() == out.distinct().count()
+
+
+# ---------------------------------------------------------------------------
+# snapshot_at
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_at_picks_version_and_skips_tombstone(spark):
+    from cm_well_spark.operators.search import snapshot_at
+
+    rows = [
+        # path A: v1 at t1, v2 at t3
+        ("/a", "u1", _ts("2024-01-01"), 1, False, "ObjectInfoton"),
+        ("/a", "u2", _ts("2024-01-03"), 2, True, "ObjectInfoton"),
+        # path B: created t1, deleted t2
+        ("/b", "u3", _ts("2024-01-01"), 1, False, "ObjectInfoton"),
+        ("/b", "u4", _ts("2024-01-02"), 2, True, "DeletedInfoton"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["path", "uuid", "last_modified", "index_time", "current", "kind"]
+    )
+    at = lambda s: {r["path"]: r["uuid"] for r in snapshot_at(df, _ts(s)).collect()}
+    assert at("2024-01-01 12:00:00") == {"/a": "u1", "/b": "u3"}
+    assert at("2024-01-02 12:00:00") == {"/a": "u1"}  # /b deleted by now
+    assert at("2024-01-04") == {"/a": "u2"}
+    assert at("2023-12-31") == {}
