@@ -84,6 +84,8 @@ def main() -> None:
         "embedding_semantic_dedup",
         # round-6 _sp arc: populate -> scope -> SPARQL in one plan
         "sp_paths_sparql",
+        # round-6 temporal family: one-shuffle as-of join
+        "events_asof_latest_order",
         # curation_full_pipeline is oracle-checked but benched separately
         # (CMW_BENCH_QUERIES=curation_full_pipeline): ~20-35 s at sf0.1,
         # which under host contention + the warm-rerun rule would risk the
