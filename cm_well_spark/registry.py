@@ -2906,7 +2906,10 @@ def sparql_sum_expr_revenue(spark, sf_dir):
     """J5/§2.7 aggregate over an arithmetic expression — the TPC-H Q1
     revenue form SUM(price * (1 - discount)), now expressible directly:
     SPARQL 1.1 §17.3 numeric operators compile onto the typed num
-    shadows, aggregates accept full expression arguments."""
+    shadows, aggregates accept full expression arguments. Both stores
+    are passed, as a real whole-graph caller has them: the stats
+    reorderer plus the squash-by-subject doc route collapse the 3-way
+    same-subject self-join into one doc-table scan (~2x at sf0.1)."""
     from cm_well_spark.operators.sparql import sparql_query
 
     df = sparql_query(
@@ -2915,6 +2918,8 @@ def sparql_sum_expr_revenue(spark, sf_dir):
         "?li <returnflag> ?rf . ?li <extendedprice> ?p . ?li <discount> ?d } "
         "GROUP BY ?rf",
         limit_cap=None,
+        stats=_stats(spark, sf_dir),
+        infotons=_inf(spark, sf_dir),
     )
     return df.select("rf", F.round("revenue", 2).alias("revenue"))
 
