@@ -159,6 +159,9 @@ def main() -> None:
             "consume_first_chunk",
             "dedup_exact_groups",
             "similarity_topk_cosine",
+            # round-6 families at 10x: one-shuffle packing + as-of join
+            "pack_windows",
+            "events_asof_latest_order",
         ]
         sf1_timings: dict[str, float] = {}
         for name in sf1_subset:
