@@ -203,3 +203,60 @@ def mixture_weights(
             F.round(F.col("__share") * F.col("__T") / F.col("n_tokens"), 6).alias("rate"),
         )
     )
+
+
+def sample_by_rates(
+    docs: DataFrame,
+    rates: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    salt: str = "cmw",
+) -> DataFrame:
+    """stratified_sample with COMPUTED rates (the mixture_weights output
+    frame) instead of a literal dict: the per-source rate broadcasts in
+    and converts to the same 4-hex md5 threshold, so a mixture solve can
+    feed sampling inside one Catalyst plan with no driver round-trip.
+    Sources absent from `rates` drop (inner join), matching the
+    dict-variant's rate-0 semantics."""
+    thr = F.when(F.col("rate") >= 1.0, F.lit("zzzz")).otherwise(
+        F.lower(F.lpad(F.hex(F.floor(F.col("rate") * 65536).cast("int")), 4, "0"))
+    )
+    key = F.substring(
+        F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))), 1, 4
+    )
+    return (
+        docs.join(F.broadcast(rates.select(source_col, "rate")), source_col)
+        .where(key < thr)
+        .drop("rate")
+    )
+
+
+def export_pipeline(
+    docs: DataFrame,
+    targets: dict[str, float],
+    budget: int = 256,
+    n_shards: int = 4,
+    min_quality: float = 0.5,
+) -> DataFrame:
+    """The export tail end-to-end, ONE Catalyst plan: exact dedup (keep
+    min-id per content hash) -> C4-style quality filter -> domain-mixture
+    solve -> deterministic per-source sampling at the solved rates ->
+    concat-and-chunk sequence packing -> per-(shard, window) manifest
+    (n_docs, n_tokens). The manifest is what a training launcher reads to
+    size its data-loader shards; every stage is a proven operator and
+    nothing materializes driver-side between them."""
+    from cm_well_spark.operators.dedup import distinct_documents
+    from cm_well_spark.operators.packing import pack_concat_windows
+
+    deduped = distinct_documents(docs).cache()
+    verdicts = quality_filter(deduped, min_quality=min_quality)
+    kept = deduped.join(
+        verdicts.where(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
+    ).cache()
+    rates = mixture_weights(kept, targets)
+    sampled = sample_by_rates(kept, rates)
+    packed = pack_concat_windows(sampled, budget=budget, n_shards=n_shards)
+    return packed.groupBy("shard", "window").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("win_tokens").cast("long").alias("n_tokens"),
+    )

