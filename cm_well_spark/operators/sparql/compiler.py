@@ -410,10 +410,13 @@ def _closure_frame(triples: DataFrame, pp: PathPattern, gvar: str | None = None)
             # two hops per round (loop unroll): closures run DEEP with tiny
             # frontiers, so wall time is rounds x scheduler latency, not
             # data volume — folding hop 2k+1 into round k halves the round
-            # count for one extra lazy edge join inside the same job.
-            # Termination on an empty delta stays sound: a frontier fully
-            # inside `reached` was already expanded when its nodes were
-            # frontier members, so no unseen node can appear past it.
+            # count for one extra lazy edge join inside the same job (the
+            # edges are persisted, so it probes cache, not parquet; a
+            # 3-hop unroll measured flat — the growing anti-join probe
+            # offsets further round savings). Termination on an empty
+            # delta stays sound: a frontier fully inside `reached` was
+            # already expanded when its nodes were frontier members, so
+            # no unseen node can appear past it.
             one = step_of(frontier).distinct()
             frontier = (
                 one.unionByName(step_of(one))
