@@ -3972,3 +3972,70 @@ def curation_export_pipeline(spark, sf_dir):
     return export_pipeline(
         docs, {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
     )
+
+
+@register(
+    "streaming_pack_manifest",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, CAST(doc_id % 4 AS INT) AS shard,
+             len(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    o AS (
+      SELECT doc_id, shard, tok,
+             CAST(sum(tok) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS e
+      FROM d
+    ),
+    s AS (SELECT doc_id, shard, tok, e - tok AS st, e FROM o),
+    spans AS (
+      SELECT doc_id, shard, u.w AS window,
+             CAST(least(e, (u.w + 1) * 256) - greatest(st, u.w * 256) AS INT) AS win_tokens
+      FROM s, LATERAL (
+        SELECT unnest(generate_series(CAST(floor(st / 256) AS BIGINT),
+                                      CAST(floor((e - 1) / 256) AS BIGINT))) AS w
+      ) u
+    )
+    SELECT shard, "window", count(*) AS n_docs, CAST(sum(win_tokens) AS BIGINT) AS n_tokens
+    FROM spans GROUP BY 1, 2
+    """,
+)
+def streaming_pack_manifest(spark, sf_dir):
+    """Streaming sequence packing (applyInPandasWithState, one running
+    offset per shard): the documents table replayed as an id-ordered file
+    stream, packed in-flight; the per-(shard, window) manifest equals the
+    batch packer's — the streaming/batch parity an always-on export
+    pipeline depends on."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from cm_well_spark.sources import tables as tbl
+    from cm_well_spark.streaming.packing import streaming_pack
+
+    docs = tbl.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="cmw_spack_")
+    feed = os.path.join(work, "feed")
+    # one file -> one micro-batch: the in-batch doc_id sort then matches
+    # the batch packer's per-shard id order exactly
+    docs.orderBy("doc_id").coalesce(1).write.mode("overwrite").parquet(feed)
+    stream = spark.readStream.schema(docs.schema).parquet(feed)
+    name = f"spack_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_pack(stream, budget=256, n_shards=4)
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = (
+        spark.table(name)
+        .groupBy("shard", "window")
+        .agg(F.count("*").alias("n_docs"), F.sum("win_tokens").cast("long").alias("n_tokens"))
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return out

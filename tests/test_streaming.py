@@ -372,3 +372,49 @@ def test_streaming_seen_filter_first_k(spark):
     q.awaitTermination(120)
     got = spark.sql("SELECT source, count(*) AS n FROM sseen1 GROUP BY source").collect()
     assert {r["source"]: r["n"] for r in got} == {"src0": 2, "src1": 2}
+
+
+def test_streaming_pack_batch_parity_across_restarts(spark):
+    """Spans from the streaming packer equal the batch packer's when docs
+    arrive in id order — including across a query RESTART: the second
+    run resumes the per-shard offset from the state store."""
+    import shutil
+
+    from cm_well_spark.operators.packing import pack_concat_windows
+    from cm_well_spark.streaming.packing import streaming_pack
+
+    d = os.path.join(TMP, "spack")
+    shutil.rmtree(d, ignore_errors=True)
+    feed = os.path.join(d, "feed")
+    sink = os.path.join(d, "sink")
+    os.makedirs(feed)
+    rows = [(i, "w " * (5 + (i * 7) % 23)) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # first half, run, then second half, run again with the same
+    # checkpoint — a FILE sink, because restart recovery is the point
+    df.where("doc_id < 30").coalesce(1).write.mode("append").parquet(feed)
+
+    def run():
+        stream = spark.readStream.schema(df.schema).parquet(feed)
+        q = (
+            streaming_pack(stream, budget=16, n_shards=2)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", os.path.join(d, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    df.where("doc_id >= 30").coalesce(1).write.mode("append").parquet(feed)
+    run()
+    got = {
+        (r["doc_id"], r["window"]): (r["win_tokens"], r["start_off"], r["shard"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    want = {
+        (r["doc_id"], r["window"]): (r["win_tokens"], r["start_off"], r["shard"])
+        for r in pack_concat_windows(df, budget=16, n_shards=2).collect()
+    }
+    assert got == want
