@@ -458,3 +458,55 @@ def kmeans_update(
         .groupBy("cell", "pos")
         .agg(F.round(F.avg("val"), 6).alias("centroid"))
     )
+
+
+def pq_encode(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Product quantization (Jegou et al. 2011): split each vector into m
+    subvectors and store, per subspace, the id of the nearest (squared-L2)
+    of k codebook centroids — the billion-scale memory layout under
+    IVF-PQ (m * log2(k) bits per vector). Codebooks here are the
+    fixed-seed variant (subvectors of the k smallest-id vectors), keeping
+    the whole encoding replayable in any SQL engine; swap the seeds for
+    Lloyd-refined centroids per subspace exactly as ivf_assign refines
+    cells.
+
+    Output: (vec_id, codes array<int> of length m). One scan, codebooks
+    broadcast as literals, no shuffle; ties go to the smaller code id."""
+    row = df.select(F.size(vec_col).alias("d")).first()
+    if row is None:
+        return df.sparkSession.createDataFrame([], f"{id_col} long, codes array<int>")
+    dim = int(row["d"])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub_d = dim // m
+    cast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(F.col(id_col), cast.alias("v"))
+    seeds = [r["v"] for r in base.orderBy(id_col).limit(k).collect()]
+
+    def sq_l2(sub, cent):
+        return F.aggregate(
+            F.zip_with(sub, F.array(*[F.lit(float(x)) for x in cent]), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    codes = []
+    for j in range(m):
+        sub = F.slice(F.col("v"), j * sub_d + 1, sub_d)
+        cands = F.array(
+            *[
+                F.struct(
+                    sq_l2(sub, s[j * sub_d : (j + 1) * sub_d]).alias("dist"),
+                    F.lit(ci).alias("cell"),
+                )
+                for ci, s in enumerate(seeds)
+            ]
+        )
+        codes.append(F.array_min(cands)["cell"])
+    return base.select(id_col, F.array(*codes).alias("codes"))

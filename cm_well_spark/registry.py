@@ -4039,3 +4039,44 @@ def streaming_pack_manifest(spark, sf_dir):
     )
     shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+@register(
+    "embedding_pq_codes",
+    oracle="""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+    seeds AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS sv
+      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)
+    ),
+    sub AS (
+      SELECT e.vec_id, j.j AS sub, s.cell,
+             list_distance(e.v[j.j * 16 + 1 : j.j * 16 + 16],
+                           s.sv[j.j * 16 + 1 : j.j * 16 + 16]) AS dist
+      FROM e CROSS JOIN (SELECT unnest(range(4)) AS j) j CROSS JOIN seeds s
+    ),
+    best AS (
+      SELECT vec_id, sub, cell FROM (
+        SELECT vec_id, sub, cell,
+               row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist ASC, cell ASC) AS rn
+        FROM sub
+      ) WHERE rn = 1
+    )
+    SELECT vec_id, string_agg(CAST(cell AS VARCHAR), ',' ORDER BY sub) AS codes
+    FROM best GROUP BY vec_id
+    """,
+)
+def embedding_pq_codes(spark, sf_dir):
+    """Product-quantization codes (m=4 subspaces x k=8 fixed-seed
+    codebook entries over the 64-dim vectors): the IVF-PQ memory layout,
+    encoded in one scan with codebooks broadcast as literals. Codes
+    stringified on both sides for the hash compare."""
+    from cm_well_spark.operators.similarity import pq_encode
+    from cm_well_spark.sources import tables as tbl
+
+    embs = tbl.load_table(spark, sf_dir, "embeddings")
+    out = pq_encode(embs, m=4, k=8)
+    return out.select(
+        "vec_id",
+        F.concat_ws(",", F.transform("codes", lambda x: x.cast("string"))).alias("codes"),
+    )

@@ -276,3 +276,44 @@ def test_export_pipeline_manifest_conserves_tokens(docs):
     )
     for r in per_shard.collect():
         assert r["n"] == r["mx"] + 1
+
+
+def test_pq_encode_shape_and_reconstruction(embs):
+    """Codes are valid codebook ids and PQ reconstruction beats a random
+    codebook assignment on squared error (sanity that argmin is real)."""
+    from cm_well_spark.operators.similarity import pq_encode
+
+    m, k = 4, 8
+    out = pq_encode(embs, m=m, k=k).cache()
+    assert out.count() == embs.count()
+    rng = out.select(
+        F.min(F.array_min("codes")).alias("lo"), F.max(F.array_max("codes")).alias("hi"),
+        F.min(F.size("codes")).alias("sz"),
+    ).first()
+    assert rng["lo"] >= 0 and rng["hi"] <= k - 1 and rng["sz"] == m
+    # reconstruction error with argmin codes <= error with code 0 everywhere
+    seeds = [
+        [float(x) for x in r["embedding"]] for r in embs.orderBy("vec_id").limit(k).collect()
+    ]
+    rows = embs.select("vec_id", "embedding").limit(40).collect()
+    codes = {r["vec_id"]: list(r["codes"]) for r in out.collect()}
+    sub_d = len(seeds[0]) // m
+    err_best = err_zero = 0.0
+    for r in rows:
+        v = [float(x) for x in r["embedding"]]
+        for j in range(m):
+            sub = v[j * sub_d : (j + 1) * sub_d]
+            cb = seeds[codes[r["vec_id"]][j]][j * sub_d : (j + 1) * sub_d]
+            z = seeds[0][j * sub_d : (j + 1) * sub_d]
+            err_best += sum((a - b) ** 2 for a, b in zip(sub, cb))
+            err_zero += sum((a - b) ** 2 for a, b in zip(sub, z))
+    assert err_best <= err_zero
+    out.unpersist()
+
+
+def test_pq_encode_rejects_indivisible_dim(spark):
+    from cm_well_spark.operators.similarity import pq_encode
+
+    df = spark.createDataFrame([(1, [1.0, 2.0, 3.0])], ["vec_id", "embedding"])
+    with pytest.raises(ValueError):
+        pq_encode(df, m=2)
