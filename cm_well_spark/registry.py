@@ -4080,3 +4080,16 @@ def embedding_pq_codes(spark, sf_dir):
         "vec_id",
         F.concat_ws(",", F.transform("codes", lambda x: x.cast("string"))).alias("codes"),
     )
+
+
+@register("similarity_pq_topk")
+def similarity_pq_topk(spark, sf_dir):
+    """PQ ADC top-k: query-time scan touches only the m-byte codes —
+    the billion-scale memory path. Approximate by construction
+    (quantization error) -> rows-only; recall vs brute force pinned by
+    pytest."""
+    from cm_well_spark.operators.similarity import pq_topk
+    from cm_well_spark.sources import tables as tbl
+
+    embs = tbl.load_table(spark, sf_dir, "embeddings")
+    return pq_topk(embs, _query_vec(spark, sf_dir), k=10, m=4, n_codes=8)

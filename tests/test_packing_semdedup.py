@@ -317,3 +317,18 @@ def test_pq_encode_rejects_indivisible_dim(spark):
     df = spark.createDataFrame([(1, [1.0, 2.0, 3.0])], ["vec_id", "embedding"])
     with pytest.raises(ValueError):
         pq_encode(df, m=2)
+
+
+def test_pq_topk_recall_vs_brute(embs, spark, sf_dir):
+    """ADC ranking must place a decent fraction of the true top-10 in its
+    top-20 — coarse 4x8 codebooks are lossy, but not random."""
+    from cm_well_spark.operators.similarity import brute_force_topk, pq_topk
+
+    q = [float(x) for x in embs.orderBy("vec_id").first()["embedding"]]
+    true10 = {r["vec_id"] for r in brute_force_topk(embs, q, k=10).collect()}
+    adc20 = {r["vec_id"] for r in pq_topk(embs, q, k=20, m=4, n_codes=8).collect()}
+    assert len(true10 & adc20) >= 3
+    # the query vector itself (vec_id 0) quantizes to its own codes ->
+    # its ADC distance is the minimum achievable for those codes
+    top1 = pq_topk(embs, q, k=1, m=4, n_codes=8).first()
+    assert top1["adc_dist"] >= 0.0
