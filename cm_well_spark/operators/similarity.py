@@ -568,3 +568,32 @@ def pq_topk(
         .orderBy(F.asc("adc_dist"), F.asc(id_col))
         .limit(k)
     )
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 4,
+    m: int = 4,
+    n_codes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ: the canonical billion-scale ANN composition — a coarse
+    quantizer prunes to n_probe of n_cells partitions (ivf_assign), and
+    inside the probed cells ranking uses PQ asymmetric distances over the
+    m-byte codes (pq_topk's LUT), so query-time IO is
+    (n_probe / n_cells) * (m bytes per vector). Exact re-ranking of the
+    ADC top-k' against the float vectors is the standard final step and
+    composes as one more join; omitted here to keep the memory-path cost
+    visible in the plan."""
+    assigned, cents = ivf_assign(df, n_cells, 2, vec_col, id_col)
+    probe = [
+        c[0]
+        for c in sorted(cents, key=lambda c: -sum(a * b for a, b in zip(query_vec, c[1])))[:n_probe]
+    ]
+    cand_ids = assigned.where(F.col("cell").isin(probe)).select(F.col("id").alias(id_col))
+    cand = df.join(cand_ids, id_col, "left_semi")
+    return pq_topk(cand, query_vec, k=k, m=m, n_codes=n_codes, vec_col=vec_col, id_col=id_col)

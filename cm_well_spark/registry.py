@@ -4093,3 +4093,15 @@ def similarity_pq_topk(spark, sf_dir):
 
     embs = tbl.load_table(spark, sf_dir, "embeddings")
     return pq_topk(embs, _query_vec(spark, sf_dir), k=10, m=4, n_codes=8)
+
+
+@register("similarity_ivfpq_topk")
+def similarity_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ top-k: coarse cells prune the scan, ADC ranks the codes —
+    query IO = (n_probe/n_cells) * m bytes/vector. Approximate at both
+    stages -> rows-only; recall pinned by pytest."""
+    from cm_well_spark.operators.similarity import ivfpq_topk
+    from cm_well_spark.sources import tables as tbl
+
+    embs = tbl.load_table(spark, sf_dir, "embeddings")
+    return ivfpq_topk(embs, _query_vec(spark, sf_dir), k=10)

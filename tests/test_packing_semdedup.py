@@ -332,3 +332,15 @@ def test_pq_topk_recall_vs_brute(embs, spark, sf_dir):
     # its ADC distance is the minimum achievable for those codes
     top1 = pq_topk(embs, q, k=1, m=4, n_codes=8).first()
     assert top1["adc_dist"] >= 0.0
+
+
+def test_ivfpq_topk_recall(embs):
+    """Two-stage approximation still finds a reasonable slice of the true
+    neighborhood (IVF pruning + PQ quantization compound)."""
+    from cm_well_spark.operators.similarity import brute_force_topk, ivfpq_topk
+
+    q = [float(x) for x in embs.orderBy("vec_id").first()["embedding"]]
+    true10 = {r["vec_id"] for r in brute_force_topk(embs, q, k=10).collect()}
+    got20 = {r["vec_id"] for r in ivfpq_topk(embs, q, k=20).collect()}
+    assert 0 in got20  # the query vector itself survives both stages
+    assert len(true10 & got20) >= 2
