@@ -4082,12 +4082,47 @@ def embedding_pq_codes(spark, sf_dir):
     )
 
 
-@register("similarity_pq_topk")
+@register(
+    "similarity_pq_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+    seeds AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS sv
+      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)
+    ),
+    q AS (SELECT v AS qv FROM e ORDER BY vec_id LIMIT 1),
+    sub AS (
+      SELECT e.vec_id, j.j AS sub, s.cell,
+             list_distance(e.v[j.j * 16 + 1 : j.j * 16 + 16],
+                           s.sv[j.j * 16 + 1 : j.j * 16 + 16]) AS dist
+      FROM e CROSS JOIN (SELECT unnest(range(4)) AS j) j CROSS JOIN seeds s
+    ),
+    best AS (
+      SELECT vec_id, sub, cell FROM (
+        SELECT vec_id, sub, cell,
+               row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist ASC, cell ASC) AS rn
+        FROM sub
+      ) WHERE rn = 1
+    ),
+    qd AS (
+      SELECT b.vec_id,
+             list_sum(list_transform(
+               list_zip(q.qv[b.sub * 16 + 1 : b.sub * 16 + 16],
+                        s.sv[b.sub * 16 + 1 : b.sub * 16 + 16]),
+               z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d
+      FROM best b JOIN seeds s ON b.cell = s.cell CROSS JOIN q
+    )
+    SELECT vec_id, round(sum(d), 6) AS adc_dist
+    FROM qd GROUP BY vec_id
+    ORDER BY adc_dist ASC, vec_id ASC LIMIT 10
+    """,
+)
 def similarity_pq_topk(spark, sf_dir):
     """PQ ADC top-k: query-time scan touches only the m-byte codes —
-    the billion-scale memory path. Approximate by construction
-    (quantization error) -> rows-only; recall vs brute force pinned by
-    pytest."""
+    the billion-scale memory path. With FIXED codebooks the whole
+    ranking is deterministic, so the oracle replays encode + LUT + sum
+    in SQL and the hash must match (approximate vs the TRUE neighbors,
+    exact as a function — recall vs brute force is pinned by pytest)."""
     from cm_well_spark.operators.similarity import pq_topk
     from cm_well_spark.sources import tables as tbl
 
