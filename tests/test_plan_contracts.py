@@ -168,3 +168,61 @@ def test_mixture_weights_one_bounded_agg(spark, sf_dir):
     plan = plan_of(mixture_weights(docs, {"src0": 0.5, "src1": 0.5}))
     assert "CartesianProduct" not in plan  # cap joins via broadcast
     assert "BroadcastExchange" in plan or "BroadcastNestedLoop" in plan
+
+
+def test_asof_join_single_exchange_no_nested_loop(spark, sf_dir):
+    """The as-of composition must stay ONE keyed shuffle — a range-y
+    non-equi plan (BroadcastNestedLoop) here is the scale-killer the
+    union+window shape exists to avoid."""
+    from cm_well_spark.operators.temporal import asof_join
+    from cm_well_spark.sources import tables as tbl
+
+    ev = tbl.load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    orders = tbl.load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("ots"),
+        "o_orderkey",
+    )
+    plan = plan_of(
+        asof_join(ev, orders, on="user_id", left_ts="ts", right_ts="ots", right_cols=["o_orderkey"])
+    )
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_range_join_is_bucket_equi_join(spark, sf_dir):
+    """Interval overlap must plan as a (sort-merge/hash) equi-join on the
+    bucket, never the nested-loop a raw BETWEEN predicate produces."""
+    from cm_well_spark.operators.temporal import interval_range_join
+    from cm_well_spark.sources import tables as tbl
+
+    ev = tbl.load_table(spark, sf_dir, "events")
+    left = ev.select("event_id", "ts", "user_id")
+    right = ev.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("e"),
+        F.col("event_id").alias("rid"),
+    )
+    plan = plan_of(
+        interval_range_join(
+            left, right, left_ts="ts", right_start="s", right_end="e",
+            on="user_id", right_cols=["rid"],
+        )
+    )
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "Generate" in plan  # the interval's bucket explode
+
+
+def test_sp_populate_no_cartesian(spark, sf_dir, infotons, triples):
+    from cm_well_spark.operators.sp import sp_eval
+
+    dfs = sp_eval(
+        infotons,
+        triples,
+        "PATHS\n/tpch/part?op=search&qp=retailprice>910&recursive\n\n"
+        "SPARQL\nSELECT ?s ?name WHERE { ?s <name> ?name }",
+    )
+    plan = plan_of(dfs[0])
+    assert "CartesianProduct" not in plan
