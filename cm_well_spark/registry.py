@@ -4140,3 +4140,33 @@ def similarity_ivfpq_topk(spark, sf_dir):
 
     embs = tbl.load_table(spark, sf_dir, "embeddings")
     return ivfpq_topk(embs, _query_vec(spark, sf_dir), k=10)
+
+
+@register("text_bpe_merges")
+def text_bpe_merges(spark, sf_dir):
+    """BPE vocabulary learning (Sennrich 2016) on the word-frequency
+    table: one columnar pair-count aggregation + deterministic top-pair
+    per round, merges applied as a per-round literal fold. Iterative by
+    nature -> rows-only; pinned against a pure-Python reference
+    implementation in pytest."""
+    from cm_well_spark.operators.bpe import learn_bpe
+    from cm_well_spark.sources import tables as tbl
+
+    docs = tbl.load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    merges = learn_bpe(docs, n_merges=12)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)], "rank int, left string, right string"
+    )
+
+
+@register("text_bpe_token_counts")
+def text_bpe_token_counts(spark, sf_dir):
+    """Token counts under the learned BPE vocabulary: the merge loop
+    runs once per DISTINCT word (Arrow-batched), counts broadcast-join
+    back to the corpus. Depends on the iterative learner -> rows-only;
+    reference-pinned in pytest."""
+    from cm_well_spark.operators.bpe import bpe_encode, learn_bpe
+    from cm_well_spark.sources import tables as tbl
+
+    docs = tbl.load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return bpe_encode(docs, learn_bpe(docs, n_merges=12))
