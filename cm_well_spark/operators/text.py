@@ -364,3 +364,64 @@ def tfidf_keywords(
         .where(F.col("rank") <= k)
         .select(id_col, "rank", "tok", F.round("tfidf", 6).alias("tfidf"))
     )
+
+
+def bigram_cross_entropy(
+    df: DataFrame,
+    reference: DataFrame | None = None,
+    alpha: float = 0.4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bigram LM scoring with stupid backoff (Brants et al. 2007) — the
+    KenLM-lite perplexity filter (CCNet-style): score each doc by mean
+    -log2 P(tok | prev) under a model counted from `reference` (defaults
+    to the corpus itself, the common self-scoring setup).
+
+        P(b | a) = count(a b) / count(a)           if the bigram was seen
+                 = alpha * count(b) / total        otherwise (backoff)
+
+    Shape at 100 TB: unigram and bigram tables come from one exploded
+    pass each over the reference (bigrams via arrays_zip of the token
+    array with its own tail — no per-token window), the corpus bigrams
+    left-join both tables on their keys, and the backoff is a columnar
+    CASE. Token-keyed hash joins (AQE splits hot stopword keys);
+    everything JVM-side, arithmetic exact for the DuckDB oracle."""
+    if reference is None:
+        reference = df
+
+    def toks(frame, *extra):
+        arr = F.filter(F.split(normalize_text(F.col(text_col)), " "), lambda x: x != "")
+        return frame.select(*extra, arr.alias("__t"))
+
+    def pairs(frame, *extra):
+        t = toks(frame, *extra)
+        z = F.arrays_zip(
+            F.slice(F.col("__t"), F.lit(1), F.size("__t") - 1),
+            F.slice(F.col("__t"), F.lit(2), F.size("__t") - 1),
+        )
+        return t.select(*extra, F.explode(z).alias("__p")).select(
+            *extra, F.col("__p")["0"].alias("a"), F.col("__p")["1"].alias("b")
+        )
+
+    ref_toks = toks(reference).select(F.explode("__t").alias("tok"))
+    uni = ref_toks.groupBy("tok").agg(F.count("*").alias("n_uni"))
+    total = ref_toks.count()
+    bi = pairs(reference).groupBy("a", "b").agg(F.count("*").alias("n_bi"))
+
+    joined = (
+        pairs(df, id_col)
+        .join(bi, ["a", "b"], "left")
+        .join(uni.select(F.col("tok").alias("a"), F.col("n_uni").alias("n_a")), "a", "left")
+        .join(uni.select(F.col("tok").alias("b"), F.col("n_uni").alias("n_b")), "b", "left")
+    )
+    p = F.when(
+        F.col("n_bi").isNotNull() & F.col("n_a").isNotNull(),
+        F.col("n_bi") / F.col("n_a"),
+    ).otherwise(F.lit(alpha) * F.coalesce(F.col("n_b"), F.lit(0)) / F.lit(float(total)))
+    scored = joined.select(F.col(id_col), (-F.log2(p)).alias("nll"))
+    return (
+        scored.where(F.col("nll").isNotNull() & ~F.isnan("nll"))
+        .groupBy(id_col)
+        .agg(F.round(F.avg("nll"), 6).alias("bigram_nll"))
+    )

@@ -4170,3 +4170,53 @@ def text_bpe_token_counts(spark, sf_dir):
 
     docs = tbl.load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
     return bpe_encode(docs, learn_bpe(docs, n_merges=12))
+
+
+@register(
+    "text_bigram_nll",
+    oracle=f"""
+    WITH refd AS (
+      SELECT string_split({_NORM_SQL.format(c='text')}, ' ') AS w
+      FROM documents WHERE doc_id < 50
+    ), corp AS (
+      SELECT doc_id, string_split({_NORM_SQL.format(c='text')}, ' ') AS w
+      FROM documents WHERE doc_id >= 50
+    ), ref_toks AS (SELECT unnest(w) AS tok FROM refd),
+    uni AS (SELECT tok, count(*) AS n_uni FROM ref_toks GROUP BY tok),
+    total AS (SELECT count(*) AS t FROM ref_toks),
+    ref_pairs AS (
+      SELECT unnest(list_zip(w[1:len(w)-1], w[2:len(w)])) AS p FROM refd
+    ),
+    bi AS (SELECT p[1] AS a, p[2] AS b, count(*) AS n_bi FROM ref_pairs GROUP BY 1, 2),
+    doc_pairs AS (
+      SELECT doc_id, u.p[1] AS a, u.p[2] AS b
+      FROM corp, LATERAL (SELECT unnest(list_zip(w[1:len(w)-1], w[2:len(w)])) AS p) u
+    ),
+    scored AS (
+      SELECT d.doc_id,
+             -log2(CASE WHEN bi.n_bi IS NOT NULL AND ua.n_uni IS NOT NULL
+                        THEN bi.n_bi * 1.0 / ua.n_uni
+                        ELSE 0.4 * coalesce(ub.n_uni, 0) / t END) AS nll
+      FROM doc_pairs d
+      LEFT JOIN bi ON d.a = bi.a AND d.b = bi.b
+      LEFT JOIN uni ua ON d.a = ua.tok
+      LEFT JOIN uni ub ON d.b = ub.tok
+      CROSS JOIN total
+    )
+    SELECT doc_id, round(avg(nll), 6) AS bigram_nll
+    FROM scored WHERE nll IS NOT NULL AND NOT isnan(nll) AND nll != 'infinity'
+    GROUP BY doc_id
+    """,
+)
+def text_bigram_nll(spark, sf_dir):
+    """Bigram LM quality score with stupid backoff (KenLM-lite /
+    CCNet-style perplexity filter): corpus docs (id>=50) scored against
+    a model counted from the reference slice (id<50) — unseen bigrams
+    exercise the columnar backoff path."""
+    from cm_well_spark.operators.text import bigram_cross_entropy
+    from cm_well_spark.sources import tables as tbl
+
+    docs = tbl.load_table(spark, sf_dir, "documents")
+    return bigram_cross_entropy(
+        docs.where(F.col("doc_id") >= 50), reference=docs.where(F.col("doc_id") < 50)
+    )

@@ -600,3 +600,27 @@ def test_tfidf_keywords_basics(spark):
     assert got[1][0] == "spark" and "common" not in got[1]
     assert got[2][0] == "flink" and "uniquetwo" in got[2]
     assert all(len(v) <= 2 for v in got.values())
+
+
+def test_bigram_nll_orders_fluency(spark):
+    """Docs made of reference-frequent bigrams score lower (more
+    predictable) than shuffled-token docs; unseen bigrams hit the
+    backoff, zero-probability ones drop out rather than poisoning the
+    average."""
+    from cm_well_spark.operators.text import bigram_cross_entropy
+
+    ref = spark.createDataFrame(
+        [(i, "the cat sat on the mat and the dog ran off") for i in range(10)],
+        ["doc_id", "text"],
+    )
+    docs = spark.createDataFrame(
+        [
+            (100, "the cat sat on the mat"),      # all reference bigrams
+            (101, "mat the on sat cat the"),      # same tokens, unseen order
+            (102, "zq xv qj wk"),                 # fully out-of-vocab
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["bigram_nll"] for r in bigram_cross_entropy(docs, reference=ref).collect()}
+    assert out[100] < out[101]
+    assert 102 not in out or out[102] > out[100]  # all-zero-prob doc drops or scores high
