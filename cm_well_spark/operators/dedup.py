@@ -359,3 +359,48 @@ def duplicate_clusters(
         if changed == 0:
             break
     return labels.select(F.col("id").alias(id_col), "cluster")
+
+
+def duplicated_spans(
+    df: DataFrame,
+    k: int = 16,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_span_freq: int | None = None,
+) -> DataFrame:
+    """Exact duplicated-span detection (the substring-dedup audit of Lee
+    et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better", at word granularity): every position where a k-token span
+    recurs across >= min_docs distinct documents -> (doc_id, pos,
+    span_hash). Downstream either cuts the spans out of the training
+    text or flags the docs for memorization review.
+
+    Shape: positional k-grams explode off the scan (pos rides the
+    sequence index), the recurring-span set comes from one groupBy on
+    the span hash, and positions meet it with a semi-join — the span
+    TEXT never shuffles, only its hash. md5 keeps the key replayable in
+    any SQL engine (the oracle contract); swap in xxhash64 for the
+    8-byte shuffle key on a real 100 TB run. `max_span_freq` caps
+    boilerplate explosions the same way jaccard_pairs guards hot
+    shingles (a span in 10M docs is a template, not a leak — report it
+    from the aggregate side instead of materializing every site)."""
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    n = F.size(words)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+        lambda i: F.struct(
+            i.alias("pos"), F.md5(F.concat_ws(" ", F.slice(words, i + 1, k))).alias("h")
+        ),
+    )
+    spans = df.select(F.col(id_col).alias("id"), F.explode(grams).alias("g")).select(
+        "id", F.col("g.pos").alias("pos"), F.col("g.h").alias("span_hash")
+    )
+    hot = spans.groupBy("span_hash").agg(F.countDistinct("id").alias("n_docs"))
+    recurring = hot.where(F.col("n_docs") >= min_docs)
+    if max_span_freq is not None:
+        recurring = recurring.where(F.col("n_docs") <= max_span_freq)
+    return (
+        spans.join(recurring.select("span_hash"), "span_hash", "left_semi")
+        .select(F.col("id").alias(id_col), "pos", "span_hash")
+    )

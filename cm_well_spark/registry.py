@@ -4220,3 +4220,35 @@ def text_bigram_nll(spark, sf_dir):
     return bigram_cross_entropy(
         docs.where(F.col("doc_id") >= 50), reference=docs.where(F.col("doc_id") < 50)
     )
+
+
+@register(
+    "dedup_duplicated_spans",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split({_NORM_SQL.format(c='text')}, ' ') AS w FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, u.i AS pos,
+             md5(array_to_string(w[u.i + 1 : u.i + 16], ' ')) AS span_hash
+      FROM d, LATERAL (
+        SELECT unnest(range(greatest(len(w) - 16, 0) + 1)) AS i
+      ) u
+    ),
+    recurring AS (
+      SELECT span_hash FROM grams GROUP BY span_hash
+      HAVING count(DISTINCT doc_id) >= 2
+    )
+    SELECT g.doc_id, g.pos, g.span_hash
+    FROM grams g JOIN recurring r USING (span_hash)
+    """,
+)
+def dedup_duplicated_spans(spark, sf_dir):
+    """Exact duplicated-span audit (Lee et al. 2022 substring dedup at
+    word granularity): every position where a 16-token span recurs
+    across >= 2 documents. Span text never shuffles — only its hash."""
+    from cm_well_spark.operators.dedup import duplicated_spans
+    from cm_well_spark.sources import tables as tbl
+
+    docs = tbl.load_table(spark, sf_dir, "documents")
+    return duplicated_spans(docs, k=16, min_docs=2)

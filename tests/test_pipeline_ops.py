@@ -624,3 +624,32 @@ def test_bigram_nll_orders_fluency(spark):
     out = {r["doc_id"]: r["bigram_nll"] for r in bigram_cross_entropy(docs, reference=ref).collect()}
     assert out[100] < out[101]
     assert 102 not in out or out[102] > out[100]  # all-zero-prob doc drops or scores high
+
+
+def test_duplicated_spans_finds_planted_overlap(spark):
+    """A 16-token span shared by two docs is reported at BOTH sites with
+    the right positions; unique text reports nothing."""
+    from cm_well_spark.operators.dedup import duplicated_spans
+
+    shared = " ".join(f"tok{i}" for i in range(16))
+    df = spark.createDataFrame(
+        [
+            (1, "prefix one two " + shared),
+            (2, shared + " suffix here"),
+            (3, " ".join(f"uniq{i}" for i in range(30))),
+        ],
+        ["doc_id", "text"],
+    )
+    out = duplicated_spans(df, k=16, min_docs=2).collect()
+    sites = {(r["doc_id"], r["pos"]) for r in out}
+    assert (1, 3) in sites and (2, 0) in sites
+    assert all(r["doc_id"] != 3 for r in out)
+
+
+def test_duplicated_spans_freq_cap_drops_boilerplate(spark):
+    from cm_well_spark.operators.dedup import duplicated_spans
+
+    boiler = " ".join(f"b{i}" for i in range(16))
+    df = spark.createDataFrame([(i, boiler) for i in range(10)], ["doc_id", "text"])
+    assert duplicated_spans(df, k=16, min_docs=2).count() == 10
+    assert duplicated_spans(df, k=16, min_docs=2, max_span_freq=5).count() == 0
