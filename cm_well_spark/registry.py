@@ -4252,3 +4252,24 @@ def dedup_duplicated_spans(spark, sf_dir):
 
     docs = tbl.load_table(spark, sf_dir, "documents")
     return duplicated_spans(docs, k=16, min_docs=2)
+
+
+@register(
+    "search_system_fields",
+    oracle="""
+    SELECT '/tpch/nation/' || n_nationkey AS path FROM nation
+    WHERE CAST('2020-01-01 00:00:00' AS TIMESTAMP) + INTERVAL (n_nationkey % 10000000) SECOND
+          > CAST('2020-01-01 00:00:10' AS TIMESTAMP)
+    """,
+)
+def search_system_fields(spark, sf_dir):
+    """F1 qp over system.* columns (system.parent equality AND a
+    system.lastModified range in one filter list — RawFieldFilter's
+    system-field branch): nations modified after the cutoff."""
+    df = S.search(
+        _inf(spark, sf_dir),
+        qp="system.parent::/tpch/nation,system.lastModified>2020-01-01T00:00:10",
+        length=None,
+        enforce_limits=False,
+    )
+    return df.select("path")
