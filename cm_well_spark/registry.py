@@ -4273,3 +4273,47 @@ def search_system_fields(spark, sf_dir):
         enforce_limits=False,
     )
     return df.select("path")
+
+
+@register(
+    "streaming_window_counts",
+    oracle="""
+    SELECT strftime(to_timestamp(floor(epoch(ts) / 60) * 60), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, count(*) AS n, round(sum(value), 2) AS total
+    FROM events GROUP BY 1, 2
+    """,
+)
+def streaming_window_counts(spark, sf_dir):
+    """T-class watermarked tumbling-window rollup: the events table
+    replayed as a stream, aggregated with a 10-minute watermark
+    (bounded state); complete-mode output equals the batch rollup —
+    streaming/batch parity for windowed aggregation."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from cm_well_spark.sources import tables as tbl
+    from cm_well_spark.streaming.windows import streaming_window_counts as swc
+
+    ev = tbl.load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "event_type", "value"
+    )
+    work = tempfile.mkdtemp(prefix="cmw_swin_")
+    feed = os.path.join(work, "feed")
+    ev.write.mode("overwrite").parquet(feed)
+    stream = spark.readStream.schema(ev.schema).parquet(feed)
+    name = f"swin_{uuid.uuid4().hex[:8]}"
+    q = (
+        swc(stream, window="1 minute", watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.table(name).localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return out

@@ -418,3 +418,56 @@ def test_streaming_pack_batch_parity_across_restarts(spark):
         for r in pack_concat_windows(df, budget=16, n_shards=2).collect()
     }
     assert got == want
+
+
+def test_streaming_window_append_drops_late_events(spark):
+    """Append mode + watermark: a window emits once when the watermark
+    passes its end, and an event arriving LATER than the watermark
+    horizon is dropped — the bounded-state contract."""
+    import shutil
+
+    from cm_well_spark.streaming.windows import streaming_window_counts
+
+    d = os.path.join(TMP, "swin")
+    shutil.rmtree(d, ignore_errors=True)
+    feed = os.path.join(d, "feed")
+    sink = os.path.join(d, "sink")
+    os.makedirs(feed)
+    schema = "event_id long, ts timestamp, event_type string, value double"
+
+    def write(rows):
+        spark.createDataFrame(
+            [(i, F.lit(t).cast("timestamp"), et, v) for i, t, et, v in []] or rows, schema
+        ).coalesce(1).write.mode("append").parquet(feed)
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    write([(1, t0, "click", 1.0), (2, t0 + dt.timedelta(seconds=30), "click", 2.0)])
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(feed)
+        q = (
+            streaming_window_counts(stream, window="1 minute", watermark="5 minutes")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", os.path.join(d, "ck"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    # batch 2: an event 30 min later advances the watermark to 10:25
+    write([(3, t0 + dt.timedelta(minutes=30), "view", 1.0)])
+    run()
+    # batch 3: a LATE event at 10:10 — behind the 10:25 watermark set by
+    # batch 2, so the engine drops it; a fresh event closes window 10:30
+    write([(4, t0 + dt.timedelta(minutes=10), "late", 9.0),
+           (5, t0 + dt.timedelta(minutes=60), "view", 1.0)])
+    run()
+    got = {(r["window_start"], r["event_type"]): r["n"] for r in spark.read.parquet(sink).collect()}
+    assert got[("2024-01-01 10:00:00", "click")] == 2  # first window emitted once
+    assert ("2024-01-01 10:10:00", "late") not in got  # late event dropped
+    assert got[("2024-01-01 10:30:00", "view")] == 1
