@@ -181,3 +181,60 @@ def test_snapshot_at_picks_version_and_skips_tombstone(spark):
     assert at("2024-01-02 12:00:00") == {"/a": "u1"}  # /b deleted by now
     assert at("2024-01-04") == {"/a": "u2"}
     assert at("2023-12-31") == {}
+
+
+# ---------------------------------------------------------------------------
+# property: asof_join == pandas.merge_asof on random inputs
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(  # left rows: (key, second-offset)
+        st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=25
+    ),
+    st.lists(  # right rows: (key, second-offset) — duplicates allowed
+        st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=0, max_size=25
+    ),
+)
+def test_asof_matches_pandas_on_random_frames(spark, left_rows, right_rows):
+    import datetime as dt
+
+    import pandas as pd
+
+    base = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(i, k, base + dt.timedelta(seconds=s)) for i, (k, s) in enumerate(left_rows)],
+        ["ev", "k", "ts"],
+    )
+    # dedupe right per (key, ts) (the operator's documented determinism
+    # precondition) keeping the max payload, mirrored on the pandas side
+    rdict = {}
+    for j, (k, s) in enumerate(right_rows):
+        rdict[(k, s)] = max(rdict.get((k, s), -1), j)
+    rrows = [(k, base + dt.timedelta(seconds=s), v) for (k, s), v in rdict.items()]
+    if rrows:
+        right = spark.createDataFrame(rrows, ["k", "rts", "val"])
+    else:
+        right = spark.createDataFrame([], "k int, rts timestamp, val long")
+
+    got = {
+        r["ev"]: r["val"]
+        for r in asof_join(left, right, on="k", left_ts="ts", right_ts="rts", how="left").collect()
+    }
+
+    lp = pd.DataFrame(
+        [(i, k, base + dt.timedelta(seconds=s)) for i, (k, s) in enumerate(left_rows)],
+        columns=["ev", "k", "ts"],
+    ).sort_values("ts", kind="stable")
+    rp = pd.DataFrame(rrows, columns=["k", "rts", "val"]).sort_values("rts", kind="stable")
+    if len(rp):
+        want_df = pd.merge_asof(lp, rp, left_on="ts", right_on="rts", by="k", direction="backward")
+        want = {
+            int(r.ev): (None if pd.isna(r.val) else int(r.val)) for r in want_df.itertuples()
+        }
+    else:
+        want = {int(r.ev): None for r in lp.itertuples()}
+    assert got == want
