@@ -393,7 +393,7 @@ def duplicated_spans(
             i.alias("pos"), F.md5(F.concat_ws(" ", F.slice(words, i + 1, k))).alias("h")
         ),
     )
-    spans = df.select(F.col(id_col).alias("id"), F.explode(grams).alias("g")).select(
+    spans = spread_for_cpu(df).select(F.col(id_col).alias("id"), F.explode(grams).alias("g")).select(
         "id", F.col("g.pos").alias("pos"), F.col("g.h").alias("span_hash")
     )
     hot = spans.groupBy("span_hash").agg(F.countDistinct("id").alias("n_docs"))
