@@ -3705,7 +3705,7 @@ def curation_mixture_weights(spark, sf_dir):
       FROM part WHERE p_retailprice > 910
       UNION
       SELECT '/tpch/part/5' AS s, p_name AS name FROM part WHERE p_partkey = 5
-    )
+    ) ORDER BY s LIMIT 10000
     """,
 )
 def sp_paths_sparql(spark, sf_dir):
@@ -3722,7 +3722,7 @@ def sp_paths_sparql(spark, sf_dir):
         "/tpch/part/5\n"
         "\n"
         "SPARQL\n"
-        "SELECT ?s ?name WHERE { ?s <name> ?name }\n"
+        "SELECT ?s ?name WHERE { ?s <name> ?name } ORDER BY ?s\n"
     )
     return sp_eval(_inf(spark, sf_dir), _tri(spark, sf_dir), payload)[0]
 
@@ -3757,6 +3757,7 @@ def sp_paths_gremlin(spark, sf_dir):
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
     WHERE c_mktsegment = 'BUILDING'
+    ORDER BY c, r LIMIT 10000
     """,
 )
 def sp_import_expand(spark, sf_dir):
@@ -3775,7 +3776,7 @@ def sp_import_expand(spark, sf_dir):
     payload = (
         "PATHS\n/tpch?op=search&recursive\n\n"
         "IMPORT\n/queries/locate\n\n"
-        "SPARQL\nSELECT ?c ?r WHERE { ?c <locatedIn> ?r . ?c <mktsegment> %seg% }\n"
+        "SPARQL\nSELECT ?c ?r WHERE { ?c <locatedIn> ?r . ?c <mktsegment> %seg% } ORDER BY ?c ?r\n"
     )
     return sp_eval(
         _inf(spark, sf_dir),
