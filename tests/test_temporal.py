@@ -238,3 +238,48 @@ def test_asof_matches_pandas_on_random_frames(spark, left_rows, right_rows):
     else:
         want = {int(r.ev): None for r in lp.itertuples()}
     assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 2), st.integers(0, 7200)), min_size=1, max_size=20),
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 7200), st.integers(0, 5400)),
+        min_size=0,
+        max_size=15,
+    ),
+)
+def test_range_join_matches_bruteforce_on_random_frames(spark, left_rows, right_rows):
+    """Bucketing + residual == the naive BETWEEN join, for arbitrary
+    interval lengths spanning 0..several buckets."""
+    import datetime as dt
+
+    from cm_well_spark.operators.temporal import interval_range_join
+
+    base = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(i, k, base + dt.timedelta(seconds=s)) for i, (k, s) in enumerate(left_rows)],
+        ["ev", "k", "ts"],
+    )
+    rrows = [
+        (j, k, base + dt.timedelta(seconds=s), base + dt.timedelta(seconds=s + d))
+        for j, (k, s, d) in enumerate(right_rows)
+    ]
+    if rrows:
+        right = spark.createDataFrame(rrows, ["rid", "k", "s", "e"])
+    else:
+        right = spark.createDataFrame([], "rid long, k int, s timestamp, e timestamp")
+    got = {
+        (r["ev"], r["rid"])
+        for r in interval_range_join(
+            left, right, left_ts="ts", right_start="s", right_end="e",
+            on="k", bucket_seconds=600, right_cols=["rid"],
+        ).collect()
+    }
+    want = {
+        (i, j)
+        for i, (lk, ls) in enumerate(left_rows)
+        for j, (rk, rs, rd) in enumerate(right_rows)
+        if lk == rk and rs <= ls <= rs + rd
+    }
+    assert got == want
