@@ -344,3 +344,31 @@ def test_ivfpq_topk_recall(embs):
     got20 = {r["vec_id"] for r in ivfpq_topk(embs, q, k=20).collect()}
     assert 0 in got20  # the query vector itself survives both stages
     assert len(true10 & got20) >= 2
+
+
+# ---------------------------------------------------------------------------
+# property pins
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.integers(0, 40), min_size=1, max_size=30),
+    st.integers(1, 64),
+    st.integers(1, 4),
+)
+def test_pack_windows_conservation_random(spark, word_counts, budget, n_shards):
+    """Token conservation + in-budget windows hold for arbitrary doc
+    shapes (including empty texts, which count 1 whitespace token)."""
+    from cm_well_spark.operators.packing import pack_concat_windows
+
+    rows = [(i, "w " * n) for i, n in enumerate(word_counts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    packed = pack_concat_windows(df, budget=budget, n_shards=n_shards)
+    agg = {r["doc_id"]: r["tot"] for r in packed.groupBy("doc_id").agg(F.sum("win_tokens").alias("tot")).collect()}
+    for i, n in enumerate(word_counts):
+        assert agg[i] == max(n, 1)  # "" and "w " both split to >=1 token
+    over = packed.groupBy("shard", "window").agg(F.sum("win_tokens").alias("t")).where(F.col("t") > budget)
+    assert over.count() == 0
