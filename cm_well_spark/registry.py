@@ -4318,3 +4318,38 @@ def streaming_window_counts(spark, sf_dir):
     out = spark.table(name).localCheckpoint(eager=True)
     shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+@register(
+    "events_sliding_agg",
+    oracle="""
+    WITH w AS (
+      SELECT e.event_type, e.value,
+             to_timestamp((floor(epoch(e.ts) / 300) - u.i) * 300) AS window_start
+      FROM events e, LATERAL (SELECT unnest(range(3)) AS i) u
+      WHERE epoch(e.ts) >= (floor(epoch(e.ts) / 300) - u.i) * 300
+        AND epoch(e.ts) < (floor(epoch(e.ts) / 300) - u.i) * 300 + 900
+    )
+    SELECT strftime(window_start, '%Y-%m-%d %H:%M') AS window_start,
+           event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM w GROUP BY 1, 2
+    """,
+)
+def events_sliding_agg(spark, sf_dir):
+    """Sliding-window aggregation (15-minute windows every 5 minutes):
+    each event lands in window_len/slide = 3 overlapping windows —
+    F.window's slide form, completing the tumbling/session/sliding trio.
+    The oracle replays the window assignment with a bucket lateral."""
+    from cm_well_spark.sources import tables as tbl
+
+    ev = tbl.load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "15 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
