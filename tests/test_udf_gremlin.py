@@ -343,3 +343,42 @@ def test_gremlin_string_range_and_float_args(infotons, triples):
         'g.V().has("rdfType", "Order").filter("totalprice", ">", 400000.5).count()'
     )
     assert isinstance(n, int) and n > 0
+
+
+# ---------------------------------------------------------------------------
+# string front-end error contract (fuzz)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(alphabet=st.characters(codec="ascii"), max_size=120))
+def test_gremlin_parser_never_leaks_foreign_exceptions(infotons, triples, payload):
+    """Arbitrary input either evaluates or raises GremlinParseError —
+    never an IndexError/ValueError escape from the segment splitter or
+    argument parser (the same contract the qp/SPARQL/_sp parsers pin)."""
+    from cm_well_spark.operators.gremlin import GremlinParseError, eval_gremlin
+
+    try:
+        eval_gremlin(infotons, triples, payload)
+    except GremlinParseError:
+        pass
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(
+            ['out("a")', 'in("b")', "both()", 'has("rdfType", "Nation")', "dedup()"]
+        ),
+        min_size=0,
+        max_size=4,
+    ),
+    st.sampled_from(["paths()", "count()"]),
+)
+def test_gremlin_wellformed_chains_always_evaluate(infotons, triples, steps, terminal):
+    from cm_well_spark.operators.gremlin import eval_gremlin
+
+    q = "g.V()" + "".join("." + s for s in steps) + "." + terminal
+    eval_gremlin(infotons, triples, q)  # must not raise
