@@ -4353,3 +4353,38 @@ def events_sliding_agg(spark, sf_dir):
             "total_value",
         )
     )
+
+
+def _srp_oracle_sql() -> str:
+    """SRP bucket assignment replayed in SQL: the LCG planes are
+    deterministic Python floats, so they inline as literals — bit i of
+    the bucket = sign(v . plane_i), exactly srp_bucket's formula."""
+    from cm_well_spark.operators.similarity import _planes
+
+    planes = _planes(64, 6)
+    terms = []
+    for i, p in enumerate(planes):
+        lit = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, {lit}) > 0 THEN {1 << i} ELSE 0 END)"
+        )
+    bucket = " + ".join(terms)
+    return f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+    SELECT vec_id, CAST({bucket} AS BIGINT) AS bucket FROM e
+    """
+
+
+@register("embedding_srp_buckets", oracle=_srp_oracle_sql())
+def embedding_srp_buckets(spark, sf_dir):
+    """SRP-LSH bucket assignment hash-pinned: sign-of-dot-product bit
+    buckets under the deterministic LCG hyperplanes — the candidate
+    generator behind lsh_topk / cosine_dup_pairs, previously pinned only
+    through recall tests."""
+    from cm_well_spark.operators.similarity import _planes, srp_bucket
+    from cm_well_spark.sources import tables as tbl
+
+    embs = tbl.load_table(spark, sf_dir, "embeddings")
+    cast = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    planes = _planes(64, 6)
+    return embs.select("vec_id", srp_bucket(cast, planes).alias("bucket"))
