@@ -101,8 +101,11 @@ def main() -> None:
     # BASELINE.md targets are WARM numbers; on a contended host any single
     # sample can be 5-30x the warm cost (the r4 adjudication traced a
     # phantom 35x "regression" to host CPU steal). Every query therefore
-    # takes min-of-2 samples unconditionally (VERDICT r4 item 7).
-    samples = int(os.environ.get("CMW_BENCH_SAMPLES", "2"))
+    # takes min-of-N samples unconditionally (VERDICT r4 item 7); the r6
+    # default is 3 — sustained steal inflated BOTH of min-of-2's samples
+    # (a 22s record for a 1.9s-warm query), and the third draw usually
+    # lands in a quieter slice.
+    samples = int(os.environ.get("CMW_BENCH_SAMPLES", "3"))
     for name in names:
         fn = qs[name]
         best, n = float("inf"), 0
