@@ -140,8 +140,13 @@ def bpe_encode(
         .distinct()
         .mapInPandas(count_batch, "w string, n_syms int")
     )
+    # No broadcast hint: the distinct-word table is unbounded (a 100 TB
+    # corpus carries 10^7-10^8 distinct words) — a forced broadcast OOMs
+    # the executors. AQE picks a broadcast at runtime when the table in
+    # fact fits under spark.sql.autoBroadcastJoinThreshold; otherwise
+    # this is a token-keyed shuffle join, which is the correct plan.
     return (
-        exploded.join(F.broadcast(word_counts), "w")
+        exploded.join(word_counts, "w")
         .groupBy(id_col)
         .agg(F.sum("n_syms").cast("long").alias("bpe_tokens"))
     )

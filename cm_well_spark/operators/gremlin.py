@@ -422,6 +422,15 @@ def eval_gremlin(infotons: DataFrame, triples: DataFrame, query: str):
         if not m:
             raise GremlinParseError(f"cannot parse step {seg!r}")
         name, raw_args, closure = m.group(1), m.group(2), m.group(3)
+        # Every step but V()/v() operates on an established frontier; a bare
+        # `g` or a chain that never visits V() (e.g. `g.has(...)`) has none —
+        # the reference's Groovy engine rejects such pipes too. Raising here
+        # keeps the module's error contract (GremlinParseError or a result,
+        # never a foreign AttributeError off frontier=None).
+        if t.frontier is None and name not in ("v", "V"):
+            raise GremlinParseError(
+                f"step {name!r} before any V() — the traversal has no frontier"
+            )
         if closure is not None:
             if name != "filter":
                 raise GremlinParseError(
@@ -437,4 +446,8 @@ def eval_gremlin(infotons: DataFrame, triples: DataFrame, query: str):
         if name not in steps:
             raise GremlinParseError(f"unsupported gremlin step {name!r}")
         t = steps[name](t, *args)
+    if t.frontier is None:
+        raise GremlinParseError(
+            "traversal contains no V() step — nothing to return paths for"
+        )
     return t.paths()
