@@ -179,6 +179,7 @@ def sp_eval(
     stats: dict | None = None,
     stored: dict[str, str] | None = None,
     custom_params: dict[str, str] | None = None,
+    functions=None,
 ) -> list[DataFrame]:
     """Parse + populate + evaluate; one result DataFrame per query (the
     reference concatenates rendered results — callers here keep the
@@ -192,26 +193,39 @@ def sp_eval(
     CM-Well paths): each runs over the populated dataset and its
     constructed triples are added before the main queries evaluate
     (JenaUtils.expandDataset, SpHandler.scala:560-578) — CONSTRUCT-rule
-    inference scoped to the subgraph. `.jar` / `.scala` imports (hot
-    Jena function compilation) stay rejected. `custom_params` feeds
-    `%var%` substitution in queries and imported snippets."""
+    inference scoped to the subgraph. `.jar` / `.scala` imports (the
+    reference hot-compiles Jena functions, SpHandler.scala:525-548) map
+    onto the Spark analog: the import's basename must name a function
+    registered in `functions` (a FunctionRegistry, or any container of
+    names), which the SPARQL bodies may then call by bare name, prefixed
+    name, or full IRI. An import naming no registered function errors
+    with a clear message. `custom_params` feeds `%var%` substitution in
+    queries and imported snippets."""
     req = parse_sp_payload(payload)
-    jars = [i for i in req.imports if i.endswith(".jar") or i.endswith(".scala")]
-    if jars:
-        raise NotImplementedError(
-            "_sp jar/scala imports (Jena FunctionRegistry, "
-            "SparqlQuery.evaluate:525-548) are not supported"
-        )
+    fn_imports = [i for i in req.imports if i.endswith((".jar", ".scala"))]
+    registered = set(getattr(functions, "registered", functions or ()))
+    custom_fns: set[str] = set()
+    for imp in fn_imports:
+        base = imp.rsplit("/", 1)[-1].rsplit(".", 1)[0]
+        if base not in registered:
+            raise KeyError(
+                f"_sp import {imp!r}: no function {base!r} is registered — the "
+                "reference hot-compiles Jena functions from the jar "
+                "(SpHandler.scala:525-548); here the import must name a "
+                "FunctionRegistry-registered Spark UDF passed via `functions`"
+            )
+        custom_fns.add(base)
     paths = populate(infotons, triples, req.sources)
     scoped = triples.join(paths.withColumnRenamed("path", "s"), "s", "left_semi")
     from cm_well_spark.operators.sparql import sparql_query
 
-    if req.imports:
+    stored_imports = [i for i in req.imports if i not in fn_imports]
+    if stored_imports:
         if stored is None:
             raise KeyError("payload has IMPORT lines but no stored-query source was provided")
-        for imp in req.imports:
+        for imp in stored_imports:
             text = substitute_placeholders(stored[imp], custom_params)
-            expansion = sparql_query(scoped, text, stats=stats, limit_cap=None)
+            expansion = sparql_query(scoped, text, stats=stats, limit_cap=None, custom_fns=custom_fns)
             scoped = scoped.unionByName(_construct_as_quads(expansion, triples))
     queries = [substitute_placeholders(q, custom_params) for q in req.queries]
     if req.engine == "gremlin":
@@ -219,4 +233,4 @@ def sp_eval(
 
         scoped_inf = infotons.join(paths, "path", "left_semi")
         return [eval_gremlin(scoped_inf, scoped, q) for q in queries]
-    return [sparql_query(scoped, q, stats=stats) for q in queries]
+    return [sparql_query(scoped, q, stats=stats, custom_fns=custom_fns) for q in queries]

@@ -1,1 +1,5 @@
-from cm_well_spark.operators.sparql.compiler import sparql_explain, sparql_query  # noqa: F401
+from cm_well_spark.operators.sparql.compiler import (  # noqa: F401
+    SparqlCompileError,
+    sparql_explain,
+    sparql_query,
+)

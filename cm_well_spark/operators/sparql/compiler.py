@@ -46,6 +46,10 @@ from cm_well_spark.operators.sparql.parser import (
 )
 
 RESULTS_LIMIT = 10_000  # Config.defaultConfig resultsLimit (JenaArqExtensions.scala:311-321)
+
+# User functions admitted for the query being compiled (set by
+# sparql_query(custom_fns=...) for the eager compile, then restored).
+_CUSTOM_FNS: frozenset[str] = frozenset()
 # `p+`/`p*` closures iterate to fixpoint (unbounded, like ARQ); expansion
 # stops with a partial-result warning when the reached set exceeds the
 # reference's intermediate limit (Config.intermediateLimit, same loc).
@@ -801,6 +805,19 @@ def _value_col(e, df: DataFrame) -> tuple[Column, bool]:
             # terms are strings in this engine (subjects = infoton paths);
             # IRI() is the identity on the lexical form
             return args[0][0].cast("string"), False
+        if e.fn.startswith("udf:"):
+            # user function (Jena FunctionRegistry analog): the parser
+            # resolved the call head to a local name; it must have been
+            # admitted for this query (sparql_query(custom_fns=...) /
+            # an _sp jar import) and be registered in the Spark session.
+            name = e.fn[4:]
+            if name not in _CUSTOM_FNS:
+                raise SparqlCompileError(
+                    f"unknown function {name!r}: not a SPARQL builtin and not an "
+                    "admitted user function (register it via FunctionRegistry and "
+                    "pass custom_fns= or an _sp jar/scala import)"
+                )
+            return F.call_function(name, *[a[0].cast("string") for a in args]), False
     raise SparqlCompileError(f"unsupported value expression {e!r}")
 
 
@@ -1121,6 +1138,7 @@ def sparql_query(
     stats: dict | None = None,
     limit_cap: int = RESULTS_LIMIT,
     infotons: DataFrame | None = None,
+    custom_fns: set[str] | None = None,
 ) -> DataFrame:
     """Compile + plan a SPARQL query over the triples table.
 
@@ -1130,27 +1148,38 @@ def sparql_query(
     `infotons` (the wide doc table) enables the squash-by-subject route:
     same-subject constant-predicate pattern groups evaluate as one
     doc-table scan instead of N triples self-joins.
-    """
-    q = parse_sparql(query) if isinstance(query, str) else query
-    if q.form == "select":
-        return _select_frame(triples, q, stats, infotons, limit_cap)
-    # construct
-    src, named = _dataset_frames(triples, q)
-    sols = _compile_group(
-        src, q.where, stats, infotons if named is None else None, named_source=named
-    )
-    parts = []
-    for tp in q.template:
-        def col_of(term):
-            if isinstance(term, Var):
-                if term.name not in sols.columns:
-                    raise SparqlCompileError(f"CONSTRUCT variable ?{term.name} not bound")
-                return F.col(term.name).cast("string")
-            return F.lit(_term_str(term))
 
-        parts.append(sols.select(col_of(tp.s).alias("s"), col_of(tp.p).alias("p"), col_of(tp.o).alias("o")))
-    df = reduce(lambda a, b: a.unionByName(b), parts).distinct()
-    return _apply_slice(df, q, limit_cap)
+    `custom_fns` admits user-function names (session-registered Spark
+    UDFs) callable inside FILTER/BIND — the Jena FunctionRegistry arc
+    (SpHandler.scala:525-548). Compilation is eager, so the admission
+    set only needs to live for the duration of this call.
+    """
+    global _CUSTOM_FNS
+    q = parse_sparql(query) if isinstance(query, str) else query
+    prev = _CUSTOM_FNS
+    _CUSTOM_FNS = frozenset(custom_fns or ())
+    try:
+        if q.form == "select":
+            return _select_frame(triples, q, stats, infotons, limit_cap)
+        # construct
+        src, named = _dataset_frames(triples, q)
+        sols = _compile_group(
+            src, q.where, stats, infotons if named is None else None, named_source=named
+        )
+        parts = []
+        for tp in q.template:
+            def col_of(term):
+                if isinstance(term, Var):
+                    if term.name not in sols.columns:
+                        raise SparqlCompileError(f"CONSTRUCT variable ?{term.name} not bound")
+                    return F.col(term.name).cast("string")
+                return F.lit(_term_str(term))
+
+            parts.append(sols.select(col_of(tp.s).alias("s"), col_of(tp.p).alias("p"), col_of(tp.o).alias("o")))
+        df = reduce(lambda a, b: a.unionByName(b), parts).distinct()
+        return _apply_slice(df, q, limit_cap)
+    finally:
+        _CUSTOM_FNS = prev
 
 
 def sparql_explain(

@@ -644,6 +644,40 @@ class _P:
                 args.append(self.arith_expr())
             self.expect(")")
             return Func(fn, tuple(args))
+        raw = self.peek()
+        if (
+            self.peek(1) == "("
+            and tok not in self.BOOL_FNS
+            and tok not in self.AGG_FNS
+            and tok not in ("EXISTS", "NOT", "IF")
+        ):
+            # Custom function application — the Jena FunctionRegistry arc
+            # (reference: SpHandler.scala:525-548 hot-compiles jar/scala
+            # functions into Jena's registry). The head may be a full IRI
+            # (<jar:pkg.Cls#fn>), a prefixed name, or a bare identifier;
+            # the LOCAL name resolves against session-registered Spark
+            # UDFs at compile time (Func carries it as "udf:<name>").
+            name = None
+            if raw.startswith("<") and raw.endswith(">"):
+                name = re.split(r"[#/.]", raw[1:-1])[-1]
+            elif re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*:[A-Za-z_][A-Za-z0-9_]*", raw):
+                pfx, local = raw.split(":", 1)
+                if pfx not in self.prefixes:
+                    raise SparqlParseError(f"unknown prefix: {pfx}")
+                name = local
+            elif re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", raw):
+                name = raw
+            if name is not None:
+                self.next()
+                self.expect("(")
+                args = []
+                if self.peek() != ")":
+                    args.append(self.arith_expr())
+                    while self.peek() == ",":
+                        self.next()
+                        args.append(self.arith_expr())
+                self.expect(")")
+                return Func("udf:" + name, tuple(args))
         if self.peek() == "(":
             # parenthesized sub-expression inside a value context
             self.next()

@@ -4388,3 +4388,38 @@ def embedding_srp_buckets(spark, sf_dir):
     cast = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     planes = _planes(64, 6)
     return embs.select("vec_id", srp_bucket(cast, planes).alias("bucket"))
+
+
+@register(
+    "sp_import_udf",
+    oracle="""
+    SELECT '/tpch/orders/' || o_orderkey AS o,
+           CAST(CAST(FLOOR(o_totalprice / 100000) AS BIGINT) AS VARCHAR) AS bucket
+    FROM orders WHERE o_totalprice > 400000
+    ORDER BY o LIMIT 10000
+    """,
+)
+def sp_import_udf(spark, sf_dir):
+    """§3.2 `_sp` jar/scala function import arc (SpHandler.scala:525-548):
+    the reference hot-compiles Jena functions from an imported jar; here
+    the import's basename resolves to a FunctionRegistry-registered Spark
+    SQL function, callable by bare name inside BIND/FILTER. The function
+    is a SQL macro, so the whole query stays one Catalyst plan — no
+    Python in the row path."""
+    from cm_well_spark.functions.udfs import FunctionRegistry
+    from cm_well_spark.operators.sp import sp_eval
+
+    reg = FunctionRegistry(spark)
+    reg.register_sql(
+        "pricebucket", ["x"],
+        "CAST(CAST(FLOOR(CAST(x AS DOUBLE) / 100000) AS BIGINT) AS STRING)",
+    )
+    payload = (
+        "PATHS\n/tpch/orders?op=search&recursive\n\n"
+        "IMPORT\n/lib/pricebucket.scala\n\n"
+        "SPARQL\nSELECT ?o ?bucket WHERE { ?o <totalprice> ?tp . FILTER(?tp > 400000) "
+        "BIND(pricebucket(?tp) AS ?bucket) } ORDER BY ?o\n"
+    )
+    return sp_eval(
+        _inf(spark, sf_dir), _tri(spark, sf_dir), payload, functions=reg
+    )[0]

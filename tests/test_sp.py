@@ -46,12 +46,51 @@ def test_parse_errors(payload):
         parse_sp_payload(payload)
 
 
-def test_imports_rejected_explicitly(infotons, triples):
-    with pytest.raises(NotImplementedError):
+def test_unregistered_jar_import_errors_clearly(infotons, triples):
+    """A .jar/.scala import whose basename names no registered function
+    errors with a message pointing at the FunctionRegistry contract
+    (the reference hot-compiles the jar, SpHandler.scala:525-548)."""
+    with pytest.raises(KeyError, match="no function 'some' is registered"):
         sp_eval(
             infotons,
             triples,
             "PATHS\n/a\n\nIMPORT\nsome.jar\n\nSPARQL\nSELECT ?x WHERE {?x ?y ?z}",
+        )
+
+
+def test_jar_import_resolves_registered_udf(spark, infotons, triples):
+    """The Spark analog of the Jena FunctionRegistry arc: the import's
+    basename resolves to a registered SQL function, callable by bare
+    name (BIND) and by IRI (<jar:...#fn>) inside the query body."""
+    from cm_well_spark.functions.udfs import FunctionRegistry
+
+    reg = FunctionRegistry(spark)
+    reg.register_sql("shout", ["x"], "UPPER(x)")
+    frames = sp_eval(
+        infotons,
+        triples,
+        "PATHS\n/tpch/region?op=search&recursive\n\n"
+        "IMPORT\n/lib/shout.scala\n\n"
+        "SPARQL\nSELECT ?s ?up WHERE { ?s <name> ?n . BIND(shout(?n) AS ?up) }\n"
+        "----\n"
+        "SELECT ?s WHERE { ?s <name> ?n . FILTER(<jar:lib.Shout#shout>(?n) = \"ASIA\") }\n",
+        functions=reg,
+    )
+    rows = {r["up"] for r in frames[0].collect()}
+    assert rows and all(v == v.upper() for v in rows)
+    assert [r["s"] for r in frames[1].collect()] == ["/tpch/region/2"]
+
+
+def test_unadmitted_function_call_is_compile_error(infotons, triples):
+    """Calling a function that no import admitted raises the compiler's
+    clear error, not a Spark analysis exception."""
+    from cm_well_spark.operators.sparql import SparqlCompileError
+
+    with pytest.raises(SparqlCompileError, match="unknown function 'mystery'"):
+        sp_eval(
+            infotons,
+            triples,
+            "PATHS\n/a\n\nSPARQL\nSELECT ?x WHERE { ?x <name> ?n . BIND(mystery(?n) AS ?x2) }",
         )
 
 
