@@ -580,15 +580,19 @@ def ivfpq_topk(
     n_codes: int = 8,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    rerank: int = 4,
 ) -> DataFrame:
     """IVF-PQ: the canonical billion-scale ANN composition — a coarse
     quantizer prunes to n_probe of n_cells partitions (ivf_assign), and
     inside the probed cells ranking uses PQ asymmetric distances over the
     m-byte codes (pq_topk's LUT), so query-time IO is
-    (n_probe / n_cells) * (m bytes per vector). Exact re-ranking of the
-    ADC top-k' against the float vectors is the standard final step and
-    composes as one more join; omitted here to keep the memory-path cost
-    visible in the plan."""
+    (n_probe / n_cells) * (m bytes per vector) — plus the standard final
+    step: exact re-ranking of the ADC top-(rerank*k) against the float
+    vectors (Jegou et al. 2011 §IV-C). The re-rank join touches only
+    rerank*k rows (a broadcast-sized id set), so the float column is
+    read for a constant number of vectors regardless of corpus size.
+    Output: (id, cosine) desc. `rerank=0` returns the raw ADC ranking
+    (id, adc_dist) asc — the memory-path-only plan."""
     assigned, cents = ivf_assign(df, n_cells, 2, vec_col, id_col)
     probe = [
         c[0]
@@ -596,4 +600,15 @@ def ivfpq_topk(
     ]
     cand_ids = assigned.where(F.col("cell").isin(probe)).select(F.col("id").alias(id_col))
     cand = df.join(cand_ids, id_col, "left_semi")
-    return pq_topk(cand, query_vec, k=k, m=m, n_codes=n_codes, vec_col=vec_col, id_col=id_col)
+    kprime = k if rerank == 0 else rerank * k
+    adc = pq_topk(cand, query_vec, k=kprime, m=m, n_codes=n_codes, vec_col=vec_col, id_col=id_col)
+    if rerank == 0:
+        return adc
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return (
+        df.join(F.broadcast(adc.select(id_col)), id_col, "left_semi")
+        .select(F.col(id_col), F.round(cosine(cast, q), 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )

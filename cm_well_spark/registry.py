@@ -4134,8 +4134,10 @@ def similarity_pq_topk(spark, sf_dir):
 @register("similarity_ivfpq_topk")
 def similarity_ivfpq_topk(spark, sf_dir):
     """IVF-PQ top-k: coarse cells prune the scan, ADC ranks the codes —
-    query IO = (n_probe/n_cells) * m bytes/vector. Approximate at both
-    stages -> rows-only; recall pinned by pytest."""
+    query IO = (n_probe/n_cells) * m bytes/vector — then the standard
+    exact re-rank of the ADC top-4k against the float vectors (a
+    broadcast-sized id semi-join). Approximate candidate generation ->
+    rows-only; recall (incl. rerank >= ADC-only) pinned by pytest."""
     from cm_well_spark.operators.similarity import ivfpq_topk
     from cm_well_spark.sources import tables as tbl
 

@@ -336,14 +336,21 @@ def test_pq_topk_recall_vs_brute(embs, spark, sf_dir):
 
 def test_ivfpq_topk_recall(embs):
     """Two-stage approximation still finds a reasonable slice of the true
-    neighborhood (IVF pruning + PQ quantization compound)."""
+    neighborhood (IVF pruning + PQ quantization compound), and the exact
+    re-rank step can only improve on the raw ADC ranking: within the
+    same candidate pool, re-ranked recall@k >= ADC-only recall@k."""
     from cm_well_spark.operators.similarity import brute_force_topk, ivfpq_topk
 
     q = [float(x) for x in embs.orderBy("vec_id").first()["embedding"]]
     true10 = {r["vec_id"] for r in brute_force_topk(embs, q, k=10).collect()}
+    adc20 = {r["vec_id"] for r in ivfpq_topk(embs, q, k=20, rerank=0).collect()}
     got20 = {r["vec_id"] for r in ivfpq_topk(embs, q, k=20).collect()}
     assert 0 in got20  # the query vector itself survives both stages
     assert len(true10 & got20) >= 2
+    assert len(true10 & got20) >= len(true10 & adc20)
+    # re-ranked output is exact cosine, descending
+    rows = ivfpq_topk(embs, q, k=5).collect()
+    assert [r["cosine"] for r in rows] == sorted((r["cosine"] for r in rows), reverse=True)
 
 
 # ---------------------------------------------------------------------------
