@@ -81,6 +81,44 @@ def triples_of(infotons: DataFrame) -> DataFrame:
     )
 
 
+def collect_predicate_stats(spark: SparkSession, out: str) -> None:
+    """(Re)collect per-predicate stats over the store's triples table: the
+    BGP reorderer's cardinality source — the Spark analog of the
+    reference's live count() per predicate
+    (JenaArqExtensionsUtils.sortTriplePatternsByAmount:187-225). Called by
+    the initial materialization AND by compaction, so stats stay honest
+    after incremental merge batches fold in."""
+    t = spark.read.parquet(os.path.join(out, "triples"))
+    base = t.groupBy("p").agg(
+        F.count("*").alias("n_triples"),
+        F.approx_count_distinct("o").alias("n_distinct_obj"),
+        F.approx_count_distinct("s").alias("n_distinct_subj"),
+        # the F9 types cache (RawFieldFilter typesCache analog) rides the
+        # same one-pass aggregation: vtype codes seen per field
+        F.array_sort(F.collect_set("vtype")).alias("vtypes"),
+    )
+    # per-predicate rdfType coverage: which entity types carry this field,
+    # and whether EVERY current subject carrying it is typed. Lets a pure
+    # type-filtered aggregation prove its path semi-join away
+    # (aggregations `universe_types`) — the "aggregate over type X" shape.
+    # Computed over distinct current (s, p) so multi-valued fields don't
+    # skew, joined back so the base aggregates stay single-pass exact.
+    cur = t.where(F.col("current"))
+    sp = cur.select("s", "p").distinct()
+    ty = cur.where(F.col("p") == "rdfType").select("s", F.col("o").alias("__ty")).distinct()
+    cov = (
+        sp.join(ty, "s", "left")
+        .groupBy("p")
+        .agg(
+            F.array_sort(F.collect_set("__ty")).alias("rdftypes"),
+            F.max(F.col("__ty").isNull().cast("int")).alias("has_untyped"),
+        )
+    )
+    base.join(cov, "p", "left").coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out, "predicate_stats")
+    )
+
+
 def materialize(spark: SparkSession, sf_dir: str, root: str | None = None, force: bool = False) -> str:
     """Build + write the lakehouse for one scale factor; returns its dir."""
     out = lakehouse_dir(sf_dir, root)
@@ -121,38 +159,7 @@ def materialize(spark: SparkSession, sf_dir: str, root: str | None = None, force
         .partitionBy("p")
         .parquet(os.path.join(out, "triples"))
     )
-    # per-predicate stats: the BGP reorderer's cardinality source — the Spark
-    # analog of the reference's live count() per predicate
-    # (JenaArqExtensionsUtils.sortTriplePatternsByAmount:187-225).
-    t = spark.read.parquet(os.path.join(out, "triples"))
-    base = t.groupBy("p").agg(
-        F.count("*").alias("n_triples"),
-        F.approx_count_distinct("o").alias("n_distinct_obj"),
-        F.approx_count_distinct("s").alias("n_distinct_subj"),
-        # the F9 types cache (RawFieldFilter typesCache analog) rides the
-        # same one-pass aggregation: vtype codes seen per field
-        F.array_sort(F.collect_set("vtype")).alias("vtypes"),
-    )
-    # per-predicate rdfType coverage: which entity types carry this field,
-    # and whether EVERY current subject carrying it is typed. Lets a pure
-    # type-filtered aggregation prove its path semi-join away
-    # (aggregations `universe_types`) — the "aggregate over type X" shape.
-    # Computed over distinct current (s, p) so multi-valued fields don't
-    # skew, joined back so the base aggregates stay single-pass exact.
-    cur = t.where(F.col("current"))
-    sp = cur.select("s", "p").distinct()
-    ty = cur.where(F.col("p") == "rdfType").select("s", F.col("o").alias("__ty")).distinct()
-    cov = (
-        sp.join(ty, "s", "left")
-        .groupBy("p")
-        .agg(
-            F.array_sort(F.collect_set("__ty")).alias("rdftypes"),
-            F.max(F.col("__ty").isNull().cast("int")).alias("has_untyped"),
-        )
-    )
-    base.join(cov, "p", "left").coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(out, "predicate_stats")
-    )
+    collect_predicate_stats(spark, out)
     os.makedirs(out, exist_ok=True)
     with open(stamp, "w") as fh:
         fh.write(fp)

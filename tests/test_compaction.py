@@ -1,0 +1,179 @@
+"""Incremental write batches + compaction (model/compaction.py): the
+deferred half of the r6 ingest design — merge-on-read deltas between
+compactions, one clustering rewrite that restores file-level min-max
+skipping and re-collects predicate_stats.
+
+Reference arcs: imp/indexer append + in-place ES current-flip
+(ImpStream.scala:96-137, IndexerStream.scala:100-137); the consistency
+machinery compaction replaces is the Cassandra/ES reconciliation the
+single-table design never needs.
+"""
+
+import os
+import shutil
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("CMW_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _sfv(v):
+    return {"value": v, "vtype": "s", "lang": None, "quad": None, "num": None, "ts": None, "bool": None}
+
+
+def _cmds(spark, rows):
+    from cm_well_spark.operators.merge import COMMAND_SCHEMA
+
+    return spark.createDataFrame(rows, COMMAND_SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    """A private copy of the materialized sf0.001 lakehouse, safe to
+    append to and compact."""
+    from cm_well_spark.model.lakehouse import materialize
+
+    src = materialize(spark, SF_DIR)
+    dst = str(tmp_path_factory.mktemp("lake") / "store")
+    shutil.copytree(src, dst)
+    return dst
+
+
+@pytest.fixture(scope="module")
+def batched(spark, store):
+    """Three incremental merge batches appended to the store, plus the
+    same commands folded purely in memory (apply_commands) as the truth
+    twin. Returns (store, truth_df)."""
+    from cm_well_spark.model.compaction import write_batch
+    from cm_well_spark.operators.merge import apply_commands
+
+    lm = datetime(2024, 3, 1)
+    batches = [
+        [
+            ("/tpch/region/0", 1, "write", {"extra": [_sfv("b1")]}, None, lm, "https"),
+            ("/tpch/region/90", 1, "write", {"name": [_sfv("NEW90")]}, None, lm, "https"),
+        ],
+        [
+            ("/tpch/region/0", 1, "write", {"extra": [_sfv("b2")]}, None, lm, "https"),
+            ("/tpch/region/1", 1, "delete_attributes", None, {"name": []}, lm, "https"),
+        ],
+        [
+            ("/tpch/region/2", 1, "delete_path", None, None, lm, "https"),
+            ("/tpch/region/90", 1, "write", {"extra": [_sfv("b3")]}, None, lm, "https"),
+        ],
+    ]
+    for rows in batches:
+        write_batch(spark, store, _cmds(spark, rows))
+
+    truth = spark.read.parquet(os.path.join(store, "infotons"))
+    for rows in batches:
+        truth = apply_commands(truth, _cmds(spark, rows))
+        truth = truth.localCheckpoint(eager=True)
+    return store, truth
+
+
+def _current_fields(df):
+    return {
+        (r["path"], r["kind"], tuple(sorted(r["fields"] or [])))
+        for r in df.where(F.col("current")).collect()
+    }
+
+
+def test_reconciled_read_matches_in_memory_merge(spark, batched):
+    """Merge-on-read parity: base + deltas with read-side current
+    recompute == the same commands folded in memory."""
+    from cm_well_spark.model.compaction import reconciled_infotons
+
+    store, truth = batched
+    got = reconciled_infotons(spark, store)
+    assert _current_fields(got) == _current_fields(truth)
+    # exactly one current version per path survives reconciliation
+    bad = (
+        got.groupBy("path")
+        .agg(F.sum(F.col("current").cast("int")).alias("n"))
+        .where(F.col("n") != 1)
+        .count()
+    )
+    assert bad == 0
+
+
+def test_reconciled_triples_flip_current(spark, batched):
+    """EAV view re-derives delta-affected subjects: the pre-batch
+    version of an updated path is no longer current in triples."""
+    from cm_well_spark.model.compaction import reconciled_triples
+
+    store, _ = batched
+    tri = reconciled_triples(spark, store)
+    cur0 = tri.where((F.col("s") == "/tpch/region/0") & F.col("current"))
+    assert {r["o"] for r in cur0.where(F.col("p") == "extra").collect()} == {"b1", "b2"}
+    # tombstoned path: no current triples
+    assert tri.where((F.col("s") == "/tpch/region/2") & F.col("current") & (F.col("kind") != "DeletedInfoton")).count() == 0
+
+
+def test_compact_folds_and_preserves_results(spark, batched):
+    """Compaction parity + layout: same reconciled answers, deltas gone,
+    bounded file count, disjoint per-file path ranges (the min-max
+    clustering ingest deferred), fresh predicate_stats."""
+    from cm_well_spark.model.compaction import compact, reconciled_infotons
+
+    store, truth = batched
+    before = _current_fields(reconciled_infotons(spark, store))
+    report = compact(spark, store, target_rows_per_file=2_000)
+    assert report["folded_batches"] == 3
+    assert not os.path.isdir(os.path.join(store, "infotons_delta"))
+
+    after_df = spark.read.parquet(os.path.join(store, "infotons"))
+    assert _current_fields(after_df) == before == _current_fields(truth)
+
+    # file-count bound: ceil(rows / target) per table, plus partition split
+    n_rows = after_df.count()
+    import math
+
+    assert report["infoton_files"] <= math.ceil(n_rows / 2_000) + len(
+        [d for d in os.listdir(os.path.join(store, "infotons")) if d.startswith("kind=")]
+    )
+
+    # range-clustering evidence: per-file path min/max are disjoint within
+    # each kind partition (the property that lets read_point prune files)
+    import pyarrow.parquet as pq
+
+    for kind_dir in os.listdir(os.path.join(store, "infotons")):
+        if not kind_dir.startswith("kind="):
+            continue
+        spans = []
+        kd = os.path.join(store, "infotons", kind_dir)
+        for f in os.listdir(kd):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(kd, f)).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx["path"]).statistics
+                if st is None:
+                    continue
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if lo is not None:
+                spans.append((lo, hi))
+        spans.sort()
+        for (l1, h1), (l2, h2) in zip(spans, spans[1:]):
+            assert h1 <= l2, f"overlapping path ranges in {kind_dir}: {h1} > {l2}"
+
+    # stats refreshed: the new region row is visible to the reorderer
+    stats = spark.read.parquet(os.path.join(store, "predicate_stats"))
+    name_n = stats.where(F.col("p") == "name").first()["n_triples"]
+    assert name_n >= 1
+
+
+def test_point_read_on_compacted_store_prunes(spark, batched):
+    """read_point over the compacted store still answers correctly (and
+    the scan carries a pushed path filter)."""
+    store, _ = batched
+    inf = spark.read.parquet(os.path.join(store, "infotons"))
+    row = inf.where(F.col("current") & (F.col("path") == "/tpch/region/90")).select("path").collect()
+    assert [r["path"] for r in row] == ["/tpch/region/90"]
+    plan = inf.where(F.col("path") == "/tpch/region/90")._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan or "path" in plan
