@@ -388,6 +388,49 @@ ATOM_OPEN = '<feed xmlns="http://www.w3.org/2005/Atom"><title>cm-well search res
 ATOM_CLOSE = "</feed>"
 
 
+def atom_pagination_links(
+    search_url: str,
+    total: int,
+    offset: int,
+    length: int,
+    extra_params: str = "",
+) -> list[str]:
+    """Writer-side pagination `<link rel=.../>` lines for the atom feed
+    envelope — the reference's PaginationInfo contract, byte for byte
+    (Application.scala:2250-2288): `first` is always offset=0; `last`
+    rounds the total down to a page boundary; `next` exists only while
+    offset+length < total; `previous` exists for any offset > 0 and
+    clamps to 0 on a partial back-step. Inputs are the search's bounded
+    scalars (offset/length/total), so this is pure driver-side string
+    work — nothing distributed to paginate."""
+    link_base = f"{search_url}{extra_params}&length={length}"
+    links = [("self", f"{link_base}&offset={offset}"), ("first", f"{link_base}&offset=0")]
+    last_off = (total // length) * length if length > 0 else 0
+    links.append(("last", f"{link_base}&offset={last_off}"))
+    if offset + length < total:
+        links.append(("next", f"{link_base}&offset={offset + length}"))
+    dif = offset - length
+    if dif >= 0:
+        links.append(("previous", f"{link_base}&offset={dif}"))
+    elif -dif < length:
+        links.append(("previous", f"{link_base}&offset=0"))
+    return [f'<link rel="{rel}" href="{_xml_escape_str(href)}"/>' for rel, href in links]
+
+
+def _xml_escape_str(s: str) -> str:
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;").replace('"', "&quot;")
+
+
+def atom_feed_open(
+    search_url: str, total: int, offset: int, length: int, extra_params: str = ""
+) -> str:
+    """The feed envelope with pagination links — prepend to the rendered
+    entry lines, close with ATOM_CLOSE."""
+    return ATOM_OPEN + "".join(
+        atom_pagination_links(search_url, total, offset, length, extra_params)
+    )
+
+
 FORMATTERS = {
     "json": to_json_rows,
     "jsonl": to_jsonl,

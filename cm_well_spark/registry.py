@@ -4425,3 +4425,43 @@ def sp_import_udf(spark, sf_dir):
     return sp_eval(
         _inf(spark, sf_dir), _tri(spark, sf_dir), payload, functions=reg
     )[0]
+
+
+@register(
+    "format_atom_lines",
+    oracle="""
+    WITH b AS (
+      SELECT 'http://cmwell/tpch/region?op=search&amp;format=atom&amp;length=2&amp;offset=' AS pre
+    )
+    SELECT '<link rel="' || rel || '" href="' || pre || off || '"/>' AS doc
+    FROM b, (VALUES ('self','0'),('first','0'),('last','4'),('next','2')) AS l(rel, off)
+    UNION ALL
+    SELECT '<entry><id>cmwell://tpch/region/' || r_regionkey
+        || '</id><title>/tpch/region/' || r_regionkey
+        || '</title><updated>'
+        || strftime(to_timestamp(1577836800 + r_regionkey % 10000000), '%Y-%m-%dT%H:%M:%SZ')
+        || '</updated></entry>' AS doc
+    FROM region WHERE r_regionkey < 2
+    """,
+)
+def format_atom_lines(spark, sf_dir):
+    """S9 atom envelope to byte-level parity: pagination link rels
+    (self/first/last/next/previous — PaginationInfo,
+    Application.scala:2250-2288) + entry lines for one search page.
+    Links are driver-side strings over the search's bounded scalars;
+    entries are the distributed formatter."""
+    from cm_well_spark.formats.render import atom_pagination_links, to_atom_entries
+
+    inf = _inf(spark, sf_dir)
+    regions = inf.where(
+        F.col("current")
+        & (F.col("kind") == "ObjectInfoton")
+        & F.col("path").rlike("^/tpch/region/[0-9]+$")
+    )
+    total = regions.count()
+    page = regions.orderBy("path").limit(2)
+    links = atom_pagination_links(
+        "http://cmwell/tpch/region?op=search", total, 0, 2, "&format=atom"
+    )
+    link_df = spark.createDataFrame([(l,) for l in links], "doc string")
+    return link_df.unionByName(to_atom_entries(page).select("doc"))

@@ -383,3 +383,30 @@ def test_delimited_header_matches_layout(spark, infotons):
         infotons.where(F.col("path") == "/tpch/nation/3"), ["name", "acctbal"], sep="\t"
     ).first()["line"]
     assert len(line.split("\t")) == len(hdr.split("\t"))
+
+
+def test_atom_pagination_links_contract():
+    """PaginationInfo parity (Application.scala:2250-2288): next only
+    while another page exists; previous clamps a partial back-step to 0
+    and disappears at offset 0; last rounds total down to a page
+    boundary."""
+    from cm_well_spark.formats.render import atom_pagination_links
+
+    def rels(total, offset, length):
+        return {
+            l.split('"')[1]: l.split('href="')[1].rsplit("&amp;offset=", 1)[1].rstrip('"/>')
+            for l in atom_pagination_links("u", total, offset, length)
+        }
+
+    # first page of 10/2: no previous, next=2, last=(10//2)*2=10
+    r = rels(10, 0, 2)
+    assert r == {"self": "0", "first": "0", "last": "10", "next": "2"}
+    # middle page: both directions
+    r = rels(10, 4, 2)
+    assert r["previous"] == "2" and r["next"] == "6"
+    # final page: no next
+    assert "next" not in rels(10, 8, 2)
+    # partial back-step clamps to 0 (offset < length but > 0)
+    assert rels(10, 1, 2)["previous"] == "0"
+    # empty result: last collapses to 0
+    assert rels(0, 0, 0)["last"] == "0"
