@@ -315,6 +315,41 @@ def test_qstream_kafka_contract_replay(spark, infotons):
     assert got == want and len(got) > 0
 
 
+@pytest.mark.skipif(
+    not os.environ.get("CMW_KAFKA_BOOTSTRAP"),
+    reason=(
+        "live Kafka broker smoke: set CMW_KAFKA_BOOTSTRAP=host:port to run. "
+        "Permanent env gate in this sandbox — no broker binary, no "
+        "spark-sql-kafka jar, no pip installs (the broker-less contract "
+        "replay above pins the wire schema, reader options, and "
+        "parse+filter parity; only the TCP connection itself is untested)."
+    ),
+)
+def test_qstream_live_broker_smoke(spark, infotons):
+    """S12/W1 against a real broker: produce a small wire batch to the
+    configured topic, read it back with the resolved reader options, and
+    assert the parsed feed matches the file-transport twin. Requires the
+    spark-sql-kafka package on the session classpath."""
+    from cm_well_spark.operators.admin import (
+        qstream_parse,
+        qstream_reader_options,
+        qstream_writer_options,
+        to_kafka_wire,
+    )
+
+    bootstrap = os.environ["CMW_KAFKA_BOOTSTRAP"]
+    topic = os.environ.get("CMW_KAFKA_TOPIC", "cmw_smoke")
+    src = infotons.where(F.col("path").startswith("/tpch/region")).limit(10)
+    wfmt, wopts = qstream_writer_options(bootstrap, topic)
+    to_kafka_wire(src).write.format(wfmt).options(**wopts).save()
+    rfmt, ropts = qstream_reader_options(bootstrap, topic)
+    wire = spark.read.format(rfmt).options(**ropts).load()
+    parsed = qstream_parse(wire, qp=None, path="/tpch/region")
+    got = {r["uuid"] for r in parsed.select("uuid").collect()}
+    want = {r["uuid"] for r in src.select("uuid").collect()}
+    assert want <= got
+
+
 def test_streaming_exact_dedup(spark):
     import shutil
 
