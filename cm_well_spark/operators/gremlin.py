@@ -305,29 +305,146 @@ _SEG = re.compile(r"\.(?=[A-Za-z_])(?=(?:[^{}\"']|\{[^{}]*\}|\"[^\"]*\"|'[^']*')
 _CALL = re.compile(r"^\s*(\w+)\s*(?:\((.*)\)|\{(.*)\})\s*$", re.DOTALL)
 _ARG = re.compile(r"\"([^\"]*)\"|'([^']*)'|([+-]?\d+(?:\.\d+)?)")
 
-# one closure comparison term: it.<field> (or it.getProperty("f") /
-# it["f"]) followed by a comparison or .contains(...)
-_CLOSURE_TERM = re.compile(
+# closure term grammar, parsed in two stages: the `it` property ACCESS
+# prefix, then one TAIL alternative (comparison with optional arithmetic,
+# string method, case-fold comparison, or length comparison)
+_CLOSURE_ACCESS = re.compile(
     r"""^\s*it\s*
         (?:\.\s*getProperty\(\s*(?:"(?P<f1>[^"]*)"|'(?P<f2>[^']*)')\s*\)
           |\[\s*(?:"(?P<f3>[^"]*)"|'(?P<f4>[^']*)')\s*\]
-          |\.\s*(?P<f5>[A-Za-z_]\w*))\s*
-        (?:(?P<op>==|!=|>=|<=|>|<)\s*
-             (?:"(?P<s1>[^"]*)"|'(?P<s2>[^']*)'|(?P<n>[+-]?\d+(?:\.\d+)?))
-          |\.\s*contains\(\s*(?:"(?P<c1>[^"]*)"|'(?P<c2>[^']*)')\s*\))\s*$""",
+          |\.\s*(?P<f5>[A-Za-z_]\w*))""",
     re.VERBOSE,
 )
+_TAIL_CMP = re.compile(
+    r"""^\s*(?:(?P<aop>[-+*/])\s*(?P<an>[+-]?\d+(?:\.\d+)?)\s*)?
+        (?P<op>==|!=|>=|<=|>|<)\s*
+        (?:"(?P<s1>[^"]*)"|'(?P<s2>[^']*)'|(?P<n>[+-]?\d+(?:\.\d+)?))\s*$""",
+    re.VERBOSE,
+)
+_TAIL_STRFN = re.compile(
+    r"""^\s*\.\s*(?P<fn>contains|startsWith|endsWith|matches)
+        \(\s*(?:"(?P<a1>[^"]*)"|'(?P<a2>[^']*)')\s*\)\s*$""",
+    re.VERBOSE,
+)
+_TAIL_CASE = re.compile(
+    r"""^\s*\.\s*(?P<fn>toLowerCase|toUpperCase)\(\s*\)\s*
+        (?P<op>==|!=)\s*(?:"(?P<a1>[^"]*)"|'(?P<a2>[^']*)')\s*$""",
+    re.VERBOSE,
+)
+_TAIL_LEN = re.compile(
+    r"""^\s*\.\s*(?:length|size)\(\s*\)\s*
+        (?P<op>==|!=|>=|<=|>|<)\s*(?P<n>\d+)\s*$""",
+    re.VERBOSE,
+)
+
+_CMP = {
+    "==": lambda a, b: a == b,
+    "!=": lambda a, b: a != b,
+    ">": lambda a, b: a > b,
+    ">=": lambda a, b: a >= b,
+    "<": lambda a, b: a < b,
+    "<=": lambda a, b: a <= b,
+}
+_ARITH_OPS = {
+    "+": lambda a, b: a + b,
+    "-": lambda a, b: a - b,
+    "*": lambda a, b: a * b,
+    "/": lambda a, b: a / b,
+}
+
+
+def _closure_term_col(part: str) -> Column:
+    """One closure term -> Column. SOME value of the accessed field must
+    satisfy the tail (multi-valued fields, like _field_pred_col)."""
+    acc = _CLOSURE_ACCESS.match(part)
+    if not acc:
+        raise GremlinParseError(
+            f"unsupported closure term {part.strip()!r}: expected it.<field>, "
+            "it.getProperty(\"f\"), or it[\"f\"] access"
+        )
+    d = acc.groupdict()
+    field = next(d[k] for k in ("f1", "f2", "f3", "f4", "f5") if d[k] is not None)
+    tail = part[acc.end():]
+    vals = F.col("fields").getItem(field)
+
+    m = _TAIL_CMP.match(tail)
+    if m:
+        aop, an, op = m.group("aop"), m.group("an"), m.group("op")
+        if m.group("n") is not None:
+            target = float(m.group("n"))
+
+            def pred(v):
+                lhs = v["num"]
+                if aop:
+                    lhs = _ARITH_OPS[aop](lhs, F.lit(float(an)))
+                return _CMP[op](lhs, F.lit(target))
+
+        else:
+            if aop:
+                raise GremlinParseError(
+                    "closure arithmetic needs a numeric comparison target"
+                )
+            if op not in ("==", "!="):
+                raise GremlinParseError(
+                    f"string comparison supports == / != only, not {op!r}"
+                )
+            sval = m.group("s1") if m.group("s1") is not None else m.group("s2")
+
+            def pred(v):
+                return _CMP[op](v["value"], F.lit(sval))
+
+        return F.coalesce(F.exists(vals, pred), F.lit(False))
+
+    m = _TAIL_STRFN.match(tail)
+    if m:
+        arg = m.group("a1") if m.group("a1") is not None else m.group("a2")
+        fn = m.group("fn")
+        fns = {
+            "contains": lambda v: v["value"].contains(F.lit(arg)),
+            "startsWith": lambda v: v["value"].startswith(arg),
+            "endsWith": lambda v: v["value"].endswith(arg),
+            # Groovy/Java String.matches is FULLY anchored; Spark rlike is
+            # substring search — anchor to keep the source semantics
+            "matches": lambda v: v["value"].rlike(f"^(?:{arg})$"),
+        }
+        return F.coalesce(F.exists(vals, fns[fn]), F.lit(False))
+
+    m = _TAIL_CASE.match(tail)
+    if m:
+        arg = m.group("a1") if m.group("a1") is not None else m.group("a2")
+        fold = F.lower if m.group("fn") == "toLowerCase" else F.upper
+        op = m.group("op")
+        return F.coalesce(
+            F.exists(vals, lambda v: _CMP[op](fold(v["value"]), F.lit(arg))), F.lit(False)
+        )
+
+    m = _TAIL_LEN.match(tail)
+    if m:
+        n, op = int(m.group("n")), m.group("op")
+        return F.coalesce(
+            F.exists(vals, lambda v: _CMP[op](F.length(v["value"]), F.lit(n))),
+            F.lit(False),
+        )
+
+    raise GremlinParseError(
+        f"unsupported closure term {part.strip()!r} (tail {tail.strip()!r} on "
+        f"it.{field}): expected a comparison (optionally with +-*/ arithmetic), "
+        ".contains/.startsWith/.endsWith/.matches(<str>), .toLowerCase()/"
+        ".toUpperCase() == <str>, or .length()/.size() <op> <int>"
+    )
 
 
 def _closure_column(body: str) -> Column:
     """Translate a Groovy-closure FILTER body to a Catalyst Column — a
     safe grammar, not an evaluator (the reference feeds closures to a
     live Groovy engine, GremlinParser.scala; we compile the property-
-    predicate subset those closures almost always are). Supported:
-    `it.field OP literal`, `it.getProperty("f")`/`it["f"]` access,
-    `.contains("x")`, chained with `&&` or `||`. Mixed connectives are
+    predicate subset those closures almost always are). Supported per
+    term: `it.field [+-*/ num] OP literal`, `it.getProperty("f")`/
+    `it["f"]` access, `.contains/.startsWith/.endsWith/.matches(<str>)`,
+    `.toLowerCase()/.toUpperCase() == <str>`, `.length()/.size() OP
+    <int>`; terms chain with `&&` or `||`. Mixed connectives are
     rejected (Groovy gives && higher precedence; refusing beats silently
-    re-associating), as is anything else (method calls, arithmetic,
+    re-associating), as is anything else (arbitrary method calls,
     traversal access) — those raise GremlinParseError."""
     conns = set(re.findall(r"&&|\|\|", body))
     if len(conns) > 1:
@@ -337,20 +454,7 @@ def _closure_column(body: str) -> Column:
         )
     col = None
     for part in re.split(r"&&|\|\|", body):
-        m = _CLOSURE_TERM.match(part)
-        if not m:
-            raise GremlinParseError(
-                f"unsupported closure term {part.strip()!r}: expected "
-                "it.<field> <op> <literal> or it.<field>.contains(<str>)"
-            )
-        d = m.groupdict()
-        field = next(d[k] for k in ("f1", "f2", "f3", "f4", "f5") if d[k] is not None)
-        if d["c1"] is not None or d["c2"] is not None:
-            op, value = "contains", d["c1"] if d["c1"] is not None else d["c2"]
-        else:
-            op = d["op"]
-            value = d["n"] if d["n"] is not None else (d["s1"] if d["s1"] is not None else d["s2"])
-        c = _field_pred_col(field, op, value)
+        c = _closure_term_col(part)
         col = c if col is None else (col & c if conns == {"&&"} else col | c)
     return col
 

@@ -382,3 +382,46 @@ def test_gremlin_wellformed_chains_always_evaluate(infotons, triples, steps, ter
 
     q = "g.V()" + "".join("." + s for s in steps) + "." + terminal
     eval_gremlin(infotons, triples, q)  # must not raise
+
+
+def test_gremlin_closure_arithmetic_and_string_methods(infotons, triples):
+    """r7 closure-grammar extension: arithmetic on the property, string
+    methods beyond contains, case-fold equality, and length — each
+    checked against an equivalent plain formulation."""
+    from cm_well_spark.operators.gremlin import eval_gremlin, g
+
+    # it.x * 2 > N == it.x > N/2
+    got = eval_gremlin(
+        infotons, triples,
+        'g.V().has("rdfType", "Order").filter{it.totalprice * 2 > 800000}.count()',
+    )
+    want = g(infotons, triples).V().has("rdfType", "Order").filter("totalprice", ">", 400000).count()
+    assert got == want > 0
+    # subtraction with a float literal
+    got = eval_gremlin(
+        infotons, triples,
+        'g.V().has("rdfType", "Order").filter{it.totalprice - 0.5 >= 399999.5}.count()',
+    )
+    assert got == want
+    # startsWith / endsWith vs regex matches
+    sw = eval_gremlin(infotons, triples, 'g.V().filter{it.name.startsWith("NATION_1")}.count()')
+    rx = eval_gremlin(infotons, triples, 'g.V().filter{it.name.matches("NATION_1.*")}.count()')
+    assert sw == rx > 0
+    ew = eval_gremlin(infotons, triples, 'g.V().filter{it.name.endsWith("_2")}.count()')
+    rx2 = eval_gremlin(infotons, triples, 'g.V().filter{it.name.matches(".*_2")}.count()')
+    assert ew == rx2 > 0
+    # case-fold equality
+    lc = eval_gremlin(infotons, triples, 'g.V().filter{it.mktsegment.toLowerCase() == "building"}.count()')
+    assert lc == g(infotons, triples).V().filter("mktsegment", "==", "BUILDING").count() > 0
+    # length comparison
+    ln = eval_gremlin(infotons, triples, 'g.V().filter{it.mktsegment.length() == 8}.count()')
+    assert ln == g(infotons, triples).V().filter("mktsegment", "==", "BUILDING").count()
+
+
+def test_gremlin_closure_arithmetic_rejects_string_target(infotons, triples):
+    import pytest
+
+    from cm_well_spark.operators.gremlin import GremlinParseError, eval_gremlin
+
+    with pytest.raises(GremlinParseError, match="numeric comparison target"):
+        eval_gremlin(infotons, triples, 'g.V().filter{it.x * 2 == "ten"}.count()')
