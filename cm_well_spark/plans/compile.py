@@ -76,8 +76,12 @@ def analyze_expr(c: Column, analyzer: str | None = None) -> Column:
       uax29ish  closer to Lucene StandardAnalyzer's UAX#29 word break:
                 apostrophes / periods / underscores / at-signs stay
                 INSIDE words (o'brien, 3.14, foo_bar, b.com stay single
-                tokens) and are stripped only at token edges. CJK
-                unigramming remains a divergence in both modes."""
+                tokens) and are stripped only at token edges; Han and
+                Hiragana characters emit UNIGRAM tokens while Katakana
+                runs stay single tokens (StandardTokenizer's
+                IDEOGRAPHIC/HIRAGANA vs KATAKANA types). Remaining
+                divergence: `simple` mode CJK, and exact Lucene
+                relevance scores."""
     import os
 
     mode = analyzer or os.environ.get("CMW_ANALYZER", "simple")
@@ -88,7 +92,11 @@ def analyze_expr(c: Column, analyzer: str | None = None) -> Column:
         # strip the kept punctuation at token EDGES (UAX#29 keeps it only
         # mid-word: MidLetter/MidNum/ExtendNumLet)
         edge_stripped = F.regexp_replace(kept, r"(?:(?<=\s)|^)['._@]+|['._@]+(?=\s|$)", "")
-        return F.trim(F.regexp_replace(edge_stripped, r"\s+", " "))
+        # CJK: Han ideographs and Hiragana tokenize as unigrams (Lucene
+        # StandardTokenizer IDEOGRAPHIC/HIRAGANA token types); Katakana
+        # runs stay whole (KATAKANA type spans the run)
+        cjk_split = F.regexp_replace(edge_stripped, r"([\p{IsHan}\p{InHiragana}])", " $1 ")
+        return F.trim(F.regexp_replace(cjk_split, r"\s+", " "))
     raise ValueError(f"unknown analyzer {mode!r} (know: simple, uax29ish)")
 
 

@@ -88,6 +88,11 @@ UAX29ISH_CONVERGES = [
     ("3.14 rounds", ["3.14", "rounds"]),
     ("foo_bar", ["foo_bar"]),
     ("mail a@b.com", ["mail", "a@b.com"]),  # keeps the address whole
+    # r7: CJK converges too — Han + Hiragana unigrams (StandardTokenizer
+    # IDEOGRAPHIC/HIRAGANA types), Katakana runs whole (KATAKANA type)
+    ("日本語 text", ["日", "本", "語", "text"]),
+    ("ひらがな", ["ひ", "ら", "が", "な"]),
+    ("トヨタ車", ["トヨタ", "車"]),
 ]
 
 
