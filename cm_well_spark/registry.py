@@ -4465,3 +4465,71 @@ def format_atom_lines(spark, sf_dir):
     )
     link_df = spark.createDataFrame([(l,) for l in links], "doc string")
     return link_df.unionByName(to_atom_entries(page).select("doc"))
+
+
+@register(
+    "compaction_roundtrip",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('/tpch/region/0', 'c1|c2', 3),
+      ('/tpch/region/7001', 'NEW7001', 1)
+    ) AS t(path, vals, n_versions)
+    """,
+)
+def compaction_roundtrip(spark, sf_dir):
+    """W2-W4 + compaction end-to-end: two incremental merge-on-read
+    batches append O(batch) delta files (model/compaction.write_batch),
+    compact folds them with the clustering range-shuffle ingest defers
+    (disjoint per-file min-max ranges, predicate_stats re-collect,
+    atomic dir swap), and the compacted store answers exactly what the
+    in-memory merge (apply_commands) would. Constant oracle — the
+    command fixture is fixed; the store copy is per-call and removed."""
+    import shutil
+    import tempfile
+    from datetime import datetime
+
+    from cm_well_spark.model.compaction import compact, write_batch
+    from cm_well_spark.model.lakehouse import materialize
+    from cm_well_spark.operators.merge import COMMAND_SCHEMA
+
+    def sfv(v):
+        return {"value": v, "vtype": "s", "lang": None, "quad": None, "num": None, "ts": None, "bool": None}
+
+    src = materialize(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="cmw_compact_")
+    store = os.path.join(work, "store")
+    try:
+        shutil.copytree(src, store)
+        lm = datetime(2024, 3, 1)
+        write_batch(spark, store, spark.createDataFrame(
+            [("/tpch/region/0", 1, "write", {"extra": [sfv("c1")]}, None, lm, "https"),
+             ("/tpch/region/7001", 1, "write", {"name": [sfv("NEW7001")]}, None, lm, "https")],
+            COMMAND_SCHEMA))
+        write_batch(spark, store, spark.createDataFrame(
+            [("/tpch/region/0", 1, "write", {"extra": [sfv("c2")]}, None, lm, "https")],
+            COMMAND_SCHEMA))
+        compact(spark, store, target_rows_per_file=2_000_000)
+        inf = spark.read.parquet(os.path.join(store, "infotons"))
+        per_path = inf.where(F.col("path").isin("/tpch/region/0", "/tpch/region/7001"))
+        cur = per_path.where(F.col("current")).select(
+            "path",
+            F.concat_ws(
+                "|",
+                F.array_sort(
+                    F.transform(
+                        F.coalesce(
+                            F.col("fields").getItem("extra"),
+                            F.col("fields").getItem("name"),
+                            F.array(),
+                        ),
+                        lambda v: v["value"],
+                    )
+                ),
+            ).alias("vals"),
+        )
+        nv = per_path.groupBy("path").agg(F.count("*").cast("int").alias("n_versions"))
+        # force materialization BEFORE the temp store is deleted
+        rows = cur.join(nv, "path").collect()
+        return spark.createDataFrame(rows, "path string, vals string, n_versions int")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
