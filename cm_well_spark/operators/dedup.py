@@ -404,3 +404,51 @@ def duplicated_spans(
         spans.join(recurring.select("span_hash"), "span_hash", "left_semi")
         .select(F.col("id").alias(id_col), "pos", "span_hash")
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    min_docs: int = 2,
+    delimiter: str = "\n",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Line-level dedup with document reassembly (the CCNet/RefinedWeb
+    pass: drop every line whose normalized form recurs across >=
+    min_docs distinct documents — navigation chrome, cookie banners,
+    boilerplate headers — and stitch the survivors back in order).
+    Returns (id_col, text) with only documents that kept >= 1 line;
+    fully-boilerplate documents drop out, like the C4 pipeline drops
+    emptied pages.
+
+    Shape at 100 TB: one posexplode off the scan; the recurring-line
+    set is ONE groupBy on the line's md5 (only 16-byte hashes shuffle,
+    line text stays in place); survivors anti-join that set by hash and
+    reassemble with a single groupBy(id) whose sort rides the
+    aggregation (array_sort over (pos, line) structs) — no window, no
+    second shuffle of the corpus."""
+    lines = spread_for_cpu(df).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), F.lit(delimiter), -1)).alias("pos", "line"),
+    )
+    keyed = lines.withColumn("lh", F.md5(normalize_text(F.col("line"))))
+    hot = (
+        keyed.groupBy("lh")
+        .agg(F.countDistinct("id").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select("lh")
+    )
+    kept = keyed.join(hot, "lh", "left_anti")
+    return (
+        kept.groupBy("id")
+        .agg(
+            F.concat_ws(
+                delimiter,
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+            ).alias(text_col)
+        )
+        .select(F.col("id").alias(id_col), text_col)
+    )

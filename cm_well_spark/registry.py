@@ -4533,3 +4533,41 @@ def compaction_roundtrip(spark, sf_dir):
         return spark.createDataFrame(rows, "path string, vals string, n_versions int")
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "dedup_line_level",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, replace(text, ' the ', chr(10)) AS text
+      FROM documents WHERE doc_id < 200
+    ),
+    lines AS (
+      SELECT doc_id, unnest(ls) AS line, unnest(range(1, len(ls)+1)) AS pos
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM base)
+    ),
+    keyed AS (
+      SELECT doc_id, pos, line,
+             md5(trim(regexp_replace(lower(line), '[^a-z0-9]+', ' ', 'g'))) AS lh
+      FROM lines
+    ),
+    hot AS (SELECT lh FROM keyed GROUP BY lh HAVING count(DISTINCT doc_id) >= 2),
+    kept AS (SELECT keyed.* FROM keyed ANTI JOIN hot USING (lh))
+    SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+    FROM kept GROUP BY doc_id
+    """,
+)
+def dedup_line_level(spark, sf_dir):
+    """CCNet/RefinedWeb line-level dedup with reassembly: lines recurring
+    across >= 2 documents drop, survivors stitch back in order. The
+    synthetic docs carry no newlines, so the entry derives lines by
+    splitting on a fixed word (the same non-regex replace in both
+    engines) — the operator itself is delimiter-parameterized."""
+    from cm_well_spark.operators.dedup import line_dedup
+    from cm_well_spark.sources import tables as tbl
+
+    docs = tbl.load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    with_lines = docs.select(
+        "doc_id", F.replace(F.col("text"), F.lit(" the "), F.lit("\n")).alias("text")
+    )
+    return line_dedup(with_lines, min_docs=2)
