@@ -260,3 +260,48 @@ def export_pipeline(
         F.countDistinct("doc_id").alias("n_docs"),
         F.sum("win_tokens").cast("long").alias("n_tokens"),
     )
+
+
+def url_host(c: Column) -> Column:
+    """Registrable host of a URL column: scheme/userinfo stripped, port
+    and path cut, lowercased. Pure regexp — stays in codegen."""
+    return F.lower(
+        F.regexp_extract(c, r"^(?:[a-z][a-z0-9+.-]*://)?(?:[^/@]*@)?([^/:?#]+)", 1)
+    )
+
+
+def url_filter(
+    df: DataFrame,
+    blocked_domains: list[str],
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Domain-blocklist filter (the RefinedWeb/CCNet URL-filtering pass):
+    drop documents whose host IS a blocked domain or any subdomain of
+    one. The blocklist (10^4-10^6 rows in the published pipelines)
+    broadcasts; matching is suffix-correct without a cross join or a
+    per-entry regex: the host explodes into its dot-suffixes
+    (a.b.example.com -> [a.b.example.com, b.example.com, example.com] —
+    bounded by label count, ~5), each equi-joined against the broadcast
+    blocklist. Hit ids come back to the corpus as an anti join keyed on
+    `id_col`; blocklist hits are a small fraction of any real corpus, so
+    AQE turns that anti join into a broadcast — the corpus itself never
+    shuffles in either stage."""
+    host = url_host(F.col(url_col))
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    suffixes = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat_ws(".", F.slice(labels, i, n - i + 1)),
+    )
+    spark = df.sparkSession
+    blocked = F.broadcast(
+        spark.createDataFrame([(d.lower(),) for d in blocked_domains], "dom string")
+    )
+    hit_ids = (
+        df.select(F.col(id_col), F.explode(suffixes).alias("dom"))
+        .join(blocked, "dom", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return df.join(hit_ids, id_col, "left_anti")

@@ -4571,3 +4571,38 @@ def dedup_line_level(spark, sf_dir):
         "doc_id", F.replace(F.col("text"), F.lit(" the "), F.lit("\n")).alias("text")
     )
     return line_dedup(with_lines, min_docs=2)
+
+
+@register(
+    "curation_url_filter",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id,
+             'https://www.site' || (doc_id % 7) || '.example.com/p/' || doc_id AS url
+      FROM documents WHERE doc_id < 500
+    )
+    SELECT doc_id, url FROM docs
+    WHERE (doc_id % 7) NOT IN (2, 5)
+    """,
+)
+def curation_url_filter(spark, sf_dir):
+    """RefinedWeb/CCNet URL-filtering pass: subdomain-correct blocklist
+    drop via suffix explode + broadcast semi-join, corpus never shuffled
+    (hit ids return through an AQE-broadcast anti join). URLs derived
+    deterministically from doc_id so the oracle replays the filter."""
+    from cm_well_spark.operators.curation import url_filter
+    from cm_well_spark.sources import tables as tbl
+
+    docs = tbl.load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    with_url = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://www.site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    return url_filter(
+        with_url, ["site2.example.com", "site5.example.com"], url_col="url"
+    )
