@@ -805,6 +805,39 @@ def _value_col(e, df: DataFrame) -> tuple[Column, bool]:
             # terms are strings in this engine (subjects = infoton paths);
             # IRI() is the identity on the lexical form
             return args[0][0].cast("string"), False
+        if e.fn.startswith("udf:xsd$"):
+            # SPARQL 1.1 §17.5 XSD constructor functions -> native casts.
+            # Numeric constructors go through the typed shadow (num())
+            # when the arg is a variable, so "5"^^xsd:double never
+            # string-casts; invalid lexical forms yield NULL (unbound),
+            # matching Jena's error->unbound expression semantics.
+            local = e.fn[len("udf:xsd$"):]
+            if local in ("integer", "int", "long", "short", "byte",
+                         "nonNegativeInteger", "positiveInteger"):
+                # long (not double) so BIND's lexical projection renders
+                # "3", while the __num__ shadow still gets a double;
+                # fractional input truncates toward zero (Spark cast —
+                # documented divergence from XSD's lexical-space error)
+                return num(0).cast("long"), True
+            if local in ("double", "float", "decimal"):
+                return num(0), True
+            if local == "string":
+                return args[0][0].cast("string"), False
+            if local == "boolean":
+                s = args[0][0].cast("string")
+                return (
+                    F.when(s.isin("true", "1"), F.lit(True))
+                    .when(s.isin("false", "0"), F.lit(False))
+                    .otherwise(F.lit(None).cast("boolean"))
+                ), False
+            if local in ("dateTime", "date"):
+                ts = F.to_timestamp(args[0][0].cast("string"))
+                if local == "date":
+                    return F.date_format(ts, "yyyy-MM-dd"), False
+                return F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss'Z'"), False
+            raise SparqlCompileError(
+                f"unsupported XSD constructor xsd:{local}"
+            )
         if e.fn.startswith("udf:"):
             # user function (Jena FunctionRegistry analog): the parser
             # resolved the call head to a local name; it must have been

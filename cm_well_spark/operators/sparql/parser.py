@@ -659,12 +659,20 @@ class _P:
             # UDFs at compile time (Func carries it as "udf:<name>").
             name = None
             if raw.startswith("<") and raw.endswith(">"):
-                name = re.split(r"[#/.]", raw[1:-1])[-1]
+                iri = raw[1:-1]
+                if iri.startswith("http://www.w3.org/2001/XMLSchema#"):
+                    # SPARQL 1.1 §17.5 XSD constructor: xsd:integer(?x) etc.
+                    name = "xsd$" + iri.rsplit("#", 1)[-1]
+                else:
+                    name = re.split(r"[#/.]", iri)[-1]
             elif re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*:[A-Za-z_][A-Za-z0-9_]*", raw):
                 pfx, local = raw.split(":", 1)
                 if pfx not in self.prefixes:
                     raise SparqlParseError(f"unknown prefix: {pfx}")
-                name = local
+                if self.prefixes[pfx] == "http://www.w3.org/2001/XMLSchema#":
+                    name = "xsd$" + local
+                else:
+                    name = local
             elif re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", raw):
                 name = raw
             if name is not None:

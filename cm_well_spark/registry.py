@@ -4606,3 +4606,34 @@ def curation_url_filter(spark, sf_dir):
     return url_filter(
         with_url, ["site2.example.com", "site5.example.com"], url_col="url"
     )
+
+
+@register(
+    "sparql_xsd_constructors",
+    oracle="""
+    SELECT '/tpch/nation/' || n_nationkey AS x,
+           CAST(n_nationkey AS VARCHAR) AS k,
+           CAST(CAST(n_nationkey AS DOUBLE) / 2 AS VARCHAR) AS half,
+           CASE WHEN n_nationkey < 2 THEN 'true' ELSE 'false' END AS small
+    FROM nation WHERE n_nationkey < 5 ORDER BY x
+    """,
+)
+def sparql_xsd_constructors(spark, sf_dir):
+    """SPARQL 1.1 §17.5 XSD constructor functions (xsd:integer /
+    xsd:double / xsd:string / xsd:boolean as casts through the typed num
+    shadow — Jena's XSDFuncOp casting, invalid lexical -> unbound)."""
+    from cm_well_spark.operators.sparql import sparql_query
+
+    return sparql_query(
+        _tri(spark, sf_dir),
+        """
+        PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        SELECT ?x ?k ?half ?small WHERE {
+          ?x <nationkey> ?v .
+          BIND(xsd:string(xsd:integer(?v)) AS ?k)
+          BIND(xsd:string(xsd:double(?v) / 2) AS ?half)
+          BIND(IF(xsd:integer(?v) < 2, xsd:boolean("true"), xsd:boolean("false")) AS ?small)
+          FILTER(xsd:integer(?v) < 5)
+        } ORDER BY ?x
+        """,
+    )
