@@ -187,7 +187,11 @@ def _fields_to_py(m) -> dict:
         return {}
     out = {}
     for k, vs in (m.items() if isinstance(m, dict) else m):
-        out[k] = [v.asDict() if hasattr(v, "asDict") else dict(v) for v in (vs or [])]
+        # `vs` may be a list OR a numpy array (Arrow hands map values as
+        # ndarrays depending on the parquet writer) — `vs or []` raises
+        # on an ndarray, so test None explicitly
+        vals = [] if vs is None else vs
+        out[k] = [v.asDict() if hasattr(v, "asDict") else dict(v) for v in vals]
     return out
 
 

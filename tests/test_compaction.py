@@ -177,3 +177,36 @@ def test_point_read_on_compacted_store_prunes(spark, batched):
     assert [r["path"] for r in row] == ["/tpch/region/90"]
     plan = inf.where(F.col("path") == "/tpch/region/90")._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan or "path" in plan
+
+
+def test_delta_dir_is_a_qstream_feed(spark, store):
+    """Composition: write_batch's delta dir IS a change feed — the S12
+    qstream file-source (ingest_stream + qp filter) tails it, so
+    incremental writes stream to subscribers with no extra publish step
+    (the reference publishes to Kafka from the write path; here the
+    append itself is the publication)."""
+    import shutil
+    from datetime import datetime
+
+    from cm_well_spark.model.compaction import write_batch
+    from cm_well_spark.operators.admin import qstream_dir
+
+    feed_store = store + "_feed"
+    shutil.copytree(store, feed_store)
+    lm = datetime(2024, 4, 1)
+    write_batch(spark, feed_store, _cmds(spark, [
+        ("/tpch/region/0", 1, "write", {"extra": [_sfv("f1")]}, None, lm, "https"),
+        ("/tpch/region/55", 1, "write", {"name": [_sfv("STREAMED")]}, None, lm, "https"),
+    ]))
+    write_batch(spark, feed_store, _cmds(spark, [
+        ("/tpch/region/56", 1, "write", {"name": [_sfv("STREAMED")]}, None, lm, "https"),
+    ]))
+
+    feed = qstream_dir(
+        spark, os.path.join(feed_store, "infotons_delta"),
+        qp="name::STREAMED", path="/tpch/region",
+    )
+    q = feed.writeStream.format("memory").queryName("delta_feed").trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    got = {r["path"] for r in spark.sql("SELECT path FROM delta_feed").collect()}
+    assert got == {"/tpch/region/55", "/tpch/region/56"}
