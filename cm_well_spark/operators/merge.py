@@ -257,30 +257,19 @@ def merge_versions(infotons: DataFrame, commands: DataFrame) -> DataFrame:
     )
 
 
-def apply_commands(infotons: DataFrame, commands: DataFrame, index_time_base: int | None = None) -> DataFrame:
-    """Full write-path batch: returns the UPDATED infoton table (old
-    versions kept with current=False, new versions appended; only the last
-    version per path is current — W3+W4 'current flip' in one plan).
-
-    index_time: writer-assigned, monotonically after the table's max
-    (the reference assigns indexTime at index time, SURVEY §3.4)."""
-    versions = merge_versions(infotons, commands)
-    if index_time_base is None:
-        row = infotons.agg(F.max("index_time").alias("m")).first()
-        index_time_base = (row["m"] or 0) + 1
+def decorate_versions(versions: DataFrame, index_time_base: int) -> DataFrame:
+    """Turn merge_versions output into full infoton rows: writer-assigned
+    index_time (per-path row_number over base — monotone batch semantics,
+    scale-safe: no global sort), parent/hierarchy derivation, writer
+    constants. Shared by apply_commands (in-memory full-table update) and
+    the lakehouse delta writer (model/compaction.write_batch), so the two
+    write paths can never drift. `current` is left False — the caller
+    flips it (window for the full table, or read-side reconciliation for
+    deltas)."""
     from pyspark.sql import Window
 
-    # Writer-assigned index_time, scale-safe: a PER-PATH row_number (the
-    # window partitions by path — no single-partition global sort, so a
-    # 100 TB ingest batch parallelizes across executors). Every new version
-    # gets index_time >= base > the table's previous max (monotone batch
-    # semantics, like the reference assigns indexTime at index time,
-    # ImpStream.scala:96-137), and versions of one path stay strictly
-    # ordered by seq. Cross-path values may collide — the reference makes
-    # the same non-guarantee across parallel indexers; all readers
-    # (current-flip below, consume/history) order per-path or handle ties.
     w_seq = F.row_number().over(Window.partitionBy("path").orderBy("seq"))
-    new_rows = (
+    return (
         versions.withColumn("index_time", F.lit(index_time_base) + w_seq - 1)
         .withColumn("parent", F.when(F.regexp_replace("path", "/[^/]+$", "") == "", "/").otherwise(F.regexp_replace("path", "/[^/]+$", "")))
         .withColumn(
@@ -306,6 +295,24 @@ def apply_commands(infotons: DataFrame, commands: DataFrame, index_time_base: in
         .withColumn("link_kind", F.lit(None).cast("int"))
         .drop("seq")
     )
+
+
+def apply_commands(infotons: DataFrame, commands: DataFrame, index_time_base: int | None = None) -> DataFrame:
+    """Full write-path batch: returns the UPDATED infoton table (old
+    versions kept with current=False, new versions appended; only the last
+    version per path is current — W3+W4 'current flip' in one plan).
+
+    index_time: writer-assigned, monotonically after the table's max
+    (the reference assigns indexTime at index time, SURVEY §3.4)."""
+    versions = merge_versions(infotons, commands)
+    if index_time_base is None:
+        row = infotons.agg(F.max("index_time").alias("m")).first()
+        index_time_base = (row["m"] or 0) + 1
+    # Writer-assigned index_time semantics live in decorate_versions
+    # (per-path row_number — monotone batch, no global sort; cross-path
+    # collisions allowed exactly like the reference's parallel indexers,
+    # ImpStream.scala:96-137).
+    new_rows = decorate_versions(versions, index_time_base)
     from pyspark.sql import Window
 
     affected = versions.select(F.col("path").alias("__ap")).distinct()

@@ -29,6 +29,12 @@ def get_spark(app_name: str = "cm_well_spark", shuffle_partitions: int | None = 
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # test tables store TIMESTAMP(NANOS); read as long, loaders convert
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # batch point-lookups (write_batch's affected-path isin, _out
+        # batch gets) carry 100s-1000s of values; the default threshold
+        # (10) silently drops the parquet row-group pushdown for them.
+        # Evaluating a few hundred min/max containment checks per row
+        # group is nanoseconds against the MBs of decode it skips.
+        .config("spark.sql.parquet.pushdown.inFilterThreshold", "1000")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
