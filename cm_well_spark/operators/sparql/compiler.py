@@ -805,6 +805,16 @@ def _value_col(e, df: DataFrame) -> tuple[Column, bool]:
             # terms are strings in this engine (subjects = infoton paths);
             # IRI() is the identity on the lexical form
             return args[0][0].cast("string"), False
+        if e.fn == "now":
+            # SPARQL 1.1 §17.4.5.1: one fixed value for the whole query —
+            # Spark's current_timestamp() is exactly query-constant
+            return F.date_format(F.current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss'Z'"), False
+        if e.fn == "uuid":
+            return F.concat(F.lit("urn:uuid:"), F.expr("uuid()")), False
+        if e.fn == "struuid":
+            return F.expr("uuid()"), False
+        if e.fn == "rand":
+            return F.rand(), True
         if e.fn.startswith("udf:xsd$"):
             # SPARQL 1.1 §17.5 XSD constructor functions -> native casts.
             # Numeric constructors go through the typed shadow (num())

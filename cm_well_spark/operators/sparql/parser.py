@@ -598,6 +598,7 @@ class _P:
         "MD5", "SHA1", "SHA256", "ENCODE_FOR_URI",
         "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS", "TZ",
         "DATATYPE", "IRI", "URI",
+        "NOW", "UUID", "STRUUID", "RAND",
     )
     BOOL_FNS = (
         "CONTAINS", "STRSTARTS", "STRENDS", "BOUND", "LANGMATCHES",
@@ -638,10 +639,12 @@ class _P:
         if tok in self.VALUE_FNS and self.peek(1) == "(":
             fn = self.next().lower()
             self.expect("(")
-            args = [self.arith_expr()]
-            while self.peek() == ",":
-                self.next()
+            args = []
+            if self.peek() != ")":  # NOW()/UUID()/STRUUID()/RAND() take none
                 args.append(self.arith_expr())
+                while self.peek() == ",":
+                    self.next()
+                    args.append(self.arith_expr())
             self.expect(")")
             return Func(fn, tuple(args))
         raw = self.peek()

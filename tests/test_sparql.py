@@ -1319,3 +1319,28 @@ def test_graph_var_only_nested_constant_iterates_domain(triples):
     got = {r["g"]: r["n"] for r in out.collect()}
     assert set(got) == set(base)
     assert set(got.values()) == {base["/graphs/src1"]}
+
+
+def test_nondeterministic_builtins(spark, triples):
+    """SPARQL 1.1 NOW()/UUID()/STRUUID()/RAND(): NOW is query-constant
+    (§17.4.5.1 — one value for the whole query), UUID/STRUUID are
+    per-solution distinct, RAND lands in [0,1)."""
+    import re
+
+    from cm_well_spark.operators.sparql import sparql_query
+
+    rows = sparql_query(
+        triples,
+        """
+        SELECT ?x ?t ?u ?su ?r WHERE {
+          ?x <name> ?n . ?x <rdfType> "Region" .
+          BIND(NOW() AS ?t) BIND(UUID() AS ?u) BIND(STRUUID() AS ?su) BIND(RAND() AS ?r)
+        }
+        """,
+    ).collect()
+    assert len(rows) == 5
+    assert len({r["t"] for r in rows}) == 1  # query-constant
+    assert re.fullmatch(r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}Z", rows[0]["t"])
+    assert len({r["u"] for r in rows}) == 5 and all(r["u"].startswith("urn:uuid:") for r in rows)
+    assert len({r["su"] for r in rows}) == 5
+    assert all(0.0 <= float(r["r"]) < 1.0 for r in rows)
