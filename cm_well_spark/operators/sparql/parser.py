@@ -640,12 +640,17 @@ class _P:
             fn = self.next().lower()
             self.expect("(")
             args = []
-            if self.peek() != ")":  # NOW()/UUID()/STRUUID()/RAND() take none
+            if self.peek() != ")":
                 args.append(self.arith_expr())
                 while self.peek() == ",":
                     self.next()
                     args.append(self.arith_expr())
             self.expect(")")
+            # only the §17.4.5 nondeterministic builtins are nullary;
+            # catching STR() etc. here keeps the error a parse error,
+            # not an IndexError inside the compiler
+            if not args and fn not in ("now", "uuid", "struuid", "rand"):
+                raise SparqlParseError(f"{fn.upper()}() needs at least one argument")
             return Func(fn, tuple(args))
         raw = self.peek()
         if (
