@@ -332,6 +332,51 @@ TRIX_OPEN = '<TriX xmlns="http://www.w3.org/2004/03/trix/trix-1/"><graph>'
 TRIX_CLOSE = "</graph></TriX>"
 
 
+def to_jsonldq(
+    triples: DataFrame, base_uri: str = "cmwell://", default_graph: str = "urn:x-cmwell:default"
+) -> DataFrame:
+    """format=jsonldq (JsonLDQFormatter, RDFFormatter.scala:686 — the
+    quad-aware JSON-LD flavor): each row renders as a self-contained
+    graph object `{"@id": <graph>, "@graph": [{node}]}`. Graph objects
+    may repeat across the enveloping array exactly like to_trig's
+    repeated GRAPH blocks — JSON-LD consumers merge them — which keeps
+    the formatter fully row-parallel (no per-graph grouping shuffle).
+    Writer envelope: JSONLDQ_OPEN + ",".join(lines) + JSONLDQ_CLOSE."""
+    s_iri = F.concat(F.lit(base_uri), F.regexp_replace("s", "^/", ""))
+    is_ref = F.col("o").startswith("/") & (F.col("vtype") == "s")
+    dt = F.coalesce(
+        *[F.when(F.col("vtype") == k, F.lit(iri)) for k, iri in _DTYPE_IRI.items()],
+        F.lit(None).cast("string"),
+    )
+    esc = F.regexp_replace(
+        F.regexp_replace(F.col("o"), r"\\", r"\\\\"), '"', r'\"'
+    )
+    val_obj = F.when(
+        is_ref,
+        F.concat(F.lit('{"@id":"' + base_uri), F.regexp_replace("o", "^/", ""), F.lit('"}')),
+    ).when(
+        F.col("lang").isNotNull(),
+        F.concat(F.lit('{"@value":"'), esc, F.lit('","@language":"'), F.col("lang"), F.lit('"}')),
+    ).when(
+        dt.isNotNull(),
+        F.concat(F.lit('{"@value":"'), esc, F.lit('","@type":"'), dt, F.lit('"}')),
+    ).otherwise(F.concat(F.lit('{"@value":"'), esc, F.lit('"}')))
+    g_id = F.when(
+        F.col("g").isNotNull() & F.col("g").startswith("/"),
+        F.concat(F.lit(base_uri), F.regexp_replace("g", "^/", "")),
+    ).when(F.col("g").isNotNull(), F.col("g")).otherwise(F.lit(default_graph))
+    line = F.concat(
+        F.lit('{"@id":"'), g_id,
+        F.lit('","@graph":[{"@id":"'), s_iri,
+        F.lit('","'), F.col("p"), F.lit('":['), val_obj, F.lit("]}]}"),
+    )
+    return triples.select(line.alias("line"))
+
+
+JSONLDQ_OPEN = "["
+JSONLDQ_CLOSE = "]"
+
+
 # ---------------------------------------------------------------------------
 # yaml / atom
 # ---------------------------------------------------------------------------
@@ -449,4 +494,5 @@ TRIPLE_FORMATTERS = {
     "nq": lambda t: triple_lines(t, quads=True),
     "trig": lambda t: _trig_lines(t, "cmwell://", "urn:x-cmwell:default"),
     "trix": to_trix,
+    "jsonldq": to_jsonldq,
 }

@@ -4637,3 +4637,26 @@ def sparql_xsd_constructors(spark, sf_dir):
         } ORDER BY ?x
         """,
     )
+
+
+@register(
+    "format_jsonldq_lines",
+    oracle="""
+    SELECT '{"@id":"urn:x-cmwell:default","@graph":[{"@id":"cmwell://tpch/region/'
+           || r_regionkey || '","name":[{"@value":"' || r_name || '"}]}]}' AS line
+    FROM region
+    """,
+)
+def format_jsonldq_lines(spark, sf_dir):
+    """S9 jsonldq — the quad-aware JSON-LD flavor (JsonLDQFormatter,
+    RDFFormatter.scala:686): row-parallel graph objects; quad-less
+    values render into the default graph."""
+    from cm_well_spark.formats.render import to_jsonldq
+
+    tri = _tri(spark, sf_dir)
+    sel = tri.where(
+        F.col("current")
+        & (F.col("p") == "name")
+        & F.col("s").rlike("^/tpch/region/[0-9]+$")
+    )
+    return to_jsonldq(sel)

@@ -291,7 +291,7 @@ def test_formatters_registry_covers_reference_list():
 
     # FormatExtractor.scala:50-66 families, minus api-only ones
     assert {"json", "jsonl", "yaml", "text", "ttl", "n3", "rdfxml", "jsonld", "atom"} <= set(FORMATTERS)
-    assert {"nt", "nq", "trig", "trix"} <= set(TRIPLE_FORMATTERS)
+    assert {"nt", "nq", "trig", "trix", "jsonldq"} <= set(TRIPLE_FORMATTERS)
 
 
 def test_trig_parse_and_render_roundtrip(spark, triples):
@@ -410,3 +410,27 @@ def test_atom_pagination_links_contract():
     assert rels(10, 1, 2)["previous"] == "0"
     # empty result: last collapses to 0
     assert rels(0, 0, 0)["last"] == "0"
+
+
+def test_jsonldq_quad_aware_lines(spark, triples):
+    """r7 jsonldq (JsonLDQFormatter parity): every line is valid JSON
+    with a graph @id and one node object; quads land in their named
+    graph, quad-less values in the default graph; the enveloped
+    concatenation is a valid JSON array."""
+    import json
+
+    from cm_well_spark.formats.render import JSONLDQ_CLOSE, JSONLDQ_OPEN, to_jsonldq
+
+    tri = triples.where(F.col("s") == "/tpch/nation/3")
+    lines = [r["line"] for r in to_jsonldq(tri).collect()]
+    assert lines
+    doc = json.loads(JSONLDQ_OPEN + ",".join(lines) + JSONLDQ_CLOSE)
+    for obj in doc:
+        assert set(obj) == {"@id", "@graph"} and len(obj["@graph"]) == 1
+        node = obj["@graph"][0]
+        assert node["@id"] == "cmwell://tpch/nation/3"
+    # typed numeric value carries @type; graph ids resolve
+    flat = json.dumps(doc)
+    assert "XMLSchema#" in flat
+    gids = {obj["@id"] for obj in doc}
+    assert any(g == "urn:x-cmwell:default" or g.startswith("cmwell://") or ":" in g for g in gids)
