@@ -1344,3 +1344,37 @@ def test_nondeterministic_builtins(spark, triples):
     assert len({r["u"] for r in rows}) == 5 and all(r["u"].startswith("urn:uuid:") for r in rows)
     assert len({r["su"] for r in rows}) == 5
     assert all(0.0 <= float(r["r"]) < 1.0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# parser error contract (fuzz) — same pin as the qp/_sp/gremlin parsers
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet=st.characters(codec="ascii"), max_size=150))
+def test_sparql_parser_never_leaks_foreign_exceptions(payload):
+    """Arbitrary input either parses or raises SparqlParseError — never
+    an IndexError/KeyError/AttributeError out of the tokenizer, the
+    recursive descent, or the r7 custom-function call path."""
+    from cm_well_spark.operators.sparql.parser import SparqlParseError, parse_sparql
+
+    try:
+        parse_sparql(payload)
+    except SparqlParseError:
+        pass
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet=st.characters(codec="ascii"), max_size=60))
+def test_sparql_parser_fuzzed_filter_exprs(payload):
+    """Same contract with the payload embedded in a FILTER expression —
+    exercises value_expr / arith_expr / the nullary-builtin arity guard."""
+    from cm_well_spark.operators.sparql.parser import SparqlParseError, parse_sparql
+
+    try:
+        parse_sparql("SELECT ?x WHERE { ?x <p> ?v . FILTER(" + payload + ") }")
+    except SparqlParseError:
+        pass
