@@ -612,3 +612,86 @@ def ivfpq_topk(
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+def pq_topk_batch(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 4,
+    n_codes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_id_col: str = "query_id",
+    q_vec_col: str = "embedding",
+) -> DataFrame:
+    """Batched PQ asymmetric-distance top-k: N queries, ONE plan — the
+    distributed shape of FAISS's batched ADC scan. The per-query LUT
+    (m * n_codes squared-L2 entries against the broadcast codebook
+    literals) is computed as a COLUMN on the query rows, so queries stay
+    a DataFrame; the corpus side is scanned once over its m-byte codes
+    per query (broadcast nested-loop against the tiny query side), each
+    row's distance = m LUT lookups. Per-query top-k is a window over the
+    scored pairs. Returns (query_id, vec_id, adc_dist) ascending.
+
+    At 100 TB: the only big-data operand is the codes column (m bytes a
+    row); query count is bounded (broadcast), and no float vector is
+    read at query time."""
+    row = df.select(F.size(vec_col).alias("d")).first()
+    if row is None:
+        return df.sparkSession.createDataFrame(
+            [], f"{q_id_col} long, {id_col} long, adc_dist double"
+        )
+    dim = int(row["d"])
+    sub_d = dim // m
+    codes_df = pq_encode(df, m=m, k=n_codes, vec_col=vec_col, id_col=id_col)
+    seeds = [
+        r["v"]
+        for r in df.select(
+            F.col(id_col), F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v")
+        )
+        .orderBy(id_col)
+        .limit(n_codes)
+        .collect()
+    ]
+    seeds_flat = F.array(*[F.lit(float(x)) for s in seeds for x in s])
+    qv = F.transform(F.col(q_vec_col), lambda x: x.cast("double"))
+
+    def lut_entry(idx):
+        j = F.floor(idx / n_codes)
+        c = idx % n_codes
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(sub_d)),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + F.pow(
+                F.element_at(qv, (j * sub_d + i).cast("int"))
+                - F.element_at(seeds_flat, (c * dim + j * sub_d + i).cast("int")),
+                F.lit(2),
+            ),
+        )
+
+    qs = queries.select(
+        F.col(q_id_col).alias("__qid"),
+        F.transform(F.sequence(F.lit(0), F.lit(m * n_codes - 1)), lut_entry).alias("__lut"),
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda c, j: F.element_at(F.col("__lut"), (j * n_codes + c + 1).cast("int")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    from pyspark.sql import Window
+
+    scored = codes_df.join(F.broadcast(qs)).select(
+        "__qid", F.col(id_col), F.round(adc, 6).alias("adc_dist")
+    )
+    w = Window.partitionBy("__qid").orderBy(F.asc("adc_dist"), F.asc(id_col))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select(F.col("__qid").alias(q_id_col), id_col, "adc_dist")
+    )

@@ -4660,3 +4660,20 @@ def format_jsonldq_lines(spark, sf_dir):
         & F.col("s").rlike("^/tpch/region/[0-9]+$")
     )
     return to_jsonldq(sel)
+
+
+@register("similarity_pq_topk_batch")
+def similarity_pq_topk_batch(spark, sf_dir):
+    """Batched PQ ADC: N queries, one plan — per-query LUT computed as a
+    column against the broadcast codebook literals, corpus scanned over
+    its m-byte codes only, window top-k per query (the distributed
+    FAISS batched-ADC shape). Approximate ranking -> rows-only; batched
+    == single parity pinned by pytest."""
+    from cm_well_spark.operators.similarity import pq_topk_batch
+    from cm_well_spark.sources import tables as tbl
+
+    embs = tbl.load_table(spark, sf_dir, "embeddings")
+    queries = embs.orderBy("vec_id").limit(4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_topk_batch(embs, queries, k=10)

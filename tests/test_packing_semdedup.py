@@ -379,3 +379,26 @@ def test_pack_windows_conservation_random(spark, word_counts, budget, n_shards):
         assert agg[i] == max(n, 1)  # "" and "w " both split to >=1 token
     over = packed.groupBy("shard", "window").agg(F.sum("win_tokens").alias("t")).where(F.col("t") > budget)
     assert over.count() == 0
+
+
+def test_pq_topk_batch_matches_single(embs):
+    """r7 batched ADC: each query's batched result equals its single
+    pq_topk run (same codes, same LUT arithmetic, one plan for N)."""
+    from cm_well_spark.operators.similarity import pq_topk, pq_topk_batch
+
+    spark = embs.sparkSession
+    qrows = embs.orderBy("vec_id").limit(3).collect()
+    queries = spark.createDataFrame(
+        [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows],
+        "query_id long, embedding array<double>",
+    )
+    batched = pq_topk_batch(embs, queries, k=5)
+    got = {}
+    for r in batched.collect():
+        got.setdefault(r["query_id"], []).append((r["vec_id"], r["adc_dist"]))
+    for r in qrows:
+        single = [
+            (x["vec_id"], x["adc_dist"])
+            for x in pq_topk(embs, [float(v) for v in r["embedding"]], k=5).collect()
+        ]
+        assert sorted(got[int(r["vec_id"])]) == sorted(single)
