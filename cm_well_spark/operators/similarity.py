@@ -695,3 +695,96 @@ def pq_topk_batch(
         .where(F.col("__rn") <= k)
         .select(F.col("__qid").alias(q_id_col), id_col, "adc_dist")
     )
+
+
+def ivfpq_topk_batch(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 4,
+    m: int = 4,
+    n_codes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_id_col: str = "query_id",
+    q_vec_col: str = "embedding",
+    rerank: int = 4,
+) -> DataFrame:
+    """Batched IVF-PQ with exact re-rank — the full production ANN serving
+    shape as ONE Catalyst plan for N queries:
+
+      1. coarse probe: each query's top-n_probe cells computed as a
+         COLUMN against the centroid literals (no driver branching per
+         query), exploded to (query, cell) probe pairs;
+      2. candidate generation: probe pairs equi-join the corpus cell
+         assignment — each query touches n_probe/n_cells of the data;
+      3. ADC ranking over the m-byte codes with the per-query LUT column
+         (pq_topk_batch's arithmetic), window top-(rerank*k) per query;
+      4. exact re-rank: the surviving (query, id) pairs — rerank*k*N
+         rows, broadcast-sized — join the float vectors once and score
+         exact cosine; window top-k per query.
+
+    Returns (query_id, vec_id, cosine) descending per query. `rerank=0`
+    returns the raw ADC ranking (query_id, vec_id, adc_dist)."""
+    from pyspark.sql import Window
+
+    assigned, cents = ivf_assign(df, n_cells, 2, vec_col, id_col)
+    qv = F.transform(F.col(q_vec_col), lambda x: x.cast("double"))
+    cell_sims = F.array(
+        *[
+            F.struct(
+                dot(qv, F.array(*[F.lit(float(x)) for x in cv])).alias("sim"),
+                F.lit(ci).alias("cell"),
+            )
+            for ci, cv in cents
+        ]
+    )
+    probes = F.slice(F.reverse(F.array_sort(cell_sims)), 1, n_probe)
+    q_probe = queries.select(
+        F.col(q_id_col).alias("__qid"),
+        F.explode(F.transform(probes, lambda s: s["cell"])).alias("cell"),
+    )
+    cand = assigned.join(F.broadcast(q_probe), "cell").select(
+        "__qid", F.col("id").alias(id_col)
+    )
+    cand_vecs = df.join(
+        cand.select(id_col).distinct(), id_col, "left_semi"
+    )
+    kprime = k if rerank == 0 else rerank * k
+    adc_all = pq_topk_batch(
+        cand_vecs,
+        queries,
+        k=max(kprime, k),
+        m=m,
+        n_codes=n_codes,
+        vec_col=vec_col,
+        id_col=id_col,
+        q_id_col=q_id_col,
+        q_vec_col=q_vec_col,
+    )
+    # keep only pairs the coarse probe admitted for THAT query
+    adc = adc_all.join(
+        cand.withColumnRenamed("__qid", q_id_col), [q_id_col, id_col], "left_semi"
+    )
+    if rerank == 0:
+        w0 = Window.partitionBy(q_id_col).orderBy(F.asc("adc_dist"), F.asc(id_col))
+        return (
+            adc.withColumn("__rn", F.row_number().over(w0))
+            .where(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+    qs = queries.select(F.col(q_id_col).alias("__rq"), qv.alias("__qv"))
+    cast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    pairs = adc.select(q_id_col, id_col).join(df.select(F.col(id_col), cast.alias("__v")), id_col)
+    scored = pairs.join(
+        F.broadcast(qs), pairs[q_id_col] == F.col("__rq")
+    ).select(
+        q_id_col, id_col, F.round(cosine(F.col("__v"), F.col("__qv")), 6).alias("cosine")
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -4677,3 +4677,20 @@ def similarity_pq_topk_batch(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return pq_topk_batch(embs, queries, k=10)
+
+
+@register("similarity_ivfpq_topk_batch")
+def similarity_ivfpq_topk_batch(spark, sf_dir):
+    """Batched IVF-PQ + exact re-rank, one plan for N queries: coarse
+    probe as a column vs centroid literals, candidate equi-join on cell,
+    batched ADC over codes, broadcast re-rank join on the surviving
+    pairs. Approximate candidate generation -> rows-only; recall and
+    ordering pinned by pytest."""
+    from cm_well_spark.operators.similarity import ivfpq_topk_batch
+    from cm_well_spark.sources import tables as tbl
+
+    embs = tbl.load_table(spark, sf_dir, "embeddings")
+    queries = embs.orderBy("vec_id").limit(4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivfpq_topk_batch(embs, queries, k=10)

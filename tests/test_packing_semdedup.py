@@ -402,3 +402,42 @@ def test_pq_topk_batch_matches_single(embs):
             for x in pq_topk(embs, [float(v) for v in r["embedding"]], k=5).collect()
         ]
         assert sorted(got[int(r["vec_id"])]) == sorted(single)
+
+
+def test_ivfpq_topk_batch_recall_and_shape(embs):
+    """r7 batched IVF-PQ + re-rank: per-query results are exact-cosine
+    ranked, the query vector finds itself, and recall@20 vs brute-force
+    is reasonable for every query in the batch."""
+    from cm_well_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_topk_batch,
+    )
+
+    spark = embs.sparkSession
+    qrows = embs.orderBy("vec_id").limit(3).collect()
+    queries = spark.createDataFrame(
+        [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows],
+        "query_id long, embedding array<double>",
+    )
+    out = ivfpq_topk_batch(embs, queries, k=20).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {int(r["vec_id"]) for r in qrows}
+    for qid, rows in by_q.items():
+        assert len(rows) <= 20
+        assert qid in {r["vec_id"] for r in rows}  # self-hit survives
+        cos = [r["cosine"] for r in rows]
+        assert cos == sorted(cos, reverse=True)
+        true10 = {
+            r["vec_id"]
+            for r in brute_force_topk(
+                embs, [float(x) for x in next(q for q in qrows if int(q["vec_id"]) == qid)["embedding"]], k=10
+            ).collect()
+        }
+        assert len(true10 & {r["vec_id"] for r in rows}) >= 2
+    # ADC-only mode returns ascending distances
+    adc = ivfpq_topk_batch(embs, queries, k=5, rerank=0).collect()
+    for qid in {r["query_id"] for r in adc}:
+        d = [r["adc_dist"] for r in adc if r["query_id"] == qid]
+        assert d == sorted(d)
