@@ -173,6 +173,9 @@ def main() -> None:
             # round-6 families at 10x: one-shuffle packing + as-of join
             "pack_windows",
             "events_asof_latest_order",
+            # round-7 families at 10x: banded-LSH dedup + line dedup
+            "dedup_minhash_lsh",
+            "dedup_line_level",
         ]
         sf1_timings: dict[str, float] = {}
         # sf1 queries run 3-10x their sf0.1 cost; cap at 2 samples so the

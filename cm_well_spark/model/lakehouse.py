@@ -175,9 +175,28 @@ _DF_CACHE: dict[tuple, DataFrame] = {}
 
 
 def _load(spark: SparkSession, out: str, table: str) -> DataFrame:
-    key = (id(spark), out, table)
+    # Merge-on-read awareness: a store with pending write_batch deltas
+    # (model/compaction) must never serve stale current flags. The cache
+    # key carries the delta count, so appending a batch naturally
+    # invalidates the cached frame and compaction (which removes the
+    # delta dir) flips back to the plain fast path.
+    n_deltas = 0
+    if table in ("infotons", "triples"):
+        d = os.path.join(out, "infotons_delta")
+        if os.path.isdir(d):
+            n_deltas = sum(1 for b in os.listdir(d) if b.startswith("batch="))
+    key = (id(spark), out, table, n_deltas)
     if key not in _DF_CACHE:
-        df = spark.read.parquet(os.path.join(out, table))
+        if n_deltas and table == "infotons":
+            from cm_well_spark.model.compaction import reconciled_infotons
+
+            df = reconciled_infotons(spark, out)
+        elif n_deltas and table == "triples":
+            from cm_well_spark.model.compaction import reconciled_triples
+
+            df = reconciled_triples(spark, out)
+        else:
+            df = spark.read.parquet(os.path.join(out, table))
         if os.environ.get("CMW_CACHE") == "1":
             df = df.persist()
         _DF_CACHE[key] = df

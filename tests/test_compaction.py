@@ -210,3 +210,28 @@ def test_delta_dir_is_a_qstream_feed(spark, store):
     q.awaitTermination(120)
     got = {r["path"] for r in spark.sql("SELECT path FROM delta_feed").collect()}
     assert got == {"/tpch/region/55", "/tpch/region/56"}
+
+
+def test_load_infotons_is_merge_on_read_aware(spark, store):
+    """lakehouse.load-path parity: a store with pending deltas serves
+    the reconciled view through the standard loader — no caller can
+    read stale current flags by accident."""
+    import shutil
+    from datetime import datetime
+
+    from cm_well_spark.model.compaction import write_batch
+    from cm_well_spark.model.lakehouse import _load
+
+    mor_store = store + "_mor"
+    shutil.copytree(store, mor_store)
+    lm = datetime(2024, 6, 1)
+    before = _load(spark, mor_store, "infotons")
+    assert before.where(F.col("path") == "/tpch/region/77").count() == 0
+    write_batch(spark, mor_store, _cmds(spark, [
+        ("/tpch/region/77", 1, "write", {"name": [_sfv("MOR77")]}, None, lm, "https"),
+    ]))
+    after = _load(spark, mor_store, "infotons")
+    row = after.where(F.col("current") & (F.col("path") == "/tpch/region/77")).first()
+    assert row is not None and row["fields"]["name"][0]["value"] == "MOR77"
+    tri = _load(spark, mor_store, "triples")
+    assert tri.where((F.col("s") == "/tpch/region/77") & F.col("current") & (F.col("p") == "name")).count() == 1
