@@ -305,3 +305,126 @@ def url_filter(
         .distinct()
     )
     return df.join(hit_ids, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# DSIR: data selection via importance resampling (Xie et al. 2023,
+# arXiv:2302.03169)
+# ---------------------------------------------------------------------------
+
+def _dsir_bucket(c: Column, n_buckets: int) -> Column:
+    """Hashed n-gram feature bucket. md5-based (not xxhash) so the DuckDB
+    oracle reproduces the bucketing bit-for-bit:
+    ('0x' || substring(md5(ng), 1, 8))::BIGINT % n_buckets."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long") % n_buckets
+
+
+def _dsir_grams(df: DataFrame, text_col: str, id_col: str | None) -> DataFrame:
+    """Word unigrams + bigrams of the normalized text, one row each (the
+    paper's hashed n-gram bag features). Multiset semantics — repeated
+    n-grams count."""
+    from cm_well_spark.operators.text import _word_ngrams_all, normalize_text
+
+    uni = F.split(normalize_text(F.col(text_col)), " ")
+    ng = F.concat(uni, _word_ngrams_all(F.col(text_col), 2))
+    cols = [F.col(id_col)] if id_col else []
+    return df.select(*cols, F.explode(ng).alias("ng")).where(F.col("ng") != "")
+
+
+def _dsir_dist(grams: DataFrame, n_buckets: int, p_name: str) -> DataFrame:
+    """Laplace-smoothed hashed-feature distribution: at most `n_buckets`
+    rows regardless of corpus size — the fit is one explode + one agg, and
+    the result always broadcasts. Emits ln p(b) plus the smoothing floor
+    ln(1/(N + B)) for buckets the corpus never hit."""
+    b = (
+        grams.groupBy(_dsir_bucket(F.col("ng"), n_buckets).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = b.agg(F.sum("n").alias("t"))
+    return (
+        b.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.log((F.col("n") + 1) / (F.col("t") + n_buckets)).alias(p_name),
+            F.log(1.0 / (F.col("t") + n_buckets)).alias(p_name + "_floor"),
+        )
+    )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Per-document DSIR importance weight
+    ``log w(x) = sum_b c_b(x) * (ln p_target(b) - ln p_raw(b))`` over
+    hashed unigram+bigram bucket counts c_b, with Laplace-smoothed bucket
+    distributions fit on the target (quality) corpus and the raw corpus.
+
+    100 TB shape: both fits reduce to <= n_buckets rows (explicitly
+    broadcast); the raw corpus explodes once into (doc, bucket) counts
+    with map-side combine, joins the two tiny distributions, and folds to
+    one row per doc. No all-pairs stage, no driver state."""
+    p_t = _dsir_dist(_dsir_grams(target, text_col, None), n_buckets, "lp_t")
+    p_r = _dsir_dist(_dsir_grams(raw, text_col, None), n_buckets, "lp_r")
+    doc_b = (
+        _dsir_grams(raw, text_col, id_col)
+        .groupBy(id_col, _dsir_bucket(F.col("ng"), n_buckets).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # left joins: a bucket present in the doc but absent from a fit falls
+    # back to that fit's smoothing floor. The floors ride a 1-row
+    # broadcast cross join so the whole weight computation stays one lazy
+    # Catalyst plan (no driver round-trip at build time).
+    floors = (
+        p_t.agg(F.max("lp_t_floor").alias("f_t"))
+        .crossJoin(p_r.agg(F.max("lp_r_floor").alias("f_r")))
+    )
+    return (
+        doc_b.crossJoin(F.broadcast(floors))
+        .join(F.broadcast(p_t.drop("lp_t_floor")), "bucket", "left")
+        .join(F.broadcast(p_r.drop("lp_r_floor")), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.col("c")
+                * (
+                    F.coalesce(F.col("lp_t"), F.col("f_t"))
+                    - F.coalesce(F.col("lp_r"), F.col("f_r"))
+                )
+            ).alias("log_w")
+        )
+    )
+
+
+def dsir_resample(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Gumbel top-k importance resampling (the paper's without-replacement
+    sampler): key = log w(x) + Gumbel noise; take the k largest keys.
+    The Gumbel draw is derived from md5(doc_id) — no RNG state, so the
+    selected set is identical across partitionings, retries and engines,
+    and the DuckDB oracle replays membership exactly. The top-k runs as
+    TakeOrderedAndProject (per-partition heaps + driver merge of k rows),
+    never a global sort. Keys are rounded to 1e-6 before ordering (with
+    doc_id as tie-break) so borderline float drift cannot flip the cut
+    across engines."""
+    w = dsir_weights(raw, target, text_col, id_col, n_buckets)
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("dsir:"), F.col(id_col).cast("string"))), 1, 12), 16, 10)
+        .cast("double")
+        + 1.0
+    ) / F.lit(float(16**12) + 2.0)
+    key = F.round(F.col("log_w") - F.log(-F.log(u)), 6)
+    return (
+        w.select(F.col(id_col), F.round("log_w", 6).alias("log_w"), key.alias("gumbel_key"))
+        .orderBy(F.desc("gumbel_key"), F.col(id_col))
+        .limit(k)
+    )

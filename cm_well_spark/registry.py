@@ -4694,3 +4694,62 @@ def similarity_ivfpq_topk_batch(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ivfpq_topk_batch(embs, queries, k=10)
+
+
+@register(
+    "curation_dsir_topk",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split({_NORM_SQL.format(c='text')}, ' ') AS w FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, ng FROM (
+        SELECT doc_id, unnest(w) AS ng FROM d
+        UNION ALL
+        SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS ng
+        FROM d
+      ) WHERE ng <> ''
+    ),
+    bg AS (
+      SELECT doc_id, ('0x' || substring(md5(ng), 1, 8))::BIGINT % 256 AS bucket FROM grams
+    ),
+    tfit AS (SELECT bucket, count(*) AS n FROM bg WHERE doc_id < 50 GROUP BY bucket),
+    rfit AS (SELECT bucket, count(*) AS n FROM bg WHERE doc_id >= 50 GROUP BY bucket),
+    tt AS (SELECT sum(n) AS t FROM tfit), rt AS (SELECT sum(n) AS t FROM rfit),
+    pt AS (SELECT bucket, ln((n + 1) / (t + 256.0)) AS lp_t FROM tfit CROSS JOIN tt),
+    pr AS (SELECT bucket, ln((n + 1) / (t + 256.0)) AS lp_r FROM rfit CROSS JOIN rt),
+    docb AS (
+      SELECT doc_id, bucket, count(*) AS c FROM bg WHERE doc_id >= 50 GROUP BY doc_id, bucket
+    ),
+    wts AS (
+      SELECT doc_id,
+             sum(c * (coalesce(lp_t, (SELECT ln(1.0 / (t + 256.0)) FROM tt))
+                    - coalesce(lp_r, (SELECT ln(1.0 / (t + 256.0)) FROM rt)))) AS log_w
+      FROM docb LEFT JOIN pt USING (bucket) LEFT JOIN pr USING (bucket)
+      GROUP BY doc_id
+    ),
+    keyed AS (
+      SELECT wts.doc_id, round(wts.log_w, 6) AS log_w,
+             round(wts.log_w - ln(-ln(
+               (('0x' || substring(md5('dsir:' || wts.doc_id), 1, 12))::BIGINT + 1.0)
+               / {float(16**12) + 2.0})), 6) AS gumbel_key
+      FROM wts
+    )
+    SELECT doc_id, log_w, gumbel_key FROM keyed ORDER BY gumbel_key DESC, doc_id LIMIT 100
+    """,
+)
+def curation_dsir_topk(spark, sf_dir):
+    """DSIR data selection (Xie et al. 2023, arXiv:2302.03169): hashed
+    unigram+bigram bucket distributions fit on the target slice (doc_id <
+    50) and the raw corpus (doc_id >= 50); per-doc importance weight
+    log w = sum_b c_b * (ln p_t(b) - ln p_r(b)); Gumbel top-100 resample
+    with md5-derived noise so membership is deterministic and the oracle
+    replays it exactly. Both fits are <= 256 rows (broadcast); the corpus
+    explodes once and folds per doc — no all-pairs stage."""
+    from cm_well_spark.operators.curation import dsir_resample
+    from cm_well_spark.sources import tables as tbl
+
+    docs = tbl.load_table(spark, sf_dir, "documents")
+    return dsir_resample(
+        docs.where(F.col("doc_id") >= 50), docs.where(F.col("doc_id") < 50), k=100
+    )

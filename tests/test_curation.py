@@ -30,3 +30,32 @@ def test_url_host_and_filter_subdomains(spark):
     )
     kept = {r["doc_id"] for r in url_filter(docs, ["tracker.com"]).collect()}
     assert kept == {3, 5}
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    """r7 DSIR (Xie et al. 2023): importance weights rank raw docs that
+    share the target's hashed n-gram distribution above dissimilar ones,
+    and the Gumbel top-k is deterministic across re-evaluation."""
+    from cm_well_spark.operators.curation import dsir_resample, dsir_weights
+
+    target = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog again and again") for i in range(8)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog once more"),
+            (101, "quick brown fox and the lazy dog jump together"),
+            (102, "zzz qqq xxx www vvv kkk jjj hhh ggg fff"),
+            (103, "completely unrelated tokens nowhere near target corpus"),
+        ],
+        "doc_id long, text string",
+    )
+    w = {r["doc_id"]: r["log_w"] for r in dsir_weights(raw, target).collect()}
+    assert w[100] > w[102] and w[100] > w[103]
+    assert w[101] > w[102] and w[101] > w[103]
+
+    top = dsir_resample(raw, target, k=2)
+    first = [(r["doc_id"], r["gumbel_key"]) for r in top.collect()]
+    second = [(r["doc_id"], r["gumbel_key"]) for r in top.collect()]
+    assert first == second and len(first) == 2
