@@ -452,3 +452,41 @@ def line_dedup(
         )
         .select(F.col("id").alias(id_col), text_col)
     )
+
+
+def keep_best_representative(
+    docs: DataFrame,
+    clusters: DataFrame,
+    score: Column,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-duplicate-cluster representative selection: real pipelines keep
+    the BEST doc of each near-dup cluster (highest quality score), not an
+    arbitrary member. `clusters` is (id, cluster) from duplicate_clusters;
+    `score` is any columnar quality expression over `docs`.
+
+    One plan: score the corpus columnar, broadcast-join the cluster labels
+    (bounded: only docs that hit a near-dup pair plus singletons), then a
+    max_by struct-aggregate per cluster — ONE shuffle keyed on the cluster
+    label, no window sort. Ties break to the smallest doc id via the
+    (score, -id) struct ordering so the winner is deterministic across
+    partitionings and engines."""
+    scored = docs.select(F.col(id_col), score.alias("q"))
+    labeled = scored.join(clusters, id_col)
+    best = (
+        labeled.groupBy("cluster")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("q"),
+                    (-F.col(id_col)).alias("neg_id"),
+                )
+            ).alias("b")
+        )
+        .select(
+            "cluster",
+            (-F.col("b.neg_id")).cast("long").alias(id_col),
+            F.round("b.q", 6).alias("best_quality"),
+        )
+    )
+    return best

@@ -75,6 +75,29 @@ def spread_for_cpu(df: DataFrame) -> DataFrame:
 STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that", "for", "on", "with", "as")
 
 
+def quality_score(c: Column) -> Column:
+    """The composite [0,1] quality score alone, as a reusable columnar
+    expression (same formula quality_features emits — callers that only
+    need the scalar, e.g. dedup representative selection, skip the
+    feature columns)."""
+    n_chars = F.length(c)
+    words = F.split(F.trim(F.lower(c)), r"\s+")
+    n_words = F.size(words)
+    n_punct = F.size(F.regexp_extract_all(c, F.lit(r"[.,;:!?]"), 0))
+    n_alpha = F.size(F.regexp_extract_all(c, F.lit(r"[A-Za-z]"), 0))
+    stop_hits = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+    mean_word_len = (n_chars - (n_words - 1)) / n_words
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
+    alpha_ratio = n_alpha / F.greatest(n_chars, F.lit(1))
+    stop_ratio = stop_hits / F.greatest(n_words, F.lit(1))
+    return (
+        F.least(alpha_ratio / 0.7, F.lit(1.0)) * 0.4
+        + F.least(stop_ratio / 0.3, F.lit(1.0)) * 0.3
+        + F.when((mean_word_len >= 3) & (mean_word_len <= 10), 1.0).otherwise(0.3) * 0.2
+        + F.when(punct_ratio <= 0.1, 1.0).otherwise(0.5) * 0.1
+    )
+
+
 def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Length / punctuation / stopword / word-shape features + a composite
     [0,1] quality score (heuristics in the spirit of C4/Gopher data-quality
@@ -92,12 +115,7 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     stop_ratio = stop_hits / F.greatest(n_words, F.lit(1))
     # composite: alpha-heavy, some stopwords, sane word length, not
     # punctuation-soup
-    score = (
-        F.least(alpha_ratio / 0.7, F.lit(1.0)) * 0.4
-        + F.least(stop_ratio / 0.3, F.lit(1.0)) * 0.3
-        + F.when((mean_word_len >= 3) & (mean_word_len <= 10), 1.0).otherwise(0.3) * 0.2
-        + F.when(punct_ratio <= 0.1, 1.0).otherwise(0.5) * 0.1
-    )
+    score = quality_score(c)
     return df.select(
         F.col(id_col),
         n_words.alias("n_words"),

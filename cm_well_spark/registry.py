@@ -4753,3 +4753,79 @@ def curation_dsir_topk(spark, sf_dir):
     return dsir_resample(
         docs.where(F.col("doc_id") >= 50), docs.where(F.col("doc_id") < 50), k=100
     )
+
+
+@register(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE d AS (
+      SELECT doc_id, text, string_split({_NORM_SQL.format(c='text')}, ' ') AS w
+      FROM documents WHERE doc_id < 300
+    ), s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(w) - 3, 0) + 2),
+               i -> array_to_string(w[i:i+2], ' '))) AS shs
+      FROM d
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.shs, b.shs)) * 1.0
+            / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))) >= 0.5
+    ), e AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ), reach AS (
+      SELECT doc_id AS id, doc_id AS r FROM d
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id
+    ), clusters AS (
+      SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id
+    ), q AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len(string_split_regex(trim(lower(text)), '\\s+')) AS n_words,
+             len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+             len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+             len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                 w -> w IN ('the','a','an','and','or','of','to','in','is','it',
+                            'that','for','on','with','as'))) AS stop_hits
+      FROM d
+    ), scored AS (
+      SELECT doc_id,
+             least((n_alpha * 1.0 / greatest(n_chars, 1)) / 0.7, 1.0) * 0.4
+             + least((stop_hits * 1.0 / greatest(n_words, 1)) / 0.3, 1.0) * 0.3
+             + (CASE WHEN (n_chars - (n_words - 1)) * 1.0 / n_words BETWEEN 3 AND 10
+                     THEN 1.0 ELSE 0.3 END) * 0.2
+             + (CASE WHEN n_punct * 1.0 / greatest(n_chars, 1) <= 0.1
+                     THEN 1.0 ELSE 0.5 END) * 0.1 AS quality
+      FROM q
+    ), ranked AS (
+      SELECT c.cluster, c.doc_id, scored.quality,
+             row_number() OVER (PARTITION BY c.cluster
+                                ORDER BY scored.quality DESC, c.doc_id ASC) AS rn
+      FROM clusters c JOIN scored USING (doc_id)
+    )
+    SELECT cluster, doc_id, round(quality, 6) AS best_quality
+    FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_keep_best(spark, sf_dir):
+    """Dedup with representative selection: near-dup clusters (jaccard
+    pairs -> connected components) keep their HIGHEST-quality member —
+    the real pipeline policy, vs dropping an arbitrary duplicate. The
+    winner comes from a max(struct(quality, -id)) aggregate: ONE shuffle
+    on the cluster label, no per-cluster window sort; ties break to the
+    smallest doc id deterministically in both engines."""
+    from cm_well_spark.operators.dedup import (
+        duplicate_clusters,
+        jaccard_pairs,
+        keep_best_representative,
+    )
+    from cm_well_spark.operators.text import quality_score
+    from cm_well_spark.sources import tables as tbl
+
+    docs = tbl.load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    pairs = jaccard_pairs(docs, threshold=0.5)
+    clusters = duplicate_clusters(docs, pairs)
+    return keep_best_representative(docs, clusters, quality_score(F.col("text")))

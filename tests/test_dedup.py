@@ -17,3 +17,32 @@ def test_line_dedup_drops_boilerplate_and_reassembles(spark):
     assert got[2] == "only here"
     assert 3 not in got  # emptied document drops out
     assert got[4] == "still unique"  # normalization catches case/punct variants
+
+
+def test_keep_best_representative_policy(spark):
+    """r7 representative selection: each near-dup cluster keeps its
+    highest-quality member; exact ties fall to the smallest doc id."""
+    from pyspark.sql import functions as F
+
+    from cm_well_spark.operators.dedup import keep_best_representative
+    from cm_well_spark.operators.text import quality_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog in the field"),
+            (2, "!!!! #### $$$$ %%%% ^^^^ &&&& **** (((( )))) @@@@"),
+            (3, "a plain and readable sentence with the usual words in it"),
+            (4, "a plain and readable sentence with the usual words in it"),
+        ],
+        "doc_id long, text string",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (4, 3)], "doc_id long, cluster long"
+    )
+    best = {
+        r["cluster"]: (r["doc_id"], r["best_quality"])
+        for r in keep_best_representative(docs, clusters, quality_score(F.col("text"))).collect()
+    }
+    assert best[1][0] == 1          # readable text beats punctuation soup
+    assert best[3][0] == 3          # identical quality -> smallest id
+    assert set(best) == {1, 3}
