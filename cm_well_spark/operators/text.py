@@ -454,3 +454,40 @@ def bigram_cross_entropy(
         .groupBy(id_col)
         .agg(F.round(F.avg("nll"), 6).alias("bigram_nll"))
     )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    reference: DataFrame | None = None,
+    alpha: float = 0.4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+    doc with the bigram LM, then split the corpus into head / middle /
+    tail terciles of the score distribution — the standard quality strata
+    a pretraining mixture samples from at different rates.
+
+    The tercile thresholds are ONE global aggregate (2 doubles) that
+    broadcasts back over the corpus; the bucket label is a columnar CASE.
+    Exact percentile keeps the cut deterministic for the DuckDB oracle
+    (both engines define it as linear interpolation at (n-1)*p); a 100 TB
+    run swaps in approx_percentile(=percentile_approx) with a pinned
+    accuracy — the bucket boundary moves by at most the sketch error and
+    nothing else in the plan changes."""
+    nll = bigram_cross_entropy(df, reference, alpha, text_col, id_col)
+    th = nll.agg(
+        F.percentile("bigram_nll", 1.0 / 3).alias("t1"),
+        F.percentile("bigram_nll", 2.0 / 3).alias("t2"),
+    )
+    return (
+        nll.crossJoin(F.broadcast(th))
+        .select(
+            F.col(id_col),
+            "bigram_nll",
+            F.when(F.col("bigram_nll") <= F.col("t1"), "head")
+            .when(F.col("bigram_nll") <= F.col("t2"), "middle")
+            .otherwise("tail")
+            .alias("ppl_bucket"),
+        )
+    )

@@ -4829,3 +4829,66 @@ def dedup_keep_best(spark, sf_dir):
     pairs = jaccard_pairs(docs, threshold=0.5)
     clusters = duplicate_clusters(docs, pairs)
     return keep_best_representative(docs, clusters, quality_score(F.col("text")))
+
+
+@register(
+    "text_ppl_buckets",
+    oracle=f"""
+    WITH refd AS (
+      SELECT string_split({_NORM_SQL.format(c='text')}, ' ') AS w
+      FROM documents WHERE doc_id < 50
+    ), corp AS (
+      SELECT doc_id, string_split({_NORM_SQL.format(c='text')}, ' ') AS w
+      FROM documents WHERE doc_id >= 50
+    ), ref_toks AS (SELECT unnest(w) AS tok FROM refd),
+    uni AS (SELECT tok, count(*) AS n_uni FROM ref_toks GROUP BY tok),
+    total AS (SELECT count(*) AS t FROM ref_toks),
+    ref_pairs AS (
+      SELECT unnest(list_zip(w[1:len(w)-1], w[2:len(w)])) AS p FROM refd
+    ),
+    bi AS (SELECT p[1] AS a, p[2] AS b, count(*) AS n_bi FROM ref_pairs GROUP BY 1, 2),
+    doc_pairs AS (
+      SELECT doc_id, u.p[1] AS a, u.p[2] AS b
+      FROM corp, LATERAL (SELECT unnest(list_zip(w[1:len(w)-1], w[2:len(w)])) AS p) u
+    ),
+    scored AS (
+      SELECT d.doc_id,
+             -log2(CASE WHEN bi.n_bi IS NOT NULL AND ua.n_uni IS NOT NULL
+                        THEN bi.n_bi * 1.0 / ua.n_uni
+                        ELSE 0.4 * coalesce(ub.n_uni, 0) / t END) AS nll
+      FROM doc_pairs d
+      LEFT JOIN bi ON d.a = bi.a AND d.b = bi.b
+      LEFT JOIN uni ua ON d.a = ua.tok
+      LEFT JOIN uni ub ON d.b = ub.tok
+      CROSS JOIN total
+    ),
+    nll_r AS (
+      SELECT doc_id, round(avg(nll), 6) AS bigram_nll
+      FROM scored WHERE nll IS NOT NULL AND NOT isnan(nll) AND nll != 'infinity'
+      GROUP BY doc_id
+    ),
+    th AS (
+      SELECT quantile_cont(bigram_nll, 1.0/3) AS t1,
+             quantile_cont(bigram_nll, 2.0/3) AS t2
+      FROM nll_r
+    )
+    SELECT doc_id, bigram_nll,
+           CASE WHEN bigram_nll <= t1 THEN 'head'
+                WHEN bigram_nll <= t2 THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM nll_r CROSS JOIN th
+    """,
+)
+def text_ppl_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity strata (Wenzek et al. 2020):
+    bigram-LM scores cut at the exact distribution terciles. Thresholds
+    are one 2-double aggregate broadcast back over the corpus; at 100 TB
+    the exact percentile swaps for approx_percentile (documented in
+    perplexity_buckets) with no other plan change."""
+    from cm_well_spark.operators.text import perplexity_buckets
+    from cm_well_spark.sources import tables as tbl
+
+    docs = tbl.load_table(spark, sf_dir, "documents")
+    return perplexity_buckets(
+        docs.where(F.col("doc_id") >= 50), reference=docs.where(F.col("doc_id") < 50)
+    )

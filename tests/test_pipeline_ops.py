@@ -653,3 +653,27 @@ def test_duplicated_spans_freq_cap_drops_boilerplate(spark):
     df = spark.createDataFrame([(i, boiler) for i in range(10)], ["doc_id", "text"])
     assert duplicated_spans(df, k=16, min_docs=2).count() == 10
     assert duplicated_spans(df, k=16, min_docs=2, max_span_freq=5).count() == 0
+
+
+def test_perplexity_buckets_terciles(spark):
+    """r7 CCNet bucketing: every doc gets a bucket, buckets are ordered
+    by score (max(head) <= min(middle) <= ... up to threshold ties), and
+    sizes are near-terciles."""
+    from pyspark.sql import functions as F
+
+    from cm_well_spark.operators.text import perplexity_buckets
+
+    docs = spark.createDataFrame(
+        [(i, f"token{i % 7} the quick brown fox number {i} jumps " * (1 + i % 3)) for i in range(30)],
+        "doc_id long, text string",
+    )
+    out = perplexity_buckets(docs).collect()
+    assert len(out) == 30
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["ppl_bucket"], []).append(r["bigram_nll"])
+    assert set(by_bucket) <= {"head", "middle", "tail"}
+    if "head" in by_bucket and "middle" in by_bucket:
+        assert max(by_bucket["head"]) <= min(by_bucket["middle"])
+    if "middle" in by_bucket and "tail" in by_bucket:
+        assert max(by_bucket["middle"]) <= min(by_bucket["tail"])
