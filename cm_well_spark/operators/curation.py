@@ -331,24 +331,35 @@ def _dsir_grams(df: DataFrame, text_col: str, id_col: str | None) -> DataFrame:
     return df.select(*cols, F.explode(ng).alias("ng")).where(F.col("ng") != "")
 
 
-def _dsir_dist(grams: DataFrame, n_buckets: int, p_name: str) -> DataFrame:
-    """Laplace-smoothed hashed-feature distribution: at most `n_buckets`
-    rows regardless of corpus size — the fit is one explode + one agg, and
-    the result always broadcasts. Emits ln p(b) plus the smoothing floor
-    ln(1/(N + B)) for buckets the corpus never hit."""
-    b = (
+def _dsir_fit(grams: DataFrame, n_buckets: int) -> tuple[dict[int, float], float]:
+    """Laplace-smoothed hashed-feature distribution, collected to
+    literals: at most `n_buckets` rows regardless of corpus size (the
+    bounded-dim collect this repo allows — same pattern as the PQ
+    codebooks). Returns ({bucket: ln p(b)}, smoothing floor ln(1/(N+B))
+    for buckets the corpus never hit)."""
+    import math
+
+    rows = (
         grams.groupBy(_dsir_bucket(F.col("ng"), n_buckets).alias("bucket"))
         .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
     )
-    tot = b.agg(F.sum("n").alias("t"))
-    return (
-        b.crossJoin(F.broadcast(tot))
-        .select(
-            "bucket",
-            F.log((F.col("n") + 1) / (F.col("t") + n_buckets)).alias(p_name),
-            F.log(1.0 / (F.col("t") + n_buckets)).alias(p_name + "_floor"),
-        )
+    total = sum(r["n"] for r in rows)
+    lp = {r["bucket"]: math.log((r["n"] + 1) / (total + n_buckets)) for r in rows}
+    return lp, math.log(1.0 / (total + n_buckets))
+
+
+def _dsir_lp_expr(lp: dict[int, float], floor: float, bucket: Column) -> Column:
+    """ln p(bucket) as a constant map literal lookup (<= n_buckets
+    entries, folded once by codegen) with the smoothing floor as the
+    miss value — no join, no recomputation of the fit per consumer."""
+    if not lp:
+        return F.lit(floor)
+    ks, vs = zip(*sorted(lp.items()))
+    m = F.map_from_arrays(
+        F.array(*[F.lit(k) for k in ks]), F.array(*[F.lit(v) for v in vs])
     )
+    return F.coalesce(m[bucket], F.lit(floor))
 
 
 def dsir_weights(
@@ -363,40 +374,25 @@ def dsir_weights(
     hashed unigram+bigram bucket counts c_b, with Laplace-smoothed bucket
     distributions fit on the target (quality) corpus and the raw corpus.
 
-    100 TB shape: both fits reduce to <= n_buckets rows (explicitly
-    broadcast); the raw corpus explodes once into (doc, bucket) counts
-    with map-side combine, joins the two tiny distributions, and folds to
-    one row per doc. No all-pairs stage, no driver state."""
-    p_t = _dsir_dist(_dsir_grams(target, text_col, None), n_buckets, "lp_t")
-    p_r = _dsir_dist(_dsir_grams(raw, text_col, None), n_buckets, "lp_r")
+    100 TB shape (the paper's two-pass structure): each corpus is
+    exploded exactly once to fit its <= n_buckets-row distribution, which
+    collects to a map literal; the scoring pass explodes the raw corpus
+    once more into (doc, bucket) counts with map-side combine and folds
+    to one row per doc with the log-ratios as constant lookups. No join
+    in the scoring pass, no all-pairs stage, no data-scale driver state.
+    (A lazy-plan variant would re-run both fit aggregations for every
+    consumer branch — the literal fit is the cheaper shape.)"""
+    lp_t, floor_t = _dsir_fit(_dsir_grams(target, text_col, None), n_buckets)
+    lp_r, floor_r = _dsir_fit(_dsir_grams(raw, text_col, None), n_buckets)
     doc_b = (
         _dsir_grams(raw, text_col, id_col)
         .groupBy(id_col, _dsir_bucket(F.col("ng"), n_buckets).alias("bucket"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    # left joins: a bucket present in the doc but absent from a fit falls
-    # back to that fit's smoothing floor. The floors ride a 1-row
-    # broadcast cross join so the whole weight computation stays one lazy
-    # Catalyst plan (no driver round-trip at build time).
-    floors = (
-        p_t.agg(F.max("lp_t_floor").alias("f_t"))
-        .crossJoin(p_r.agg(F.max("lp_r_floor").alias("f_r")))
+    delta = _dsir_lp_expr(lp_t, floor_t, F.col("bucket")) - _dsir_lp_expr(
+        lp_r, floor_r, F.col("bucket")
     )
-    return (
-        doc_b.crossJoin(F.broadcast(floors))
-        .join(F.broadcast(p_t.drop("lp_t_floor")), "bucket", "left")
-        .join(F.broadcast(p_r.drop("lp_r_floor")), "bucket", "left")
-        .groupBy(id_col)
-        .agg(
-            F.sum(
-                F.col("c")
-                * (
-                    F.coalesce(F.col("lp_t"), F.col("f_t"))
-                    - F.coalesce(F.col("lp_r"), F.col("f_r"))
-                )
-            ).alias("log_w")
-        )
-    )
+    return doc_b.groupBy(id_col).agg(F.sum(F.col("c") * delta).alias("log_w"))
 
 
 def dsir_resample(

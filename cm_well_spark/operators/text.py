@@ -468,26 +468,29 @@ def perplexity_buckets(
     tail terciles of the score distribution — the standard quality strata
     a pretraining mixture samples from at different rates.
 
-    The tercile thresholds are ONE global aggregate (2 doubles) that
-    broadcasts back over the corpus; the bucket label is a columnar CASE.
+    The scored table (one row per doc, two narrow columns) is
+    checkpointed so the expensive LM scoring runs ONCE; the tercile
+    thresholds are then a 2-double boundary aggregate inlined as
+    literals, and the bucket label is a columnar CASE over the
+    checkpointed scores — percentile-then-bucket is inherently two
+    passes, but both run over the cheap score table, never the corpus.
     Exact percentile keeps the cut deterministic for the DuckDB oracle
     (both engines define it as linear interpolation at (n-1)*p); a 100 TB
     run swaps in approx_percentile(=percentile_approx) with a pinned
     accuracy — the bucket boundary moves by at most the sketch error and
     nothing else in the plan changes."""
-    nll = bigram_cross_entropy(df, reference, alpha, text_col, id_col)
-    th = nll.agg(
+    nll = bigram_cross_entropy(df, reference, alpha, text_col, id_col).localCheckpoint()
+    row = nll.agg(
         F.percentile("bigram_nll", 1.0 / 3).alias("t1"),
         F.percentile("bigram_nll", 2.0 / 3).alias("t2"),
-    )
-    return (
-        nll.crossJoin(F.broadcast(th))
-        .select(
-            F.col(id_col),
-            "bigram_nll",
-            F.when(F.col("bigram_nll") <= F.col("t1"), "head")
-            .when(F.col("bigram_nll") <= F.col("t2"), "middle")
-            .otherwise("tail")
-            .alias("ppl_bucket"),
-        )
+    ).first()
+    t1 = row["t1"] if row["t1"] is not None else float("inf")
+    t2 = row["t2"] if row["t2"] is not None else float("inf")
+    return nll.select(
+        F.col(id_col),
+        "bigram_nll",
+        F.when(F.col("bigram_nll") <= F.lit(t1), "head")
+        .when(F.col("bigram_nll") <= F.lit(t2), "middle")
+        .otherwise("tail")
+        .alias("ppl_bucket"),
     )
