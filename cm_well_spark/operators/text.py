@@ -494,3 +494,47 @@ def perplexity_buckets(
         .otherwise("tail")
         .alias("ppl_bucket"),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Robust winnowing (Schleimer et al. 2003, §4 — the MOSS local
+    fingerprinting scheme): hash every char k-gram of the normalized
+    text, slide a window of w consecutive hashes, and select each
+    window's minimum (rightmost position on ties — the "robust" rule
+    that guarantees matching substrings of length >= k+w-1 share a
+    fingerprint while keeping density at 2/(w+1)).
+
+    All array expressions per row — sequence/transform/slice/array_min
+    over (fp, -pos) structs, so min = smallest hash, tie = rightmost —
+    then one explode of the selected set; no UDF, no self-join, no
+    shuffle beyond the explode. Short docs degrade gracefully: fewer
+    than w grams still emit their single minimum so every doc is
+    fingerprinted. Output (doc_id, pos, fp) is the local-similarity
+    index a plagiarism/clone-detection join runs on."""
+    norm = normalize_text(F.col(text_col))
+    n_grams = F.greatest(F.length(norm) - (k - 1), F.lit(1))
+    hashes = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.struct(
+            F.substring(F.md5(norm.substr(i, F.lit(k))), 1, 8).alias("fp"),
+            (-i).alias("negpos"),
+        ),
+    )
+    n_wins = F.greatest(n_grams - (w - 1), F.lit(1))
+    selected = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_wins),
+            lambda s: F.array_min(F.slice(hashes, s, w)),
+        )
+    )
+    return df.select(F.col(id_col), F.explode(selected).alias("s")).select(
+        F.col(id_col),
+        (-F.col("s.negpos")).cast("long").alias("pos"),
+        F.col("s.fp").alias("fp"),
+    )

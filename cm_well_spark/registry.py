@@ -4892,3 +4892,40 @@ def text_ppl_buckets(spark, sf_dir):
     return perplexity_buckets(
         docs.where(F.col("doc_id") >= 50), reference=docs.where(F.col("doc_id") < 50)
     )
+
+
+@register(
+    "text_winnow_fingerprints",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_NORM_SQL.format(c='text')} AS t
+      FROM documents WHERE doc_id < 200
+    ), g AS (
+      SELECT doc_id, t, greatest(length(t) - 7, 1) AS ng FROM d
+    ), h AS (
+      SELECT doc_id, ng,
+             list_transform(range(1, ng + 1),
+               i -> struct_pack(fp := substring(md5(substring(t, i, 8)), 1, 8),
+                                negpos := -i)) AS hs
+      FROM g
+    ), sel AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(ng - 3, 1) + 1),
+               s -> list_sort(hs[s : s + 3])[1]) AS fps
+      FROM h
+    ), x AS (
+      SELECT doc_id, unnest(fps) AS u FROM sel
+    )
+    SELECT DISTINCT doc_id, -(u.negpos) AS pos, u.fp AS fp FROM x
+    """,
+)
+def text_winnow_fingerprints(spark, sf_dir):
+    """Robust winnowing local fingerprints (Schleimer et al. 2003, the
+    MOSS scheme): char-8-gram md5 hashes, window w=4, rightmost-min
+    selection — (doc_id, pos, fp). All per-row array expressions, one
+    explode; density ~2/(w+1) of the gram stream."""
+    from cm_well_spark.operators.text import winnow_fingerprints
+    from cm_well_spark.sources import tables as tbl
+
+    docs = tbl.load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return winnow_fingerprints(docs, k=8, w=4)

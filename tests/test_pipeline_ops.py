@@ -63,6 +63,37 @@ def test_fingerprints_normalization(spark):
     assert rows[1]["fp_kgram_min"] == rows[2]["fp_kgram_min"]
 
 
+def test_winnow_guarantee_and_density(spark):
+    """Schleimer et al. §4: any shared substring of length >= k+w-1 must
+    yield at least one shared fingerprint, and selection keeps at most
+    one fingerprint per window (density <= 1 per gram, ~2/(w+1) expected)."""
+    from cm_well_spark.operators.text import winnow_fingerprints
+
+    k, w = 8, 4
+    shared = "a common stretch of text both documents quote verbatim here"
+    df = spark.createDataFrame(
+        [
+            (1, "left context junk " + shared + " and a distinct tail xyz"),
+            (2, "totally other opening words " + shared + " closing remark"),
+            (3, "no overlap with the others at all, different content entirely"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = winnow_fingerprints(df, k=k, w=w).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "docs sharing a long substring must share a fp"
+    # positions are 1-based and within the gram range
+    assert all(1 <= r["pos"] for r in out)
+    # density: selected distinct fingerprints never exceed the gram count
+    n1 = len(df.where("doc_id = 1").collect()[0]["text"])
+    assert len(by_doc[1]) <= n1 - k + 1
+    # short doc (fewer than w grams) still emits its minimum
+    tiny = spark.createDataFrame([(9, "abcdefghij")], ["doc_id", "text"])
+    assert winnow_fingerprints(tiny, k=k, w=w).count() >= 1
+
+
 # ---- dedup ---------------------------------------------------------------
 
 
