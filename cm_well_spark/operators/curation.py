@@ -424,3 +424,171 @@ def dsir_resample(
         .orderBy(F.desc("gumbel_key"), F.col(id_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher/MassiveText document-level rule filter
+# ---------------------------------------------------------------------------
+
+# Rae et al. 2021 (Gopher), Table A1: the 8 "stop words" whose presence
+# (>= 2 distinct) gates a document into the corpus.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher/MassiveText document-level quality rules (Rae et al. 2021,
+    Table A1), evaluated in a fixed order so the FIRST failing rule labels
+    the doc — (doc_id, reason, keep):
+
+      too_few_words / too_many_words   word count outside [min, max]
+      short_words / long_words         mean word length outside [3, 10]
+      symbol_ratio                     ('#' + ellipsis) per word > 0.1
+      bullet_lines                     > 90% of lines start with a bullet
+      ellipsis_lines                   > 30% of lines end with an ellipsis
+      non_alpha_words                  < 80% of words contain [A-Za-z]
+      few_stop_words                   < 2 distinct Gopher stop words
+      dup_lines / dup_line_chars       duplicate-line fraction > 0.30 /
+                                       char-weighted > 0.20
+      top_2gram / dup_5gram            top-2gram occupancy > 0.20 /
+                                       duplicated-5gram fraction > 0.15
+
+    Shape at 100 TB: every scalar rule is one codegen'd projection over
+    the doc row; the repetition signals (text.repetition_signals) are
+    explode -> keyed hash aggs with map-side combine, joined back on the
+    id — the only shuffle. All thresholds compare exact ratios of integer
+    counts, so verdicts are bit-identical across engines and retries."""
+    from cm_well_spark.operators.text import repetition_signals
+
+    c = F.col(text_col)
+    t = F.trim(c)
+    words = F.split(t, r"\s+")
+    n_words = F.size(words)
+    lines = F.split(c, "\n")
+    n_lines = F.size(lines)
+    mean_wl = F.length(F.regexp_replace(t, r"\s+", "")) / F.greatest(n_words, F.lit(1))
+    n_sym = F.size(F.regexp_extract_all(c, F.lit(r"#"), 0)) + F.size(
+        F.regexp_extract_all(c, F.lit(r"\.\.\.|…"), 0)
+    )
+    feats = docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_wl"),
+        (n_sym / F.greatest(n_words, F.lit(1))).alias("sym_ratio"),
+        (
+            F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]")))
+            / F.greatest(n_lines, F.lit(1))
+        ).alias("bullet_frac"),
+        (
+            F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$")))
+            / F.greatest(n_lines, F.lit(1))
+        ).alias("ellipsis_frac"),
+        (
+            F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+            / F.greatest(n_words, F.lit(1))
+        ).alias("alpha_frac"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct(F.transform(words, F.lower)),
+                F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            )
+        ).alias("n_stop"),
+    )
+    rep = repetition_signals(docs, text_col=text_col, id_col=id_col)
+    j = feats.join(rep, id_col)
+    reason = (
+        F.when(F.col("n_words") < min_words, F.lit("too_few_words"))
+        .when(F.col("n_words") > max_words, F.lit("too_many_words"))
+        .when(F.col("mean_wl") < 3, F.lit("short_words"))
+        .when(F.col("mean_wl") > 10, F.lit("long_words"))
+        .when(F.col("sym_ratio") > 0.1, F.lit("symbol_ratio"))
+        .when(F.col("bullet_frac") > 0.9, F.lit("bullet_lines"))
+        .when(F.col("ellipsis_frac") > 0.3, F.lit("ellipsis_lines"))
+        .when(F.col("alpha_frac") < 0.8, F.lit("non_alpha_words"))
+        .when(F.col("n_stop") < 2, F.lit("few_stop_words"))
+        .when(F.col("dup_line_frac") > 0.30, F.lit("dup_lines"))
+        .when(F.col("dup_line_char_frac") > 0.20, F.lit("dup_line_chars"))
+        .when(F.col("top_kgram_frac") > 0.20, F.lit("top_2gram"))
+        .when(F.col("dup_kgram_frac") > 0.15, F.lit("dup_5gram"))
+        .otherwise(F.lit("ok"))
+    )
+    return j.select(F.col(id_col), reason.alias("reason"), (reason == "ok").alias("keep"))
+
+
+# ---------------------------------------------------------------------------
+# boilerplate removal (jusText-lite line classifier)
+# ---------------------------------------------------------------------------
+
+# Marker phrases whose presence classifies a line as boilerplate outright
+# (case-insensitive substring match) — the jusText/trafilatura "bad token"
+# list reduced to the universal web-chrome offenders.
+BOILERPLATE_MARKERS = (
+    "all rights reserved",
+    "cookie",
+    "terms of service",
+    "privacy policy",
+    "copyright",
+    "©",
+)
+
+
+def boilerplate_removal(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_line_words: int = 5,
+    min_stop_ratio: float = 0.2,
+    long_line_words: int = 20,
+) -> DataFrame:
+    """jusText-style boilerplate line removal (Pomikalek 2011), reduced to
+    a deterministic per-line classifier: a line survives iff it has at
+    least `min_line_words` words, at least half its words contain a
+    letter, carries no boilerplate marker phrase, and is either long
+    (>= `long_line_words` words) or stopword-dense (>= `min_stop_ratio`).
+    Returns (doc_id, text, n_kept, n_dropped) with surviving lines
+    re-joined in order.
+
+    Shape at 100 TB: a single codegen'd projection — split / filter /
+    array_join entirely inside higher-order array functions. Zero shuffle,
+    zero explode, zero Python; classification rides the scan."""
+    c = F.col(text_col)
+
+    def _words(l):  # noqa: E741
+        return F.split(F.trim(l), r"\s+")
+
+    def _is_content(l):  # noqa: E741
+        w = _words(l)
+        nw = F.size(w)
+        stop_ratio = F.size(F.filter(w, lambda x: F.lower(x).isin(*GOPHER_STOPWORDS))) / F.greatest(
+            nw, F.lit(1)
+        )
+        alpha_ratio = F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]"))) / F.greatest(
+            nw, F.lit(1)
+        )
+        low = F.lower(l)
+        marker = None
+        for m in BOILERPLATE_MARKERS:
+            hit = low.contains(F.lit(m))
+            marker = hit if marker is None else (marker | hit)
+        return (
+            (nw >= min_line_words)
+            & (alpha_ratio >= 0.5)
+            & ~marker
+            & ((nw >= long_line_words) | (stop_ratio >= min_stop_ratio))
+        )
+
+    lines = F.split(c, "\n")
+    kept = F.filter(lines, _is_content)
+    return docs.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias(text_col),
+        F.size(kept).alias("n_kept"),
+        (F.size(lines) - F.size(kept)).alias("n_dropped"),
+    )

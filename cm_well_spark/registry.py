@@ -4929,3 +4929,172 @@ def text_winnow_fingerprints(spark, sf_dir):
 
     docs = tbl.load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
     return winnow_fingerprints(docs, k=8, w=4)
+
+
+@register(
+    "curation_gopher_rules",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN text || ' to of and that have with'
+                  ELSE text END AS text
+      FROM documents
+    ), base AS (
+      SELECT doc_id, text, trim(text) AS t,
+             string_split_regex(trim(text), '\\s+') AS w,
+             string_split(text, chr(10)) AS ln
+      FROM aug
+    ), f AS (
+      SELECT doc_id,
+             len(w) AS n_words,
+             length(regexp_replace(t, '\\s+', '', 'g')) * 1.0 / greatest(len(w), 1) AS mean_wl,
+             (len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.|…')))
+               * 1.0 / greatest(len(w), 1) AS sym_ratio,
+             len(list_filter(ln, l -> regexp_matches(l, '^\\s*[-*•]'))) * 1.0
+               / greatest(len(ln), 1) AS bullet_frac,
+             len(list_filter(ln, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$'))) * 1.0
+               / greatest(len(ln), 1) AS ellipsis_frac,
+             len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0
+               / greatest(len(w), 1) AS alpha_frac,
+             len(list_intersect(list_distinct(list_transform(w, x -> lower(x))),
+                 ['the','be','to','of','and','that','have','with'])) AS n_stop
+      FROM base
+    ), lc AS (
+      SELECT doc_id, key, count(*) AS c
+      FROM (SELECT doc_id, unnest(ln) AS key FROM base) GROUP BY 1, 2
+    ), ls AS (
+      SELECT doc_id,
+             coalesce(sum(CASE WHEN c > 1 THEN c END) * 1.0 / sum(c), 0) AS dup_line_frac,
+             coalesce(sum(CASE WHEN c > 1 THEN length(key) * c END) * 1.0
+                      / sum(length(key) * c), 0) AS dup_line_char_frac
+      FROM lc GROUP BY 1
+    ), c2 AS (
+      SELECT doc_id, key, count(*) AS c
+      FROM (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+                   i -> array_to_string(w[i:i+1], ' '))) AS key
+            FROM base WHERE len(w) >= 2) GROUP BY 1, 2
+    ), t2 AS (
+      SELECT doc_id, max(c) * 1.0 / sum(c) AS top_kgram_frac FROM c2 GROUP BY 1
+    ), c5 AS (
+      SELECT doc_id, key, count(*) AS c
+      FROM (SELECT doc_id, unnest(list_transform(range(1, len(w) - 3),
+                   i -> array_to_string(w[i:i+4], ' '))) AS key
+            FROM base WHERE len(w) >= 5) GROUP BY 1, 2
+    ), d5 AS (
+      SELECT doc_id,
+             coalesce(sum(CASE WHEN c > 1 THEN c END) * 1.0 / sum(c), 0) AS dup_kgram_frac
+      FROM c5 GROUP BY 1
+    ), j AS (
+      SELECT f.*, coalesce(ls.dup_line_frac, 0) AS dup_line_frac,
+             coalesce(ls.dup_line_char_frac, 0) AS dup_line_char_frac,
+             coalesce(t2.top_kgram_frac, 0) AS top_kgram_frac,
+             coalesce(d5.dup_kgram_frac, 0) AS dup_kgram_frac
+      FROM f LEFT JOIN ls USING (doc_id) LEFT JOIN t2 USING (doc_id)
+             LEFT JOIN d5 USING (doc_id)
+    ), v AS (
+      SELECT doc_id,
+             CASE WHEN n_words < 30 THEN 'too_few_words'
+                  WHEN n_words > 100000 THEN 'too_many_words'
+                  WHEN mean_wl < 3 THEN 'short_words'
+                  WHEN mean_wl > 10 THEN 'long_words'
+                  WHEN sym_ratio > 0.1 THEN 'symbol_ratio'
+                  WHEN bullet_frac > 0.9 THEN 'bullet_lines'
+                  WHEN ellipsis_frac > 0.3 THEN 'ellipsis_lines'
+                  WHEN alpha_frac < 0.8 THEN 'non_alpha_words'
+                  WHEN n_stop < 2 THEN 'few_stop_words'
+                  WHEN dup_line_frac > 0.30 THEN 'dup_lines'
+                  WHEN dup_line_char_frac > 0.20 THEN 'dup_line_chars'
+                  WHEN top_kgram_frac > 0.20 THEN 'top_2gram'
+                  WHEN dup_kgram_frac > 0.15 THEN 'dup_5gram'
+                  ELSE 'ok' END AS reason
+      FROM j
+    )
+    SELECT doc_id, reason, reason = 'ok' AS keep FROM v
+    """,
+)
+def curation_gopher_rules(spark, sf_dir):
+    """Gopher/MassiveText document rule filter (Rae et al. 2021, Table
+    A1): word-count bounds, mean word length, symbol ratio, bullet /
+    ellipsis line fractions, alpha-word fraction, the 8-stop-word gate,
+    and the four repetition thresholds — first failing rule labels the
+    doc. Even doc_ids get the stop-word suffix appended so the gate
+    passes and the downstream rules are exercised too. Scalar rules ride
+    the scan; repetition signals are the only shuffle."""
+    from cm_well_spark.operators.curation import gopher_rules
+    from cm_well_spark.sources import tables as tbl
+
+    docs = tbl.load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.col("text"), F.lit(" to of and that have with")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return gopher_rules(aug, min_words=30)
+
+
+@register(
+    "curation_boilerplate_removal",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             text || chr(10) || 'Copyright © 2024 Example Corp. All rights reserved.'
+                  || chr(10) || '- menu item'
+                  || chr(10) || 'the point is that each of these lines ought to be kept and that is that'
+                  || chr(10) || 'tiny line' AS text
+      FROM documents
+    ), base AS (SELECT doc_id, string_split(text, chr(10)) AS ln FROM aug),
+    k AS (
+      SELECT doc_id,
+             list_filter(ln, l ->
+               len(string_split_regex(trim(l), '\\s+')) >= 5
+               AND len(list_filter(string_split_regex(trim(l), '\\s+'),
+                       x -> regexp_matches(x, '[A-Za-z]')))
+                   * 1.0 / greatest(len(string_split_regex(trim(l), '\\s+')), 1) >= 0.5
+               AND NOT (contains(lower(l), 'all rights reserved')
+                        OR contains(lower(l), 'cookie')
+                        OR contains(lower(l), 'terms of service')
+                        OR contains(lower(l), 'privacy policy')
+                        OR contains(lower(l), 'copyright')
+                        OR contains(lower(l), '©'))
+               AND (len(string_split_regex(trim(l), '\\s+')) >= 20
+                    OR len(list_filter(string_split_regex(trim(l), '\\s+'),
+                           x -> lower(x) IN ('the','be','to','of','and','that','have','with')))
+                       * 1.0 / greatest(len(string_split_regex(trim(l), '\\s+')), 1) >= 0.2)
+             ) AS kept,
+             len(ln) AS n_lines
+      FROM base
+    )
+    SELECT doc_id, coalesce(array_to_string(kept, chr(10)), '') AS text,
+           len(kept) AS n_kept, n_lines - len(kept) AS n_dropped
+    FROM k
+    """,
+)
+def curation_boilerplate_removal(spark, sf_dir):
+    """jusText-lite boilerplate line removal (Pomikalek 2011): per-line
+    word count / alpha ratio / marker phrases / stopword-density rules,
+    survivors re-joined in order — (doc_id, text, n_kept, n_dropped).
+    The entry appends a deterministic web-chrome tail (copyright line,
+    bullet, content line, short line) to every doc so each rule branch is
+    exercised. One codegen'd projection: split -> filter -> array_join in
+    higher-order array functions, zero shuffle, zero explode."""
+    from cm_well_spark.operators.curation import boilerplate_removal
+    from cm_well_spark.sources import tables as tbl
+
+    docs = tbl.load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(
+                "\nCopyright © 2024 Example Corp. All rights reserved."
+                "\n- menu item"
+                "\nthe point is that each of these lines ought to be kept and that is that"
+                "\ntiny line"
+            ),
+        ).alias("text"),
+    )
+    return boilerplate_removal(aug)

@@ -59,3 +59,77 @@ def test_dsir_weights_prefer_target_like_docs(spark):
     first = [(r["doc_id"], r["gumbel_key"]) for r in top.collect()]
     second = [(r["doc_id"], r["gumbel_key"]) for r in top.collect()]
     assert first == second and len(first) == 2
+
+
+def test_gopher_rules_each_branch(spark):
+    """r7 Gopher rule filter (Rae et al. 2021 Table A1): every rule
+    branch fires on a doc built to trip exactly it, checked in the
+    declared first-fail order."""
+    from cm_well_spark.operators.curation import gopher_rules
+
+    stop_tail = " the be to of and that have with"
+    # a healthy base: 30+ distinct-ish words, stop words present
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+            "kilo lima mike november oscar papa quebec romeo sierra tango "
+            "uniform victor whiskey xray yankee zulu one two three four" + stop_tail)
+    docs = spark.createDataFrame(
+        [
+            (0, base),  # ok
+            (1, "too short" + stop_tail),  # too_few_words
+            (2, " ".join("ab" for _ in range(40)) + stop_tail),  # short_words
+            (3, " ".join("pneumonoultramicro" for _ in range(40)) + stop_tail),  # long_words
+            (4, base + " " + "# " * 10),  # symbol_ratio
+            (5, "\n".join("- bullet item here now" for _ in range(10)) + "\n" + base),  # bullet_lines... see below
+            (6, "\n".join([base + " more..."] * 4 + [base] * 6)),  # ellipsis_lines
+            (7, " ".join("1234" for _ in range(40)) + stop_tail),  # non_alpha_words
+            (8, " ".join(f"word{i}xyz" for i in range(40))),  # few_stop_words
+            (9, "\n".join([base] * 12)),  # dup_lines
+            (10, base + " " + "ping pong " * 30),  # top_2gram
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["reason"] for r in gopher_rules(docs, min_words=25).collect()}
+    assert out[0] == "ok"
+    assert out[1] == "too_few_words"
+    assert out[2] == "short_words"
+    assert out[3] == "long_words"
+    assert out[4] == "symbol_ratio"
+    assert out[5] == "bullet_lines"
+    assert out[6] == "ellipsis_lines"
+    assert out[7] == "non_alpha_words"
+    assert out[8] == "few_stop_words"
+    assert out[9] == "dup_lines"
+    assert out[10] == "top_2gram"
+    # keep is exactly the reason == ok docs
+    keeps = {r["doc_id"] for r in gopher_rules(docs, min_words=25).collect() if r["keep"]}
+    assert keeps == {0}
+
+
+def test_boilerplate_removal_keeps_content_lines(spark):
+    """r7 jusText-lite: chrome lines (copyright, bullets, short, low
+    stopword density) drop; content lines survive in original order and
+    the counts reconcile."""
+    from cm_well_spark.operators.curation import boilerplate_removal
+
+    content1 = "the first paragraph is made of common words and that is fine to keep"
+    content2 = "each of the following sentences ought to be retained with the body text"
+    doc = "\n".join(
+        [
+            "Copyright © 2024 Example Corp. All rights reserved.",
+            content1,
+            "- nav item",
+            "tiny line",
+            content2,
+            "We use cookies to improve your experience on this site okay",
+        ]
+    )
+    out = boilerplate_removal(
+        spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    ).collect()[0]
+    assert out["text"] == content1 + "\n" + content2
+    assert out["n_kept"] == 2 and out["n_dropped"] == 4
+    # empty result still yields '' (not null) so downstream concat is safe
+    empty = boilerplate_removal(
+        spark.createDataFrame([(2, "x y")], "doc_id long, text string")
+    ).collect()[0]
+    assert empty["text"] == "" and empty["n_kept"] == 0
