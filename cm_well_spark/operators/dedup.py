@@ -490,3 +490,97 @@ def keep_best_representative(
         )
     )
     return best
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup: new batch vs an already-ingested corpus
+# ---------------------------------------------------------------------------
+
+
+def incremental_dedup_verdicts(
+    new_docs: DataFrame,
+    seen_docs: DataFrame,
+    threshold: float = 0.8,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Dedup verdict for each NEW doc against an already-ingested corpus
+    — the steady-state crawl pattern: fresh batches are checked against
+    the existing store, never the store against itself. (doc_id, verdict)
+    with verdict in ('exact_dup', 'near_dup', 'new'); exact wins when
+    both apply.
+
+    Shape at 100 TB: the seen side reduces to its SIGNATURES — a distinct
+    md5 column for the exact stage and (id, shingle) rows for the near
+    stage — both precomputable once at ingest and reused for every batch
+    (this function recomputes them from text for self-containment; feed
+    it the signature tables in production). New docs meet seen docs only
+    through equal hashes / shared shingles: two equi-joins, no cross
+    join, and the batch side is small so AQE broadcasts it. The optional
+    `max_shingle_freq` hot-key guard mirrors jaccard_pairs."""
+    nrm = F.md5(normalize_text(F.col(text_col)))
+    new_h = new_docs.select(F.col(id_col).alias("id"), nrm.alias("h"))
+    seen_h = seen_docs.select(nrm.alias("h")).distinct()
+    exact = new_h.join(seen_h, "h", "left_semi").select("id").distinct()
+
+    sh_new = _shingle_rows(new_docs, text_col, id_col, k)
+    sh_seen = _shingle_rows(seen_docs, text_col, id_col, k)
+    if max_shingle_freq is not None:
+        hot = (
+            sh_seen.groupBy("sh")
+            .agg(F.countDistinct("id").alias("n"))
+            .where(F.col("n") > max_shingle_freq)
+            .select("sh")
+        )
+        sh_seen = sh_seen.join(F.broadcast(hot), "sh", "left_anti")
+        sh_new = sh_new.join(F.broadcast(hot), "sh", "left_anti")
+    sz_new = sh_new.groupBy("id").agg(F.count("*").alias("sz_n"))
+    sz_seen = sh_seen.groupBy("id").agg(F.count("*").alias("sz_s"))
+    inter = (
+        sh_new.alias("a")
+        .join(sh_seen.alias("b"), F.col("a.sh") == F.col("b.sh"))
+        .groupBy(F.col("a.id").alias("id_n"), F.col("b.id").alias("id_s"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    near = (
+        inter.join(sz_new.select(F.col("id").alias("id_n"), "sz_n"), "id_n")
+        .join(sz_seen.select(F.col("id").alias("id_s"), "sz_s"), "id_s")
+        .where(
+            F.col("n_common") / (F.col("sz_n") + F.col("sz_s") - F.col("n_common"))
+            >= threshold
+        )
+        .select(F.col("id_n").alias("id"))
+        .distinct()
+    )
+    verdict = (
+        F.when(F.col("__exact").isNotNull(), F.lit("exact_dup"))
+        .when(F.col("__near").isNotNull(), F.lit("near_dup"))
+        .otherwise(F.lit("new"))
+    )
+    return (
+        new_docs.select(F.col(id_col).alias("id"))
+        .join(exact.withColumn("__exact", F.lit(1)), "id", "left")
+        .join(near.withColumn("__near", F.lit(1)), "id", "left")
+        .select(F.col("id").alias(id_col), verdict.alias("verdict"))
+    )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    seen_docs: DataFrame,
+    threshold: float = 0.8,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """The surviving rows of the new batch: everything not exact- or
+    near-duplicated against the seen corpus (see
+    incremental_dedup_verdicts for the plan shape)."""
+    v = incremental_dedup_verdicts(
+        new_docs, seen_docs, threshold, k, text_col, id_col, max_shingle_freq
+    )
+    keep = v.where(F.col("verdict") == "new").select(id_col)
+    return new_docs.join(keep, id_col, "left_semi")

@@ -5098,3 +5098,69 @@ def curation_boilerplate_removal(spark, sf_dir):
         ).alias("text"),
     )
     return boilerplate_removal(aug)
+
+
+@register(
+    "dedup_incremental_batch",
+    oracle=f"""
+    WITH newd AS (
+      SELECT doc_id, text FROM documents WHERE doc_id >= 250
+      UNION ALL
+      SELECT doc_id + 1000, text FROM documents WHERE doc_id < 5
+    ), seend AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 250
+    ), nh AS (
+      SELECT doc_id, md5({_NORM_SQL.format(c='text')}) AS h FROM newd
+    ), sh AS (
+      SELECT DISTINCT md5({_NORM_SQL.format(c='text')}) AS h FROM seend
+    ), exact AS (
+      SELECT DISTINCT doc_id FROM nh JOIN sh USING (h)
+    ), nw AS (
+      SELECT doc_id, string_split({_NORM_SQL.format(c='text')}, ' ') AS w FROM newd
+    ), sw AS (
+      SELECT doc_id, string_split({_NORM_SQL.format(c='text')}, ' ') AS w FROM seend
+    ), ns AS (
+      SELECT doc_id, list_distinct(list_transform(
+               range(1, greatest(len(w) - 3, 0) + 2),
+               i -> array_to_string(w[i:i+2], ' '))) AS shs
+      FROM nw
+    ), ss AS (
+      SELECT doc_id, list_distinct(list_transform(
+               range(1, greatest(len(w) - 3, 0) + 2),
+               i -> array_to_string(w[i:i+2], ' '))) AS shs
+      FROM sw
+    ), near AS (
+      SELECT DISTINCT a.doc_id
+      FROM ns a JOIN ss b
+        ON len(list_intersect(a.shs, b.shs)) * 1.0
+           / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))) >= 0.5
+    )
+    SELECT n.doc_id,
+           CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+                WHEN nr.doc_id IS NOT NULL THEN 'near_dup'
+                ELSE 'new' END AS verdict
+    FROM newd n
+    LEFT JOIN exact e ON n.doc_id = e.doc_id
+    LEFT JOIN near nr ON n.doc_id = nr.doc_id
+    """,
+)
+def dedup_incremental_batch(spark, sf_dir):
+    """Incremental dedup — the steady-state crawl pattern: a fresh batch
+    (doc_id >= 250, plus 5 re-keyed copies of seen docs so the exact
+    stage fires) is checked against the already-ingested corpus (doc_id
+    < 250). Exact stage = semi-join on md5 of normalized text; near
+    stage = shingle equi-join + exact per-pair jaccard >= 0.5. At scale
+    the seen side is its precomputed signature table — the store is
+    never self-joined, and each batch costs two equi-joins."""
+    from cm_well_spark.operators.dedup import incremental_dedup_verdicts
+    from cm_well_spark.sources import tables as tbl
+
+    docs = tbl.load_table(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") >= 250).unionByName(
+        docs.where(F.col("doc_id") < 5).select(
+            (F.col("doc_id") + 1000).alias("doc_id"),
+            *[c for c in docs.columns if c != "doc_id"],
+        )
+    )
+    seen = docs.where(F.col("doc_id") < 250)
+    return incremental_dedup_verdicts(new, seen, threshold=0.5)

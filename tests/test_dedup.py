@@ -46,3 +46,37 @@ def test_keep_best_representative_policy(spark):
     assert best[1][0] == 1          # readable text beats punctuation soup
     assert best[3][0] == 3          # identical quality -> smallest id
     assert set(best) == {1, 3}
+
+
+def test_incremental_dedup_verdicts_and_survivors(spark):
+    """r7 incremental dedup: a new batch checked against the seen corpus
+    — exact copies flag exact_dup (and win over near), near-copies flag
+    near_dup, fresh docs survive, and incremental_dedup returns exactly
+    the surviving rows."""
+    from cm_well_spark.operators.dedup import incremental_dedup, incremental_dedup_verdicts
+
+    seen = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (2, "completely different seen document about spark query planning today"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "The quick brown fox jumps over the lazy dog near the river bank!"),  # exact after norm
+            (11, "the quick brown fox jumps over the lazy dog near the river edge"),  # near
+            (12, "entirely novel content nothing like anything previously ingested here"),  # new
+        ],
+        "doc_id long, text string",
+    )
+    v = {r["doc_id"]: r["verdict"] for r in incremental_dedup_verdicts(new, seen, threshold=0.5).collect()}
+    assert v == {10: "exact_dup", 11: "near_dup", 12: "new"}
+    survivors = {r["doc_id"] for r in incremental_dedup(new, seen, threshold=0.5).collect()}
+    assert survivors == {12}
+    # hot-shingle guard path still yields identical verdicts on this fixture
+    vg = {
+        r["doc_id"]: r["verdict"]
+        for r in incremental_dedup_verdicts(new, seen, threshold=0.5, max_shingle_freq=100).collect()
+    }
+    assert vg == v
