@@ -226,3 +226,44 @@ def test_sp_populate_no_cartesian(spark, sf_dir, infotons, triples):
     )
     plan = plan_of(dfs[0])
     assert "CartesianProduct" not in plan
+
+
+def test_boilerplate_removal_no_shuffle(spark, sf_dir):
+    """r7: boilerplate stripping is one codegen'd projection riding the
+    scan — no Exchange, no Generate (explode), no Python eval."""
+    from cm_well_spark.operators.curation import boilerplate_removal
+    from cm_well_spark.sources import tables as tbl
+
+    plan = plan_of(boilerplate_removal(tbl.load_table(spark, sf_dir, "documents")))
+    assert "Exchange" not in plan
+    assert "Generate" not in plan
+    assert "Python" not in plan and "BatchEvalPython" not in plan
+
+
+def test_gopher_rules_shuffles_only_on_doc_id(spark, sf_dir):
+    """r7: the scalar Gopher rules ride the scan; the only exchanges are
+    the repetition-signal keyed aggregations and their id-join — never a
+    cartesian, never Python."""
+    from cm_well_spark.operators.curation import gopher_rules
+    from cm_well_spark.sources import tables as tbl
+
+    plan = plan_of(gopher_rules(tbl.load_table(spark, sf_dir, "documents")))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "Python" not in plan
+
+
+def test_incremental_dedup_no_self_join_of_seen(spark, sf_dir):
+    """r7: incremental dedup joins new-vs-seen through equal hashes and
+    shared shingles only — no cartesian/nested-loop, and the exact stage
+    is a semi-join (seen texts never leave their scan)."""
+    from cm_well_spark.operators.dedup import incremental_dedup_verdicts
+    from cm_well_spark.sources import tables as tbl
+
+    docs = tbl.load_table(spark, sf_dir, "documents")
+    plan = plan_of(
+        incremental_dedup_verdicts(
+            docs.where(F.col("doc_id") >= 250), docs.where(F.col("doc_id") < 250)
+        )
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "LeftSemi" in plan
