@@ -86,6 +86,11 @@ def main() -> None:
         "sp_paths_sparql",
         # round-6 temporal family: one-shuffle as-of join
         "events_asof_latest_order",
+        # round-7 filter-rule family: scan-riding rules + keyed-agg join,
+        # and the two-equi-join batch-vs-store dedup
+        "curation_gopher_rules",
+        "curation_boilerplate_removal",
+        "dedup_incremental_batch",
         # curation_full_pipeline is oracle-checked but benched separately
         # (CMW_BENCH_QUERIES=curation_full_pipeline): ~20-35 s at sf0.1,
         # which under host contention + the warm-rerun rule would risk the
@@ -173,9 +178,11 @@ def main() -> None:
             # round-6 families at 10x: one-shuffle packing + as-of join
             "pack_windows",
             "events_asof_latest_order",
-            # round-7 families at 10x: banded-LSH dedup + line dedup
+            # round-7 families at 10x: banded-LSH dedup + line dedup +
+            # Gopher rules (repetition aggs over 10x docs)
             "dedup_minhash_lsh",
             "dedup_line_level",
+            "curation_gopher_rules",
         ]
         sf1_timings: dict[str, float] = {}
         # sf1 queries run 3-10x their sf0.1 cost; cap at 2 samples so the

@@ -127,3 +127,39 @@ def shard_order(
         docs.select(F.col(id_col), h.alias("__h"), shard.alias("shard"))
         .select(id_col, "shard", F.row_number().over(w).alias("pos"))
     )
+
+
+def packing_stats(
+    docs: DataFrame,
+    context_len: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pre-packing corpus accounting — the numbers a training-export run
+    is sized from, as ONE row: doc/token totals, exact token-count
+    percentiles (p50/p90/max), the padding-waste fraction a naive
+    one-doc-per-sequence layout would pay at `context_len`, and the
+    concat-packed sequence lower bound pack_concat_windows achieves.
+
+    Shape at 100 TB: a single aggregate with map-side partial combine;
+    token counts are the whitespace tokenizer (one columnar expression).
+    Exact percentiles over doc counts are a sort-based agg — at real
+    scale swap percentile() for approx_percentile() (t-digest, one pass)
+    with no other plan change; kept exact here so the oracle replays
+    bit-for-bit."""
+    n = whitespace_token_count(F.col(text_col))
+    per_doc = docs.select(F.col(id_col), n.alias("n_tok"))
+    ctx = F.lit(context_len)
+    padded = F.ceil(F.col("n_tok") / ctx) * ctx
+    return per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.expr("percentile(n_tok, 0.5)").alias("p50_tokens"),
+        F.expr("percentile(n_tok, 0.9)").alias("p90_tokens"),
+        F.max("n_tok").alias("max_tokens"),
+        F.round(
+            (F.sum(padded) - F.sum("n_tok")) / F.sum(padded), 6
+        ).alias("pad_waste_frac_unpacked"),
+        F.ceil(F.sum("n_tok") / ctx).alias("n_seqs_packed"),
+        F.sum(F.ceil(F.col("n_tok") / ctx)).alias("n_seqs_unpacked"),
+    )

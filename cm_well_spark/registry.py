@@ -5164,3 +5164,31 @@ def dedup_incremental_batch(spark, sf_dir):
     )
     seen = docs.where(F.col("doc_id") < 250)
     return incremental_dedup_verdicts(new, seen, threshold=0.5)
+
+
+@register(
+    "pack_stats",
+    oracle="""
+    WITH t AS (
+      SELECT len(regexp_extract_all(trim(text), '\\S+')) AS n_tok FROM documents
+    )
+    SELECT count(*) AS n_docs,
+           sum(n_tok) AS total_tokens,
+           quantile_cont(n_tok, 0.5) AS p50_tokens,
+           quantile_cont(n_tok, 0.9) AS p90_tokens,
+           max(n_tok) AS max_tokens,
+           round((sum(ceil(n_tok / 64.0) * 64) - sum(n_tok))
+                 / sum(ceil(n_tok / 64.0) * 64), 6) AS pad_waste_frac_unpacked,
+           CAST(ceil(sum(n_tok) / 64.0) AS BIGINT) AS n_seqs_packed,
+           CAST(sum(ceil(n_tok / 64.0)) AS BIGINT) AS n_seqs_unpacked
+    FROM t
+    """,
+)
+def pack_stats(spark, sf_dir):
+    """Pre-packing corpus accounting at context 64: totals, exact token
+    percentiles, naive-padding waste fraction, and the packed sequence
+    lower bound — one map-side-combining aggregate row."""
+    from cm_well_spark.operators.packing import packing_stats
+    from cm_well_spark.sources import tables as tbl
+
+    return packing_stats(tbl.load_table(spark, sf_dir, "documents"), context_len=64)

@@ -441,3 +441,26 @@ def test_ivfpq_topk_batch_recall_and_shape(embs):
     for qid in {r["query_id"] for r in adc}:
         d = [r["adc_dist"] for r in adc if r["query_id"] == qid]
         assert d == sorted(d)
+
+
+def test_packing_stats_reconciles_with_packer(docs):
+    """r7 packing_stats: totals agree with per-doc token counts, the
+    packed bound is ceil(total/budget), and the single-shard packer
+    produces exactly that many windows."""
+    from cm_well_spark.operators.packing import pack_concat_windows, packing_stats
+    from cm_well_spark.operators.text import whitespace_token_count
+
+    budget = 64
+    s = packing_stats(docs, context_len=budget).collect()[0]
+    per_doc = docs.select(whitespace_token_count(F.col("text")).alias("n")).collect()
+    total = sum(r["n"] for r in per_doc)
+    assert s["n_docs"] == len(per_doc)
+    assert s["total_tokens"] == total
+    assert s["max_tokens"] == max(r["n"] for r in per_doc)
+    assert s["n_seqs_packed"] == -(-total // budget)
+    assert s["n_seqs_unpacked"] == sum(-(-r["n"] // budget) for r in per_doc)
+    assert 0.0 <= s["pad_waste_frac_unpacked"] < 1.0
+
+    packed = pack_concat_windows(docs, budget=budget, n_shards=1)
+    n_windows = packed.select("shard", "window").distinct().count()
+    assert n_windows == s["n_seqs_packed"]
