@@ -278,9 +278,13 @@ def repetition_signals(
     base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
 
     def dup_frac(weighted: bool) -> Column:
+        # char-weighted totals can be 0 (a doc whose every line is empty);
+        # ANSI mode makes x/0 an error, so gate the division, not just null
         w = (F.length("key") * F.col("c")) if weighted else F.col("c")
+        denom = F.sum(w)
         return F.coalesce(
-            F.sum(F.when(F.col("c") > 1, w).otherwise(F.lit(0))) / F.sum(w), F.lit(0.0)
+            F.when(denom > 0, F.sum(F.when(F.col("c") > 1, w).otherwise(F.lit(0))) / denom),
+            F.lit(0.0),
         )
 
     lines = base.select("id", F.explode(F.split(F.col("__t"), "\n")).alias("key"))

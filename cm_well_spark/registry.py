@@ -3677,7 +3677,7 @@ def embedding_kmeans_update(spark, sf_dir):
     "curation_mixture_weights",
     oracle="""
     WITH tok AS (
-      SELECT source, sum(len(string_split_regex(trim(text), '\\s+'))) AS n_tokens
+      SELECT source, CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS n_tokens
       FROM documents GROUP BY source
     ),
     tgt AS (SELECT * FROM (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)) AS t(source, share)),
@@ -3925,7 +3925,7 @@ def snapshot_at_cutoff(spark, sf_dir):
       SELECT d.doc_id, d.source, d.text FROM dedup d JOIN scored s ON d.doc_id = s.doc_id
       WHERE s.n_words >= 5 AND s.n_words <= 100000 AND s.quality >= 0.5
     ), tok AS (
-      SELECT source, sum(len(string_split_regex(trim(text), '\\s+'))) AS n_tokens
+      SELECT source, CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS n_tokens
       FROM kept GROUP BY source
     ), tgt AS (
       SELECT * FROM (VALUES ('src0', 0.4), ('src1', 0.3), ('src2', 0.2), ('src3', 0.1))
@@ -5173,7 +5173,7 @@ def dedup_incremental_batch(spark, sf_dir):
       SELECT len(regexp_extract_all(trim(text), '\\S+')) AS n_tok FROM documents
     )
     SELECT count(*) AS n_docs,
-           sum(n_tok) AS total_tokens,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
            quantile_cont(n_tok, 0.5) AS p50_tokens,
            quantile_cont(n_tok, 0.9) AS p90_tokens,
            max(n_tok) AS max_tokens,

@@ -133,3 +133,109 @@ def test_boilerplate_removal_keeps_content_lines(spark):
         spark.createDataFrame([(2, "x y")], "doc_id long, text string")
     ).collect()[0]
     assert empty["text"] == "" and empty["n_kept"] == 0
+
+
+# ---------------------------------------------------------------------------
+# property pin: gopher_rules vs an independent pure-Python model
+# ---------------------------------------------------------------------------
+
+from collections import Counter as _Counter
+
+from hypothesis import given, settings, strategies as st
+
+
+def _py_gopher(text: str, min_words: int, max_words: int = 100_000) -> str:
+    """Independent reimplementation of the Gopher rule order (plain
+    Python re/collections — no Spark, no SQL)."""
+    import re
+
+    t = text.strip()
+    words = re.split(r"\s+", t)
+    n_words = len(words)
+    lines = text.split("\n")
+    mean_wl = len(re.sub(r"\s+", "", t)) / max(n_words, 1)
+    n_sym = len(re.findall("#", text)) + len(re.findall(r"\.\.\.|…", text))
+    sym_ratio = n_sym / max(n_words, 1)
+    bullet = sum(bool(re.search(r"^\s*[-*•]", l)) for l in lines) / max(len(lines), 1)
+    ellip = sum(bool(re.search(r"(\.\.\.|…)\s*$", l)) for l in lines) / max(len(lines), 1)
+    alpha = sum(bool(re.search("[A-Za-z]", w)) for w in words) / max(n_words, 1)
+    stops = {"the", "be", "to", "of", "and", "that", "have", "with"}
+    n_stop = len({w.lower() for w in words} & stops)
+
+    norm = re.sub(r"[^a-z0-9]+", " ", text.lower()).strip()
+    nwords = norm.split(" ")
+
+    def frac_dup(counts, weight=None):
+        tot = sum((weight(k) if weight else 1) * c for k, c in counts.items())
+        dup = sum((weight(k) if weight else 1) * c for k, c in counts.items() if c > 1)
+        return dup / tot if tot else 0.0
+
+    lc = _Counter(lines)
+    dup_line = frac_dup(lc)
+    dup_line_char = frac_dup(lc, weight=len)
+    g2 = _Counter(
+        " ".join(nwords[i : i + 2]) for i in range(len(nwords) - 1)
+    ) if len(nwords) >= 2 else _Counter()
+    top2 = max(g2.values()) / sum(g2.values()) if g2 else 0.0
+    g5 = _Counter(
+        " ".join(nwords[i : i + 5]) for i in range(len(nwords) - 4)
+    ) if len(nwords) >= 5 else _Counter()
+    dup5 = frac_dup(g5)
+
+    if n_words < min_words:
+        return "too_few_words"
+    if n_words > max_words:
+        return "too_many_words"
+    if mean_wl < 3:
+        return "short_words"
+    if mean_wl > 10:
+        return "long_words"
+    if sym_ratio > 0.1:
+        return "symbol_ratio"
+    if bullet > 0.9:
+        return "bullet_lines"
+    if ellip > 0.3:
+        return "ellipsis_lines"
+    if alpha < 0.8:
+        return "non_alpha_words"
+    if n_stop < 2:
+        return "few_stop_words"
+    if dup_line > 0.30:
+        return "dup_lines"
+    if dup_line_char > 0.20:
+        return "dup_line_chars"
+    if top2 > 0.20:
+        return "top_2gram"
+    if dup5 > 0.15:
+        return "dup_5gram"
+    return "ok"
+
+
+_WORDS = ["the", "be", "of", "and", "quick", "brown", "fox", "x1", "#", "...", "…", "•", "-", "zzzz"]
+_SEPS = [" ", " ", " ", "\n", "  "]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=0, max_size=25).map(
+            lambda ws: "".join(
+                w + _SEPS[i % len(_SEPS)] for i, w in enumerate(ws)
+            ).rstrip()
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_gopher_rules_match_python_model(spark, texts):
+    """The Spark classifier agrees with an independent pure-Python
+    reimplementation on arbitrary whitespace/bullet/ellipsis soup — the
+    same style of engine-independence pin as the asof/pandas one."""
+    from cm_well_spark.operators.curation import gopher_rules
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["reason"] for r in gopher_rules(df, min_words=3).collect()}
+    want = {i: _py_gopher(t, min_words=3) for i, t in enumerate(texts)}
+    assert got == want
