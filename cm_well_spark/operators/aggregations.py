@@ -357,7 +357,12 @@ def _sig(df: DataFrame, agg: SigAgg, base: DataFrame, fg_filter: Column | None =
                 F.countDistinct("path").alias("bg_count"),
             )
         )
-        j = per_key.crossJoin(F.broadcast(totals)).where(F.col("bg_n") > 0)
+        # fg_n == 0 would make every fg_pct a 0/0 ANSI error; an empty
+        # foreground means an empty result (same contract as the
+        # fg_counts-empty path below)
+        j = per_key.crossJoin(F.broadcast(totals)).where(
+            (F.col("bg_n") > 0) & (F.col("fg_n") > 0)
+        )
         fg_pct = F.col("objects") / F.col("fg_n").cast("double")
         bg_pct = F.col("bg_count") / F.col("bg_n").cast("double")
         scored = j.withColumn("score", (fg_pct / bg_pct) * (fg_pct - bg_pct))

@@ -200,6 +200,9 @@ def mixture_weights(
         .select(
             source_col,
             "n_tokens",
+            # n_tokens >= 1 whenever the source group exists (every doc
+            # counts at least one whitespace token), so the division is
+            # ANSI-safe without a guard
             F.round(F.col("__share") * F.col("__T") / F.col("n_tokens"), 6).alias("rate"),
         )
     )

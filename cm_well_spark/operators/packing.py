@@ -157,8 +157,12 @@ def packing_stats(
         F.expr("percentile(n_tok, 0.5)").alias("p50_tokens"),
         F.expr("percentile(n_tok, 0.9)").alias("p90_tokens"),
         F.max("n_tok").alias("max_tokens"),
+        # an all-empty corpus pads to 0 total: waste 0, not an ANSI error
         F.round(
-            (F.sum(padded) - F.sum("n_tok")) / F.sum(padded), 6
+            F.when(
+                F.sum(padded) > 0, (F.sum(padded) - F.sum("n_tok")) / F.sum(padded)
+            ).otherwise(F.lit(0.0)),
+            6,
         ).alias("pad_waste_frac_unpacked"),
         F.ceil(F.sum("n_tok") / ctx).alias("n_seqs_packed"),
         F.sum(F.ceil(F.col("n_tok") / ctx)).alias("n_seqs_unpacked"),

@@ -32,7 +32,10 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # a zero vector has no direction: define cos = 0 rather than letting
+    # ANSI mode raise DIVIDE_BY_ZERO on norm(a)*norm(b) == 0
+    d = norm(a) * norm(b)
+    return F.when(d != 0, dot(a, b) / d).otherwise(F.lit(0.0))
 
 
 def brute_force_topk(

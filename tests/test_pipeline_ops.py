@@ -708,3 +708,50 @@ def test_perplexity_buckets_terciles(spark):
         assert max(by_bucket["head"]) <= min(by_bucket["middle"])
     if "middle" in by_bucket and "tail" in by_bucket:
         assert max(by_bucket["middle"]) <= min(by_bucket["tail"])
+
+
+def test_ansi_zero_denominator_guards(spark):
+    """r7 ANSI-mode hardening: data-dependent denominators that can be 0
+    (zero embeddings, empty-foreground sig terms, zero-token sources,
+    all-empty corpora) return defined values instead of DIVIDE_BY_ZERO."""
+    from pyspark.sql import functions as F
+
+    from cm_well_spark.operators.curation import mixture_weights
+    from cm_well_spark.operators.packing import packing_stats
+    from cm_well_spark.operators.similarity import cosine
+
+    # cosine with a zero vector -> 0.0
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0], [1.0, 2.0]), (2, [1.0, 0.0], [1.0, 0.0])],
+        "id long, a array<double>, b array<double>",
+    )
+    got = {r["id"]: r["c"] for r in df.select("id", cosine(F.col("a"), F.col("b")).alias("c")).collect()}
+    assert got[1] == 0.0 and abs(got[2] - 1.0) < 1e-12
+
+    # mixture weights: an empty-text doc still counts one whitespace
+    # token, so even a degenerate source keeps a positive denominator
+    docs = spark.createDataFrame(
+        [(1, "", "src0"), (2, "five words of real text", "src1")],
+        "doc_id long, text string, source string",
+    )
+    rates = {r["source"]: r["rate"] for r in mixture_weights(docs, {"src0": 0.5, "src1": 0.5}).collect()}
+    assert rates["src0"] == 1.0 and 0 < rates["src1"] <= 1.0
+
+    # packing stats over a ZERO-ROW corpus -> defined row, waste 0
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    row = packing_stats(empty, context_len=64).collect()[0]
+    assert row["n_docs"] == 0 and row["pad_waste_frac_unpacked"] == 0.0
+
+
+def test_sig_terms_empty_foreground_is_empty(spark, sf_dir):
+    """An agg=sig filter matching nothing returns no buckets (not a 0/0
+    crash) on both sig-terms routes."""
+    from cm_well_spark.model.lakehouse import load_infotons
+    from cm_well_spark.operators.aggregations import aggregate
+    from cm_well_spark.operators.search import search
+
+    inf = load_infotons(spark, sf_dir)
+    base = search(inf, qp="rdfType::Customer", length=None)
+    fg = search(inf, qp="rdfType::Customer,mktsegment::NOSUCHSEGMENT", length=None)
+    res = aggregate(fg, "type:sig,field::mktsegment,minDocCount:1", base=base)[0]
+    assert res.df.count() == 0
