@@ -96,3 +96,26 @@ def streaming_seen_filter(
             timeoutConf=getattr(GroupStateTimeout, timeout),
         )
     )
+
+
+def streaming_incremental_dedup(
+    stream: DataFrame,
+    seen_hashes: DataFrame,
+    text_col: str = "text",
+    hash_col: str = "h",
+) -> DataFrame:
+    """Streaming twin of dedup.incremental_dedup's exact stage: drop
+    stream rows whose normalized-content md5 already exists in the
+    STATIC seen-signature table (the ingested store's precomputed hash
+    column). A stream-static left_anti join — the static side is planned
+    per micro-batch, so re-materializing the signature table between
+    batches is picked up automatically; no state store is used at all
+    (the store IS the state). Compose with streaming_exact_dedup to also
+    dedup the stream against itself within the watermark horizon."""
+    fp = F.md5(normalize_text(F.col(text_col)))
+    seen = seen_hashes.select(F.col(hash_col).alias("__seen_h")).distinct()
+    return (
+        stream.withColumn("__fp", fp)
+        .join(seen, F.col("__fp") == F.col("__seen_h"), "left_anti")
+        .drop("__fp")
+    )

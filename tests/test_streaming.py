@@ -506,3 +506,54 @@ def test_streaming_window_append_drops_late_events(spark):
     assert got[("2024-01-01 10:00:00", "click")] == 2  # first window emitted once
     assert ("2024-01-01 10:10:00", "late") not in got  # late event dropped
     assert got[("2024-01-01 10:30:00", "view")] == 1
+
+
+def test_streaming_incremental_dedup_against_static_store(spark):
+    """r7: a stream anti-joined against the static seen-signature table —
+    rows whose normalized content exists in the store drop; fresh rows
+    pass; parity with the batch incremental_dedup exact stage on the
+    same data."""
+    import shutil
+
+    from cm_well_spark.operators.text import normalize_text
+    from cm_well_spark.streaming.dedup import streaming_incremental_dedup
+
+    d = os.path.join(TMP, "sincdedup")
+    shutil.rmtree(d, ignore_errors=True)
+    feed = os.path.join(d, "feed")
+    os.makedirs(feed)
+
+    seen_docs = spark.createDataFrame(
+        [(100, "an already ingested document"), (101, "another stored one")],
+        "doc_id long, text string",
+    )
+    seen_hashes = seen_docs.select(F.md5(normalize_text(F.col("text"))).alias("h"))
+
+    rows = [
+        (1, "An ALREADY ingested document!"),  # norm-dup of 100 -> drop
+        (2, "a genuinely new document"),       # pass
+        (3, "another stored one"),             # exact dup of 101 -> drop
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.write.mode("append").parquet(feed)
+    stream = spark.readStream.schema(df.schema).parquet(feed)
+    out = streaming_incremental_dedup(stream, seen_hashes)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sinc1")
+        .option("checkpointLocation", os.path.join(d, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM sinc1").collect()}
+    assert kept == {2}
+
+    # batch twin agrees (exact stage of incremental_dedup)
+    from cm_well_spark.operators.dedup import incremental_dedup_verdicts
+
+    v = {
+        r["doc_id"]: r["verdict"]
+        for r in incremental_dedup_verdicts(df, seen_docs, threshold=0.99).collect()
+    }
+    assert v[1] == "exact_dup" and v[3] == "exact_dup" and v[2] == "new"
