@@ -147,7 +147,16 @@ def main() -> None:
         # band 1.2-2.4s tracking loadavg 3-6 — the heaviest multi-join entry
         # is simply the most steal-sensitive. Verdict: load noise, not a
         # regression; the loadavg field above self-diagnoses future records.
-        "adjudications": {"sparql_graph_revenue": "r6 1.65s = load noise; plan verified optimal (all-broadcast BGP join), warm band 1.2-2.4s at loadavg 3-6"},
+        "adjudications": {
+            "sparql_graph_revenue": "r6 1.65s = load noise; plan verified optimal (all-broadcast BGP join), warm band 1.2-2.4s at loadavg 3-6",
+            # r7: merge_writer_current 1.69->2.0-3.9s across samples. The only
+            # r7 change to merge.py (535c7b9) is pure code motion
+            # (decorate_versions extracted, git-diff-verified identical plan);
+            # the host was rebuilt this round (fresh OS file cache, store
+            # re-materialized) and the reading tracks loadavg 2-9. Not a plan
+            # regression; watch on a quiet box next round.
+            "merge_writer_current": "r7 2.0-3.9s band = rebuilt-host cache + load; merge.py diff is pure code motion, plan unchanged",
+        },
     }
 
     # sf1 scale-evidence block (VERDICT r5 item 7): if the generated sf1
