@@ -392,3 +392,163 @@ def extract_audio_features(
             yield pd.DataFrame(out, columns=[f.name for f in AUDIO_META.fields])
 
     return df.select(F.col(id_col).alias(id_col), F.col(data_col)).mapInPandas(batches, AUDIO_META)
+
+
+# ---------------------------------------------------------------------------
+# image perceptual hashing + near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def fake_image_pattern(height: int, width: int, channels: int = 3, seed: int = 0) -> bytes:
+    """A structured deterministic IMG1 image (LCG-filled payload): unlike
+    fake_image's constant fill, patterned pixels give perceptual hashes
+    something to see, and identical seeds produce identical images —
+    exactly what a dedup fixture needs."""
+    n = height * width * channels
+    out = bytearray(n)
+    x = (seed * 2654435761 + 12345) & 0xFFFFFFFF
+    for i in range(n):
+        x = (x * 1103515245 + 12345) & 0x7FFFFFFF
+        out[i] = (x >> 16) & 0xFF
+    return b"IMG1" + struct.pack(">IIB", height, width, channels) + bytes(out)
+
+
+def _dhash64(arr, hash_size: int = 8) -> int:
+    """Difference hash (dHash, the standard perceptual hash): grayscale,
+    area-resize to (hash_size x hash_size+1), one bit per horizontal
+    gradient sign. Pure numpy — runs identically on any decoded RGB
+    array, fake or real codec."""
+    gray = arr.astype(np.float64).mean(axis=2) if arr.ndim == 3 else arr.astype(np.float64)
+    h, w = gray.shape
+    rows = np.array_split(np.arange(h), hash_size)
+    cols = np.array_split(np.arange(w), hash_size + 1)
+    small = np.empty((hash_size, hash_size + 1))
+    for i, r in enumerate(rows):
+        for j, c in enumerate(cols):
+            block = gray[np.ix_(r, c)] if len(r) and len(c) else np.zeros((1, 1))
+            small[i, j] = block.mean()
+    bits = (small[:, 1:] > small[:, :-1]).flatten()
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    # two's-complement into a signed 64-bit long (Spark LongType)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("dhash", T.LongType()),
+        T.StructField("ok", T.BooleanType()),
+    ]
+)
+
+
+def image_dhash(
+    df: DataFrame,
+    data_col: str = "data",
+    id_col: str = "id",
+    hash_size: int = 8,
+    codec: str = "fake",
+) -> DataFrame:
+    """Per-image 64-bit perceptual hash (dHash) via Arrow-batched
+    mapInPandas — the multimodal twin of text simhash: near-identical
+    images (re-encodes, minor crops/noise) land within a small Hamming
+    distance. codec='fake' reads IMG1 raw RGB; codec='pil' decodes real
+    formats through the Pillow seam. Undecodable rows report ok=False
+    with a null hash (a 100 TB crawl always contains garbage)."""
+    if codec not in ("fake", "pil"):
+        raise NotImplementedError(
+            f"codec {codec!r}: supported codecs are 'fake' and 'pil' — plug other "
+            "decoders in at this seam (same batch-function contract)"
+        )
+    if hash_size * (hash_size) > 64:
+        raise ValueError("hash_size^2 must fit in 64 bits (hash_size <= 8)")
+
+    def to_array_fake(b):
+        if b is None or len(b) < 13 or bytes(b[:4]) != b"IMG1":
+            return None
+        h, w, c = struct.unpack(">IIB", bytes(b[4:13]))
+        payload = np.frombuffer(bytes(b), dtype=np.uint8, offset=13)
+        if payload.size != h * w * c or h == 0 or w == 0:
+            return None
+        return payload.reshape(h, w, c)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if codec == "pil":
+            Image = _import_pil()
+            import io
+
+            def to_array(b):
+                if b is None:
+                    return None
+                try:
+                    with Image.open(io.BytesIO(bytes(b))) as im:
+                        return np.asarray(im.convert("RGB"))
+                except Exception:
+                    return None
+
+        else:
+            to_array = to_array_fake
+        for pdf in it:
+            ids, hs, oks = [], [], []
+            for rid, b in zip(pdf[id_col].to_numpy(), pdf[data_col].to_numpy()):
+                arr = to_array(b)
+                ids.append(rid)
+                hs.append(None if arr is None else _dhash64(arr, hash_size))
+                oks.append(arr is not None)
+            # nullable Int64, NOT object/float64: a batch mixing None with
+            # hashes must not round 64-bit values through float64
+            yield pd.DataFrame(
+                {"id": ids, "dhash": pd.array(hs, dtype="Int64"), "ok": oks}
+            )
+
+    return df.select(F.col(id_col).alias("id"), F.col(data_col)).mapInPandas(batches, DHASH_SCHEMA)
+
+
+def image_dup_pairs(hashes: DataFrame, max_distance: int = 3) -> DataFrame:
+    """Near-duplicate image pairs from dHash values — (id_a, id_b,
+    distance), id_a < id_b, Hamming distance <= max_distance.
+
+    Shape at 100 TB: the same pigeonhole-band plan as text simhash —
+    the 64-bit hash splits into max_distance+1 blocks, a pair within
+    the distance budget must agree on at least one whole block, so
+    candidates meet through block-value equi-joins (never all-pairs)
+    and only candidates pay the exact popcount verify."""
+    from cm_well_spark.operators.dedup import hamming64
+
+    n_blocks = max_distance + 1
+    width = 64 // n_blocks
+    mask = -1 if width == 64 else (1 << width) - 1  # width 64: AND -1 = identity
+    h = hashes.where(F.col("dhash").isNotNull()).select(
+        F.col("id"), F.col("dhash")
+    )
+    blocks = [
+        F.struct(
+            F.lit(i).alias("blk"),
+            F.shiftrightunsigned(F.col("dhash"), i * width).bitwiseAND(
+                F.lit(mask)
+            ).alias("val"),
+        )
+        for i in range(n_blocks)
+    ]
+    exploded = h.select("id", "dhash", F.explode(F.array(*blocks)).alias("b"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.dhash").alias("h_a"),
+            F.col("b.dhash").alias("h_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("distance", hamming64(F.col("h_a"), F.col("h_b")))
+        .where(F.col("distance") <= max_distance)
+        .select("id_a", "id_b", "distance")
+    )

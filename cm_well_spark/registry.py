@@ -5192,3 +5192,38 @@ def pack_stats(spark, sf_dir):
     from cm_well_spark.sources import tables as tbl
 
     return packing_stats(tbl.load_table(spark, sf_dir, "documents"), context_len=64)
+
+
+@register("multimodal_image_dedup")
+def multimodal_image_dedup(spark, sf_dir):
+    """Image near-dup pairs via perceptual dHash (rows-only: the
+    block-mean resize isn't SQL-expressible; determinism and banded-vs-
+    brute equality are pytest-pinned): 200 patterned IMG1 images with
+    seed = doc_id % 50 give 4-member identical groups; hashes meet
+    through pigeonhole 16-bit block buckets, candidates pay one popcount
+    — the multimodal twin of text simhash, same plan at 100 TB."""
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    from cm_well_spark.operators.multimodal import (
+        fake_image_pattern,
+        image_dhash,
+        image_dup_pairs,
+    )
+    from cm_well_spark.sources import tables as tbl
+
+    docs = tbl.load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200).select("doc_id")
+
+    def gen(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "id": pdf["doc_id"],
+                    "data": [fake_image_pattern(16, 16, 3, seed=int(i) % 50) for i in pdf["doc_id"]],
+                }
+            )
+
+    imgs = docs.mapInPandas(
+        gen, T.StructType([T.StructField("id", T.LongType()), T.StructField("data", T.BinaryType())])
+    )
+    return image_dup_pairs(image_dhash(imgs), max_distance=3)

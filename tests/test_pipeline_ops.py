@@ -755,3 +755,67 @@ def test_sig_terms_empty_foreground_is_empty(spark, sf_dir):
     fg = search(inf, qp="rdfType::Customer,mktsegment::NOSUCHSEGMENT", length=None)
     res = aggregate(fg, "type:sig,field::mktsegment,minDocCount:1", base=base)[0]
     assert res.df.count() == 0
+
+
+def test_image_dhash_matches_reference_and_flags_garbage(spark):
+    """r7 image perceptual hash: the Spark dHash equals an independent
+    pure-numpy reimplementation per image, identical images collide
+    exactly, and undecodable bytes report ok=False with a null hash
+    (kept Int64-exact even when a batch mixes nulls and hashes)."""
+    import numpy as np
+
+    from cm_well_spark.operators.multimodal import (
+        fake_image_pattern,
+        image_dhash,
+    )
+
+    def ref_dhash(payload, h, w, c, hs=8):
+        gray = payload.reshape(h, w, c).astype(float).mean(axis=2)
+        rs = np.array_split(np.arange(h), hs)
+        cs = np.array_split(np.arange(w), hs + 1)
+        small = np.array([[gray[np.ix_(r, cc)].mean() for cc in cs] for r in rs])
+        bits = (small[:, 1:] > small[:, :-1]).flatten()
+        v = 0
+        for b in bits:
+            v = (v << 1) | int(b)
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    rows = [(i, fake_image_pattern(12, 10, 3, seed=i)) for i in range(6)]
+    rows.append((50, fake_image_pattern(12, 10, 3, seed=2)))  # identical to 2
+    rows.append((99, b"garbage-bytes"))
+    df = spark.createDataFrame(rows, "id long, data binary")
+    got = {r["id"]: (r["dhash"], r["ok"]) for r in image_dhash(df).collect()}
+    assert got[99] == (None, False)
+    for i in range(6):
+        b = fake_image_pattern(12, 10, 3, seed=i)
+        payload = np.frombuffer(b, dtype=np.uint8, offset=13)
+        assert got[i] == (ref_dhash(payload, 12, 10, 3), True)
+    assert got[50][0] == got[2][0]
+
+
+def test_image_dup_pairs_banded_equals_brute(spark):
+    """r7 banded image dedup: the pigeonhole block join returns exactly
+    the pairs brute-force Hamming would, at every distance budget the
+    blocks guarantee."""
+    from cm_well_spark.operators.multimodal import (
+        fake_image_pattern,
+        image_dhash,
+        image_dup_pairs,
+    )
+
+    rows = [(i, fake_image_pattern(16, 16, 3, seed=i % 4)) for i in range(12)]
+    df = spark.createDataFrame(rows, "id long, data binary")
+    hashes = image_dhash(df)
+    hs = {r["id"]: r["dhash"] for r in hashes.collect()}
+    for d in (0, 1, 3):
+        got = {
+            (r["id_a"], r["id_b"], r["distance"])
+            for r in image_dup_pairs(hashes, max_distance=d).collect()
+        }
+        want = {
+            (a, b, bin((hs[a] ^ hs[b]) & ((1 << 64) - 1)).count("1"))
+            for a in hs
+            for b in hs
+            if a < b and bin((hs[a] ^ hs[b]) & ((1 << 64) - 1)).count("1") <= d
+        }
+        assert got == want
