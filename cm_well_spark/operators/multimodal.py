@@ -552,3 +552,94 @@ def image_dup_pairs(hashes: DataFrame, max_distance: int = 3) -> DataFrame:
         .where(F.col("distance") <= max_distance)
         .select("id_a", "id_b", "distance")
     )
+
+
+# ---------------------------------------------------------------------------
+# audio fingerprinting (energy-contrast hash, reuses image_dup_pairs)
+# ---------------------------------------------------------------------------
+
+
+def _audio_samples_fake(b):
+    if b is None or len(b) < 12 or bytes(b[:4]) != b"AUD1":
+        return None
+    n = struct.unpack(">II", bytes(b[4:12]))[1]
+    s = np.frombuffer(bytes(b), dtype=np.uint8, offset=12)[:n].astype(np.float64)
+    return (s - 128.0) / 128.0
+
+
+def _audio_samples_wav(b):
+    import io
+    import wave
+
+    if b is None:
+        return None
+    try:
+        with wave.open(io.BytesIO(bytes(b))) as w:
+            n, width = w.getnframes(), w.getsampwidth()
+            raw = w.readframes(n)
+        if width == 2:
+            return np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+        if width == 1:
+            return (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+        if width == 4:
+            return np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+        return None
+    except Exception:
+        return None
+
+
+def _afp64(samples, n_frames: int = 65) -> int:
+    """Energy-contrast audio fingerprint: split the waveform into
+    n_frames windows, one bit per adjacent-window energy increase —
+    the time-domain cousin of the Haitsma-Kalker scheme (band energy
+    differences), 64 bits so the banded Hamming join applies as-is."""
+    if samples is None or samples.size == 0:
+        return None
+    chunks = np.array_split(samples, n_frames)
+    energy = np.array([float((c * c).mean()) if c.size else 0.0 for c in chunks])
+    bits = energy[1:] > energy[:-1]
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def audio_fingerprint(
+    df: DataFrame, data_col: str = "data", id_col: str = "id", codec: str = "fake"
+) -> DataFrame:
+    """Per-row 64-bit audio fingerprint (id, dhash, ok) — the same output
+    contract as image_dhash, so image_dup_pairs generates audio near-dup
+    pairs with the identical pigeonhole-banded plan. codec='fake' reads
+    AUD1; codec='wav' real PCM via stdlib wave. Undecodable rows report
+    ok=False, never raise."""
+    if codec not in ("fake", "wav"):
+        raise NotImplementedError(
+            f"codec {codec!r}: supported codecs are 'fake' and 'wav' — plug other "
+            "decoders in at this seam (same batch-function contract)"
+        )
+    to_samples = _audio_samples_wav if codec == "wav" else _audio_samples_fake
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, hs, oks = [], [], []
+            for rid, b in zip(pdf[id_col].to_numpy(), pdf[data_col].to_numpy()):
+                s = to_samples(b)
+                fp = _afp64(s) if s is not None else None
+                ids.append(rid)
+                hs.append(fp)
+                oks.append(fp is not None)
+            yield pd.DataFrame({"id": ids, "dhash": pd.array(hs, dtype="Int64"), "ok": oks})
+
+    return df.select(F.col(id_col).alias("id"), F.col(data_col)).mapInPandas(batches, DHASH_SCHEMA)
+
+
+def fake_audio_pattern(sample_rate: int, n_samples: int, seed: int = 0) -> bytes:
+    """Structured deterministic AUD1 payload (LCG bytes) — identical
+    seeds produce identical waveforms; the audio analog of
+    fake_image_pattern."""
+    out = bytearray(n_samples)
+    x = (seed * 2654435761 + 99991) & 0xFFFFFFFF
+    for i in range(n_samples):
+        x = (x * 1103515245 + 12345) & 0x7FFFFFFF
+        out[i] = (x >> 16) & 0xFF
+    return b"AUD1" + struct.pack(">II", sample_rate, n_samples) + bytes(out)

@@ -5227,3 +5227,37 @@ def multimodal_image_dedup(spark, sf_dir):
         gen, T.StructType([T.StructField("id", T.LongType()), T.StructField("data", T.BinaryType())])
     )
     return image_dup_pairs(image_dhash(imgs), max_distance=3)
+
+
+@register("multimodal_audio_dedup")
+def multimodal_audio_dedup(spark, sf_dir):
+    """Audio near-dup pairs via the energy-contrast fingerprint
+    (rows-only: waveform windowing isn't SQL-expressible; fake/WAV codec
+    parity and dedup behavior are pytest-pinned): 200 patterned AUD1
+    clips with seed = doc_id % 50 — same banded Hamming plan as images,
+    300 expected pairs."""
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    from cm_well_spark.operators.multimodal import (
+        audio_fingerprint,
+        fake_audio_pattern,
+        image_dup_pairs,
+    )
+    from cm_well_spark.sources import tables as tbl
+
+    docs = tbl.load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200).select("doc_id")
+
+    def gen(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "id": pdf["doc_id"],
+                    "data": [fake_audio_pattern(8000, 2000, seed=int(i) % 50) for i in pdf["doc_id"]],
+                }
+            )
+
+    clips = docs.mapInPandas(
+        gen, T.StructType([T.StructField("id", T.LongType()), T.StructField("data", T.BinaryType())])
+    )
+    return image_dup_pairs(audio_fingerprint(clips), max_distance=3)

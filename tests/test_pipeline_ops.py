@@ -819,3 +819,42 @@ def test_image_dup_pairs_banded_equals_brute(spark):
             if a < b and bin((hs[a] ^ hs[b]) & ((1 << 64) - 1)).count("1") <= d
         }
         assert got == want
+
+
+def test_audio_fingerprint_dedup_and_wav_parity(spark):
+    """r7 audio fingerprint: identical waveforms collide, different ones
+    separate, garbage flags ok=False — and the SAME samples fingerprint
+    identically through the fake and real-WAV codec paths (8-bit PCM wav
+    normalizes exactly like AUD1 bytes)."""
+    import io
+    import wave
+
+    from cm_well_spark.operators.multimodal import (
+        audio_fingerprint,
+        fake_audio_pattern,
+        image_dup_pairs,
+    )
+
+    rows = [(i, fake_audio_pattern(8000, 4000, seed=i % 3)) for i in range(9)]
+    rows.append((99, b"not-audio"))
+    df = spark.createDataFrame(rows, "id long, data binary")
+    fp = audio_fingerprint(df)
+    got = {r["id"]: (r["dhash"], r["ok"]) for r in fp.collect()}
+    assert got[99] == (None, False)
+    assert got[0][0] == got[3][0] == got[6][0]          # same seed
+    assert len({got[i][0] for i in range(3)}) == 3      # three seeds separate
+
+    pairs = {(r["id_a"], r["id_b"]) for r in image_dup_pairs(fp, max_distance=0).collect()}
+    assert (0, 3) in pairs and (1, 4) in pairs and (0, 1) not in pairs
+
+    # wav parity: pack the same byte payload as 8-bit PCM WAV
+    payload = fake_audio_pattern(8000, 4000, seed=1)[12:]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(payload)
+    wav_df = spark.createDataFrame([(7, buf.getvalue())], "id long, data binary")
+    wav_fp = audio_fingerprint(wav_df, codec="wav").collect()[0]
+    assert wav_fp["ok"] and wav_fp["dhash"] == got[1][0]
