@@ -643,3 +643,39 @@ def fake_audio_pattern(sample_rate: int, n_samples: int, seed: int = 0) -> bytes
         x = (x * 1103515245 + 12345) & 0x7FFFFFFF
         out[i] = (x >> 16) & 0xFF
     return b"AUD1" + struct.pack(">II", sample_rate, n_samples) + bytes(out)
+
+
+def video_dup_pairs(
+    df: DataFrame,
+    data_col: str = "data",
+    id_col: str = "id",
+    every_n: int = 1,
+    min_shared: int = 2,
+    codec: str = "fake",
+) -> DataFrame:
+    """Video near-dup pairs by shared perceptual frame hashes — the
+    standard sampled-frame fingerprint scheme: sample frames, dHash each,
+    and call two videos near-duplicates when they share >= `min_shared`
+    distinct frame hashes (id_a < id_b, n_shared).
+
+    Composition of existing operators: sample_frames (one explode) ->
+    image_dhash (Arrow batches) -> distinct (video, hash) -> hash
+    equi-join. Videos meet only through equal frame hashes — never
+    all-pairs — and the join key is a 64-bit long. Same 100 TB posture
+    as the text shingle join, with the same hot-key caveat (intro/outro
+    boilerplate frames; filter them like jaccard_pairs' shingle guard if
+    a corpus has them)."""
+    frames = sample_frames(df, every_n=every_n, data_col=data_col, id_col=id_col, codec=codec)
+    hashed = image_dhash(frames, data_col="frame", id_col="id", codec="fake")
+    vh = (
+        hashed.where(F.col("ok"))
+        .select(F.col("id"), F.col("dhash"))
+        .distinct()
+    )
+    a, b = vh.alias("a"), vh.alias("b")
+    return (
+        a.join(b, (F.col("a.dhash") == F.col("b.dhash")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

@@ -5261,3 +5261,39 @@ def multimodal_audio_dedup(spark, sf_dir):
         gen, T.StructType([T.StructField("id", T.LongType()), T.StructField("data", T.BinaryType())])
     )
     return image_dup_pairs(audio_fingerprint(clips), max_distance=3)
+
+
+@register("multimodal_video_dedup")
+def multimodal_video_dedup(spark, sf_dir):
+    """Video near-dup pairs by shared sampled-frame dHashes (rows-only —
+    perceptual hashing isn't SQL-expressible; counts pytest-pinned):
+    100 four-frame clips built so clip i shares exactly 2 frames with
+    clip i+1 (frame seeds 2i..2i+3) — a sliding chain, so every adjacent
+    pair and only adjacent pairs meet the min_shared=2 bar. Frames meet
+    through 64-bit hash equi-joins; never all-pairs."""
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    from cm_well_spark.operators.multimodal import fake_image_pattern, video_dup_pairs
+    from cm_well_spark.sources import tables as tbl
+
+    docs = tbl.load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100).select("doc_id")
+
+    def gen(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "id": pdf["doc_id"],
+                    "data": [
+                        b"".join(
+                            fake_image_pattern(8, 8, 3, seed=2 * int(i) + k) for k in range(4)
+                        )
+                        for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    vids = docs.mapInPandas(
+        gen, T.StructType([T.StructField("id", T.LongType()), T.StructField("data", T.BinaryType())])
+    )
+    return video_dup_pairs(vids, min_shared=2)

@@ -858,3 +858,25 @@ def test_audio_fingerprint_dedup_and_wav_parity(spark):
     wav_df = spark.createDataFrame([(7, buf.getvalue())], "id long, data binary")
     wav_fp = audio_fingerprint(wav_df, codec="wav").collect()[0]
     assert wav_fp["ok"] and wav_fp["dhash"] == got[1][0]
+
+
+def test_video_dup_pairs_shared_frames(spark):
+    """r7 video dedup: videos sharing >= min_shared sampled-frame hashes
+    pair up with the exact shared count; disjoint videos never meet."""
+    from cm_well_spark.operators.multimodal import fake_image_pattern, video_dup_pairs
+
+    def vid(frame_seeds):
+        return b"".join(fake_image_pattern(8, 8, 3, s) for s in frame_seeds)
+
+    rows = [
+        (1, vid([1, 2, 3, 4])),
+        (2, vid([3, 4, 5, 6])),   # shares two frames with 1
+        (3, vid([7, 8, 9, 10])),  # disjoint
+        (4, vid([1, 2, 3, 4])),   # identical to 1
+    ]
+    df = spark.createDataFrame(rows, "id long, data binary")
+    out = {(r["id_a"], r["id_b"]): r["n_shared"] for r in video_dup_pairs(df, min_shared=2).collect()}
+    assert out == {(1, 2): 2, (1, 4): 4, (2, 4): 2}
+    # raising the bar drops the partial overlaps but keeps the full dup
+    strict = {(r["id_a"], r["id_b"]) for r in video_dup_pairs(df, min_shared=3).collect()}
+    assert strict == {(1, 4)}
