@@ -239,3 +239,50 @@ def test_gopher_rules_match_python_model(spark, texts):
     got = {r["doc_id"]: r["reason"] for r in gopher_rules(df, min_words=3).collect()}
     want = {i: _py_gopher(t, min_words=3) for i, t in enumerate(texts)}
     assert got == want
+
+
+def _py_boiler(text: str) -> tuple[str, int, int]:
+    """Independent pure-Python model of boilerplate_removal's defaults."""
+    import re
+
+    stops = {"the", "be", "to", "of", "and", "that", "have", "with"}
+    markers = ("all rights reserved", "cookie", "terms of service",
+               "privacy policy", "copyright", "©")
+    lines = text.split("\n")
+    kept = []
+    for l in lines:
+        w = re.split(r"\s+", l.strip())
+        nw = len(w)
+        alpha = sum(bool(re.search("[A-Za-z]", x)) for x in w) / max(nw, 1)
+        stop = sum(x.lower() in stops for x in w) / max(nw, 1)
+        low = l.lower()
+        if (
+            nw >= 5
+            and alpha >= 0.5
+            and not any(m in low for m in markers)
+            and (nw >= 20 or stop >= 0.2)
+        ):
+            kept.append(l)
+    return "\n".join(kept), len(kept), len(lines) - len(kept)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(_WORDS + ["Copyright", "cookie"]), min_size=0, max_size=25).map(
+            lambda ws: " ".join(ws)
+        ),
+        min_size=1,
+        max_size=10,
+    ).map(lambda ls: "\n".join(ls))
+)
+def test_boilerplate_matches_python_model(spark, text):
+    """The Spark line classifier agrees with an independent pure-Python
+    model on arbitrary marker/stopword/newline soup."""
+    from cm_well_spark.operators.curation import boilerplate_removal
+
+    row = boilerplate_removal(
+        spark.createDataFrame([(1, text)], "doc_id long, text string")
+    ).collect()[0]
+    want_text, want_kept, want_dropped = _py_boiler(text)
+    assert (row["text"], row["n_kept"], row["n_dropped"]) == (want_text, want_kept, want_dropped)
