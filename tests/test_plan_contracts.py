@@ -267,3 +267,28 @@ def test_incremental_dedup_no_self_join_of_seen(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     assert "LeftSemi" in plan
+
+
+def test_multimodal_dedup_no_cartesian(spark):
+    """r7 image/audio/video dedup: hashes meet through block-bucket or
+    frame-hash equi-joins only — no cartesian, no nested-loop — and the
+    only Python stages are the Arrow fingerprint batches."""
+    from cm_well_spark.operators.multimodal import (
+        fake_image_pattern,
+        image_dhash,
+        image_dup_pairs,
+        video_dup_pairs,
+    )
+
+    imgs = spark.createDataFrame(
+        [(i, fake_image_pattern(8, 8, 3, i % 3)) for i in range(6)], "id long, data binary"
+    )
+    p1 = plan_of(image_dup_pairs(image_dhash(imgs), max_distance=3))
+    assert "CartesianProduct" not in p1 and "BroadcastNestedLoop" not in p1
+
+    vids = spark.createDataFrame(
+        [(i, b"".join(fake_image_pattern(8, 8, 3, 2 * i + k) for k in range(4))) for i in range(4)],
+        "id long, data binary",
+    )
+    p2 = plan_of(video_dup_pairs(vids, min_shared=2))
+    assert "CartesianProduct" not in p2 and "BroadcastNestedLoop" not in p2
