@@ -192,6 +192,7 @@ def main() -> None:
             "dedup_minhash_lsh",
             "dedup_line_level",
             "curation_gopher_rules",
+            "dedup_incremental_batch",
         ]
         sf1_timings: dict[str, float] = {}
         # sf1 queries run 3-10x their sf0.1 cost; cap at 2 samples so the
