@@ -1,0 +1,207 @@
+"""Whole-graph analytics over the reference-edge (link) graph.
+
+CM-Well's infoton graph is the FReference equi-join graph the xg/yg
+traversals walk hop-by-hop (reference: deepExpandGraph
+wsutil/package.scala:716-749, expandUp :617-714). The reference engine
+only ever traverses it from a seed set; a training-data pipeline also
+wants WHOLE-GRAPH signals over the same edges:
+
+  link_degrees         in/out-degree accounting (link-audit view —
+                       ghost targets like /users/* surface with
+                       in-degree > 0 and out-degree 0, the J7 ghosts).
+  pagerank             fixed-iteration PageRank — the classic link-based
+                       curation weight for web-scale corpora (Page et al.
+                       1999; harmonic/PageRank centrality is how Common
+                       Crawl ranks hosts). Deterministic given the
+                       iteration count, so the whole computation is
+                       SQL-replayable (chained CTEs in the oracle).
+  sample_neighborhood  bounded-fanout k-hop neighborhood sampling
+                       (GraphSAGE, Hamilton et al. 2017) producing
+                       training subgraphs for GNNs. Neighbor selection
+                       ranks by a salted md5 of the edge, so the sample
+                       is reproducible across cluster topologies AND in
+                       the SQL oracle (the packing.py shard-order trick).
+
+Scale shape: everything reads the predicate-partitioned `triples` table
+once (bound field names prune to their `p` partitions — the same narrow
+scan the traversals use), reduces edges to (src, dst) pairs, and from
+then on runs plain keyed joins/aggs Catalyst plans freely:
+
+  - degrees: two groupBy counts + one outer join, all on the node key;
+  - pagerank: per iteration ONE equi-join (ranks ⨝ out-degree-decorated
+    edges on src) + ONE groupBy(dst) sum — the contribution shuffle is
+    keyed by node, never materializes adjacency lists, and carries two
+    columns. Edges are localCheckpoint'd once so iterations re-read a
+    materialized relation instead of re-deriving it from the scan;
+    ranks are checkpointed per round so the plan stays constant-size
+    (the dedup.py connected-components discipline).
+  - sampling: per hop ONE equi-join against the (frontier) node set and
+    ONE row_number window partitioned by src — the window rides the
+    join's hash partitioning. Frontier size is bounded by
+    |seeds| x prod(fanouts) by construction; no broadcast hints are
+    forced (AQE sizes the frontier join at runtime).
+
+None of this collects data-scale rows to the driver; the only driver
+loop is the fixed, user-bounded iteration/hop count.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# The TPC-H-shaped reference fields of the test model (builder.py:12-19).
+# Callers on other corpora pass their own list; None = joker (every
+# reference-valued triple, the traversal `_edges` heuristic).
+DEFAULT_LINK_FIELDS = (
+    "ofOrder",
+    "ofPart",
+    "bySupplier",
+    "byCustomer",
+    "inNation",
+    "ofRegion",
+)
+
+
+def reference_edges(triples: DataFrame, fields: Sequence[str] | None = None) -> DataFrame:
+    """Distinct (src, dst) pairs through the selected reference fields.
+
+    Bound field names prune the triples scan to their `p` partitions;
+    `fields=None` falls back to the joker heuristic (every current
+    string-typed value shaped like an absolute path) — the same edge
+    definition traversal.py's `_edges` walks, so whole-graph signals and
+    per-seed traversals agree on what an edge is."""
+    t = triples.where(F.col("current"))
+    if fields is not None:
+        t = t.where(F.col("p").isin(list(fields)))
+    t = t.where((F.col("vtype") == "s") & F.col("o").startswith("/"))
+    return t.select(F.col("s").alias("src"), F.col("o").alias("dst")).distinct()
+
+
+def link_degrees(triples: DataFrame, fields: Sequence[str] | None = None) -> DataFrame:
+    """Per-node (path, out_degree, in_degree) over the link graph.
+
+    Nodes are everything that participates in at least one edge; ghost
+    targets (J7 — referenced but never written, GhostInfoton
+    Infoton.scala:320) therefore appear with out_degree 0, which is
+    exactly what a link-audit wants to see. Two partial-aggregated
+    groupBy counts and one full outer join, all keyed by node."""
+    edges = reference_edges(triples, fields)
+    out_deg = edges.groupBy(F.col("src").alias("path")).agg(F.count("*").alias("out_degree"))
+    in_deg = edges.groupBy(F.col("dst").alias("path")).agg(F.count("*").alias("in_degree"))
+    return (
+        out_deg.join(in_deg, "path", "full_outer")
+        .select(
+            "path",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+        )
+    )
+
+
+def pagerank(
+    triples: DataFrame,
+    fields: Sequence[str] | None = None,
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over the link graph -> (path, rank).
+
+    The unnormalized power-iteration variant (rank_0 = 1.0;
+    rank_{i+1}(n) = (1-d) + d * sum over in-edges of rank_i(src) /
+    out_degree(src)) — dangling nodes keep receiving rank but
+    distribute none, sinks bottom out at 1-d. With a FIXED iteration
+    count the whole computation is deterministic and SQL-expressible,
+    so the oracle replays it as chained CTEs — the correctness check
+    covers the iteration itself, not just the final shape.
+
+    Per iteration: one equi-join of the rank relation against the
+    out-degree-decorated edge relation (keyed by src) and one
+    groupBy(dst).sum — partial aggregation combines map-side, the
+    shuffle carries (node, contribution) only. The edge relation is
+    localCheckpoint'd ONCE (it often carries the triples-scan lineage);
+    ranks are checkpointed per round so the iterated plan stays
+    constant-size. At 1000 executors this is the textbook Pregel-free
+    PageRank: iterations x (1 shuffle join + 1 shuffle agg), no
+    driver-side state beyond the loop counter."""
+    if iterations < 1:
+        raise ValueError("pagerank needs at least 1 iteration")
+    edges = reference_edges(triples, fields)
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("odeg"))
+    edges = edges.join(out_deg, "src").localCheckpoint(eager=False)
+    nodes = (
+        edges.select(F.col("src").alias("path"))
+        .union(edges.select(F.col("dst").alias("path")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    ranks = nodes.select("path", F.lit(1.0).alias("rank"))
+    for _ in range(iterations):
+        contribs = (
+            edges.join(ranks.withColumnRenamed("path", "src"), "src")
+            .groupBy(F.col("dst").alias("path"))
+            .agg(F.sum(F.col("rank") / F.col("odeg")).alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contribs, "path", "left")
+            .select(
+                "path",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks
+
+
+def sample_neighborhood(
+    triples: DataFrame,
+    seeds: DataFrame,
+    fanouts: Sequence[int] = (2, 2),
+    fields: Sequence[str] | None = None,
+    salt: str = "gnn",
+) -> DataFrame:
+    """GraphSAGE-style bounded-fanout neighborhood sampling -> sampled
+    edge list (hop, src, dst), hop starting at 1.
+
+    For each frontier node, keep at most fanout[h] out-edges, selected
+    by ranking the node's edges on md5(salt:src:dst) — a deterministic
+    "random" order that reproduces bit-for-bit across partitionings,
+    retries, and in the DuckDB oracle (the same salted-md5 recipe
+    packing.py uses for shard ordering). The next hop's frontier is the
+    distinct set of sampled targets.
+
+    Per hop: one left-semi equi-join (edges against the frontier) and
+    one row_number window partitioned by src that rides the join's
+    partitioning. Frontier growth is bounded by |seeds| x prod(fanouts)
+    by construction, so the loop depth and per-hop cost are both
+    user-bounded; ghosts (targets with no out-edges) simply contribute
+    nothing to the next hop — the J7 join-to-nothing behavior."""
+    edges = reference_edges(triples, fields)
+    frontier = seeds.select(F.col(seeds.columns[0]).alias("src")).distinct()
+    hops: list[DataFrame] = []
+    for h, fanout in enumerate(fanouts, start=1):
+        ranked = (
+            edges.join(frontier, "src", "left_semi")
+            .withColumn(
+                "__rn",
+                F.row_number().over(
+                    Window.partitionBy("src").orderBy(
+                        F.md5(F.concat_ws(":", F.lit(salt), F.col("src"), F.col("dst")))
+                    )
+                ),
+            )
+            .where(F.col("__rn") <= fanout)
+            .select(F.lit(h).alias("hop"), "src", "dst")
+        )
+        ranked = ranked.localCheckpoint(eager=False)
+        hops.append(ranked)
+        frontier = ranked.select(F.col("dst").alias("src")).distinct()
+    out = hops[0]
+    for nxt in hops[1:]:
+        out = out.unionByName(nxt)
+    return out

@@ -5297,3 +5297,141 @@ def multimodal_video_dedup(spark, sf_dir):
         gen, T.StructType([T.StructField("id", T.LongType()), T.StructField("data", T.BinaryType())])
     )
     return video_dup_pairs(vids, min_shared=2)
+
+
+# ---------------------------------------------------------------------------
+# whole-graph analytics over the reference-edge graph (operators/graph.py)
+# ---------------------------------------------------------------------------
+
+# the TPC-H link graph as raw-table SQL: one branch per reference field
+# (builder.py:12-19); lineitem paths need the same disambiguating
+# row_number the builder applies (builder.py:275-287)
+_LINK_EDGE_SQL = """
+    WITH li AS (
+      SELECT '/tpch/lineitem/' || l_orderkey || '-' || l_linenumber || '-' ||
+             row_number() OVER (PARTITION BY l_orderkey, l_linenumber
+               ORDER BY l_quantity, l_extendedprice, l_discount, l_tax,
+                        l_shipdate, l_partkey, l_suppkey) AS src,
+             l_orderkey, l_partkey, l_suppkey
+      FROM lineitem
+    ),
+    edges AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, '/tpch/orders/' || l_orderkey AS dst FROM li
+        UNION ALL
+        SELECT src, '/tpch/part/' || l_partkey FROM li
+        UNION ALL
+        SELECT src, '/tpch/supplier/' || l_suppkey FROM li
+        UNION ALL
+        SELECT '/tpch/orders/' || o_orderkey, '/tpch/customer/' || o_custkey FROM orders
+        UNION ALL
+        SELECT '/tpch/customer/' || c_custkey, '/tpch/nation/' || c_nationkey FROM customer
+        UNION ALL
+        SELECT '/tpch/supplier/' || s_suppkey, '/tpch/nation/' || s_nationkey FROM supplier
+        UNION ALL
+        SELECT '/tpch/nation/' || n_nationkey, '/tpch/region/' || n_regionkey FROM nation
+      )
+    )
+"""
+
+# one PageRank power-iteration as a CTE body (pagerank docstring has the
+# recurrence); {prev} is the previous rank relation
+_PR_STEP_SQL = """
+    SELECT n.path,
+           CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) * COALESCE(c.contrib, 0) AS rank
+    FROM nodes n LEFT JOIN (
+      SELECT e.dst AS path, SUM(r.rank / d.odeg) AS contrib
+      FROM edges e JOIN {prev} r ON r.path = e.src JOIN deg d ON d.src = e.src
+      GROUP BY 1
+    ) c ON c.path = n.path
+"""
+
+
+@register(
+    "graph_link_degrees",
+    oracle=_LINK_EDGE_SQL
+    + """
+    SELECT COALESCE(o.path, i.path) AS path,
+           COALESCE(o.out_degree, 0) AS out_degree,
+           COALESCE(i.in_degree, 0) AS in_degree
+    FROM (SELECT src AS path, count(*) AS out_degree FROM edges GROUP BY 1) o
+    FULL OUTER JOIN (SELECT dst AS path, count(*) AS in_degree FROM edges GROUP BY 1) i
+      ON o.path = i.path
+    """,
+)
+def graph_link_degrees(spark, sf_dir):
+    """Link-graph degree accounting (graph.py:link_degrees): every edge
+    participant with in/out degree; the oracle rebuilds the edge list
+    from the raw tables branch-by-branch."""
+    from cm_well_spark.operators.graph import DEFAULT_LINK_FIELDS, link_degrees
+
+    return link_degrees(_tri(spark, sf_dir), DEFAULT_LINK_FIELDS)
+
+
+@register(
+    "graph_pagerank",
+    oracle=_LINK_EDGE_SQL
+    + """
+    , deg AS (SELECT src, count(*) AS odeg FROM edges GROUP BY 1),
+    nodes AS (SELECT src AS path FROM edges UNION SELECT dst FROM edges),
+    r0 AS (SELECT path, CAST(1.0 AS DOUBLE) AS rank FROM nodes),
+    r1 AS (__STEP1__),
+    r2 AS (__STEP2__),
+    r3 AS (__STEP3__)
+    SELECT path, ROUND(rank, 6) AS rank FROM r3
+    """.replace("__STEP1__", _PR_STEP_SQL.format(prev="r0"))
+    .replace("__STEP2__", _PR_STEP_SQL.format(prev="r1"))
+    .replace("__STEP3__", _PR_STEP_SQL.format(prev="r2")),
+)
+def graph_pagerank(spark, sf_dir):
+    """3-iteration PageRank over the link graph (graph.py:pagerank).
+    Fixed iterations make the whole power iteration deterministic, so
+    the oracle replays every round as a chained CTE — the hash compare
+    covers the iteration, not just the output shape."""
+    from cm_well_spark.operators.graph import DEFAULT_LINK_FIELDS, pagerank
+
+    df = pagerank(_tri(spark, sf_dir), DEFAULT_LINK_FIELDS, iterations=3)
+    return df.select("path", F.round("rank", 6).alias("rank"))
+
+
+@register(
+    "graph_sample_neighborhood",
+    oracle=_LINK_EDGE_SQL
+    + """
+    , seeds AS (
+      SELECT DISTINCT src FROM li WHERE l_orderkey < 30
+    ),
+    h1 AS (
+      SELECT src, dst FROM (
+        SELECT e.src, e.dst,
+               row_number() OVER (PARTITION BY e.src
+                 ORDER BY md5(concat_ws(':', 'gnn', e.src, e.dst))) AS rn
+        FROM edges e JOIN seeds s ON e.src = s.src
+      ) WHERE rn <= 2
+    ),
+    f2 AS (SELECT DISTINCT dst AS src FROM h1),
+    h2 AS (
+      SELECT src, dst FROM (
+        SELECT e.src, e.dst,
+               row_number() OVER (PARTITION BY e.src
+                 ORDER BY md5(concat_ws(':', 'gnn', e.src, e.dst))) AS rn
+        FROM edges e JOIN f2 f ON e.src = f.src
+      ) WHERE rn <= 2
+    )
+    SELECT 1 AS hop, src, dst FROM h1
+    UNION ALL
+    SELECT 2 AS hop, src, dst FROM h2
+    """,
+)
+def graph_sample_neighborhood(spark, sf_dir):
+    """2-hop fanout-(2,2) GraphSAGE-style neighborhood sample from the
+    lineitems of the first 30 orders (graph.py:sample_neighborhood).
+    Salted-md5 neighbor ranking reproduces bit-for-bit in the oracle's
+    row_number windows."""
+    from cm_well_spark.operators.graph import DEFAULT_LINK_FIELDS, sample_neighborhood
+
+    inf = _inf(spark, sf_dir)
+    seeds = S.search(inf, qp="rdfType::Lineitem,orderkey<30", length=None).select("path")
+    return sample_neighborhood(
+        _tri(spark, sf_dir), seeds, fanouts=(2, 2), fields=DEFAULT_LINK_FIELDS
+    )
