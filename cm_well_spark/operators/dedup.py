@@ -584,3 +584,123 @@ def incremental_dedup(
     )
     keep = v.where(F.col("verdict") == "new").select(id_col)
     return new_docs.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered incremental exact dedup: membership against a compact
+# bitmap instead of a join against the store
+# ---------------------------------------------------------------------------
+
+
+def _bloom_positions(key: Column, k_hashes: int, m_bits: int) -> Column:
+    """array<long> of the k bit positions for a key: position_i =
+    xxhash64(key, i) mod m — k independent JVM-side hashes, no Python."""
+    return F.array(
+        *[F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m_bits)) for i in range(k_hashes)]
+    )
+
+
+def bloom_bitmap(
+    keys: DataFrame, key_col: str = "h", m_bits: int = 1 << 23, k_hashes: int = 5
+) -> DataFrame:
+    """Bloom filter of a key column as a (block, mask) long-pair table —
+    at most m_bits/64 rows regardless of key count. One explode of the k
+    positions per key and one groupBy(block).bit_or: partial aggregation
+    ORs map-side, so the shuffle carries at most m_bits/64 rows per task.
+
+    This is the classic store-side dedup accelerator (Spark's own
+    runtime BloomFilterAggregate plays the same trick for join pruning):
+    the 100 TB store compresses to a bitmap sized by its KEY CARDINALITY
+    (m ≈ 14.4 bits/key for 1% FPR at k=10; m=2^30 covers ~75M keys —
+    16M bitmap rows, ~256 MB), which every executor can hold, while the
+    store's key table itself never re-shuffles per batch."""
+    pos = keys.select(
+        F.explode(_bloom_positions(F.col(key_col), k_hashes, m_bits)).alias("pos")
+    )
+    return (
+        pos.select(
+            F.shiftright("pos", 6).alias("block"),
+            F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("m"),
+        )
+        .groupBy("block")
+        .agg(F.bit_or("m").alias("mask"))
+    )
+
+
+def bloom_maybe_member(
+    df: DataFrame,
+    key_col: str,
+    bitmap: DataFrame,
+    id_col: str,
+    m_bits: int = 1 << 23,
+    k_hashes: int = 5,
+) -> DataFrame:
+    """(id, maybe) — maybe=false is DEFINITELY absent (no false
+    negatives); maybe=true needs an exact verify. One explode to k
+    position rows, one equi-join against the bitmap on block, one
+    groupBy(id) bool_and. The bitmap side is broadcast when m_bits
+    bounds it under ~16 MB (a parameter-gated hint, not a data guess);
+    larger filters join partitioned and AQE plans it."""
+    pos = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_bloom_positions(F.col(key_col), k_hashes, m_bits)).alias("pos"),
+    ).select(
+        "id",
+        F.shiftright("pos", 6).alias("block"),
+        F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("m"),
+    )
+    bm = F.broadcast(bitmap) if m_bits <= (1 << 23) else bitmap
+    hit = F.coalesce(F.col("mask").bitwiseAND(F.col("m")) != 0, F.lit(False))
+    return (
+        pos.join(bm, "block", "left")
+        .select("id", hit.alias("hit"))
+        .groupBy("id")
+        .agg(F.bool_and("hit").alias("maybe"))
+    )
+
+
+def incremental_dedup_bloom(
+    new_docs: DataFrame,
+    seen_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m_bits: int = 1 << 23,
+    k_hashes: int = 5,
+) -> DataFrame:
+    """Exact incremental dedup with a Bloom prefilter: (doc_id, verdict)
+    with verdict in ('exact_dup', 'new').
+
+    The steady-state crawl join-avoidance pattern: most of a fresh batch
+    is NEW, so joining every batch doc against the store's key table
+    wastes a full shuffle on rows that match nothing. Instead the store
+    compresses once into a Bloom bitmap (see bloom_bitmap); each batch
+    checks membership against the bitmap (broadcast/equi-join, no
+    store-side shuffle) and only the maybe-members — true dups plus the
+    FPR-sized sliver of false positives — proceed to the exact verify
+    semi-join. Bloom filters have NO false negatives, so the verdict is
+    exactly the exact-join answer; the bitmap only shrinks the probe.
+
+    Verdicts are on the whole-document fingerprint (md5 of normalized
+    text — text.py:doc_fingerprint), matching incremental_dedup's exact
+    stage."""
+    from cm_well_spark.operators.text import normalize_text
+
+    nrm = F.md5(normalize_text(F.col(text_col)))
+    new_h = new_docs.select(F.col(id_col).alias("id"), nrm.alias("h"))
+    seen_h = seen_docs.select(nrm.alias("h")).distinct()
+    bitmap = bloom_bitmap(seen_h, "h", m_bits, k_hashes)
+    maybe = bloom_maybe_member(new_h, "h", bitmap, "id", m_bits, k_hashes)
+    candidates = new_h.join(
+        maybe.where(F.col("maybe")).select("id"), "id", "left_semi"
+    )
+    verified = candidates.join(seen_h, "h", "left_semi").select("id").distinct()
+    return (
+        new_h.select("id")
+        .join(verified.withColumn("__dup", F.lit(1)), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.when(F.col("__dup").isNotNull(), F.lit("exact_dup"))
+            .otherwise(F.lit("new"))
+            .alias("verdict"),
+        )
+    )

@@ -5435,3 +5435,39 @@ def graph_sample_neighborhood(spark, sf_dir):
     return sample_neighborhood(
         _tri(spark, sf_dir), seeds, fanouts=(2, 2), fields=DEFAULT_LINK_FIELDS
     )
+
+
+@register(
+    "dedup_incremental_bloom",
+    oracle=f"""
+    WITH newd AS (
+      SELECT doc_id, text FROM documents WHERE doc_id >= 250
+      UNION ALL
+      SELECT doc_id + 1000, text FROM documents WHERE doc_id < 5
+    ), seend AS (
+      SELECT DISTINCT md5({_NORM_SQL.format(c='text')}) AS h
+      FROM documents WHERE doc_id < 250
+    )
+    SELECT n.doc_id,
+           CASE WHEN s.h IS NOT NULL THEN 'exact_dup' ELSE 'new' END AS verdict
+    FROM (SELECT doc_id, md5({_NORM_SQL.format(c='text')}) AS h FROM newd) n
+    LEFT JOIN seend s ON n.h = s.h
+    """,
+)
+def dedup_incremental_bloom(spark, sf_dir):
+    """Bloom-prefiltered exact incremental dedup (dedup.py:
+    incremental_dedup_bloom) on the dedup_incremental_batch split: the
+    store compresses to a (block, mask) bitmap, the batch checks
+    membership against it, and only maybe-members reach the exact
+    verify join. No false negatives, so the oracle is plain exact
+    membership — the bitmap only shrinks the probe; its mechanics are
+    pytest-pinned (FPR, no-false-negative property)."""
+    from cm_well_spark.operators.dedup import incremental_dedup_bloom
+    from cm_well_spark.sources import tables as tbl
+
+    docs = tbl.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    new = docs.where(F.col("doc_id") >= 250).unionByName(
+        docs.where(F.col("doc_id") < 5).select((F.col("doc_id") + 1000).alias("doc_id"), "text")
+    )
+    seen = docs.where(F.col("doc_id") < 250)
+    return incremental_dedup_bloom(new, seen)

@@ -80,3 +80,65 @@ def test_incremental_dedup_verdicts_and_survivors(spark):
         for r in incremental_dedup_verdicts(new, seen, threshold=0.5, max_shingle_freq=100).collect()
     }
     assert vg == v
+
+
+def test_bloom_bitmap_bounds_and_no_false_negatives(spark):
+    """Bloom prefilter invariants: the bitmap never exceeds m/64 rows,
+    and every inserted key tests maybe=true (no false negatives) — the
+    property that makes the verdict exactly the exact-join answer."""
+    from cm_well_spark.operators.dedup import bloom_bitmap, bloom_maybe_member
+
+    keys = spark.createDataFrame([(f"k{i}",) for i in range(500)], "h string")
+    m_bits, k_hashes = 1 << 12, 5
+    bm = bloom_bitmap(keys, "h", m_bits, k_hashes)
+    assert bm.count() <= m_bits // 64
+    ids = keys.selectExpr("h", "h AS id")
+    got = bloom_maybe_member(ids, "h", bm, "id", m_bits, k_hashes).collect()
+    assert all(r["maybe"] for r in got)
+
+
+def test_bloom_fpr_is_bounded(spark):
+    """Absent keys come back maybe=true only at roughly the designed
+    false-positive rate: n=500 keys in m=2^14 bits with k=5 gives
+    FPR ≈ (1-e^{-kn/m})^k ≈ 0.7%; assert an order-of-magnitude bound."""
+    from cm_well_spark.operators.dedup import bloom_bitmap, bloom_maybe_member
+
+    m_bits, k_hashes = 1 << 14, 5
+    seen = spark.createDataFrame([(f"seen{i}",) for i in range(500)], "h string")
+    bm = bloom_bitmap(seen, "h", m_bits, k_hashes)
+    absent = spark.createDataFrame([(f"absent{i}",) for i in range(2000)], "h string")
+    got = bloom_maybe_member(absent.selectExpr("h", "h AS id"), "h", bm, "id", m_bits, k_hashes)
+    fp = got.where("maybe").count()
+    assert fp / 2000 < 0.05
+
+
+def test_incremental_dedup_bloom_matches_exact_join(spark):
+    """End-to-end: the bloom-prefiltered verdict equals plain exact
+    membership, dup and fresh docs both present."""
+    from cm_well_spark.operators.dedup import incremental_dedup_bloom
+
+    seen = spark.createDataFrame(
+        [(i, f"body of document {i}") for i in range(50)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(100 + i, f"Body of DOCUMENT {i}!") for i in range(10)]  # normalizes equal
+        + [(200 + i, f"genuinely new {i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    v = {r["doc_id"]: r["verdict"] for r in incremental_dedup_bloom(new, seen).collect()}
+    assert all(v[100 + i] == "exact_dup" for i in range(10))
+    assert all(v[200 + i] == "new" for i in range(10))
+
+
+def test_incremental_dedup_bloom_plan_contract(spark):
+    """The bitmap side of the membership join is broadcast at the
+    parameter-gated size, and no cartesian/nested-loop join appears."""
+    from cm_well_spark.operators.dedup import incremental_dedup_bloom
+
+    seen = spark.createDataFrame([(i, f"d{i}") for i in range(20)], "doc_id long, text string")
+    new = spark.createDataFrame([(100, "d1"), (101, "x")], "doc_id long, text string")
+    plan = (
+        incremental_dedup_bloom(new, seen)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
