@@ -595,3 +595,47 @@ def boilerplate_removal(
         F.size(kept).alias("n_kept"),
         (F.size(lines) - F.size(kept)).alias("n_dropped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# learned linear quality classifier inference (fastText-style): hashed
+# n-gram bag features x a trained weight vector, mean-pooled, sigmoid
+# ---------------------------------------------------------------------------
+
+
+def linear_classifier_score(
+    df: DataFrame,
+    weights: list[float],
+    bias: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, score) — P(positive) under a linear model over hashed
+    unigram+bigram bag features: score = sigmoid(bias +
+    mean(weights[bucket(ng)])). This is fastText-architecture INFERENCE
+    (Joulin et al. 2016) with the embedding dimension collapsed to 1 —
+    the shape of the public quality classifiers (GPT-3's WebText-vs-
+    common-crawl LR filter, CCNet's fastText stage) once trained weights
+    are exported. Training happens offline; this op applies the model to
+    a corpus.
+
+    Plan shape: one explode to n-gram rows (the _dsir_grams relation),
+    the md5 feature-hash (oracle-reproducible — _dsir_bucket), a literal
+    array lookup for the weight (the model rides the PLAN as a literal,
+    like the SRP planes and PQ codebooks — no join, no Python, no
+    broadcast variable to manage), and one groupBy(id) mean. Weight dim
+    is the model's hash-bucket count — fastText uses 2M buckets; a
+    float array literal that size is ~16 MB plan payload, so keep
+    exported dims <= ~100k or feed weights through a broadcast join
+    variant. Docs with no n-grams (empty after normalization) score
+    sigmoid(bias)."""
+    n = len(weights)
+    warr = F.array(*[F.lit(float(w)) for w in weights])
+    grams = _dsir_grams(df, text_col, id_col)
+    per_doc = grams.select(
+        id_col, F.element_at(warr, (_dsir_bucket(F.col("ng"), n) + 1).cast("int")).alias("w")
+    ).groupBy(id_col).agg(F.avg("w").alias("mean_w"))
+    logit = F.lit(float(bias)) + F.coalesce(F.col("mean_w"), F.lit(0.0))
+    return df.select(id_col).join(per_doc, id_col, "left").select(
+        id_col, (F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))).alias("score")
+    )

@@ -5471,3 +5471,57 @@ def dedup_incremental_bloom(spark, sf_dir):
     )
     seen = docs.where(F.col("doc_id") < 250)
     return incremental_dedup_bloom(new, seen)
+
+
+# deterministic stand-in weight vector for the classifier-inference
+# entry: an LCG over 256 hash buckets, rounded so the identical doubles
+# embed in the Spark plan (F.lit) and the oracle SQL (VALUES rows)
+def _clf_weights(dim: int = 256) -> list[float]:
+    x, out = 123456789, []
+    for _ in range(dim):
+        x = (1103515245 * x + 12345) % (1 << 31)
+        out.append(round(x / float(1 << 31) * 2.0 - 1.0, 6))
+    return out
+
+
+_CLF_W = _clf_weights()
+_CLF_VALUES = ", ".join(f"({i}, {w})" for i, w in enumerate(_CLF_W))
+
+
+@register(
+    "curation_classifier_score",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split({_NORM_SQL.format(c='text')}, ' ') AS w FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, ng FROM (
+        SELECT doc_id, unnest(w) AS ng FROM d
+        UNION ALL
+        SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS ng
+        FROM d
+      ) WHERE ng <> ''
+    ),
+    bg AS (
+      SELECT doc_id, ('0x' || substring(md5(ng), 1, 8))::BIGINT % 256 AS bucket FROM grams
+    ),
+    wt(bucket, w) AS (VALUES {_CLF_VALUES}),
+    m AS (
+      SELECT doc_id, avg(w) AS mean_w FROM bg JOIN wt USING (bucket) GROUP BY doc_id
+    )
+    SELECT doc.doc_id, ROUND(1.0 / (1.0 + exp(-COALESCE(m.mean_w, 0.0))), 6) AS score
+    FROM (SELECT doc_id FROM documents) doc LEFT JOIN m USING (doc_id)
+    """,
+)
+def curation_classifier_score(spark, sf_dir):
+    """fastText-style linear quality-classifier inference
+    (curation.py:linear_classifier_score): hashed unigram+bigram bag
+    features x a weight vector riding the plan as a literal, mean-pooled
+    through one groupBy, sigmoid'd. The oracle replays the exact model —
+    same md5 bucketing, same weights as VALUES rows."""
+    from cm_well_spark.operators.curation import linear_classifier_score
+    from cm_well_spark.sources import tables as tbl
+
+    docs = tbl.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    df = linear_classifier_score(docs, _CLF_W)
+    return df.select("doc_id", F.round("score", 6).alias("score"))

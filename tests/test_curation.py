@@ -286,3 +286,43 @@ def test_boilerplate_matches_python_model(spark, text):
     ).collect()[0]
     want_text, want_kept, want_dropped = _py_boiler(text)
     assert (row["text"], row["n_kept"], row["n_dropped"]) == (want_text, want_kept, want_dropped)
+
+
+def test_linear_classifier_matches_pure_python(spark):
+    """Classifier inference pinned against an independent pure-Python
+    model application: same md5 bucketing, same mean-pool + sigmoid.
+    Also the edge case: an empty-after-normalization doc scores
+    sigmoid(bias)."""
+    import hashlib
+    import math
+    import re
+
+    import pytest
+
+    from cm_well_spark.operators.curation import linear_classifier_score
+
+    weights = [((i * 37) % 11 - 5) / 7.0 for i in range(64)]
+    bias = 0.25
+    rows = [
+        (1, "The quick brown fox, jumps!"),
+        (2, "spam spam spam buy now"),
+        (3, "???!!!"),  # normalizes to empty -> no grams
+        (4, "one"),
+    ]
+
+    def py_score(text):
+        norm = re.sub(r"[^a-z0-9]+", " ", text.lower()).strip()
+        words = [w for w in norm.split(" ") if w] if norm else []
+        grams = words + [f"{a} {b}" for a, b in zip(words, words[1:])]
+        if not grams:
+            return 1.0 / (1.0 + math.exp(-bias))
+        ws = [weights[int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % 64] for g in grams]
+        return 1.0 / (1.0 + math.exp(-(bias + sum(ws) / len(ws))))
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["score"]
+        for r in linear_classifier_score(df, weights, bias=bias).collect()
+    }
+    for doc_id, text in rows:
+        assert got[doc_id] == pytest.approx(py_score(text), abs=1e-12), (doc_id, text)
