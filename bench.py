@@ -91,6 +91,12 @@ def main() -> None:
         "curation_gopher_rules",
         "curation_boilerplate_removal",
         "dedup_incremental_batch",
+        # round-7 graph analytics (iterated join+agg), bloom-prefiltered
+        # dedup, and classifier inference (explode + literal-array lookup)
+        "graph_pagerank",
+        "graph_sample_neighborhood",
+        "dedup_incremental_bloom",
+        "curation_classifier_score",
         # curation_full_pipeline is oracle-checked but benched separately
         # (CMW_BENCH_QUERIES=curation_full_pipeline): ~20-35 s at sf0.1,
         # which under host contention + the warm-rerun rule would risk the

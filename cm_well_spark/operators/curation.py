@@ -639,3 +639,67 @@ def linear_classifier_score(
     return df.select(id_col).join(per_doc, id_col, "left").select(
         id_col, (F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))).alias("score")
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling & splits: exact-k per stratum, train/val/test
+# ---------------------------------------------------------------------------
+
+
+def exact_stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "strat",
+) -> DataFrame:
+    """Exactly min(k, |stratum|) rows per stratum — the quota-sampling
+    complement of stratified_sample's Bernoulli rates. Rows rank within
+    their stratum by md5(salt:id) (uniform, reproducible across runs,
+    partitionings and in the SQL oracle — the packing.py determinism
+    recipe) and rank <= k survive.
+
+    One hash-partitioned window (rank rides the stratum shuffle). The
+    stratum is the parallelism unit: fine when strata >> cores (lang,
+    domain, source buckets — the normal case); a single mega-stratum
+    serializes its sort into one task, so for coarse strata at corpus
+    scale prefer Bernoulli stratified_sample or pre-salt the stratum."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(strata_col).orderBy(h)
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
+def train_val_test_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: tuple[float, float, float] = (0.9, 0.05, 0.05),
+    salt: str = "split",
+) -> DataFrame:
+    """Adds a deterministic `split` column ('train'/'val'/'test') by
+    hash range: u = first 8 md5 hex digits of salt:id as an integer in
+    [0, 2^32); split boundaries are integer thresholds at the cumulative
+    weights (integer compares — no float-boundary ambiguity between
+    engines). Purely map-side: no shuffle, no RNG state, the same doc
+    lands in the same split on any cluster, any run, and in the SQL
+    oracle — the property that keeps eval sets stable as the corpus is
+    re-processed."""
+    wt, wv, ws = weights
+    if abs(wt + wv + ws - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {weights}")
+    lo = int(wt * (1 << 32))
+    hi = int((wt + wv) * (1 << 32))
+    u = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    split = (
+        F.when(u < lo, F.lit("train")).when(u < hi, F.lit("val")).otherwise(F.lit("test"))
+    )
+    return df.withColumn("split", split)

@@ -791,3 +791,103 @@ def ivfpq_topk_batch(
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA: distributed moment accumulation, driver-side d x d eig, columnar
+# projection
+# ---------------------------------------------------------------------------
+
+
+def pca_fit(
+    df: DataFrame,
+    n_components: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[list[list[float]], list[float]]:
+    """Principal components of an embedding column -> (components, mean);
+    components[j] is the j-th eigenvector (descending eigenvalue), sign
+    fixed so each vector's largest-|x| coordinate is positive (removes
+    the eig sign ambiguity — deterministic across BLAS builds).
+
+    The 100 TB shape: N never leaves the executors. Each Arrow batch
+    folds into ONE partial-moment row (n, sum x, flattened sum x xᵀ) —
+    numpy does the outer products batch-side — and only
+    #partitions-many d²-sized rows reach the final combine; the d x d
+    eigendecomposition is driver-side numpy on a matrix whose size is
+    set by the embedding dim, not the corpus. This is the standard
+    two-pass-free covariance PCA (e.g. Spark MLlib's RowMatrix
+    computeCovariance does the same Gramian accumulation)."""
+    import numpy as np
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    dim_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if dim_row is None:
+        raise ValueError("pca_fit on an empty dataframe")
+    d = dim_row["d"]
+
+    def moments(it):
+        n, s, ss = 0, np.zeros(d), np.zeros((d, d))
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["v"].to_numpy())
+            n += x.shape[0]
+            s += x.sum(axis=0)
+            ss += x.T @ x
+        if n:
+            yield pd.DataFrame({"n": [n], "s": [s.tolist()], "ss": [ss.ravel().tolist()]})
+
+    schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.ArrayType(T.DoubleType())),
+            T.StructField("ss", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    cast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    partials = df.select(cast.alias("v")).mapInPandas(moments, schema).collect()
+    n = sum(p["n"] for p in partials)
+    if n == 0:
+        raise ValueError("pca_fit on an empty dataframe")
+    s = np.sum([np.array(p["s"]) for p in partials], axis=0)
+    ss = np.sum([np.array(p["ss"]).reshape(d, d) for p in partials], axis=0)
+    mean = s / n
+    cov = ss / n - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:n_components]
+    comps = []
+    for j in order:
+        v = vecs[:, j]
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v
+        comps.append([float(x) for x in v])
+    return comps, [float(x) for x in mean]
+
+
+def pca_project(
+    df: DataFrame,
+    components: list[list[float]],
+    mean: list[float],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int | None = None,
+) -> DataFrame:
+    """(id, proj) — each vector centered and projected onto the fitted
+    components, entirely columnar: the model rides the plan as array
+    literals (the SRP-planes/PQ-codebook pattern), each coordinate is a
+    zip_with multiply + aggregate sum inside whole-stage codegen. No
+    shuffle, no Python in the row path."""
+    mean_arr = F.array(*[F.lit(float(m)) for m in mean])
+    cast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    centered = F.zip_with(cast, mean_arr, lambda x, m: x - m)
+    def proj_one(comp):
+        carr = F.array(*[F.lit(float(c)) for c in comp])
+        val = F.aggregate(
+            F.zip_with(centered, carr, lambda x, c: x * c),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.round(val, round_to) if round_to is not None else val
+    return df.select(F.col(id_col), F.array(*[proj_one(c) for c in components]).alias("proj"))

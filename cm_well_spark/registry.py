@@ -5525,3 +5525,65 @@ def curation_classifier_score(spark, sf_dir):
     docs = tbl.load_table(spark, sf_dir, "documents").select("doc_id", "text")
     df = linear_classifier_score(docs, _CLF_W)
     return df.select("doc_id", F.round("score", 6).alias("score"))
+
+
+@register(
+    "curation_sample_exact_k",
+    oracle="""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY md5(concat_ws(':', 'strat', doc_id))) AS rk
+      FROM documents
+    ) WHERE rk <= 7
+    """,
+)
+def curation_sample_exact_k(spark, sf_dir):
+    """Exact-quota stratified sample (curation.py:exact_stratified_sample):
+    exactly 7 docs per language, selected by salted-md5 rank — the
+    oracle replays the same window."""
+    from cm_well_spark.operators.curation import exact_stratified_sample
+    from cm_well_spark.sources import tables as tbl
+
+    docs = tbl.load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return exact_stratified_sample(docs, "lang", 7)
+
+
+@register(
+    "curation_train_val_test",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN u < {int(0.9 * (1 << 32))} THEN 'train'
+                WHEN u < {int(0.95 * (1 << 32))} THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id,
+             ('0x' || substring(md5(concat_ws(':', 'split', doc_id)), 1, 8))::BIGINT AS u
+      FROM documents
+    )
+    """,
+)
+def curation_train_val_test(spark, sf_dir):
+    """Deterministic 90/5/5 train/val/test assignment by md5 hash range
+    (curation.py:train_val_test_split) — integer-threshold compares, no
+    float boundaries, stable across reprocessing."""
+    from cm_well_spark.operators.curation import train_val_test_split
+    from cm_well_spark.sources import tables as tbl
+
+    docs = tbl.load_table(spark, sf_dir, "documents").select("doc_id")
+    return train_val_test_split(docs).select("doc_id", "split")
+
+
+@register("embedding_pca_project")
+def embedding_pca_project(spark, sf_dir):
+    """PCA to 8 components over the embeddings table (similarity.py:
+    pca_fit/pca_project). Rows-only by nature: the eigendecomposition is
+    iterative numerics no SQL replays; numpy parity, orthonormality and
+    captured-variance ordering are pytest-pinned. Output is the
+    projected coordinates rounded to 6."""
+    from cm_well_spark.operators.similarity import pca_fit, pca_project
+    from cm_well_spark.sources import tables as tbl
+
+    embs = tbl.load_table(spark, sf_dir, "embeddings")
+    comps, mean = pca_fit(embs, 8)
+    return pca_project(embs, comps, mean, round_to=6)

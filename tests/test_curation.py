@@ -326,3 +326,49 @@ def test_linear_classifier_matches_pure_python(spark):
     }
     for doc_id, text in rows:
         assert got[doc_id] == pytest.approx(py_score(text), abs=1e-12), (doc_id, text)
+
+
+def test_exact_stratified_sample_quota_and_determinism(spark):
+    from cm_well_spark.operators.curation import exact_stratified_sample
+
+    rows = [(i, "a" if i < 20 else ("b" if i < 25 else "c")) for i in range(27)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = exact_stratified_sample(df, "lang", 5).collect()
+    by_lang = {}
+    for r in got:
+        by_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+    # exact quota where the stratum is big enough, whole stratum otherwise
+    assert len(by_lang["a"]) == 5
+    assert len(by_lang["b"]) == 5
+    assert by_lang["c"] == {25, 26}
+    again = exact_stratified_sample(df, "lang", 5).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+    # different salt -> (almost surely) different draw from the big stratum
+    other = exact_stratified_sample(df, "lang", 5, salt="other").collect()
+    ob = {r["doc_id"] for r in other if r["lang"] == "a"}
+    assert ob != by_lang["a"]
+
+
+def test_train_val_test_split_properties(spark):
+    import hashlib
+
+    from cm_well_spark.operators.curation import train_val_test_split
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    got = {r["doc_id"]: r["split"] for r in train_val_test_split(df).collect()}
+    # pure function of the id: pin a few rows against pure Python
+    for i in (0, 7, 1999):
+        u = int(hashlib.md5(f"split:{i}".encode()).hexdigest()[:8], 16)
+        want = "train" if u < int(0.9 * 2**32) else ("val" if u < int(0.95 * 2**32) else "test")
+        assert got[i] == want
+    # rough proportions at n=2000
+    from collections import Counter
+
+    c = Counter(got.values())
+    assert 0.85 < c["train"] / 2000 < 0.95
+    assert c["val"] + c["test"] > 0
+    # weights must sum to 1
+    import pytest
+
+    with pytest.raises(ValueError):
+        train_val_test_split(df, weights=(0.5, 0.2, 0.2))

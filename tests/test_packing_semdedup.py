@@ -464,3 +464,57 @@ def test_packing_stats_reconciles_with_packer(docs):
     packed = pack_concat_windows(docs, budget=budget, n_shards=1)
     n_windows = packed.select("shard", "window").distinct().count()
     assert n_windows == s["n_seqs_packed"]
+
+
+def test_pca_fit_matches_numpy_and_project_is_columnar(spark):
+    """r7 PCA: distributed moment accumulation + driver eig equals
+    numpy's full-data PCA (same mean, same components up to the pinned
+    sign convention); projection reproduces numpy's and carries no
+    shuffle or Python in the row path."""
+    import numpy as np
+
+    from cm_well_spark.operators.similarity import pca_fit, pca_project
+
+    rng = np.random.RandomState(7)
+    # anisotropic cloud so component order is unambiguous
+    base = rng.randn(200, 6) * np.array([10.0, 5.0, 2.0, 1.0, 0.5, 0.1])
+    mix = rng.randn(6, 6)
+    x = base @ mix
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<float>",
+    )
+    comps, mean = pca_fit(df, 3)
+    # numpy reference on the SAME float32-truncated data the engine saw
+    x32 = x.astype(np.float32).astype(np.float64)
+    want_mean = x32.mean(axis=0)
+    cov = np.cov(x32, rowvar=False, bias=True)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:3]
+    assert np.allclose(mean, want_mean, atol=1e-6)
+    for j, k in enumerate(order):
+        v = vecs[:, k]
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v
+        assert np.allclose(comps[j], v, atol=1e-6), j
+    # orthonormal
+    c = np.array(comps)
+    assert np.allclose(c @ c.T, np.eye(3), atol=1e-8)
+    # projection parity on a few rows
+    got = {r["vec_id"]: r["proj"] for r in pca_project(df, comps, mean).collect()}
+    want = (x32 - want_mean) @ c.T
+    for i in (0, 57, 199):
+        assert np.allclose(got[i], want[i], atol=1e-6), i
+    plan = pca_project(df, comps, mean)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # no UDF in the projection path
+
+
+def test_pca_fit_empty_raises(spark):
+    import pytest
+
+    from cm_well_spark.operators.similarity import pca_fit
+
+    df = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError):
+        pca_fit(df, 2)
