@@ -130,31 +130,37 @@ def pagerank(
         raise ValueError("pagerank needs at least 1 iteration")
     edges = reference_edges(triples, fields)
     out_deg = edges.groupBy("src").agg(F.count("*").alias("odeg"))
-    edges = edges.join(out_deg, "src").localCheckpoint(eager=False)
+    # eager checkpoints: the edge/node relations are read every round, so
+    # pay their scan+distinct ONCE up front. Ranks are NOT checkpointed
+    # per round — measured 3.5x slower that way at sf0.1 (each lazy rank
+    # checkpoint forces a separate materialization instead of letting
+    # Catalyst/AQE plan the whole unrolled iteration); a fixed small
+    # iteration count keeps the unrolled plan shallow, and every 8th
+    # round an eager checkpoint bounds depth for callers who iterate
+    # further.
+    edges = edges.join(out_deg, "src").localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src").alias("path"))
         .union(edges.select(F.col("dst").alias("path")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     ranks = nodes.select("path", F.lit(1.0).alias("rank"))
-    for _ in range(iterations):
+    for i in range(iterations):
         contribs = (
             edges.join(ranks.withColumnRenamed("path", "src"), "src")
             .groupBy(F.col("dst").alias("path"))
             .agg(F.sum(F.col("rank") / F.col("odeg")).alias("contrib"))
         )
-        ranks = (
-            nodes.join(contribs, "path", "left")
-            .select(
-                "path",
-                (
-                    F.lit(1.0 - damping)
-                    + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
-                ).alias("rank"),
-            )
-            .localCheckpoint(eager=False)
+        ranks = nodes.join(contribs, "path", "left").select(
+            "path",
+            (
+                F.lit(1.0 - damping)
+                + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
+            ).alias("rank"),
         )
+        if (i + 1) % 8 == 0 and (i + 1) < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 
@@ -198,7 +204,10 @@ def sample_neighborhood(
             .where(F.col("__rn") <= fanout)
             .select(F.lit(h).alias("hop"), "src", "dst")
         )
-        ranked = ranked.localCheckpoint(eager=False)
+        # eager: each hop's sample is read twice (output union + next
+        # frontier) — materialize it once instead of re-deriving the
+        # edges-scan lineage per reader
+        ranked = ranked.localCheckpoint(eager=True)
         hops.append(ranked)
         frontier = ranked.select(F.col("dst").alias("src")).distinct()
     out = hops[0]
