@@ -31,10 +31,11 @@ then on runs plain keyed joins/aggs Catalyst plans freely:
   - pagerank: per iteration ONE equi-join (ranks ⨝ out-degree-decorated
     edges on src) + ONE groupBy(dst) sum — the contribution shuffle is
     keyed by node, never materializes adjacency lists, and carries two
-    columns. Edges are localCheckpoint'd once so iterations re-read a
-    materialized relation instead of re-deriving it from the scan;
-    ranks are checkpointed per round so the plan stays constant-size
-    (the dedup.py connected-components discipline).
+    columns. Edges/nodes are eagerly localCheckpoint'd once so
+    iterations re-read materialized relations; the unrolled iteration
+    plan itself stays with Catalyst/AQE (per-round rank checkpoints
+    measured 3.5x slower), depth-bounded by an eager checkpoint every
+    8th round for long runs.
   - sampling: per hop ONE equi-join against the (frontier) node set and
     ONE row_number window partitioned by src — the window rides the
     join's hash partitioning. Frontier size is bounded by
@@ -55,6 +56,11 @@ from pyspark.sql import functions as F
 # The TPC-H-shaped reference fields of the test model (builder.py:12-19).
 # Callers on other corpora pass their own list; None = joker (every
 # reference-valued triple, the traversal `_edges` heuristic).
+# sampling frontiers at or under this size push into the scan as an
+# isin predicate (row-group skipping); larger ones semi-join. Bounded
+# driver memory: 10k short path strings.
+FRONTIER_ISIN_MAX = 10_000
+
 DEFAULT_LINK_FIELDS = (
     "ofOrder",
     "ofPart",
@@ -65,19 +71,26 @@ DEFAULT_LINK_FIELDS = (
 )
 
 
-def reference_edges(triples: DataFrame, fields: Sequence[str] | None = None) -> DataFrame:
+def reference_edges(
+    triples: DataFrame, fields: Sequence[str] | None = None, dedup: bool = True
+) -> DataFrame:
     """Distinct (src, dst) pairs through the selected reference fields.
 
     Bound field names prune the triples scan to their `p` partitions;
     `fields=None` falls back to the joker heuristic (every current
     string-typed value shaped like an absolute path) — the same edge
     definition traversal.py's `_edges` walks, so whole-graph signals and
-    per-seed traversals agree on what an edge is."""
+    per-seed traversals agree on what an edge is.
+
+    `dedup=False` skips the corpus-wide distinct (a full edge shuffle):
+    callers that prune to a small working set first — the sampling loop's
+    frontier semi-join — dedup the pruned subset instead."""
     t = triples.where(F.col("current"))
     if fields is not None:
         t = t.where(F.col("p").isin(list(fields)))
     t = t.where((F.col("vtype") == "s") & F.col("o").startswith("/"))
-    return t.select(F.col("s").alias("src"), F.col("o").alias("dst")).distinct()
+    pairs = t.select(F.col("s").alias("src"), F.col("o").alias("dst"))
+    return pairs.distinct() if dedup else pairs
 
 
 def link_degrees(triples: DataFrame, fields: Sequence[str] | None = None) -> DataFrame:
@@ -186,13 +199,30 @@ def sample_neighborhood(
     partitioning. Frontier growth is bounded by |seeds| x prod(fanouts)
     by construction, so the loop depth and per-hop cost are both
     user-bounded; ghosts (targets with no out-edges) simply contribute
-    nothing to the next hop — the J7 join-to-nothing behavior."""
-    edges = reference_edges(triples, fields)
+    nothing to the next hop — the J7 join-to-nothing behavior.
+
+    The edge relation is NOT pre-distinct'd: each hop prunes the raw
+    scan to the frontier's incident edges first and dedups only that
+    bounded subset — at corpus scale a whole-graph edge distinct is a
+    full shuffle spent on edges the sample never looks at. And because
+    the frontier is bounded by construction, each hop materializes it,
+    counts it, and when small pushes its paths INTO the scan as an
+    `isin` predicate (parquet row-group min/max skipping — the
+    traversal.py counted-checkpoint discipline) instead of semi-joining
+    against the full scan; larger frontiers fall back to the semi-join
+    and AQE plans it."""
+    edges = reference_edges(triples, fields, dedup=False)
     frontier = seeds.select(F.col(seeds.columns[0]).alias("src")).distinct()
     hops: list[DataFrame] = []
     for h, fanout in enumerate(fanouts, start=1):
+        frontier = frontier.localCheckpoint(eager=True)
+        if frontier.count() <= FRONTIER_ISIN_MAX:
+            paths = [r["src"] for r in frontier.collect()]
+            incident = edges.where(F.col("src").isin(paths))
+        else:
+            incident = edges.join(frontier, "src", "left_semi")
         ranked = (
-            edges.join(frontier, "src", "left_semi")
+            incident.distinct()
             .withColumn(
                 "__rn",
                 F.row_number().over(
