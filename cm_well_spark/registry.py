@@ -5587,3 +5587,37 @@ def embedding_pca_project(spark, sf_dir):
     embs = tbl.load_table(spark, sf_dir, "embeddings")
     comps, mean = pca_fit(embs, 8)
     return pca_project(embs, comps, mean, round_to=6)
+
+
+@register("text_unigram_lm_vocab")
+def text_unigram_lm_vocab(spark, sf_dir):
+    """Unigram-LM tokenizer vocabulary (Kudo 2018, SentencePiece-style)
+    learned by hard-EM on the word-frequency table: columnar substring
+    seed counts, Viterbi E-step over DISTINCT words (Arrow-batched),
+    driver M-step over bounded integer counts, char-preserving prune.
+    Iterative by nature -> rows-only; pinned against a pure-Python
+    reference of the same hard-EM in tests/test_unigram_lm.py."""
+    from cm_well_spark.operators.unigram_lm import learn_unigram
+    from cm_well_spark.sources import tables as tbl
+
+    docs = tbl.load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    vocab = learn_unigram(docs, vocab_size=48, n_iters=2, max_piece_len=4, seed_size=128)
+    return spark.createDataFrame(
+        [(i, p, round(lp, 6)) for i, (p, lp) in enumerate(vocab)],
+        "rank int, piece string, logprob double",
+    )
+
+
+@register("text_unigram_token_counts")
+def text_unigram_token_counts(spark, sf_dir):
+    """Token counts under the learned unigram-LM vocabulary: Viterbi
+    runs once per DISTINCT word (Arrow-batched mapInPandas), counts join
+    back to the exploded corpus (AQE broadcast-vs-shuffle, bpe.py:143
+    contract). Depends on the iterative learner -> rows-only;
+    reference-pinned in pytest."""
+    from cm_well_spark.operators.unigram_lm import learn_unigram, unigram_encode
+    from cm_well_spark.sources import tables as tbl
+
+    docs = tbl.load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    vocab = learn_unigram(docs, vocab_size=48, n_iters=2, max_piece_len=4, seed_size=128)
+    return unigram_encode(docs, vocab)
