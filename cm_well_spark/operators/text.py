@@ -542,3 +542,64 @@ def winnow_fingerprints(
         (-F.col("s.negpos")).cast("long").alias("pos"),
         F.col("s.fp").alias("fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unicode script composition (the first gate of a CC-style lang-id pipeline)
+# ---------------------------------------------------------------------------
+
+# Explicit codepoint ranges — NOT \p{Script=...} classes — so the Spark
+# (java.util.regex) and DuckDB (RE2) expressions are character-for-character
+# identical and the oracle replays exactly. Core block per script; the
+# long tail (extensions, compatibility blocks) counts as 'other', which is
+# the right bias for a coarse routing gate.
+SCRIPT_RANGES: dict[str, str] = {
+    "latin": "A-Za-z\\x{00C0}-\\x{024F}",
+    "cyrillic": "\\x{0400}-\\x{04FF}",
+    "greek": "\\x{0370}-\\x{03FF}",
+    "arabic": "\\x{0600}-\\x{06FF}",
+    "hebrew": "\\x{0590}-\\x{05FF}",
+    "devanagari": "\\x{0900}-\\x{097F}",
+    "han": "\\x{4E00}-\\x{9FFF}",
+    "hiragana": "\\x{3040}-\\x{309F}",
+    "katakana": "\\x{30A0}-\\x{30FF}",
+    "hangul": "\\x{AC00}-\\x{D7AF}",
+}
+
+
+def _script_count(c: Column, ranges: str) -> Column:
+    # chars-in-class = len(text) - len(text with the class deleted):
+    # two codegen'd string ops, no explode, no per-char anything
+    return F.length(c) - F.length(F.regexp_replace(c, f"[{ranges}]", ""))
+
+
+def script_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Unicode script composition: one count column per
+    script in SCRIPT_RANGES, total codepoints, and the dominant script
+    ('und' when no script chars at all; ties break alphabetically —
+    a total order, so results are engine- and partitioning-independent).
+
+    This is the routing gate real lang-id pipelines (CCNet, cld3) apply
+    before any model: marker-word lang-id (lang_id above) is useless on
+    zh/ja/ko/ru text, and a 100 TB crawl is mostly non-Latin. Pure
+    columnar JVM expressions — at scale this is a projection over the
+    scan, zero shuffle."""
+    c = F.col(text_col)
+    counts = {s: _script_count(c, r) for s, r in SCRIPT_RANGES.items()}
+    # struct compare is (n, -rank): max count, then SMALLEST alphabetical
+    # rank — i.e. the alphabetically first script wins count ties
+    pairs = F.array(
+        *[
+            F.struct(n.alias("n"), F.lit(-i).alias("negrank"), F.lit(s).alias("script"))
+            for i, (s, n) in enumerate(sorted(counts.items()))
+        ]
+    )
+    best = F.array_max(pairs)
+    return df.select(
+        F.col(id_col),
+        *[counts[s].cast("long").alias(f"n_{s}") for s in sorted(SCRIPT_RANGES)],
+        F.length(c).cast("long").alias("n_chars"),
+        F.when(best["n"] > 0, best["script"]).otherwise(F.lit("und")).alias("script"),
+    )

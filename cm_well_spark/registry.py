@@ -5106,7 +5106,7 @@ def curation_boilerplate_removal(spark, sf_dir):
     WITH newd AS (
       SELECT doc_id, text FROM documents WHERE doc_id >= 250
       UNION ALL
-      SELECT doc_id + 1000, text FROM documents WHERE doc_id < 5
+      SELECT doc_id + 100000000, text FROM documents WHERE doc_id < 5
     ), seend AS (
       SELECT doc_id, text FROM documents WHERE doc_id < 250
     ), nh AS (
@@ -5158,7 +5158,7 @@ def dedup_incremental_batch(spark, sf_dir):
     docs = tbl.load_table(spark, sf_dir, "documents")
     new = docs.where(F.col("doc_id") >= 250).unionByName(
         docs.where(F.col("doc_id") < 5).select(
-            (F.col("doc_id") + 1000).alias("doc_id"),
+            (F.col("doc_id") + 100000000).alias("doc_id"),
             *[c for c in docs.columns if c != "doc_id"],
         )
     )
@@ -5443,7 +5443,7 @@ def graph_sample_neighborhood(spark, sf_dir):
     WITH newd AS (
       SELECT doc_id, text FROM documents WHERE doc_id >= 250
       UNION ALL
-      SELECT doc_id + 1000, text FROM documents WHERE doc_id < 5
+      SELECT doc_id + 100000000, text FROM documents WHERE doc_id < 5
     ), seend AS (
       SELECT DISTINCT md5({_NORM_SQL.format(c='text')}) AS h
       FROM documents WHERE doc_id < 250
@@ -5467,7 +5467,7 @@ def dedup_incremental_bloom(spark, sf_dir):
 
     docs = tbl.load_table(spark, sf_dir, "documents").select("doc_id", "text")
     new = docs.where(F.col("doc_id") >= 250).unionByName(
-        docs.where(F.col("doc_id") < 5).select((F.col("doc_id") + 1000).alias("doc_id"), "text")
+        docs.where(F.col("doc_id") < 5).select((F.col("doc_id") + 100000000).alias("doc_id"), "text")
     )
     seen = docs.where(F.col("doc_id") < 250)
     return incremental_dedup_bloom(new, seen)
@@ -5621,3 +5621,44 @@ def text_unigram_token_counts(spark, sf_dir):
     docs = tbl.load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
     vocab = learn_unigram(docs, vocab_size=48, n_iters=2, max_piece_len=4, seed_size=128)
     return unigram_encode(docs, vocab)
+
+
+def _script_oracle_sql() -> str:
+    from cm_well_spark.operators.text import SCRIPT_RANGES
+
+    names = sorted(SCRIPT_RANGES)
+    counts = ",\n             ".join(
+        "CAST(length(text) - length(regexp_replace(text, '[{r}]', '', 'g')) AS BIGINT)"
+        " AS n_{s}".format(r=SCRIPT_RANGES[s], s=s)
+        for s in names
+    )
+    mx = "greatest({})".format(", ".join(f"n_{s}" for s in names))
+    dominant = "\n                ".join(
+        f"WHEN n_{s} = {mx} THEN '{s}'" for s in names
+    )
+    return f"""
+    WITH c AS (
+      SELECT doc_id,
+             {counts},
+             CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents
+    )
+    SELECT *,
+           CASE WHEN {mx} = 0 THEN 'und'
+                {dominant}
+           END AS script
+    FROM (SELECT doc_id, {", ".join(f"n_{s}" for s in names)}, n_chars FROM c) t
+    """
+
+
+@register("text_script_profile", oracle=_script_oracle_sql())
+def text_script_profile(spark, sf_dir):
+    """Unicode script composition per document (text.py:script_profile):
+    per-script codepoint counts over explicit, engine-identical ranges +
+    the dominant script with an alphabetical-first tie-break. The
+    routing gate ahead of lang-id in a CC-style pipeline; two codegen'd
+    string ops per script, zero shuffle."""
+    from cm_well_spark.operators.text import script_profile
+    from cm_well_spark.sources import tables as tbl
+
+    return script_profile(tbl.load_table(spark, sf_dir, "documents"))

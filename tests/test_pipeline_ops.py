@@ -880,3 +880,62 @@ def test_video_dup_pairs_shared_frames(spark):
     # raising the bar drops the partial overlaps but keeps the full dup
     strict = {(r["id_a"], r["id_b"]) for r in video_dup_pairs(df, min_shared=3).collect()}
     assert strict == {(1, 4)}
+
+
+def test_script_profile_multilingual(spark):
+    from cm_well_spark.operators.text import script_profile
+
+    rows = [
+        (1, "hello world"),
+        (2, "привет мир"),
+        (3, "日本語のテキストです"),          # han+hiragana+katakana mix
+        (4, "한국어 텍스트"),
+        (5, "نص عربي"),
+        (6, "mixed 中文 and english text"),
+        (7, "12345 !!!"),                      # no script chars at all
+        (8, ""),
+        (9, "ab ый"),                          # 2 latin vs 2 cyrillic: tie
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r.asDict() for r in script_profile(df).collect()}
+
+    assert got[1]["script"] == "latin" and got[1]["n_latin"] == 10
+    assert got[2]["script"] == "cyrillic" and got[2]["n_cyrillic"] == 9
+    assert got[3]["n_han"] == 3 and got[3]["n_hiragana"] == 3 and got[3]["n_katakana"] == 4
+    assert got[3]["script"] == "katakana"
+    assert got[4]["script"] == "hangul" and got[4]["n_hangul"] == 6
+    assert got[5]["script"] == "arabic"
+    assert got[6]["n_han"] == 2 and got[6]["script"] == "latin"
+    assert got[7]["script"] == "und" and got[7]["n_chars"] == 9
+    assert got[8]["script"] == "und" and got[8]["n_chars"] == 0
+    # tie: cyrillic == latin == 2 -> alphabetically first wins
+    assert got[9]["n_latin"] == 2 and got[9]["n_cyrillic"] == 2
+    assert got[9]["script"] == "cyrillic"
+
+
+def test_script_profile_counts_match_python_reference(spark, sf_dir):
+    import re as _re
+
+    from cm_well_spark.operators.text import SCRIPT_RANGES, script_profile
+    from cm_well_spark.sources import tables as tbl
+
+    docs = tbl.load_table(spark, sf_dir, "documents").where("doc_id < 30")
+    got = {r["doc_id"]: r.asDict() for r in script_profile(docs).collect()}
+    # python re has no \x{...}: expand the hex escapes to literal chars
+    def expand(rng):
+        out = ""
+        i = 0
+        while i < len(rng):
+            if rng.startswith("\\x{", i):
+                j = rng.index("}", i)
+                out += chr(int(rng[i + 3 : j], 16))
+                i = j + 1
+            else:
+                out += rng[i]
+                i += 1
+        return out
+
+    pats = {s: _re.compile("[" + expand(r) + "]") for s, r in SCRIPT_RANGES.items()}
+    for r in docs.select("doc_id", "text").collect():
+        for s, pat in pats.items():
+            assert got[r["doc_id"]][f"n_{s}"] == len(pat.findall(r["text"])), (r["doc_id"], s)
