@@ -704,3 +704,60 @@ def incremental_dedup_bloom(
             .alias("verdict"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus-level overlap estimation: bottom-k sketch over shingle hashes
+# ---------------------------------------------------------------------------
+
+
+def corpus_overlap_sketch(
+    corpus_a: DataFrame,
+    corpus_b: DataFrame,
+    k_sketch: int = 256,
+    shingle_k: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level Jaccard between two corpora's shingle sets, estimated
+    from bottom-k sketches (Broder 1997 / Cohen-Kaplan bottom-k): each
+    side reduces to its k_sketch smallest distinct md5(shingle) values;
+    the estimate is |{h in bottom-k(A u B) : h in both sketches}| /
+    |bottom-k(A u B)|.
+
+    The answer to "how much does corpus B overlap what we already have?"
+    WITHOUT the full distinct-intersection join: each side costs one
+    shingle scan + a distinct + an orderBy(hash).limit(k) that plans as
+    TakeOrderedAndProject (per-partition heap, only k rows ever move) —
+    at 100 TB the sketches are 2 x k_sketch rows total, while the exact
+    intersection would shuffle every distinct shingle of both corpora.
+    md5 ranking is engine-reproducible, so a SQL oracle replays the
+    whole estimator exactly, union-bottom-k and all.
+
+    Output: one row (k_used, n_union, n_shared, jaccard_est)."""
+
+    def bottom_k(df: DataFrame) -> DataFrame:
+        return (
+            df.select(F.explode(word_shingles(F.col(text_col), shingle_k)).alias("sh"))
+            .where(F.col("sh") != "")
+            .select(F.md5("sh").alias("h"))
+            .distinct()
+            .orderBy("h")
+            .limit(k_sketch)
+        )
+
+    a = bottom_k(corpus_a)
+    b = bottom_k(corpus_b)
+    # bottom-k of the union = k smallest of the two sketches' union —
+    # 2k rows, exact by the sketch algebra (no corpus re-scan)
+    union_k = a.unionByName(b).distinct().orderBy("h").limit(k_sketch)
+    shared = a.join(b, "h", "left_semi")
+    est = union_k.join(shared.withColumn("__s", F.lit(1)), "h", "left").agg(
+        F.count("*").cast("long").alias("n_union"),
+        F.sum(F.when(F.col("__s").isNotNull(), 1).otherwise(0)).cast("long").alias("n_shared"),
+    )
+    return est.select(
+        F.lit(k_sketch).cast("long").alias("k_used"),
+        "n_union",
+        "n_shared",
+        F.round(F.col("n_shared") / F.col("n_union"), 6).alias("jaccard_est"),
+    )

@@ -891,3 +891,83 @@ def pca_project(
         )
         return F.round(val, round_to) if round_to is not None else val
     return df.select(F.col(id_col), F.array(*[proj_one(c) for c in components]).alias("proj"))
+
+
+# ---------------------------------------------------------------------------
+# hard-negative mining (contrastive-training data prep)
+# ---------------------------------------------------------------------------
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    prune_cells: int | None = None,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Top-k hard negatives per anchor: the most cosine-similar corpus
+    vectors carrying a DIFFERENT label — the standard mining step for
+    contrastive/embedding training (in-batch negatives are too easy;
+    the hardest out-of-class neighbors carry the gradient signal).
+
+    Output (anchor_id, neg_id, cosine, rank), cosine rounded to 6,
+    ranking ties broken by neg_id asc — a total order any SQL engine
+    replays.
+
+    Plan: anchors are a bounded, caller-chosen set (a training batch /
+    probe sample), so they BROADCAST by contract; the corpus streams
+    once through the cosine projection, then one window keyed on
+    anchor_id takes top-k. With prune_cells=c the corpus is first
+    restricted to the union of every anchor's n_probe nearest of c
+    fixed-seed k-means cells (kmeans_assign_fixed seeds) — the IVF
+    composition that keeps the window input at |anchors| x cell-size
+    instead of |anchors| x |corpus| at 100 TB. The exact variant
+    (prune_cells=None) is the oracle twin; pruned recall is
+    pytest-pinned."""
+    from pyspark.sql import Window
+
+    cast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    c = corpus.select(
+        F.col(id_col).alias("neg_id"), F.col(label_col).alias("neg_label"), cast.alias("cv")
+    )
+    a = anchors.select(
+        F.col(id_col).alias("anchor_id"), F.col(label_col).alias("anchor_label"), cast.alias("av")
+    )
+
+    if prune_cells:
+        assign = kmeans_assign_fixed(corpus, k=prune_cells, vec_col=vec_col, id_col=id_col)
+        seeds = (
+            corpus.select(F.col(id_col), cast.alias("v")).orderBy(id_col).limit(prune_cells).collect()
+        )
+        ranked = F.array(
+            *[
+                F.struct(
+                    dot(F.col("av"), F.array(*[F.lit(float(x)) for x in r["v"]])).alias("sim"),
+                    F.lit(ci).alias("cell"),
+                )
+                for ci, r in enumerate(seeds)
+            ]
+        )
+        probe = a.select(
+            "anchor_id",
+            F.explode(
+                F.slice(F.reverse(F.array_sort(ranked)), 1, n_probe)["cell"]
+            ).alias("cell"),
+        ).select("cell").distinct()
+        keep = assign.join(F.broadcast(probe), "cell", "left_semi").select(
+            F.col(id_col).alias("neg_id")
+        )
+        c = c.join(keep, "neg_id", "left_semi")
+
+    pairs = c.join(F.broadcast(a), F.col("neg_label") != F.col("anchor_label"))
+    scored = pairs.select(
+        "anchor_id", "neg_id", F.round(cosine(F.col("av"), F.col("cv")), 6).alias("cosine")
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("cosine"), F.asc("neg_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+    )

@@ -5662,3 +5662,129 @@ def text_script_profile(spark, sf_dir):
     from cm_well_spark.sources import tables as tbl
 
     return script_profile(tbl.load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "similarity_hard_negatives",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), a AS (SELECT * FROM e WHERE vec_id < 20)
+    SELECT anchor_id, neg_id, cosine, rank FROM (
+      SELECT a.vec_id AS anchor_id, b.vec_id AS neg_id,
+             round(list_cosine_similarity(a.v, b.v), 6) AS cosine,
+             CAST(row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY round(list_cosine_similarity(a.v, b.v), 6) DESC,
+                        b.vec_id ASC) AS INT) AS rank
+      FROM a JOIN e b ON b.label <> a.label
+    ) WHERE rank <= 3
+    """,
+)
+def similarity_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training (similarity.py:
+    hard_negatives): top-3 most-cosine-similar DIFFERENT-label vectors
+    per anchor (anchors = vec_id < 20 — a bounded training batch that
+    broadcasts by contract). Exact variant = this oracle; the IVF
+    cell-pruned scale path shares the code and is recall-pinned in
+    pytest."""
+    from cm_well_spark.operators.similarity import hard_negatives
+    from cm_well_spark.sources import tables as tbl
+
+    embs = tbl.load_table(spark, sf_dir, "embeddings")
+    return hard_negatives(embs, embs.where(F.col("vec_id") < 20), k=3)
+
+
+@register(
+    "dedup_corpus_overlap",
+    oracle=f"""
+    WITH ash AS (
+      SELECT DISTINCT md5(sh) AS h FROM (
+        SELECT unnest(list_transform(
+                 range(1, greatest(len(w) - 3, 0) + 2),
+                 i -> array_to_string(w[i:i+2], ' '))) AS sh
+        FROM (SELECT string_split({_NORM_SQL.format(c='text')}, ' ') AS w
+              FROM documents WHERE doc_id % 2 = 0)
+      ) WHERE sh <> ''
+    ), bsh AS (
+      SELECT DISTINCT md5(sh) AS h FROM (
+        SELECT unnest(list_transform(
+                 range(1, greatest(len(w) - 3, 0) + 2),
+                 i -> array_to_string(w[i:i+2], ' '))) AS sh
+        FROM (SELECT string_split({_NORM_SQL.format(c='text')}, ' ') AS w
+              FROM documents WHERE doc_id % 2 = 1)
+      ) WHERE sh <> ''
+    ), abk AS (SELECT h FROM ash ORDER BY h LIMIT 256),
+       bbk AS (SELECT h FROM bsh ORDER BY h LIMIT 256),
+       ubk AS (SELECT h FROM (SELECT h FROM abk UNION SELECT h FROM bbk)
+               ORDER BY h LIMIT 256)
+    SELECT CAST(256 AS BIGINT) AS k_used,
+           CAST(count(*) AS BIGINT) AS n_union,
+           CAST(sum(CASE WHEN h IN (SELECT h FROM abk)
+                          AND h IN (SELECT h FROM bbk)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+           round(sum(CASE WHEN h IN (SELECT h FROM abk)
+                           AND h IN (SELECT h FROM bbk)
+                     THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS jaccard_est
+    FROM ubk
+    """,
+)
+def dedup_corpus_overlap(spark, sf_dir):
+    """Corpus-level Jaccard overlap between the even- and odd-doc_id
+    halves via bottom-256 shingle-hash sketches (dedup.py:
+    corpus_overlap_sketch, Broder 1997): each side reduces to its 256
+    smallest distinct md5(3-gram) values (TakeOrderedAndProject — only
+    k rows move), estimate = shared fraction of the union's bottom-k.
+    md5 ranking makes the whole estimator SQL-replayable."""
+    from cm_well_spark.operators.dedup import corpus_overlap_sketch
+    from cm_well_spark.sources import tables as tbl
+
+    docs = tbl.load_table(spark, sf_dir, "documents")
+    return corpus_overlap_sketch(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+        k_sketch=256,
+    )
+
+
+@register(
+    "curation_cluster_balanced_sample",
+    oracle="""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+    seeds AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS sv
+      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)
+    ),
+    assign AS (
+      SELECT vec_id, CAST(cell AS INT) AS cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY list_dot_product(v, sv) DESC, cell DESC) AS rn
+        FROM e CROSS JOIN seeds
+      ) WHERE rn = 1
+    )
+    SELECT vec_id, cell FROM (
+      SELECT vec_id, cell,
+             row_number() OVER (PARTITION BY cell
+               ORDER BY md5(concat_ws(':', 'strat', CAST(vec_id AS VARCHAR)))) AS rk
+      FROM assign
+    ) WHERE rk <= 20
+    """,
+)
+def curation_cluster_balanced_sample(spark, sf_dir):
+    """Cluster-balanced sampling — the diversity-preserving sample a
+    pretraining mix wants (equal quota per embedding-space region, not
+    per raw frequency): fixed-seed k-means assignment (SQL-replayable,
+    similarity.py:kmeans_assign_fixed) composed with the exact
+    md5-ranked per-stratum quota (curation.py:exact_stratified_sample).
+    Both halves already oracle-checked standalone; this pins the
+    composition."""
+    from cm_well_spark.operators.curation import exact_stratified_sample
+    from cm_well_spark.operators.similarity import kmeans_assign_fixed
+    from cm_well_spark.sources import tables as tbl
+
+    embs = tbl.load_table(spark, sf_dir, "embeddings")
+    assign = kmeans_assign_fixed(embs, k=8)
+    return exact_stratified_sample(assign, "cell", k=20, id_col="vec_id")

@@ -939,3 +939,70 @@ def test_script_profile_counts_match_python_reference(spark, sf_dir):
     for r in docs.select("doc_id", "text").collect():
         for s, pat in pats.items():
             assert got[r["doc_id"]][f"n_{s}"] == len(pat.findall(r["text"])), (r["doc_id"], s)
+
+
+def test_hard_negatives_exact_and_pruned(spark, sf_dir):
+    from cm_well_spark.operators.similarity import hard_negatives
+    from cm_well_spark.sources import tables as tbl
+
+    embs = tbl.load_table(spark, sf_dir, "embeddings").cache()
+    anchors = embs.where("vec_id < 10")
+    exact = hard_negatives(embs, anchors, k=3).collect()
+    labels = {r["vec_id"]: r["label"] for r in embs.select("vec_id", "label").collect()}
+
+    # contract: 3 per anchor, ranks 1..3, negatives never share the anchor label
+    by_anchor = {}
+    for r in exact:
+        by_anchor.setdefault(r["anchor_id"], []).append(r)
+        assert labels[r["neg_id"]] != labels[r["anchor_id"]]
+    for rows in by_anchor.values():
+        assert sorted(x["rank"] for x in rows) == [1, 2, 3]
+        sims = [x["cosine"] for x in sorted(rows, key=lambda x: x["rank"])]
+        assert sims == sorted(sims, reverse=True)
+
+    # IVF-pruned path: valid output, recall vs exact pinned
+    pruned = hard_negatives(embs, anchors, k=3, prune_cells=8, n_probe=4).collect()
+    exact_set = {(r["anchor_id"], r["neg_id"]) for r in exact}
+    pruned_set = {(r["anchor_id"], r["neg_id"]) for r in pruned}
+    for a_id, n_id in pruned_set:
+        assert labels[n_id] != labels[a_id]
+    recall = len(exact_set & pruned_set) / len(exact_set)
+    assert recall >= 0.4, recall  # 4 of 8 cells probed
+
+
+def test_corpus_overlap_sketch_exact_when_small(spark):
+    from cm_well_spark.operators.dedup import corpus_overlap_sketch
+
+    # corpora small enough that bottom-256 holds EVERY shingle hash:
+    # the estimator degenerates to the exact corpus Jaccard
+    a_txt = "the quick brown fox jumps over the lazy dog again and again"
+    b_txt = "the quick brown fox sleeps under the lazy dog again and again"
+    A = spark.createDataFrame([(1, a_txt)], ["doc_id", "text"])
+    B = spark.createDataFrame([(2, b_txt)], ["doc_id", "text"])
+
+    def shingles(t):
+        w = t.split()
+        return {" ".join(w[i : i + 3]) for i in range(max(len(w) - 3, 0) + 1)}
+
+    sa, sb = shingles(a_txt), shingles(b_txt)
+    want = len(sa & sb) / len(sa | sb)
+    row = corpus_overlap_sketch(A, B, k_sketch=256).first()
+    assert row["n_union"] == len(sa | sb)
+    assert row["n_shared"] == len(sa & sb)
+    assert abs(row["jaccard_est"] - want) < 1e-6
+
+
+def test_corpus_overlap_sketch_bounds(spark, sf_dir):
+    from cm_well_spark.operators.dedup import corpus_overlap_sketch
+    from cm_well_spark.sources import tables as tbl
+    from pyspark.sql import functions as F
+
+    docs = tbl.load_table(spark, sf_dir, "documents")
+    row = corpus_overlap_sketch(
+        docs.where(F.col("doc_id") % 2 == 0), docs.where(F.col("doc_id") % 2 == 1), k_sketch=64
+    ).first()
+    assert 0 <= row["n_shared"] <= row["n_union"] <= 64
+    assert 0.0 <= row["jaccard_est"] <= 1.0
+    # identical corpora -> estimate exactly 1
+    same = corpus_overlap_sketch(docs.limit(50), docs.limit(50), k_sketch=64).first()
+    assert same["jaccard_est"] == 1.0
