@@ -97,6 +97,9 @@ def main() -> None:
         "graph_sample_neighborhood",
         "dedup_incremental_bloom",
         "curation_classifier_score",
+        "similarity_hard_negatives",
+        "dedup_corpus_overlap",
+        "text_script_profile",
         # curation_full_pipeline is oracle-checked but benched separately
         # (CMW_BENCH_QUERIES=curation_full_pipeline): ~20-35 s at sf0.1,
         # which under host contention + the warm-rerun rule would risk the
