@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from cm_well_spark.operators.dedup import _shingle_rows
-from cm_well_spark.operators.text import quality_features, whitespace_token_count
+from cm_well_spark.operators.text import quality_features, quality_score, whitespace_token_count
 
 
 def _rate_hex(rate: float) -> str:
@@ -703,3 +703,99 @@ def train_val_test_split(
         F.when(u < lo, F.lit("train")).when(u < hi, F.lit("val")).otherwise(F.lit("test"))
     )
     return df.withColumn("split", split)
+
+
+def temperature_mixture_rates(
+    docs: DataFrame,
+    alpha: float = 0.3,
+    text_col: str = "text",
+    stratum_col: str = "lang",
+) -> DataFrame:
+    """Temperature-smoothed sampling rates over a stratum (the mT5 /
+    XLM-R alpha-sampling rule, Xue et al. 2021 §3.1): target share
+    q_s ∝ p_s^alpha where p_s is the stratum's token share — alpha < 1
+    flattens the distribution, upsampling low-resource strata. Rates
+    then realize the q mixture with the binding-stratum cap exactly as
+    mixture_weights: T = min_s n_s / q_s, rate_s = q_s * T / n_s.
+
+    Entirely columnar over the bounded stratum dimension (languages /
+    domains — dozens of rows): one corpus pass for token counts, then
+    broadcast one-row totals; no driver round-trip, so the solve feeds
+    sample_by_rates inside a single Catalyst plan. Output
+    (stratum, n_tokens, q_share, rate), floats rounded to 6 for
+    engine-exact replay."""
+    tok = docs.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.sum(whitespace_token_count(F.col(text_col))).alias("n_tokens")
+    )
+    tot = tok.select(
+        F.sum("n_tokens").alias("__N"),
+        F.sum(F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))).alias("__Z"),
+    )
+    q = tok.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        "n_tokens",
+        (F.pow(F.col("n_tokens").cast("double"), F.lit(alpha)) / F.col("__Z")).alias("__q"),
+    )
+    cap = q.select(F.min(F.col("n_tokens") / F.col("__q")).alias("__T"))
+    return q.crossJoin(F.broadcast(cap)).select(
+        "stratum",
+        "n_tokens",
+        F.round(F.col("__q"), 6).alias("q_share"),
+        F.round(F.col("__q") * F.col("__T") / F.col("n_tokens"), 6).alias("rate"),
+    )
+
+
+def token_budget_select(
+    docs: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy quality-first corpus selection under a token budget
+    (the data-constrained-scaling recipe: spend the budget on the
+    highest-quality tokens): walk docs in (quality desc, id asc) order
+    and admit each doc while the running token total is still under
+    `budget` (the straddling doc is admitted — standard greedy fill).
+
+    A naive global running sum is a single-partition window; this plans
+    scale-safe instead: quality rounds into <= 1001 BUCKETS, the
+    bucket-level cumulative sum runs on that bounded table (the only
+    global window, 1001 rows by construction), and the row-level
+    remainder is a window PARTITIONED BY bucket — parallel across
+    buckets, exact within. Admission = tokens-before-me (bucket prefix +
+    in-bucket prefix) < budget, which reproduces the naive semantics
+    row-for-row; the SQL oracle replays both windows verbatim.
+
+    Output: (doc_id, quality, n_tokens, tokens_before) for kept docs."""
+    from pyspark.sql import Window
+
+    scored = docs.select(
+        F.col(id_col),
+        F.round(quality_score(F.col(text_col)), 6).alias("quality"),
+        whitespace_token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    ).withColumn("bucket", F.floor(F.col("quality") * 1000).cast("int"))
+
+    bsum = scored.groupBy("bucket").agg(F.sum("n_tokens").alias("btok"))
+    wb = (
+        Window.orderBy(F.desc("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bprefix = bsum.select(
+        "bucket", F.coalesce(F.sum("btok").over(wb), F.lit(0)).alias("bucket_prefix")
+    )
+    wd = (
+        Window.partitionBy("bucket")
+        .orderBy(F.desc("quality"), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        scored.join(F.broadcast(bprefix), "bucket")
+        .withColumn(
+            "tokens_before",
+            (F.col("bucket_prefix") + F.coalesce(F.sum("n_tokens").over(wd), F.lit(0))).cast(
+                "long"
+            ),
+        )
+        .where(F.col("tokens_before") < budget)
+        .select(id_col, "quality", "n_tokens", "tokens_before")
+    )

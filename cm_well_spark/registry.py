@@ -5788,3 +5788,91 @@ def curation_cluster_balanced_sample(spark, sf_dir):
     embs = tbl.load_table(spark, sf_dir, "embeddings")
     assign = kmeans_assign_fixed(embs, k=8)
     return exact_stratified_sample(assign, "cell", k=20, id_col="vec_id")
+
+
+@register(
+    "curation_temperature_mixture",
+    oracle="""
+    WITH tok AS (
+      SELECT lang AS stratum,
+             CAST(sum(len(regexp_extract_all(trim(text), '\\S+'))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ), tot AS (
+      SELECT sum(pow(n_tokens, 0.3)) AS Z FROM tok
+    ), q AS (
+      SELECT stratum, n_tokens, pow(n_tokens, 0.3) / Z AS qq FROM tok, tot
+    ), cap AS (SELECT min(n_tokens / qq) AS T FROM q)
+    SELECT stratum, n_tokens,
+           round(qq, 6) AS q_share,
+           round(qq * T / n_tokens, 6) AS rate
+    FROM q, cap
+    """,
+)
+def curation_temperature_mixture(spark, sf_dir):
+    """mT5/XLM-R alpha-sampling rates over languages (curation.py:
+    temperature_mixture_rates, alpha=0.3): target share ∝ token-share^α
+    flattens the distribution toward low-resource strata; the
+    binding-stratum cap realizes it exactly as mixture_weights. Fully
+    columnar over the bounded lang dimension — the solve feeds
+    sample_by_rates in one Catalyst plan."""
+    from cm_well_spark.operators.curation import temperature_mixture_rates
+    from cm_well_spark.sources import tables as tbl
+
+    return temperature_mixture_rates(
+        tbl.load_table(spark, sf_dir, "documents"), alpha=0.3
+    )
+
+
+@register(
+    "curation_token_budget",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len(string_split_regex(trim(lower(text)), '\\s+')) AS n_words,
+             len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+             len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+             len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                 w -> w IN ('the','a','an','and','or','of','to','in','is','it',
+                            'that','for','on','with','as'))) AS stop_hits,
+             CAST(len(regexp_extract_all(trim(text), '\\S+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, n_tokens,
+             round(least((n_alpha * 1.0 / greatest(n_chars, 1)) / 0.7, 1.0) * 0.4
+             + least((stop_hits * 1.0 / greatest(n_words, 1)) / 0.3, 1.0) * 0.3
+             + (CASE WHEN (n_chars - (n_words - 1)) * 1.0 / n_words BETWEEN 3 AND 10
+                     THEN 1.0 ELSE 0.3 END) * 0.2
+             + (CASE WHEN n_punct * 1.0 / greatest(n_chars, 1) <= 0.1
+                     THEN 1.0 ELSE 0.5 END) * 0.1, 6) AS quality
+      FROM q
+    ), b AS (
+      SELECT *, CAST(floor(quality * 1000) AS INT) AS bucket FROM scored
+    ), bs AS (SELECT bucket, sum(n_tokens) AS btok FROM b GROUP BY bucket),
+    bp AS (
+      SELECT bucket, coalesce(sum(btok) OVER (
+               ORDER BY bucket DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bucket_prefix
+      FROM bs
+    )
+    SELECT doc_id, quality, n_tokens, tokens_before FROM (
+      SELECT b.doc_id, b.quality, b.n_tokens,
+             CAST(bp.bucket_prefix + coalesce(sum(b.n_tokens) OVER (
+               PARTITION BY b.bucket
+               ORDER BY b.quality DESC, b.doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS tokens_before
+      FROM b JOIN bp USING (bucket)
+    ) WHERE tokens_before < 5000
+    """,
+)
+def curation_token_budget(spark, sf_dir):
+    """Greedy quality-first selection under a 5000-token budget
+    (curation.py:token_budget_select): the data-constrained-scaling
+    recipe, planned scale-safe — the only GLOBAL window runs over the
+    <=1001-row quality-bucket table; the row-level prefix sum is
+    partitioned by bucket. The oracle replays both windows verbatim."""
+    from cm_well_spark.operators.curation import token_budget_select
+    from cm_well_spark.sources import tables as tbl
+
+    return token_budget_select(tbl.load_table(spark, sf_dir, "documents"), budget=5000)

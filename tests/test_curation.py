@@ -372,3 +372,52 @@ def test_train_val_test_split_properties(spark):
 
     with pytest.raises(ValueError):
         train_val_test_split(df, weights=(0.5, 0.2, 0.2))
+
+
+def test_temperature_mixture_flattens(spark):
+    from cm_well_spark.operators.curation import temperature_mixture_rates
+
+    rows = [(i, "word " * (200 if i % 10 else 4), "hi" if i % 10 == 0 else "en") for i in range(50)]
+    df = spark.createDataFrame([(i, t.strip(), l) for i, t, l in rows], ["doc_id", "text", "lang"])
+    r03 = {r["stratum"]: r for r in temperature_mixture_rates(df, alpha=0.3).collect()}
+    # alpha < 1: the low-resource stratum keeps everything (binding), the
+    # high-resource one downsamples
+    assert r03["hi"]["rate"] == 1.0
+    assert r03["en"]["rate"] < 1.0
+    # shares flattened vs raw token shares: hi's q_share far above its raw share
+    raw_hi = r03["hi"]["n_tokens"] / (r03["hi"]["n_tokens"] + r03["en"]["n_tokens"])
+    assert r03["hi"]["q_share"] > 2 * raw_hi
+    # alpha = 1 degenerates to proportional: every stratum keeps all
+    r1 = {r["stratum"]: r["rate"] for r in temperature_mixture_rates(df, alpha=1.0).collect()}
+    assert all(abs(v - 1.0) < 1e-6 for v in r1.values())
+
+
+def test_token_budget_select_matches_naive_greedy(spark, sf_dir):
+    from cm_well_spark.operators.curation import token_budget_select
+    from cm_well_spark.operators.text import quality_score
+    from cm_well_spark.sources import tables as tbl
+    from pyspark.sql import functions as F
+
+    docs = tbl.load_table(spark, sf_dir, "documents").cache()
+    budget = 3000
+    got = {r["doc_id"]: r for r in token_budget_select(docs, budget=budget).collect()}
+
+    # naive reference: single ordered walk
+    scored = docs.select(
+        "doc_id",
+        F.round(quality_score(F.col("text")), 6).alias("q"),
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n"),
+    ).collect()
+    run, want = 0, {}
+    for r in sorted(scored, key=lambda r: (-r["q"], r["doc_id"])):
+        if run < budget:
+            want[r["doc_id"]] = (r["q"], r["n"], run)
+        run += r["n"]
+    assert set(got) == set(want)
+    for d, (q, n, before) in want.items():
+        assert got[d]["quality"] == q
+        assert got[d]["n_tokens"] == n
+        assert got[d]["tokens_before"] == before
+    # greedy fill: admitted tokens exceed budget by at most one straddler
+    total = sum(v[1] for v in want.values())
+    assert total >= min(budget, sum(r["n"] for r in scored) ) - max(v[1] for v in want.values())
