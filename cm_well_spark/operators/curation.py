@@ -799,3 +799,78 @@ def token_budget_select(
         .where(F.col("tokens_before") < budget)
         .select(id_col, "quality", "n_tokens", "tokens_before")
     )
+
+
+def train_linear_classifier(
+    docs: DataFrame,
+    labels: DataFrame,
+    n_buckets: int = 256,
+    n_iters: int = 8,
+    lr: float = 2.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: str = "label",
+) -> tuple[list[float], float]:
+    """Full-batch logistic-regression TRAINING for the fastText-shaped
+    quality classifier (the model linear_classifier_score applies):
+    mean-pooled hashed unigram+bigram features, sigmoid output, gradient
+    descent on log-loss. The in-engine counterpart of training CCNet /
+    GPT-3-style quality filters on a labeled sample.
+
+    Spark-first shape: the sparse feature relation x = (doc, bucket,
+    count/m) is built ONCE (one explode + one groupBy) and
+    localCheckpoint'ed; each round is then
+      logits   element_at(weight-literal-array, bucket) — the model
+               rides the plan as literals, so scoring is join-free —
+               + groupBy(doc).sum
+      errors   sigmoid - label, one columnar projection
+      gradient join errors back onto x, groupBy(bucket).sum — at most
+               n_buckets rows reach the driver (the bounded-dim collect
+               this repo allows; 100 TB corpora stream through both
+               aggregations with map-side partial combine)
+    Driver state is the weight vector alone (n_buckets floats). Returns
+    (weights, bias). Iterative by nature -> registry rows-only; pinned
+    against a pure-Python reference in pytest (float sums tolerate
+    partition-order ULP noise)."""
+    import math
+
+    y = labels.select(F.col(id_col).alias("__id"), F.col(label_col).cast("double").alias("__y"))
+    grams = _dsir_grams(docs.join(y, docs[id_col] == y["__id"], "left_semi"), text_col, id_col)
+    cnt = grams.select(
+        F.col(id_col).alias("__id"), _dsir_bucket(F.col("ng"), n_buckets).alias("__b")
+    ).groupBy("__id", "__b").agg(F.count("*").alias("__c"))
+    m = cnt.groupBy("__id").agg(F.sum("__c").alias("__m"))
+    x = (
+        cnt.join(m, "__id")
+        .select("__id", "__b", (F.col("__c") / F.col("__m")).alias("__x"))
+        .join(y, "__id")
+        .localCheckpoint(eager=True)
+    )
+    n_docs = x.select("__id").distinct().count()
+
+    w = [0.0] * n_buckets
+    bias = 0.0
+    for _ in range(n_iters):
+        warr = F.array(*[F.lit(float(v)) for v in w])
+        scored = (
+            x.withColumn("__wx", F.element_at(warr, (F.col("__b") + 1).cast("int")) * F.col("__x"))
+            .groupBy("__id", "__y")
+            .agg(F.sum("__wx").alias("__logit"))
+            .select(
+                "__id",
+                (F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("__logit") + F.lit(bias)))) - F.col("__y")).alias(
+                    "__err"
+                ),
+            )
+        )
+        gb = scored.agg(F.sum("__err").alias("g")).first()["g"] or 0.0
+        grows = (
+            x.join(scored, "__id")
+            .groupBy("__b")
+            .agg(F.sum(F.col("__err") * F.col("__x")).alias("g"))
+            .collect()
+        )
+        g = {r["__b"]: r["g"] for r in grows}
+        w = [wi - lr * g.get(b, 0.0) / n_docs for b, wi in enumerate(w)]
+        bias -= lr * gb / n_docs
+    return w, bias

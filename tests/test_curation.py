@@ -421,3 +421,90 @@ def test_token_budget_select_matches_naive_greedy(spark, sf_dir):
     # greedy fill: admitted tokens exceed budget by at most one straddler
     total = sum(v[1] for v in want.values())
     assert total >= min(budget, sum(r["n"] for r in scored) ) - max(v[1] for v in want.values())
+
+
+def _norm_py(t):
+    import re as _re
+
+    return _re.sub(r"[^a-z0-9]+", " ", t.lower()).strip()
+
+
+def _grams_py(t):
+    w = _norm_py(t).split(" ")
+    out = [x for x in w if x != ""]
+    if len(w) >= 2:
+        out += [" ".join(w[i : i + 2]) for i in range(len(w) - 1)]
+    return [g for g in out if g != ""]
+
+
+def _bucket_py(ng, n):
+    import hashlib
+
+    return int(hashlib.md5(ng.encode()).hexdigest()[:8], 16) % n
+
+
+def test_train_linear_classifier_matches_python_reference(spark, sf_dir):
+    import math
+
+    from cm_well_spark.operators.curation import train_linear_classifier
+    from cm_well_spark.sources import tables as tbl
+    from pyspark.sql import functions as F
+
+    docs = tbl.load_table(spark, sf_dir, "documents").where("doc_id < 60").cache()
+    # deterministic synthetic labels: parity of the doc's md5
+    labels = docs.select(
+        "doc_id", (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10) % 2).cast("int").alias("label")
+    )
+    N_B, ITERS, LR = 64, 4, 2.0
+    w, b = train_linear_classifier(docs, labels, n_buckets=N_B, n_iters=ITERS, lr=LR)
+
+    # pure-Python twin (same mean-pooled features, same GD)
+    import hashlib
+
+    rows = docs.select("doc_id", "text").collect()
+    lab = {r["doc_id"]: r["label"] for r in labels.collect()}
+    feats = {}
+    for r in rows:
+        gs = _grams_py(r["text"])
+        if not gs:
+            continue
+        d = {}
+        for g in gs:
+            bkt = _bucket_py(g, N_B)
+            d[bkt] = d.get(bkt, 0) + 1
+        m = sum(d.values())
+        feats[r["doc_id"]] = {k: v / m for k, v in d.items()}
+    n = len(feats)
+    wr, br = [0.0] * N_B, 0.0
+    for _ in range(ITERS):
+        gw, gb = [0.0] * N_B, 0.0
+        for d, x in feats.items():
+            p = 1.0 / (1.0 + math.exp(-(br + sum(wr[k] * v for k, v in x.items()))))
+            e = p - lab[d]
+            gb += e
+            for k, v in x.items():
+                gw[k] += e * v
+        wr = [wi - LR * gi / n for wi, gi in zip(wr, gw)]
+        br -= LR * gb / n
+
+    import pytest
+
+    assert b == pytest.approx(br, rel=1e-9, abs=1e-12)
+    for got, want in zip(w, wr):
+        assert got == pytest.approx(want, rel=1e-9, abs=1e-12)
+
+
+def test_train_linear_classifier_separates_synthetic_task(spark):
+    from cm_well_spark.operators.curation import linear_classifier_score, train_linear_classifier
+    from pyspark.sql import functions as F
+
+    # positives talk about cats, negatives about bolts — trivially separable
+    rows = [(i, "the fluffy cat sat on the warm mat purring softly", 1) for i in range(20)]
+    rows += [(i + 20, "torque the hex bolt with a steel wrench firmly", 0) for i in range(20)]
+    df = spark.createDataFrame([(i, t) for i, t, _ in rows], ["doc_id", "text"])
+    labels = spark.createDataFrame([(i, y) for i, _, y in rows], ["doc_id", "label"])
+    w, b = train_linear_classifier(df, labels, n_buckets=64, n_iters=40, lr=8.0)
+    scored = {r["doc_id"]: r["score"] for r in linear_classifier_score(df, w, b).collect()}
+    pos = [scored[i] for i in range(20)]
+    neg = [scored[i + 20] for i in range(20)]
+    assert min(pos) > 0.7 and max(neg) < 0.3
