@@ -711,12 +711,82 @@ def incremental_dedup_bloom(
 # ---------------------------------------------------------------------------
 
 
+def _kmv_threshold(n_est: int, k_sketch: int, safety: float) -> str | None:
+    """Hex-prefix threshold for the KMV prefilter: md5 values are uniform
+    in the 128-bit space, so the k_sketch smallest distinct hashes all lie
+    below ~(safety*k/n) of the space with overwhelming probability. Keep
+    the comparison on the first 8 hex chars (lexicographic == numeric for
+    fixed-width lowercase hex). Returns None when no filtering helps
+    (small corpus: expected survivors already ~everything)."""
+    if n_est <= 0:
+        return None
+    frac = (safety * k_sketch) / float(n_est)
+    if frac >= 1.0:
+        return None
+    return format(max(1, min(16**8 - 1, int(frac * 16**8))), "08x")
+
+
+def _bottom_k_sketch(
+    df: DataFrame,
+    k_sketch: int,
+    shingle_k: int,
+    text_col: str,
+    prefilter_safety: float = 8.0,
+    plan_probe: dict | None = None,
+) -> DataFrame:
+    """Exact bottom-k distinct shingle-hash sketch of one corpus, built
+    scale-first:
+
+      1. one cheap pass estimates the distinct-hash count (HLL partial
+         aggregate — map-side sketches, a few KB merged at the driver;
+         nothing wide moves);
+      2. a KMV-style uniform-hash prefilter `h < t` (t sized so ~safety*k
+         distinct hashes survive) runs BEFORE the distinct, so the
+         exchange under the top-k carries only the bounded residue — not
+         every distinct shingle of the corpus;
+      3. if fewer than k_sketch distinct hashes survive (HLL under-
+         estimate or a tiny corpus), the threshold loosens 16x and
+         retries, degenerating to the unfiltered distinct+top-k — so the
+         result is always the EXACT bottom-k (>= k survivors below t
+         implies the k smallest distinct hashes are all below t).
+
+    The returned k-row frame is localCheckpoint()ed: downstream
+    compositions (union-k / semi-join) reuse the materialized k rows
+    instead of re-running the corpus scan per subtree."""
+    hashes = (
+        df.select(F.explode(word_shingles(F.col(text_col), shingle_k)).alias("sh"))
+        .where(F.col("sh") != "")
+        .select(F.md5("sh").alias("h"))
+    )
+    n_est = hashes.agg(F.approx_count_distinct("h").alias("n")).first()["n"]
+    safety = prefilter_safety
+    while True:
+        t = _kmv_threshold(n_est, k_sketch, safety)
+        if t is None:
+            sketch = hashes.distinct().orderBy("h").limit(k_sketch)
+            if plan_probe is not None:
+                plan_probe.setdefault("threshold", None)
+                plan_probe.setdefault("residue", sketch)
+            return sketch.localCheckpoint()
+        residue = hashes.where(F.col("h") < t).distinct()
+        if plan_probe is not None:
+            plan_probe["threshold"] = t
+            plan_probe["residue"] = residue
+        materialized = residue.localCheckpoint()
+        # bounded action: expected ~safety*k rows; >= k distinct below t
+        # guarantees the global bottom-k is inside the residue (exact).
+        if materialized.count() >= k_sketch:
+            return materialized.orderBy("h").limit(k_sketch).localCheckpoint()
+        safety *= 16.0
+
+
 def corpus_overlap_sketch(
     corpus_a: DataFrame,
     corpus_b: DataFrame,
     k_sketch: int = 256,
     shingle_k: int = 3,
     text_col: str = "text",
+    prefilter_safety: float = 8.0,
 ) -> DataFrame:
     """Corpus-level Jaccard between two corpora's shingle sets, estimated
     from bottom-k sketches (Broder 1997 / Cohen-Kaplan bottom-k): each
@@ -725,28 +795,20 @@ def corpus_overlap_sketch(
     |bottom-k(A u B)|.
 
     The answer to "how much does corpus B overlap what we already have?"
-    WITHOUT the full distinct-intersection join: each side costs one
-    shingle scan + a distinct + an orderBy(hash).limit(k) that plans as
-    TakeOrderedAndProject (per-partition heap, only k rows ever move) —
-    at 100 TB the sketches are 2 x k_sketch rows total, while the exact
-    intersection would shuffle every distinct shingle of both corpora.
-    md5 ranking is engine-reproducible, so a SQL oracle replays the
-    whole estimator exactly, union-bottom-k and all.
+    WITHOUT the full distinct-intersection join. Each side costs one HLL
+    estimate pass plus one KMV-prefiltered scan (see _bottom_k_sketch):
+    the `h < t` prefilter runs before the distinct, so the exchange under
+    the top-k carries only ~safety*k rows, not the corpus's whole
+    distinct shingle set; the k-row sketches are checkpointed so the
+    union-k / semi-join composition never re-scans a corpus. The result
+    is the exact bottom-k (loosen-and-retry guards the prefilter), so
+    md5 ranking keeps the whole estimator SQL-replayable, union-bottom-k
+    and all.
 
     Output: one row (k_used, n_union, n_shared, jaccard_est)."""
 
-    def bottom_k(df: DataFrame) -> DataFrame:
-        return (
-            df.select(F.explode(word_shingles(F.col(text_col), shingle_k)).alias("sh"))
-            .where(F.col("sh") != "")
-            .select(F.md5("sh").alias("h"))
-            .distinct()
-            .orderBy("h")
-            .limit(k_sketch)
-        )
-
-    a = bottom_k(corpus_a)
-    b = bottom_k(corpus_b)
+    a = _bottom_k_sketch(corpus_a, k_sketch, shingle_k, text_col, prefilter_safety)
+    b = _bottom_k_sketch(corpus_b, k_sketch, shingle_k, text_col, prefilter_safety)
     # bottom-k of the union = k smallest of the two sketches' union —
     # 2k rows, exact by the sketch algebra (no corpus re-scan)
     union_k = a.unionByName(b).distinct().orderBy("h").limit(k_sketch)

@@ -292,3 +292,47 @@ def test_multimodal_dedup_no_cartesian(spark):
     )
     p2 = plan_of(video_dup_pairs(vids, min_shared=2))
     assert "CartesianProduct" not in p2 and "BroadcastNestedLoop" not in p2
+
+
+def test_corpus_overlap_sketch_plan_contract(spark, sf_dir):
+    """r8 (verdict fix): the bottom-k sketch must (1) run its KMV
+    prefilter BELOW the distinct's exchange — the exchange carries only
+    the ~safety*k residue, never the corpus's whole distinct shingle
+    set — and (2) checkpoint the k-row sketches so the union-k /
+    semi-join composition re-scans no corpus (one scan per side)."""
+    from cm_well_spark.operators.dedup import _bottom_k_sketch, corpus_overlap_sketch
+    from cm_well_spark.sources import tables as tbl
+
+    docs = tbl.load_table(spark, sf_dir, "documents")
+
+    probe = {}
+    _bottom_k_sketch(docs, 64, 3, "text", prefilter_safety=8.0, plan_probe=probe)
+    assert probe["threshold"] is not None  # prefilter active at this scale
+    residue_plan = probe["residue"]._jdf.queryExecution().executedPlan().toString()
+    lines = residue_plan.splitlines()
+    exch = next(i for i, ln in enumerate(lines) if "Exchange" in ln)
+    filt = next(i for i, ln in enumerate(lines) if probe["threshold"] in ln and "<" in ln)
+    # tree prints root-first: the threshold filter sits BELOW the exchange
+    assert filt > exch, residue_plan
+
+    final = plan_of(
+        corpus_overlap_sketch(
+            docs.where(F.col("doc_id") % 2 == 0), docs.where(F.col("doc_id") % 2 == 1), k_sketch=64
+        )
+    )
+    assert "parquet" not in final.lower(), final  # composition reuses checkpointed k rows
+    assert "ExistingRDD" in final or "LogicalRDD" in final
+
+
+def test_corpus_overlap_prefilter_exactness(spark, sf_dir):
+    """The KMV prefilter must not change the answer: aggressive-safety
+    (tight threshold, loosen-and-retry exercised) == no-prefilter."""
+    from cm_well_spark.operators.dedup import corpus_overlap_sketch
+    from cm_well_spark.sources import tables as tbl
+
+    docs = tbl.load_table(spark, sf_dir, "documents")
+    A = docs.where(F.col("doc_id") % 2 == 0)
+    B = docs.where(F.col("doc_id") % 2 == 1)
+    tight = corpus_overlap_sketch(A, B, k_sketch=64, prefilter_safety=1.05).first()
+    plain = corpus_overlap_sketch(A, B, k_sketch=64, prefilter_safety=1e18).first()
+    assert tight == plain
