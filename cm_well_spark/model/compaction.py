@@ -52,6 +52,21 @@ from cm_well_spark.model.lakehouse import collect_predicate_stats, triples_of
 _INF_DELTA = "infotons_delta"
 _TRI_DELTA = "triples_delta"
 
+# above this many distinct paths the isin literal stops being a sane
+# pushdown predicate — and a forced broadcast of the affected-path set
+# stops being safe (a backfill batch touching millions of paths would
+# OOM the executors exactly like an unbounded broadcast dim). Both the
+# write-side isin route and the read-side reconcile broadcasts use the
+# same counted gate; above it we hand AQE a plain join.
+_ISIN_PUSHDOWN_CAP = 100_000
+
+
+def _gated_broadcast(affected: DataFrame, n_affected: int) -> DataFrame:
+    """Broadcast the affected-path set only when it is provably bounded;
+    otherwise return it un-hinted and let AQE pick the join strategy
+    (sort-merge / shuffled-hash for a backfill-sized set)."""
+    return F.broadcast(affected) if n_affected <= _ISIN_PUSHDOWN_CAP else affected
+
 
 def _delta_batches(out: str, name: str) -> list[str]:
     d = os.path.join(out, name)
@@ -77,12 +92,21 @@ def reconciled_infotons(spark: SparkSession, out: str) -> DataFrame:
         return base
     deltas = spark.read.parquet(*batches).select(*base.columns)
     affected = deltas.select(F.col("path").alias("__ap")).distinct()
+    # counted gate: the count is an O(delta) action; a normal-cadence
+    # batch broadcasts, a millions-of-paths backfill falls through to AQE
+    n_affected = affected.count()
     untouched = base.alias("__b").join(
-        F.broadcast(affected.alias("__a")), F.col("__b.path") == F.col("__a.__ap"), "left_anti"
+        _gated_broadcast(affected.alias("__a"), n_affected),
+        F.col("__b.path") == F.col("__a.__ap"),
+        "left_anti",
     )
     touched = (
         base.alias("__b2")
-        .join(F.broadcast(affected.alias("__a2")), F.col("__b2.path") == F.col("__a2.__ap"), "left_semi")
+        .join(
+            _gated_broadcast(affected.alias("__a2"), n_affected),
+            F.col("__b2.path") == F.col("__a2.__ap"),
+            "left_semi",
+        )
         .unionByName(deltas)
     )
     w = Window.partitionBy("path").orderBy(F.desc("index_time"))
@@ -101,21 +125,22 @@ def reconciled_triples(spark: SparkSession, out: str) -> DataFrame:
         return base
     deltas = spark.read.parquet(*batches)
     affected = deltas.select(F.col("path").alias("__ap")).distinct()
+    n_affected = affected.count()
     untouched = base.alias("__t").join(
-        F.broadcast(affected.alias("__a")), F.col("__t.s") == F.col("__a.__ap"), "left_anti"
+        _gated_broadcast(affected.alias("__a"), n_affected),
+        F.col("__t.s") == F.col("__a.__ap"),
+        "left_anti",
     )
     inf = reconciled_infotons(spark, out)
     touched_docs = inf.alias("__i").join(
-        F.broadcast(affected.alias("__a2")), F.col("__i.path") == F.col("__a2.__ap"), "left_semi"
+        _gated_broadcast(affected.alias("__a2"), n_affected),
+        F.col("__i.path") == F.col("__a2.__ap"),
+        "left_semi",
     )
     return untouched.unionByName(triples_of(touched_docs).select(*base.columns))
 
 
 _WATERMARK = "_WATERMARK.json"
-
-# above this many distinct paths the isin literal stops being a sane
-# pushdown predicate; fall back to the scan + broadcast-semi-join route
-_ISIN_PUSHDOWN_CAP = 100_000
 
 
 def _read_watermark(out: str) -> int | None:

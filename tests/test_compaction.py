@@ -235,3 +235,38 @@ def test_load_infotons_is_merge_on_read_aware(spark, store):
     assert row is not None and row["fields"]["name"][0]["value"] == "MOR77"
     tri = _load(spark, mor_store, "triples")
     assert tri.where((F.col("s") == "/tpch/region/77") & F.col("current") & (F.col("p") == "name")).count() == 1
+
+
+def test_reconcile_broadcast_gate_over_cap(spark, store, tmp_path, monkeypatch):
+    """r8 (verdict fix): above _ISIN_PUSHDOWN_CAP the reconcile must NOT
+    force-broadcast the affected-path set (a backfill batch touching
+    millions of paths would OOM); it hands AQE a plain join instead —
+    and the merge-on-read answer is identical either way."""
+    from cm_well_spark.model import compaction
+
+    # private copy: earlier tests may have compacted the shared store
+    mine = str(tmp_path / "gate_store")
+    shutil.copytree(store, mine)
+    lm = datetime(2024, 4, 1)
+    compaction.write_batch(
+        spark,
+        mine,
+        _cmds(
+            spark,
+            [
+                ("/tpch/region/0", 1, "write", {"extra": [_sfv("gate")]}, None, lm, "https"),
+                ("/tpch/region/1", 1, "write", {"extra": [_sfv("gate")]}, None, lm, "https"),
+            ],
+        ),
+    )
+
+    hinted = compaction.reconciled_infotons(spark, mine)
+    assert "strategy=broadcast" in hinted._jdf.queryExecution().analyzed().toString()
+
+    monkeypatch.setattr(compaction, "_ISIN_PUSHDOWN_CAP", 0)
+    plain = compaction.reconciled_infotons(spark, mine)
+    assert "strategy=broadcast" not in plain._jdf.queryExecution().analyzed().toString()
+    plain_tri = compaction.reconciled_triples(spark, mine)
+    assert "strategy=broadcast" not in plain_tri._jdf.queryExecution().analyzed().toString()
+
+    assert _current_fields(plain) == _current_fields(hinted)
