@@ -53,6 +53,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from cm_well_spark.plans.iterative import iter_checkpoint
+
 # The TPC-H-shaped reference fields of the test model (builder.py:12-19).
 # Callers on other corpora pass their own list; None = joker (every
 # reference-valued triple, the traversal `_edges` heuristic).
@@ -119,6 +121,7 @@ def pagerank(
     fields: Sequence[str] | None = None,
     iterations: int = 3,
     damping: float = 0.85,
+    reliable: bool | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over the link graph -> (path, rank).
 
@@ -138,7 +141,10 @@ def pagerank(
     ranks are checkpointed per round so the iterated plan stays
     constant-size. At 1000 executors this is the textbook Pregel-free
     PageRank: iterations x (1 shuffle join + 1 shuffle agg), no
-    driver-side state beyond the loop counter."""
+    driver-side state beyond the loop counter. `reliable=True` (or
+    CMW_RELIABLE_CHECKPOINTS=1) writes the iteration state to the
+    durable checkpoint dir so an executor loss on a real cluster
+    recovers instead of killing the run (plans/iterative.py)."""
     if iterations < 1:
         raise ValueError("pagerank needs at least 1 iteration")
     edges = reference_edges(triples, fields)
@@ -151,12 +157,12 @@ def pagerank(
     # iteration count keeps the unrolled plan shallow, and every 8th
     # round an eager checkpoint bounds depth for callers who iterate
     # further.
-    edges = edges.join(out_deg, "src").localCheckpoint(eager=True)
-    nodes = (
+    edges = iter_checkpoint(edges.join(out_deg, "src"), reliable)
+    nodes = iter_checkpoint(
         edges.select(F.col("src").alias("path"))
         .union(edges.select(F.col("dst").alias("path")))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        reliable,
     )
     ranks = nodes.select("path", F.lit(1.0).alias("rank"))
     for i in range(iterations):
@@ -173,7 +179,7 @@ def pagerank(
             ).alias("rank"),
         )
         if (i + 1) % 8 == 0 and (i + 1) < iterations:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = iter_checkpoint(ranks, reliable)
     return ranks
 
 
@@ -183,6 +189,7 @@ def sample_neighborhood(
     fanouts: Sequence[int] = (2, 2),
     fields: Sequence[str] | None = None,
     salt: str = "gnn",
+    reliable: bool | None = None,
 ) -> DataFrame:
     """GraphSAGE-style bounded-fanout neighborhood sampling -> sampled
     edge list (hop, src, dst), hop starting at 1.
@@ -215,7 +222,7 @@ def sample_neighborhood(
     frontier = seeds.select(F.col(seeds.columns[0]).alias("src")).distinct()
     hops: list[DataFrame] = []
     for h, fanout in enumerate(fanouts, start=1):
-        frontier = frontier.localCheckpoint(eager=True)
+        frontier = iter_checkpoint(frontier, reliable)
         if frontier.count() <= FRONTIER_ISIN_MAX:
             paths = [r["src"] for r in frontier.collect()]
             incident = edges.where(F.col("src").isin(paths))
@@ -237,7 +244,7 @@ def sample_neighborhood(
         # eager: each hop's sample is read twice (output union + next
         # frontier) — materialize it once instead of re-deriving the
         # edges-scan lineage per reader
-        ranked = ranked.localCheckpoint(eager=True)
+        ranked = iter_checkpoint(ranked, reliable)
         hops.append(ranked)
         frontier = ranked.select(F.col("dst").alias("src")).distinct()
     out = hops[0]

@@ -31,6 +31,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from cm_well_spark.plans.iterative import iter_checkpoint
 from cm_well_spark.operators.sparql.parser import (
     Filter,
     Func,
@@ -376,7 +377,9 @@ def _zero_length_frame_g(triples: DataFrame, s, o, gvar: str) -> DataFrame:
 
 def _closure_frame(triples: DataFrame, pp: PathPattern, gvar: str | None = None) -> DataFrame:
     """`p+` transitive closure by semi-naive fixpoint iteration: frontier
-    join + seen-set anti-join + localCheckpoint per round (the same
+    join + seen-set anti-join + iter_checkpoint per round (local by
+    default; CMW_RELIABLE_CHECKPOINTS=1 makes the per-round state
+    durable so deep closures survive executor loss — the same
     machinery as traversal.expand_out), replacing the old bounded depth-6
     union — an 8-deep chain now answers completely, like ARQ's unbounded
     closure. Expansion stops with a partial-result warning when the
@@ -426,8 +429,8 @@ def _closure_frame(triples: DataFrame, pp: PathPattern, gvar: str | None = None)
                 one.unionByName(step_of(one))
                 .distinct()
                 .join(reached, [c for c in reached.columns], "left_anti")
-                .localCheckpoint(eager=True)
             )
+            frontier = iter_checkpoint(frontier)
             new_n = frontier.count()
             if new_n == 0:
                 return reached
@@ -439,7 +442,7 @@ def _closure_frame(triples: DataFrame, pp: PathPattern, gvar: str | None = None)
             # chain), while the checkpoint of a near-empty frame is one
             # cheap job. (xg/yg skip this — their accumulator is consumed
             # once per LEVEL and levels are few; see traversal.expand_out.)
-            reached = reached.unionByName(frontier).localCheckpoint(eager=True)
+            reached = iter_checkpoint(reached.unionByName(frontier))
         warnings.warn(
             f"property-path closure exceeded the {INTERMEDIATE_LIMIT} intermediate-results"
             " limit; returning partial results (reference contract:"
@@ -476,7 +479,7 @@ def _closure_frame(triples: DataFrame, pp: PathPattern, gvar: str | None = None)
                     F.col(a).alias(n), *gcols
                 )
 
-        frontier = frontier.distinct().localCheckpoint(eager=True)
+        frontier = iter_checkpoint(frontier.distinct())
         reached = expand(frontier, frontier, step_of)
         # reached is checkpointed — nothing downstream re-reads edges
         edges.unpersist()
@@ -489,7 +492,7 @@ def _closure_frame(triples: DataFrame, pp: PathPattern, gvar: str | None = None)
         return reached.select(F.col(n).alias(endpoint), *gcols)
     # var-var: full closure of the (pruned) edge relation — depth-1 pairs
     # seed the reached set; each round extends the newest pairs by one edge
-    reached = edges.distinct().localCheckpoint(eager=True)
+    reached = iter_checkpoint(edges.distinct())
 
     def step_pairs(fr):
         f2 = fr.select(F.col(a), F.col(b).alias(m), *gcols)

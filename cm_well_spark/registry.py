@@ -5194,11 +5194,68 @@ def pack_stats(spark, sf_dir):
     return packing_stats(tbl.load_table(spark, sf_dir, "documents"), context_len=64)
 
 
-@register("multimodal_image_dedup")
+
+def _fixture_hash_values(kind: str, n_seeds: int) -> str:
+    """VALUES literal (seed, fingerprint) for the multimodal dedup
+    oracles. The fake-codec fixtures are deterministic end-to-end, so
+    the per-seed 64-bit dHash / audio fingerprint can be precomputed
+    HERE (pure numpy, import-time, no Spark) and inlined — graduating
+    the multimodal dedup entries from rows-only to hash-matched: the
+    oracle then independently replays the brute-force all-pairs Hamming
+    answer, which also proves the pigeonhole banding lost no pair."""
+    import struct
+
+    import numpy as np
+
+    def _img_arr(b: bytes):
+        h, w, c = struct.unpack(">IIB", b[4:13])
+        return np.frombuffer(b, dtype=np.uint8, offset=13).reshape(h, w, c)
+
+    rows = []
+    if kind in ("img16", "img8"):
+        from cm_well_spark.operators.multimodal import _dhash64, fake_image_pattern
+
+        side = 16 if kind == "img16" else 8
+        for seed in range(n_seeds):
+            rows.append((seed, _dhash64(_img_arr(fake_image_pattern(side, side, 3, seed=seed)))))
+    elif kind == "aud":
+        from cm_well_spark.operators.multimodal import (
+            _afp64,
+            _audio_samples_fake,
+            fake_audio_pattern,
+        )
+
+        for seed in range(n_seeds):
+            rows.append((seed, _afp64(_audio_samples_fake(fake_audio_pattern(8000, 2000, seed=seed)))))
+    else:
+        raise ValueError(kind)
+    return ", ".join(f"({sd}, CAST({h} AS BIGINT))" for sd, h in rows)
+
+
+_BANDED_HAMMING_ORACLE = """
+    WITH hmap(seed, h) AS (VALUES {values}),
+    items AS (
+      SELECT d.doc_id AS id, m.h
+      FROM documents d JOIN hmap m ON d.doc_id % {mod} = m.seed
+      WHERE d.doc_id < {limit}
+    )
+    SELECT a.id AS id_a, b.id AS id_b, bit_count(xor(a.h, b.h)) AS distance
+    FROM items a JOIN items b ON a.id < b.id
+    WHERE bit_count(xor(a.h, b.h)) <= {max_distance}
+"""
+
+
+@register("multimodal_image_dedup",
+    oracle=_BANDED_HAMMING_ORACLE.format(
+        values=_fixture_hash_values("img16", 50), mod=50, limit=200, max_distance=3
+    ),
+)
 def multimodal_image_dedup(spark, sf_dir):
-    """Image near-dup pairs via perceptual dHash (rows-only: the
-    block-mean resize isn't SQL-expressible; determinism and banded-vs-
-    brute equality are pytest-pinned): 200 patterned IMG1 images with
+    """Image near-dup pairs via perceptual dHash — hash-matched (r8):
+    the fake-codec fixture is deterministic, so the oracle inlines the
+    precomputed per-seed dHashes as a VALUES literal and replays the
+    BRUTE-FORCE all-pairs Hamming answer; a match also proves the
+    pigeonhole banding dropped no pair. 200 patterned IMG1 images with
     seed = doc_id % 50 give 4-member identical groups; hashes meet
     through pigeonhole 16-bit block buckets, candidates pay one popcount
     — the multimodal twin of text simhash, same plan at 100 TB."""
@@ -5229,11 +5286,17 @@ def multimodal_image_dedup(spark, sf_dir):
     return image_dup_pairs(image_dhash(imgs), max_distance=3)
 
 
-@register("multimodal_audio_dedup")
+@register(
+    "multimodal_audio_dedup",
+    oracle=_BANDED_HAMMING_ORACLE.format(
+        values=_fixture_hash_values("aud", 50), mod=50, limit=200, max_distance=3
+    ),
+)
 def multimodal_audio_dedup(spark, sf_dir):
-    """Audio near-dup pairs via the energy-contrast fingerprint
-    (rows-only: waveform windowing isn't SQL-expressible; fake/WAV codec
-    parity and dedup behavior are pytest-pinned): 200 patterned AUD1
+    """Audio near-dup pairs via the energy-contrast fingerprint —
+    hash-matched (r8): precomputed per-seed fingerprints inlined as a
+    VALUES literal, oracle replays brute-force all-pairs Hamming
+    (fake/WAV codec parity stays pytest-pinned). 200 patterned AUD1
     clips with seed = doc_id % 50 — same banded Hamming plan as images,
     300 expected pairs."""
     import pandas as pd
@@ -5263,10 +5326,26 @@ def multimodal_audio_dedup(spark, sf_dir):
     return image_dup_pairs(audio_fingerprint(clips), max_distance=3)
 
 
-@register("multimodal_video_dedup")
+@register(
+    "multimodal_video_dedup",
+    oracle="""
+    WITH hmap(seed, h) AS (VALUES {values}),
+    vf AS (
+      SELECT DISTINCT d.doc_id AS id, m.h
+      FROM documents d JOIN hmap m
+        ON m.seed BETWEEN 2 * d.doc_id AND 2 * d.doc_id + 3
+      WHERE d.doc_id < 100
+    )
+    SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
+    FROM vf a JOIN vf b ON a.h = b.h AND a.id < b.id
+    GROUP BY a.id, b.id
+    HAVING count(*) >= 2
+    """.format(values=_fixture_hash_values("img8", 202)),
+)
 def multimodal_video_dedup(spark, sf_dir):
-    """Video near-dup pairs by shared sampled-frame dHashes (rows-only —
-    perceptual hashing isn't SQL-expressible; counts pytest-pinned):
+    """Video near-dup pairs by shared sampled-frame dHashes —
+    hash-matched (r8): per-frame-seed dHashes inlined as a VALUES
+    literal, oracle independently recounts shared distinct hashes.
     100 four-frame clips built so clip i shares exactly 2 frames with
     clip i+1 (frame seeds 2i..2i+3) — a sliding chain, so every adjacent
     pair and only adjacent pairs meet the min_shared=2 bar. Frames meet
