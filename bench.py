@@ -165,6 +165,14 @@ def main() -> None:
             # re-materialized) and the reading tracks loadavg 2-9. Not a plan
             # regression; watch on a quiet box next round.
             "merge_writer_current": "r7 2.0-3.9s band = rebuilt-host cache + load; merge.py diff is pure code motion, plan unchanged",
+            # r8 (VERDICT r7 item 3): the BENCH_r07 ingest record (126.2s =
+            # 7,059 rows/s, below the B8 >=10k/s target) was taken at
+            # loadavg 6.8-8.0 on the freshly rebuilt host; the judge's
+            # quiet-box rerun of IDENTICAL code measured 40.5s = 22,010
+            # rows/s, and the r7 write-path diff is pure code motion.
+            # Environmental, not a regression — this round's record should
+            # supersede it; if it again lands under target, compare loadavg.
+            "ingest": "r7 7.1k rows/s = host contention (loadavg 6.8-8.0); identical code measured 22.0k rows/s on a quiet box",
         },
     }
 
@@ -202,6 +210,13 @@ def main() -> None:
             "dedup_line_level",
             "curation_gopher_rules",
             "dedup_incremental_batch",
+            # round-8 (VERDICT r7 item 6): the r7 heavies at 10x —
+            # iterated join+agg, bounded-frontier sampling, broadcast-NLJ
+            # top-k mining, and the KMV-prefiltered overlap sketch
+            "graph_pagerank",
+            "graph_sample_neighborhood",
+            "similarity_hard_negatives",
+            "dedup_corpus_overlap",
         ]
         sf1_timings: dict[str, float] = {}
         # sf1 queries run 3-10x their sf0.1 cost; cap at 2 samples so the

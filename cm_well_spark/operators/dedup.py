@@ -753,8 +753,13 @@ def _bottom_k_sketch(
     The returned k-row frame is localCheckpoint()ed: downstream
     compositions (union-k / semi-join) reuse the materialized k rows
     instead of re-running the corpus scan per subtree."""
+    # spread first: the sketch pays the shingle explode twice (estimate
+    # pass + filtered pass), so a one-partition local scan must not run
+    # it single-task; at real scale the scan is already wide and this is
+    # a no-op (text.py:spread_for_cpu).
     hashes = (
-        df.select(F.explode(word_shingles(F.col(text_col), shingle_k)).alias("sh"))
+        spread_for_cpu(df)
+        .select(F.explode(word_shingles(F.col(text_col), shingle_k)).alias("sh"))
         .where(F.col("sh") != "")
         .select(F.md5("sh").alias("h"))
     )
