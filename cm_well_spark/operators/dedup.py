@@ -406,6 +406,57 @@ def duplicated_spans(
     )
 
 
+def remove_duplicated_spans(
+    df: DataFrame,
+    k: int = 16,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_span_freq: int | None = None,
+) -> DataFrame:
+    """The DELETION step of Lee et al. 2022 substring dedup: cut every
+    word covered by a recurring k-token span out of the training text
+    and stitch the survivors back in order -> (id_col, text). Documents
+    emptied entirely still appear (text = '') so callers can count them.
+
+    Shape at 100 TB: duplicated_spans does the heavy lifting (positional
+    k-gram hashes, one groupBy on the 16-byte hash — span text never
+    shuffles). Its output aggregates to ONE row per affected doc (the
+    sorted span-start array), which left-joins back to the corpus on the
+    doc id; the cut itself is fully columnar — a word is kept iff no
+    span start s satisfies s <= idx < s+k, evaluated with higher-order
+    array functions over the doc's own words. No corpus reassembly
+    shuffle: unaffected docs pass the join untouched, affected docs are
+    rewritten in place in the projection. SQL-replayable end to end
+    (list_filter over the same start array), so the oracle checks the
+    cut itself. Reference: the reference flags duplicate content but has
+    no corpus rewriter; this is the training-pipeline extension
+    (SURVEY.md pipeline tranche)."""
+    spans = duplicated_spans(
+        df, k=k, min_docs=min_docs, text_col=text_col, id_col=id_col, max_span_freq=max_span_freq
+    )
+    starts = spans.groupBy(F.col(id_col).alias("__sid")).agg(
+        F.array_sort(F.collect_set("pos")).alias("__starts")
+    )
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    covered = lambda idx: F.exists(  # noqa: E731
+        F.col("__starts"), lambda s: (s <= idx) & (idx < s + F.lit(k))
+    )
+    kept = F.filter(
+        F.transform(words, lambda w, i: F.struct(w.alias("w"), i.alias("i"))),
+        lambda s: ~covered(s["i"]),
+    )
+    return (
+        df.join(starts, F.col(id_col) == F.col("__sid"), "left")
+        .select(
+            F.col(id_col),
+            F.when(F.col("__starts").isNull(), normalize_text(F.col(text_col)))
+            .otherwise(F.concat_ws(" ", F.transform(kept, lambda s: s["w"])))
+            .alias(text_col),
+        )
+    )
+
+
 def line_dedup(
     df: DataFrame,
     min_docs: int = 2,

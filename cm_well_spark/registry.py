@@ -4226,6 +4226,55 @@ def text_bigram_nll(spark, sf_dir):
 
 
 @register(
+    "dedup_span_removal",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split({_NORM_SQL.format(c='text')}, ' ') AS w
+      FROM documents WHERE doc_id < 300
+    ),
+    grams AS (
+      SELECT doc_id, u.i AS pos,
+             md5(array_to_string(w[u.i + 1 : u.i + 16], ' ')) AS span_hash
+      FROM d, LATERAL (
+        SELECT unnest(range(greatest(len(w) - 16, 0) + 1)) AS i
+      ) u
+    ),
+    recurring AS (
+      SELECT span_hash FROM grams GROUP BY span_hash
+      HAVING count(DISTINCT doc_id) >= 2
+    ),
+    starts AS (
+      SELECT g.doc_id, list_sort(list(DISTINCT g.pos)) AS st
+      FROM grams g JOIN recurring r USING (span_hash)
+      GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           CASE WHEN s.st IS NULL THEN array_to_string(d.w, ' ')
+                ELSE coalesce(array_to_string(
+                  list_filter(d.w, (x, i) ->
+                    len(list_filter(s.st, p -> p <= i - 1 AND i - 1 < p + 16)) = 0),
+                  ' '), '')
+           END AS text
+    FROM d LEFT JOIN starts s USING (doc_id)
+    """,
+)
+def dedup_span_removal(spark, sf_dir):
+    """The deletion step of Lee et al. 2022 substring dedup
+    (dedup.py:remove_duplicated_spans): every word covered by a 16-token
+    span recurring across >= 2 docs is cut and the survivors restitched
+    in order. The span table folds to one sorted start-array row per
+    affected doc; the cut is columnar (higher-order filter over the
+    doc's own words), unaffected docs pass a left join untouched — no
+    corpus reassembly shuffle. The oracle replays the cut itself with
+    the same list algebra."""
+    from cm_well_spark.operators.dedup import remove_duplicated_spans
+    from cm_well_spark.sources import tables as tbl
+
+    docs = tbl.load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return remove_duplicated_spans(docs, k=16, min_docs=2)
+
+
+@register(
     "dedup_duplicated_spans",
     oracle=f"""
     WITH d AS (

@@ -1006,3 +1006,39 @@ def test_corpus_overlap_sketch_bounds(spark, sf_dir):
     # identical corpora -> estimate exactly 1
     same = corpus_overlap_sketch(docs.limit(50), docs.limit(50), k_sketch=64).first()
     assert same["jaccard_est"] == 1.0
+
+
+def test_remove_duplicated_spans_cuts_and_restitches(spark):
+    from cm_well_spark.operators.dedup import remove_duplicated_spans
+
+    shared = " ".join(f"s{i}" for i in range(6))  # 6-token span shared by docs 1,2
+    rows = [
+        (1, f"alpha beta {shared} gamma"),
+        (2, f"delta {shared} epsilon zeta"),
+        (3, "totally unrelated words here only once"),
+        (4, shared),  # fully covered -> emptied, still present
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["text"] for r in remove_duplicated_spans(df, k=6, min_docs=2).collect()}
+
+    # pure-Python twin of the cut
+    def cut(words, k=6):
+        grams = {}
+        for did, t in rows:
+            w = t.split()
+            for p in range(max(len(w) - k, 0) + 1):
+                grams.setdefault(" ".join(w[p : p + k]), set()).add(did)
+        recurring = {g for g, ds in grams.items() if len(ds) >= 2}
+        starts = [
+            p
+            for p in range(max(len(words) - k, 0) + 1)
+            if " ".join(words[p : p + k]) in recurring
+        ]
+        return " ".join(
+            w for i, w in enumerate(words) if not any(s <= i < s + k for s in starts)
+        )
+
+    for did, t in rows:
+        assert out[did] == cut(t.split()), did
+    assert out[4] == ""  # emptied doc still reported
+    assert out[3] == rows[2][1]  # untouched doc passes through verbatim
