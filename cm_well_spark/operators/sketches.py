@@ -1,0 +1,106 @@
+"""Bounded-memory frequency sketches.
+
+heavy_hitters: every key with frequency >= ceil(phi * N), with EXACT
+counts, without ever shuffling the full distinct-key set. The classic
+two-pass frequent-items recipe (Misra-Gries 1982 / frequent algorithm,
+Cormode & Hadjieleftheriou 2008 survey):
+
+  pass 1  per-Arrow-batch frequent-items summaries with capacity
+          c = max(8, ceil(2/phi)): a key is a CANDIDATE if its count in
+          some batch exceeds len(batch)/c. The Misra-Gries guarantee
+          applied batch-wise: if f_b(x) <= N_b/c in every batch b, then
+          f(x) = sum f_b(x) <= N/c < phi*N — so every true heavy hitter
+          is a candidate. Candidate volume is bounded by batches x c,
+          independent of the corpus's distinct-key count.
+  pass 2  exact recount of the candidate set only (isin pushdown when
+          the set is small, gated semi-join otherwise — the
+          compaction.py counted-gate discipline), thresholded against
+          the total count inside the same plan.
+
+Why this matters at 100 TB: the naive `groupBy(key).count()` shuffles
+every distinct key (billions of n-grams); here the only full-corpus
+work is two scans, and the shuffle carries candidates only. The answer
+is EXACT (not approximate), so the whole operator is SQL-replayable and
+hash-checked against the brute-force GROUP BY oracle.
+
+Reference parity: the reference's significant-terms/term aggregations
+(FTSService aggregations) return exact top-k via ES shard aggs; this is
+the corpus-scale frequent-items complement for training-data n-gram
+audits (boilerplate phrases, contamination hot spots).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: above this many candidates the isin literal / forced broadcast stops
+#: being sane; fall back to a plain semi-join and let AQE decide.
+_CANDIDATE_CAP = 100_000
+
+#: isin literals beyond this go through the semi-join instead (same
+#: rationale as compaction._ISIN_PUSHDOWN_CAP, scaled to value lists).
+_ISIN_MAX = 10_000
+
+
+def heavy_hitters(
+    items: DataFrame,
+    key_col: str = "token",
+    phi: float = 0.001,
+) -> DataFrame:
+    """(key_col, cnt) for every key with cnt >= max(1, ceil(phi * N)),
+    N = total non-empty rows of `items`. Exact counts, candidates found
+    batch-wise with bounded memory — see module docstring."""
+    if not (0.0 < phi <= 1.0):
+        raise ValueError("phi must be in (0, 1]")
+    import pandas as pd
+
+    cap = max(8, math.ceil(2.0 / phi))
+    stream = items.where(F.col(key_col).isNotNull() & (F.col(key_col) != ""))
+
+    def batch_frequent(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            vc = pdf[key_col].value_counts()
+            thr = len(pdf) / cap
+            yield pd.DataFrame({key_col: vc.index[vc.to_numpy() > thr]})
+
+    # distinct over the bounded candidate stream, materialized once —
+    # the recount and the (possible) isin collection both reuse it
+    candidates = stream.mapInPandas(
+        batch_frequent, schema=f"{key_col} string"
+    ).distinct().localCheckpoint(eager=True)
+    n_cand = candidates.count()
+
+    if n_cand <= _ISIN_MAX:
+        vals = [r[0] for r in candidates.collect()]
+        recount_src = stream.where(F.col(key_col).isin(vals))
+    elif n_cand <= _CANDIDATE_CAP:
+        recount_src = stream.join(F.broadcast(candidates), key_col, "left_semi")
+    else:
+        recount_src = stream.join(candidates, key_col, "left_semi")
+
+    counts = recount_src.groupBy(key_col).agg(F.count(F.lit(1)).alias("cnt"))
+    total = stream.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .where(F.col("cnt") >= F.greatest(F.lit(1), F.ceil(F.lit(phi) * F.col("__n")).cast("long")))
+        .select(key_col, "cnt")
+    )
+
+
+def word_heavy_hitters(
+    docs: DataFrame, phi: float = 0.001, text_col: str = "text"
+) -> DataFrame:
+    """heavy_hitters over the corpus's normalized word stream —
+    (token, cnt) for words making up >= phi of all tokens."""
+    from cm_well_spark.operators.text import normalize_text, spread_for_cpu
+
+    words = spread_for_cpu(docs).select(
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("token")
+    )
+    return heavy_hitters(words, key_col="token", phi=phi)

@@ -4226,6 +4226,37 @@ def text_bigram_nll(spark, sf_dir):
 
 
 @register(
+    "agg_heavy_hitters",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest(string_split({_NORM_SQL.format(c='text')}, ' ')) AS token
+      FROM documents
+    ), tot AS (
+      SELECT count(*) AS n FROM words WHERE token <> ''
+    )
+    SELECT token, CAST(count(*) AS BIGINT) AS cnt
+    FROM words, tot
+    WHERE token <> ''
+    GROUP BY token, tot.n
+    HAVING count(*) >= greatest(1, CAST(ceil(0.0345 * tot.n) AS BIGINT))
+    """,
+)
+def agg_heavy_hitters(spark, sf_dir):
+    """Exact phi-heavy-hitters over the corpus word stream
+    (sketches.py:heavy_hitters, Misra-Gries two-pass): per-batch
+    bounded-memory frequent-items summaries nominate candidates (every
+    key above phi*N is guaranteed in), then an exact recount of the
+    candidate set only — the shuffle carries candidates, never the full
+    distinct vocabulary. Exact answer, so the oracle is the brute-force
+    GROUP BY ... HAVING."""
+    from cm_well_spark.operators.sketches import word_heavy_hitters
+    from cm_well_spark.sources import tables as tbl
+
+    docs = tbl.load_table(spark, sf_dir, "documents")
+    return word_heavy_hitters(docs, phi=0.0345)
+
+
+@register(
     "dedup_span_removal",
     oracle=f"""
     WITH d AS (

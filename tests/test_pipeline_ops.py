@@ -1042,3 +1042,40 @@ def test_remove_duplicated_spans_cuts_and_restitches(spark):
         assert out[did] == cut(t.split()), did
     assert out[4] == ""  # emptied doc still reported
     assert out[3] == rows[2][1]  # untouched doc passes through verbatim
+
+
+def test_heavy_hitters_exact_on_skew(spark):
+    """Zipf-ish stream: the sketch's answer must EQUAL the brute-force
+    groupBy answer (exactness claim), and the candidate set must be a
+    small subset of the distinct keys (bounded-memory claim)."""
+    from cm_well_spark.operators.sketches import heavy_hitters
+
+    rows = []
+    for i in range(40):  # 40 hot keys, ~docs each
+        rows += [(f"hot{i}",)] * (200 - i)
+    rows += [(f"cold{j}",) for j in range(5000)]  # long unique tail
+    items = spark.createDataFrame(rows, ["token"]).repartition(8)
+
+    phi = 0.005  # threshold ~ 0.005 * 12620 = 64
+    got = {(r["token"], r["cnt"]) for r in heavy_hitters(items, phi=phi).collect()}
+    import math
+
+    n = len(rows)
+    thr = max(1, math.ceil(phi * n))
+    from collections import Counter
+
+    truth = {(k, c) for k, c in Counter(t for (t,) in rows).items() if c >= thr}
+    assert got == truth
+    assert len(truth) == 40  # all hot keys, no cold tail
+
+
+def test_heavy_hitters_boundary_and_validation(spark):
+    from cm_well_spark.operators.sketches import heavy_hitters
+
+    with pytest.raises(ValueError):
+        heavy_hitters(spark.createDataFrame([("a",)], ["token"]), phi=0.0)
+    # phi=1: only a key that IS the whole stream qualifies
+    items = spark.createDataFrame([("a",), ("a",), ("b",)], ["token"])
+    assert heavy_hitters(items, phi=1.0).count() == 0
+    solo = spark.createDataFrame([("a",), ("a",)], ["token"])
+    assert [tuple(r) for r in heavy_hitters(solo, phi=1.0).collect()] == [("a", 2)]
