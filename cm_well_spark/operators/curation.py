@@ -101,6 +101,38 @@ def decontaminate(
     return corpus.join(F.broadcast(bad.select(id_col)), id_col, "left_anti")
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Crawl-to-crawl corpus delta -> (id_col, status) with status in
+    {added, removed, changed}; unchanged docs are dropped. The step an
+    incremental pipeline runs first: only `added`/`changed` docs enter
+    the dedup/filter/mixture passes (see incremental_dedup_verdicts),
+    `removed` ids feed tombstones downstream.
+
+    Shape at 100 TB: each side reduces to (id, md5(text)) AT THE SCAN —
+    only 16-byte hashes shuffle into one full-outer equi-join on the id;
+    document text never moves. The same content-hash convention as
+    exact dedup, so diffs and dedup share scan output when composed."""
+    o = old.select(F.col(id_col).alias("__id"), F.md5(F.col(text_col)).alias("__oh"))
+    n = new.select(F.col(id_col).alias("__id"), F.md5(F.col(text_col)).alias("__nh"))
+    return (
+        o.join(n, "__id", "full_outer")
+        .select(
+            F.col("__id").alias(id_col),
+            F.when(F.col("__oh").isNull(), F.lit("added"))
+            .when(F.col("__nh").isNull(), F.lit("removed"))
+            .when(F.col("__oh") != F.col("__nh"), F.lit("changed"))
+            .otherwise(F.lit("unchanged"))
+            .alias("status"),
+        )
+        .where(F.col("status") != "unchanged")
+    )
+
+
 def quality_filter(
     docs: DataFrame,
     min_quality: float = 0.5,

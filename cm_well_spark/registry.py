@@ -4226,6 +4226,43 @@ def text_bigram_nll(spark, sf_dir):
 
 
 @register(
+    "curation_snapshot_diff",
+    oracle="""
+    WITH o AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id < 400
+    ), n AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 7 = 0 THEN upper(text) ELSE text END) AS h
+      FROM documents WHERE doc_id >= 10 AND doc_id < 410
+    )
+    SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.h IS NULL THEN 'added'
+                WHEN n.h IS NULL THEN 'removed'
+                WHEN o.h <> n.h THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+    WHERE (o.h IS NULL OR n.h IS NULL OR o.h <> n.h)
+    """,
+)
+def curation_snapshot_diff(spark, sf_dir):
+    """Crawl-to-crawl delta (curation.py:snapshot_diff): old = docs
+    [0,400), new = docs [10,410) with every 7th doc's text mutated —
+    yielding added (400-409), removed (0-9), changed (%7) rows. Each
+    side reduces to (id, md5) at the scan; one hash-only full-outer
+    equi-join, text never shuffles."""
+    from cm_well_spark.operators.curation import snapshot_diff
+    from cm_well_spark.sources import tables as tbl
+
+    docs = tbl.load_table(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") < 400)
+    new = docs.where((F.col("doc_id") >= 10) & (F.col("doc_id") < 410)).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0, F.upper(F.col("text"))).otherwise(F.col("text")),
+    )
+    return snapshot_diff(old, new)
+
+
+@register(
     "agg_heavy_hitters",
     oracle=f"""
     WITH words AS (

@@ -1079,3 +1079,16 @@ def test_heavy_hitters_boundary_and_validation(spark):
     assert heavy_hitters(items, phi=1.0).count() == 0
     solo = spark.createDataFrame([("a",), ("a",)], ["token"])
     assert [tuple(r) for r in heavy_hitters(solo, phi=1.0).collect()] == [("a", 2)]
+
+
+def test_snapshot_diff_statuses(spark):
+    from cm_well_spark.operators.curation import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "will change"), (3, "will vanish")], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "changed!"), (4, "brand new")], ["doc_id", "text"]
+    )
+    got = {(r["doc_id"], r["status"]) for r in snapshot_diff(old, new).collect()}
+    assert got == {(2, "changed"), (3, "removed"), (4, "added")}
