@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # ---------------------------------------------------------------------------
 # token counting
@@ -169,6 +170,44 @@ def normalize_text(c: Column) -> Column:
     """Canonical form for hashing: lowercase, collapse whitespace &
     punctuation to single spaces."""
     return F.trim(F.regexp_replace(F.lower(c), r"[^a-z0-9]+", " "))
+
+
+def unicode_normalize(
+    df: DataFrame, form: str = "NFC", text_col: str = "text", out_col: str | None = None
+) -> DataFrame:
+    """Unicode-normalize a text column (NFC/NFD/NFKC/NFKD) — the
+    canonicalization pass a tokenizer-training pipeline runs before
+    counting anything: composed vs decomposed accents, fullwidth forms,
+    ligatures and compatibility characters otherwise split token
+    statistics across byte-distinct spellings of the same text.
+
+    Spark has no codegen'd unicode normalizer, so this is an honest
+    Arrow-batched mapInPandas seam (stdlib unicodedata — the same class
+    of seam as the multimodal codecs; never row-at-a-time). All other
+    columns pass through untouched. NFC output is hash-checked against
+    DuckDB's nfc_normalize in the registry oracle; the compatibility
+    forms are pytest-pinned against unicodedata directly."""
+    import unicodedata
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    out = out_col or text_col
+    fields = [f for f in df.schema.fields if f.name != out]
+    schema = T.StructType(fields + [T.StructField(out, T.StringType())])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            norm = pdf[text_col].map(
+                lambda s: None if s is None else unicodedata.normalize(form, s)
+            )
+            res = pdf[[f.name for f in fields]].copy() if fields else pd.DataFrame(index=pdf.index)
+            res[out] = norm
+            yield res
+
+    return df.mapInPandas(batches, schema)
 
 
 def doc_fingerprint(c: Column) -> Column:

@@ -4226,6 +4226,43 @@ def text_bigram_nll(spark, sf_dir):
 
 
 @register(
+    "text_unicode_nfc",
+    oracle="""
+    SELECT doc_id,
+           nfc_normalize(
+             CASE WHEN doc_id % 2 = 0 THEN 'e' || chr(769) || ' ' || text
+                  ELSE chr(233) || ' ' || text END
+           ) AS text
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def text_unicode_nfc(spark, sf_dir):
+    """Unicode NFC canonicalization (text.py:unicode_normalize) with a
+    fixture that makes it bite on the ASCII corpus: even docs get a
+    DECOMPOSED e+combining-acute prefix, odd docs the COMPOSED e-acute
+    — NFC folds both spellings to the identical composed byte sequence,
+    and the oracle proves Python unicodedata == DuckDB nfc_normalize
+    bit-for-bit. Arrow-batched mapInPandas seam, passthrough columns."""
+    from cm_well_spark.operators.text import unicode_normalize
+    from cm_well_spark.sources import tables as tbl
+
+    docs = (
+        tbl.load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(F.lit("e\u0301 "), F.col("text")),
+            )
+            .otherwise(F.concat(F.lit("\u00e9 "), F.col("text")))
+            .alias("text"),
+        )
+    )
+    return unicode_normalize(docs, form="NFC")
+
+
+@register(
     "curation_snapshot_diff",
     oracle="""
     WITH o AS (

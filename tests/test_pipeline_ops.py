@@ -1092,3 +1092,24 @@ def test_snapshot_diff_statuses(spark):
     )
     got = {(r["doc_id"], r["status"]) for r in snapshot_diff(old, new).collect()}
     assert got == {(2, "changed"), (3, "removed"), (4, "added")}
+
+
+def test_unicode_normalize_forms(spark):
+    import unicodedata
+
+    from cm_well_spark.operators.text import unicode_normalize
+
+    rows = [
+        (1, "éclair", "x"),   # decomposed accent
+        (2, "ｆullwidth", "y"),  # fullwidth letter (NFKC folds)
+        (3, "ﬁle", "z"),        # ligature fi (NFKC folds)
+        (4, None, "w"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "tag"])
+    for form in ("NFC", "NFD", "NFKC", "NFKD"):
+        got = {r["doc_id"]: (r["text"], r["tag"]) for r in unicode_normalize(df, form).collect()}
+        for did, t, tag in rows:
+            want = None if t is None else unicodedata.normalize(form, t)
+            assert got[did] == (want, tag), (form, did)
+    with pytest.raises(ValueError):
+        unicode_normalize(df, form="NFX")
