@@ -167,3 +167,82 @@ def packing_stats(
         F.ceil(F.sum("n_tok") / ctx).alias("n_seqs_packed"),
         F.sum(F.ceil(F.col("n_tok") / ctx)).alias("n_seqs_unpacked"),
     )
+
+
+def pack_bins_ffd(
+    docs: DataFrame,
+    context_len: int,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "ffd",
+) -> DataFrame:
+    """First-fit-decreasing bin packing: assign each document to a bin of
+    capacity `context_len` tokens WITHOUT splitting documents — the
+    padding-minimizing alternative to pack_concat_windows when sequences
+    must not cross document boundaries (instruction tuning, contrastive
+    batches, anything where cross-doc attention is wrong). FFD is the
+    classic 11/9-OPT+6/9 guarantee heuristic (Johnson 1973).
+
+    Output: (id_col, bucket, bin_id, n_tok). `bin_id` is per-bucket;
+    (bucket, bin_id) is the global bin key. Documents longer than
+    context_len get bin_id -1 (bucket -1): the caller decides to
+    truncate or split upstream — silently dropping them would misreport
+    packing efficiency.
+
+    Shape at 100 TB: bin packing is inherently sequential, so the
+    parallel form is salted-bucket FFD — a deterministic md5 bucket
+    splits the corpus into n_buckets independent streams (size the
+    bucket count so each holds ~10-100k docs), each packed by one
+    applyInPandas group in Arrow batches. One shuffle on the bucket key;
+    per-bucket state is just the open-bin fill array (<= docs/bin-size
+    entries). Against a global FFD this costs a bounded efficiency loss
+    (each bucket wastes at most one partial bin per open tail) and buys
+    full cluster parallelism + bit-for-bit reproducibility under any
+    topology (the salted order is data-derived, not partition-derived).
+    Not SQL-replayable (sequential bin state) — pytest pins parity with
+    a pure-Python FFD, the capacity invariant, and determinism."""
+    import pandas as pd
+
+    if context_len <= 0:
+        raise ValueError("context_len must be positive")
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        whitespace_token_count(F.col(text_col)).alias("n_tok"),
+        _salted_md5(id_col, salt).alias("rk"),
+    )
+    bucket = F.conv(F.substring("rk", 1, 8), 16, 10).cast("long") % n_buckets
+    fit = base.where(F.col("n_tok") <= context_len).withColumn("bucket", bucket)
+    over = base.where(F.col("n_tok") > context_len).select(
+        F.col("id").alias(id_col),
+        F.lit(-1).cast("long").alias("bucket"),
+        F.lit(-1).cast("long").alias("bin_id"),
+        F.col("n_tok"),
+    )
+
+    def ffd(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["n_tok", "rk"], ascending=[False, True])
+        fills: list[int] = []
+        assigned: list[int] = []
+        for n in pdf["n_tok"].to_numpy():
+            for j, f in enumerate(fills):
+                if f + n <= context_len:
+                    fills[j] = f + n
+                    assigned.append(j)
+                    break
+            else:
+                fills.append(int(n))
+                assigned.append(len(fills) - 1)
+        return pd.DataFrame(
+            {
+                id_col: pdf["id"].to_numpy(),
+                "bucket": pdf["bucket"].to_numpy(),
+                "bin_id": assigned,
+                "n_tok": pdf["n_tok"].to_numpy(),
+            }
+        )
+
+    packed = fit.groupBy("bucket").applyInPandas(
+        ffd, schema=f"{id_col} long, bucket long, bin_id long, n_tok long"
+    )
+    return packed.unionByName(over)

@@ -4225,6 +4225,21 @@ def text_bigram_nll(spark, sf_dir):
     )
 
 
+@register("pack_bins_ffd")
+def pack_bins_ffd_entry(spark, sf_dir):
+    """First-fit-decreasing sequence packing (packing.py:pack_bins_ffd):
+    salted-bucket parallel FFD, docs never split across sequences.
+    Rows-only by nature (sequential bin state is not SQL-replayable);
+    pytest pins pure-Python-FFD parity, the capacity invariant, and
+    determinism; packing efficiency vs the concat lower bound is
+    asserted there too."""
+    from cm_well_spark.operators.packing import pack_bins_ffd
+    from cm_well_spark.sources import tables as tbl
+
+    docs = tbl.load_table(spark, sf_dir, "documents")
+    return pack_bins_ffd(docs, context_len=64, n_buckets=8)
+
+
 @register(
     "text_unicode_nfc",
     oracle="""

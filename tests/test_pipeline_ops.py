@@ -1113,3 +1113,63 @@ def test_unicode_normalize_forms(spark):
             assert got[did] == (want, tag), (form, did)
     with pytest.raises(ValueError):
         unicode_normalize(df, form="NFX")
+
+
+def test_pack_bins_ffd_parity_capacity_determinism(spark, sf_dir):
+    from cm_well_spark.operators.packing import pack_bins_ffd
+    from cm_well_spark.sources import tables as tbl
+
+    docs = tbl.load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    out = pack_bins_ffd(docs, context_len=64, n_buckets=4).collect()
+
+    # capacity invariant per (bucket, bin)
+    fills = {}
+    for r in out:
+        if r["bin_id"] >= 0:
+            fills[(r["bucket"], r["bin_id"])] = fills.get((r["bucket"], r["bin_id"]), 0) + r["n_tok"]
+    assert fills and all(v <= 64 for v in fills.values())
+
+    # parity with a pure-Python FFD over the same salted buckets
+    import hashlib
+
+    rows = [(r["doc_id"], len(r["text"].strip().split())) for r in docs.select("doc_id", "text").collect()]
+
+    def rk(i):
+        return hashlib.md5(f"ffd:{i}".encode()).hexdigest()
+
+    def model():
+        got = {}
+        buckets = {}
+        for i, n in rows:
+            if n > 64:
+                got[i] = (-1, -1)
+                continue
+            buckets.setdefault(int(rk(i)[:8], 16) % 4, []).append((i, n))
+        for b, items in buckets.items():
+            items.sort(key=lambda t: (-t[1], rk(t[0])))
+            fills = []
+            for i, n in items:
+                for j, f in enumerate(fills):
+                    if f + n <= 64:
+                        fills[j] = f + n
+                        got[i] = (b, j)
+                        break
+                else:
+                    fills.append(n)
+                    got[i] = (b, len(fills) - 1)
+        return got
+
+    want = model()
+    got = {r["doc_id"]: (r["bucket"], r["bin_id"]) for r in out}
+    assert got == want
+
+    # determinism across re-runs
+    again = {r["doc_id"]: (r["bucket"], r["bin_id"]) for r in pack_bins_ffd(docs, 64, 4).collect()}
+    assert again == got
+
+    # efficiency: FFD bins should not exceed 2x the fractional lower bound
+    total_tok = sum(n for _, n in rows if n <= 64)
+    n_bins = len(fills)
+    import math
+
+    assert n_bins <= 2 * math.ceil(total_tok / 64) + 4
