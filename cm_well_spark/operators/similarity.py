@@ -971,3 +971,68 @@ def hard_negatives(
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= k)
     )
+
+
+def mmr_select(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    lam: float = 0.7,
+    fetch: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal Marginal Relevance diverse top-k (Carbonell & Goldstein
+    1998): greedily select k items maximizing lam*rel(d) - (1-lam) *
+    max_{s in selected} sim(d, s) — relevance-ranked retrieval that
+    doesn't return k near-copies of the best hit (the re-rank step of a
+    RAG / retrieval-augmented training pipeline, and the diversity dual
+    of hard_negatives).
+
+    Shape: stage 1 is the distributed exact cosine top-`fetch`
+    (TakeOrderedAndProject — per-partition heap, only `fetch` rows
+    reach the driver side of the plan); the corpus is never touched
+    again. Stage 2 runs k greedy rounds over the CHECKPOINTED <=fetch
+    candidate rows (bounded by contract, the codebook-class bounded
+    state), each round one tiny single-partition job: columnar
+    max-similarity against the selected vectors (literal arrays) and an
+    orderBy(mmr).limit(1) pick, ties broken by id. Every arithmetic
+    step is a sequential double fold, so an ANSI engine replays the
+    greedy chain exactly (the oracle does, via chained CTEs).
+
+    Returns (rank, id_col, score): rank 1..k, score = rel for rank 1,
+    the MMR value after, both rounded to 6 digits."""
+    if k < 1 or fetch < k:
+        raise ValueError("need k >= 1 and fetch >= k")
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cand = (
+        df.select(F.col(id_col).alias("id"), cast.alias("v"))
+        .withColumn("rel", cosine(F.col("v"), q))
+        .orderBy(F.desc("rel"), F.asc("id"))
+        .limit(fetch)
+        .localCheckpoint(eager=True)
+    )
+    spark = df.sparkSession
+    selected: list[tuple] = []  # (id, vec, score)
+    remaining = cand
+    for rank in range(1, k + 1):
+        if not selected:
+            score = F.col("rel")
+        else:
+            sims = [
+                cosine(F.col("v"), F.array(*[F.lit(float(x)) for x in vec]))
+                for _sid, vec, _s in selected
+            ]
+            maxsim = sims[0] if len(sims) == 1 else F.greatest(*sims)
+            score = F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * maxsim
+        row = (
+            remaining.select("id", "v", score.alias("mmr"))
+            .orderBy(F.desc("mmr"), F.asc("id"))
+            .limit(1)
+            .collect()[0]
+        )
+        selected.append((row["id"], row["v"], float(row["mmr"])))
+        remaining = remaining.where(F.col("id") != row["id"])
+    out = [(r + 1, sid, round(s, 6)) for r, (sid, _v, s) in enumerate(selected)]
+    return spark.createDataFrame(out, f"rank int, {id_col} long, score double")

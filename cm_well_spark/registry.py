@@ -4225,6 +4225,69 @@ def text_bigram_nll(spark, sf_dir):
     )
 
 
+@register(
+    "similarity_mmr_select",
+    oracle="""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e ORDER BY vec_id LIMIT 1),
+    cand AS (
+      SELECT vec_id, v, list_cosine_similarity(v, qv) AS rel
+      FROM e, q ORDER BY rel DESC, vec_id ASC LIMIT 50
+    ),
+    s1 AS (SELECT vec_id, v, rel AS score FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+    sel1 AS (SELECT vec_id, v FROM s1),
+    r2 AS (
+      SELECT c.vec_id, c.v,
+             0.7 * c.rel - 0.30000000000000004 * (SELECT max(list_cosine_similarity(c.v, s.v)) FROM sel1 s) AS mmr
+      FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM sel1)
+    ),
+    s2 AS (SELECT vec_id, v, mmr AS score FROM r2 ORDER BY mmr DESC, vec_id LIMIT 1),
+    sel2 AS (SELECT vec_id, v FROM sel1 UNION ALL SELECT vec_id, v FROM s2),
+    r3 AS (
+      SELECT c.vec_id, c.v,
+             0.7 * c.rel - 0.30000000000000004 * (SELECT max(list_cosine_similarity(c.v, s.v)) FROM sel2 s) AS mmr
+      FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM sel2)
+    ),
+    s3 AS (SELECT vec_id, v, mmr AS score FROM r3 ORDER BY mmr DESC, vec_id LIMIT 1),
+    sel3 AS (SELECT vec_id, v FROM sel2 UNION ALL SELECT vec_id, v FROM s3),
+    r4 AS (
+      SELECT c.vec_id, c.v,
+             0.7 * c.rel - 0.30000000000000004 * (SELECT max(list_cosine_similarity(c.v, s.v)) FROM sel3 s) AS mmr
+      FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM sel3)
+    ),
+    s4 AS (SELECT vec_id, v, mmr AS score FROM r4 ORDER BY mmr DESC, vec_id LIMIT 1),
+    sel4 AS (SELECT vec_id, v FROM sel3 UNION ALL SELECT vec_id, v FROM s4),
+    r5 AS (
+      SELECT c.vec_id, c.v,
+             0.7 * c.rel - 0.30000000000000004 * (SELECT max(list_cosine_similarity(c.v, s.v)) FROM sel4 s) AS mmr
+      FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM sel4)
+    ),
+    s5 AS (SELECT vec_id, v, mmr AS score FROM r5 ORDER BY mmr DESC, vec_id LIMIT 1),
+    sel5 AS (SELECT vec_id, v FROM sel4 UNION ALL SELECT vec_id, v FROM s5),
+    dummy AS (SELECT 1)
+    SELECT * FROM (
+      SELECT 1 AS rank, vec_id, round(score, 6) AS score FROM s1
+      UNION ALL SELECT 2, vec_id, round(score, 6) FROM s2
+      UNION ALL SELECT 3, vec_id, round(score, 6) FROM s3
+      UNION ALL SELECT 4, vec_id, round(score, 6) FROM s4
+      UNION ALL SELECT 5, vec_id, round(score, 6) FROM s5
+    )
+    """,
+)
+def similarity_mmr_select(spark, sf_dir):
+    """MMR diverse top-5 (similarity.py:mmr_select, Carbonell &
+    Goldstein 1998): exact cosine top-50 candidates
+    (TakeOrderedAndProject), then 5 greedy rounds of
+    lam*rel - (1-lam)*max-sim-to-selected over the bounded checkpointed
+    candidate set. Every arithmetic step is a sequential double fold, so
+    the oracle replays the greedy chain with 5 chained CTEs."""
+    from cm_well_spark.operators.similarity import mmr_select
+    from cm_well_spark.sources import tables as tbl
+
+    embs = tbl.load_table(spark, sf_dir, "embeddings")
+    return mmr_select(embs, _query_vec(spark, sf_dir), k=5, lam=0.7, fetch=50)
+
+
 @register("pack_bins_ffd")
 def pack_bins_ffd_entry(spark, sf_dir):
     """First-fit-decreasing sequence packing (packing.py:pack_bins_ffd):

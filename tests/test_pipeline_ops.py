@@ -1173,3 +1173,45 @@ def test_pack_bins_ffd_parity_capacity_determinism(spark, sf_dir):
     import math
 
     assert n_bins <= 2 * math.ceil(total_tok / 64) + 4
+
+
+def test_mmr_select_diversifies(spark):
+    import numpy as np
+
+    from cm_well_spark.operators.similarity import mmr_select
+
+    rng = np.random.default_rng(7)
+    # three tight clusters; cluster 0 closest to the query
+    centers = np.array([[1.0, 0.0, 0.0], [0.7, 0.7, 0.0], [0.0, 0.0, 1.0]])
+    rows = []
+    for i in range(30):
+        c = centers[i % 3] + rng.normal(0, 0.01, 3)
+        rows.append((i, [float(x) for x in c]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = [1.0, 0.0, 0.0]
+
+    got = mmr_select(df, q, k=4, lam=0.5, fetch=30).collect()
+    assert [r["rank"] for r in got] == [1, 2, 3, 4]
+
+    # numpy twin of the greedy chain
+    def cos(a, b):
+        return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    vecs = {i: np.array(v) for i, v in rows}
+    rel = {i: cos(v, np.array(q)) for i, v in vecs.items()}
+    cand = sorted(rel, key=lambda i: (-rel[i], i))[:30]
+    sel = []
+    for _ in range(4):
+        if not sel:
+            pick = max(cand, key=lambda i: (rel[i], -i))
+        else:
+            pick = max(
+                (i for i in cand if i not in sel),
+                key=lambda i: (0.5 * rel[i] - 0.5 * max(cos(vecs[i], vecs[s]) for s in sel), -i),
+            )
+        sel.append(pick)
+    assert [r["vec_id"] for r in got] == sel
+    # pure relevance would pick 4 cluster-0 near-copies; MMR must not
+    assert len({r["vec_id"] % 3 for r in got}) >= 2
+    with pytest.raises(ValueError):
+        mmr_select(df, q, k=5, fetch=3)
