@@ -101,6 +101,44 @@ def decontaminate(
     return corpus.join(F.broadcast(bad.select(id_col)), id_col, "left_anti")
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "wrs",
+) -> DataFrame:
+    """Weighted random sampling WITHOUT replacement (Efraimidis-Spirakis
+    2006, exponential-clock form): each row draws u ~ U(0,1) from a
+    salted md5 of its id and gets key = -ln(u) / w — the k SMALLEST keys
+    are the sample, with inclusion probability proportional to weight
+    (equivalent to the paper's u^(1/w) max-key form). The curation use:
+    quality- or token-weighted corpus subsampling whose selected set is
+    identical across partitionings, retries and engines (no RNG state —
+    the same md5-derived-uniform discipline as dsir_resample).
+
+    Plan: one scan; orderBy(key).limit(k) is TakeOrderedAndProject —
+    per-partition k-heaps, only k rows reach the driver merge, no global
+    sort. Keys round to 1e-6 before ordering (id tie-break) so float
+    drift cannot flip the cut across engines; rows with weight <= 0 are
+    excluded (zero weight = zero inclusion mass)."""
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), 1, 12),
+            16,
+            10,
+        ).cast("double")
+        + 1.0
+    ) / F.lit(float(16**12) + 2.0)
+    key = F.round(-F.log(u) / F.col(weight_col), 6)
+    return (
+        df.where(F.col(weight_col) > 0)
+        .select(F.col(id_col), F.col(weight_col), key.alias("wrs_key"))
+        .orderBy("wrs_key", id_col)
+        .limit(k)
+    )
+
+
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,

@@ -4226,6 +4226,28 @@ def text_bigram_nll(spark, sf_dir):
 
 
 @register(
+    "curation_weighted_sample",
+    oracle="""
+    SELECT doc_id, n_chars,
+           round(-ln((('0x' || substring(md5('wrs:' || doc_id), 1, 12))::BIGINT + 1.0)
+                     / 281474976710658.0) / n_chars, 6) AS wrs_key
+    FROM documents WHERE n_chars > 0
+    ORDER BY wrs_key, doc_id LIMIT 100
+    """,
+)
+def curation_weighted_sample(spark, sf_dir):
+    """Length-weighted corpus sample without replacement
+    (curation.py:weighted_sample, Efraimidis-Spirakis exponential
+    clocks): md5-derived uniforms make the draw engine-replayable;
+    TakeOrderedAndProject top-k, 1e-6-rounded keys with id tie-break."""
+    from cm_well_spark.operators.curation import weighted_sample
+    from cm_well_spark.sources import tables as tbl
+
+    docs = tbl.load_table(spark, sf_dir, "documents")
+    return weighted_sample(docs, "n_chars", k=100)
+
+
+@register(
     "similarity_mmr_select",
     oracle="""
     WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

@@ -1215,3 +1215,17 @@ def test_mmr_select_diversifies(spark):
     assert len({r["vec_id"] % 3 for r in got}) >= 2
     with pytest.raises(ValueError):
         mmr_select(df, q, k=5, fetch=3)
+
+
+def test_weighted_sample_bias_and_determinism(spark):
+    from cm_well_spark.operators.curation import weighted_sample
+
+    rows = [(i, 1.0 if i < 500 else 10.0) for i in range(1000)] + [(1000, 0.0), (1001, -3.0)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    got = weighted_sample(df, "w", k=200).collect()
+    ids = [r["doc_id"] for r in got]
+    assert len(ids) == 200 and 1000 not in ids and 1001 not in ids
+    heavy = sum(1 for i in ids if 500 <= i < 1000) / 200
+    assert heavy > 0.75  # expected ~10/11, binomial noise leaves huge margin
+    again = [r["doc_id"] for r in weighted_sample(df, "w", k=200).collect()]
+    assert again == ids
