@@ -251,3 +251,62 @@ def sample_neighborhood(
     for nxt in hops[1:]:
         out = out.unionByName(nxt)
     return out
+
+
+def triangle_count(
+    triples: DataFrame, fields: Sequence[str] | None = None
+) -> DataFrame:
+    """triangle_count_edges over the reference link graph."""
+    return triangle_count_edges(reference_edges(triples, fields))
+
+
+def triangle_count_edges(e: DataFrame) -> DataFrame:
+    """Total undirected triangle count of an edge list (src, dst) -> one
+    row (n_triangles). The classic graph-health / community-density
+    signal (global clustering numerator).
+
+    Plan (compact-forward / MapReduce triangle counting, Latapy 2008,
+    Suri & Vassilvitskii 2011): edges normalize to undirected (a, b)
+    pairs, every node gets its degree, and each edge ORIENTS from its
+    lower-(degree, id) endpoint. Wedges are then enumerated only at
+    their lowest-degree apex — a hub of degree d never fans out d^2
+    candidate wedges (the skew guard that makes this survive power-law
+    graphs at 100 TB); closing edges are found with one more equi-join
+    on the oriented pair. Three equi-joins + one count, no cartesian
+    anywhere. The oracle counts the same triangles with the plain
+    a<b<c self-join (orientation-free — same set, skew-safe only at
+    oracle scale)."""
+    und = (
+        e.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionAll(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    withd = (
+        und.join(deg.select(F.col("n").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("n").alias("b"), F.col("d").alias("db")), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = withd.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("ddst"),
+    )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    lower = (F.col("o1.ddst") < F.col("o2.ddst")) | (
+        (F.col("o1.ddst") == F.col("o2.ddst")) & (F.col("o1.dst") < F.col("o2.dst"))
+    )
+    wedges = o1.join(o2, (F.col("o1.src") == F.col("o2.src")) & lower).select(
+        F.col("o1.dst").alias("v"), F.col("o2.dst").alias("w")
+    )
+    closed = wedges.join(
+        oriented.select(F.col("src").alias("v"), F.col("dst").alias("w")), ["v", "w"]
+    )
+    return closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))

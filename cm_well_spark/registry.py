@@ -5702,6 +5702,55 @@ def graph_link_degrees(spark, sf_dir):
 
 
 @register(
+    "graph_triangles",
+    oracle="""
+    WITH raw AS (
+      SELECT '/tpch/customer/' || c_custkey AS src,
+             '/tpch/nation/' || c_nationkey AS dst FROM customer
+      UNION ALL
+      SELECT '/tpch/supplier/' || s_suppkey, '/tpch/nation/' || s_nationkey FROM supplier
+      UNION ALL
+      SELECT '/tpch/nation/' || n_nationkey, '/tpch/region/' || n_regionkey FROM nation
+      UNION ALL
+      SELECT '/tpch/customer/' || c_custkey, '/tpch/region/' || n_regionkey
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      UNION ALL
+      SELECT '/tpch/supplier/' || s_suppkey, '/tpch/region/' || n_regionkey
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    ),
+    und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM raw WHERE src <> dst
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles
+    FROM und e1
+    JOIN und e2 ON e1.a = e2.a AND e1.b < e2.b
+    JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+    """,
+)
+def graph_triangles(spark, sf_dir):
+    """Undirected triangle count (graph.py:triangle_count_edges,
+    compact-forward degree orientation — wedges enumerate at their
+    lowest-degree apex, the hub-skew guard). The raw link graph is
+    layered (0 triangles), so the entry closes membership one hop:
+    x->nation edges composed with nation->region yield an x->region
+    edge, making a triangle per customer/supplier — a real workload
+    (affiliation closure) and a non-trivial count. Oracle recounts with
+    the orientation-free a<b<c self-join, independently derived from
+    the raw tables."""
+    from cm_well_spark.operators.graph import reference_edges, triangle_count_edges
+
+    tri = _tri(spark, sf_dir)
+    xn = reference_edges(tri, ["inNation"])
+    nr = reference_edges(tri, ["ofRegion"])
+    xr = xn.alias("l").join(
+        nr.alias("r"), F.col("l.dst") == F.col("r.src")
+    ).select(F.col("l.src").alias("src"), F.col("r.dst").alias("dst"))
+    edges = xn.unionByName(nr).unionByName(xr)
+    return triangle_count_edges(edges)
+
+
+@register(
     "graph_pagerank",
     oracle=_LINK_EDGE_SQL
     + """

@@ -1229,3 +1229,21 @@ def test_weighted_sample_bias_and_determinism(spark):
     assert heavy > 0.75  # expected ~10/11, binomial noise leaves huge margin
     again = [r["doc_id"] for r in weighted_sample(df, "w", k=200).collect()]
     assert again == ids
+
+
+def test_triangle_count_edges_known_graph(spark):
+    from cm_well_spark.operators.graph import triangle_count_edges
+
+    # K4 has 4 triangles; plus a pendant edge and a duplicate/reversed
+    # edge that must not change the count
+    nodes = ["a", "b", "c", "d"]
+    edges = [(x, y) for i, x in enumerate(nodes) for y in nodes[i + 1 :]]
+    edges += [("d", "e"), ("b", "a"), ("a", "b")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    assert triangle_count_edges(df).first()["n_triangles"] == 4
+
+    # triangle-free bipartite graph
+    bip = spark.createDataFrame(
+        [(f"l{i}", f"r{j}") for i in range(3) for j in range(3)], ["src", "dst"]
+    )
+    assert triangle_count_edges(bip).first()["n_triangles"] == 0
