@@ -310,3 +310,50 @@ def triangle_count_edges(e: DataFrame) -> DataFrame:
         oriented.select(F.col("src").alias("v"), F.col("dst").alias("w")), ["v", "w"]
     )
     return closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+
+
+def label_propagation(
+    triples: DataFrame,
+    fields: Sequence[str] | None = None,
+    iterations: int = 3,
+    reliable: bool | None = None,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et al.
+    2007, made deterministic) -> (node, label) after a FIXED number of
+    rounds: labels start as the node's own id; each round every node
+    adopts the most frequent label among its (undirected) neighbors,
+    ties broken toward the LARGEST label — argmax+tie-break collapse to
+    ONE max(struct(cnt, label)) aggregate, no window. Fixed rounds +
+    deterministic tie-break make the whole evolution SQL-replayable
+    (the oracle chains one CTE per round, like pagerank's).
+
+    Per round: one equi-join of the label relation against the
+    symmetric edge list and two keyed aggregations whose shuffles carry
+    (node, label[, cnt]) only — the same Pregel-free shape as pagerank,
+    with the same iter_checkpoint depth-bounding (reliable=True for
+    durable iteration state on a real cluster)."""
+    if iterations < 1:
+        raise ValueError("label_propagation needs at least 1 iteration")
+    e = reference_edges(triples, fields)
+    sym = (
+        e.select("src", "dst")
+        .unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+    sym = iter_checkpoint(sym, reliable)
+    labels = sym.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for i in range(iterations):
+        nbr = sym.join(
+            labels.select(F.col("node").alias("dst"), "label"), "dst"
+        ).select(F.col("src").alias("node"), "label")
+        cnt = nbr.groupBy("node", "label").agg(F.count(F.lit(1)).alias("cnt"))
+        labels = (
+            cnt.groupBy("node")
+            .agg(F.max(F.struct("cnt", "label")).alias("b"))
+            .select("node", F.col("b.label").alias("label"))
+        )
+        if (i + 1) % 8 == 0 and (i + 1) < iterations:
+            labels = iter_checkpoint(labels, reliable)
+    return labels

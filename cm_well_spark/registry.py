@@ -5702,6 +5702,58 @@ def graph_link_degrees(spark, sf_dir):
 
 
 @register(
+    "graph_label_propagation",
+    oracle="""
+    WITH raw AS (
+      SELECT '/tpch/customer/' || c_custkey AS src,
+             '/tpch/nation/' || c_nationkey AS dst FROM customer
+      UNION ALL
+      SELECT '/tpch/supplier/' || s_suppkey, '/tpch/nation/' || s_nationkey FROM supplier
+      UNION ALL
+      SELECT '/tpch/nation/' || n_nationkey, '/tpch/region/' || n_regionkey FROM nation
+    ),
+    sym AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM raw UNION ALL SELECT dst, src FROM raw
+      )
+    ),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym),
+    l1 AS (SELECT node, label FROM (
+        SELECT s.src AS node, l.label, count(*) AS cnt,
+               row_number() OVER (PARTITION BY s.src
+                 ORDER BY count(*) DESC, l.label DESC) AS rn
+        FROM sym s JOIN l0 l ON s.dst = l.node
+        GROUP BY s.src, l.label
+      ) WHERE rn = 1),
+    l2 AS (SELECT node, label FROM (
+        SELECT s.src AS node, l.label, count(*) AS cnt,
+               row_number() OVER (PARTITION BY s.src
+                 ORDER BY count(*) DESC, l.label DESC) AS rn
+        FROM sym s JOIN l1 l ON s.dst = l.node
+        GROUP BY s.src, l.label
+      ) WHERE rn = 1),
+    l3 AS (SELECT node, label FROM (
+        SELECT s.src AS node, l.label, count(*) AS cnt,
+               row_number() OVER (PARTITION BY s.src
+                 ORDER BY count(*) DESC, l.label DESC) AS rn
+        FROM sym s JOIN l2 l ON s.dst = l.node
+        GROUP BY s.src, l.label
+      ) WHERE rn = 1)
+    SELECT node, label FROM l3
+    """,
+)
+def graph_label_propagation(spark, sf_dir):
+    """3-round deterministic synchronous LPA over the membership graph
+    (customer/supplier->nation->region): most-frequent neighbor label,
+    ties to the largest label, one max(struct) agg per round. Fixed
+    rounds make the evolution SQL-replayable — the oracle chains one CTE
+    per round, so the hash compare covers the iteration itself."""
+    from cm_well_spark.operators.graph import label_propagation
+
+    return label_propagation(_tri(spark, sf_dir), ["inNation", "ofRegion"], iterations=3)
+
+
+@register(
     "graph_triangles",
     oracle="""
     WITH raw AS (

@@ -1247,3 +1247,40 @@ def test_triangle_count_edges_known_graph(spark):
         [(f"l{i}", f"r{j}") for i in range(3) for j in range(3)], ["src", "dst"]
     )
     assert triangle_count_edges(bip).first()["n_triangles"] == 0
+
+
+def test_label_propagation_two_cliques(spark):
+    from cm_well_spark.operators.graph import label_propagation
+
+    # two 4-cliques joined by one bridge edge: LPA must keep them as two
+    # communities (each converges to its own max label)
+    import itertools
+
+    a = [f"/a{i}" for i in range(4)]
+    b = [f"/b{i}" for i in range(4)]
+    edges = list(itertools.combinations(a, 2)) + list(itertools.combinations(b, 2))
+    edges.append((a[0], b[0]))
+    rows = [(s, "link", o, "s", True) for s, o in edges]
+    tri = spark.createDataFrame(rows, ["s", "p", "o", "vtype", "current"])
+    got = {r["node"]: r["label"] for r in label_propagation(tri, ["link"], iterations=4).collect()}
+
+    # pure-Python twin of the synchronous deterministic evolution
+    from collections import Counter, defaultdict
+
+    adj = defaultdict(set)
+    for s_, o_ in edges:
+        adj[s_].add(o_)
+        adj[o_].add(s_)
+    labels = {n: n for n in adj}
+    for _ in range(4):
+        nxt = {}
+        for n in adj:
+            c = Counter(labels[m] for m in adj[n])
+            top = max(c.values())
+            nxt[n] = max(l for l, v in c.items() if v == top)
+        labels = nxt
+    assert got == labels
+    # the inner clique members (no bridge) agree on a community label
+    assert len({got[n] for n in b[1:]}) == 1
+    with pytest.raises(ValueError):
+        label_propagation(tri, ["link"], iterations=0)
