@@ -5702,6 +5702,41 @@ def graph_link_degrees(spark, sf_dir):
 
 
 @register(
+    "index_postings",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split({_NORM_SQL.format(c='text')}, ' ') AS ws
+      FROM documents WHERE doc_id < 100
+    ),
+    w AS (
+      SELECT doc_id AS doc, u.i - 1 AS pos, ws[u.i] AS term
+      FROM d, LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i) u
+      WHERE ws[u.i] <> ''
+    ),
+    pd AS (
+      SELECT term, doc, CAST(count(*) AS BIGINT) AS tf,
+             array_to_string(list(pos ORDER BY pos), ',') AS positions
+      FROM w GROUP BY term, doc
+    ),
+    tl AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM pd GROUP BY term)
+    SELECT pd.term, pd.doc, pd.tf, pd.positions, tl.df
+    FROM pd JOIN tl USING (term)
+    """,
+)
+def index_postings(spark, sf_dir):
+    """Inverted-index postings export (indexing.py:build_postings): flat
+    (term, doc, tf, positions, df) rows — the search-shard load format
+    the reference delegates to its FTS backend (FTSService /
+    es.indexer), rebuilt as one posexplode + one (term, doc) aggregate
+    + a term-level df join over the already-reduced posting rows."""
+    from cm_well_spark.operators.indexing import build_postings
+    from cm_well_spark.sources import tables as tbl
+
+    docs = tbl.load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return build_postings(docs)
+
+
+@register(
     "graph_label_propagation",
     oracle="""
     WITH raw AS (

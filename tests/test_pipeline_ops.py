@@ -1284,3 +1284,19 @@ def test_label_propagation_two_cliques(spark):
     assert len({got[n] for n in b[1:]}) == 1
     with pytest.raises(ValueError):
         label_propagation(tri, ["link"], iterations=0)
+
+
+def test_build_postings_positions_and_df(spark):
+    from cm_well_spark.operators.indexing import build_postings
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the dog")], ["doc_id", "text"]
+    )
+    rows = {(r["term"], r["doc"]): (r["tf"], r["positions"], r["df"]) for r in build_postings(df).collect()}
+    assert rows[("the", 1)] == (2, "0,4", 2)
+    assert rows[("the", 2)] == (1, "0", 2)
+    assert rows[("cat", 1)] == (1, "1", 1)
+    assert rows[("mat", 1)] == (1, "5", 1)
+    # every doc position appears exactly once across its postings
+    total_positions = sum(len(v[1].split(",")) for (t, d), v in rows.items() if d == 1)
+    assert total_positions == 6
