@@ -139,7 +139,36 @@ def weighted_sample(
     )
 
 
+def score_quantiles(
+    df: DataFrame,
+    score,
+    by: str,
+    ps: tuple[float, ...] = (0.1, 0.25, 0.5, 0.75, 0.9),
+    out_score: str = "q",
+) -> DataFrame:
+    """Per-stratum EXACT score quantiles -> (by, p, q): the calibration
+    table a filtering pipeline derives thresholds from (per-language
+    perplexity cutoffs, per-source length gates) — computed exactly, not
+    sketched, so thresholds are reproducible and engine-checkable
+    (Spark's sort-based `percentile` interpolates identically to ANSI
+    percentile_cont/quantile_cont — bit-for-bit, probed in tests).
+
+    One groupBy(by): the per-group sort rides the aggregate's spill
+    machinery; output is one row per (stratum, p) — tiny. `score` is any
+    Column; quantiles round to 1e-6."""
+    arr = ", ".join(repr(float(p)) for p in ps)
+    scored = df.select(F.col(by), score.cast("double").alias("__s"))
+    agg = scored.groupBy(by).agg(F.expr(f"percentile(__s, array({arr}))").alias("__qs"))
+    pcol = F.array(*[F.lit(float(p)) for p in ps])
+    return (
+        agg.select(by, F.explode(F.arrays_zip(pcol.alias("p"), F.col("__qs").alias("q"))).alias("z"))
+        .select(by, F.col("z.p").alias("p"), F.round("z.q", 6).alias(out_score))
+    )
+
+
 def snapshot_diff(
+
+
     old: DataFrame,
     new: DataFrame,
     id_col: str = "doc_id",

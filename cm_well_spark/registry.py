@@ -5702,6 +5702,33 @@ def graph_link_degrees(spark, sf_dir):
 
 
 @register(
+    "curation_score_quantiles",
+    oracle="""
+    SELECT lang, unnest([0.1, 0.25, 0.5, 0.75, 0.9]) AS p,
+           round(unnest(quantile_cont(nw, [0.1, 0.25, 0.5, 0.75, 0.9])), 6) AS q
+    FROM (
+      SELECT lang,
+             CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS DOUBLE) AS nw
+      FROM documents
+    )
+    GROUP BY lang
+    """,
+)
+def curation_score_quantiles(spark, sf_dir):
+    """Per-language EXACT word-count quantiles
+    (curation.py:score_quantiles) — the calibration table per-stratum
+    filter thresholds come from. Spark's sort-based percentile
+    interpolates bit-identically to quantile_cont, so the oracle is a
+    direct replay."""
+    from cm_well_spark.operators.curation import score_quantiles
+    from cm_well_spark.operators.text import whitespace_token_count
+    from cm_well_spark.sources import tables as tbl
+
+    docs = tbl.load_table(spark, sf_dir, "documents")
+    return score_quantiles(docs, whitespace_token_count(F.col("text")), by="lang")
+
+
+@register(
     "index_postings",
     oracle=f"""
     WITH d AS (

@@ -1300,3 +1300,17 @@ def test_build_postings_positions_and_df(spark):
     # every doc position appears exactly once across its postings
     total_positions = sum(len(v[1].split(",")) for (t, d), v in rows.items() if d == 1)
     assert total_positions == 6
+
+
+def test_score_quantiles_exact(spark):
+    import numpy as np
+
+    from cm_well_spark.operators.curation import score_quantiles
+
+    vals = {"a": [1, 3, 4, 7, 11, 13, 29], "b": [2, 2, 2, 10]}
+    rows = [(g, float(v)) for g, vs in vals.items() for v in vs]
+    df = spark.createDataFrame(rows, ["g", "s"])
+    got = {(r["g"], r["p"]): r["q"] for r in score_quantiles(df, F.col("s"), by="g").collect()}
+    for g, vs in vals.items():
+        for p in (0.1, 0.25, 0.5, 0.75, 0.9):
+            assert abs(got[(g, p)] - round(float(np.quantile(vs, p)), 6)) < 1e-9, (g, p)
