@@ -100,6 +100,16 @@ def main() -> None:
         "similarity_hard_negatives",
         "dedup_corpus_overlap",
         "text_script_profile",
+        # round-8 additions with distinct plan shapes: MG candidates +
+        # exact recount, positional-k-gram columnar cut, hash-only outer
+        # join, degree-oriented wedges, per-round LPA join+agg, greedy
+        # MMR chain over a bounded checkpointed candidate set
+        "agg_heavy_hitters",
+        "dedup_span_removal",
+        "curation_snapshot_diff",
+        "graph_triangles",
+        "graph_label_propagation",
+        "similarity_mmr_select",
         # curation_full_pipeline is oracle-checked but benched separately
         # (CMW_BENCH_QUERIES=curation_full_pipeline): ~20-35 s at sf0.1,
         # which under host contention + the warm-rerun rule would risk the
