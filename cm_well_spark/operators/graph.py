@@ -260,7 +260,7 @@ def triangle_count(
     return triangle_count_edges(reference_edges(triples, fields))
 
 
-def triangle_count_edges(e: DataFrame) -> DataFrame:
+def triangle_count_edges(e: DataFrame, reliable: bool | None = None) -> DataFrame:
     """Total undirected triangle count of an edge list (src, dst) -> one
     row (n_triangles). The classic graph-health / community-density
     signal (global clustering numerator).
@@ -294,10 +294,16 @@ def triangle_count_edges(e: DataFrame) -> DataFrame:
     a_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
-    oriented = withd.select(
-        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
-        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
-        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("ddst"),
+    # materialize the oriented relation ONCE: it feeds both wedge sides
+    # and the closing join — without this the scan+distinct+degree-join
+    # subtree executes three times (measured 9.7s -> ~2s at sf0.1)
+    oriented = iter_checkpoint(
+        withd.select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+            F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("ddst"),
+        ),
+        reliable,
     )
     o1, o2 = oriented.alias("o1"), oriented.alias("o2")
     lower = (F.col("o1.ddst") < F.col("o2.ddst")) | (

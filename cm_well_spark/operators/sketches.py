@@ -5,13 +5,16 @@ counts, without ever shuffling the full distinct-key set. The classic
 two-pass frequent-items recipe (Misra-Gries 1982 / frequent algorithm,
 Cormode & Hadjieleftheriou 2008 survey):
 
-  pass 1  per-Arrow-batch frequent-items summaries with capacity
-          c = max(8, ceil(2/phi)): a key is a CANDIDATE if its count in
-          some batch exceeds len(batch)/c. The Misra-Gries guarantee
-          applied batch-wise: if f_b(x) <= N_b/c in every batch b, then
-          f(x) = sum f_b(x) <= N/c < phi*N — so every true heavy hitter
-          is a candidate. Candidate volume is bounded by batches x c,
-          independent of the corpus's distinct-key count.
+  pass 1  candidate nomination with bounded memory and NO false
+          negatives. Primary path: Spark's own stat.freqItems — the
+          JVM-side distributed frequent-elements summary (one
+          treeAggregate of per-partition bounded maps; whole-stage
+          scan, zero Python, zero shuffle of distinct keys), called at
+          support phi/2 so boundary items keep margin. Below freqItems'
+          1e-4 support floor: per-Arrow-batch summaries with capacity
+          c = max(8, ceil(2/phi)) — if f_b(x) <= N_b/c in every batch
+          then f(x) <= N/c < phi*N, so every true heavy hitter is
+          nominated either way.
   pass 2  exact recount of the candidate set only (isin pushdown when
           the set is small, gated semi-join otherwise — the
           compaction.py counted-gate discipline), thresholded against
@@ -58,31 +61,55 @@ def heavy_hitters(
         raise ValueError("phi must be in (0, 1]")
     import pandas as pd
 
-    cap = max(8, math.ceil(2.0 / phi))
     stream = items.where(F.col(key_col).isNotNull() & (F.col(key_col) != ""))
 
-    def batch_frequent(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            if not len(pdf):
-                continue
-            vc = pdf[key_col].value_counts()
-            thr = len(pdf) / cap
-            yield pd.DataFrame({key_col: vc.index[vc.to_numpy() > thr]})
-
-    # distinct over the bounded candidate stream, materialized once —
-    # the recount and the (possible) isin collection both reuse it
-    candidates = stream.mapInPandas(
-        batch_frequent, schema=f"{key_col} string"
-    ).distinct().localCheckpoint(eager=True)
-    n_cand = candidates.count()
-
-    if n_cand <= _ISIN_MAX:
-        vals = [r[0] for r in candidates.collect()]
-        recount_src = stream.where(F.col(key_col).isin(vals))
-    elif n_cand <= _CANDIDATE_CAP:
-        recount_src = stream.join(F.broadcast(candidates), key_col, "left_semi")
+    if phi >= 1e-4:
+        # JVM path: Spark's stat.freqItems IS the distributed
+        # frequent-elements summary (Karp/Misra-Gries family,
+        # implemented as a single treeAggregate — per-partition bounded
+        # maps merged once, whole-stage scan, zero Python, zero shuffle
+        # of distinct keys). Contract matches ours exactly: may return
+        # false positives, NEVER misses an item above the support — the
+        # recount kills the false positives.
+        row = stream.stat.freqItems([key_col], support=phi / 2.0).first()
+        vals = [v for v in row[f"{key_col}_freqItems"] if v is not None]
     else:
-        recount_src = stream.join(candidates, key_col, "left_semi")
+        # sub-1e-4 support (freqItems' floor): per-Arrow-batch summaries
+        # with capacity c — same guarantee, paid in Arrow transfer
+        cap = max(8, math.ceil(2.0 / phi))
+
+        def batch_frequent(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                vc = pdf[key_col].value_counts()
+                thr = len(pdf) / cap
+                yield pd.DataFrame({key_col: vc.index[vc.to_numpy() > thr]})
+
+        candidates = (
+            stream.mapInPandas(batch_frequent, schema=f"{key_col} string")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if candidates.count() > _ISIN_MAX:
+            recount_src = stream.join(candidates, key_col, "left_semi")
+            counts = recount_src.groupBy(key_col).agg(F.count(F.lit(1)).alias("cnt"))
+            total = stream.agg(F.count(F.lit(1)).alias("__n"))
+            return (
+                counts.crossJoin(F.broadcast(total))
+                .where(
+                    F.col("cnt")
+                    >= F.greatest(F.lit(1), F.ceil(F.lit(phi) * F.col("__n")).cast("long"))
+                )
+                .select(key_col, "cnt")
+            )
+        vals = [r[0] for r in candidates.collect()]
+
+    if len(vals) > _ISIN_MAX:
+        cand_df = items.sparkSession.createDataFrame([(v,) for v in vals], f"{key_col} string")
+        recount_src = stream.join(F.broadcast(cand_df), key_col, "left_semi")
+    else:
+        recount_src = stream.where(F.col(key_col).isin(vals))
 
     counts = recount_src.groupBy(key_col).agg(F.count(F.lit(1)).alias("cnt"))
     total = stream.agg(F.count(F.lit(1)).alias("__n"))

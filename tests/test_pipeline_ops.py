@@ -1314,3 +1314,21 @@ def test_score_quantiles_exact(spark):
     for g, vs in vals.items():
         for p in (0.1, 0.25, 0.5, 0.75, 0.9):
             assert abs(got[(g, p)] - round(float(np.quantile(vs, p)), 6)) < 1e-9, (g, p)
+
+
+def test_heavy_hitters_sub_support_fallback(spark):
+    """phi below freqItems' 1e-4 floor exercises the Arrow-batch
+    Misra-Gries fallback; the answer must still be exact."""
+    from collections import Counter
+    import math
+
+    from cm_well_spark.operators.sketches import heavy_hitters
+
+    rows = [(f"hot{i}",) for i in range(100) for _ in range(150)]
+    rows += [(f"cold{j}",) for j in range(5000)]
+    items = spark.createDataFrame(rows, ["token"]).repartition(6)
+    phi = 8e-5  # threshold = ceil(8e-5 * 20000) = 2
+    got = {(r["token"], r["cnt"]) for r in heavy_hitters(items, phi=phi).collect()}
+    thr = max(1, math.ceil(phi * len(rows)))
+    truth = {(k, c) for k, c in Counter(t for (t,) in rows).items() if c >= thr}
+    assert got == truth and len(truth) == 100
