@@ -642,3 +642,124 @@ def script_profile(
         F.length(c).cast("long").alias("n_chars"),
         F.when(best["n"] > 0, best["script"]).otherwise(F.lit("und")).alias("script"),
     )
+
+
+# ---------------------------------------------------------------------------
+# entropy / compressibility quality signals; memorization audit
+# ---------------------------------------------------------------------------
+
+
+def char_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document character-level Shannon entropy (bits/char) over the
+    normalized text -> (id, n_chars, char_entropy). Low entropy flags
+    degenerate repetition (aaaa..., keyboard mash, template floods) that
+    word-level rules miss; high entropy flags binary-junk-as-text. The
+    Gopher-class cheap gate before any LM scoring.
+
+    Shape: one explode to (doc, char) + two hash aggregations (map-side
+    combining) — the same shape as repetition_signals; log2 arithmetic
+    is exact for the SQL oracle."""
+    chars = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(normalize_text(F.col(text_col)), "")).alias("ch"),
+    ).where(F.col("ch") != "")
+    counts = chars.groupBy("id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = counts.groupBy("id").agg(
+        F.sum("c").alias("n_chars"),
+        (
+            -F.sum(F.col("c") * F.log2(F.col("c")))
+        ).alias("__partial"),
+    )
+    # H = log2(N) - (1/N) * sum(c * log2 c)  (exact regrouping, keeps one
+    # aggregation pass instead of joining totals back per char)
+    return per_doc.select(
+        F.col("id").alias(id_col),
+        "n_chars",
+        F.round(
+            F.log2(F.col("n_chars")) + F.col("__partial") / F.col("n_chars"), 6
+        ).alias("char_entropy"),
+    )
+
+
+def memorization_risk(
+    df: DataFrame,
+    k: int = 16,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_span_freq: int | None = None,
+) -> DataFrame:
+    """Per-document memorization audit (the aggregate view of Lee et al.
+    duplicated spans): (id, n_grams, n_dup_grams, dup_frac) where
+    dup_frac is the fraction of the doc's positional k-grams that recur
+    in >= min_docs documents. The triage score deciding which docs go
+    to span REMOVAL (remove_duplicated_spans) vs wholesale drop vs
+    memorization review.
+
+    Shape: dedup.duplicated_spans does the heavy lifting; this adds one
+    per-doc count of its output joined against the per-doc gram total
+    (a columnar size() on the scan — no second explode). Docs with no
+    duplicated spans report 0 through the left join."""
+    from cm_well_spark.operators.dedup import duplicated_spans
+
+    spans = duplicated_spans(
+        df, k=k, min_docs=min_docs, text_col=text_col, id_col=id_col, max_span_freq=max_span_freq
+    )
+    dup_counts = spans.groupBy(F.col(id_col).alias("__id")).agg(
+        F.count(F.lit(1)).alias("n_dup_grams")
+    )
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    totals = df.select(
+        F.col(id_col),
+        F.greatest(F.size(words) - k, F.lit(0)).alias("__ng"),
+    ).select(F.col(id_col), (F.col("__ng") + 1).alias("n_grams"))
+    return (
+        totals.join(dup_counts, F.col(id_col) == F.col("__id"), "left")
+        .select(
+            F.col(id_col),
+            "n_grams",
+            F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+            F.round(F.coalesce("n_dup_grams", F.lit(0)) / F.col("n_grams"), 6).alias("dup_frac"),
+        )
+    )
+
+
+def compression_ratio(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", level: int = 6
+) -> DataFrame:
+    """Per-document zlib compressibility -> (id, raw_len, zip_len,
+    ratio): the cheap entropy-rate proxy several production filters use
+    (highly compressible = boilerplate/repetition; incompressible =
+    junk/binary). Arrow-batched mapInPandas over stdlib zlib (the
+    codec-class Python seam — DEFLATE isn't SQL-expressible, so the
+    registry entry is rows-only and the numbers are pytest-pinned
+    against direct zlib calls)."""
+    import zlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("raw_len", T.LongType()),
+            T.StructField("zip_len", T.LongType()),
+            T.StructField("ratio", T.DoubleType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, rl, zl, rt = [], [], [], []
+            for rid, t in zip(pdf[id_col], pdf[text_col]):
+                b = (t or "").encode("utf-8")
+                z = len(zlib.compress(b, level))
+                ids.append(rid)
+                rl.append(len(b))
+                zl.append(z)
+                rt.append(round(z / len(b), 6) if b else None)
+            yield pd.DataFrame({id_col: ids, "raw_len": rl, "zip_len": zl, "ratio": rt})
+
+    return df.select(id_col, text_col).mapInPandas(batches, schema)

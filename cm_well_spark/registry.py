@@ -5702,6 +5702,92 @@ def graph_link_degrees(spark, sf_dir):
 
 
 @register(
+    "text_char_entropy",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_NORM_SQL.format(c='text')} AS t
+      FROM documents WHERE doc_id < 300
+    ),
+    ch AS (
+      SELECT doc_id, substring(t, u.i, 1) AS ch
+      FROM d, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) u
+      WHERE substring(t, u.i, 1) <> ''
+    ),
+    c AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY doc_id, ch),
+    p AS (SELECT doc_id, sum(c) AS n, -sum(c * log2(c)) AS part FROM c GROUP BY doc_id)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+           round(log2(n) + part / n, 6) AS char_entropy
+    FROM p
+    """,
+)
+def text_char_entropy(spark, sf_dir):
+    """Character-level Shannon entropy per doc (text.py:char_entropy,
+    the degenerate-repetition gate): one explode + two map-side-combining
+    aggregations; H regrouped to log2(N) - sum(c*log2 c)/N so no totals
+    join. Exact log2 arithmetic -> full oracle."""
+    from cm_well_spark.operators.text import char_entropy
+    from cm_well_spark.sources import tables as tbl
+
+    docs = tbl.load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return char_entropy(docs)
+
+
+@register(
+    "text_memorization_risk",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split({_NORM_SQL.format(c='text')}, ' ') AS w
+      FROM documents WHERE doc_id < 300
+    ),
+    grams AS (
+      SELECT doc_id, u.i AS pos,
+             md5(array_to_string(w[u.i + 1 : u.i + 16], ' ')) AS span_hash
+      FROM d, LATERAL (
+        SELECT unnest(range(greatest(len(w) - 16, 0) + 1)) AS i
+      ) u
+    ),
+    recurring AS (
+      SELECT span_hash FROM grams GROUP BY span_hash
+      HAVING count(DISTINCT doc_id) >= 2
+    ),
+    dup AS (
+      SELECT g.doc_id, count(*) AS n_dup
+      FROM grams g JOIN recurring r USING (span_hash) GROUP BY g.doc_id
+    ),
+    tot AS (SELECT doc_id, greatest(len(w) - 16, 0) + 1 AS n_grams FROM d)
+    SELECT t.doc_id, CAST(t.n_grams AS BIGINT) AS n_grams,
+           CAST(coalesce(dup.n_dup, 0) AS BIGINT) AS n_dup_grams,
+           round(coalesce(dup.n_dup, 0) * 1.0 / t.n_grams, 6) AS dup_frac
+    FROM tot t LEFT JOIN dup USING (doc_id)
+    """,
+)
+def text_memorization_risk(spark, sf_dir):
+    """Per-doc memorization audit (text.py:memorization_risk): fraction
+    of positional 16-grams recurring across >= 2 docs — the triage score
+    routing docs to span removal vs drop vs review. duplicated_spans
+    output folds to one count per doc; the gram total is a columnar
+    size() on the scan."""
+    from cm_well_spark.operators.text import memorization_risk
+    from cm_well_spark.sources import tables as tbl
+
+    docs = tbl.load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return memorization_risk(docs, k=16, min_docs=2)
+
+
+@register("text_compression_ratio")
+def text_compression_ratio(spark, sf_dir):
+    """zlib compressibility per doc (text.py:compression_ratio) — the
+    entropy-rate proxy filter. Rows-only by nature (DEFLATE is not
+    SQL-expressible); pytest pins the numbers against direct zlib calls
+    and the repetitive-vs-random ordering property."""
+    from cm_well_spark.operators.text import compression_ratio
+    from cm_well_spark.sources import tables as tbl
+
+    docs = tbl.load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return compression_ratio(docs)
+
+
+@register(
     "curation_score_quantiles",
     oracle="""
     SELECT lang, unnest([0.1, 0.25, 0.5, 0.75, 0.9]) AS p,

@@ -1332,3 +1332,68 @@ def test_heavy_hitters_sub_support_fallback(spark):
     thr = max(1, math.ceil(phi * len(rows)))
     truth = {(k, c) for k, c in Counter(t for (t,) in rows).items() if c >= thr}
     assert got == truth and len(truth) == 100
+
+
+def test_char_entropy_known_values(spark):
+    import math
+
+    from cm_well_spark.operators.text import char_entropy
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: (r["n_chars"], r["char_entropy"]) for r in char_entropy(df).collect()}
+    assert got[1] == (4, 0.0)
+    assert got[2] == (4, 1.0)
+    assert abs(got[3][1] - 2.0) < 1e-9
+    # normalization folds case/punct: "A.a" -> "a a" (3 chars incl. space)
+    one = {r["doc_id"]: r for r in char_entropy(
+        spark.createDataFrame([(9, "A.a")], ["doc_id", "text"])
+    ).collect()}
+    assert one[9]["n_chars"] == 3
+    assert abs(one[9]["char_entropy"] - (math.log2(3) - (2 / 3))) < 1e-6
+
+
+def test_memorization_risk_fractions(spark):
+    from cm_well_spark.operators.text import memorization_risk
+
+    shared = " ".join(f"s{i}" for i in range(4))
+    df = spark.createDataFrame(
+        [
+            (1, f"{shared} unique tail one two"),
+            (2, f"prefix {shared} other tail"),
+            (3, "no duplicated content here at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in memorization_risk(df, k=4, min_docs=2).collect()}
+    assert got[3]["n_dup_grams"] == 0 and got[3]["dup_frac"] == 0.0
+    assert got[1]["n_dup_grams"] >= 1 and 0 < got[1]["dup_frac"] <= 1
+    assert got[1]["n_grams"] == 8 - 4 + 1  # 8 words, k=4
+    # python twin for doc 1: grams shared with doc 2
+    w1 = f"{shared} unique tail one two".split()
+    w2 = f"prefix {shared} other tail".split()
+    g1 = [" ".join(w1[i : i + 4]) for i in range(len(w1) - 3)]
+    g2 = {" ".join(w2[i : i + 4]) for i in range(len(w2) - 3)}
+    assert got[1]["n_dup_grams"] == sum(1 for g in g1 if g in g2)
+
+
+def test_compression_ratio_pins(spark):
+    import zlib
+
+    from cm_well_spark.operators.text import compression_ratio
+
+    rep = "spam " * 200
+    import random
+
+    rng = random.Random(3)
+    noise = "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(1000))
+    df = spark.createDataFrame([(1, rep), (2, noise), (3, "")], ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in compression_ratio(df).collect()}
+    for did, t in [(1, rep), (2, noise)]:
+        b = t.encode()
+        assert got[did]["raw_len"] == len(b)
+        assert got[did]["zip_len"] == len(zlib.compress(b, 6))
+        assert abs(got[did]["ratio"] - round(len(zlib.compress(b, 6)) / len(b), 6)) < 1e-9
+    assert got[1]["ratio"] < 0.1 < got[2]["ratio"]  # repetitive << random
+    assert got[3]["ratio"] is None and got[3]["raw_len"] == 0
