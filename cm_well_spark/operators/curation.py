@@ -973,3 +973,57 @@ def train_linear_classifier(
         w = [wi - lr * g.get(b, 0.0) / n_docs for b, wi in enumerate(w)]
         bias -= lr * gb / n_docs
     return w, bias
+
+
+def corpus_datacard(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", lang_col: str = "lang"
+) -> DataFrame:
+    """One-row corpus data card -> (n_docs, n_tokens, avg_tokens,
+    p50_tokens, n_langs, top_lang, top_lang_frac, exact_dup_rate): the
+    summary table a dataset release documents (datasheet / data card
+    reporting). exact_dup_rate = fraction of docs whose normalized text
+    hash occurs more than once.
+
+    Shape at 100 TB: everything reduces at the scan — token counts and
+    content hashes are columnar projections; one global aggregate
+    (map-side combining) plus two tiny keyed aggregates (lang dim,
+    bounded; hash dim for the dup rate, the exact-dedup shuffle the
+    pipeline runs anyway). No row ever leaves with its text."""
+    from cm_well_spark.operators.text import normalize_text
+
+    base = docs.select(
+        F.col(id_col),
+        F.col(lang_col).alias("__lang"),
+        whitespace_token_count(F.col(text_col)).alias("__tok"),
+        F.md5(normalize_text(F.col(text_col))).alias("__h"),
+    )
+    main = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__tok").alias("n_tokens"),
+        F.round(F.avg("__tok"), 6).alias("avg_tokens"),
+        F.expr("percentile(__tok, 0.5)").alias("p50_tokens"),
+    )
+    langs = (
+        base.groupBy("__lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.count(F.lit(1)).alias("n_langs"),
+            F.max(F.struct("c", "__lang")).alias("__top"),
+            F.sum("c").alias("__total"),
+        )
+        .select(
+            "n_langs",
+            F.col("__top.__lang").alias("top_lang"),
+            F.round(F.col("__top.c") / F.col("__total"), 6).alias("top_lang_frac"),
+        )
+    )
+    dups = (
+        base.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))) / F.sum("c"), 6
+            ).alias("exact_dup_rate")
+        )
+    )
+    return main.crossJoin(F.broadcast(langs)).crossJoin(F.broadcast(dups))

@@ -5702,6 +5702,47 @@ def graph_link_degrees(spark, sf_dir):
 
 
 @register(
+    "corpus_datacard",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, lang,
+             len(string_split_regex(trim(lower(text)), '\\s+')) AS tok,
+             md5({_NORM_SQL.format(c='text')}) AS h
+      FROM documents
+    ),
+    main AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(tok) AS BIGINT) AS n_tokens,
+             round(avg(tok), 6) AS avg_tokens,
+             quantile_cont(tok, 0.5) AS p50_tokens
+      FROM base
+    ),
+    langs AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_langs,
+             max(struct_pack(c := c, l := lang)).l AS top_lang,
+             round(max(struct_pack(c := c, l := lang)).c * 1.0 / sum(c), 6)
+               AS top_lang_frac
+      FROM (SELECT lang, count(*) AS c FROM base GROUP BY lang)
+    ),
+    dups AS (
+      SELECT round(sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / sum(c), 6)
+               AS exact_dup_rate
+      FROM (SELECT h, count(*) AS c FROM base GROUP BY h)
+    )
+    SELECT * FROM main, langs, dups
+    """,
+)
+def corpus_datacard(spark, sf_dir):
+    """One-row dataset data card (curation.py:corpus_datacard): doc and
+    token totals, median length, language concentration, exact-dup
+    rate — everything reduces at the scan, text never moves."""
+    from cm_well_spark.operators.curation import corpus_datacard
+    from cm_well_spark.sources import tables as tbl
+
+    return corpus_datacard(tbl.load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "text_char_entropy",
     oracle=f"""
     WITH d AS (

@@ -1397,3 +1397,30 @@ def test_compression_ratio_pins(spark):
         assert abs(got[did]["ratio"] - round(len(zlib.compress(b, 6)) / len(b), 6)) < 1e-9
     assert got[1]["ratio"] < 0.1 < got[2]["ratio"]  # repetitive << random
     assert got[3]["ratio"] is None and got[3]["raw_len"] == 0
+
+
+def test_corpus_datacard_python_twin(spark, sf_dir):
+    from collections import Counter
+
+    from cm_well_spark.operators.curation import corpus_datacard
+    from cm_well_spark.sources import tables as tbl
+    import re
+    import statistics
+
+    docs = tbl.load_table(spark, sf_dir, "documents")
+    row = corpus_datacard(docs).first()
+    rows = docs.select("doc_id", "text", "lang").collect()
+    toks = [len(r["text"].strip().split()) for r in rows]
+    langs = Counter(r["lang"] for r in rows)
+    norm = [re.sub(r"[^a-z0-9]+", " ", r["text"].lower()).strip() for r in rows]
+    dup = Counter(norm)
+    n_dup = sum(c for c in dup.values() if c > 1)
+    assert row["n_docs"] == len(rows)
+    assert row["n_tokens"] == sum(toks)
+    assert abs(row["avg_tokens"] - round(sum(toks) / len(toks), 6)) < 1e-9
+    assert row["p50_tokens"] == statistics.median(toks)
+    assert row["n_langs"] == len(langs)
+    top_c = max(langs.values())
+    assert row["top_lang"] == max(l for l, c in langs.items() if c == top_c)
+    assert abs(row["top_lang_frac"] - round(top_c / len(rows), 6)) < 1e-9
+    assert abs(row["exact_dup_rate"] - round(n_dup / len(rows), 6)) < 1e-9

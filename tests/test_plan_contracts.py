@@ -363,3 +363,51 @@ def test_reliable_checkpoint_option(spark, sf_dir, tmp_path):
     ls = sample_neighborhood(triples, seeds, fanouts=(2,), fields=["inNation"])
     ds = sample_neighborhood(triples, seeds, fanouts=(2,), fields=["inNation"], reliable=True)
     assert sorted(map(tuple, ls.collect())) == sorted(map(tuple, ds.collect()))
+
+
+def test_heavy_hitters_recount_filters_before_aggregate(spark, sf_dir):
+    """r8: the recount must aggregate only the candidate-filtered stream
+    — the isin filter sits BELOW the aggregation exchange, so the
+    shuffle never carries the full distinct vocabulary."""
+    from cm_well_spark.operators.sketches import word_heavy_hitters
+    from cm_well_spark.sources import tables as tbl
+
+    docs = tbl.load_table(spark, sf_dir, "documents")
+    plan = plan_of(word_heavy_hitters(docs, phi=0.02))
+    # formatted details print in node order, deepest-first: the INSET
+    # candidate filter (node below) must appear before the token-keyed
+    # aggregation exchange (node above)
+    assert "INSET" in plan, plan
+    assert plan.index("INSET") < plan.index("hashpartitioning(token"), plan
+
+
+def test_snapshot_diff_shuffles_hashes_not_text(spark, sf_dir):
+    """r8: the diff's outer-join exchanges carry (id, md5) projections —
+    the text column must not appear in or above any exchange."""
+    from cm_well_spark.operators.curation import snapshot_diff
+    from cm_well_spark.sources import tables as tbl
+
+    docs = tbl.load_table(spark, sf_dir, "documents")
+    plan = plan_of(snapshot_diff(docs.where(F.col("doc_id") < 200), docs))
+    import re
+
+    inputs = re.findall(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan)
+    assert inputs, plan
+    for cols in inputs:
+        assert ("__oh" in cols or "__nh" in cols) and "text#" not in cols, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_span_removal_no_text_reassembly_shuffle(spark, sf_dir):
+    """r8: remove_duplicated_spans must not re-shuffle document text to
+    reassemble — affected docs rewrite in the projection after a join
+    whose build side is the one-row-per-doc start array."""
+    from cm_well_spark.operators.dedup import remove_duplicated_spans
+    from cm_well_spark.sources import tables as tbl
+
+    docs = tbl.load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    plan = plan_of(remove_duplicated_spans(docs, k=8))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    # the corpus-side text column feeds a projection, not an exploded
+    # reassembly aggregate: no collect_list anywhere in the plan
+    assert "collect_list" not in plan
