@@ -1046,3 +1046,57 @@ def mmr_select(
         pool.remove(best_id)
     out = [(r + 1, sid, round(s, 6)) for r, (sid, s) in enumerate(selected)]
     return df.sparkSession.createDataFrame(out, f"rank int, {id_col} long, score double")
+
+
+def quantize_binary(
+    embs: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id", dim: int | None = None
+) -> DataFrame:
+    """Sign-bit binary quantization -> (id_col, code: array<long>): one
+    bit per dimension (v > 0), packed 32 bits per code word — the 32x
+    compression step of binary-code ANN (sign random projections with
+    identity rotation; Hamming distance between codes approximates
+    angular distance, Charikar 2002). 32 bits per word keeps every
+    accumulation inside non-overflowing long arithmetic (ANSI-safe) and
+    the packing replayable in any SQL engine.
+
+    Fully columnar: one transform over the word index, one 32-element
+    fold per word. No Python, no shuffle — the code column rides the
+    scan, and downstream Hamming search operates on ceil(dim/32) longs
+    instead of dim floats."""
+    if dim is None:
+        first = embs.select(F.size(vec_col).alias("d")).first()
+        dim = int(first["d"])
+    n_words = (dim + 31) // 32
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    code = F.transform(
+        F.sequence(F.lit(0), F.lit(n_words - 1)),
+        lambda j: F.aggregate(
+            F.slice(v, j * 32 + 1, 32),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc * 2 + F.when(x > 0, 1).otherwise(0),
+        ),
+    )
+    return embs.select(F.col(id_col), code.alias("code"))
+
+
+def binary_hamming_topk(
+    codes: DataFrame, query_code: list[int], k: int = 10, id_col: str = "vec_id"
+) -> DataFrame:
+    """Exact Hamming top-k over packed binary codes -> (id_col,
+    hamming): per-word xor+popcount folded columnar, then
+    orderBy+limit = TakeOrderedAndProject (per-partition heaps, k rows
+    move). The scan reads ceil(dim/32) longs per row — at 100 TB this
+    is the 32x-cheaper first-stage retrieval whose survivors get exact
+    float re-ranking (same two-stage shape as ivfpq_topk's ADC +
+    re-rank)."""
+    q = F.array(*[F.lit(int(w)).cast("long") for w in query_code])
+    dist = F.aggregate(
+        F.zip_with(F.col("code"), q, lambda a, b: F.bit_count(a.bitwiseXOR(b))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        codes.select(F.col(id_col), dist.alias("hamming"))
+        .orderBy(F.asc("hamming"), F.asc(id_col))
+        .limit(k)
+    )

@@ -1424,3 +1424,53 @@ def test_corpus_datacard_python_twin(spark, sf_dir):
     assert row["top_lang"] == max(l for l, c in langs.items() if c == top_c)
     assert abs(row["top_lang_frac"] - round(top_c / len(rows), 6)) < 1e-9
     assert abs(row["exact_dup_rate"] - round(n_dup / len(rows), 6)) < 1e-9
+
+
+def test_binary_quantization_and_hamming(spark):
+    import numpy as np
+
+    from cm_well_spark.operators.similarity import binary_hamming_topk, quantize_binary
+
+    rng = np.random.default_rng(11)
+    vecs = {i: rng.normal(0, 1, 40).tolist() for i in range(30)}  # dim 40: ragged last word
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()], ["vec_id", "embedding"]
+    )
+    codes = {r["vec_id"]: list(r["code"]) for r in quantize_binary(df).collect()}
+
+    def pack(v):
+        words = []
+        for j in range(0, 40, 32):
+            acc = 0
+            for x in v[j : j + 32]:
+                acc = acc * 2 + (1 if x > 0 else 0)
+            words.append(acc)
+        return words
+
+    for i, v in vecs.items():
+        assert codes[i] == pack(v), i
+
+    q = codes[0]
+    got = [(r["vec_id"], r["hamming"]) for r in binary_hamming_topk(df.sparkSession.createDataFrame(
+        [(i, c) for i, c in codes.items()], ["vec_id", "code"]
+    ), q, k=5).collect()]
+
+    def ham(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+    want = sorted(((i, ham(c, q)) for i, c in codes.items()), key=lambda t: (t[1], t[0]))[:5]
+    assert got == want
+    assert got[0] == (0, 0)  # query matches itself exactly
+    # hamming approximates angular order: the true nearest-by-cosine
+    # neighbor should appear well inside the binary top half
+    import math
+
+    def cos(a, b):
+        return sum(x * y for x, y in zip(a, b)) / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+
+    true_nn = max((i for i in vecs if i != 0), key=lambda i: cos(vecs[i], vecs[0]))
+    full = sorted(((i, ham(c, q)) for i, c in codes.items() if i != 0), key=lambda t: (t[1], t[0]))
+    rank = [i for i, _ in full].index(true_nn)
+    assert rank < len(full) // 2
