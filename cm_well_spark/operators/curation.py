@@ -1027,3 +1027,42 @@ def corpus_datacard(
         )
     )
     return main.crossJoin(F.broadcast(langs)).crossJoin(F.broadcast(dups))
+
+
+def blocklist_filter(
+    docs: DataFrame,
+    patterns: list[str],
+    mode: str = "word",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style blocklist gating (Raffel et al. 2020 drop any page
+    containing a listed word) -> (id, keep, n_matched, first_match).
+    mode='word' matches whole normalized words (the C4 rule — 'class'
+    must not trip a 'ass' entry); mode='substring' matches anywhere in
+    the lowercased text (the stricter leetspeak-averse variant).
+
+    The pattern list is bounded by contract (curated blocklists are
+    hundreds to low-thousands of entries) and inlines as an array
+    literal — like the classifier weight vector, it rides the scan into
+    every executor with no broadcast join, no shuffle, no Python; each
+    doc pays one membership test per pattern against its own words.
+    first_match reports in PATTERN-LIST order (the audit convention:
+    earlier = more severe)."""
+    if mode not in ("word", "substring"):
+        raise ValueError(f"unknown mode {mode!r}")
+    pats = F.array(*[F.lit(p) for p in patterns])
+    if mode == "word":
+        from cm_well_spark.operators.text import normalize_text
+
+        words = F.split(normalize_text(F.col(text_col)), " ")
+        matched = F.filter(pats, lambda p: F.array_contains(words, p))
+    else:
+        low = F.lower(F.col(text_col))
+        matched = F.filter(pats, lambda p: low.contains(p))
+    return docs.select(
+        F.col(id_col),
+        (F.size(matched) == 0).alias("keep"),
+        F.size(matched).alias("n_matched"),
+        F.get(matched, 0).alias("first_match"),
+    )

@@ -5701,6 +5701,37 @@ def graph_link_degrees(spark, sf_dir):
     return link_degrees(_tri(spark, sf_dir), DEFAULT_LINK_FIELDS)
 
 
+@register(
+    "curation_blocklist",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split({_NORM_SQL.format(c='text')}, ' ') AS w
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             list_filter(['slow', 'dup', 'junkword'],
+                         p -> list_contains(w, p)) AS matched
+      FROM d
+    )
+    SELECT doc_id, len(matched) = 0 AS keep,
+           CAST(len(matched) AS INT) AS n_matched,
+           matched[1] AS first_match
+    FROM m
+    """,
+)
+def curation_blocklist(spark, sf_dir):
+    """C4 bad-words gate (curation.py:blocklist_filter, word mode): the
+    bounded pattern list inlines as an array literal riding the scan —
+    one membership test per pattern per doc, no broadcast, no shuffle.
+    first_match reports in pattern-list order."""
+    from cm_well_spark.operators.curation import blocklist_filter
+    from cm_well_spark.sources import tables as tbl
+
+    docs = tbl.load_table(spark, sf_dir, "documents")
+    return blocklist_filter(docs, ["slow", "dup", "junkword"], mode="word")
+
+
 _BINCODE_SQL = """
     WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                FROM embeddings),

@@ -1474,3 +1474,27 @@ def test_binary_quantization_and_hamming(spark):
     full = sorted(((i, ham(c, q)) for i, c in codes.items() if i != 0), key=lambda t: (t[1], t[0]))
     rank = [i for i, _ in full].index(true_nn)
     assert rank < len(full) // 2
+
+
+def test_blocklist_filter_modes(spark):
+    from cm_well_spark.operators.curation import blocklist_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, "a perfectly CLEAN document"),
+            (2, "contains badword right here"),
+            (3, "superbadwordish is only a substring"),
+            (4, "badword and also evil twice badword"),
+        ],
+        ["doc_id", "text"],
+    )
+    word = {r["doc_id"]: r for r in blocklist_filter(df, ["badword", "evil"], "word").collect()}
+    assert word[1]["keep"] and word[1]["n_matched"] == 0 and word[1]["first_match"] is None
+    assert not word[2]["keep"] and word[2]["first_match"] == "badword"
+    assert word[3]["keep"]  # substring inside a longer word: word mode ignores
+    assert word[4]["n_matched"] == 2 and word[4]["first_match"] == "badword"
+
+    sub = {r["doc_id"]: r for r in blocklist_filter(df, ["badword"], "substring").collect()}
+    assert not sub[3]["keep"]  # substring mode catches it
+    with pytest.raises(ValueError):
+        blocklist_filter(df, ["x"], mode="regex")
