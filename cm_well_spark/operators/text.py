@@ -763,3 +763,98 @@ def compression_ratio(
             yield pd.DataFrame({id_col: ids, "raw_len": rl, "zip_len": zl, "ratio": rt})
 
     return df.select(id_col, text_col).mapInPandas(batches, schema)
+
+
+def trigram_cross_entropy(
+    df: DataFrame,
+    reference: DataFrame | None = None,
+    alpha: float = 0.4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Trigram LM scoring with stupid backoff (Brants et al. 2007) —
+    one order up from bigram_cross_entropy, the fidelity level CCNet's
+    KenLM filter actually runs at:
+
+        S(c | a b) = n_abc / n_ab                 if the trigram was seen
+                   = alpha * n_bc / n_b           else if the bigram was
+                   = alpha^2 * n_c / total        else (unigram floor)
+
+    Same shape as the bigram op one order up: count tables come from
+    one exploded pass each over the reference (trigrams via arrays_zip
+    of three shifted slices — no per-token window), the corpus trigrams
+    left-join four count tables on their keys, backoff is a columnar
+    CASE chain. Token-keyed hash joins (AQE splits hot stopword keys),
+    everything JVM-side, arithmetic exact for the DuckDB oracle. Docs
+    shorter than 3 tokens produce no trigrams and drop out, like the
+    bigram op at 2."""
+    if reference is None:
+        reference = df
+
+    def toks(frame, *extra):
+        arr = F.filter(F.split(normalize_text(F.col(text_col)), " "), lambda x: x != "")
+        return frame.select(*extra, arr.alias("__t"))
+
+    def triples(frame, *extra):
+        t = toks(frame, *extra)
+        z = F.arrays_zip(
+            F.slice(F.col("__t"), F.lit(1), F.greatest(F.size("__t") - 2, F.lit(0))),
+            F.slice(F.col("__t"), F.lit(2), F.greatest(F.size("__t") - 2, F.lit(0))),
+            F.slice(F.col("__t"), F.lit(3), F.greatest(F.size("__t") - 2, F.lit(0))),
+        )
+        return t.select(*extra, F.explode(z).alias("__p")).select(
+            *extra,
+            F.col("__p")["0"].alias("a"),
+            F.col("__p")["1"].alias("b"),
+            F.col("__p")["2"].alias("c"),
+        )
+
+    def pairs(frame):
+        t = toks(frame)
+        z = F.arrays_zip(
+            F.slice(F.col("__t"), F.lit(1), F.size("__t") - 1),
+            F.slice(F.col("__t"), F.lit(2), F.size("__t") - 1),
+        )
+        return t.select(F.explode(z).alias("__p")).select(
+            F.col("__p")["0"].alias("a"), F.col("__p")["1"].alias("b")
+        )
+
+    ref_toks = toks(reference).select(F.explode("__t").alias("tok"))
+    uni = ref_toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_uni"))
+    total = ref_toks.count()
+    bi = pairs(reference).groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_bi"))
+    tri = triples(reference).groupBy("a", "b", "c").agg(F.count(F.lit(1)).alias("n_tri"))
+
+    joined = (
+        triples(df, id_col)
+        .join(tri, ["a", "b", "c"], "left")
+        .join(
+            bi.select(F.col("a").alias("__ctx_a"), F.col("b").alias("__ctx_b"), F.col("n_bi").alias("n_ab")),
+            (F.col("a") == F.col("__ctx_a")) & (F.col("b") == F.col("__ctx_b")),
+            "left",
+        )
+        .join(
+            bi.select(F.col("a").alias("__bc_a"), F.col("b").alias("__bc_b"), F.col("n_bi").alias("n_bc")),
+            (F.col("b") == F.col("__bc_a")) & (F.col("c") == F.col("__bc_b")),
+            "left",
+        )
+        .join(uni.select(F.col("tok").alias("b"), F.col("n_uni").alias("n_b")), "b", "left")
+        .join(uni.select(F.col("tok").alias("c"), F.col("n_uni").alias("n_c")), "c", "left")
+    )
+    p = (
+        F.when(
+            F.col("n_tri").isNotNull() & F.col("n_ab").isNotNull(),
+            F.col("n_tri") / F.col("n_ab"),
+        )
+        .when(
+            F.col("n_bc").isNotNull() & F.col("n_b").isNotNull(),
+            F.lit(alpha) * F.col("n_bc") / F.col("n_b"),
+        )
+        .otherwise(F.lit(alpha * alpha) * F.coalesce(F.col("n_c"), F.lit(0)) / F.lit(float(total)))
+    )
+    scored = joined.select(F.col(id_col), (-F.log2(p)).alias("nll"))
+    return (
+        scored.where(F.col("nll").isNotNull() & ~F.isnan("nll"))
+        .groupBy(id_col)
+        .agg(F.round(F.avg("nll"), 6).alias("trigram_nll"))
+    )

@@ -4226,6 +4226,71 @@ def text_bigram_nll(spark, sf_dir):
 
 
 @register(
+    "text_trigram_nll",
+    oracle=f"""
+    WITH refd AS (
+      SELECT string_split({_NORM_SQL.format(c='text')}, ' ') AS w
+      FROM documents WHERE doc_id < 50
+    ), corp AS (
+      SELECT doc_id, string_split({_NORM_SQL.format(c='text')}, ' ') AS w
+      FROM documents WHERE doc_id >= 50 AND doc_id < 300
+    ), ref_toks AS (SELECT unnest(w) AS tok FROM refd),
+    uni AS (SELECT tok, count(*) AS n_uni FROM ref_toks GROUP BY tok),
+    total AS (SELECT count(*) AS t FROM ref_toks),
+    ref_pairs AS (
+      SELECT unnest(list_zip(w[1:len(w)-1], w[2:len(w)])) AS p FROM refd
+    ),
+    bi AS (SELECT p[1] AS a, p[2] AS b, count(*) AS n_bi FROM ref_pairs GROUP BY 1, 2),
+    ref_tris AS (
+      SELECT unnest(list_zip(w[1:len(w)-2], w[2:len(w)-1], w[3:len(w)])) AS p FROM refd
+      WHERE len(w) >= 3
+    ),
+    tri AS (SELECT p[1] AS a, p[2] AS b, p[3] AS c, count(*) AS n_tri
+            FROM ref_tris GROUP BY 1, 2, 3),
+    doc_tris AS (
+      SELECT doc_id, u.p[1] AS a, u.p[2] AS b, u.p[3] AS c
+      FROM corp, LATERAL (
+        SELECT unnest(list_zip(w[1:len(w)-2], w[2:len(w)-1], w[3:len(w)])) AS p
+      ) u
+      WHERE len(w) >= 3
+    ),
+    scored AS (
+      SELECT d.doc_id,
+             -log2(CASE WHEN tri.n_tri IS NOT NULL AND ab.n_bi IS NOT NULL
+                        THEN tri.n_tri * 1.0 / ab.n_bi
+                        WHEN bc.n_bi IS NOT NULL AND ub.n_uni IS NOT NULL
+                        THEN 0.4 * bc.n_bi / ub.n_uni
+                        ELSE 0.16 * coalesce(uc.n_uni, 0) / t END) AS nll
+      FROM doc_tris d
+      LEFT JOIN tri ON d.a = tri.a AND d.b = tri.b AND d.c = tri.c
+      LEFT JOIN bi ab ON d.a = ab.a AND d.b = ab.b
+      LEFT JOIN bi bc ON d.b = bc.a AND d.c = bc.b
+      LEFT JOIN uni ub ON d.b = ub.tok
+      LEFT JOIN uni uc ON d.c = uc.tok
+      CROSS JOIN total
+    )
+    SELECT doc_id, round(avg(nll), 6) AS trigram_nll
+    FROM scored WHERE nll IS NOT NULL AND NOT isnan(nll) AND nll != 'infinity'
+    GROUP BY doc_id
+    """,
+)
+def text_trigram_nll(spark, sf_dir):
+    """Trigram LM quality score with two-level stupid backoff
+    (text.py:trigram_cross_entropy — the fidelity level CCNet's KenLM
+    filter runs at): corpus docs (50<=id<300) scored against a model
+    counted from the reference slice (id<50); unseen trigrams exercise
+    the bigram backoff, unseen bigrams the unigram floor."""
+    from cm_well_spark.operators.text import trigram_cross_entropy
+    from cm_well_spark.sources import tables as tbl
+
+    docs = tbl.load_table(spark, sf_dir, "documents")
+    return trigram_cross_entropy(
+        docs.where((F.col("doc_id") >= 50) & (F.col("doc_id") < 300)),
+        reference=docs.where(F.col("doc_id") < 50),
+    )
+
+
+@register(
     "curation_weighted_sample",
     oracle="""
     SELECT doc_id, n_chars,

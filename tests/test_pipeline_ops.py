@@ -1498,3 +1498,31 @@ def test_blocklist_filter_modes(spark):
     assert not sub[3]["keep"]  # substring mode catches it
     with pytest.raises(ValueError):
         blocklist_filter(df, ["x"], mode="regex")
+
+
+def test_trigram_backoff_levels(spark):
+    import math
+
+    from cm_well_spark.operators.text import trigram_cross_entropy
+
+    ref = spark.createDataFrame(
+        [(0, "a b c a b d"), (1, "a b c x y z")], ["doc_id", "text"]
+    )
+    # doc 10: "a b c" seen trigram; doc 11 forces bigram backoff (b d seen,
+    # "c b d" trigram unseen); doc 12 forces unigram floor (q unseen pair)
+    corp = spark.createDataFrame(
+        [(10, "a b c"), (11, "c b d"), (12, "z z q")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r["trigram_nll"] for r in trigram_cross_entropy(corp, ref).collect()}
+
+    # reference counts: tri(a b c)=2? no: texts give trigrams
+    # doc0: abc, bca, cab, abd ; doc1: abc, bcx, cxy, xyz
+    # tri(a,b,c)=2 ; bi(a,b)=3 (doc0 twice? a b appears pos1 and pos4 -> 2; doc1 once -> 3)
+    assert abs(got[10] - round(-math.log2(2 / 3), 6)) < 1e-6
+    # doc11 "c b d": tri(c,b,d) unseen; backoff 0.4 * n(b d)/n(b):
+    # bi(b,d)=1, uni b=3 -> 0.4*1/3
+    assert abs(got[11] - round(-math.log2(0.4 * 1 / 3), 6)) < 1e-6
+    # doc12 "z z q": tri unseen, bi(z,q) unseen -> floor 0.16*n(q)/total
+    # with q UNSEEN -> p=0 -> -log2(0) null-filtered -> the doc's only
+    # trigram drops and the doc disappears (the op's documented contract)
+    assert 12 not in got
