@@ -289,3 +289,43 @@ def compact(
         "triple_files": _n_files("triples"),
         "folded_batches": len(batches),
     }
+
+
+def compact_deltas(spark: SparkSession, out: str) -> dict:
+    """MINOR compaction: fold every pending delta batch into ONE batch —
+    O(accumulated deltas), the base tables untouched. The maintenance
+    move between major `compact` runs: merge-on-read cost grows with the
+    delta FILE count (every reconciled read lists and unions all batch
+    dirs), so a write-heavy window can cheaply re-bound read cost
+    without paying the base rewrite. Same Hudi-minor/major split.
+
+    Rows are preserved exactly (a qstream tail consumer sees the same
+    change rows, renumbered into batch=0); the writer-side `current`
+    hint is recomputed across the merged rows with the same window
+    write_batch uses, so the combined batch keeps the
+    one-current-per-path invariant within itself. The fold lands in a
+    fresh directory and swaps in by atomic rename — readers see the old
+    delta set or the new, never a mix.
+
+    Returns {"folded_batches": n, "rows": n}."""
+    batches = _delta_batches(out, _INF_DELTA)
+    if len(batches) <= 1:
+        return {"folded_batches": 0, "rows": 0}
+    deltas = spark.read.parquet(*batches)
+    w = Window.partitionBy("path").orderBy(F.desc("index_time"))
+    merged = deltas.withColumn("current", F.row_number().over(w) == 1)
+    n_rows = merged.count()
+    tmp_root = os.path.join(out, f"{_INF_DELTA}__compacting")
+    if os.path.exists(tmp_root):
+        shutil.rmtree(tmp_root)
+    merged.sortWithinPartitions("path", "index_time").write.mode("overwrite").parquet(
+        os.path.join(tmp_root, "batch=0")
+    )
+    old_root = os.path.join(out, _INF_DELTA)
+    retired = os.path.join(out, f"{_INF_DELTA}__old")
+    if os.path.exists(retired):
+        shutil.rmtree(retired)
+    os.rename(old_root, retired)
+    os.rename(tmp_root, old_root)
+    shutil.rmtree(retired)
+    return {"folded_batches": len(batches), "rows": int(n_rows)}

@@ -270,3 +270,45 @@ def test_reconcile_broadcast_gate_over_cap(spark, store, tmp_path, monkeypatch):
     assert "strategy=broadcast" not in plain_tri._jdf.queryExecution().analyzed().toString()
 
     assert _current_fields(plain) == _current_fields(hinted)
+
+
+def test_minor_compaction_preserves_reads_and_feed(spark, store, tmp_path):
+    """r8: compact_deltas folds N delta batches into one — reconciled
+    reads identical, change-feed rows preserved, base untouched, and a
+    subsequent write_batch keeps working."""
+    from cm_well_spark.model import compaction
+
+    mine = str(tmp_path / "minor_store")
+    shutil.copytree(store, mine)
+    lm = datetime(2024, 5, 1)
+    for i in range(3):
+        compaction.write_batch(
+            spark,
+            mine,
+            _cmds(
+                spark,
+                [(f"/tpch/region/{i}", 1, "write", {"extra": [_sfv(f"m{i}")]}, None, lm, "https")],
+            ),
+        )
+    assert len(compaction._delta_batches(mine, compaction._INF_DELTA)) == 3
+    before = _current_fields(compaction.reconciled_infotons(spark, mine))
+    feed_before = spark.read.parquet(
+        *compaction._delta_batches(mine, compaction._INF_DELTA)
+    ).count()
+    base_mtime = os.path.getmtime(os.path.join(mine, "infotons"))
+
+    res = compaction.compact_deltas(spark, mine)
+    assert res["folded_batches"] == 3 and res["rows"] == feed_before
+    assert len(compaction._delta_batches(mine, compaction._INF_DELTA)) == 1
+    assert os.path.getmtime(os.path.join(mine, "infotons")) == base_mtime  # base untouched
+    after = _current_fields(compaction.reconciled_infotons(spark, mine))
+    assert after == before
+    # noop on a single batch
+    assert compaction.compact_deltas(spark, mine)["folded_batches"] == 0
+    # next write lands as batch=1
+    compaction.write_batch(
+        spark,
+        mine,
+        _cmds(spark, [("/tpch/region/5", 1, "write", {"extra": [_sfv("post")]}, None, lm, "https")]),
+    )
+    assert len(compaction._delta_batches(mine, compaction._INF_DELTA)) == 2
