@@ -44,3 +44,35 @@ def streaming_window_counts(
             "total",
         )
     )
+
+
+def streaming_session_counts(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+    key: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+) -> DataFrame:
+    """Streaming gap-based sessionization — the readStream twin of
+    aggregations.session_window_agg, SAME session_window expression and
+    output columns, plus a watermark so open sessions close and age out
+    of the state store once the watermark passes (session end = last
+    event + gap; state is bounded by the horizon + open sessions, not
+    the stream's lifetime). In append mode a session emits exactly once,
+    when it can no longer grow — the contract a downstream sessions
+    table wants. Batch backfill and live sessionization stay one
+    definition; the pytest pins batch/stream parity on the same data."""
+    w = F.session_window(F.col(ts_col), gap)
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key), w)
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum(val_col), 2).alias("sum_value"))
+        .select(
+            key,
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+            F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

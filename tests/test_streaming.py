@@ -557,3 +557,76 @@ def test_streaming_incremental_dedup_against_static_store(spark):
         for r in incremental_dedup_verdicts(df, seen_docs, threshold=0.99).collect()
     }
     assert v[1] == "exact_dup" and v[3] == "exact_dup" and v[2] == "new"
+
+
+def test_streaming_sessions_match_batch_and_close_once(spark):
+    """Streaming sessionization == batch session_window_agg on the same
+    events, and an emitted (closed) session never re-emits after more
+    batches arrive for other keys."""
+    import datetime as dt
+    import shutil
+
+    from cm_well_spark.operators.aggregations import session_window_agg
+    from cm_well_spark.streaming.windows import streaming_session_counts
+
+    d = os.path.join(TMP, "ssess")
+    shutil.rmtree(d, ignore_errors=True)
+    feed = os.path.join(d, "feed")
+    sink = os.path.join(d, "sink")
+    os.makedirs(feed)
+    schema = "event_id long, ts timestamp, user_id string, value double"
+    t0 = dt.datetime(2024, 1, 1, 9, 0, 0)
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(feed)
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(feed)
+        q = (
+            streaming_session_counts(stream, gap="5 minutes", watermark="1 minute")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", os.path.join(d, "ck"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # u1: two events 2 min apart (one session); u2: one event
+    write(
+        [
+            (1, t0, "u1", 1.0),
+            (2, t0 + dt.timedelta(minutes=2), "u1", 2.0),
+            (3, t0 + dt.timedelta(minutes=1), "u2", 5.0),
+        ]
+    )
+    run()
+    # much later events advance the watermark so the first sessions close
+    write([(4, t0 + dt.timedelta(hours=2), "u3", 1.0)])
+    run()
+    write([(5, t0 + dt.timedelta(hours=4), "u3", 1.0)])
+    run()
+
+    got = spark.read.parquet(sink)
+    keyed = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["sum_value"], r["session_end"])
+        for r in got.collect()
+    }
+    # batch twin over the closed slice (events before the watermark)
+    batch_events = spark.createDataFrame(
+        [
+            (1, t0, "u1", 1.0),
+            (2, t0 + dt.timedelta(minutes=2), "u1", 2.0),
+            (3, t0 + dt.timedelta(minutes=1), "u2", 5.0),
+        ],
+        schema,
+    )
+    twin = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["sum_value"], r["session_end"])
+        for r in session_window_agg(batch_events, gap="5 minutes").collect()
+    }
+    for k, v in twin.items():
+        assert keyed[k] == v, (k, v, keyed)
+    # u1's session emitted exactly once despite two further batches
+    assert sum(1 for (u, _s) in keyed if u == "u1") == 1
