@@ -1100,3 +1100,42 @@ def binary_hamming_topk(
         .orderBy(F.asc("hamming"), F.asc(id_col))
         .limit(k)
     )
+
+
+def binary_rerank_topk(
+    embs: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    shortlist: int = 100,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Two-stage binary retrieval: Hamming shortlist over packed sign
+    codes (32x cheaper scan) -> exact float cosine re-rank of the
+    shortlist -> top-k. The standard memory-tiered ANN shape (same
+    two-stage contract as ivfpq_topk's ADC + re-rank): stage 1 reads
+    ceil(dim/32) longs per row, stage 2 touches `shortlist` float rows
+    only (semi-join by id against the checkpointed shortlist). Both
+    stages deterministic (id tie-breaks), so the full composition is
+    SQL-replayable — the oracle re-derives shortlist AND re-rank."""
+    codes = quantize_binary(embs, vec_col=vec_col, id_col=id_col)
+    qcode_row = (
+        quantize_binary(
+            embs.sparkSession.createDataFrame(
+                [(0, [float(x) for x in query_vec])], f"{id_col} long, {vec_col} array<double>"
+            ),
+            vec_col=vec_col,
+            id_col=id_col,
+        )
+        .first()
+    )
+    short = binary_hamming_topk(codes, list(qcode_row["code"]), k=shortlist, id_col=id_col)
+    short = short.localCheckpoint(eager=True)  # shortlist rows only, reused by the semi-join
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return (
+        embs.join(F.broadcast(short.select(id_col)), id_col, "left_semi")
+        .select(F.col(id_col), F.round(cosine(cast, q), 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )

@@ -5862,6 +5862,40 @@ def similarity_binary_topk(spark, sf_dir):
 
 
 @register(
+    "similarity_binary_rerank",
+    oracle=_BINCODE_SQL
+    + """
+    , q AS (SELECT code AS qc, vec_id AS qid FROM codes ORDER BY vec_id LIMIT 1),
+    short AS (
+      SELECT vec_id,
+             list_sum(list_transform(range(1, len(code) + 1),
+                   j -> bit_count(xor(code[j], qc[j])))) AS h
+      FROM codes, q
+      ORDER BY h ASC, vec_id ASC LIMIT 100
+    ),
+    qv AS (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings ORDER BY vec_id LIMIT 1
+    )
+    SELECT e.vec_id, round(list_cosine_similarity(
+             list_transform(e.embedding, x -> CAST(x AS DOUBLE)), qv.v), 6) AS cosine
+    FROM embeddings e JOIN short USING (vec_id), qv
+    ORDER BY cosine DESC, e.vec_id ASC LIMIT 10
+    """,
+)
+def similarity_binary_rerank(spark, sf_dir):
+    """Two-stage binary retrieval (similarity.py:binary_rerank_topk):
+    Hamming-100 shortlist over packed sign codes, exact float cosine
+    re-rank to top-10. Deterministic end to end, so the oracle replays
+    BOTH stages."""
+    from cm_well_spark.operators.similarity import binary_rerank_topk
+    from cm_well_spark.sources import tables as tbl
+
+    embs = tbl.load_table(spark, sf_dir, "embeddings")
+    return binary_rerank_topk(embs, _query_vec(spark, sf_dir), k=10, shortlist=100)
+
+
+@register(
     "corpus_datacard",
     oracle=f"""
     WITH base AS (

@@ -1526,3 +1526,20 @@ def test_trigram_backoff_levels(spark):
     # with q UNSEEN -> p=0 -> -log2(0) null-filtered -> the doc's only
     # trigram drops and the doc disappears (the op's documented contract)
     assert 12 not in got
+
+
+def test_binary_rerank_recall_vs_bruteforce(spark, sf_dir):
+    from cm_well_spark.operators.similarity import binary_rerank_topk, brute_force_topk
+    from cm_well_spark.sources import tables as tbl
+
+    embs = tbl.load_table(spark, sf_dir, "embeddings")
+    q = [float(x) for x in embs.orderBy("vec_id").first()["embedding"]]
+    exact = {r["vec_id"] for r in brute_force_topk(embs, q, k=10).collect()}
+    two_stage = {r["vec_id"] for r in binary_rerank_topk(embs, q, k=10, shortlist=100).collect()}
+    # 100-wide Hamming shortlist over 64-bit sign codes recovers most of
+    # the true top-10; the floor pins the approximation from regressing
+    assert len(exact & two_stage) / len(exact) >= 0.6
+    # with shortlist = corpus size, the two-stage result IS brute force
+    n = embs.count()
+    full = {r["vec_id"] for r in binary_rerank_topk(embs, q, k=10, shortlist=n).collect()}
+    assert full == exact
