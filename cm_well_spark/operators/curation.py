@@ -1066,3 +1066,45 @@ def blocklist_filter(
         F.size(matched).alias("n_matched"),
         F.get(matched, 0).alias("first_match"),
     )
+
+
+def expectations_report(
+    df: DataFrame,
+    rules: dict[str, "F.Column"],
+    unique_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Deequ-style data-quality expectations -> one row per rule
+    (rule, n_checked, n_violations, pass_rate): the pre-flight gate a
+    pipeline runs before committing a corpus snapshot (the corpus-side
+    sibling of the store's W7 consistency audit). `rules` maps rule
+    name -> boolean Column; a NULL predicate counts as a violation
+    (null-hostile by design — a null length check IS a data problem).
+    `unique_cols` adds a uniqueness rule per column
+    (violations = n_rows - n_distinct).
+
+    Shape: ONE aggregate over the scan computes every rule's violation
+    count map-side (plus one distinct-agg per unique col); the
+    per-rule reshape explodes a literal struct array of the single
+    result row. No joins, no second scan, no Python."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for name, pred in rules.items():
+        aggs.append(F.sum(F.when(pred, F.lit(0)).otherwise(F.lit(1))).alias(f"__v_{name}"))
+    for c in unique_cols:
+        aggs.append(F.countDistinct(F.col(c)).alias(f"__u_{c}"))
+    row = df.agg(*aggs)
+    structs = [
+        F.struct(F.lit(name).alias("rule"), F.col(f"__v_{name}").alias("v")) for name in rules
+    ] + [
+        F.struct(
+            F.lit(f"{c}_unique").alias("rule"), (F.col("__n") - F.col(f"__u_{c}")).alias("v")
+        )
+        for c in unique_cols
+    ]
+    return row.select(
+        F.col("__n").alias("n_checked"), F.explode(F.array(*structs)).alias("r")
+    ).select(
+        F.col("r.rule").alias("rule"),
+        "n_checked",
+        F.col("r.v").alias("n_violations"),
+        F.round(F.lit(1.0) - F.col("r.v") / F.col("n_checked"), 6).alias("pass_rate"),
+    )

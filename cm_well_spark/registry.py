@@ -4477,7 +4477,7 @@ def curation_snapshot_diff(spark, sf_dir):
     FROM words, tot
     WHERE token <> ''
     GROUP BY token, tot.n
-    HAVING count(*) >= greatest(1, CAST(ceil(0.0345 * tot.n) AS BIGINT))
+    HAVING count(*) >= greatest(1, CAST(ceil(0.02 * tot.n) AS BIGINT))
     """,
 )
 def agg_heavy_hitters(spark, sf_dir):
@@ -4492,7 +4492,7 @@ def agg_heavy_hitters(spark, sf_dir):
     from cm_well_spark.sources import tables as tbl
 
     docs = tbl.load_table(spark, sf_dir, "documents")
-    return word_heavy_hitters(docs, phi=0.0345)
+    return word_heavy_hitters(docs, phi=0.02)
 
 
 @register(
@@ -5859,6 +5859,53 @@ def similarity_binary_topk(spark, sf_dir):
     codes = quantize_binary(tbl.load_table(spark, sf_dir, "embeddings"))
     qrow = codes.where(F.col("vec_id") == codes.select(F.min("vec_id")).first()[0]).first()
     return binary_hamming_topk(codes, list(qrow["code"]), k=10)
+
+
+@register(
+    "corpus_expectations",
+    oracle="""
+    WITH n AS (SELECT count(*) AS n_checked FROM documents)
+    SELECT rule, n_checked, v AS n_violations,
+           round(1.0 - v * 1.0 / n_checked, 6) AS pass_rate
+    FROM (
+      SELECT 'text_not_null' AS rule,
+             (SELECT count(*) FROM documents WHERE text IS NULL) AS v
+      UNION ALL
+      SELECT 'text_nonempty',
+             (SELECT count(*) FROM documents WHERE text IS NULL OR length(text) = 0)
+      UNION ALL
+      SELECT 'n_chars_consistent',
+             (SELECT count(*) FROM documents
+              WHERE text IS NULL OR n_chars IS NULL OR n_chars <> length(text))
+      UNION ALL
+      SELECT 'lang_known',
+             (SELECT count(*) FROM documents
+              WHERE lang IS NULL OR lang NOT IN ('en', 'de', 'fr', 'es', 'zh'))
+      UNION ALL
+      SELECT 'doc_id_unique',
+             (SELECT count(*) - count(DISTINCT doc_id) FROM documents)
+    ), n
+    """,
+)
+def corpus_expectations(spark, sf_dir):
+    """Pre-commit data-quality gate (curation.py:expectations_report,
+    Deequ-style): every rule's violation count from ONE map-side
+    aggregate over the scan; uniqueness via a distinct-agg. The corpus
+    sibling of the store's W7 consistency audit."""
+    from cm_well_spark.operators.curation import expectations_report
+    from cm_well_spark.sources import tables as tbl
+
+    docs = tbl.load_table(spark, sf_dir, "documents")
+    return expectations_report(
+        docs,
+        {
+            "text_not_null": F.col("text").isNotNull(),
+            "text_nonempty": F.length("text") > 0,
+            "n_chars_consistent": F.col("n_chars") == F.length("text"),
+            "lang_known": F.col("lang").isin("en", "de", "fr", "es", "zh"),
+        },
+        unique_cols=("doc_id",),
+    )
 
 
 @register(

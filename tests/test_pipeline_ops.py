@@ -1543,3 +1543,26 @@ def test_binary_rerank_recall_vs_bruteforce(spark, sf_dir):
     n = embs.count()
     full = {r["vec_id"] for r in binary_rerank_topk(embs, q, k=10, shortlist=n).collect()}
     assert full == exact
+
+
+def test_expectations_report_semantics(spark):
+    from cm_well_spark.operators.curation import expectations_report
+
+    df = spark.createDataFrame(
+        [(1, "ok", 2), (2, None, 0), (3, "", 0), (1, "dup id", 6)],
+        ["doc_id", "text", "n_chars"],
+    )
+    rep = {r["rule"]: r for r in expectations_report(
+        df,
+        {
+            "text_not_null": F.col("text").isNotNull(),
+            "len_ok": F.length("text") == F.col("n_chars"),
+        },
+        unique_cols=("doc_id",),
+    ).collect()}
+    assert rep["text_not_null"]["n_violations"] == 1
+    # null text -> null predicate -> violation; "" has len 0 == 0 passes
+    assert rep["len_ok"]["n_violations"] == 1
+    assert rep["doc_id_unique"]["n_violations"] == 1
+    assert all(r["n_checked"] == 4 for r in rep.values())
+    assert abs(rep["doc_id_unique"]["pass_rate"] - 0.75) < 1e-9
