@@ -858,3 +858,58 @@ def trigram_cross_entropy(
         .groupBy(id_col)
         .agg(F.round(F.avg("nll"), 6).alias("trigram_nll"))
     )
+
+
+def corpus_kl_divergence(
+    corpus_a: DataFrame,
+    corpus_b: DataFrame,
+    smoothing: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Unigram KL(A || B) in bits with additive smoothing over the union
+    vocabulary -> one row (vocab_size, n_a, n_b, kl_bits). The
+    distribution-shift diagnostic beside corpus_overlap_sketch's lexical
+    overlap: overlap says how much B repeats A verbatim, KL says how
+    differently B is WRITTEN (domain shift for mixture planning, drift
+    between crawl snapshots; the corpus-level view of DSIR's per-doc
+    importance weights).
+
+        P_x(w) = (c_x(w) + s) / (N_x + s·V),  V = |vocab(A) ∪ vocab(B)|
+        KL = Σ_vocab P_a(w) · log2(P_a(w) / P_b(w))
+
+    Shape at 100 TB: one exploded count table per corpus (map-side
+    combining), a full-outer equi-join on the token key (vocabulary-
+    sized, not corpus-sized), one global sum. Totals and V ride the
+    same plan as broadcast one-row aggregates — no driver round-trip,
+    fully SQL-replayable."""
+    def counts(df, name):
+        return (
+            spread_for_cpu(df)
+            .select(F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"))
+            .where(F.col("tok") != "")
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    ca, cb = counts(corpus_a, "ca"), counts(corpus_b, "cb")
+    joined = ca.join(cb, "tok", "full_outer").select(
+        F.coalesce("ca", F.lit(0)).alias("ca"), F.coalesce("cb", F.lit(0)).alias("cb")
+    )
+    tot = joined.agg(
+        F.count(F.lit(1)).alias("v"), F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    s = float(smoothing)
+    pa = (F.col("ca") + F.lit(s)) / (F.col("na") + F.lit(s) * F.col("v"))
+    pb = (F.col("cb") + F.lit(s)) / (F.col("nb") + F.lit(s) * F.col("v"))
+    return (
+        joined.crossJoin(F.broadcast(tot))
+        .select((pa * F.log2(pa / pb)).alias("term"), "v", "na", "nb")
+        .groupBy("v", "na", "nb")
+        .agg(F.round(F.sum("term"), 6).alias("kl_bits"))
+        .select(
+            F.col("v").alias("vocab_size"),
+            F.col("na").alias("n_a"),
+            F.col("nb").alias("n_b"),
+            "kl_bits",
+        )
+    )

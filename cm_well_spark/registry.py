@@ -5862,6 +5862,45 @@ def similarity_binary_topk(spark, sf_dir):
 
 
 @register(
+    "corpus_kl_divergence",
+    oracle=f"""
+    WITH wa AS (
+      SELECT unnest(string_split({_NORM_SQL.format(c='text')}, ' ')) AS tok
+      FROM documents WHERE doc_id % 2 = 0
+    ), wb AS (
+      SELECT unnest(string_split({_NORM_SQL.format(c='text')}, ' ')) AS tok
+      FROM documents WHERE doc_id % 2 = 1
+    ),
+    ca AS (SELECT tok, count(*) AS ca FROM wa WHERE tok <> '' GROUP BY tok),
+    cb AS (SELECT tok, count(*) AS cb FROM wb WHERE tok <> '' GROUP BY tok),
+    j AS (
+      SELECT coalesce(ca.ca, 0) AS ca, coalesce(cb.cb, 0) AS cb
+      FROM ca FULL OUTER JOIN cb ON ca.tok = cb.tok
+    ),
+    tot AS (SELECT count(*) AS v, sum(ca) AS na, sum(cb) AS nb FROM j)
+    SELECT CAST(v AS BIGINT) AS vocab_size, CAST(na AS BIGINT) AS n_a,
+           CAST(nb AS BIGINT) AS n_b,
+           round(sum(((ca + 0.5) / (na + 0.5 * v)) *
+                     log2(((ca + 0.5) / (na + 0.5 * v)) /
+                          ((cb + 0.5) / (nb + 0.5 * v)))), 6) AS kl_bits
+    FROM j, tot GROUP BY v, na, nb
+    """,
+)
+def corpus_kl_divergence(spark, sf_dir):
+    """Smoothed unigram KL(A || B) between the even- and odd-doc_id
+    halves (text.py:corpus_kl_divergence) — the distribution-shift
+    diagnostic beside corpus overlap's verbatim-repeat estimate; one
+    vocabulary-sized full-outer join + one sum."""
+    from cm_well_spark.operators.text import corpus_kl_divergence
+    from cm_well_spark.sources import tables as tbl
+
+    docs = tbl.load_table(spark, sf_dir, "documents")
+    return corpus_kl_divergence(
+        docs.where(F.col("doc_id") % 2 == 0), docs.where(F.col("doc_id") % 2 == 1)
+    )
+
+
+@register(
     "corpus_expectations",
     oracle="""
     WITH n AS (SELECT count(*) AS n_checked FROM documents)

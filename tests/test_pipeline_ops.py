@@ -1566,3 +1566,34 @@ def test_expectations_report_semantics(spark):
     assert rep["doc_id_unique"]["n_violations"] == 1
     assert all(r["n_checked"] == 4 for r in rep.values())
     assert abs(rep["doc_id_unique"]["pass_rate"] - 0.75) < 1e-9
+
+
+def test_corpus_kl_divergence_properties(spark):
+    import math
+
+    from cm_well_spark.operators.text import corpus_kl_divergence
+
+    A = spark.createDataFrame([(1, "x x x y"), (2, "x y z")], ["doc_id", "text"])
+    B = spark.createDataFrame([(3, "p p q x")], ["doc_id", "text"])
+    row = corpus_kl_divergence(A, B).first()
+
+    # python twin
+    from collections import Counter
+
+    ca = Counter("x x x y x y z".split())
+    cb = Counter("p p q x".split())
+    vocab = set(ca) | set(cb)
+    v, na, nb, s = len(vocab), sum(ca.values()), sum(cb.values()), 0.5
+    kl = sum(
+        ((ca[w] + s) / (na + s * v)) * math.log2(((ca[w] + s) / (na + s * v)) / ((cb[w] + s) / (nb + s * v)))
+        for w in vocab
+    )
+    assert row["vocab_size"] == v and row["n_a"] == na and row["n_b"] == nb
+    assert abs(row["kl_bits"] - round(kl, 6)) < 1e-9
+    # KL(A||A) == 0
+    self_row = corpus_kl_divergence(A, A).first()
+    assert abs(self_row["kl_bits"]) < 1e-9
+    # disjoint corpora diverge more than overlapping ones
+    C = spark.createDataFrame([(4, "totally different words entirely")], ["doc_id", "text"])
+    far = corpus_kl_divergence(A, C).first()["kl_bits"]
+    assert far > row["kl_bits"] > 0
