@@ -246,3 +246,52 @@ def pack_bins_ffd(
         ffd, schema=f"{id_col} long, bucket long, bin_id long, n_tok long"
     )
     return packed.unionByName(over)
+
+
+def fim_transform(
+    docs: DataFrame,
+    fim_rate: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "fim",
+    sentinels: tuple[str, str, str] = ("<PRE>", "<MID>", "<SUF>"),
+) -> DataFrame:
+    """Fill-in-the-middle transformation (Bavarian et al. 2022): rewrite
+    a `fim_rate` fraction of documents into PSM order —
+    `<PRE> prefix <SUF> suffix <MID> middle` — so a causal LM learns
+    infilling for free; the rest pass through untouched. The standard
+    code-model pretraining preprocessing step.
+
+    All randomness derives from salted md5 of the doc id (the gate draw
+    and both character split points), so the transformed corpus is
+    bit-for-bit reproducible across partitionings, retries and engines —
+    the whole rewrite is string algebra on the scan (one projection, no
+    shuffle, no Python) and the oracle replays it exactly.
+
+    Output: (id_col, fim_applied, text)."""
+    if not (0.0 <= fim_rate <= 1.0):
+        raise ValueError("fim_rate must be in [0, 1]")
+
+    def u(tag: str) -> "F.Column":
+        h = F.md5(F.concat_ws(":", F.lit(salt), F.lit(tag), F.col(id_col).cast("string")))
+        return (
+            F.conv(F.substring(h, 1, 12), 16, 10).cast("double") + 0.5
+        ) / F.lit(float(16**12) + 1.0)
+
+    c = F.col(text_col)
+    n = F.length(c)
+    gate = (u("gate") < F.lit(float(fim_rate))) & (n >= 3)
+    # two split points 1 <= p1 <= p2 <= n-1 (both cuts strictly inside)
+    r1 = (u("p1") * (n - 1)).cast("int") + 1
+    r2 = (u("p2") * (n - 1)).cast("int") + 1
+    p1, p2 = F.least(r1, r2), F.greatest(r1, r2)
+    pre = F.substring(c, F.lit(1), p1)
+    mid = c.substr(p1 + 1, p2 - p1)
+    suf = c.substr(p2 + 1, n - p2)
+    s_pre, s_mid, s_suf = (F.lit(x) for x in sentinels)
+    psm = F.concat(s_pre, pre, s_suf, suf, s_mid, mid)
+    return docs.select(
+        F.col(id_col),
+        gate.alias("fim_applied"),
+        F.when(gate, psm).otherwise(c).alias(text_col),
+    )

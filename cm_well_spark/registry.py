@@ -5862,6 +5862,47 @@ def similarity_binary_topk(spark, sf_dir):
 
 
 @register(
+    "pack_fim_transform",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS n,
+             ((('0x' || substring(md5('fim:gate:' || doc_id), 1, 12))::BIGINT + 0.5)
+              / 281474976710657.0) AS ug,
+             ((('0x' || substring(md5('fim:p1:' || doc_id), 1, 12))::BIGINT + 0.5)
+              / 281474976710657.0) AS u1,
+             ((('0x' || substring(md5('fim:p2:' || doc_id), 1, 12))::BIGINT + 0.5)
+              / 281474976710657.0) AS u2
+      FROM documents WHERE doc_id < 300
+    ),
+    sp AS (
+      SELECT doc_id, text, n, ug < 0.5 AND n >= 3 AS gate,
+             least(CAST(floor(u1 * (n - 1)) AS INT) + 1, CAST(floor(u2 * (n - 1)) AS INT) + 1) AS p1,
+             greatest(CAST(floor(u1 * (n - 1)) AS INT) + 1, CAST(floor(u2 * (n - 1)) AS INT) + 1) AS p2
+      FROM d
+    )
+    SELECT doc_id, gate AS fim_applied,
+           CASE WHEN gate THEN
+             '<PRE>' || substring(text, 1, p1) || '<SUF>' ||
+             substring(text, p2 + 1, n - p2) || '<MID>' ||
+             substring(text, p1 + 1, p2 - p1)
+           ELSE text END AS text
+    FROM sp
+    """,
+)
+def pack_fim_transform(spark, sf_dir):
+    """Fill-in-the-middle pretraining transform
+    (packing.py:fim_transform, Bavarian et al. 2022): half the docs
+    rewritten to PSM sentinel order with md5-derived gate and split
+    points — pure string algebra on the scan, no shuffle, engine-
+    replayable end to end."""
+    from cm_well_spark.operators.packing import fim_transform
+    from cm_well_spark.sources import tables as tbl
+
+    docs = tbl.load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return fim_transform(docs, fim_rate=0.5)
+
+
+@register(
     "corpus_kl_divergence",
     oracle=f"""
     WITH wa AS (

@@ -1597,3 +1597,32 @@ def test_corpus_kl_divergence_properties(spark):
     C = spark.createDataFrame([(4, "totally different words entirely")], ["doc_id", "text"])
     far = corpus_kl_divergence(A, C).first()["kl_bits"]
     assert far > row["kl_bits"] > 0
+
+
+def test_fim_transform_reconstruction(spark):
+    from cm_well_spark.operators.packing import fim_transform
+
+    rows = [(i, f"doc number {i} with some reasonable content here") for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in fim_transform(df, fim_rate=0.6).collect()}
+    originals = dict(rows)
+    n_applied = 0
+    for did, r in out.items():
+        if not r["fim_applied"]:
+            assert r["text"] == originals[did]
+            continue
+        n_applied += 1
+        t = r["text"]
+        assert t.startswith("<PRE>")
+        pre, rest = t[5:].split("<SUF>", 1)
+        suf, mid = rest.split("<MID>", 1)
+        # PSM reorder is lossless: pre + mid + suf == original
+        assert pre + mid + suf == originals[did], did
+        assert len(pre) >= 1 and len(suf) >= 1  # cuts strictly inside
+    # gate rate lands near fim_rate
+    assert 0.4 < n_applied / len(rows) < 0.8
+    # deterministic across calls
+    again = {r["doc_id"]: r["text"] for r in fim_transform(df, fim_rate=0.6).collect()}
+    assert again == {k: v["text"] for k, v in out.items()}
+    with pytest.raises(ValueError):
+        fim_transform(df, fim_rate=1.5)
