@@ -295,3 +295,81 @@ def fim_transform(
         gate.alias("fim_applied"),
         F.when(gate, psm).otherwise(c).alias(text_col),
     )
+
+
+def span_corruption(
+    docs: DataFrame,
+    rate: float = 0.15,
+    span_len: int = 3,
+    stride: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "t5",
+) -> DataFrame:
+    """T5-style span-corruption example builder (Raffel et al. 2020):
+    (id, inputs, targets) where masked spans become <extra_id_k>
+    sentinels in `inputs` and `targets` lists each sentinel + its
+    original tokens, closed by a final sentinel — the denoising
+    objective's preprocessing, as a corpus transform.
+
+    Deterministic, shuffle-free variant: span START CANDIDATES sit at
+    every `stride`-th token; candidate c of a doc is gated in by a
+    salted-md5 draw at probability rate*stride/span_len (so the expected
+    masked-token fraction is `rate`), and spans are span_len tokens.
+    stride > span_len makes spans non-overlapping BY CONSTRUCTION, which
+    is what keeps sentinel numbering a pure columnar rank (count of
+    gated candidates before mine) instead of a sequential merge — the
+    whole example builder is one projection of array algebra on the
+    scan, reproducible across partitionings/retries/engines, and the
+    oracle replays it token for token. (T5's sampler merges random-
+    length spans; the fixed-grid variant trades that freedom for
+    engine-replayability — the objective is unchanged.)"""
+    if not 0 < span_len < stride:
+        raise ValueError("need 0 < span_len < stride")
+    p_gate = min(1.0, rate * stride / span_len)
+    from cm_well_spark.operators.curation import _rate_hex
+
+    thr = _rate_hex(p_gate)
+    w = F.split(F.col(text_col), " ")
+    n = F.size(w)
+    n_cands = F.ceil(n / F.lit(stride)).cast("int")
+    gate = lambda c: (  # noqa: E731
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"), c.cast("string"))),
+            1,
+            4,
+        )
+        < F.lit(thr)
+    )
+    cands = F.filter(F.sequence(F.lit(0), n_cands - 1), lambda c: gate(c) & (c * stride < n))
+    sent = lambda k: F.concat(F.lit("<extra_id_"), k.cast("string"), F.lit(">"))  # noqa: E731
+    rank_of = lambda c: F.size(F.filter(cands, lambda c2: c2 < c))  # noqa: E731
+    covered = lambda i: F.exists(  # noqa: E731
+        cands, lambda c: (c * stride <= i) & (i < c * stride + span_len)
+    )
+    begins = lambda i: F.exists(cands, lambda c: c * stride == i)  # noqa: E731
+    in_toks = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.when(begins(i), sent(F.size(F.filter(cands, lambda c: c * stride < i))))
+            .when(covered(i), F.lit(""))
+            .otherwise(F.element_at(w, i + 1)),
+        ),
+        lambda t: t != "",
+    )
+    tgt_parts = F.transform(
+        cands,
+        lambda c: F.concat(
+            sent(rank_of(c)),
+            F.lit(" "),
+            F.array_join(F.slice(w, c * stride + 1, span_len), " "),
+        ),
+    )
+    # final sentinel appended INTO the array, one join — avoids the
+    # leading-space asymmetry of concat_ws over an empty parts string
+    targets = F.array_join(F.concat(tgt_parts, F.array(sent(F.size(cands)))), " ")
+    return docs.select(
+        F.col(id_col),
+        F.array_join(in_toks, " ").alias("inputs"),
+        targets.alias("targets"),
+    )

@@ -5903,6 +5903,51 @@ def pack_fim_transform(spark, sf_dir):
 
 
 @register(
+    "pack_span_corruption",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS w, len(string_split(text, ' ')) AS n
+      FROM documents WHERE doc_id < 300
+    ),
+    c AS (
+      SELECT doc_id, w, n,
+             list_filter(range(0, CAST(ceil(n / 8.0) AS BIGINT)),
+               c -> substring(md5('t5:' || doc_id || ':' || c), 1, 4) < '6666'
+                    AND c * 8 < n) AS cands
+      FROM d
+    )
+    SELECT doc_id,
+           coalesce(array_to_string(list_filter(list_transform(range(0, n), i ->
+             CASE WHEN len(list_filter(cands, c2 -> c2 * 8 = i)) > 0
+                  THEN '<extra_id_' || len(list_filter(cands, c2 -> c2 * 8 < i)) || '>'
+                  WHEN len(list_filter(cands,
+                           c2 -> c2 * 8 <= i AND i < c2 * 8 + 3)) > 0
+                  THEN ''
+                  ELSE w[i + 1] END),
+             t -> t <> ''), ' '), '') AS inputs,
+           array_to_string(list_append(
+             list_transform(cands, c2 ->
+               '<extra_id_' || len(list_filter(cands, c3 -> c3 < c2)) || '> ' ||
+               array_to_string(w[c2 * 8 + 1 : c2 * 8 + 3], ' ')),
+             '<extra_id_' || len(cands) || '>'), ' ') AS targets
+    FROM c
+    """,
+)
+def pack_span_corruption(spark, sf_dir):
+    """T5 span-corruption example builder (packing.py:span_corruption,
+    Raffel et al. 2020): stride-8 candidate grid, 3-token spans, md5
+    gate at rate*stride/span_len = 0x0666/0x10000 — masked spans become
+    <extra_id_k> sentinels in inputs, targets lists sentinel + original
+    tokens + closing sentinel. One projection of array algebra; the
+    oracle replays it token for token."""
+    from cm_well_spark.operators.packing import span_corruption
+    from cm_well_spark.sources import tables as tbl
+
+    docs = tbl.load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return span_corruption(docs, rate=0.15, span_len=3, stride=8)
+
+
+@register(
     "corpus_kl_divergence",
     oracle=f"""
     WITH wa AS (

@@ -1626,3 +1626,36 @@ def test_fim_transform_reconstruction(spark):
     assert again == {k: v["text"] for k, v in out.items()}
     with pytest.raises(ValueError):
         fim_transform(df, fim_rate=1.5)
+
+
+def test_span_corruption_invariants(spark):
+    import re
+
+    from cm_well_spark.operators.packing import span_corruption
+
+    rows = [(i, " ".join(f"t{i}_{j}" for j in range(50))) for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in span_corruption(df, rate=0.3, span_len=3, stride=8).collect()}
+    originals = dict(rows)
+    masked_frac_total, n_tok_total = 0, 0
+    for did, r in out.items():
+        inp, tgt = r["inputs"], r["targets"]
+        sents_in = re.findall(r"<extra_id_(\d+)>", inp)
+        sents_tgt = re.findall(r"<extra_id_(\d+)>", tgt)
+        # sentinels number 0..k-1 in order; target closes with one extra
+        assert sents_in == [str(i) for i in range(len(sents_in))]
+        assert sents_tgt == [str(i) for i in range(len(sents_in) + 1)]
+        # reconstruction: splice target spans back into input == original
+        spans = {}
+        parts = re.split(r"<extra_id_(\d+)>", tgt)
+        for k, chunk in zip(parts[1::2], parts[2::2]):
+            spans[int(k)] = chunk.strip()
+        rebuilt = re.sub(r"<extra_id_(\d+)>", lambda m: spans[int(m.group(1))], inp)
+        assert rebuilt.split() == originals[did].split(), did
+        masked = sum(len(v.split()) for k, v in spans.items() if k < len(sents_in))
+        masked_frac_total += masked
+        n_tok_total += 50
+    # masked fraction lands near the requested rate
+    assert 0.15 < masked_frac_total / n_tok_total < 0.45
+    with pytest.raises(ValueError):
+        span_corruption(df, span_len=8, stride=8)
