@@ -373,3 +373,63 @@ def span_corruption(
         F.array_join(in_toks, " ").alias("inputs"),
         targets.alias("targets"),
     )
+
+
+def ul2_mixture(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "ul2",
+) -> DataFrame:
+    """UL2 mixture-of-denoisers preprocessing (Tay et al. 2022) ->
+    (id, denoiser, inputs, targets): each document is md5-assigned one
+    of the three objectives —
+
+      R  regular span corruption (rate .15, 3-token spans, stride 8)
+      X  extreme span corruption (rate .5, 8-token spans, stride 16 —
+         the gate saturates, so every grid span masks: 50% of tokens)
+      S  sequential / prefix-LM (split at an md5-drawn word boundary;
+         inputs = prefix + <extra_id_0>, targets = <extra_id_0> +
+         suffix + <extra_id_1>)
+
+    Assignment thresholds are fixed hex-prefix compares (< 0x5555 -> R,
+    < 0xaaaa -> X, else S: thirds), each branch reuses the deterministic
+    span_corruption machinery with its own salt, and the S split builds
+    both strings by array concatenation (no concat_ws empty-part
+    asymmetry) — the whole mixture is a three-way union of scan
+    projections, engine-replayable end to end."""
+    h4 = F.substring(F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))), 1, 4)
+    r_docs = docs.where(h4 < "5555")
+    x_docs = docs.where((h4 >= "5555") & (h4 < "aaaa"))
+    s_docs = docs.where(h4 >= "aaaa")
+
+    r = span_corruption(
+        r_docs, rate=0.15, span_len=3, stride=8, text_col=text_col, id_col=id_col, salt=salt + "r"
+    ).select(id_col, F.lit("R").alias("denoiser"), "inputs", "targets")
+    x = span_corruption(
+        x_docs, rate=0.5, span_len=8, stride=16, text_col=text_col, id_col=id_col, salt=salt + "x"
+    ).select(id_col, F.lit("X").alias("denoiser"), "inputs", "targets")
+
+    w = F.split(F.col(text_col), " ")
+    n = F.size(w)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(salt + "s"), F.col(id_col).cast("string"))), 1, 12
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / F.lit(float(16**12) + 1.0)
+    p = F.floor(u * (n - 1)).cast("int") + 1  # 1..n-1 word boundary
+    s0, s1 = F.lit("<extra_id_0>"), F.lit("<extra_id_1>")
+    s = s_docs.select(
+        F.col(id_col),
+        F.lit("S").alias("denoiser"),
+        F.array_join(F.concat(F.slice(w, 1, p), F.array(s0)), " ").alias("inputs"),
+        F.array_join(
+            F.concat(F.array(s0), F.slice(w, p + 1, F.greatest(n - p, F.lit(0))), F.array(s1)), " "
+        ).alias("targets"),
+    )
+    return r.unionByName(x).unionByName(s)

@@ -5902,6 +5902,76 @@ def pack_fim_transform(spark, sf_dir):
     return fim_transform(docs, fim_rate=0.5)
 
 
+def _span_sql(where: str, salt: str, stride: int, span_len: int, thr: str, denoiser: str) -> str:
+    """One UL2/T5 span-corruption branch as SQL (the templated form of
+    the pack_span_corruption oracle)."""
+    return f"""
+    SELECT doc_id, '{denoiser}' AS denoiser,
+           coalesce(array_to_string(list_filter(list_transform(range(0, n), i ->
+             CASE WHEN len(list_filter(cands, c2 -> c2 * {stride} = i)) > 0
+                  THEN '<extra_id_' || len(list_filter(cands, c2 -> c2 * {stride} < i)) || '>'
+                  WHEN len(list_filter(cands,
+                           c2 -> c2 * {stride} <= i AND i < c2 * {stride} + {span_len})) > 0
+                  THEN ''
+                  ELSE w[i + 1] END),
+             t -> t <> ''), ' '), '') AS inputs,
+           array_to_string(list_append(
+             list_transform(cands, c2 ->
+               '<extra_id_' || len(list_filter(cands, c3 -> c3 < c2)) || '> ' ||
+               array_to_string(w[c2 * {stride} + 1 : c2 * {stride} + {span_len}], ' ')),
+             '<extra_id_' || len(cands) || '>'), ' ') AS targets
+    FROM (
+      SELECT doc_id, w, n,
+             list_filter(range(0, CAST(ceil(n / {stride}.0) AS BIGINT)),
+               c -> substring(md5('{salt}:' || doc_id || ':' || c), 1, 4) < '{thr}'
+                    AND c * {stride} < n) AS cands
+      FROM (SELECT doc_id, string_split(text, ' ') AS w,
+                   len(string_split(text, ' ')) AS n
+            FROM documents WHERE {where})
+    )"""
+
+
+@register(
+    "pack_ul2_mixture",
+    oracle=(
+        _span_sql(
+            "doc_id < 300 AND substring(md5('ul2:' || doc_id), 1, 4) < '5555'",
+            "ul2r", 8, 3, "6666", "R",
+        )
+        + " UNION ALL "
+        + _span_sql(
+            "doc_id < 300 AND substring(md5('ul2:' || doc_id), 1, 4) >= '5555'"
+            " AND substring(md5('ul2:' || doc_id), 1, 4) < 'aaaa'",
+            "ul2x", 16, 8, "zzzz", "X",
+        )
+        + f""" UNION ALL
+    SELECT doc_id, 'S' AS denoiser,
+           array_to_string(list_concat(w[1:p], ['<extra_id_0>']), ' ') AS inputs,
+           array_to_string(list_concat(list_concat(['<extra_id_0>'], w[p + 1 : n]),
+                                       ['<extra_id_1>']), ' ') AS targets
+    FROM (
+      SELECT doc_id, w, n,
+             CAST(floor((('0x' || substring(md5('ul2s:' || doc_id), 1, 12))::BIGINT + 0.5)
+                  / {float(16**12) + 1.0} * (n - 1)) AS INT) + 1 AS p
+      FROM (SELECT doc_id, string_split(text, ' ') AS w,
+                   len(string_split(text, ' ')) AS n
+            FROM documents
+            WHERE doc_id < 300 AND substring(md5('ul2:' || doc_id), 1, 4) >= 'aaaa')
+    )"""
+    ),
+)
+def pack_ul2_mixture(spark, sf_dir):
+    """UL2 mixture-of-denoisers (packing.py:ul2_mixture, Tay et al.
+    2022): thirds-assigned R/X span corruption + S prefix-LM, every
+    draw md5-derived — the oracle replays all three branches token for
+    token."""
+    from cm_well_spark.operators.packing import ul2_mixture
+    from cm_well_spark.sources import tables as tbl
+
+    docs = tbl.load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return ul2_mixture(docs)
+
+
 @register(
     "pack_span_corruption",
     oracle="""

@@ -1659,3 +1659,34 @@ def test_span_corruption_invariants(spark):
     assert 0.15 < masked_frac_total / n_tok_total < 0.45
     with pytest.raises(ValueError):
         span_corruption(df, span_len=8, stride=8)
+
+
+def test_ul2_mixture_branches(spark):
+    import re
+
+    from cm_well_spark.operators.packing import ul2_mixture
+
+    rows = [(i, " ".join(f"u{i}_{j}" for j in range(40))) for i in range(120)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in ul2_mixture(df).collect()}
+    assert set(out) == set(dict(rows))  # every doc gets exactly one example
+    byd = {}
+    for r in out.values():
+        byd.setdefault(r["denoiser"], []).append(r)
+    assert set(byd) == {"R", "X", "S"}
+    for d, rs in byd.items():
+        assert len(rs) > 15, (d, len(rs))  # thirds-ish split
+    # S: prefix-LM reconstruction
+    for r in byd["S"]:
+        pre = r["inputs"].replace(" <extra_id_0>", "")
+        suf = r["targets"].replace("<extra_id_0> ", "").replace(" <extra_id_1>", "")
+        assert (pre + " " + suf).split() == dict(rows)[r["doc_id"]].split()
+    # X masks ~half the tokens, R ~15%
+    def masked_frac(r):
+        spans = re.split(r"<extra_id_\d+>", r["targets"])
+        masked = sum(len(c.split()) for c in spans)
+        return masked / 40
+
+    xf = sum(masked_frac(r) for r in byd["X"]) / len(byd["X"])
+    rf = sum(masked_frac(r) for r in byd["R"]) / len(byd["R"])
+    assert xf > 0.4 and rf < 0.3 and xf > rf
