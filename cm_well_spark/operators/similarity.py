@@ -1045,7 +1045,16 @@ def mmr_select(
         selected.append((best_id, best_score))
         pool.remove(best_id)
     out = [(r + 1, sid, round(s, 6)) for r, (sid, s) in enumerate(selected)]
-    return df.sparkSession.createDataFrame(out, f"rank int, {id_col} long, score double")
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("rank", T.IntegerType()),
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    return df.sparkSession.createDataFrame(out, schema)
 
 
 def quantize_binary(

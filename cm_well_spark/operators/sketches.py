@@ -63,7 +63,7 @@ def heavy_hitters(
 
     stream = items.where(F.col(key_col).isNotNull() & (F.col(key_col) != ""))
 
-    if phi >= 1e-4:
+    if phi / 2.0 >= 1e-4:
         # JVM path: Spark's stat.freqItems IS the distributed
         # frequent-elements summary (Karp/Misra-Gries family,
         # implemented as a single treeAggregate — per-partition bounded
@@ -74,8 +74,9 @@ def heavy_hitters(
         row = stream.stat.freqItems([key_col], support=phi / 2.0).first()
         vals = [v for v in row[f"{key_col}_freqItems"] if v is not None]
     else:
-        # sub-1e-4 support (freqItems' floor): per-Arrow-batch summaries
-        # with capacity c — same guarantee, paid in Arrow transfer
+        # phi/2 below freqItems' 1e-4 support floor (phi < 2e-4):
+        # per-Arrow-batch summaries with capacity c — same guarantee,
+        # paid in Arrow transfer
         cap = max(8, math.ceil(2.0 / phi))
 
         def batch_frequent(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -468,9 +468,10 @@ def bigram_cross_entropy(
 
     def pairs(frame, *extra):
         t = toks(frame, *extra)
+        n = F.greatest(F.size("__t") - 1, F.lit(0))
         z = F.arrays_zip(
-            F.slice(F.col("__t"), F.lit(1), F.size("__t") - 1),
-            F.slice(F.col("__t"), F.lit(2), F.size("__t") - 1),
+            F.slice(F.col("__t"), F.lit(1), n),
+            F.slice(F.col("__t"), F.lit(2), n),
         )
         return t.select(*extra, F.explode(z).alias("__p")).select(
             *extra, F.col("__p")["0"].alias("a"), F.col("__p")["1"].alias("b")
@@ -713,15 +714,18 @@ def memorization_risk(
     words = F.split(normalize_text(F.col(text_col)), " ")
     totals = df.select(
         F.col(id_col),
-        F.greatest(F.size(words) - k, F.lit(0)).alias("__ng"),
-    ).select(F.col(id_col), (F.col("__ng") + 1).alias("n_grams"))
+        F.greatest(F.size(words) - k + 1, F.lit(0)).alias("n_grams"),
+    )
     return (
         totals.join(dup_counts, F.col(id_col) == F.col("__id"), "left")
         .select(
             F.col(id_col),
             "n_grams",
             F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
-            F.round(F.coalesce("n_dup_grams", F.lit(0)) / F.col("n_grams"), 6).alias("dup_frac"),
+            F.when(
+                F.col("n_grams") > 0,
+                F.round(F.coalesce("n_dup_grams", F.lit(0)) / F.col("n_grams"), 6),
+            ).otherwise(F.lit(0.0)).alias("dup_frac"),
         )
     )
 
@@ -811,9 +815,10 @@ def trigram_cross_entropy(
 
     def pairs(frame):
         t = toks(frame)
+        n = F.greatest(F.size("__t") - 1, F.lit(0))
         z = F.arrays_zip(
-            F.slice(F.col("__t"), F.lit(1), F.size("__t") - 1),
-            F.slice(F.col("__t"), F.lit(2), F.size("__t") - 1),
+            F.slice(F.col("__t"), F.lit(1), n),
+            F.slice(F.col("__t"), F.lit(2), n),
         )
         return t.select(F.explode(z).alias("__p")).select(
             F.col("__p")["0"].alias("a"), F.col("__p")["1"].alias("b")

@@ -6231,10 +6231,12 @@ def text_char_entropy(spark, sf_dir):
       SELECT g.doc_id, count(*) AS n_dup
       FROM grams g JOIN recurring r USING (span_hash) GROUP BY g.doc_id
     ),
-    tot AS (SELECT doc_id, greatest(len(w) - 16, 0) + 1 AS n_grams FROM d)
+    tot AS (SELECT doc_id, greatest(len(w) - 16 + 1, 0) AS n_grams FROM d)
     SELECT t.doc_id, CAST(t.n_grams AS BIGINT) AS n_grams,
            CAST(coalesce(dup.n_dup, 0) AS BIGINT) AS n_dup_grams,
-           round(coalesce(dup.n_dup, 0) * 1.0 / t.n_grams, 6) AS dup_frac
+           CASE WHEN t.n_grams > 0
+                THEN round(coalesce(dup.n_dup, 0) * 1.0 / t.n_grams, 6)
+                ELSE 0.0 END AS dup_frac
     FROM tot t LEFT JOIN dup USING (doc_id)
     """,
 )

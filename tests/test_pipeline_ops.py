@@ -1690,3 +1690,74 @@ def test_ul2_mixture_branches(spark):
     xf = sum(masked_frac(r) for r in byd["X"]) / len(byd["X"])
     rf = sum(masked_frac(r) for r in byd["R"]) / len(byd["R"])
     assert xf > 0.4 and rf < 0.3 and xf > rf
+
+
+def test_cross_entropy_survives_empty_normalized_docs(spark):
+    """r9 ADVICE regression: a punctuation/emoji-only doc normalizes to
+    zero tokens; the bigram slices must not go negative-length (Spark
+    throws INVALID_PARAMETER_VALUE.LENGTH). The empty doc just drops
+    out of the scored output; other docs score normally."""
+    from cm_well_spark.operators.text import bigram_cross_entropy, trigram_cross_entropy
+
+    rows = [
+        (1, "the cat sat on the mat and the cat sat again"),
+        (2, "!!! ... ??? !!!"),  # normalizes to zero tokens
+        (3, "the dog sat on the mat"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for fn, col in [(bigram_cross_entropy, "bigram_nll"), (trigram_cross_entropy, "trigram_nll")]:
+        out = {r["doc_id"]: r[col] for r in fn(df).collect()}
+        assert 2 not in out and 4 not in out
+        assert 1 in out and out[1] is not None
+
+
+def test_heavy_hitters_phi_at_freqitems_floor(spark):
+    """r9 ADVICE regression: phi in [1e-4, 2e-4) used to route to
+    stat.freqItems with support=phi/2 < 1e-4 -> IllegalArgumentException.
+    Must now take the Arrow fallback and still be exact."""
+    from collections import Counter
+
+    from cm_well_spark.operators.sketches import heavy_hitters
+
+    rows = [("hot",)] * 50 + [(f"c{j}",) for j in range(300)]
+    items = spark.createDataFrame(rows, ["token"]).repartition(4)
+    phi = 1e-4  # threshold = ceil(1e-4 * 350) = 1 -> everything qualifies
+    got = {(r["token"], r["cnt"]) for r in heavy_hitters(items, phi=phi).collect()}
+    truth = {(k, c) for k, c in Counter(t for (t,) in rows).items()}
+    assert got == truth
+    # 1.5e-4 sits strictly inside the previously-broken band
+    got2 = {(r["token"], r["cnt"]) for r in heavy_hitters(items, phi=1.5e-4).collect()}
+    assert got2 == truth
+
+
+def test_memorization_risk_short_docs(spark):
+    """r9 ADVICE regression: docs with fewer than k words report
+    n_grams = 0 (not 1) and dup_frac = 0.0, never a div-by-zero."""
+    from cm_well_spark.operators.text import memorization_risk
+
+    long_a = " ".join(f"w{i}" for i in range(20))
+    rows = [(1, long_a), (2, long_a), (3, "too short to gram"), (4, "")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in memorization_risk(df, k=16, min_docs=2).collect()}
+    assert out[1]["n_grams"] == 5 and out[1]["n_dup_grams"] == 5 and out[1]["dup_frac"] == 1.0
+    for short_id in (3, 4):
+        assert out[short_id]["n_grams"] == 0
+        assert out[short_id]["dup_frac"] == 0.0
+
+
+def test_mmr_select_string_ids(spark):
+    """r9 ADVICE regression: mmr_select must honor the id column's real
+    type instead of hardcoding long."""
+    from cm_well_spark.operators.similarity import mmr_select
+
+    rows = [
+        ("doc-a", [1.0, 0.0]),
+        ("doc-b", [0.9, 0.1]),
+        ("doc-c", [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "embedding"])
+    got = mmr_select(df, [1.0, 0.0], k=2, lam=0.5, fetch=3, id_col="doc_id", vec_col="embedding").collect()
+    assert [r["rank"] for r in got] == [1, 2]
+    assert got[0]["doc_id"] == "doc-a"
+    assert isinstance(got[1]["doc_id"], str)
