@@ -14,9 +14,38 @@ import sys
 import time
 
 
+def _load_gate() -> tuple[float, float, bool]:
+    """Contention gate (VERDICT r8 item 1): four consecutive rounds
+    recorded phantom regressions because the canonical bench ran under
+    external CPU steal (r4 35x, r6 22s card, r7 7k rows/s ingest, r8
+    hard_negatives 6.6x) and a judge had to adjudicate each by hand.
+    Before sampling, if the 1-min loadavg exceeds ~cores/4, sleep-retry
+    up to CMW_BENCH_LOAD_WAIT_SEC (default 240 s); if the host is STILL
+    contended, return contended=True so the artifact carries the flag
+    and adjudicates itself. Returns (loadavg_at_gate, waited_sec,
+    contended)."""
+    cores = os.cpu_count() or 32
+    threshold = float(os.environ.get("CMW_BENCH_LOAD_GATE", str(max(4.0, cores / 4.0))))
+    max_wait = float(os.environ.get("CMW_BENCH_LOAD_WAIT_SEC", "240"))
+    waited = 0.0
+    load1 = os.getloadavg()[0]
+    while load1 > threshold and waited < max_wait:
+        step = min(20.0, max_wait - waited)
+        print(
+            f"# load gate: 1-min loadavg {load1:.1f} > {threshold:.1f}, "
+            f"waiting {step:.0f}s ({waited:.0f}/{max_wait:.0f})",
+            file=sys.stderr,
+        )
+        time.sleep(step)
+        waited += step
+        load1 = os.getloadavg()[0]
+    return load1, waited, load1 > threshold
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     os.environ.setdefault("CMW_CACHE", "1")  # warm-store mode (BASELINE targets are warm)
+    gate_load, gate_waited, contended = _load_gate()
     from cm_well_spark.model.lakehouse import load_infotons, load_triples, materialize
     from cm_well_spark.registry import queries
     from cm_well_spark.session import get_spark
@@ -130,15 +159,34 @@ def main() -> None:
     # (a 22s record for a 1.9s-warm query), and the third draw usually
     # lands in a quieter slice.
     samples = int(os.environ.get("CMW_BENCH_SAMPLES", "3"))
+    # sample-spread flagging (VERDICT r8 item 1): when a query's worst
+    # sample is >2.5x its best, the environment was noisy DURING that
+    # query and even min-of-N may be inflated — re-sample those once at
+    # the end of the run (the tail usually lands in a quieter slice)
+    # and keep the min. Sub-0.2s entries are skipped (scheduler noise).
+    spread_flagged: list[str] = []
     for name in names:
         fn = qs[name]
-        best, n = float("inf"), 0
+        best, worst, n = float("inf"), 0.0, 0
         for _ in range(max(1, samples)):
             t0 = time.time()
             n = fn(spark, sf_dir).count()
-            best = min(best, time.time() - t0)
+            dt = time.time() - t0
+            best, worst = min(best, dt), max(worst, dt)
         timings[name] = round(best, 3)
+        if best > 0.2 and worst > 2.5 * best:
+            spread_flagged.append(name)
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+
+    rerun: dict[str, float] = {}
+    for name in spread_flagged:
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        dt = time.time() - t0
+        rerun[name] = round(dt, 3)
+        if dt < timings[name]:
+            timings[name] = round(dt, 3)
+        print(f"# rerun {name}: {rerun[name]}s (kept {timings[name]}s)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
@@ -158,6 +206,16 @@ def main() -> None:
         # host 1/5/15-min load averages: makes the record self-diagnosing
         # under external CPU steal (the r4 phantom-regression signature)
         "loadavg": [round(x, 2) for x in os.getloadavg()],
+        # contention self-adjudication (VERDICT r8 item 1): contended=true
+        # means the start gate waited load_wait_sec and the 1-min loadavg
+        # was STILL above the gate — treat inflated entries as environment,
+        # not regression. flagged_reruns lists queries whose sample spread
+        # exceeded 2.5x (noisy during measurement) with their end-of-run
+        # re-sample; timings keep the overall min.
+        "contended": contended,
+        "loadavg_at_gate": round(gate_load, 2),
+        "load_wait_sec": round(gate_waited, 1),
+        "flagged_reruns": rerun,
         "sf": sf_val,
         # r7 adjudication of the r6 sparql_graph_revenue record (1.21->1.65s,
         # module untouched): the physical plan was re-read — 4 broadcast hash
@@ -227,21 +285,41 @@ def main() -> None:
             "graph_sample_neighborhood",
             "similarity_hard_negatives",
             "dedup_corpus_overlap",
+            # round-9 (VERDICT r8 item 4): the r8 heavies at 10x —
+            # degree-oriented wedge joins, per-round LPA, MG candidates +
+            # exact recount, positional-k-gram span cut
+            "graph_triangles",
+            "graph_label_propagation",
+            "agg_heavy_hitters",
+            "dedup_span_removal",
         ]
         sf1_timings: dict[str, float] = {}
         # sf1 queries run 3-10x their sf0.1 cost; cap at 2 samples so the
         # scale-evidence block never dominates the round's bench wall
         sf1_samples = min(max(1, samples), 2)
+        sf1_flagged: list[str] = []
         for name in sf1_subset:
             if name not in qs:
                 continue
-            best = float("inf")
+            best, worst = float("inf"), 0.0
             for _ in range(sf1_samples):
                 t0 = time.time()
                 qs[name](spark, sf1_dir).count()
-                best = min(best, time.time() - t0)
+                dt = time.time() - t0
+                best, worst = min(best, dt), max(worst, dt)
             sf1_timings[name] = round(best, 3)
+            if best > 0.5 and worst > 2.5 * best:
+                sf1_flagged.append(name)
             print(f"# sf1 {name}: {sf1_timings[name]}s", file=sys.stderr)
+        sf1_rerun: dict[str, float] = {}
+        for name in sf1_flagged:
+            t0 = time.time()
+            qs[name](spark, sf1_dir).count()
+            dt = time.time() - t0
+            sf1_rerun[name] = round(dt, 3)
+            if dt < sf1_timings[name]:
+                sf1_timings[name] = round(dt, 3)
+            print(f"# sf1 rerun {name}: {sf1_rerun[name]}s", file=sys.stderr)
         out["sf1"] = {
             "sf": 1.0,
             "queries": sf1_timings,
@@ -249,6 +327,7 @@ def main() -> None:
             # >0 only on the round that (re)builds the store
             "ingest_sec": round(sf1_ingest, 3),
             "loadavg": [round(x, 2) for x in os.getloadavg()],
+            "flagged_reruns": sf1_rerun,
         }
 
     print(json.dumps(out))
