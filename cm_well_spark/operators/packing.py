@@ -330,9 +330,6 @@ def span_corruption(
     from cm_well_spark.operators.curation import _rate_hex
 
     thr = _rate_hex(p_gate)
-    w = F.split(F.col(text_col), " ")
-    n = F.size(w)
-    n_cands = F.ceil(n / F.lit(stride)).cast("int")
     gate = lambda c: (  # noqa: E731
         F.substring(
             F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"), c.cast("string"))),
@@ -341,34 +338,68 @@ def span_corruption(
         )
         < F.lit(thr)
     )
-    cands = F.filter(F.sequence(F.lit(0), n_cands - 1), lambda c: gate(c) & (c * stride < n))
     sent = lambda k: F.concat(F.lit("<extra_id_"), k.cast("string"), F.lit(">"))  # noqa: E731
-    rank_of = lambda c: F.size(F.filter(cands, lambda c2: c2 < c))  # noqa: E731
-    covered = lambda i: F.exists(  # noqa: E731
-        cands, lambda c: (c * stride <= i) & (i < c * stride + span_len)
+    # O(tokens + candidates) reconstruction (VERDICT r8 item 2; replaces
+    # an exists() over cands per token — O(n * n/stride) on unchunked
+    # docs): spans are non-overlapping grid cells, so `inputs` is the
+    # head before the first gated span, then per gated candidate k a
+    # sentinel plus the tokens from its span end to the NEXT gated
+    # span's start (array lookups, no scans), flattened. The index-aware
+    # transform lambda supplies sentinel ranks directly — cands is
+    # ascending, so rank = position. The token and candidate arrays are
+    # MATERIALIZED as columns in stacked projections first: as inline
+    # expressions, every reference inside a lambda body re-evaluates its
+    # whole defining expression PER ELEMENT (Catalyst doesn't CSE across
+    # lambda scopes — size(split(text)) inside the candidate gate alone
+    # re-split the document once per candidate), which is exactly the
+    # quadratic blowup being removed. Multi-referenced non-cheap columns
+    # are not re-inlined by CollapseProject, so this stays one narrow
+    # scan-riding stage; semantics are token-for-token identical to the
+    # per-token form (same oracle entries).
+    step = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__w"))
+    wc = F.col("__w")
+    nt = F.size(wc)
+    n_cands = F.ceil(nt / F.lit(stride)).cast("int")
+    base = step.select(
+        F.col(id_col),
+        wc,
+        F.filter(
+            F.sequence(F.lit(0), n_cands - 1), lambda c: gate(c) & (c * stride < nt)
+        ).alias("__cands"),
     )
-    begins = lambda i: F.exists(cands, lambda c: c * stride == i)  # noqa: E731
-    in_toks = F.filter(
-        F.transform(
-            F.sequence(F.lit(0), n - 1),
-            lambda i: F.when(begins(i), sent(F.size(F.filter(cands, lambda c: c * stride < i))))
-            .when(covered(i), F.lit(""))
-            .otherwise(F.element_at(w, i + 1)),
+    cands = F.col("__cands")
+    n_sel = F.size(cands)
+    first_start = F.when(n_sel > 0, F.element_at(cands, 1) * stride).otherwise(nt)
+    head = F.slice(wc, 1, first_start)
+    seg_end = lambda k: (  # noqa: E731  # exclusive end of the gap after span k
+        F.when(k + 1 < n_sel, F.element_at(cands, k + 2) * stride).otherwise(nt)
+    )
+    parts = F.transform(
+        cands,
+        lambda c, k: F.concat(
+            F.array(sent(k)),
+            F.slice(
+                wc,
+                c * stride + span_len + 1,
+                F.greatest(seg_end(k) - c * stride - span_len, F.lit(0)),
+            ),
         ),
-        lambda t: t != "",
     )
+    # empty tokens (doubled spaces in the source) are dropped, exactly
+    # as the per-token form's t != "" filter did
+    in_toks = F.filter(F.flatten(F.concat(F.array(head), parts)), lambda t: t != "")
     tgt_parts = F.transform(
         cands,
-        lambda c: F.concat(
-            sent(rank_of(c)),
+        lambda c, k: F.concat(
+            sent(k),
             F.lit(" "),
-            F.array_join(F.slice(w, c * stride + 1, span_len), " "),
+            F.array_join(F.slice(wc, c * stride + 1, span_len), " "),
         ),
     )
     # final sentinel appended INTO the array, one join — avoids the
     # leading-space asymmetry of concat_ws over an empty parts string
-    targets = F.array_join(F.concat(tgt_parts, F.array(sent(F.size(cands)))), " ")
-    return docs.select(
+    targets = F.array_join(F.concat(tgt_parts, F.array(sent(n_sel))), " ")
+    return base.select(
         F.col(id_col),
         F.array_join(in_toks, " ").alias("inputs"),
         targets.alias("targets"),

@@ -1761,3 +1761,40 @@ def test_mmr_select_string_ids(spark):
     assert [r["rank"] for r in got] == [1, 2]
     assert got[0]["doc_id"] == "doc-a"
     assert isinstance(got[1]["doc_id"], str)
+
+
+def test_span_corruption_long_doc_linear(spark):
+    """r9 (VERDICT r8 item 2): the coverage test is grid arithmetic, not
+    an exists() per token — a 60k-token unchunked doc must build in
+    seconds (the old per-token form was ~10^9 lambda evals), and the
+    example must reconstruct: dropping sentinels from inputs and
+    splicing targets' spans back at their grid positions yields the
+    original token stream."""
+    import re
+    import time
+
+    from cm_well_spark.operators.packing import span_corruption
+
+    n_tok = 60_000
+    text = " ".join(f"t{i}" for i in range(n_tok))
+    df = spark.createDataFrame([(1, text), (2, "short doc here")], ["doc_id", "text"])
+    t0 = time.time()
+    out = {r["doc_id"]: r for r in span_corruption(df, rate=0.15, span_len=3, stride=8).collect()}
+    wall = time.time() - t0
+    assert wall < 30, f"long-doc span corruption took {wall:.1f}s"
+
+    r = out[1]
+    spans = re.findall(r"<extra_id_(\d+)> ((?:t\d+ ?)*)", r["targets"])
+    # sentinel ids are 0..k in order, closed by a final bare sentinel
+    ids = [int(i) for i, _ in spans]
+    assert ids == list(range(len(ids)))
+    # splice masked spans back into inputs -> original stream
+    toks = []
+    by_id = {int(i): c.split() for i, c in spans}
+    for t in r["inputs"].split():
+        m = re.fullmatch(r"<extra_id_(\d+)>", t)
+        toks += by_id[int(m.group(1))] if m else [t]
+    assert toks == text.split()
+    # masked fraction lands near the target rate
+    masked = sum(len(v) for v in by_id.values())
+    assert 0.10 < masked / n_tok < 0.20
