@@ -274,8 +274,46 @@ def batch_get_out(spark, sf_dir):
     return df.select("path", fv.first_value("name").alias("name"))
 
 
+def _gate_rotation() -> int:
+    """Round counter for the correctness-gate window rotation: the
+    number of CORRECTNESS_r*.json artifacts already in the repo root
+    (deterministic, grows by one per driver round)."""
+    import glob
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return len(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(QUERIES)
+    """Registry in gate order (VERDICT r8 item 6): the driver's
+    correctness gate checks the FIRST 50 entries, which in registration
+    order were all r1-era search/agg ops — newer tranches were only
+    verified by the judge's own full-matrix rerun. The returned dict
+    therefore interleaves operator FAMILIES round-robin (family = name
+    prefix) and rotates both the family start order and each family's
+    internal offset by the round counter, so every round's 50-entry
+    window samples across all tranches and shifts membership each
+    round. read_point and merge_writer_current stay pinned first as
+    permanent sentinels. tools/check_oracle.py still covers all 226."""
+    sentinels = [n for n in ("read_point", "merge_writer_current") if n in QUERIES]
+    rest = [n for n in QUERIES if n not in sentinels]
+    fams: dict[str, list[str]] = {}
+    for n in rest:
+        fams.setdefault(n.split("_", 1)[0], []).append(n)
+    r = _gate_rotation()
+    fam_keys = sorted(fams)
+    shift = r % len(fam_keys) if fam_keys else 0
+    fam_keys = fam_keys[shift:] + fam_keys[:shift]
+    rotated = {k: fams[k][r % len(fams[k]) :] + fams[k][: r % len(fams[k])] for k in fam_keys}
+    ordered: list[str] = []
+    depth = 0
+    while len(ordered) < len(rest):
+        for k in fam_keys:
+            if depth < len(rotated[k]):
+                ordered.append(rotated[k][depth])
+        depth += 1
+    return {n: QUERIES[n] for n in sentinels + ordered}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1507,6 +1545,38 @@ def admin_audit(spark, sf_dir):
     from cm_well_spark.operators.admin import audit
 
     return audit(_inf(spark, sf_dir)).select(F.col("check").alias("check_name"), F.col("violations").cast("int"))
+
+
+@register(
+    "admin_info_path",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('/tpch/region/0', 'store', 'infotons/kind=ObjectInfoton', CAST(1700000000000 AS BIGINT), true),
+      ('/tpch/region/0', 'index', 'triples/p=name',      CAST(1700000000000 AS BIGINT), true),
+      ('/tpch/region/0', 'index', 'triples/p=regionkey', CAST(1700000000000 AS BIGINT), true),
+      ('/tpch/region/0', 'index', 'triples/p=rdfType',   CAST(1700000000000 AS BIGINT), true),
+      ('/tpch/nation/3', 'store', 'infotons/kind=ObjectInfoton', CAST(1710000000003 AS BIGINT), true),
+      ('/tpch/nation/3', 'index', 'triples/p=name',      CAST(1710000000003 AS BIGINT), true),
+      ('/tpch/nation/3', 'index', 'triples/p=nationkey', CAST(1710000000003 AS BIGINT), true),
+      ('/tpch/nation/3', 'index', 'triples/p=ofRegion',  CAST(1710000000003 AS BIGINT), true),
+      ('/tpch/nation/3', 'index', 'triples/p=rdfType',   CAST(1710000000003 AS BIGINT), true)
+    ) AS t(path, layer, location, index_time, current)
+    """,
+)
+def admin_info_path(spark, sf_dir):
+    """op=info analog (admin.py:info_path; Application.scala:2805
+    handleInfo): per path, which lakehouse layers / partition locations
+    / versions hold it — the C*-rows + ES-entries location report. The
+    entry projects the engine-replayable columns (partition-relative
+    location, index_time, current); the operator additionally reports
+    the physical parquet basename and version uuid, which are
+    random-suffixed / content-hashed and so stay out of the hash
+    compare."""
+    from cm_well_spark.operators.admin import info_path
+
+    return info_path(spark, sf_dir, ["/tpch/region/0", "/tpch/nation/3"]).select(
+        "path", "layer", "location", "index_time", "current"
+    )
 
 
 @register(
