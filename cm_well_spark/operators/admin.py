@@ -371,3 +371,95 @@ def replace_graph(infotons: DataFrame, graph: str, index_time_bump: int = 1000) 
         "current", F.when(hit, F.lit(False)).otherwise(F.col("current"))
     )
     return demoted.unionByName(stripped)
+
+
+# ---------------------------------------------------------------------------
+# op=info: physical location report per path
+# ---------------------------------------------------------------------------
+
+
+def info_path(spark: SparkSession, sf_dir: str, paths: list[str], root: str | None = None) -> DataFrame:
+    """`op=info` analog (Application.scala:2805 handleInfo; CRUDServiceFS
+    .info): for each requested path, report WHERE each of its versions
+    physically lives. The reference prints one line per Cassandra row
+    (`cas <uuid> ...`) and per ES index entry (`es <uuid> [index] ...`);
+    the lakehouse's answer is one row per layer location:
+
+      layer='store'  — the doc table (C* analog): partition directory,
+                       physical parquet file, uuid, index_time, current
+      layer='index'  — the EAV triples table (ES analog): one row per
+                       predicate partition holding the path (the file
+                       set ES would report as the index), uuid null
+                       (triples are keyed by subject, not version id)
+      layer='delta'  — pending merge-on-read write batches
+                       (infotons_delta/batch=N), when present
+
+    This is a PHYSICAL report, like the reference's raw C*/ES row dump:
+    each layer is read from its own parquet directly, never through the
+    reconciled merge-on-read view (whose union of sources both breaks
+    input_file_name() and would hide where bytes actually live) — so
+    with pending deltas, a path's base `current` flag may be stale and
+    its fresh version shows under layer='delta'; the read path's
+    reconciliation, not this report, resolves them.
+
+    Scale shape: per-layer point filters (path-sorted parquet min/max
+    prunes the store scan; the triples side prunes to the subject's rows
+    inside each predicate partition), one cheap distinct on the index
+    side, a union — no shuffle beyond the distinct, nothing collected.
+    `file` is the physical parquet basename via input_file_name();
+    `location` is the stable partition-relative directory (the
+    engine-replayable half of the report)."""
+    import os
+
+    from cm_well_spark.model.lakehouse import materialize
+
+    out = materialize(spark, sf_dir, root)
+    fname = F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1)
+    plist = list(paths)
+
+    store = (
+        spark.read.parquet(os.path.join(out, "infotons"))
+        .where(F.col("path").isin(plist))
+        .select(
+            "path",
+            F.lit("store").alias("layer"),
+            F.concat(F.lit("infotons/kind="), F.col("kind")).alias("location"),
+            fname.alias("file"),
+            "uuid",
+            "index_time",
+            "current",
+        )
+    )
+    index = (
+        spark.read.parquet(os.path.join(out, "triples"))
+        .where(F.col("s").isin(plist))
+        .select(
+            F.col("s").alias("path"),
+            F.lit("index").alias("layer"),
+            F.concat(F.lit("triples/p="), F.col("p")).alias("location"),
+            fname.alias("file"),
+            F.lit(None).cast("string").alias("uuid"),
+            "index_time",
+            "current",
+        )
+        .distinct()
+    )
+    result = store.unionByName(index)
+
+    delta_dir = os.path.join(out, "infotons_delta")
+    if os.path.isdir(delta_dir) and any(b.startswith("batch=") for b in os.listdir(delta_dir)):
+        delta = (
+            spark.read.parquet(delta_dir)
+            .where(F.col("path").isin(plist))
+            .select(
+                "path",
+                F.lit("delta").alias("layer"),
+                F.concat(F.lit("infotons_delta/batch="), F.col("batch")).alias("location"),
+                fname.alias("file"),
+                "uuid",
+                "index_time",
+                "current",
+            )
+        )
+        result = result.unionByName(delta)
+    return result

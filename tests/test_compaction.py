@@ -312,3 +312,44 @@ def test_minor_compaction_preserves_reads_and_feed(spark, store, tmp_path):
         _cmds(spark, [("/tpch/region/5", 1, "write", {"extra": [_sfv("post")]}, None, lm, "https")]),
     )
     assert len(compaction._delta_batches(mine, compaction._INF_DELTA)) == 2
+
+
+def test_info_path_reports_layers(spark, tmp_path_factory):
+    """op=info analog (admin.info_path): store + index rows for a clean
+    path; after an incremental write batch, the affected path also
+    reports its pending delta location, and the store layer reflects
+    the reconciled current flip."""
+    from cm_well_spark.model.compaction import write_batch
+    from cm_well_spark.model.lakehouse import materialize
+    from cm_well_spark.operators.admin import info_path
+
+    src = materialize(spark, SF_DIR)
+    root = str(tmp_path_factory.mktemp("inforoot"))
+    dst = os.path.join(root, os.path.basename(src))
+    shutil.copytree(src, dst)
+
+    rows = info_path(spark, SF_DIR, ["/tpch/region/0"], root=root).collect()
+    layers = {r["layer"] for r in rows}
+    assert layers == {"store", "index"}
+    store_rows = [r for r in rows if r["layer"] == "store"]
+    assert len(store_rows) == 1 and store_rows[0]["current"]
+    assert store_rows[0]["location"] == "infotons/kind=ObjectInfoton"
+    assert store_rows[0]["file"].endswith(".parquet") and store_rows[0]["uuid"]
+    assert {r["location"] for r in rows if r["layer"] == "index"} == {
+        "triples/p=name", "triples/p=regionkey", "triples/p=rdfType"
+    }
+
+    lm = datetime(2024, 3, 1)
+    write_batch(
+        spark, dst,
+        _cmds(spark, [("/tpch/region/0", 1, "write", {"extra": [_sfv("x")]}, None, lm, "https")]),
+    )
+    rows2 = info_path(spark, SF_DIR, ["/tpch/region/0"], root=root).collect()
+    assert {r["layer"] for r in rows2} == {"store", "index", "delta"}
+    deltas = [r for r in rows2 if r["layer"] == "delta"]
+    assert [d["location"] for d in deltas] == ["infotons_delta/batch=0"]
+    assert deltas[0]["index_time"] > 1700000000000 and deltas[0]["file"].endswith(".parquet")
+    # physical report: the base row is untouched (stale current until
+    # compaction folds the delta); the new version lives in the delta
+    base = [r for r in rows2 if r["layer"] == "store"]
+    assert len(base) == 1 and base[0]["index_time"] == 1700000000000
