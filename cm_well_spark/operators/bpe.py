@@ -13,7 +13,7 @@ columnar aggregation:
                 tie-break, TakeOrderedAndProject
   merge apply   a columnar left fold over the symbol array (the merged
                 pair is a per-round literal), leftmost-greedy like the
-                reference implementation; vocab is localCheckpoint'ed
+                reference implementation; vocab is iter_checkpoint'ed
                 per round so the plan never nests k folds deep
 
 Learning is genuinely iterative (k driver-bounded rounds over a bounded
@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from cm_well_spark.plans.iterative import iter_checkpoint
 
 END = "</w>"
 
@@ -63,7 +64,7 @@ def learn_bpe(
     vocab = (
         _word_freq(docs, text_col)
         .select("freq", _to_syms(F.col("w")).alias("syms"))
-        .localCheckpoint(eager=True)
+        .transform(iter_checkpoint)
     )
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
@@ -94,7 +95,7 @@ def learn_bpe(
                 F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(ab))),
             ).otherwise(F.concat(acc, F.array(x))),
         )
-        vocab = vocab.select("freq", fused.alias("syms")).localCheckpoint(eager=True)
+        vocab = vocab.select("freq", fused.alias("syms")).transform(iter_checkpoint)
     return merges
 
 

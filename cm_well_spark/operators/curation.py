@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from cm_well_spark.operators.dedup import _shingle_rows
 from cm_well_spark.operators.text import quality_features, quality_score, whitespace_token_count
+from cm_well_spark.plans.iterative import iter_checkpoint
 
 
 def _rate_hex(rate: float) -> str:
@@ -918,7 +919,7 @@ def train_linear_classifier(
 
     Spark-first shape: the sparse feature relation x = (doc, bucket,
     count/m) is built ONCE (one explode + one groupBy) and
-    localCheckpoint'ed; each round is then
+    iter_checkpoint'ed; each round is then
       logits   element_at(weight-literal-array, bucket) — the model
                rides the plan as literals, so scoring is join-free —
                + groupBy(doc).sum
@@ -943,7 +944,7 @@ def train_linear_classifier(
         cnt.join(m, "__id")
         .select("__id", "__b", (F.col("__c") / F.col("__m")).alias("__x"))
         .join(y, "__id")
-        .localCheckpoint(eager=True)
+        .transform(iter_checkpoint)
     )
     n_docs = x.select("__id").distinct().count()
 

@@ -32,6 +32,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from cm_well_spark.operators.text import normalize_text, spread_for_cpu
+from cm_well_spark.plans.iterative import iter_checkpoint
 
 # ---------------------------------------------------------------------------
 # exact
@@ -322,7 +323,7 @@ def duplicate_clusters(
     propagation distance; threshold-join components are near-cliques, so
     2-3 rounds in practice (long chains would want the large-star/small-star
     doubling variant — same join-shape per round, O(log d) rounds).
-    `localCheckpoint` truncates the growing lineage each round so the plan
+    `iter_checkpoint` truncates the growing lineage each round so the plan
     stays constant-size; convergence is detected with a limit(1) probe of
     changed labels (cheap: stops the scan at the first hit)."""
     edges = (
@@ -331,11 +332,11 @@ def duplicate_clusters(
         # materialize once: the pair list often carries an expensive lineage
         # (e.g. a jaccard shingle join) that every propagation round would
         # otherwise recompute from scratch
-        .localCheckpoint(eager=True)
+        .transform(iter_checkpoint)
     )
     labels = nodes.select(
         F.col(id_col).cast("long").alias("id"), F.col(id_col).cast("long").alias("cluster")
-    ).localCheckpoint(eager=True)
+    ).transform(iter_checkpoint)
     for _ in range(max_iter):
         neigh = (
             edges.join(
@@ -347,7 +348,7 @@ def duplicate_clusters(
         )
         new_labels = labels.join(neigh, "id", "left").select(
             "id", F.least(F.col("cluster"), F.coalesce("lmin", F.col("cluster"))).alias("cluster")
-        ).localCheckpoint(eager=True)
+        ).transform(iter_checkpoint)
         changed = (
             labels.select("id", F.col("cluster").alias("old"))
             .join(new_labels, "id")
@@ -801,7 +802,7 @@ def _bottom_k_sketch(
          result is always the EXACT bottom-k (>= k survivors below t
          implies the k smallest distinct hashes are all below t).
 
-    The returned k-row frame is localCheckpoint()ed: downstream
+    The returned k-row frame is iter_checkpoint'ed: downstream
     compositions (union-k / semi-join) reuse the materialized k rows
     instead of re-running the corpus scan per subtree."""
     # spread first: the sketch pays the shingle explode twice (estimate
@@ -823,16 +824,16 @@ def _bottom_k_sketch(
             if plan_probe is not None:
                 plan_probe.setdefault("threshold", None)
                 plan_probe.setdefault("residue", sketch)
-            return sketch.localCheckpoint()
+            return sketch.transform(iter_checkpoint)
         residue = hashes.where(F.col("h") < t).distinct()
         if plan_probe is not None:
             plan_probe["threshold"] = t
             plan_probe["residue"] = residue
-        materialized = residue.localCheckpoint()
+        materialized = residue.transform(iter_checkpoint)
         # bounded action: expected ~safety*k rows; >= k distinct below t
         # guarantees the global bottom-k is inside the residue (exact).
         if materialized.count() >= k_sketch:
-            return materialized.orderBy("h").limit(k_sketch).localCheckpoint()
+            return materialized.orderBy("h").limit(k_sketch).transform(iter_checkpoint)
         safety *= 16.0
 
 

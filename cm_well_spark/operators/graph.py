@@ -31,7 +31,7 @@ then on runs plain keyed joins/aggs Catalyst plans freely:
   - pagerank: per iteration ONE equi-join (ranks ⨝ out-degree-decorated
     edges on src) + ONE groupBy(dst) sum — the contribution shuffle is
     keyed by node, never materializes adjacency lists, and carries two
-    columns. Edges/nodes are eagerly localCheckpoint'd once so
+    columns. Edges/nodes are eagerly iter_checkpoint'd once so
     iterations re-read materialized relations; the unrolled iteration
     plan itself stays with Catalyst/AQE (per-round rank checkpoints
     measured 3.5x slower), depth-bounded by an eager checkpoint every
@@ -137,7 +137,7 @@ def pagerank(
     out-degree-decorated edge relation (keyed by src) and one
     groupBy(dst).sum — partial aggregation combines map-side, the
     shuffle carries (node, contribution) only. The edge relation is
-    localCheckpoint'd ONCE (it often carries the triples-scan lineage);
+    iter_checkpoint'd ONCE (it often carries the triples-scan lineage);
     ranks are checkpointed per round so the iterated plan stays
     constant-size. At 1000 executors this is the textbook Pregel-free
     PageRank: iterations x (1 shuffle join + 1 shuffle agg), no

@@ -27,6 +27,7 @@ from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from cm_well_spark.plans.iterative import iter_checkpoint
 
 _LBL = "__as_"  # label-column prefix: internal, never user-visible
 
@@ -161,7 +162,7 @@ class GraphTraversal:
         """Bounded `loop`/`repeat` pipe: apply `step` `times` times.
         `emit=True` unions every intermediate frontier (seed included)
         into the result — TinkerPop's emitting loop. Each round's
-        frontier is localCheckpoint'd so the accumulated plan doesn't
+        frontier is iter_checkpoint'd so the accumulated plan doesn't
         re-derive the whole chain per level (same discipline as
         traversal.expand_out)."""
         if times < 0:
@@ -170,11 +171,11 @@ class GraphTraversal:
         acc = self.frontier.select("path")
         for _ in range(times):
             cur = step(cur)
-            cur = cur._with(cur.frontier.localCheckpoint(eager=True), cur.bounded)
+            cur = cur._with(cur.frontier.transform(iter_checkpoint), cur.bounded)
             if emit:
                 acc = acc.unionByName(cur.frontier.select("path")).distinct()
         if emit:
-            return self._with(acc.localCheckpoint(eager=True))
+            return self._with(acc.transform(iter_checkpoint))
         return cur
 
     def loop(self, times: int, *labels: str, emit: bool = True) -> "GraphTraversal":

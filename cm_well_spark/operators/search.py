@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from cm_well_spark.parsers.qp import FieldFilter, parse_qp
 from cm_well_spark.parsers.sort import DEFAULT_SORT, SortKey, parse_sort_by
 from cm_well_spark.plans.compile import SYSTEM_COLUMNS, compile_filter
+from cm_well_spark.plans.iterative import iter_checkpoint
 
 MAX_OFFSET = 1_000
 MAX_LENGTH = 10_000
@@ -147,7 +148,7 @@ def search(
                 # contract as traversal.py's frontier broadcasts.
                 from cm_well_spark.operators.traversal import BROADCAST_PATHS_MAX
 
-                paths = paths.localCheckpoint(eager=True)
+                paths = paths.transform(iter_checkpoint)
                 bounded = paths.count() <= BROADCAST_PATHS_MAX
                 df = df.join(F.broadcast(paths) if bounded else paths, "path", "left_semi")
                 if residual is not None:
@@ -286,7 +287,7 @@ def resolve_forward_links(infotons: DataFrame, max_depth: int = 30) -> DataFrame
         )
         .select(F.col("path").alias("src"), F.col("link_to").alias("dst"))
     )
-    m = links.localCheckpoint(eager=True)
+    m = links.transform(iter_checkpoint)
     for _ in range(max(1, math.ceil(math.log2(max_depth + 1)))):
         stepped = (
             m.alias("a")
@@ -296,7 +297,7 @@ def resolve_forward_links(infotons: DataFrame, max_depth: int = 30) -> DataFrame
                 F.coalesce(F.col("b.dst"), F.col("a.dst")).alias("dst"),
             )
         )
-        m = stepped.localCheckpoint(eager=True)
+        m = stepped.transform(iter_checkpoint)
     # an endpoint that is still a link did not resolve within the budget
     still_link = links.select(F.col("src").alias("dst"))
     resolved = m.join(still_link, "dst", "left_anti").withColumnRenamed("dst", "resolved")

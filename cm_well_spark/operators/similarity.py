@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from cm_well_spark.plans.iterative import iter_checkpoint
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -1139,7 +1140,7 @@ def binary_rerank_topk(
         .first()
     )
     short = binary_hamming_topk(codes, list(qcode_row["code"]), k=shortlist, id_col=id_col)
-    short = short.localCheckpoint(eager=True)  # shortlist rows only, reused by the semi-join
+    short = short.transform(iter_checkpoint)  # shortlist rows only, reused by the semi-join
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     cast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     return (

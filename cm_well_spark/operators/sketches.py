@@ -39,6 +39,7 @@ from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from cm_well_spark.plans.iterative import iter_checkpoint
 
 #: above this many candidates the isin literal / forced broadcast stops
 #: being sane; fall back to a plain semi-join and let AQE decide.
@@ -90,7 +91,7 @@ def heavy_hitters(
         candidates = (
             stream.mapInPandas(batch_frequent, schema=f"{key_col} string")
             .distinct()
-            .localCheckpoint(eager=True)
+            .transform(iter_checkpoint)
         )
         if candidates.count() > _ISIN_MAX:
             recount_src = stream.join(candidates, key_col, "left_semi")

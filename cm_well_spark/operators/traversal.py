@@ -43,6 +43,7 @@ from cm_well_spark.parsers.expansion import (
     parse_yg,
 )
 from cm_well_spark.plans.compile import compile_filter
+from cm_well_spark.plans.iterative import iter_checkpoint
 
 XG_LIMIT = 10_000  # webservice.xg.limit (application.conf:71)
 
@@ -135,7 +136,7 @@ def _hop(
     if stat_bound is not None:
         dst_bounded = stat_bound <= BROADCAST_PATHS_MAX
     else:
-        dsts = dsts.localCheckpoint(eager=True)
+        dsts = dsts.transform(iter_checkpoint)
         dst_bounded = dsts.count() <= BROADCAST_PATHS_MAX
     # ghost skip (J7): only paths that exist as current infotons survive,
     # and the per-level filter applies to the hydrated targets
@@ -166,14 +167,14 @@ def expand_out(
     # iterative expansion: materialize the (bounded, <=10k-path) frontier
     # each level — without this the accumulated plan re-evaluates the
     # whole chain 2^levels times (measured 10x wall on a 2-level xg)
-    acc = seeds.select("path").localCheckpoint(eager=True)
+    acc = seeds.select("path").transform(iter_checkpoint)
     frontier = acc
     for level in levels:
         # counting a checkpointed frontier is ~free and proves boundedness
         # for the broadcast-hint decision (VERDICT r1 finding 4)
         bounded = frontier.count() <= BROADCAST_PATHS_MAX
         targets = _hop(infotons, t, frontier, level.fields, reverse=False, bounded=bounded, stats=stats)
-        frontier = targets.join(acc, "path", "left_anti").localCheckpoint(eager=True)
+        frontier = targets.join(acc, "path", "left_anti").transform(iter_checkpoint)
         # acc itself is NOT re-checkpointed: it stays a flat union of
         # already-checkpointed frontiers, so its lineage is one node per
         # level (not exponential) and we skip a full materialization per
@@ -193,7 +194,7 @@ def expand_paths(
     """J2 yg: walk each `|`-alternative segment chain from the seeds and
     keep the WHOLE discovered path (seeds + every intermediate + final)."""
     pe = parse_yg(yg) if isinstance(yg, str) else yg
-    seed_paths = seeds.select("path").localCheckpoint(eager=True)
+    seed_paths = seeds.select("path").transform(iter_checkpoint)
     acc = seed_paths
     for path in pe.paths:
         frontier = seed_paths  # each |-alternative restarts from the seeds
@@ -202,7 +203,7 @@ def expand_paths(
             frontier = _hop(
                 infotons, triples, frontier, seg.fields, reverse=isinstance(seg, ExpandUp),
                 bounded=bounded, stats=stats,
-            ).localCheckpoint(eager=True)
+            ).transform(iter_checkpoint)
             # flat union of checkpointed frontiers — no per-segment
             # re-materialization of the accumulator (see expand_out)
             acc = acc.unionByName(frontier)
@@ -258,7 +259,7 @@ def gqp_filter(
     # hydration): an SMJ here would exchange the WIDE result rows before
     # AQE sees the survivor count; the survivor set is a narrow distinct
     # path frame, cheap to checkpoint + count
-    survivors = survivors.localCheckpoint(eager=True)
+    survivors = survivors.transform(iter_checkpoint)
     if survivors.count() <= BROADCAST_PATHS_MAX:
         survivors = F.broadcast(survivors)
     return results.join(survivors, "path", "left_semi")

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from cm_well_spark.model import fieldvals as fv
 from cm_well_spark.model.lakehouse import load_infotons, load_triples
 from cm_well_spark.operators import search as S
+from cm_well_spark.plans.iterative import iter_checkpoint
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -4106,7 +4107,7 @@ def streaming_pack_manifest(spark, sf_dir):
         spark.table(name)
         .groupBy("shard", "window")
         .agg(F.count("*").alias("n_docs"), F.sum("win_tokens").cast("long").alias("n_tokens"))
-        .localCheckpoint(eager=True)
+        .transform(iter_checkpoint)
     )
     shutil.rmtree(work, ignore_errors=True)
     return out
@@ -4732,7 +4733,7 @@ def streaming_window_counts(spark, sf_dir):
         .start()
     )
     q.awaitTermination(300)
-    out = spark.table(name).localCheckpoint(eager=True)
+    out = spark.table(name).transform(iter_checkpoint)
     shutil.rmtree(work, ignore_errors=True)
     return out
 

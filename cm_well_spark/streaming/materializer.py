@@ -54,6 +54,7 @@ from cm_well_spark.operators.sparql.compiler import (
     _pattern_df,
 )
 from cm_well_spark.operators.sparql.parser import Var, parse_sparql
+from cm_well_spark.plans.iterative import iter_checkpoint
 
 
 class SparqlTriggeredProcessor:
@@ -149,7 +150,7 @@ class SparqlTriggeredProcessor:
     def process_batch(self, batch_df: DataFrame, batch_id: int = 0) -> DataFrame:
         """foreachBatch body: incremental recompute for affected subjects
         (see module docstring); returns the freshly derived rows."""
-        changed = batch_df.select("path").distinct().localCheckpoint(eager=True)
+        changed = batch_df.select("path").distinct().transform(iter_checkpoint)
         batch_triples = triples_of(batch_df).select(*self.base_triples.columns)
         # live scope: changed docs' triples come from the batch; their OLD
         # rows in base are masked by a broadcast anti join (no global dedup)
@@ -173,7 +174,7 @@ class SparqlTriggeredProcessor:
                 .select(F.col("s").alias("path"))
             )
             affected = affected.unionByName(old_affected)
-        affected = affected.distinct().localCheckpoint(eager=True)
+        affected = affected.distinct().transform(iter_checkpoint)
 
         # recompute solutions ONLY for affected subjects: seed the pattern
         # binding the template subject with the affected set
