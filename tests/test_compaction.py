@@ -353,3 +353,68 @@ def test_info_path_reports_layers(spark, tmp_path_factory):
     # compaction folds the delta); the new version lives in the delta
     base = [r for r in rows2 if r["layer"] == "store"]
     assert len(base) == 1 and base[0]["index_time"] == 1700000000000
+
+
+@pytest.mark.parametrize("seed", [11, 42])
+def test_minor_compaction_random_schedule_consume_parity(spark, store, tmp_path, seed):
+    """r9 (VERDICT r8 item 7): property-pin minor compaction against the
+    consume contract — a RANDOMIZED schedule of write_batch /
+    compact_deltas interleavings must leave the change feed and the
+    reconciled current view identical with and without minor folds.
+    Twin stores take the same command sequence; only one interleaves
+    compact_deltas at random points; the full consume drain from the
+    base watermark is compared as (path, index_time, uuid, current)
+    sets (small chunk so at-least-once cuts are exercised; the drained
+    view is materialized first — the consume contract is over any
+    DataFrame, and parity is about content, not recompute cost)."""
+    import random
+
+    from cm_well_spark.model import compaction
+    from cm_well_spark.operators.consume import WATERMARK_MS, create_consumer, drain
+    from cm_well_spark.plans.iterative import iter_checkpoint
+
+    rng = random.Random(seed)
+    plain = str(tmp_path / "sched_plain")
+    folded = str(tmp_path / "sched_folded")
+    shutil.copytree(store, plain)
+    shutil.copytree(store, folded)
+    # the pristine store has no watermark file yet — the feed starts at
+    # the base's max index_time, so drains see only this schedule's rows
+    since = (
+        spark.read.parquet(os.path.join(plain, "infotons"))
+        .agg(F.max("index_time").alias("m"))
+        .first()["m"]
+    )
+    lm = datetime(2024, 7, 1)
+    paths = [f"/tpch/region/{i}" for i in range(10)]
+
+    def feed(out):
+        inf = iter_checkpoint(compaction.reconciled_infotons(spark, out))
+        max_it = inf.agg(F.max("index_time").alias("m")).first()["m"] or since
+        tok = create_consumer(since_ms=since, history=True)
+        _tok, chunks = drain(inf, tok, chunk=5, now_ms=max_it + WATERMARK_MS + 1)
+        rows = [r for c in chunks for r in c.collect()]
+        return {(r["path"], r["index_time"], r["uuid"], r["current"]) for r in rows}
+
+    n_steps = 4
+    n_folds = 0
+    for step in range(n_steps):
+        cmds = []
+        for _ in range(rng.randrange(1, 4)):
+            p = rng.choice(paths)
+            op = rng.choices(["write", "delete_attributes", "delete_path"], [0.7, 0.15, 0.15])[0]
+            if op == "write":
+                cmds.append((p, 1, "write", {"extra": [_sfv(f"s{step}v{rng.randrange(100)}")]}, None, lm, "https"))
+            elif op == "delete_attributes":
+                cmds.append((p, 1, "delete_attributes", None, {"extra": []}, lm, "https"))
+            else:
+                cmds.append((p, 1, "delete_path", None, None, lm, "https"))
+        for out in (plain, folded):
+            compaction.write_batch(spark, out, _cmds(spark, cmds))
+        if rng.random() < 0.6 and step < n_steps - 1:
+            n_folds += compaction.compact_deltas(spark, folded)["folded_batches"] and 1
+    assert n_folds >= 1, f"schedule exercised no fold (seed {seed})"
+    assert feed(folded) == feed(plain), f"feed diverged (seed {seed})"
+    assert _current_fields(
+        compaction.reconciled_infotons(spark, folded)
+    ) == _current_fields(compaction.reconciled_infotons(spark, plain))
