@@ -1149,3 +1149,64 @@ def binary_rerank_topk(
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+def ann_recall_at_k(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_id_col: str = "query_id",
+    q_vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Recall@k evaluation harness for the SRP-LSH route -> one row per
+    query (q_id_col, n_hits, recall): |lsh_topk_batch ∩ exact top-k| / k.
+    The measurement loop every ANN deployment runs before trusting the
+    approximate route with a 100 TB retrieval job — as a first-class
+    distributed operator instead of a notebook: ground truth is the
+    bounded-query-batch broadcast over ONE corpus scan (the same
+    whitelisted shape as lsh_topk_batch's fallback), the ANN side is the
+    production operator itself (recall guard included — a query whose
+    bucket underfills re-scores exactly, so its recall is honestly 1.0),
+    and the intersection is a semi-join on (query, vec). Both rankings
+    order by (cosine rounded to 6dp DESC, id ASC), which makes the whole
+    evaluation engine-replayable and hash-checked against a DuckDB twin
+    — not just eyeballed."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql import Window
+
+    ann = lsh_topk_batch(
+        df, queries, k=k, n_planes=n_planes, vec_col=vec_col, id_col=id_col,
+        q_id_col=q_id_col, q_vec_col=q_vec_col, seed=seed,
+    )
+    cast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    qcast = F.transform(F.col(q_vec_col), lambda x: x.cast("double"))
+    corpus = df.select(F.col(id_col), cast.alias("__v"))
+    qs = queries.select(F.col(q_id_col).alias("__qid"), qcast.alias("__qv"))
+    w = Window.partitionBy("__qid").orderBy(F.desc("__cos"), F.asc(id_col))
+    exact = (
+        corpus.crossJoin(F.broadcast(qs))
+        .select("__qid", F.col(id_col), F.round(cosine(F.col("__v"), F.col("__qv")), 6).alias("__cos"))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select("__qid", id_col)
+    )
+    hits = (
+        ann.select(F.col(q_id_col).alias("__qid"), F.col(id_col))
+        .join(exact, ["__qid", id_col], "left_semi")
+        .groupBy("__qid")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        qs.select("__qid")
+        .join(hits, "__qid", "left")
+        .select(
+            F.col("__qid").alias(q_id_col),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(float(k)), 6).alias("recall"),
+        )
+    )

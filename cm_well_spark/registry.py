@@ -2945,6 +2945,77 @@ def similarity_lsh_topk_batch(spark, sf_dir):
     return lsh_topk_batch(embs, queries, k=5, n_planes=6)
 
 
+def _ann_recall_oracle_sql(k: int = 5, n_queries: int = 8) -> str:
+    """The whole recall@k evaluation replayed in SQL: SRP buckets from
+    the literal LCG planes (same idiom as _srp_oracle_sql), candidate =
+    bucket equi-join, the <k recall guard as a NOT IN over candidate
+    counts, both rankings ordered (round(cos,6) DESC, vec_id ASC)."""
+    from cm_well_spark.operators.similarity import _planes
+
+    planes = _planes(64, 6)
+    terms = []
+    for i, p in enumerate(planes):
+        lit = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+        terms.append(f"(CASE WHEN list_dot_product(v, {lit}) > 0 THEN {1 << i} ELSE 0 END)")
+    bucket = " + ".join(terms)
+    return f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+    b AS (SELECT vec_id, v, CAST({bucket} AS BIGINT) AS bucket FROM e),
+    q AS (SELECT vec_id AS qid, v AS qv, bucket FROM b WHERE vec_id < {n_queries}),
+    cand AS (
+      SELECT q.qid, b.vec_id, round(list_cosine_similarity(b.v, q.qv), 6) AS cos
+      FROM b JOIN q ON b.bucket = q.bucket
+    ),
+    cand_rk AS (
+      SELECT qid, vec_id,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rn
+      FROM cand
+    ),
+    enough AS (SELECT qid FROM cand GROUP BY qid HAVING count(*) >= {k}),
+    full_rk AS (
+      SELECT q.qid, e.vec_id,
+             row_number() OVER (
+               PARTITION BY q.qid
+               ORDER BY round(list_cosine_similarity(e.v, q.qv), 6) DESC, e.vec_id ASC
+             ) AS rn
+      FROM e, q
+    ),
+    ann AS (
+      SELECT qid, vec_id FROM cand_rk WHERE rn <= {k} AND qid IN (SELECT qid FROM enough)
+      UNION ALL
+      SELECT qid, vec_id FROM full_rk WHERE rn <= {k} AND qid NOT IN (SELECT qid FROM enough)
+    ),
+    exact AS (SELECT qid, vec_id FROM full_rk WHERE rn <= {k}),
+    hits AS (
+      SELECT a.qid, count(*) AS n_hits
+      FROM ann a JOIN exact x ON a.qid = x.qid AND a.vec_id = x.vec_id
+      GROUP BY a.qid
+    )
+    SELECT q.qid AS query_id,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           round(coalesce(h.n_hits, 0) / {k}.0, 6) AS recall
+    FROM q LEFT JOIN hits h ON q.qid = h.qid
+    """
+
+
+@register("similarity_recall_eval", oracle=_ann_recall_oracle_sql(k=5, n_queries=8))
+def similarity_recall_eval(spark, sf_dir):
+    """Recall@k evaluation harness (similarity.py:ann_recall_at_k): the
+    SRP-LSH route measured against the exact cosine ranking per query —
+    the trust-but-verify loop an ANN deployment runs before switching a
+    100 TB retrieval job off brute force, hash-matched end to end (the
+    DuckDB twin replays buckets, guard, both rankings and the
+    intersection)."""
+    from cm_well_spark.operators.similarity import ann_recall_at_k
+    from cm_well_spark.sources import tables as tbl
+
+    embs = tbl.load_table(spark, sf_dir, "embeddings")
+    queries = embs.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_recall_at_k(embs, queries, k=5, n_planes=6)
+
+
 @register(
     "sparql_path_group_plus",
     oracle="""

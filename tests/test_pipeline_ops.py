@@ -1798,3 +1798,41 @@ def test_span_corruption_long_doc_linear(spark):
     # masked fraction lands near the target rate
     masked = sum(len(v) for v in by_id.values())
     assert 0.10 < masked / n_tok < 0.20
+
+
+def test_ann_recall_at_k_matches_numpy_twin(spark):
+    """r9: the recall@k harness must equal a numpy twin of the same
+    pipeline (SRP buckets -> candidates or guard fallback -> rank by
+    (round(cos,6) desc, id) -> intersection with exact top-k)."""
+    import numpy as np
+
+    from cm_well_spark.operators.similarity import _planes, ann_recall_at_k
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(60, 16)).astype(float)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(60)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = df.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    k, n_planes = 4, 3
+    got = {r["query_id"]: (r["n_hits"], r["recall"]) for r in
+           ann_recall_at_k(df, queries, k=k, n_planes=n_planes).collect()}
+
+    planes = np.array(_planes(16, n_planes))
+    buckets = ((vecs @ planes.T) > 0).astype(int) @ (1 << np.arange(n_planes))
+
+    def cos(a, b):
+        return round(float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+
+    for qid in range(5):
+        full = sorted(range(60), key=lambda i: (-cos(vecs[i], vecs[qid]), i))
+        exact = set(full[:k])
+        cand = [i for i in range(60) if buckets[i] == buckets[qid]]
+        pool = cand if len(cand) >= k else range(60)
+        ann = sorted(pool, key=lambda i: (-cos(vecs[i], vecs[qid]), i))[:k]
+        n_hits = len(set(ann) & exact)
+        assert got[qid] == (n_hits, round(n_hits / k, 6)), qid
+    assert all(0.0 <= r <= 1.0 for _h, r in got.values())
+    with pytest.raises(ValueError):
+        ann_recall_at_k(df, queries, k=0)
