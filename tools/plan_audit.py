@@ -38,6 +38,7 @@ NLJ_WHITELIST = {
     # bounded-dimension broadcasts by contract
     "similarity_hard_negatives": "bounded anchor set broadcast by contract",
     "similarity_lsh_topk_batch": "bounded query batch broadcast by contract",
+    "similarity_recall_eval": "bounded query batch broadcast by contract (eval ground truth + lsh fallback)",
     "similarity_pq_topk_batch": "bounded query batch + codebook literals",
     "similarity_ivfpq_topk_batch": "bounded query batch + codebook literals",
     "curation_mixture_weights": "bounded domain dimension (mixture solve)",
