@@ -1316,11 +1316,48 @@ def dedup_jaccard_pairs(spark, sf_dir):
     return jaccard_pairs(docs, threshold=0.5)
 
 
-@register("dedup_minhash_lsh")
+def _dedup_twin(name: str) -> str:
+    from cm_well_spark.operators import dedup_twin
+
+    return getattr(dedup_twin, name)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split({_NORM_SQL.format(c='text')}, ' ') AS w
+      FROM documents WHERE doc_id < 300
+    ),
+    g AS (
+      SELECT DISTINCT doc_id, array_to_string(w[u.i + 1 : u.i + 3], ' ') AS sh
+      FROM d, LATERAL (SELECT unnest(range(greatest(len(w) - 3, 0) + 1)) AS i) u
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+    cand(id_a, id_b) AS (VALUES {_dedup_twin("MINHASH_CAND_VALUES")}),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_common
+      FROM cand c
+      JOIN g ga ON ga.doc_id = c.id_a
+      JOIN g gb ON gb.doc_id = c.id_b AND gb.sh = ga.sh
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           round(i.n_common * 1.0 / (sa.n + sb.n - i.n_common), 6) AS jaccard
+    FROM inter i
+    JOIN sz sa ON sa.doc_id = i.id_a
+    JOIN sz sb ON sb.doc_id = i.id_b
+    WHERE i.n_common * 1.0 / (sa.n + sb.n - i.n_common) >= 0.5
+    """,
+)
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup: shingle -> 64 seeded min-hashes -> 16 bands
-    -> bucket join -> exact-jaccard verify. Probabilistic recall ->
-    rows-only check; tests assert recall == exact on fixtures."""
+    -> bucket join -> exact-jaccard verify. Hash-matched (r9): every
+    hash is deterministic xxhash64, so tools/gen_dedup_oracle.py
+    re-derives the banded CANDIDATE pairs with an independent
+    pure-Python XXH64 (banding is probabilistic in recall, not in
+    value), and the oracle recomputes the exact-jaccard VERIFY from the
+    documents table in SQL. Recall-vs-exact stays pytest-pinned."""
     from cm_well_spark.operators.dedup import minhash_dedup_pairs
 
     from cm_well_spark.sources import tables as tbl
@@ -1329,10 +1366,24 @@ def dedup_minhash_lsh(spark, sf_dir):
     return minhash_dedup_pairs(docs, threshold=0.5)
 
 
-@register("dedup_simhash")
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH sig(doc_id, sh) AS (VALUES {_dedup_twin("SIMHASH_SIG_VALUES")})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= 3
+    """,
+)
 def dedup_simhash(spark, sf_dir):
     """SimHash near-dup: 64-bit sign-sum signature, 16-bit block pigeonhole
-    buckets, hamming <= 3 verify. Rows-only (probabilistic)."""
+    buckets, hamming <= 3 verify. Hash-matched (r9, multimodal-dHash
+    precedent): the signatures are deterministic xxhash64 sign-sums, so
+    tools/gen_dedup_oracle.py re-derives them with an independent
+    pure-Python XXH64 and the oracle replays BRUTE-FORCE all-pairs
+    hamming — a match also proves the pigeonhole banding dropped no
+    pair."""
     from cm_well_spark.operators.dedup import simhash_pairs
 
     from cm_well_spark.sources import tables as tbl
@@ -1369,10 +1420,46 @@ def similarity_topk_cosine(spark, sf_dir):
     return brute_force_topk(embs, _query_vec(spark, sf_dir), k=10)
 
 
-@register("similarity_lsh_topk")
+def _srp_bucket_sql(var: str = "v") -> str:
+    """The SRP bucket as a SQL expression over a double-list column —
+    the LCG planes inline as literals (bit i = sign(v . plane_i))."""
+    from cm_well_spark.operators.similarity import _planes
+
+    terms = []
+    for i, p in enumerate(_planes(64, 6)):
+        lit = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+        terms.append(f"(CASE WHEN list_dot_product({var}, {lit}) > 0 THEN {1 << i} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+@register(
+    "similarity_lsh_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+    b AS (SELECT vec_id, v, CAST({_srp_bucket_sql()} AS BIGINT) AS bucket FROM e),
+    q AS (SELECT v AS qv, bucket AS qb FROM b ORDER BY vec_id LIMIT 1),
+    cand AS (
+      SELECT b.vec_id, round(list_cosine_similarity(b.v, q.qv), 6) AS cosine
+      FROM b, q WHERE b.bucket = q.qb
+    ),
+    n AS (SELECT count(*) AS c FROM cand),
+    fallback AS (
+      SELECT e.vec_id, round(list_cosine_similarity(e.v, q.qv), 6) AS cosine FROM e, q
+    )
+    SELECT vec_id, cosine FROM (
+      SELECT * FROM cand WHERE (SELECT c FROM n) >= 10
+      UNION ALL
+      SELECT * FROM fallback WHERE (SELECT c FROM n) < 10
+    ) ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    """,
+)
 def similarity_lsh_topk(spark, sf_dir):
-    """SRP-LSH bucketed ANN top-k (scale path; probabilistic recall ->
-    rows-only; tests assert recall vs brute force)."""
+    """SRP-LSH bucketed ANN top-k (scale path). Hash-matched (r9): the
+    LCG hyperplanes are deterministic literals, so the DuckDB twin
+    replays bucket assignment, the <k recall-guard fallback, and the
+    (cosine-6dp DESC, id ASC) ranking exactly — 'approximate' means
+    approximate NEAREST NEIGHBORS, not a nondeterministic answer.
+    Recall vs brute force stays pytest-pinned."""
     from cm_well_spark.operators.similarity import lsh_topk
 
     from cm_well_spark.sources import tables as tbl
@@ -2926,12 +3013,48 @@ def curation_pii_scrub(spark, sf_dir):
     return out.select("doc_id", "text", "n_email", "n_ipv4", "n_phone")
 
 
-@register("similarity_lsh_topk_batch")
+def _lsh_batch_oracle_sql(k: int = 5, n_queries: int = 4) -> str:
+    """lsh_topk_batch replayed in SQL: buckets from the literal planes,
+    candidate = bucket equi-join, <k guard via candidate counts, both
+    branches ranked (cosine-6dp DESC, id ASC) — same machinery the
+    recall-eval oracle replays, emitting the per-query top-k rows."""
+    return f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+    b AS (SELECT vec_id, v, CAST({_srp_bucket_sql()} AS BIGINT) AS bucket FROM e),
+    q AS (SELECT vec_id AS qid, v AS qv, bucket FROM b ORDER BY vec_id LIMIT {n_queries}),
+    cand AS (
+      SELECT q.qid, b.vec_id, round(list_cosine_similarity(b.v, q.qv), 6) AS cosine
+      FROM b JOIN q ON b.bucket = q.bucket
+    ),
+    cand_rk AS (
+      SELECT qid, vec_id, cosine,
+             row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rn
+      FROM cand
+    ),
+    enough AS (SELECT qid FROM cand GROUP BY qid HAVING count(*) >= {k}),
+    full_rk AS (
+      SELECT q.qid, e.vec_id, round(list_cosine_similarity(e.v, q.qv), 6) AS cosine,
+             row_number() OVER (
+               PARTITION BY q.qid
+               ORDER BY round(list_cosine_similarity(e.v, q.qv), 6) DESC, e.vec_id ASC
+             ) AS rn
+      FROM e, q
+    )
+    SELECT qid AS query_id, vec_id, cosine FROM cand_rk
+    WHERE rn <= {k} AND qid IN (SELECT qid FROM enough)
+    UNION ALL
+    SELECT qid AS query_id, vec_id, cosine FROM full_rk
+    WHERE rn <= {k} AND qid NOT IN (SELECT qid FROM enough)
+    """
+
+
+@register("similarity_lsh_topk_batch", oracle=_lsh_batch_oracle_sql(k=5, n_queries=4))
 def similarity_lsh_topk_batch(spark, sf_dir):
-    """Batched SRP-LSH ANN (rows-only by nature — approximate): top-5 per
-    query for 4 query vectors, bucket equi-join candidates, the recall
-    guard fused in-plan (anti-join selects short queries; only those
-    re-score against the full corpus). pytest pins parity with the
+    """Batched SRP-LSH ANN: top-5 per query for 4 query vectors, bucket
+    equi-join candidates, the recall guard fused in-plan (anti-join
+    selects short queries; only those re-score against the full corpus).
+    Hash-matched (r9): deterministic planes + 6dp ranking make the whole
+    batch replayable in SQL; pytest additionally pins parity with the
     single-query operator and the fallback contract."""
     from cm_well_spark.operators.similarity import lsh_topk_batch
     from cm_well_spark.sources import tables as tbl
@@ -4287,13 +4410,28 @@ def similarity_ivfpq_topk(spark, sf_dir):
     return ivfpq_topk(embs, _query_vec(spark, sf_dir), k=10)
 
 
-@register("text_bpe_merges")
+def _bpe_twin(name: str) -> str:
+    from cm_well_spark.operators import bpe_twin
+
+    return getattr(bpe_twin, name)
+
+
+@register(
+    "text_bpe_merges",
+    oracle=f"""
+    SELECT * FROM (VALUES {_bpe_twin("BPE_MERGES_VALUES")})
+    AS t(rank, "left", "right")
+    """,
+)
 def text_bpe_merges(spark, sf_dir):
     """BPE vocabulary learning (Sennrich 2016) on the word-frequency
     table: one columnar pair-count aggregation + deterministic top-pair
-    per round, merges applied as a per-round literal fold. Iterative by
-    nature -> rows-only; pinned against a pure-Python reference
-    implementation in pytest."""
+    per round, merges applied as a per-round literal fold. Hash-matched
+    (r9, FFD-twin precedent): integer counts + lexicographic tie-breaks
+    make the merge list fully deterministic, so tools/gen_bpe_oracle.py
+    re-derives it for the pinned slice with an INDEPENDENT pure-Python
+    learner and inlines it as a VALUES twin; pytest keeps the
+    property-level pins."""
     from cm_well_spark.operators.bpe import learn_bpe
     from cm_well_spark.sources import tables as tbl
 
@@ -4304,12 +4442,22 @@ def text_bpe_merges(spark, sf_dir):
     )
 
 
-@register("text_bpe_token_counts")
+@register(
+    "text_bpe_token_counts",
+    oracle=f"""
+    WITH twin(doc_id, bpe_tokens) AS (VALUES {_bpe_twin("BPE_TOKEN_COUNT_VALUES")})
+    SELECT d.doc_id, CAST(t.bpe_tokens AS BIGINT) AS bpe_tokens
+    FROM documents d JOIN twin t USING (doc_id)
+    WHERE d.doc_id < 100
+    """,
+)
 def text_bpe_token_counts(spark, sf_dir):
     """Token counts under the learned BPE vocabulary: the merge loop
     runs once per DISTINCT word (Arrow-batched), counts broadcast-join
-    back to the corpus. Depends on the iterative learner -> rows-only;
-    reference-pinned in pytest."""
+    back to the corpus. Hash-matched (r9): the independent pure-Python
+    twin (tools/gen_bpe_oracle.py) re-learns the merges AND re-encodes
+    every doc; the oracle joins its counts back against the documents
+    table for the pinned slice."""
     from cm_well_spark.operators.bpe import bpe_encode, learn_bpe
     from cm_well_spark.sources import tables as tbl
 
