@@ -6966,14 +6966,29 @@ def embedding_pca_project(spark, sf_dir):
     return pca_project(embs, comps, mean, round_to=6)
 
 
-@register("text_unigram_lm_vocab")
+def _unigram_twin(name: str) -> str:
+    from cm_well_spark.operators import unigram_twin
+
+    return getattr(unigram_twin, name)
+
+
+@register(
+    "text_unigram_lm_vocab",
+    oracle=f"""
+    SELECT * FROM (VALUES {_unigram_twin("UNIGRAM_VOCAB_VALUES")})
+    AS t(rank, piece, logprob)
+    """,
+)
 def text_unigram_lm_vocab(spark, sf_dir):
     """Unigram-LM tokenizer vocabulary (Kudo 2018, SentencePiece-style)
     learned by hard-EM on the word-frequency table: columnar substring
     seed counts, Viterbi E-step over DISTINCT words (Arrow-batched),
     driver M-step over bounded integer counts, char-preserving prune.
-    Iterative by nature -> rows-only; pinned against a pure-Python
-    reference of the same hard-EM in tests/test_unigram_lm.py."""
+    Hash-matched (r9, BPE-twin precedent): integer counts + total-order
+    tie-breaks make the whole EM deterministic, so
+    tools/gen_unigram_oracle.py re-derives the vocabulary with an
+    INDEPENDENT pure-Python learner and inlines it as a VALUES twin;
+    tests/test_unigram_lm.py keeps the property pins."""
     from cm_well_spark.operators.unigram_lm import learn_unigram
     from cm_well_spark.sources import tables as tbl
 
@@ -6985,13 +7000,23 @@ def text_unigram_lm_vocab(spark, sf_dir):
     )
 
 
-@register("text_unigram_token_counts")
+@register(
+    "text_unigram_token_counts",
+    oracle=f"""
+    WITH twin(doc_id, unigram_tokens) AS (VALUES {_unigram_twin("UNIGRAM_TOKEN_COUNT_VALUES")})
+    SELECT d.doc_id, CAST(t.unigram_tokens AS BIGINT) AS unigram_tokens
+    FROM documents d JOIN twin t USING (doc_id)
+    WHERE d.doc_id < 100
+    """,
+)
 def text_unigram_token_counts(spark, sf_dir):
     """Token counts under the learned unigram-LM vocabulary: Viterbi
     runs once per DISTINCT word (Arrow-batched mapInPandas), counts join
     back to the exploded corpus (AQE broadcast-vs-shuffle, bpe.py:143
-    contract). Depends on the iterative learner -> rows-only;
-    reference-pinned in pytest."""
+    contract). Hash-matched (r9): the independent pure-Python twin
+    (tools/gen_unigram_oracle.py) re-learns the vocabulary AND
+    re-segments every doc; the oracle joins its counts back against the
+    documents table for the pinned slice."""
     from cm_well_spark.operators.unigram_lm import learn_unigram, unigram_encode
     from cm_well_spark.sources import tables as tbl
 
