@@ -276,13 +276,18 @@ def decorate_versions(versions: DataFrame, index_time_base: int) -> DataFrame:
             "parent_hierarchy",
             F.concat(
                 F.array(F.lit("/")),
-                F.filter(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size(F.split(F.col("path"), "/")) - F.lit(2)),
-                        lambda i: F.concat_ws("/", F.slice(F.split(F.col("path"), "/"), 1, i + 1)),
+                # guard: sequence(1, 0) runs DESCENDING in Spark, so a
+                # 2-segment path ("/x") would list ITSELF as an ancestor
+                F.when(
+                    F.size(F.split(F.col("path"), "/")) >= 3,
+                    F.filter(
+                        F.transform(
+                            F.sequence(F.lit(1), F.size(F.split(F.col("path"), "/")) - F.lit(2)),
+                            lambda i: F.concat_ws("/", F.slice(F.split(F.col("path"), "/"), 1, i + 1)),
+                        ),
+                        lambda p: p != "",
                     ),
-                    lambda p: p != "",
-                ),
+                ).otherwise(F.array().cast("array<string>")),
             ),
         )
         .withColumn("last_modified_by", F.lit("merge-writer"))

@@ -240,3 +240,26 @@ def test_null_update_skipped(infotons, spark):
     t2 = apply_commands(t1, cmds)  # identical content -> no new version
     assert t2.where("path = '/tpch/region/4'").count() == 2  # original + 1 merge
     assert t2.where("path = '/tpch/region/4' AND current").count() == 1
+
+
+def test_top_level_path_hierarchy(spark):
+    """r9 sequence-audit fix: sequence(1, 0) runs DESCENDING in Spark,
+    so a 2-segment path used to list ITSELF in parent_hierarchy. A
+    top-level write must report parent '/' and hierarchy ['/'] only."""
+    from datetime import datetime
+
+    from cm_well_spark.operators.merge import COMMAND_SCHEMA, apply_commands
+    from cm_well_spark.model.schema import INFOTON_SCHEMA
+
+    sfv = {"value": "v", "vtype": "s", "lang": None, "quad": None,
+           "num": None, "ts": None, "bool": None}
+    table = spark.createDataFrame([], INFOTON_SCHEMA)
+    cmds = spark.createDataFrame(
+        [("/toplevel", 1, "write", {"f": [sfv]}, None, datetime(2024, 1, 1), "https"),
+         ("/a/b/c", 1, "write", {"f": [sfv]}, None, datetime(2024, 1, 1), "https")],
+        COMMAND_SCHEMA,
+    )
+    out = {r["path"]: r for r in apply_commands(table, cmds).collect()}
+    assert out["/toplevel"]["parent"] == "/"
+    assert list(out["/toplevel"]["parent_hierarchy"]) == ["/"]
+    assert list(out["/a/b/c"]["parent_hierarchy"]) == ["/", "/a", "/a/b"]
