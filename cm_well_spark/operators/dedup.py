@@ -64,14 +64,21 @@ def distinct_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc
 
 
 def word_shingles(c: Column, k: int = 3) -> Column:
-    """Distinct word k-grams of the normalized text."""
+    """Distinct word k-grams of the normalized text.
+
+    Built from k shifted slices of the split zipped together (r9: the
+    old index-sequence form referenced the normalize+split INSIDE the
+    transform lambda, re-evaluating it once PER SHINGLE — O(n^2) regexp
+    work on long docs; slices are children of arrays_zip, evaluated
+    once per row). arrays_zip null-pads the shorter shifted slices and
+    concat_ws skips nulls, reproducing the old truncated-tail-gram
+    semantics for docs shorter than k byte for byte."""
     words = F.split(normalize_text(c), " ")
     n = F.size(words)
+    m = F.greatest(n - k, F.lit(0)) + 1
+    z = F.arrays_zip(*[F.slice(words, j + 1, m) for j in range(k)])
     return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
-        )
+        F.transform(z, lambda e: F.concat_ws(" ", *[e[str(j)] for j in range(k)]))
     )
 
 
@@ -240,28 +247,41 @@ def minhash_dedup_pairs(
 def simhash(c: Column) -> Column:
     """64-bit simhash of the normalized token stream: for each bit b,
     sign(sum over tokens of ±1 by token-hash bit b). Pure column algebra
-    over a 64-slot sequence — no UDF."""
-    from functools import reduce
+    — no UDF.
 
+    Single-pass form (r9): ONE aggregate folds a 64-slot sign-sum array
+    over the token-hash array (the per-token ±1 bit vector unrolls over
+    literal shift counts inside the fold lambda), then one zip_with
+    against a power-of-two literal array packs the signs into the long.
+    The old 64-separate-aggregates form re-evaluated the ENTIRE
+    normalize+split+hash pipeline once per bit — 64x the hash work per
+    row (every referenced sub-expression inside a Catalyst expression
+    tree is re-evaluated per reference; only columns are shared)."""
     words = F.split(normalize_text(c), " ")
     hashes = F.transform(words, lambda w: F.xxhash64(w))
-    # unrolled over the 64 bit positions (shiftright needs literal counts);
-    # each bit is a sign-sum aggregate over the token-hash array
-    def _bit_merge(b):
-        # PySpark binds HOF lambdas by arity — a defaulted third param would
-        # make it look 3-ary, so close over b via a factory instead
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-        ).otherwise(F.lit(-1))
-
-    bit_cols = []
-    for b in range(64):
-        s = F.aggregate(hashes, F.lit(0), _bit_merge(b))
-        bit_cols.append(F.when(s > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")))
-    return reduce(
-        lambda acc, pair: acc.bitwiseOR(F.shiftleft(pair[1], pair[0])),
-        enumerate(bit_cols),
+    sums = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
+                        F.lit(-1)
+                    )
+                    for b in range(64)
+                ]
+            ),
+            lambda x, y: x + y,
+        ),
+    )
+    pow2 = F.array(
+        *[F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long") for b in range(64)]
+    )
+    return F.aggregate(
+        F.zip_with(sums, pow2, lambda s, p: F.when(s > 0, p).otherwise(F.lit(0).cast("long"))),
         F.lit(0).cast("long"),
+        lambda acc, v: acc.bitwiseOR(v),
     )
 
 
@@ -386,12 +406,17 @@ def duplicated_spans(
     boilerplate explosions the same way jaccard_pairs guards hot
     shingles (a span in 10M docs is a template, not a leak — report it
     from the aggregate side instead of materializing every site)."""
+    # k shifted slices zipped, hashed via an index-aware transform (r9:
+    # the index-sequence form re-split the doc once per gram — O(n^2))
     words = F.split(normalize_text(F.col(text_col)), " ")
     n = F.size(words)
+    m = F.greatest(n - k, F.lit(0)) + 1
+    z = F.arrays_zip(*[F.slice(words, j + 1, m) for j in range(k)])
     grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
-        lambda i: F.struct(
-            i.alias("pos"), F.md5(F.concat_ws(" ", F.slice(words, i + 1, k))).alias("h")
+        z,
+        lambda e, i: F.struct(
+            i.alias("pos"),
+            F.md5(F.concat_ws(" ", *[e[str(j)] for j in range(k)])).alias("h"),
         ),
     )
     spans = spread_for_cpu(df).select(F.col(id_col).alias("id"), F.explode(grams).alias("g")).select(

@@ -219,15 +219,22 @@ def doc_fingerprint(c: Column) -> Column:
 
 def kgram_min_fingerprint(c: Column, k: int = 8) -> Column:
     """Rolling k-gram fingerprint: minimum md5 over all character k-grams
-    of the normalized text (the winnowing/minhash building block, expressed
-    with sequence+transform — no UDF)."""
-    norm = normalize_text(c)
-    n = F.length(norm)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
-        lambda i: norm.substr(i, F.lit(k)),
+    of the normalized text (the winnowing/minhash building block — no UDF).
+
+    Grams come from k shifted slices of the char array zipped together
+    (r9): the substr-by-index form re-ran the normalize INSIDE the gram
+    lambda and paid O(i) per gram to locate a char offset in a long
+    UTF-8 string — O(n^2) on long docs (142s -> <1s on a 120k-char doc).
+    Null-padded zip + concat_ws reproduces the truncated tail gram; an
+    empty normalized doc keeps its md5('') fingerprint."""
+    chars = F.filter(F.split(normalize_text(c), "(?!^)"), lambda x: x != "")
+    n = F.size(chars)
+    m = F.greatest(n - (k - 1), F.lit(1))
+    z = F.arrays_zip(*[F.slice(chars, j + 1, m) for j in range(k)])
+    grams = F.transform(z, lambda e: F.concat_ws("", *[e[str(j)] for j in range(k)]))
+    return F.when(n > 0, F.array_min(F.transform(grams, F.md5))).otherwise(
+        F.md5(F.lit(""))
     )
-    return F.array_min(F.transform(grams, F.md5))
 
 
 def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8) -> DataFrame:
@@ -283,11 +290,14 @@ def _word_ngrams_all(c: Column, k: int) -> Column:
     signals need the multiset)."""
     words = F.split(normalize_text(c), " ")
     n = F.size(words)
+    # k shifted slices zipped (r9: the index-sequence form re-split the
+    # doc once per gram — O(n^2)); the n >= k gate keeps the slice
+    # length positive (CASE branches evaluate lazily)
+    m = n - k + 1
+    z = F.arrays_zip(*[F.slice(words, j + 1, m) for j in range(k)])
     return F.when(
         n >= k,
-        F.transform(
-            F.sequence(F.lit(0), n - k), lambda i: F.concat_ws(" ", F.slice(words, i + 1, k))
-        ),
+        F.transform(z, lambda e: F.concat_ws(" ", *[e[str(j)] for j in range(k)])),
     ).otherwise(F.array().cast("array<string>"))
 
 
@@ -384,7 +394,13 @@ def chunk_documents(
         stride = size
     if size <= 0 or stride <= 0:
         raise ValueError("size and stride must be positive")
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    # the word array is MATERIALIZED as a column first (r9: as an inline
+    # expression, the chunk lambda re-split the whole doc once per chunk
+    # — O(n^2/stride) regexp work on long docs)
+    step = df.select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("__w")
+    )
+    words = F.col("__w")
     n = F.size(words)
     # chunk start offsets: 0, stride, 2*stride, ... while start < n
     n_chunks = F.greatest(F.ceil((n - size) / stride) + 1, F.lit(1)).cast("int")
@@ -396,7 +412,7 @@ def chunk_documents(
             F.least(n - s, F.lit(size)).alias("n_words"),
         ),
     )
-    return df.select(
+    return step.select(
         F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "__c")
     ).select(
         id_col, "chunk_idx", F.col("__c.chunk").alias("chunk"), F.col("__c.n_words").alias("n_words")
@@ -561,27 +577,63 @@ def winnow_fingerprints(
     shuffle beyond the explode. Short docs degrade gracefully: fewer
     than w grams still emit their single minimum so every doc is
     fingerprinted. Output (doc_id, pos, fp) is the local-similarity
-    index a plagiarism/clone-detection join runs on."""
-    norm = normalize_text(F.col(text_col))
-    n_grams = F.greatest(F.length(norm) - (k - 1), F.lit(1))
-    hashes = F.transform(
-        F.sequence(F.lit(1), n_grams),
-        lambda i: F.struct(
-            F.substring(F.md5(norm.substr(i, F.lit(k))), 1, 8).alias("fp"),
-            (-i).alias("negpos"),
+    index a plagiarism/clone-detection join runs on.
+
+    Linear-time shape (r9): the old per-index form was quadratic THREE
+    ways on long docs — the window lambda re-evaluated the entire md5
+    array per window, substring(norm, i, k) pays O(i) per gram to locate
+    a char offset in a long UTF-8 string, and per-window slice() copies.
+    Now: char array and gram-hash array are MATERIALIZED columns, grams
+    come from k shifted slices of the char array zipped together
+    (children evaluated once per row), and window minima from w shifted
+    slices of the hash array zipped + least() — O(n·(k+w)) total (a
+    20k-token doc: 133s -> ~1s). arrays_zip null-pads the tails and
+    concat_ws/least skip nulls, reproducing the old truncated-gram and
+    short-doc behavior exactly."""
+    step = df.select(F.col(id_col), normalize_text(F.col(text_col)).alias("__norm"))
+    normc = F.col("__norm")
+    chars = step.select(
+        F.col(id_col),
+        F.filter(F.split(normc, "(?!^)"), lambda x: x != "").alias("__c"),
+    )
+    c = F.col("__c")
+    n = F.size(c)
+    n_grams = F.greatest(n - (k - 1), F.lit(1))
+    gz = F.arrays_zip(*[F.slice(c, j + 1, n_grams) for j in range(k)])
+    grams = F.transform(
+        gz,
+        lambda e, i: F.struct(
+            F.substring(F.md5(F.concat_ws("", *[e[str(j)] for j in range(k)])), 1, 8).alias("fp"),
+            (-(i + 1)).alias("negpos"),
         ),
     )
-    n_wins = F.greatest(n_grams - (w - 1), F.lit(1))
-    selected = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), n_wins),
-            lambda s: F.array_min(F.slice(hashes, s, w)),
+    # empty-normalized docs still get their single md5("") fingerprint
+    # (the old substr form's degenerate gram) so every doc is covered
+    empty_gram = F.array(
+        F.struct(
+            F.substring(F.md5(F.lit("")), 1, 8).alias("fp"), F.lit(-1).alias("negpos")
         )
     )
-    return df.select(F.col(id_col), F.explode(selected).alias("s")).select(
+    hashed = chars.select(
+        F.col(id_col), F.when(n > 0, grams).otherwise(empty_gram).alias("__h")
+    )
+    h = F.col("__h")
+    n_wins = F.greatest(F.size(h) - (w - 1), F.lit(1))
+    wz = F.arrays_zip(*[F.slice(h, j + 1, n_wins) for j in range(w)])
+    mins = F.transform(wz, lambda e: F.least(*[e[str(j)] for j in range(w)]))
+    # dedupe on a STRING encoding ("<8-hex-fp>:<pos>"): array_distinct
+    # over struct elements takes Spark's quadratic no-hash fallback
+    # (111s vs 0.7s on a 120k-gram doc); over strings it's a hash set
+    selected = F.array_distinct(
+        F.transform(
+            mins,
+            lambda m: F.concat(m["fp"], F.lit(":"), (-m["negpos"]).cast("string")),
+        )
+    )
+    return hashed.select(F.col(id_col), F.explode(selected).alias("s")).select(
         F.col(id_col),
-        (-F.col("s.negpos")).cast("long").alias("pos"),
-        F.col("s.fp").alias("fp"),
+        F.substring(F.col("s"), 10, 10).cast("long").alias("pos"),
+        F.substring(F.col("s"), 1, 8).alias("fp"),
     )
 
 

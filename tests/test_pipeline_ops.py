@@ -1836,3 +1836,34 @@ def test_ann_recall_at_k_matches_numpy_twin(spark):
     assert all(0.0 <= r <= 1.0 for _h, r in got.values())
     with pytest.raises(ValueError):
         ann_recall_at_k(df, queries, k=0)
+
+
+def test_long_doc_linear_hashing_family(spark):
+    """r9 sweep: every k-gram/windowing operator must stay linear on an
+    unchunked long doc. The quadratic forms (expression re-evaluation
+    inside HOF lambdas, substr-by-char-offset on long UTF-8 strings,
+    array_distinct over structs) each ran 100s+ on these inputs."""
+    import time
+
+    from cm_well_spark.operators.dedup import minhash_dedup_pairs, simhash_pairs
+    from cm_well_spark.operators.text import (
+        chunk_documents,
+        fingerprints,
+        repetition_signals,
+        winnow_fingerprints,
+    )
+
+    docs = [(1, " ".join(f"t{i % 97}" for i in range(20000))), (2, "x" * 5000), (3, "tiny doc")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    budget = 45  # generous for a loaded CI box; quadratic forms took 100s+
+    for name, fn in [
+        ("winnow", lambda: winnow_fingerprints(df).count()),
+        ("fingerprints", lambda: fingerprints(df).count()),
+        ("chunk", lambda: chunk_documents(df, size=64).count()),
+        ("repetition", lambda: repetition_signals(df).count()),
+        ("minhash", lambda: minhash_dedup_pairs(df, threshold=0.9).count()),
+        ("simhash", lambda: simhash_pairs(df).count()),
+    ]:
+        t0 = time.time()
+        fn()
+        assert time.time() - t0 < budget, f"{name} exceeded {budget}s"
