@@ -363,3 +363,209 @@ def label_propagation(
         if (i + 1) % 8 == 0 and (i + 1) < iterations:
             labels = iter_checkpoint(labels, reliable)
     return labels
+
+
+def _symmetric(e: DataFrame) -> DataFrame:
+    """Distinct symmetric closure of an edge list (self-loops dropped)."""
+    return (
+        e.select("src", "dst")
+        .unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al. 2014): every node u computes
+    m = min of its closed neighborhood and re-points each STRICTLY
+    LARGER neighbor at m. One keyed min-agg + one equi-join, both on
+    the symmetric edge relation."""
+    sym = _symmetric(e)
+    m = sym.groupBy("src").agg(F.least(F.min("dst"), F.first("src")).alias("m"))
+    return (
+        sym.join(m, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star round: edges orient toward their smaller endpoint,
+    every node u re-points its smaller-or-equal neighbors AND itself at
+    m = min of that oriented neighborhood."""
+    o = (
+        e.select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    m = o.groupBy("src").agg(F.min("dst").alias("m"))
+    nbrs = o.join(m, "src").select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    self_edge = m.select("src", F.col("m").alias("dst"))
+    return (
+        nbrs.unionAll(self_edge).where(F.col("src") != F.col("dst")).distinct()
+    )
+
+
+def connected_components(
+    e: DataFrame, max_rounds: int = 50, reliable: bool | None = None
+) -> DataFrame:
+    """Connected components of an edge list -> (node, component), where
+    the component id is the LEXICOGRAPHIC MIN node id of the component —
+    a canonical, engine-independent labeling (any correct CC algorithm
+    must produce the identical table, which is what lets an external
+    oracle — a pure-Python union-find twin — check this without
+    replaying the iteration).
+
+    This is THE corpus-scale dedup primitive: minhash/simhash candidate
+    pairs become edges, components become duplicate clusters (the same
+    role dedup.py:cluster_components plays for doc pairs — this is the
+    whole-graph generalization over arbitrary node ids).
+
+    Algorithm: the TWO-PHASE alternating star contraction of Kiveris et
+    al. 2014 ("Connected Components in MapReduce and Beyond", large-star
+    / small-star), the published shuffle-native CC algorithm:
+    large-star points every strictly-larger neighbor of u at the min of
+    u's closed neighborhood; small-star orients edges toward their
+    smaller endpoint and points the smaller neighbors (and u) at the
+    min. Both phases preserve connectivity, edges only ever move toward
+    smaller ids, and the alternation converges in O(log^2 n) rounds to
+    per-component STARS centered on the min node — no O(diameter)
+    propagation, so path-shaped components don't cost their length in
+    shuffles. Each phase is ONE keyed min-aggregate plus ONE equi-join
+    on the edge relation; nothing ever materializes an adjacency list
+    or a label table mid-flight, so memory per task is bounded by the
+    shuffle block, not component size, and the giant component every
+    near-dup corpus has never concentrates on one task. (A label-table
+    formulation with pointer jumping was measured and rejected: joining
+    the label relation against itself every round trips a Spark 4
+    analyzer pathology — per-round driver time quadruples — while the
+    star contraction only ever rewrites the edge relation, which also
+    keeps per-round state to one frame.)
+
+    Convergence: stars are fixpoints of both phases, so the loop stops
+    when the (count, xxhash64-sum) signature of the edge relation stops
+    changing — one single-row action per round riding the per-round
+    eager checkpoint (executor-local or durable per the iter_checkpoint
+    discipline). Output: (node, component) for every node that appears
+    in at least one edge; component ids are the star centers
+    themselves."""
+    edges = iter_checkpoint(_symmetric(e), reliable)
+    sig = None
+    for _ in range(max_rounds):
+        edges = iter_checkpoint(_small_star(_large_star(edges)), reliable)
+        row = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            # bit_xor, not sum: ANSI mode makes a long-sum of random
+            # 64-bit hashes an overflow error
+            F.bit_xor(F.xxhash64("src", "dst")).alias("h"),
+        ).first()
+        nxt_sig = (row["n"], row["h"])
+        if nxt_sig == sig:
+            roots = edges.select(F.col("dst").alias("node")).distinct()
+            return edges.select(
+                F.col("src").alias("node"), F.col("dst").alias("component")
+            ).unionByName(
+                roots.select("node", F.col("node").alias("component"))
+            )
+        sig = nxt_sig
+    raise RuntimeError(f"connected_components did not converge in {max_rounds} rounds")
+
+
+def k_core(
+    e: DataFrame, k: int = 2, max_rounds: int = 100, reliable: bool | None = None
+) -> DataFrame:
+    """The k-core of an edge list -> (node, degree): the (unique) maximal
+    subgraph in which every node has >= k neighbors, with each
+    survivor's within-core degree. The classic density filter (Seidman
+    1983): in a curation pipeline it prunes weakly-attached nodes from
+    co-occurrence / citation / link graphs before community or
+    centrality passes, and the peel round at which a node dies (its
+    "coreness") is the standard graph-quality signal.
+
+    Algorithm: synchronous peeling — drop every node whose degree among
+    CURRENT survivors is < k, recompute, repeat to fixpoint. Each round
+    is one semi-join (edges restricted to surviving endpoints; the
+    symmetric edge relation is checkpointed once, survivors are a
+    one-column relation) and one keyed count — degree recomputation
+    never holds neighbor lists, so hubs cost max-degree rows spread
+    across tasks, not memory. Rounds are data-bounded (each peels >= 1
+    node or stops); the per-round eager checkpoint both bounds plan
+    depth and carries the convergence count. Because the k-core is
+    unique, the fixpoint is engine-independent: an oracle can replay
+    the peel as chained SQL rounds and must land on the identical
+    (node, degree) table once it chains at least as many rounds as the
+    peel needs (extra rounds are no-ops)."""
+    sym = iter_checkpoint(_symmetric(e), reliable)
+    deg = sym.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("degree"))
+    survivors = iter_checkpoint(deg.where(F.col("degree") >= k), reliable)
+    n = survivors.count()
+    for _ in range(max_rounds):
+        alive = survivors.select("node")
+        kept = sym.join(
+            alive.select(F.col("node").alias("src")), "src", "left_semi"
+        ).join(alive.select(F.col("node").alias("dst")), "dst", "left_semi")
+        survivors = iter_checkpoint(
+            kept.groupBy(F.col("src").alias("node"))
+            .agg(F.count(F.lit(1)).alias("degree"))
+            .where(F.col("degree") >= k),
+            reliable,
+        )
+        m = survivors.count()
+        if m == n:
+            return survivors
+        n = m
+    raise RuntimeError(f"k_core did not converge in {max_rounds} rounds")
+
+
+def bfs_distances(
+    e: DataFrame,
+    seeds: DataFrame,
+    max_depth: int = 3,
+    directed: bool = False,
+    reliable: bool | None = None,
+) -> DataFrame:
+    """Multi-source BFS -> (path, distance): the minimum hop count from
+    any seed to every node reachable within `max_depth` hops (seeds
+    themselves at distance 0). The traversal-analytics complement of
+    xg/yg expansion (traversal.py): xg RETURNS the neighborhood's
+    infotons, this returns the distance field — the signal
+    link-proximity curation weights (e.g. "keep docs within 2 links of
+    a trusted seed set") and graph-feature extraction want.
+
+    Frontier loop, one round per depth: the next frontier is the edge
+    targets of the current frontier MINUS everything already visited
+    (one equi-join + one left-anti join, both keyed by node id; BFS
+    order guarantees first touch = min distance, so no min-aggregate is
+    needed). Frontier and visited relations are checkpointed per round
+    — the convergence count (empty frontier short-circuits before
+    max_depth) rides the same materialization. Undirected mode walks
+    the symmetric closure; both relations stay two narrow string
+    columns end to end."""
+    edges = iter_checkpoint(
+        _symmetric(e) if not directed else e.select("src", "dst").distinct(), reliable
+    )
+    visited = iter_checkpoint(
+        seeds.select(F.col(seeds.columns[0]).alias("path"))
+        .distinct()
+        .select("path", F.lit(0).cast("long").alias("distance")),
+        reliable,
+    )
+    frontier = visited.select("path")
+    for d in range(1, max_depth + 1):
+        nxt = (
+            edges.join(frontier.select(F.col("path").alias("src")), "src")
+            .select(F.col("dst").alias("path"))
+            .distinct()
+            .join(visited.select("path"), "path", "left_anti")
+            .select("path", F.lit(d).cast("long").alias("distance"))
+        )
+        nxt = iter_checkpoint(nxt, reliable)
+        if nxt.count() == 0:
+            break
+        visited = iter_checkpoint(visited.unionByName(nxt), reliable)
+        frontier = nxt.select("path")
+    return visited

@@ -971,3 +971,41 @@ def corpus_kl_divergence(
             "kl_bits",
         )
     )
+
+
+def readability(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document readability heuristics -> (id, n_sentences, n_words,
+    n_syllables, flesch, fk_grade): Flesch reading ease and
+    Flesch-Kincaid grade level (Kincaid et al. 1975) — the classic
+    complexity band a curation pipeline uses to stratify corpora by
+    audience level (e.g. keep the middle band, route extremes to
+    review).
+
+    Heuristic contract (documented so the SQL oracle replays it
+    bit-for-bit): sentences = number of terminal-punctuation runs
+    `[.!?]+` (min 1); words = whitespace tokens; syllables = total
+    vowel-group runs `[aeiouy]+` over the lowercased text (the standard
+    cheap syllable proxy — no per-word minimum, which keeps the whole
+    thing one regexp_count per signal). Everything is JVM-side
+    regexp_count/split on the scan — no shuffle, no Python; empty docs
+    yield NULL scores instead of dividing by zero. Scores round to 4
+    decimals so float drift can't flip a hash compare."""
+    t = F.col(text_col)
+    n_sent = F.greatest(F.regexp_count(t, F.lit(r"[.!?]+")), F.lit(1)).cast("long")
+    n_words = F.when(
+        F.length(F.trim(t)) > 0, F.size(F.split(F.trim(t), r"\s+"))
+    ).otherwise(F.lit(0)).cast("long")
+    n_syll = F.regexp_count(F.lower(t), F.lit(r"[aeiouy]+")).cast("long")
+    wps = n_words.cast("double") / n_sent.cast("double")
+    spw = n_syll.cast("double") / n_words.cast("double")
+    flesch = F.round(F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 4)
+    fk = F.round(F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 4)
+    has_words = n_words > 0
+    return df.select(
+        id_col,
+        n_sent.alias("n_sentences"),
+        n_words.alias("n_words"),
+        n_syll.alias("n_syllables"),
+        F.when(has_words, flesch).alias("flesch"),
+        F.when(has_words, fk).alias("fk_grade"),
+    )

@@ -6569,12 +6569,34 @@ def text_memorization_risk(spark, sf_dir):
     return memorization_risk(docs, k=16, min_docs=2)
 
 
-@register("text_compression_ratio")
+def _zlib_twin() -> str:
+    from cm_well_spark.operators.zlib_twin import ZLIB_TWIN_VALUES
+
+    return ZLIB_TWIN_VALUES
+
+
+@register(
+    "text_compression_ratio",
+    oracle=f"""
+    WITH twin(doc_id, zip_len, ratio) AS (VALUES {_zlib_twin()})
+    SELECT d.doc_id,
+           CAST(octet_length(encode(d.text)) AS BIGINT) AS raw_len,
+           CAST(t.zip_len AS BIGINT) AS zip_len,
+           CAST(t.ratio AS DOUBLE) AS ratio
+    FROM documents d JOIN twin t USING (doc_id)
+    WHERE d.doc_id < 300
+    """,
+)
 def text_compression_ratio(spark, sf_dir):
     """zlib compressibility per doc (text.py:compression_ratio) — the
-    entropy-rate proxy filter. Rows-only by nature (DEFLATE is not
-    SQL-expressible); pytest pins the numbers against direct zlib calls
-    and the repetitive-vs-random ordering property."""
+    entropy-rate proxy filter. Hash-matched (r9) via the twin
+    precedent: DEFLATE isn't SQL-expressible but IS deterministic at a
+    fixed level, so tools/gen_zlib_twin.py re-derives (zip_len, ratio)
+    for the pinned slice with a direct stdlib-zlib pass and inlines
+    them as VALUES; raw_len is recomputed from the documents table in
+    SQL (octet_length of the UTF-8 encoding), so text mangling still
+    mismatches. pytest keeps the repetitive-vs-random ordering
+    property."""
     from cm_well_spark.operators.text import compression_ratio
     from cm_well_spark.sources import tables as tbl
 
@@ -7278,3 +7300,215 @@ def curation_token_budget(spark, sf_dir):
     from cm_well_spark.sources import tables as tbl
 
     return token_budget_select(tbl.load_table(spark, sf_dir, "documents"), budget=5000)
+
+
+# ---------------------------------------------------------------------------
+# round 9 (cont.): whole-graph analytics II + readability + decontamination
+# ---------------------------------------------------------------------------
+
+# the pinned order—part co-occurrence graph (orders linked when lineitems
+# share parts): composed from the lineitem->order and lineitem->part link
+# edges, sliced to l_orderkey < 300 so the oracle twin stays bounded
+_OP_EDGE_SQL = """
+    WITH e AS (
+      SELECT DISTINCT '/tpch/orders/' || l_orderkey AS src,
+             '/tpch/part/' || l_partkey AS dst
+      FROM lineitem WHERE l_orderkey < 300
+    )"""
+
+
+def _op_edges(spark, sf_dir):
+    """Spark twin of _OP_EDGE_SQL: order—part edges composed from the two
+    lineitem link-edge sets (the same affiliation-closure move as the
+    graph_triangles entry), sliced on the order key parsed from the
+    order path."""
+    from cm_well_spark.operators.graph import reference_edges
+
+    tri = _tri(spark, sf_dir)
+    lo = reference_edges(tri, ["ofOrder"])
+    lp = reference_edges(tri, ["ofPart"])
+    return (
+        lo.alias("l")
+        .join(lp.alias("r"), F.col("l.src") == F.col("r.src"))
+        .select(F.col("l.dst").alias("src"), F.col("r.dst").alias("dst"))
+        .where(F.element_at(F.split(F.col("src"), "/"), -1).cast("long") < 300)
+        .distinct()
+    )
+
+
+def _cc_twin_values() -> str:
+    from cm_well_spark.operators.graph_twins import CC_TWIN_VALUES
+
+    return CC_TWIN_VALUES
+
+
+@register(
+    "graph_connected_components",
+    oracle=_OP_EDGE_SQL
+    + f""",
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    twin(node, component) AS (VALUES {_cc_twin_values()})
+    SELECT n.node, t.component FROM nodes n JOIN twin t USING (node)
+    """,
+)
+def graph_connected_components(spark, sf_dir):
+    """Connected components (graph.py:connected_components, Kiveris et
+    al. 2014 two-phase large-star/small-star contraction) over the
+    order—part co-occurrence graph — the whole-graph dedup-cluster
+    primitive. The
+    min-node component labeling is canonical (algorithm-independent),
+    so the oracle is an INDEPENDENT pure-Python union-find
+    (tools/gen_graph_twins.py, union-by-min — no label propagation)
+    inlined as a VALUES twin; the node set is recomputed from lineitem
+    in SQL and joined against the twin, so lost or invented nodes still
+    break the row-count match."""
+    from cm_well_spark.operators.graph import connected_components
+
+    return connected_components(_op_edges(spark, sf_dir))
+
+
+def _kcore_oracle(rounds: int = 11, k: int = 2) -> str:
+    steps = []
+    for i in range(1, rounds + 1):
+        steps.append(f"""
+    s{i} AS (
+      SELECT s.src AS node, CAST(count(*) AS BIGINT) AS degree
+      FROM sym s JOIN s{i - 1} a ON s.src = a.node JOIN s{i - 1} b ON s.dst = b.node
+      GROUP BY s.src HAVING count(*) >= {k}
+    )""")
+    return (
+        _OP_EDGE_SQL
+        + f""",
+    sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+    s0 AS (
+      SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+      FROM sym GROUP BY src HAVING count(*) >= {k}
+    ),"""
+        + ",".join(steps)
+        + f"""
+    SELECT node, degree FROM s{rounds}
+    """
+    )
+
+
+@register("graph_kcore", oracle=_kcore_oracle())
+def graph_kcore(spark, sf_dir):
+    """2-core of the order—part co-occurrence graph (graph.py:k_core,
+    synchronous peeling to fixpoint; Seidman 1983) -> (node,
+    within-core degree). The k-core is the UNIQUE maximal subgraph with
+    min degree >= k, so the fixpoint is engine-independent: the oracle
+    chains 11 peel rounds (the pinned slice converges in 9 —
+    tests/test_graph.py pins that — and post-fixpoint rounds are
+    no-ops), making the hash compare cover the peeling itself."""
+    from cm_well_spark.operators.graph import k_core
+
+    return k_core(_op_edges(spark, sf_dir), k=2)
+
+
+@register(
+    "graph_bfs_distances",
+    oracle=_LINK_EDGE_SQL.replace("WITH li", "WITH RECURSIVE li")
+    + """
+    , sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+    walk(path, d) AS (
+      SELECT * FROM (VALUES ('/tpch/customer/1', 0), ('/tpch/customer/2', 0)) v(path, d)
+      UNION
+      SELECT s.dst, w.d + 1 FROM sym s JOIN walk w ON s.src = w.path WHERE w.d < 3
+    )
+    SELECT path, CAST(min(d) AS BIGINT) AS distance FROM walk GROUP BY path
+    """,
+)
+def graph_bfs_distances(spark, sf_dir):
+    """Multi-source bounded BFS over the (undirected) link graph
+    (graph.py:bfs_distances): min hop distance from two seed customers
+    within 3 hops — the link-proximity curation signal. Deterministic
+    (min distance), so the oracle replays it as a depth-bounded
+    recursive CTE with a min() collapse."""
+    from cm_well_spark.operators.graph import DEFAULT_LINK_FIELDS, bfs_distances, reference_edges
+
+    seeds = spark.createDataFrame(
+        [("/tpch/customer/1",), ("/tpch/customer/2",)], "path string"
+    )
+    return bfs_distances(
+        reference_edges(_tri(spark, sf_dir), DEFAULT_LINK_FIELDS), seeds, max_depth=3
+    )
+
+
+@register(
+    "text_readability",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS ns,
+             CASE WHEN length(trim(text)) > 0
+                  THEN len(string_split_regex(trim(text), '\\s+')) ELSE 0 END AS nw,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS nsy
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(ns AS BIGINT) AS n_sentences,
+           CAST(nw AS BIGINT) AS n_words,
+           CAST(nsy AS BIGINT) AS n_syllables,
+           CASE WHEN nw > 0 THEN
+             round(206.835 - 1.015 * (nw / CAST(ns AS DOUBLE))
+                           - 84.6 * (nsy / CAST(nw AS DOUBLE)), 4) END AS flesch,
+           CASE WHEN nw > 0 THEN
+             round(0.39 * (nw / CAST(ns AS DOUBLE))
+                   + 11.8 * (nsy / CAST(nw AS DOUBLE)) - 15.59, 4) END AS fk_grade
+    FROM m
+    """,
+)
+def text_readability(spark, sf_dir):
+    """Flesch reading ease + Flesch-Kincaid grade (text.py:readability,
+    Kincaid et al. 1975) from three documented regexp_count heuristics
+    — all JVM-side scan expressions, replayed verbatim by the oracle."""
+    from cm_well_spark.operators.text import readability
+    from cm_well_spark.sources import tables as tbl
+
+    return readability(tbl.load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "curation_decontaminate",
+    oracle=f"""
+    WITH corp AS (
+      SELECT doc_id, string_split({_NORM_SQL.format(c='text')}, ' ') AS w
+      FROM documents WHERE doc_id >= 50
+    ), bench AS (
+      SELECT doc_id, string_split({_NORM_SQL.format(c='text')}, ' ') AS w
+      FROM documents WHERE doc_id < 50
+    ), cs AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(w) - 3, 0) + 2),
+               i -> array_to_string(w[i:i+2], ' ')))) AS sh
+      FROM corp
+    ), bs AS (
+      SELECT DISTINCT unnest(list_distinct(list_transform(
+               range(1, greatest(len(w) - 3, 0) + 2),
+               i -> array_to_string(w[i:i+2], ' ')))) AS sh
+      FROM bench
+    ), bad AS (
+      SELECT doc_id FROM cs JOIN bs USING (sh)
+      GROUP BY doc_id HAVING count(*) >= 2
+    )
+    SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+    WHERE d.doc_id >= 50 AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+    """,
+)
+def curation_decontaminate(spark, sf_dir):
+    """Benchmark decontamination REMOVAL (curation.py:decontaminate —
+    the GPT-3 appendix-C move): corpus docs sharing >= 2 word-3-grams
+    with the benchmark set are dropped via a broadcast anti-join
+    against the contaminated-id set; the oracle replays the shingle
+    join and the NOT IN."""
+    from cm_well_spark.operators.curation import decontaminate
+    from cm_well_spark.sources import tables as tbl
+
+    docs = tbl.load_table(spark, sf_dir, "documents")
+    out = decontaminate(
+        docs.where(F.col("doc_id") >= 50),
+        docs.where(F.col("doc_id") < 50),
+        k=3,
+        min_hits=2,
+    )
+    return out.select("doc_id", "lang", "n_chars")

@@ -120,3 +120,134 @@ def test_graph_plans_stay_equi_join(tri, spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# round 9 (cont.): connected components, k-core, BFS distances
+# ---------------------------------------------------------------------------
+
+
+def _edge_df(spark, pairs):
+    return spark.createDataFrame(list(pairs), "src string, dst string")
+
+
+def test_connected_components_basic(spark):
+    from cm_well_spark.operators.graph import connected_components
+
+    # two components: a path (tests pointer jumping over diameter) + a pair
+    path = [(f"/n{i}", f"/n{i + 1}") for i in range(9)]
+    pairs = path + [("/z1", "/z2")]
+    got = {r["node"]: r["component"] for r in connected_components(_edge_df(spark, pairs)).collect()}
+    assert got == {**{f"/n{i}": "/n0" for i in range(10)}, "/z1": "/z1", "/z2": "/z1"}
+
+
+def test_connected_components_matches_union_find(spark):
+    from cm_well_spark.operators.graph import connected_components
+
+    # deterministic pseudo-random graph, compare against union-find
+    pairs = []
+    for i in range(60):
+        h = int(hashlib.md5(f"cc:{i}".encode()).hexdigest()[:6], 16)
+        pairs.append((f"/v{h % 40}", f"/v{(h // 40) % 40}"))
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        if a == b:
+            continue
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    got = {r["node"]: r["component"] for r in connected_components(_edge_df(spark, pairs)).collect()}
+    assert got == want
+
+
+def test_kcore_peels_to_unique_fixpoint(spark):
+    from cm_well_spark.operators.graph import k_core
+
+    # triangle + tail: the tail peels away round by round, triangle survives
+    pairs = [("/a", "/b"), ("/b", "/c"), ("/c", "/a"),
+             ("/c", "/t1"), ("/t1", "/t2"), ("/t2", "/t3")]
+    got = {r["node"]: r["degree"] for r in k_core(_edge_df(spark, pairs), k=2).collect()}
+    assert got == {"/a": 2, "/b": 2, "/c": 2}
+    # k=3 kills everything (no node has 3 neighbors in the 2-core)
+    assert k_core(_edge_df(spark, pairs), k=3).count() == 0
+
+
+def test_kcore_fixture_converges_within_oracle_rounds(spark, sf_dir):
+    """The registry oracle chains 11 peel rounds; the pinned sf0.01 slice
+    must reach fixpoint within that (it needs 9). Guards the chained-CTE
+    replay against fixture drift."""
+    import collections
+
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT DISTINCT l_orderkey, l_partkey FROM "
+        f"read_parquet('{sf_dir}/lineitem.parquet') WHERE l_orderkey < 300"
+    ).fetchall()
+    adj = collections.defaultdict(set)
+    for o, p in rows:
+        adj[f"o{o}"].add(f"p{p}")
+        adj[f"p{p}"].add(f"o{o}")
+    nodes, rounds = set(adj), 0
+    while True:
+        peel = {n for n in nodes if len(adj[n] & nodes) < 2}
+        if not peel:
+            break
+        nodes -= peel
+        rounds += 1
+    assert rounds <= 11, f"oracle chains 11 rounds but fixture needs {rounds}"
+
+
+def test_bfs_distances_min_hop_and_depth_bound(spark):
+    from cm_well_spark.operators.graph import bfs_distances
+
+    #      s - a - b - c - d   (+ shortcut s-b, so b is 1 not 2)
+    pairs = [("/s", "/a"), ("/a", "/b"), ("/b", "/c"), ("/c", "/d"), ("/s", "/b")]
+    seeds = spark.createDataFrame([("/s",)], "path string")
+    got = {r["path"]: r["distance"] for r in bfs_distances(_edge_df(spark, pairs), seeds, max_depth=2).collect()}
+    assert got == {"/s": 0, "/a": 1, "/b": 1, "/c": 2}  # /d is 3 hops: cut
+
+    # directed mode walks edge direction only
+    got_dir = {
+        r["path"]: r["distance"]
+        for r in bfs_distances(
+            _edge_df(spark, [("/s", "/a"), ("/b", "/s")]), seeds, max_depth=2, directed=True
+        ).collect()
+    }
+    assert got_dir == {"/s": 0, "/a": 1}
+
+
+def test_bfs_isolated_seed_still_reported(spark):
+    from cm_well_spark.operators.graph import bfs_distances
+
+    seeds = spark.createDataFrame([("/lonely",)], "path string")
+    got = bfs_distances(_edge_df(spark, [("/x", "/y")]), seeds, max_depth=2).collect()
+    assert {(r["path"], r["distance"]) for r in got} == {("/lonely", 0)}
+
+
+def test_readability_known_values(spark):
+    from cm_well_spark.operators.text import readability
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran!"), (2, ""), (3, "no terminal punctuation here")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in readability(df).collect()}
+    r1 = got[1]
+    # 2 sentence runs, 6 words, vowel groups: e/a/a/e/o/a -> 6
+    assert (r1["n_sentences"], r1["n_words"], r1["n_syllables"]) == (2, 6, 6)
+    assert r1["flesch"] == round(206.835 - 1.015 * 3.0 - 84.6 * 1.0, 4)
+    assert r1["fk_grade"] == round(0.39 * 3.0 + 11.8 * 1.0 - 15.59, 4)
+    r2 = got[2]
+    assert (r2["n_words"], r2["flesch"], r2["fk_grade"]) == (0, None, None)
+    assert got[3]["n_sentences"] == 1  # min-1 floor
