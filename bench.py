@@ -139,6 +139,16 @@ def main() -> None:
         "graph_triangles",
         "graph_label_propagation",
         "similarity_mmr_select",
+        # round-9 additions: star-contraction CC (iterated agg+join over
+        # the edge relation), fixpoint k-core peel, frontier BFS, and the
+        # two scan-expression entries (readability; shingle anti-join)
+        "graph_connected_components",
+        "graph_kcore",
+        "graph_bfs_distances",
+        "text_readability",
+        "curation_decontaminate",
+        # data-scale-queries ANN: bucket self-join + per-src window
+        "similarity_knn_graph",
         # curation_full_pipeline is oracle-checked but benched separately
         # (CMW_BENCH_QUERIES=curation_full_pipeline): ~20-35 s at sf0.1,
         # which under host contention + the warm-rerun rule would risk the
@@ -292,6 +302,9 @@ def main() -> None:
             "graph_label_propagation",
             "agg_heavy_hitters",
             "dedup_span_removal",
+            # round-9: frontier BFS over the 10x link graph (CC/k-core
+            # run on a fixed l_orderkey slice, so sf1 adds nothing there)
+            "graph_bfs_distances",
         ]
         sf1_timings: dict[str, float] = {}
         # sf1 queries run 3-10x their sf0.1 cost; cap at 2 samples so the

@@ -1210,3 +1210,54 @@ def ann_recall_at_k(
             F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(float(k)), 6).alias("recall"),
         )
     )
+
+
+def knn_graph(
+    df: DataFrame,
+    k: int = 5,
+    n_planes: int = 6,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate k-nearest-neighbor GRAPH over the whole corpus ->
+    (src, dst, cosine, rank): each vector's top-k most-similar peers
+    among its SRP-LSH bucket mates. The all-nodes generalization of
+    lsh_topk_batch (queries = the corpus itself) and the input format
+    graph-based curation wants — SemDeDup-style cluster pruning,
+    connected_components over near-dup edges, k-NN classification of
+    unlabeled docs from labeled neighbors.
+
+    Scale shape: this is the one similarity op where the query side is
+    DATA-SCALE, so nothing is broadcastable — the plan must be a pure
+    equi-join. Candidates meet through the SRP bucket self-join (the
+    banded-LSH move: ~n^2/2^planes comparisons instead of all-pairs,
+    tuned by n_planes exactly like the dedup band count); the per-node
+    top-k is one row_number window over the join's (src-keyed) shuffle.
+    Two keyed shuffles total, no broadcast, no driver state. Hot
+    buckets (dense near-dup clusters) bound the skew the same way the
+    LSH dedup family does — more planes, smaller buckets.
+
+    Determinism: the LCG planes, the round-6 cosine, and the dst-id
+    tie-break make the whole graph engine-replayable (the SQL oracle
+    re-derives buckets from the plane literals and replays the window).
+    Recall is the SRP recall, pinned by tests; vectors alone in their
+    bucket yield no edges (the honest ANN answer — raise n_probes by
+    lowering n_planes if isolation matters)."""
+    from pyspark.sql import Window
+
+    planes = _planes(dim, n_planes, seed)
+    cast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    b = df.select(
+        F.col(id_col), cast.alias("v"), srp_bucket(cast, planes).alias("bucket")
+    )
+    left = b.toDF("src", "lv", "bucket")
+    right = b.toDF("dst", "rv", "bucket")
+    scored = (
+        left.join(right, "bucket")
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst", F.round(cosine(F.col("lv"), F.col("rv")), 6).alias("cosine"))
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -7512,3 +7512,52 @@ def curation_decontaminate(spark, sf_dir):
         min_hits=2,
     )
     return out.select("doc_id", "lang", "n_chars")
+
+
+def _knn_oracle_sql(k: int = 3) -> str:
+    """knn_graph replayed in SQL: SRP buckets from the inlined LCG plane
+    literals (the _srp_oracle_sql recipe), bucket self-join, round-6
+    cosine, row_number window with the dst tie-break."""
+    from cm_well_spark.operators.similarity import _planes
+
+    planes = _planes(64, 6)
+    terms = []
+    for i, p in enumerate(planes):
+        lit = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, {lit}) > 0 THEN {1 << i} ELSE 0 END)"
+        )
+    bucket = " + ".join(terms)
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    b AS (SELECT vec_id, v, CAST({bucket} AS BIGINT) AS bucket FROM e),
+    p AS (
+      SELECT l.vec_id AS src, r.vec_id AS dst,
+             round(CASE WHEN sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v)) <> 0
+                   THEN list_dot_product(l.v, r.v) /
+                        (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v)))
+                   ELSE 0.0 END, 6) AS cosine
+      FROM b l JOIN b r USING (bucket) WHERE l.vec_id <> r.vec_id
+    )
+    SELECT src, dst, cosine, CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst ASC) AS rank
+      FROM p
+    ) WHERE rank <= {k}
+    """
+
+
+@register("similarity_knn_graph", oracle=_knn_oracle_sql())
+def similarity_knn_graph(spark, sf_dir):
+    """Whole-corpus approximate kNN graph (similarity.py:knn_graph): SRP
+    bucket self-join + per-node top-3 — the one similarity op whose
+    query side is data-scale, so the plan is a pure two-shuffle
+    equi-join with no broadcast anywhere. The oracle replays buckets,
+    cosines, and the window verbatim."""
+    from cm_well_spark.operators.similarity import knn_graph
+    from cm_well_spark.sources import tables as tbl
+
+    embs = tbl.load_table(spark, sf_dir, "embeddings")
+    return knn_graph(embs, k=3, n_planes=6, dim=64)

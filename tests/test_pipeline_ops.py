@@ -1867,3 +1867,41 @@ def test_long_doc_linear_hashing_family(spark):
         t0 = time.time()
         fn()
         assert time.time() - t0 < budget, f"{name} exceeded {budget}s"
+
+
+def test_knn_graph_bucket_contract_and_ranks(embs, spark):
+    from cm_well_spark.operators.similarity import _planes, knn_graph, srp_bucket
+
+    sample = embs.where(F.col("vec_id") < 120)
+    g = knn_graph(sample, k=3, n_planes=6, dim=64)
+    rows = g.collect()
+    assert rows, "knn graph is empty"
+    # contract: no self edges, ranks within k and dense per src
+    by_src = {}
+    for r in rows:
+        assert r["src"] != r["dst"]
+        assert 1 <= r["rank"] <= 3
+        by_src.setdefault(r["src"], []).append((r["rank"], r["cosine"], r["dst"]))
+    for src, lst in by_src.items():
+        lst.sort()
+        assert [t[0] for t in lst] == list(range(1, len(lst) + 1))
+        cosines = [t[1] for t in lst]
+        assert cosines == sorted(cosines, reverse=True)
+    # every edge joins two bucket-mates (the candidate contract)
+    planes = _planes(64, 6)
+    cast = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    buckets = {
+        r["vec_id"]: r["b"]
+        for r in sample.select("vec_id", srp_bucket(cast, planes).alias("b")).collect()
+    }
+    for r in rows:
+        assert buckets[r["src"]] == buckets[r["dst"]]
+
+
+def test_knn_graph_is_deterministic(embs):
+    from cm_well_spark.operators.similarity import knn_graph
+
+    sample = embs.where(F.col("vec_id") < 80)
+    a = {(r["src"], r["rank"]): r["dst"] for r in knn_graph(sample, k=2).collect()}
+    b = {(r["src"], r["rank"]): r["dst"] for r in knn_graph(sample.repartition(7), k=2).collect()}
+    assert a == b
