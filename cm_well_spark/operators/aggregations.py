@@ -500,3 +500,39 @@ def session_window_agg(
             "sum_value",
         )
     )
+
+
+def trending_topk(
+    ev: DataFrame,
+    k: int = 3,
+    window: str = "1 hour",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Top-k keys per tumbling window by event count -> (window_start,
+    event_type, n_events, rank): the "trending now" rollup — per-hour
+    hottest event types, the windowed form of the term agg (A1) and the
+    batch twin of streaming_trending_topk.
+
+    Plan: ONE windowed groupBy count (partial-aggregated map-side), then
+    a row_number window PARTITIONED BY the time window — the rank only
+    ever sorts the per-window key counts (bounded by key cardinality),
+    never the raw events, and partitions align with the groupBy's
+    shuffle. Ties break toward the smaller key so the cut is
+    deterministic and engine-replayable."""
+    from pyspark.sql import Window
+
+    counts = ev.groupBy(F.window(ts_col, window).alias("w"), key_col).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    rk = Window.partitionBy("w").orderBy(F.desc("n_events"), F.asc(key_col))
+    return (
+        counts.withColumn("rank", F.row_number().over(rk))
+        .where(F.col("rank") <= k)
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:00").alias("window_start"),
+            key_col,
+            "n_events",
+            "rank",
+        )
+    )

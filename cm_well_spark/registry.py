@@ -7561,3 +7561,31 @@ def similarity_knn_graph(spark, sf_dir):
 
     embs = tbl.load_table(spark, sf_dir, "embeddings")
     return knn_graph(embs, k=3, n_planes=6, dim=64)
+
+
+@register(
+    "events_trending_topk",
+    oracle="""
+    WITH c AS (
+      SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:00') AS window_start,
+             event_type, CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n_events, CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY window_start
+               ORDER BY n_events DESC, event_type ASC) AS rank
+      FROM c
+    ) WHERE rank <= 3
+    """,
+)
+def events_trending_topk(spark, sf_dir):
+    """Per-hour trending top-3 event types
+    (aggregations.py:trending_topk): one windowed count + one
+    per-window row_number over the reduced counts (never the raw
+    events); deterministic tie-break makes the cut replayable. The
+    streaming twin (streaming/windows.py:streaming_trending_counts +
+    trending_topk_batch) is parity-pinned by pytest."""
+    from cm_well_spark.operators.aggregations import trending_topk
+    from cm_well_spark.sources import tables as tbl
+
+    return trending_topk(tbl.load_table(spark, sf_dir, "events"), k=3)

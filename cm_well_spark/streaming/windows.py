@@ -76,3 +76,41 @@ def streaming_session_counts(
             "sum_value",
         )
     )
+
+
+def streaming_trending_counts(
+    stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """The streaming half of the trending-top-k pair: watermarked
+    per-(window, type) counts in append mode. Ranking is NOT done here —
+    non-time window functions aren't allowed on a streaming frame — it
+    happens per micro-batch in trending_topk_batch, which is CORRECT
+    because append mode emits a closed window's rows exactly once and
+    all together (when the watermark passes its end), so every batch
+    holds only complete windows."""
+    w = F.window(F.col(ts_col), window)
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(w, F.col(type_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:00").alias("window_start"),
+            type_col,
+            "n_events",
+        )
+    )
+
+
+def trending_topk_batch(batch: DataFrame, k: int = 3, type_col: str = "event_type") -> DataFrame:
+    """foreachBatch ranker for streaming_trending_counts: top-k per
+    closed window with the same (count desc, key asc) tie-break as the
+    batch aggregations.trending_topk — one window function over the
+    already-reduced per-window counts."""
+    from pyspark.sql import Window
+
+    rk = Window.partitionBy("window_start").orderBy(F.desc("n_events"), F.asc(type_col))
+    return batch.withColumn("rank", F.row_number().over(rk)).where(F.col("rank") <= k)

@@ -630,3 +630,73 @@ def test_streaming_sessions_match_batch_and_close_once(spark):
         assert keyed[k] == v, (k, v, keyed)
     # u1's session emitted exactly once despite two further batches
     assert sum(1 for (u, _s) in keyed if u == "u1") == 1
+
+
+def test_streaming_trending_topk_parity_with_batch(spark):
+    """r9: trending top-k — append-mode windowed counts ranked per
+    micro-batch (closed windows emit whole, so per-batch ranking is the
+    per-window ranking); parity with aggregations.trending_topk on the
+    same data."""
+    import datetime as dt
+
+    from cm_well_spark.operators.aggregations import trending_topk
+    from cm_well_spark.streaming.windows import (
+        streaming_trending_counts,
+        trending_topk_batch,
+    )
+
+    d = os.path.join(TMP, "trend")
+    shutil.rmtree(d, ignore_errors=True)
+    feed, sink = os.path.join(d, "feed"), os.path.join(d, "sink")
+    os.makedirs(feed)
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    t0 = dt.datetime(2024, 3, 1, 9, 0, 0)
+    rows1 = [
+        (i, t0 + dt.timedelta(minutes=i % 50), ["click", "view", "buy", "scroll"][i % 4], 1.0)
+        for i in range(40)
+    ]
+    # hour 2 skews to 'view'; hour 3's lone event closes hour 2's window
+    rows2 = [(100 + i, t0 + dt.timedelta(hours=1, minutes=i), "view", 1.0) for i in range(8)]
+    rows2 += [(200, t0 + dt.timedelta(hours=2, minutes=30), "click", 1.0)]
+    late_closer = [(300, t0 + dt.timedelta(hours=5), "click", 1.0)]
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(feed)
+        q = (
+            streaming_trending_counts(stream, window="1 hour", watermark="5 minutes")
+            .writeStream.foreachBatch(
+                lambda b, _id: trending_topk_batch(b, k=2)
+                .write.mode("append")
+                .parquet(sink)
+            )
+            .option("checkpointLocation", os.path.join(d, "ck"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(feed)
+
+    write(rows1)
+    run()
+    write(rows2)
+    run()
+    write(late_closer)  # advances the watermark so hours 2-3 emit
+    run()
+
+    got = {
+        (r["window_start"], r["rank"]): (r["event_type"], r["n_events"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    batch_df = spark.createDataFrame(rows1 + rows2 + late_closer, schema)
+    want = {
+        (r["window_start"], r["rank"]): (r["event_type"], r["n_events"])
+        for r in trending_topk(batch_df, k=2).collect()
+        if r["window_start"] < "2024-03-01 14:00"  # the closer's own window never emits
+    }
+    assert got == want
+    # hour 09: buy/click tie at 10 (asc tie-break) -> 2 rows; hours 10 and 11
+    # have one key each -> 1 row apiece; the closer's own window never emits
+    assert len(got) == 4
