@@ -129,3 +129,116 @@ def interval_range_join(
         & (F.col(left_ts).cast("timestamp") <= F.col("__e"))
     )
     return out.select(*left.columns, *right_cols)
+
+
+def funnel(
+    ev: DataFrame,
+    steps: list[str],
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Sequential conversion funnel -> one row per user who reached step
+    1: (user, t1..tn, depth), where t_i is the EARLIEST step-i event
+    STRICTLY AFTER t_{i-1} and depth counts completed steps — the
+    product-analytics primitive (did view -> click -> purchase happen in
+    order?), also the shape for multi-stage pipeline-latency audits.
+
+    Plan: step 1 is one keyed min; each later step is ONE left join of
+    the (one-row-per-user) funnel state against that step's events and
+    ONE conditional min — min(ts WHERE ts > t_prev) — so broken funnels
+    keep their row with NULL from the break onward (the left join) and
+    never block earlier steps. Everything is keyed by user: n-1 joins +
+    n aggregations, no windows over raw events, no per-user arrays —
+    memory per task is the shuffle block, not a user's event history.
+    Strictly-increasing timestamps are the contract (a same-instant
+    step-2 event does NOT count); NULL propagation is automatic because
+    `ts > NULL` is NULL."""
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least 2 steps")
+    cur = (
+        ev.where(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t1"))
+    )
+    for i, s in enumerate(steps[1:], start=2):
+        nxt = ev.where(F.col(type_col) == s).select(
+            user_col, F.col(ts_col).alias("__ts")
+        )
+        carried = [user_col] + [f"t{j}" for j in range(1, i)]
+        cur = (
+            cur.join(nxt, user_col, "left")
+            .groupBy(*carried)
+            .agg(
+                F.min(
+                    F.when(F.col("__ts") > F.col(f"t{i - 1}"), F.col("__ts"))
+                ).alias(f"t{i}")
+            )
+        )
+    depth = sum(
+        F.when(F.col(f"t{i}").isNotNull(), 1).otherwise(0)
+        for i in range(1, len(steps) + 1)
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return cur.select(
+        user_col,
+        *[
+            F.date_format(f"t{i}", fmt).alias(f"t{i}")
+            for i in range(1, len(steps) + 1)
+        ],
+        depth.cast("int").alias("depth"),
+    )
+
+
+def anomaly_zscore(
+    ev: DataFrame,
+    window: str = "1 hour",
+    trail: int = 24,
+    min_trail: int = 6,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Windowed volume anomaly score -> (window_start, event_type,
+    n_events, mean_trail, std_trail, zscore): each (window, type) count
+    compared to the mean/stddev of that type's PREVIOUS `trail`
+    OBSERVED windows (rows-between, not time-between: silent gaps don't
+    dilute the baseline — documented contract). The ops-side curation
+    signal: crawler stalls, log floods, and ingest bursts surface as
+    |z| spikes without any model state.
+
+    Plan: one windowed count over raw events (partial-aggregated), then
+    lag-window mean/std over the REDUCED per-type series — the trailing
+    window partitions by type and its length is bounded by the time
+    span / window size, never by event volume. zscore is NULL until
+    `min_trail` windows of history exist or when the trailing std is 0
+    (constant baseline: anomaly is undefined, not infinite). Round-6
+    floats keep the whole thing engine-replayable."""
+    counts = (
+        ev.groupBy(F.window(ts_col, window).alias("w"), type_col)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias("window_start"),
+            type_col,
+            "n_events",
+        )
+    )
+    trail_w = (
+        Window.partitionBy(type_col)
+        .orderBy("window_start")
+        .rowsBetween(-trail, -1)
+    )
+    mean = F.avg("n_events").over(trail_w)
+    std = F.stddev_samp(F.col("n_events").cast("double")).over(trail_w)
+    hist = F.count(F.lit(1)).over(trail_w)
+    z = F.when(
+        (hist >= min_trail) & std.isNotNull() & (std != 0),
+        (F.col("n_events") - mean) / std,
+    )
+    return counts.select(
+        "window_start",
+        type_col,
+        "n_events",
+        F.round(mean, 6).alias("mean_trail"),
+        F.round(std, 6).alias("std_trail"),
+        F.round(z, 6).alias("zscore"),
+    )

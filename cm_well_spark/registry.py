@@ -7589,3 +7589,80 @@ def events_trending_topk(spark, sf_dir):
     from cm_well_spark.sources import tables as tbl
 
     return trending_topk(tbl.load_table(spark, sf_dir, "events"), k=3)
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS x1 FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    s2 AS (
+      SELECT s1.user_id, s1.x1,
+             min(CASE WHEN e.ts > s1.x1 THEN e.ts END) AS x2
+      FROM s1 LEFT JOIN events e
+        ON e.user_id = s1.user_id AND e.event_type = 'click'
+      GROUP BY 1, 2
+    ),
+    s3 AS (
+      SELECT s2.user_id, s2.x1, s2.x2,
+             min(CASE WHEN e.ts > s2.x2 THEN e.ts END) AS x3
+      FROM s2 LEFT JOIN events e
+        ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+      GROUP BY 1, 2, 3
+    )
+    SELECT user_id,
+           strftime(x1, '%Y-%m-%d %H:%M:%S.%f') AS t1,
+           strftime(x2, '%Y-%m-%d %H:%M:%S.%f') AS t2,
+           strftime(x3, '%Y-%m-%d %H:%M:%S.%f') AS t3,
+           CAST((x1 IS NOT NULL)::INT + (x2 IS NOT NULL)::INT
+                + (x3 IS NOT NULL)::INT AS INT) AS depth
+    FROM s3
+    """,
+)
+def events_funnel(spark, sf_dir):
+    """view -> click -> purchase conversion funnel
+    (temporal.py:funnel): strictly-ordered earliest-completion times
+    per user, NULL from the break onward, depth = completed steps. One
+    keyed min per step + one left join per transition; the oracle
+    chains the same conditional mins."""
+    from cm_well_spark.operators.temporal import funnel
+    from cm_well_spark.sources import tables as tbl
+
+    ev = tbl.load_table(spark, sf_dir, "events")
+    return funnel(ev, ["view", "click", "purchase"])
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH c AS (
+      SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M') AS window_start,
+             event_type, CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT window_start, event_type, n_events,
+             avg(n_events) OVER w AS m,
+             stddev_samp(CAST(n_events AS DOUBLE)) OVER w AS s,
+             count(*) OVER w AS hist
+      FROM c
+      WINDOW w AS (PARTITION BY event_type ORDER BY window_start
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT window_start, event_type, n_events,
+           round(m, 6) AS mean_trail, round(s, 6) AS std_trail,
+           round(CASE WHEN hist >= 6 AND s IS NOT NULL AND s <> 0
+                 THEN (n_events - m) / s END, 6) AS zscore
+    FROM t
+    """,
+)
+def events_anomaly_zscore(spark, sf_dir):
+    """Hourly per-type volume anomaly z-scores
+    (temporal.py:anomaly_zscore): trailing-24-observed-windows mean/std
+    over the REDUCED count series, NULL until 6 windows of history or
+    on a constant baseline. The oracle replays the lag window verbatim."""
+    from cm_well_spark.operators.temporal import anomaly_zscore
+    from cm_well_spark.sources import tables as tbl
+
+    return anomaly_zscore(tbl.load_table(spark, sf_dir, "events"))

@@ -283,3 +283,96 @@ def test_range_join_matches_bruteforce_on_random_frames(spark, left_rows, right_
         if lk == rk and rs <= ls <= rs + rd
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# round 9 (cont.): funnel + windowed anomaly z-score
+# ---------------------------------------------------------------------------
+
+EV_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string"
+
+
+def test_funnel_strict_order_and_break_propagation(spark):
+    from cm_well_spark.operators.temporal import funnel
+
+    t = _ts
+    rows = [
+        # u1 completes in order
+        (1, t("2024-01-01T10:00:00"), 1, "view"),
+        (2, t("2024-01-01T10:05:00"), 1, "click"),
+        (3, t("2024-01-01T10:10:00"), 1, "purchase"),
+        # u2: click BEFORE view -> t2 must ignore it; later click counts
+        (4, t("2024-01-01T09:00:00"), 2, "click"),
+        (5, t("2024-01-01T10:00:00"), 2, "view"),
+        (6, t("2024-01-01T11:00:00"), 2, "click"),
+        # u3: view only -> depth 1, t2/t3 NULL
+        (7, t("2024-01-01T08:00:00"), 3, "view"),
+        # u4: purchase then view, never clicks -> depth 1
+        (8, t("2024-01-01T07:00:00"), 4, "purchase"),
+        (9, t("2024-01-01T07:30:00"), 4, "view"),
+        # u5: no view at all -> NOT in the funnel
+        (10, t("2024-01-01T07:00:00"), 5, "click"),
+        # u6: same-instant click as view -> strict > rejects it
+        (11, t("2024-01-01T06:00:00"), 6, "view"),
+        (12, t("2024-01-01T06:00:00"), 6, "click"),
+    ]
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    got = {r["user_id"]: r for r in funnel(df, ["view", "click", "purchase"]).collect()}
+    assert set(got) == {1, 2, 3, 4, 6}
+    assert got[1]["depth"] == 3 and got[1]["t3"].startswith("2024-01-01 10:10:00")
+    assert got[2]["depth"] == 2 and got[2]["t2"].startswith("2024-01-01 11:00:00")
+    assert got[3]["depth"] == 1 and got[3]["t2"] is None and got[3]["t3"] is None
+    assert got[4]["depth"] == 1
+    assert got[6]["depth"] == 1 and got[6]["t2"] is None  # strict inequality
+
+
+def test_funnel_rejects_single_step(spark):
+    from cm_well_spark.operators.temporal import funnel
+
+    df = spark.createDataFrame([], EV_SCHEMA)
+    with pytest.raises(ValueError):
+        funnel(df, ["view"])
+
+
+def test_anomaly_zscore_baseline_gating(spark):
+    from cm_well_spark.operators.temporal import anomaly_zscore
+
+    t = _ts
+    rows = []
+    eid = 0
+    # 8 steady hours of 2 'click' events, then one hour with 10
+    for h in range(8):
+        for j in range(2):
+            eid += 1
+            rows.append((eid, t(f"2024-01-01T{h:02d}:0{j}:00"), 1, "click"))
+    for j in range(10):
+        eid += 1
+        rows.append((eid, t(f"2024-01-01T08:{j:02d}:00"), 1, "click"))
+    # a constant-rate type: std 0 -> zscore NULL even with history
+    for h in range(9):
+        eid += 1
+        rows.append((eid, t(f"2024-01-01T{h:02d}:30:00"), 2, "view"))
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    got = {
+        (r["window_start"], r["event_type"]): r
+        for r in anomaly_zscore(df, window="1 hour", trail=24, min_trail=6).collect()
+    }
+    # first 6 click windows: not enough history -> NULL
+    for h in range(6):
+        assert got[(f"2024-01-01 0{h}:00", "click")]["zscore"] is None
+    spike = got[("2024-01-01 08:00", "click")]
+    assert spike["mean_trail"] == 2.0 and spike["std_trail"] == 0.0
+    assert spike["zscore"] is None  # constant baseline: undefined, not inf
+    # make the baseline non-constant: one window of 3 then the spike
+    rows.append((900, t("2024-01-01T07:59:00"), 1, "click"))
+    got2 = {
+        (r["window_start"], r["event_type"]): r
+        for r in anomaly_zscore(spark.createDataFrame(rows, EV_SCHEMA)).collect()
+    }
+    spike2 = got2[("2024-01-01 08:00", "click")]
+    assert spike2["zscore"] is not None and spike2["zscore"] > 5
+    # constant 'view' series: all NULL
+    assert all(
+        got[(k, "view")]["zscore"] is None
+        for k in {kk for kk, tt in got if tt == "view"}
+    )
