@@ -133,3 +133,40 @@ def word_heavy_hitters(
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("token")
     )
     return heavy_hitters(words, key_col="token", phi=phi)
+
+
+def quantile_sketch(
+    df: DataFrame,
+    value: F.Column | str,
+    probabilities: list[float] = (0.1, 0.25, 0.5, 0.75, 0.9),
+    accuracy: int = 10_000,
+    by: str | None = None,
+) -> DataFrame:
+    """Approximate quantiles with bounded memory -> one row (or one per
+    `by` stratum) with (p, q) pairs exploded to (stratum?, p, q): Spark's
+    approx_percentile — the Greenwald-Khanna mergeable summary running
+    JVM-side as ONE partial-aggregated pass (per-partition GK sketches,
+    tree-merged; error <= 1/accuracy of rank). The 100 TB complement of
+    curation.score_quantiles: the exact operator sort-shuffles the full
+    column per stratum, which is the right call up to medium scale and
+    for oracle replay; the sketch reads the column once and never
+    shuffles data rows — the standard trade for percentile dashboards /
+    filter-threshold calibration over billions of docs.
+
+    Rows-only by nature: GK merge results depend on partition merge
+    order (and DuckDB's approx_quantile is a different sketch), so the
+    registry entry has no hash oracle — pytest pins the rank-error
+    contract against the exact quantiles instead."""
+    col = F.col(value) if isinstance(value, str) else value
+    probs = F.array(*[F.lit(float(p)) for p in probabilities])
+    agg = F.approx_percentile(col.cast("double"), probs, F.lit(accuracy)).alias("qs")
+    base = df.groupBy(by).agg(agg) if by else df.agg(agg)
+    keys = [by] if by else []
+    return base.select(
+        *keys,
+        F.posexplode("qs").alias("pos", "q"),
+    ).select(
+        *keys,
+        F.element_at(F.array(*[F.lit(float(p)) for p in probabilities]), F.col("pos") + 1).alias("p"),
+        F.round("q", 6).alias("q"),
+    )

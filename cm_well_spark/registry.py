@@ -7666,3 +7666,19 @@ def events_anomaly_zscore(spark, sf_dir):
     from cm_well_spark.sources import tables as tbl
 
     return anomaly_zscore(tbl.load_table(spark, sf_dir, "events"))
+
+
+@register("agg_quantiles_approx")
+def agg_quantiles_approx(spark, sf_dir):
+    """Greenwald-Khanna approximate per-language word-count quantiles
+    (sketches.py:quantile_sketch) — the one-pass bounded-memory
+    complement of curation_score_quantiles (exact, sort-based). Rows-only
+    by nature (GK merges are partition-order dependent and DuckDB's
+    approx_quantile is a different sketch); pytest pins the rank-error
+    contract against the exact quantiles."""
+    from cm_well_spark.operators.sketches import quantile_sketch
+    from cm_well_spark.operators.text import whitespace_token_count
+    from cm_well_spark.sources import tables as tbl
+
+    docs = tbl.load_table(spark, sf_dir, "documents")
+    return quantile_sketch(docs, whitespace_token_count(F.col("text")), by="lang")

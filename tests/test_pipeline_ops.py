@@ -1905,3 +1905,43 @@ def test_knn_graph_is_deterministic(embs):
     a = {(r["src"], r["rank"]): r["dst"] for r in knn_graph(sample, k=2).collect()}
     b = {(r["src"], r["rank"]): r["dst"] for r in knn_graph(sample.repartition(7), k=2).collect()}
     assert a == b
+
+
+def test_quantile_sketch_rank_error_vs_exact(spark, sf_dir):
+    """GK contract: each approximate quantile's true rank is within
+    1/accuracy of the requested rank (tight accuracy -> near-exact)."""
+    from cm_well_spark.operators.sketches import quantile_sketch
+    from cm_well_spark.operators.text import whitespace_token_count
+    from cm_well_spark.sources import tables as tbl
+
+    docs = tbl.load_table(spark, sf_dir, "documents")
+    vals = sorted(
+        r["v"]
+        for r in docs.select(whitespace_token_count(F.col("text")).alias("v")).collect()
+    )
+    n = len(vals)
+    got = {r["p"]: r["q"] for r in quantile_sketch(docs, whitespace_token_count(F.col("text")), accuracy=10_000).collect()}
+    assert set(got) == {0.1, 0.25, 0.5, 0.75, 0.9}
+    import bisect
+
+    for p, q in got.items():
+        lo = bisect.bisect_left(vals, q)
+        hi = bisect.bisect_right(vals, q)
+        target = p * n
+        # true rank window of the returned value must cover the target
+        # rank within the GK bound (1/accuracy of n, plus 1 for ties)
+        eps = n / 10_000 + 1
+        assert lo - eps <= target <= hi + eps, (p, q, lo, hi, target)
+
+
+def test_quantile_sketch_stratified_shape(spark, sf_dir):
+    from cm_well_spark.operators.sketches import quantile_sketch
+    from cm_well_spark.operators.text import whitespace_token_count
+    from cm_well_spark.sources import tables as tbl
+
+    docs = tbl.load_table(spark, sf_dir, "documents")
+    out = quantile_sketch(docs, whitespace_token_count(F.col("text")), by="lang")
+    rows = out.collect()
+    langs = {r["lang"] for r in rows}
+    assert len(rows) == 5 * len(langs)
+    assert out.columns == ["lang", "p", "q"]
