@@ -7325,13 +7325,17 @@ def _op_edges(spark, sf_dir):
     from cm_well_spark.operators.graph import reference_edges
 
     tri = _tri(spark, sf_dir)
-    lo = reference_edges(tri, ["ofOrder"])
+    # the slice predicate sits BELOW the join (on the ofOrder edge set's
+    # target key), so at 10-100x the join carries only the slice's
+    # lineitems, not the whole corpus
+    lo = reference_edges(tri, ["ofOrder"]).where(
+        F.element_at(F.split(F.col("dst"), "/"), -1).cast("long") < 300
+    )
     lp = reference_edges(tri, ["ofPart"])
     return (
         lo.alias("l")
         .join(lp.alias("r"), F.col("l.src") == F.col("r.src"))
         .select(F.col("l.dst").alias("src"), F.col("r.dst").alias("dst"))
-        .where(F.element_at(F.split(F.col("src"), "/"), -1).cast("long") < 300)
         .distinct()
     )
 
