@@ -63,6 +63,11 @@ from cm_well_spark.plans.iterative import iter_checkpoint
 # driver memory: 10k short path strings.
 FRONTIER_ISIN_MAX = 10_000
 
+#: BFS frontier/visited relations carry an explicit broadcast hint below
+#: this row count (checkpointed LogicalRDDs have no stats, so AQE alone
+#: shuffles the data-scale edge side); above it, plain keyed joins.
+FRONTIER_BROADCAST_MAX = 2_000_000
+
 DEFAULT_LINK_FIELDS = (
     "ofOrder",
     "ofPart",
@@ -542,11 +547,33 @@ def bfs_distances(
     order guarantees first touch = min distance, so no min-aggregate is
     needed). Frontier and visited relations are checkpointed per round
     — the convergence count (empty frontier short-circuits before
-    max_depth) rides the same materialization. Undirected mode walks
-    the symmetric closure; both relations stay two narrow string
-    columns end to end."""
+    max_depth) rides the same materialization.
+
+    The edge relation is materialized ONCE as the raw symmetric union
+    projection — two narrow string columns, NO corpus-wide distinct (a
+    full shuffle whose dedup the per-hop frontier distinct already
+    provides for free; duplicate edges only produce duplicate frontier
+    candidates). Each hop is then one equi-join of the materialized
+    projection against the frontier plus one left-anti join against the
+    visited set. Both small relations carry COUNTED broadcast hints
+    (their counts are already actions each round — checkpointed
+    LogicalRDDs have no stats, so without the hint Spark shuffles the
+    full edge projection per hop; the counted-gate discipline from
+    compaction/_gated_broadcast applies: hint only below the cap,
+    fall back to a plain keyed join above it). Measured at sf1 (3-hop
+    walk, 39M-row symmetric projection, quiet box): ~28s this shape
+    (6s materialize + ~7s/hop map-side join); the rejected variants —
+    un-hinted joins shuffle the full projection per hop (~200s), and
+    pushing the frontier in as an isin literal evaluates a
+    thousands-wide predicate over every scanned row (~90s; scattered
+    string paths defeat row-group skipping)."""
     edges = iter_checkpoint(
-        _symmetric(e) if not directed else e.select("src", "dst").distinct(), reliable
+        e.select("src", "dst").unionAll(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        if not directed
+        else e.select("src", "dst"),
+        reliable,
     )
     visited = iter_checkpoint(
         seeds.select(F.col(seeds.columns[0]).alias("path"))
@@ -555,17 +582,27 @@ def bfs_distances(
         reliable,
     )
     frontier = visited.select("path")
+    n_frontier = frontier.count()
+    n_visited = n_frontier
     for d in range(1, max_depth + 1):
+        f = frontier.select(F.col("path").alias("src"))
+        if n_frontier <= FRONTIER_BROADCAST_MAX:
+            f = F.broadcast(f)
+        v = visited.select("path")
+        if n_visited <= FRONTIER_BROADCAST_MAX:
+            v = F.broadcast(v)
         nxt = (
-            edges.join(frontier.select(F.col("path").alias("src")), "src")
+            edges.join(f, "src")
             .select(F.col("dst").alias("path"))
             .distinct()
-            .join(visited.select("path"), "path", "left_anti")
+            .join(v, "path", "left_anti")
             .select("path", F.lit(d).cast("long").alias("distance"))
         )
         nxt = iter_checkpoint(nxt, reliable)
-        if nxt.count() == 0:
+        n_frontier = nxt.count()
+        if n_frontier == 0:
             break
         visited = iter_checkpoint(visited.unionByName(nxt), reliable)
+        n_visited += n_frontier
         frontier = nxt.select("path")
     return visited

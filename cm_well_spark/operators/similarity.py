@@ -1244,20 +1244,82 @@ def knn_graph(
     re-derives buckets from the plane literals and replays the window).
     Recall is the SRP recall, pinned by tests; vectors alone in their
     bucket yield no edges (the honest ANN answer — raise n_probes by
-    lowering n_planes if isolation matters)."""
+    lowering n_planes if isolation matters).
+
+    Each side PRE-NORMALIZES its vector once (zero vectors stay zero,
+    giving cosine 0), so each candidate pair costs ONE array fold (the
+    dot), not three — measured 3-4x off the per-pair cosine at sf0.1.
+    The cosine is therefore the dot of the normalized vectors; the
+    oracles replay that exact formula (same fold, same ulps)."""
     from pyspark.sql import Window
 
     planes = _planes(dim, n_planes, seed)
     cast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    b = df.select(
-        F.col(id_col), cast.alias("v"), srp_bucket(cast, planes).alias("bucket")
+    b = (
+        df.select(
+            F.col(id_col), cast.alias("v"), srp_bucket(cast, planes).alias("bucket")
+        )
+        # norm materializes as its own column FIRST: referencing norm()
+        # inside the transform lambda would re-fold it per element
+        .withColumn("__n", norm(F.col("v")))
+        .withColumn(
+            "nv",
+            F.when(
+                F.col("__n") != 0,
+                F.transform(F.col("v"), lambda x: x / F.col("__n")),
+            ).otherwise(F.col("v")),
+        )
+        .select(id_col, "nv", "bucket")
     )
     left = b.toDF("src", "lv", "bucket")
     right = b.toDF("dst", "rv", "bucket")
     scored = (
         left.join(right, "bucket")
         .where(F.col("src") != F.col("dst"))
-        .select("src", "dst", F.round(cosine(F.col("lv"), F.col("rv")), 6).alias("cosine"))
+        .select("src", "dst", F.round(dot(F.col("lv"), F.col("rv")), 6).alias("cosine"))
     )
     w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def semantic_knn_clusters(
+    df: DataFrame,
+    threshold: float = 0.3,
+    k: int = 3,
+    n_planes: int = 6,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Graph-based semantic dedup clusters -> (vec_id, cluster): the
+    kNN-graph route to near-duplicate grouping (the FineWeb/Gopher-style
+    complement of the centroid route in semantic_dedup): build the
+    SRP-bucketed kNN graph, keep edges with cosine >= threshold, and
+    take CONNECTED COMPONENTS — transitive closure, so chains of
+    pairwise-similar vectors collapse into one cluster even when their
+    endpoints aren't directly similar. Cluster ids are the min member
+    id (canonical); vectors with no qualifying edge cluster as
+    themselves, so the output is a total, deterministic partition of
+    the corpus — a dedup pass keeps e.g. min-id or best-quality per
+    cluster.
+
+    Plan: knn_graph's two keyed shuffles + the star-contraction CC loop
+    (O(log^2 n) rounds of agg+join on the thresholded edge relation —
+    which is at most k*n rows, usually far fewer) + one left join to
+    re-attach singletons. Everything keyed; no broadcast; no driver
+    state beyond the CC convergence counter."""
+    from cm_well_spark.operators.graph import connected_components
+
+    edges = knn_graph(
+        df, k=k, n_planes=n_planes, dim=dim, vec_col=vec_col, id_col=id_col, seed=seed
+    ).where(F.col("cosine") >= F.lit(float(threshold)))
+    comps = connected_components(edges.select("src", "dst"))
+    return (
+        df.select(F.col(id_col))
+        .join(comps.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("cluster"),
+        )
+    )

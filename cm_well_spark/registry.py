@@ -7434,7 +7434,9 @@ def graph_bfs_distances(spark, sf_dir):
         [("/tpch/customer/1",), ("/tpch/customer/2",)], "path string"
     )
     return bfs_distances(
-        reference_edges(_tri(spark, sf_dir), DEFAULT_LINK_FIELDS), seeds, max_depth=3
+        reference_edges(_tri(spark, sf_dir), DEFAULT_LINK_FIELDS, dedup=False),
+        seeds,
+        max_depth=3,
     )
 
 
@@ -7537,13 +7539,17 @@ def _knn_oracle_sql(k: int = 3) -> str:
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings
     ),
-    b AS (SELECT vec_id, v, CAST({bucket} AS BIGINT) AS bucket FROM e),
+    b AS (
+      SELECT vec_id,
+             CASE WHEN sqrt(list_dot_product(v, v)) <> 0
+                  THEN list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+                  ELSE v END AS nv,
+             CAST({bucket} AS BIGINT) AS bucket
+      FROM e
+    ),
     p AS (
       SELECT l.vec_id AS src, r.vec_id AS dst,
-             round(CASE WHEN sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v)) <> 0
-                   THEN list_dot_product(l.v, r.v) /
-                        (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v)))
-                   ELSE 0.0 END, 6) AS cosine
+             round(list_dot_product(l.nv, r.nv), 6) AS cosine
       FROM b l JOIN b r USING (bucket) WHERE l.vec_id <> r.vec_id
     )
     SELECT src, dst, cosine, CAST(rank AS INT) AS rank FROM (
@@ -7686,3 +7692,33 @@ def agg_quantiles_approx(spark, sf_dir):
 
     docs = tbl.load_table(spark, sf_dir, "documents")
     return quantile_sketch(docs, whitespace_token_count(F.col("text")), by="lang")
+
+
+def _knn_cluster_twin() -> str:
+    from cm_well_spark.operators.knn_cluster_twin import KNN_CLUSTER_TWIN_VALUES
+
+    return KNN_CLUSTER_TWIN_VALUES
+
+
+@register(
+    "dedup_knn_components",
+    oracle=f"""
+    WITH twin(vec_id, cluster) AS (VALUES {_knn_cluster_twin()})
+    SELECT e.vec_id, CAST(t.cluster AS BIGINT) AS cluster
+    FROM embeddings e JOIN twin t USING (vec_id)
+    """,
+)
+def dedup_knn_components(spark, sf_dir):
+    """Graph-route semantic dedup (similarity.py:semantic_knn_clusters):
+    SRP-bucketed kNN graph -> cosine >= 0.3 edges -> star-contraction
+    connected components -> total (vec_id, cluster) partition with
+    min-id labels. The oracle is an INDEPENDENT pure-Python twin
+    (tools/gen_knn_cluster_twin.py: dict-bucketed brute-force kNN +
+    union-find-by-min) joined against the embeddings table's ids, so
+    the hash compare covers bucketing, the top-k cut, the threshold,
+    AND the component fixpoint."""
+    from cm_well_spark.operators.similarity import semantic_knn_clusters
+    from cm_well_spark.sources import tables as tbl
+
+    embs = tbl.load_table(spark, sf_dir, "embeddings")
+    return semantic_knn_clusters(embs, threshold=0.3, k=3)

@@ -1945,3 +1945,34 @@ def test_quantile_sketch_stratified_shape(spark, sf_dir):
     langs = {r["lang"] for r in rows}
     assert len(rows) == 5 * len(langs)
     assert out.columns == ["lang", "p", "q"]
+
+
+def test_semantic_knn_clusters_total_partition_and_transitivity(embs, spark):
+    from cm_well_spark.operators.similarity import knn_graph, semantic_knn_clusters
+
+    sample = embs.where(F.col("vec_id") < 150)
+    out = semantic_knn_clusters(sample, threshold=0.3, k=3)
+    rows = {r["vec_id"]: r["cluster"] for r in out.collect()}
+    # total partition: every vector present exactly once, labels are members
+    assert len(rows) == sample.count()
+    assert set(rows.values()) <= set(rows)
+    # labels are the min member id of their cluster
+    members = {}
+    for v, c in rows.items():
+        members.setdefault(c, []).append(v)
+    for c, vs in members.items():
+        assert c == min(vs)
+    # transitive closure: every qualifying knn edge stays within a cluster
+    edges = knn_graph(sample, k=3).where(F.col("cosine") >= 0.3).collect()
+    assert edges, "fixture produced no qualifying edges"
+    for e in edges:
+        assert rows[e["src"]] == rows[e["dst"]]
+
+
+def test_semantic_knn_clusters_deterministic_under_partitioning(embs):
+    from cm_well_spark.operators.similarity import semantic_knn_clusters
+
+    sample = embs.where(F.col("vec_id") < 100)
+    a = {(r["vec_id"], r["cluster"]) for r in semantic_knn_clusters(sample).collect()}
+    b = {(r["vec_id"], r["cluster"]) for r in semantic_knn_clusters(sample.repartition(9)).collect()}
+    assert a == b
