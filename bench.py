@@ -149,6 +149,12 @@ def main() -> None:
         "curation_decontaminate",
         # data-scale-queries ANN: bucket self-join + per-src window
         "similarity_knn_graph",
+        # kNN edges -> star-contraction components (graph-route semdedup)
+        "dedup_knn_components",
+        # two-level windowing: per-window rank / trailing-baseline z
+        "events_trending_topk",
+        "events_anomaly_zscore",
+        "events_funnel",
         # curation_full_pipeline is oracle-checked but benched separately
         # (CMW_BENCH_QUERIES=curation_full_pipeline): ~20-35 s at sf0.1,
         # which under host contention + the warm-rerun rule would risk the
