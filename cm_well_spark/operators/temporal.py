@@ -242,3 +242,65 @@ def anomaly_zscore(
         F.round(std, 6).alias("std_trail"),
         F.round(z, 6).alias("zscore"),
     )
+
+
+def cohort_retention(
+    ev: DataFrame,
+    period: str = "1 week",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Cohort retention matrix -> (cohort, period_offset, n_active,
+    retention): users grouped by the period of their FIRST event; for
+    each later period, how many (and what fraction) were active again —
+    the standard engagement decay table, and for corpus work the
+    contributor-retention view of a crawl/feed (do sources that appear
+    in week N still emit in week N+k?).
+
+    Plan: one keyed min (first event per user) joined back to the
+    events (both keyed by user), then one distinct-count per (cohort,
+    offset) and one broadcast-joinable cohort-size relation for the
+    denominator. Period bucketing uses window(ts, period) starts, so
+    offsets count whole periods from the COHORT period start; the whole
+    thing is three keyed aggregates and two joins, no windows over raw
+    events. Deterministic, hence oracle-replayable."""
+    w0 = F.window(ts_col, period)
+    firsts = ev.groupBy(user_col).agg(F.min(ts_col).alias("__first"))
+    cohorts = firsts.select(
+        user_col,
+        F.window(F.col("__first"), period).start.alias("__cstart"),
+    )
+    tagged = ev.join(cohorts, user_col).select(
+        user_col,
+        F.col("__cstart"),
+        w0.start.alias("__pstart"),
+        # period length in seconds, read off the window itself (no
+        # hand-parsed interval strings)
+        (F.unix_timestamp(w0.end) - F.unix_timestamp(w0.start)).alias("__plen"),
+    )
+    active = (
+        tagged.groupBy("__cstart", "__pstart", "__plen")
+        .agg(F.count_distinct(F.col(user_col)).alias("n_active"))
+        .withColumn(
+            "period_offset",
+            F.floor(
+                (F.unix_timestamp("__pstart") - F.unix_timestamp("__cstart"))
+                / F.col("__plen")
+            ),
+        )
+    )
+    # denominator: cohort size = period-0 actives (every user is active
+    # in their own first period by construction)
+    sizes = (
+        cohorts.groupBy("__cstart")
+        .agg(F.count_distinct(F.col(user_col)).alias("__size"))
+    )
+    return (
+        active.join(F.broadcast(sizes), "__cstart")
+        .select(
+            F.date_format("__cstart", "yyyy-MM-dd").alias("cohort"),
+            F.col("period_offset").cast("long").alias("period_offset"),
+            F.col("n_active").cast("long").alias("n_active"),
+            F.round(F.col("n_active") / F.col("__size"), 6).alias("retention"),
+        )
+    )

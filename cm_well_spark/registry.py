@@ -7722,3 +7722,44 @@ def dedup_knn_components(spark, sf_dir):
 
     embs = tbl.load_table(spark, sf_dir, "embeddings")
     return semantic_knn_clusters(embs, threshold=0.3, k=3)
+
+
+@register(
+    "events_cohort_retention",
+    oracle="""
+    WITH f AS (SELECT user_id, min(ts) AS ft FROM events GROUP BY 1),
+    c AS (
+      SELECT user_id,
+             time_bucket(INTERVAL 7 DAYS, ft, TIMESTAMP '1970-01-01') AS cstart
+      FROM f
+    ),
+    t AS (
+      SELECT e.user_id, c.cstart,
+             time_bucket(INTERVAL 7 DAYS, e.ts, TIMESTAMP '1970-01-01') AS pstart
+      FROM events e JOIN c USING (user_id)
+    ),
+    a AS (
+      SELECT cstart, pstart, CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+      FROM t GROUP BY 1, 2
+    ),
+    s AS (SELECT cstart, count(*) AS sz FROM c GROUP BY 1)
+    SELECT strftime(a.cstart, '%Y-%m-%d') AS cohort,
+           CAST(floor(date_diff('second', a.cstart, a.pstart) / 604800) AS BIGINT)
+             AS period_offset,
+           n_active,
+           round(n_active / CAST(s.sz AS DOUBLE), 6) AS retention
+    FROM a JOIN s USING (cstart)
+    """,
+)
+def events_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention matrix (temporal.py:cohort_retention):
+    users keyed by first-event week, distinct-active counts per later
+    week, fraction against the cohort size. Three keyed aggregates +
+    two joins; Spark's epoch-aligned tumbling windows are replayed by
+    time_bucket with an explicit 1970-01-01 origin (DuckDB's default
+    week origin is Monday-aligned — the one alignment trap in the
+    pair)."""
+    from cm_well_spark.operators.temporal import cohort_retention
+    from cm_well_spark.sources import tables as tbl
+
+    return cohort_retention(tbl.load_table(spark, sf_dir, "events"), period="7 days")

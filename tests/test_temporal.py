@@ -376,3 +376,32 @@ def test_anomaly_zscore_baseline_gating(spark):
         got[(k, "view")]["zscore"] is None
         for k in {kk for kk, tt in got if tt == "view"}
     )
+
+
+def test_cohort_retention_matrix(spark):
+    from cm_well_spark.operators.temporal import cohort_retention
+
+    t = _ts
+    rows = [
+        # cohort A (week of 2024-01-04, epoch-aligned): u1, u2
+        (1, t("2024-01-05T10:00:00"), 1, "view"),
+        (2, t("2024-01-06T10:00:00"), 2, "view"),
+        # week +1: only u1 returns
+        (3, t("2024-01-12T10:00:00"), 1, "click"),
+        # week +2: both return
+        (4, t("2024-01-19T10:00:00"), 1, "view"),
+        (5, t("2024-01-20T10:00:00"), 2, "view"),
+        # cohort B (week +1): u3 never returns
+        (6, t("2024-01-11T10:00:00"), 3, "view"),
+    ]
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    got = {
+        (r["cohort"], r["period_offset"]): (r["n_active"], r["retention"])
+        for r in cohort_retention(df, period="7 days").collect()
+    }
+    a, b = "2024-01-04", "2024-01-11"
+    assert got[(a, 0)] == (2, 1.0)
+    assert got[(a, 1)] == (1, 0.5)
+    assert got[(a, 2)] == (2, 1.0)
+    assert got[(b, 0)] == (1, 1.0)
+    assert set(got) == {(a, 0), (a, 1), (a, 2), (b, 0)}
