@@ -536,3 +536,57 @@ def trending_topk(
             "rank",
         )
     )
+
+
+def rollup_metrics(
+    df: DataFrame,
+    dims: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Hierarchical subtotal rollup -> one row per prefix of `dims`
+    (plus the grand total): (dims..., gid, n, total) where coarser
+    levels carry NULL in the rolled-away dimensions and `gid` is
+    Spark's grouping_id bitmask (0 = most detailed, each rolled-up dim
+    sets its bit) — the OLAP drill-down/subtotal report the reference's
+    flat term/stats aggs (A1/A2) don't express in one pass.
+
+    Plan: df.rollup(...) compiles to ONE Expand + ONE hash aggregate —
+    every grouping set is produced in a single scan + single shuffle
+    (Expand replicates each input row once per level BEFORE the partial
+    aggregate, so the exchange carries len(dims)+1 partially-reduced
+    streams, not len(dims)+1 scans). `gid` also disambiguates a real
+    NULL dim value from a rolled-up one — the standard GROUPING()
+    hazard."""
+    return (
+        df.rollup(*dims)
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum(value_col), 6).alias("total"),
+        )
+        .select(*dims, "gid", "n", "total")
+    )
+
+
+def pivot_counts(
+    df: DataFrame,
+    row_dim: str,
+    pivot_dim: str,
+    pivot_values: list[str],
+) -> DataFrame:
+    """Cross-tab -> one row per `row_dim` value with one count column
+    per EXPLICIT `pivot_dim` value (missing combinations 0, not NULL) —
+    the wide contingency table (status-by-priority, lang-by-source)
+    downstream report tools want.
+
+    Plan: the explicit value list is the scale contract —
+    groupBy().pivot(col, values) with values given compiles to ONE
+    hash aggregate with |values| conditional counts (no
+    distinct-value pre-scan job, which is what pivot() without values
+    runs, and no second pass); column explosion is bounded by the
+    caller's list, and the output relation is |row_dim| rows."""
+    out = df.groupBy(row_dim).pivot(pivot_dim, pivot_values).count()
+    return out.select(
+        row_dim,
+        *[F.coalesce(F.col(v), F.lit(0)).cast("long").alias(f"n_{v.lower()}") for v in pivot_values],
+    )

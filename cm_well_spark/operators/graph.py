@@ -606,3 +606,79 @@ def bfs_distances(
         n_visited += n_frontier
         frontier = nxt.select("path")
     return visited
+
+
+def link_prediction(
+    e: DataFrame,
+    max_apex_degree: int | None = None,
+    min_common: int = 1,
+) -> DataFrame:
+    """Neighborhood link-prediction scores -> (a, b, common_neighbors,
+    adamic_adar, jaccard) for every NON-adjacent undirected node pair
+    with at least `min_common` shared neighbors — the classic
+    missing-link ranking (Liben-Nowell & Kleinberg 2003; Adamic & Adar
+    2003): candidate edges for graph completion, related-entity
+    suggestions over the reference graph, co-purchase "customers also
+    bought" style inference over affiliation closures.
+
+    Plan: wedge enumeration at the shared neighbor (apex), exactly the
+    triangle-count access pattern — symmetric distinct adjacency joined
+    with itself on the apex, each neighbor pair emitted once via the
+    `a < b` orientation; ONE groupBy(a, b) then folds every wedge into
+    count + sum(1/ln(deg(apex))) in the same shuffle. Existing edges
+    drop with one left-anti join against the canonical (a<b) edge set;
+    endpoint degrees for Jaccard attach with two keyed joins against
+    the degree relation. deg(apex) >= 2 by construction (the apex sees
+    both a and b), so ln never hits 0.
+
+    An apex of degree d emits d*(d-1)/2 wedges — the hub-quadratic cost
+    every common-neighbor method pays. `max_apex_degree` is the
+    standard mitigation at scale: skip apexes above the cap (a
+    celebrity node's neighborhood predicts nothing anyway — its
+    1/ln(deg) contribution is negligible while its wedge count is
+    ruinous). Scores then lower-bound the uncapped ones; endpoint
+    degrees (the Jaccard denominator) stay exact. Leave None only when
+    the degree distribution is known to be bounded."""
+    sym = _symmetric(e)
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    adj = sym.join(deg, sym.src == deg.node).select(
+        F.col("src").alias("apex"), F.col("dst").alias("nbr"), F.col("d").alias("adeg")
+    )
+    apexes = adj if max_apex_degree is None else adj.where(F.col("adeg") <= max_apex_degree)
+    x, y = apexes.alias("x"), apexes.alias("y")
+    wedges = x.join(
+        y, (F.col("x.apex") == F.col("y.apex")) & (F.col("x.nbr") < F.col("y.nbr"))
+    ).select(
+        F.col("x.nbr").alias("a"), F.col("y.nbr").alias("b"), F.col("x.adeg").alias("adeg")
+    )
+    scored = (
+        wedges.groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common_neighbors"),
+            F.sum(F.lit(1.0) / F.log(F.col("adeg"))).alias("__aa"),
+        )
+        .where(F.col("common_neighbors") >= min_common)
+    )
+    und = sym.where(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    )
+    cand = scored.join(und, ["a", "b"], "left_anti")
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("__da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("__db"))
+    return (
+        cand.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            "common_neighbors",
+            F.round("__aa", 6).alias("adamic_adar"),
+            F.round(
+                F.col("common_neighbors")
+                / (F.col("__da") + F.col("__db") - F.col("common_neighbors")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -304,3 +304,86 @@ def cohort_retention(
             F.round(F.col("n_active") / F.col("__size"), 6).alias("retention"),
         )
     )
+
+
+def markov_transitions(
+    ev: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix -> (prev_type, next_type, n,
+    prob): for every consecutive event pair within a user's
+    time-ordered stream, how often (and with what conditional
+    probability) does type X precede type Y — the behavioral-flow
+    primitive behind next-action prediction, session path analysis, and
+    "what breaks after an error" ops triage.
+
+    Plan: ONE lead() window partitioned by user (frame length bounded
+    by a user's history, never by corpus size — the same shape as the
+    asof union window), then ONE keyed count over the (prev, next)
+    pairs, which reduces to at most |types|^2 rows; the row-normalizing
+    sum runs over THAT reduced relation, so the second window is
+    negligible. Ordering ties break on `tiebreak_col` (event id) to
+    keep the chain — and therefore the hash compare — deterministic."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    seq = ev.withColumn("__next", F.lead(type_col).over(w)).where(
+        F.col("__next").isNotNull()
+    )
+    counts = seq.groupBy(
+        F.col(type_col).alias("prev_type"), F.col("__next").alias("next_type")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    row = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(row), 6).alias("prob"),
+    )
+
+
+def rolling_window_agg(
+    ev: DataFrame,
+    span: str = "1 hour",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    id_cols: tuple[str, ...] = ("event_id",),
+) -> DataFrame:
+    """Trailing time-range aggregate per EVENT ROW -> (*id_cols, key,
+    ts, n_trail, sum_trail): for every event, the count and value-sum
+    of the same key's events inside [ts - span, ts] (both ends
+    inclusive) — per-entity rolling rate/exposure features (requests in
+    the last hour, spend in the last day) computed exactly, not on a
+    tumbling grid.
+
+    Plan: ONE range-frame window per key ordered by MICROSECOND epoch —
+    a range frame is defined by the ordering VALUE, so same-instant
+    rows share one frame and the result is deterministic under any
+    physical tie order (a rows-frame would not be). Partitioning is by
+    the entity key: frame memory is bounded by one entity's span
+    window, the shuffle is the standard keyed exchange, and no
+    self-join ever materializes event pairs (the naive
+    `e1.ts BETWEEN e2.ts - span AND e2.ts` range join is |per-key|^2).
+    Microsecond longs, not seconds: sub-second timestamps make
+    second-truncated boundaries admit rows an exact engine rejects."""
+    span_us = {
+        "1 hour": 3_600_000_000,
+        "1 day": 86_400_000_000,
+        "1 minute": 60_000_000,
+    }.get(span)
+    if span_us is None:
+        raise ValueError(f"unsupported span {span!r} (add it to the table)")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.unix_micros(F.col(ts_col).cast("timestamp")))
+        .rangeBetween(-span_us, 0)
+    )
+    return ev.select(
+        *id_cols,
+        key_col,
+        F.date_format(ts_col, "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_trail"),
+        F.round(F.sum(value_col).over(w), 6).alias("sum_trail"),
+    )

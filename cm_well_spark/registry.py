@@ -7763,3 +7763,158 @@ def events_cohort_retention(spark, sf_dir):
     from cm_well_spark.sources import tables as tbl
 
     return cohort_retention(tbl.load_table(spark, sf_dir, "events"), period="7 days")
+
+
+@register(
+    "graph_link_prediction",
+    oracle=_OP_EDGE_SQL
+    + """,
+    und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM e WHERE src <> dst
+    ),
+    sym AS (SELECT a AS node, b AS nbr FROM und UNION ALL SELECT b, a FROM und),
+    deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY 1),
+    adj AS (SELECT s.node AS apex, s.nbr, d.d AS adeg
+            FROM sym s JOIN deg d USING (node)),
+    sc AS (
+      SELECT x.nbr AS a, y.nbr AS b,
+             CAST(count(*) AS BIGINT) AS common_neighbors,
+             sum(1.0 / ln(x.adeg)) AS aa
+      FROM adj x JOIN adj y ON x.apex = y.apex AND x.nbr < y.nbr
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT sc.* FROM sc LEFT JOIN und USING (a, b) WHERE und.a IS NULL
+    )
+    SELECT c.a, c.b, c.common_neighbors,
+           round(c.aa, 6) AS adamic_adar,
+           round(c.common_neighbors
+                 / CAST(da.d + db.d - c.common_neighbors AS DOUBLE), 6) AS jaccard
+    FROM cand c JOIN deg da ON c.a = da.node JOIN deg db ON c.b = db.node
+    """,
+)
+def graph_link_prediction(spark, sf_dir):
+    """Adamic-Adar / common-neighbor / Jaccard link prediction
+    (graph.py:link_prediction) over the order—part co-occurrence graph:
+    every non-adjacent pair sharing an order or part, ranked by who
+    they share — "missing link" inference over the same edges the
+    CC/k-core entries walk. The oracle independently re-derives the
+    wedge enumeration, the left-anti drop of existing edges, and both
+    score formulas from lineitem, so the hash compare covers the whole
+    scoring pipeline, not just the output shape."""
+    from cm_well_spark.operators.graph import link_prediction
+
+    return link_prediction(_op_edges(spark, sf_dir))
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH s AS (
+      SELECT event_type AS prev_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    c AS (
+      SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+      FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, n,
+           round(n / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6)
+             AS prob
+    FROM c
+    """,
+)
+def events_markov_transitions(spark, sf_dir):
+    """First-order next-event transition matrix
+    (temporal.py:markov_transitions): per-user time-ordered lead()
+    pairs reduced to |types|^2 rows with row-normalized conditional
+    probabilities. The oracle replays the same event-id tie-broken
+    chain, so the hash compare covers the sequencing, not just the
+    marginals."""
+    from cm_well_spark.operators.temporal import markov_transitions
+    from cm_well_spark.sources import tables as tbl
+
+    return markov_transitions(tbl.load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_rolling_trail",
+    oracle="""
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+           CAST(count(*) OVER w AS BIGINT) AS n_trail,
+           round(sum(value) OVER w, 6) AS sum_trail
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def events_rolling_trail(spark, sf_dir):
+    """Per-event trailing 1-hour count/value-sum within the user's
+    stream (temporal.py:rolling_window_agg): ONE microsecond-epoch
+    range-frame window keyed by user — exact rolling rate features with
+    no tumbling-grid approximation and no self-join. Range frames are
+    value-defined, so same-instant ties share a frame and the result is
+    deterministic; the oracle's INTERVAL range window is the same
+    frame."""
+    from cm_well_spark.operators.temporal import rolling_window_agg
+    from cm_well_spark.sources import tables as tbl
+
+    return rolling_window_agg(tbl.load_table(spark, sf_dir, "events"), span="1 hour")
+
+
+@register(
+    "agg_rollup_orders",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 6) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+)
+def agg_rollup_orders(spark, sf_dir):
+    """Hierarchical priority -> status subtotal rollup with grand total
+    (aggregations.py:rollup_metrics): ONE Expand + ONE hash aggregate
+    produce every drill-down level in a single scan/shuffle; gid is the
+    grouping_id bitmask both engines define identically (first dim =
+    most significant bit)."""
+    from cm_well_spark.operators.aggregations import rollup_metrics
+    from cm_well_spark.sources import tables as tbl
+
+    return rollup_metrics(
+        tbl.load_table(spark, sf_dir, "orders"),
+        ["o_orderpriority", "o_orderstatus"],
+        "o_totalprice",
+    )
+
+
+@register(
+    "agg_pivot_status",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_f,
+           CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS n_o,
+           CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS n_p
+    FROM orders GROUP BY 1
+    """,
+)
+def agg_pivot_status(spark, sf_dir):
+    """Priority-by-status cross-tab (aggregations.py:pivot_counts):
+    pivot with an EXPLICIT value list compiles to one hash aggregate of
+    conditional counts — no distinct-value pre-scan job, no second
+    pass; the oracle is the FILTER form of the same contingency
+    table."""
+    from cm_well_spark.operators.aggregations import pivot_counts
+    from cm_well_spark.sources import tables as tbl
+
+    return pivot_counts(
+        tbl.load_table(spark, sf_dir, "orders"),
+        "o_orderpriority",
+        "o_orderstatus",
+        ["F", "O", "P"],
+    )
