@@ -387,3 +387,53 @@ def rolling_window_agg(
         F.count(F.lit(1)).over(w).cast("long").alias("n_trail"),
         F.round(F.sum(value_col).over(w), 6).alias("sum_trail"),
     )
+
+
+def ohlc_downsample(
+    ev: DataFrame,
+    window: str = "1 day",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Time-bucket OHLC downsampling -> (key, bucket, open, high, low,
+    close, n): the first/max/min/last value per (key, tumbling window) —
+    the metrics-downsampling primitive (candlesticks for markets,
+    rate rollups for telemetry) that turns an unbounded event stream
+    into a bounded per-bucket series.
+
+    Plan: ONE groupBy — open/close are min_by/max_by over a composite
+    (epoch-micros, tiebreak) ORDER KEY so same-instant ties are
+    deterministic; high/low/n ride the same partial-aggregated hash
+    aggregate. No windows over raw events, no sort: the whole reduction
+    is map-side combinable, which is what lets it eat 100 TB of events
+    into |keys| x |buckets| rows. The order key is a zero-padded string
+    (lexicographic = numeric for fixed width) because both engines'
+    arg-min aggregates take one scalar ordering column."""
+    okey = F.format_string(
+        "%020d|%020d",
+        F.unix_micros(F.col(ts_col).cast("timestamp")),
+        F.col(tiebreak_col).cast("long"),
+    )
+    return (
+        ev.groupBy(
+            key_col, F.window(ts_col, window).start.alias("__b")
+        )
+        .agg(
+            F.round(F.min_by(value_col, okey), 6).alias("open"),
+            F.round(F.max(value_col), 6).alias("high"),
+            F.round(F.min(value_col), 6).alias("low"),
+            F.round(F.max_by(value_col, okey), 6).alias("close"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .select(
+            key_col,
+            F.date_format("__b", "yyyy-MM-dd HH:mm").alias("bucket"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n",
+        )
+    )

@@ -7918,3 +7918,55 @@ def agg_pivot_status(spark, sf_dir):
         "o_orderstatus",
         ["F", "O", "P"],
     )
+
+
+@register(
+    "er_fuzzy_name_pairs",
+    oracle="""
+    WITH v AS (SELECT DISTINCT c_name AS w FROM customer WHERE length(c_name) >= 2)
+    SELECT a.w AS a, b.w AS b, CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist
+    FROM v a JOIN v b ON a.w < b.w
+      AND abs(length(a.w) - length(b.w)) <= 1
+    WHERE levenshtein(a.w, b.w) <= 1
+    """,
+)
+def er_fuzzy_name_pairs(spark, sf_dir):
+    """Edit-distance<=1 similarity self-join over customer names
+    (fuzzy.py:edit_distance_pairs, FastSS/SymSpell deletion-neighborhood
+    blocking): the entity-resolution blocker — every name pair one typo
+    apart, found with ONE variant equi-join + built-in levenshtein
+    verify, never an all-pairs comparison. The oracle IS the all-pairs
+    comparison (with only the length band), so the hash match proves
+    the deletion neighborhood dropped no pair."""
+    from cm_well_spark.operators.fuzzy import edit_distance_pairs
+    from cm_well_spark.sources import tables as tbl
+
+    names = tbl.load_table(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("w")
+    )
+    return edit_distance_pairs(names, max_dist=1)
+
+
+@register(
+    "events_ohlc_daily",
+    oracle="""
+    SELECT event_type,
+           strftime(time_bucket(INTERVAL 1 DAY, ts), '%Y-%m-%d %H:%M') AS bucket,
+           round(arg_min(value, printf('%020d|%020d', epoch_us(ts), event_id)), 6) AS open,
+           round(max(value), 6) AS high,
+           round(min(value), 6) AS low,
+           round(arg_max(value, printf('%020d|%020d', epoch_us(ts), event_id)), 6) AS close,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_ohlc_daily(spark, sf_dir):
+    """Daily per-type OHLC downsampling (temporal.py:ohlc_downsample):
+    ONE map-side-combinable groupBy — open/close via min_by/max_by over
+    a zero-padded (epoch-micros, event_id) composite order key, so ties
+    are deterministic and the oracle's arg_min/arg_max replay the same
+    key."""
+    from cm_well_spark.operators.temporal import ohlc_downsample
+    from cm_well_spark.sources import tables as tbl
+
+    return ohlc_downsample(tbl.load_table(spark, sf_dir, "events"), window="1 day")
