@@ -590,3 +590,111 @@ def pivot_counts(
         row_dim,
         *[F.coalesce(F.col(v), F.lit(0)).cast("long").alias(f"n_{v.lower()}") for v in pivot_values],
     )
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """Pairwise association rules -> (a, b, support_count, confidence_ab,
+    confidence_ba, lift) over (basket, item) co-membership — the
+    market-basket/co-recommendation primitive (Agrawal & Srikant 1994,
+    restricted to the 2-itemset level, which is where real-world lift
+    ranking happens anyway).
+
+    Plan: distinct (basket, item) membership, then pair enumeration via
+    ONE self-equi-join on the basket key with `a < b` orientation —
+    candidate work per basket is bounded by the basket's size squared
+    (baskets are small by data contract; a degenerate giant basket is
+    the hub-key skew every basket miner caps upstream). Pair counts and
+    item counts are two keyed aggregates; the basket total rides in as
+    a one-row broadcast cross join. `min_pair_count` prunes the long
+    tail BEFORE the two item-count joins, so the stats attach to the
+    surviving pairs only. Lift > 1 = co-occurrence above independence;
+    6dp rounding keeps it engine-replayable."""
+    m = df.select(
+        F.col(basket_col).alias("__bkt"), F.col(item_col).alias("__item")
+    ).distinct()
+    x, y = m.alias("x"), m.alias("y")
+    pairs = (
+        x.join(y, (F.col("x.__bkt") == F.col("y.__bkt")) & (F.col("x.__item") < F.col("y.__item")))
+        .groupBy(F.col("x.__item").alias("a"), F.col("y.__item").alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("support_count"))
+        .where(F.col("support_count") >= min_pair_count)
+    )
+    items = m.groupBy(F.col("__item")).agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    total = m.select(F.count_distinct("__bkt").alias("__total"))
+    na = items.select(F.col("__item").alias("a"), F.col("__n").alias("__na"))
+    nb = items.select(F.col("__item").alias("b"), F.col("__n").alias("__nb"))
+    return (
+        pairs.join(na, "a")
+        .join(nb, "b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "a",
+            "b",
+            "support_count",
+            F.round(F.col("support_count") / F.col("__na"), 6).alias("confidence_ab"),
+            F.round(F.col("support_count") / F.col("__nb"), 6).alias("confidence_ba"),
+            F.round(
+                F.col("support_count") * F.col("__total")
+                / (F.col("__na") * F.col("__nb")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+def rfm_segments(
+    orders: DataFrame,
+    n_bins: int = 5,
+    key_col: str = "o_custkey",
+    ts_col: str = "o_orderdate",
+    value_col: str = "o_totalprice",
+) -> DataFrame:
+    """RFM segmentation -> (key, recency_days, frequency, monetary,
+    r, f, m): every ordering entity scored 1..n_bins on recency (days
+    since last order, measured from the corpus max date so the result
+    is replayable), frequency, and monetary value — the classic
+    customer-value grid, and for corpus work the freshness/volume/size
+    triage of sources.
+
+    Plan: ONE keyed aggregate reduces the fact table to one row per
+    entity; the three ntile windows then run over that REDUCED relation
+    — the single global sort in this module, bounded by entity
+    cardinality, not fact volume (the standard exact-quantile contract;
+    swap in approx-percentile boundaries when even the entity relation
+    is too big to sort). Each window orders best-first with the entity
+    key as tiebreak, so bucket edges are deterministic in both engines
+    (ntile semantics — equal buckets, remainder to the front — agree
+    across engines given a total order)."""
+    ref = orders.select(F.max(F.col(ts_col).cast("timestamp")).alias("__ref"))
+    per = (
+        orders.groupBy(key_col)
+        .agg(
+            F.max(F.col(ts_col).cast("timestamp")).alias("__last"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.round(F.sum(value_col), 6).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .withColumn(
+            "recency_days",
+            F.floor(
+                (F.unix_timestamp("__ref") - F.unix_timestamp("__last")) / 86400
+            ).cast("long"),
+        )
+    )
+    r_w = Window.orderBy(F.asc("recency_days"), F.asc(key_col))
+    f_w = Window.orderBy(F.desc("frequency"), F.asc(key_col))
+    m_w = Window.orderBy(F.desc("monetary"), F.asc(key_col))
+    return per.select(
+        key_col,
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(n_bins).over(r_w).cast("long").alias("r"),
+        F.ntile(n_bins).over(f_w).cast("long").alias("f"),
+        F.ntile(n_bins).over(m_w).cast("long").alias("m"),
+    )

@@ -437,3 +437,38 @@ def ohlc_downsample(
             "n",
         )
     )
+
+
+def scd2_intervals(
+    versions: DataFrame,
+    key_col: str = "path",
+    ts_col: str = "lastModified",
+    tiebreak_col: str | None = "uuid",
+) -> DataFrame:
+    """Version history -> SCD-type-2 validity intervals: every version
+    row gains (valid_from, valid_to, version_seq, is_last), where
+    valid_to is the NEXT version's timestamp (NULL while the version is
+    the open, latest one) — the slowly-changing-dimension export that
+    turns CM-Well's with-history read (S5, getInfotonHistory
+    CRUDServiceFS.scala:197-228) into the interval table as-of joins
+    and point-in-time queries consume.
+
+    Plan: ONE lead() window per key — frame bounded by a key's version
+    count, shuffle keyed by the entity, no self-join of history against
+    itself (the naive `h1.ts < h2.ts` min-lookup is quadratic per key).
+    Ordering ties break on `tiebreak_col` so same-instant writes chain
+    deterministically; pass None only when (key, ts) is known unique."""
+    order = [F.col(ts_col).cast("timestamp")]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col))
+    w = Window.partitionBy(key_col).orderBy(*order)
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return versions.select(
+        "*",
+        F.date_format(F.col(ts_col).cast("timestamp"), fmt).alias("valid_from"),
+        F.date_format(
+            F.lead(F.col(ts_col).cast("timestamp")).over(w), fmt
+        ).alias("valid_to"),
+        F.row_number().over(w).cast("long").alias("version_seq"),
+        F.lead(F.col(ts_col).cast("timestamp")).over(w).isNull().alias("is_last"),
+    )

@@ -7970,3 +7970,101 @@ def events_ohlc_daily(spark, sf_dir):
     from cm_well_spark.sources import tables as tbl
 
     return ohlc_downsample(tbl.load_table(spark, sf_dir, "events"), window="1 day")
+
+
+@register(
+    "agg_association_rules",
+    oracle="""
+    WITH m AS (SELECT DISTINCT l_orderkey AS bkt, l_partkey AS item FROM lineitem),
+    p AS (
+      SELECT x.item AS a, y.item AS b, CAST(count(*) AS BIGINT) AS support_count
+      FROM m x JOIN m y ON x.bkt = y.bkt AND x.item < y.item
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    i AS (SELECT item, CAST(count(*) AS BIGINT) AS n FROM m GROUP BY 1),
+    t AS (SELECT count(DISTINCT bkt) AS total FROM m)
+    SELECT a, b, support_count,
+           round(support_count / CAST(ia.n AS DOUBLE), 6) AS confidence_ab,
+           round(support_count / CAST(ib.n AS DOUBLE), 6) AS confidence_ba,
+           round(support_count * t.total / CAST(ia.n * ib.n AS DOUBLE), 6) AS lift
+    FROM p JOIN i ia ON p.a = ia.item JOIN i ib ON p.b = ib.item, t
+    """,
+)
+def agg_association_rules(spark, sf_dir):
+    """Pairwise market-basket rules over order baskets
+    (aggregations.py:association_rules): parts co-ordered at least
+    twice, with both conditional confidences and lift — pair
+    enumeration is ONE basket-keyed self-join (work bounded by basket
+    size squared), stats are keyed aggregates, the basket total is a
+    one-row broadcast. The oracle replays enumeration, pruning, and all
+    three ratios."""
+    from cm_well_spark.operators.aggregations import association_rules
+    from cm_well_spark.sources import tables as tbl
+
+    li = tbl.load_table(spark, sf_dir, "lineitem")
+    return association_rules(li, "l_orderkey", "l_partkey", min_pair_count=2)
+
+
+@register(
+    "agg_rfm_segments",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey, max(o_orderdate) AS last,
+             CAST(count(*) AS BIGINT) AS frequency,
+             round(sum(o_totalprice), 6) AS monetary
+      FROM orders GROUP BY 1
+    ),
+    ref AS (SELECT max(o_orderdate) AS ref FROM orders),
+    d AS (
+      SELECT o_custkey,
+             CAST(floor(date_diff('second', last, ref) / 86400) AS BIGINT)
+               AS recency_days,
+             frequency, monetary
+      FROM per, ref
+    )
+    SELECT o_custkey, recency_days, frequency, monetary,
+           CAST(ntile(5) OVER (ORDER BY recency_days ASC, o_custkey ASC) AS BIGINT) AS r,
+           CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey ASC) AS BIGINT) AS f,
+           CAST(ntile(5) OVER (ORDER BY monetary DESC, o_custkey ASC) AS BIGINT) AS m
+    FROM d
+    """,
+)
+def agg_rfm_segments(spark, sf_dir):
+    """RFM customer segmentation (aggregations.py:rfm_segments): one
+    keyed aggregate reduces orders to a per-customer row; three ntile
+    windows over the REDUCED relation assign 1..5 scores best-first
+    with the key as tiebreak — ntile's equal-buckets-remainder-first
+    split agrees across engines given a total order, so the whole grid
+    hash-matches."""
+    from cm_well_spark.operators.aggregations import rfm_segments
+    from cm_well_spark.sources import tables as tbl
+
+    return rfm_segments(tbl.load_table(spark, sf_dir, "orders"), n_bins=5)
+
+
+@register(
+    "temporal_scd2_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+           strftime(lead(o_orderdate) OVER w, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+           CAST(row_number() OVER w AS BIGINT) AS version_seq,
+           (lead(o_orderdate) OVER w) IS NULL AS is_last
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def temporal_scd2_orders(spark, sf_dir):
+    """SCD-type-2 validity intervals (temporal.py:scd2_intervals) over
+    each customer's order sequence — every row gains [valid_from,
+    valid_to) with the open current version NULL-terminated, the
+    interval-table export that point-in-time queries and the S5
+    with-history read consume. ONE lead window per key, tie-broken on
+    the order key; no history self-join."""
+    from cm_well_spark.operators.temporal import scd2_intervals
+    from cm_well_spark.sources import tables as tbl
+
+    o = tbl.load_table(spark, sf_dir, "orders")
+    return scd2_intervals(
+        o, key_col="o_custkey", ts_col="o_orderdate", tiebreak_col="o_orderkey"
+    ).select("o_orderkey", "o_custkey", "valid_from", "valid_to", "version_seq", "is_last")
