@@ -155,6 +155,19 @@ def main() -> None:
         "events_trending_topk",
         "events_anomaly_zscore",
         "events_funnel",
+        # round-9 third/fourth tranches: apex wedge scoring + anti-join,
+        # deletion-neighborhood variant equi-join + levenshtein verify,
+        # basket-keyed pair self-join, per-key lead/range-frame windows,
+        # one-pass Expand rollup
+        "graph_link_prediction",
+        "er_fuzzy_name_pairs",
+        "agg_association_rules",
+        "events_markov_transitions",
+        "events_rolling_trail",
+        "events_ohlc_daily",
+        "agg_rollup_orders",
+        "agg_rfm_segments",
+        "temporal_scd2_orders",
         # curation_full_pipeline is oracle-checked but benched separately
         # (CMW_BENCH_QUERIES=curation_full_pipeline): ~20-35 s at sf0.1,
         # which under host contention + the warm-rerun rule would risk the
@@ -311,6 +324,14 @@ def main() -> None:
             # round-9: frontier BFS over the 10x link graph (CC/k-core
             # run on a fixed l_orderkey slice, so sf1 adds nothing there)
             "graph_bfs_distances",
+            # round-9 third/fourth tranches at 10x: variant equi-join
+            # blocking, basket pair self-join, per-key windows, Expand
+            # rollup (link_prediction runs the fixed slice — no sf1 row)
+            "er_fuzzy_name_pairs",
+            "agg_association_rules",
+            "events_rolling_trail",
+            "agg_rollup_orders",
+            "temporal_scd2_orders",
         ]
         sf1_timings: dict[str, float] = {}
         # sf1 queries run 3-10x their sf0.1 cost; cap at 2 samples so the

@@ -1109,3 +1109,44 @@ def expectations_report(
         F.col("r.v").alias("n_violations"),
         F.round(F.lit(1.0) - F.col("r.v") / F.col("n_checked"), 6).alias("pass_rate"),
     )
+
+
+def balanced_sample(
+    df: DataFrame,
+    class_col: str,
+    id_col: str,
+    n_per_class: int | None = None,
+    salt: str = "balance",
+) -> DataFrame:
+    """Class-balanced downsample: keep exactly `n_per_class` rows of
+    every class (default: the size of the SMALLEST class, i.e. perfect
+    balance), selected by a salted md5 rank of the id — the
+    classifier-training prep step (language/domain/label balance) where
+    a random-looking but REPLAYABLE subset matters more than a fresh
+    random one.
+
+    Plan: one reduced per-class count (only to resolve the default
+    target — a bounded driver min over |classes| rows, skipped entirely
+    when the caller passes `n_per_class`), then ONE row_number window
+    per class over the md5 order with a LITERAL rank filter — the
+    literal is what lets Spark's InferWindowGroupLimit insert a partial
+    per-partition top-k BEFORE the shuffle, so each map task forwards
+    at most n_per_class rows per class instead of the whole class
+    (check the plan: WindowGroupLimit above the scan). Classes smaller
+    than the target keep everything — by construction when defaulting,
+    by contract when explicit."""
+    if n_per_class is None:
+        counts = df.groupBy(class_col).agg(F.count(F.lit(1)).alias("__n"))
+        n_per_class = counts.agg(F.min("__n")).collect()[0][0]
+        if n_per_class is None:
+            return df.limit(0)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(class_col).orderBy(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= int(n_per_class))
+        .drop("__rk")
+    )

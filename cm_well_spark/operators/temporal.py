@@ -472,3 +472,60 @@ def scd2_intervals(
         F.row_number().over(w).cast("long").alias("version_seq"),
         F.lead(F.col(ts_col).cast("timestamp")).over(w).isNull().alias("is_last"),
     )
+
+
+def kaplan_meier(
+    durations: DataFrame,
+    duration_col: str = "duration",
+    observed_col: str = "observed",
+) -> DataFrame:
+    """Kaplan-Meier survival estimate -> (duration, n_risk, n_events,
+    n_censored, survival) over per-subject (duration, observed 0/1)
+    rows (Kaplan & Meier 1958): the right-censoring-correct answer to
+    "how long until users convert / sources go stale / documents get
+    superseded", where subjects that never experienced the event still
+    inform the at-risk denominator up to their censoring time.
+
+    Plan: ONE keyed count reduces subjects to one row per distinct
+    duration (d_i events, c_i censored); everything after runs over
+    that REDUCED relation — at-risk counts from a cumulative lag
+    window, the survival product as exp(cumsum(ln(1 - d/n))) with an
+    explicit zero-factor flag (once a factor hits 0 survival is 0
+    forever; ln would NULL out and a NULL-skipping sum would silently
+    resurrect the curve). The only global windows order the distinct-
+    duration table — bounded by time resolution, not subject count."""
+    g = durations.groupBy(F.col(duration_col).alias("duration")).agg(
+        F.sum(F.when(F.col(observed_col).cast("int") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_events"),
+        F.sum(F.when(F.col(observed_col).cast("int") == 1, 0).otherwise(1))
+        .cast("long")
+        .alias("n_censored"),
+    )
+    total_w = Window.orderBy("duration").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    prev_w = Window.orderBy("duration").rowsBetween(Window.unboundedPreceding, -1)
+    cum_w = Window.orderBy("duration").rowsBetween(Window.unboundedPreceding, 0)
+    out = g.withColumn(
+        "n_risk",
+        (
+            F.sum(F.col("n_events") + F.col("n_censored")).over(total_w)
+            - F.coalesce(
+                F.sum(F.col("n_events") + F.col("n_censored")).over(prev_w), F.lit(0)
+            )
+        ).cast("long"),
+    ).withColumn(
+        "__factor", F.lit(1.0) - F.col("n_events") / F.col("n_risk")
+    )
+    zero = F.max(F.when(F.col("__factor") <= 0.0, 1).otherwise(0)).over(cum_w)
+    surv = F.when(zero == 1, F.lit(0.0)).otherwise(
+        F.exp(F.sum(F.log(F.when(F.col("__factor") > 0, F.col("__factor")))).over(cum_w))
+    )
+    return out.select(
+        "duration",
+        "n_risk",
+        "n_events",
+        "n_censored",
+        F.round(surv, 6).alias("survival"),
+    )

@@ -8068,3 +8068,118 @@ def temporal_scd2_orders(spark, sf_dir):
     return scd2_intervals(
         o, key_col="o_custkey", ts_col="o_orderdate", tiebreak_col="o_orderkey"
     ).select("o_orderkey", "o_custkey", "valid_from", "valid_to", "version_seq", "is_last")
+
+
+@register(
+    "events_survival_curve",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, min(ts) AS st FROM events
+      WHERE event_type = 'signup' GROUP BY 1
+    ),
+    p2 AS (
+      SELECT s.user_id, s.st, min(CASE WHEN e.ts > s.st THEN e.ts END) AS pt
+      FROM s LEFT JOIN events e
+        ON e.user_id = s.user_id AND e.event_type = 'purchase'
+      GROUP BY 1, 2
+    ),
+    r AS (SELECT max(ts) AS ref FROM events),
+    d AS (
+      SELECT CAST(floor(date_diff('microsecond', st, coalesce(pt, ref))
+                        / 1000000.0) AS BIGINT) AS duration,
+             (pt IS NOT NULL) AS obs
+      FROM p2, r
+    ),
+    g AS (
+      SELECT duration,
+             CAST(count(*) FILTER (obs) AS BIGINT) AS n_events,
+             CAST(count(*) FILTER (NOT obs) AS BIGINT) AS n_censored
+      FROM d GROUP BY 1
+    ),
+    k AS (
+      SELECT *,
+             CAST(sum(n_events + n_censored) OVER ()
+                  - coalesce(sum(n_events + n_censored) OVER (
+                      ORDER BY duration
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS n_risk
+      FROM g
+    ),
+    f AS (SELECT *, 1.0 - n_events / CAST(n_risk AS DOUBLE) AS factor FROM k)
+    SELECT duration, n_risk, n_events, n_censored,
+           round(CASE WHEN max(CASE WHEN factor <= 0 THEN 1 ELSE 0 END) OVER cw = 1
+                 THEN 0
+                 ELSE exp(sum(ln(CASE WHEN factor > 0 THEN factor END)) OVER cw)
+                 END, 6) AS survival
+    FROM f
+    WINDOW cw AS (ORDER BY duration ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def events_survival_curve(spark, sf_dir):
+    """Kaplan-Meier signup->purchase survival curve
+    (temporal.py:kaplan_meier): per-user durations (first purchase
+    STRICTLY after signup; never-converters right-censored at the
+    corpus max timestamp), reduced to one row per distinct duration,
+    then the at-risk/product windows over that bounded relation. The
+    oracle replays the censoring, the lag-window denominator, and the
+    zero-factor-guarded log-sum product."""
+    from cm_well_spark.operators.temporal import kaplan_meier
+    from cm_well_spark.sources import tables as tbl
+
+    ev = tbl.load_table(spark, sf_dir, "events")
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("__st"))
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("__pts")
+    )
+    per = (
+        s.join(p, "user_id", "left")
+        .groupBy("user_id", "__st")
+        .agg(F.min(F.when(F.col("__pts") > F.col("__st"), F.col("__pts"))).alias("__pt"))
+    )
+    ref = ev.agg(F.max("ts").alias("__ref"))
+    d = per.crossJoin(F.broadcast(ref)).select(
+        F.floor(
+            (
+                F.unix_micros(F.coalesce(F.col("__pt"), F.col("__ref")).cast("timestamp"))
+                - F.unix_micros(F.col("__st").cast("timestamp"))
+            )
+            / 1_000_000.0
+        )
+        .cast("long")
+        .alias("duration"),
+        F.col("__pt").isNotNull().cast("int").alias("observed"),
+    )
+    return kaplan_meier(d)
+
+
+@register(
+    "curation_balanced_sample",
+    oracle="""
+    WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+    t AS (SELECT min(n) AS target FROM c),
+    r AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('balance' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT doc_id, lang FROM r, t WHERE rk <= t.target
+    """,
+)
+def curation_balanced_sample(spark, sf_dir):
+    """Perfect language balance (curation.py:balanced_sample): every
+    class downsampled to the smallest class's size by salted-md5 rank —
+    deterministic, so the oracle replays the exact subset. The literal
+    rank filter lets InferWindowGroupLimit cap each map task's output
+    per class before the shuffle."""
+    from cm_well_spark.operators.curation import balanced_sample
+    from cm_well_spark.sources import tables as tbl
+
+    docs = tbl.load_table(spark, sf_dir, "documents")
+    return balanced_sample(docs, "lang", "doc_id").select("doc_id", "lang")

@@ -47,6 +47,8 @@ NLJ_WHITELIST = {
     # documented oracle-only exact variant; the scale path is the SRP
     # bucket equi-join (cosine_dup_pairs exact=False), recall-pinned
     "dedup_embedding_cosine": "exact all-pairs variant FOR THE ORACLE by design",
+    "agg_association_rules": "1-row basket-total crossJoin feeds the lift denominator",
+    "agg_rfm_segments": "1-row corpus-max-date crossJoin anchors recency",
 }
 
 
