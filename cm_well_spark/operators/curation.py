@@ -1150,3 +1150,54 @@ def balanced_sample(
         .where(F.col("__rk") <= int(n_per_class))
         .drop("__rk")
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    by: str | None = None,
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Robust outlier flags -> every row gains (median, mad,
+    robust_z, is_outlier) computed per `by` group: the modified z-score
+    |0.6745 (x - median) / MAD| (Iglewicz & Hoaglin 1993) — the
+    quality-filter form that a single garbage document cannot drag,
+    unlike mean/stddev z-scores where the outlier inflates its own
+    yardstick.
+
+    Plan: TWO exact sort-based percentiles that each ride a keyed
+    aggregate over the group (median of x, then median of |x - med|),
+    joined back to the rows — group-bounded memory, no global sort.
+    MAD = 0 (over half the group identical) makes the z undefined: such
+    rows flag as outliers only if strictly different from the median,
+    the standard convention. 6dp rounding keeps it engine-replayable."""
+    keys = [by] if by else []
+    gmed = (
+        df.groupBy(*keys).agg(F.percentile(value_col, 0.5).alias("median"))
+        if keys
+        else df.agg(F.percentile(value_col, 0.5).alias("median"))
+    )
+    base = df.join(F.broadcast(gmed), keys) if keys else df.crossJoin(F.broadcast(gmed))
+    dev = base.withColumn("__dev", F.abs(F.col(value_col) - F.col("median")))
+    gmad = (
+        dev.groupBy(*keys).agg(F.percentile("__dev", 0.5).alias("mad"))
+        if keys
+        else dev.agg(F.percentile("__dev", 0.5).alias("mad"))
+    )
+    full = dev.join(F.broadcast(gmad), keys) if keys else dev.crossJoin(F.broadcast(gmad))
+    z = F.lit(0.6745) * (F.col(value_col) - F.col("median")) / F.col("mad")
+    return (
+        full.withColumn(
+            "robust_z",
+            F.round(F.when(F.col("mad") != 0, z), 6),
+        )
+        .withColumn(
+            "is_outlier",
+            F.when(F.col("mad") != 0, F.abs(F.col("robust_z")) > threshold).otherwise(
+                F.col("__dev") > 0
+            ),
+        )
+        .drop("__dev")
+        .withColumn("median", F.round("median", 6))
+        .withColumn("mad", F.round("mad", 6))
+    )

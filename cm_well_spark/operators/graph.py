@@ -682,3 +682,59 @@ def link_prediction(
             ).alias("jaccard"),
         )
     )
+
+
+def shortest_paths_weighted(
+    e: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 4,
+    directed: bool = False,
+    reliable: bool | None = None,
+) -> DataFrame:
+    """Bounded Bellman-Ford -> (path, distance): the minimum edge-weight
+    sum from any seed to every node reachable within `rounds` hops —
+    the weighted generalization of bfs_distances (hop counts ignore
+    that a 10,000-quantity link and a 1-quantity link are different
+    relations; weighted proximity is what cost/affinity curation
+    weights want). Input edges carry (src, dst, weight >= 0).
+
+    Synchronous relaxation, one round per hop bound: dist' =
+    min(dist, min over edges(dist[src] + w)) is ONE equi-join (dist ⨝
+    edges on the node key) + ONE unionAll + ONE keyed min — the
+    textbook min-plus semiring step, all keyed by node, no frontier
+    bookkeeping needed because the min-aggregate absorbs duplicates.
+    Fixed `rounds` keeps the computation deterministic (hence
+    SQL-replayable round by round); iter_checkpoint bounds the lineage
+    the same as pagerank/LPA. Negative weights are rejected: with the
+    hop bound they would make 'distance' definition-dependent."""
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    edges = e.select("src", "dst", F.col("weight").cast("double"))
+    if not directed:
+        edges = edges.unionAll(
+            e.select(
+                F.col("dst").alias("src"),
+                F.col("src").alias("dst"),
+                F.col("weight").cast("double"),
+            )
+        )
+    edges = iter_checkpoint(edges.where(F.col("weight") >= 0), reliable)
+    dist = iter_checkpoint(
+        seeds.select(F.col(seeds.columns[0]).alias("path"))
+        .distinct()
+        .select("path", F.lit(0.0).alias("distance")),
+        reliable,
+    )
+    for _ in range(rounds):
+        relaxed = (
+            dist.join(edges, dist.path == edges.src)
+            .select(
+                F.col("dst").alias("path"),
+                (F.col("distance") + F.col("weight")).alias("distance"),
+            )
+            .unionAll(dist)
+            .groupBy("path")
+            .agg(F.min("distance").alias("distance"))
+        )
+        dist = iter_checkpoint(relaxed, reliable)
+    return dist.select("path", F.round("distance", 6).alias("distance"))

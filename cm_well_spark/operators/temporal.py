@@ -529,3 +529,51 @@ def kaplan_meier(
         "n_censored",
         F.round(surv, 6).alias("survival"),
     )
+
+
+def sessionize(
+    ev: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Per-EVENT session assignment -> every input row gains
+    (session_seq, session_start): a new session starts whenever the gap
+    since the user's previous event exceeds `gap` — the row-level
+    complement of the windowed session aggregates
+    (aggregations.session_window_agg / streaming_session_counts), and
+    the building block for anything per-session downstream
+    (funnel-within-session, per-session paths, session features joined
+    back to events).
+
+    Plan: ONE per-user window, two passes that ride the SAME sort —
+    lag() marks session breaks, a running sum of break flags numbers
+    the sessions, and a running max of session-start timestamps labels
+    each row with its session's start. No session table is built and
+    joined back; frame memory is one user's history. Gap semantics
+    match session_window: a gap STRICTLY GREATER than `gap` breaks
+    (equal-to-gap continues)."""
+    gap_us = {
+        "30 minutes": 1_800_000_000,
+        "1 hour": 3_600_000_000,
+        "5 minutes": 300_000_000,
+        "1 day": 86_400_000_000,
+    }.get(gap)
+    if gap_us is None:
+        raise ValueError(f"unsupported gap {gap!r} (add it to the table)")
+    t = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(user_col).orderBy(t, F.col(tiebreak_col))
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    brk = F.when(
+        F.lag(t).over(w).isNull() | ((t - F.lag(t).over(w)) > gap_us), 1
+    ).otherwise(0)
+    out = ev.withColumn("session_seq", F.sum(brk).over(cum).cast("long"))
+    sess_w = Window.partitionBy(user_col, "session_seq")
+    return out.withColumn(
+        "session_start",
+        F.date_format(
+            F.min(F.col(ts_col).cast("timestamp")).over(sess_w),
+            "yyyy-MM-dd HH:mm:ss.SSSSSS",
+        ),
+    )

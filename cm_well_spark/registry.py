@@ -8183,3 +8183,148 @@ def curation_balanced_sample(spark, sf_dir):
 
     docs = tbl.load_table(spark, sf_dir, "documents")
     return balanced_sample(docs, "lang", "doc_id").select("doc_id", "lang")
+
+
+@register(
+    "events_sessionize",
+    oracle="""
+    WITH s AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    t AS (
+      SELECT event_id, user_id, ts,
+             CAST(sum(brk) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_seq
+      FROM s
+    )
+    SELECT event_id, user_id, session_seq,
+           strftime(min(ts) OVER (PARTITION BY user_id, session_seq),
+                    '%Y-%m-%d %H:%M:%S.%f') AS session_start
+    FROM t
+    """,
+)
+def events_sessionize(spark, sf_dir):
+    """Per-event gap sessionization (temporal.py:sessionize): lag-marked
+    breaks and a running break-count, both riding ONE per-user sort;
+    each row labeled with its session's start for downstream
+    per-session work. 30-minute gap, strictly-greater break — the same
+    contract as session_window. The oracle replays the break/cumsum
+    chain."""
+    from cm_well_spark.operators.temporal import sessionize
+    from cm_well_spark.sources import tables as tbl
+
+    return sessionize(tbl.load_table(spark, sf_dir, "events")).select(
+        "event_id", "user_id", "session_seq", "session_start"
+    )
+
+
+@register(
+    "curation_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT lang, percentile_cont(0.5) WITHIN GROUP (ORDER BY n_chars) AS median
+      FROM documents GROUP BY 1
+    ),
+    d AS (
+      SELECT doc_id, lang, n_chars, median,
+             abs(n_chars - median) AS dev
+      FROM documents JOIN med USING (lang)
+    ),
+    mad AS (
+      SELECT lang, percentile_cont(0.5) WITHIN GROUP (ORDER BY dev) AS mad
+      FROM d GROUP BY 1
+    )
+    SELECT doc_id, lang, n_chars,
+           round(d.median, 6) AS median, round(mad.mad, 6) AS mad,
+           round(CASE WHEN mad.mad <> 0
+                 THEN 0.6745 * (n_chars - d.median) / mad.mad END, 6) AS robust_z,
+           CASE WHEN mad.mad <> 0
+                THEN abs(round(0.6745 * (n_chars - d.median) / mad.mad, 6)) > 3.5
+                ELSE dev > 0 END AS is_outlier
+    FROM d JOIN mad USING (lang)
+    """,
+)
+def curation_mad_outliers(spark, sf_dir):
+    """Robust per-language length outliers (curation.py:mad_outliers):
+    modified z-score via median/MAD — two exact keyed percentiles and
+    two broadcast joins of the |langs|-row stats, so one garbage doc
+    cannot inflate its own yardstick the way mean/stddev lets it."""
+    from cm_well_spark.operators.curation import mad_outliers
+    from cm_well_spark.sources import tables as tbl
+
+    docs = tbl.load_table(spark, sf_dir, "documents")
+    return mad_outliers(docs, "n_chars", by="lang").select(
+        "doc_id", "lang", "n_chars", "median", "mad", "robust_z", "is_outlier"
+    )
+
+
+def _sp_weighted_oracle() -> str:
+    return """
+    WITH e AS (
+      SELECT '/tpch/orders/' || l_orderkey AS src,
+             '/tpch/part/' || l_partkey AS dst,
+             CAST(l_quantity AS DOUBLE) AS w
+      FROM lineitem WHERE l_orderkey < 300
+    ),
+    sym AS (SELECT src, dst, w FROM e UNION ALL SELECT dst, src, w FROM e),
+    d0 AS (SELECT * FROM (VALUES ('/tpch/orders/1', CAST(0 AS DOUBLE)),
+                                 ('/tpch/orders/2', CAST(0 AS DOUBLE))) v(path, distance)),
+    d1 AS (
+      SELECT path, min(distance) AS distance FROM (
+        SELECT e.dst AS path, d.distance + e.w AS distance
+        FROM sym e JOIN d0 d ON e.src = d.path
+        UNION ALL SELECT path, distance FROM d0
+      ) GROUP BY path
+    ),
+    d2 AS (
+      SELECT path, min(distance) AS distance FROM (
+        SELECT e.dst AS path, d.distance + e.w AS distance
+        FROM sym e JOIN d1 d ON e.src = d.path
+        UNION ALL SELECT path, distance FROM d1
+      ) GROUP BY path
+    ),
+    d3 AS (
+      SELECT path, min(distance) AS distance FROM (
+        SELECT e.dst AS path, d.distance + e.w AS distance
+        FROM sym e JOIN d2 d ON e.src = d.path
+        UNION ALL SELECT path, distance FROM d2
+      ) GROUP BY path
+    ),
+    d4 AS (
+      SELECT path, min(distance) AS distance FROM (
+        SELECT e.dst AS path, d.distance + e.w AS distance
+        FROM sym e JOIN d3 d ON e.src = d.path
+        UNION ALL SELECT path, distance FROM d3
+      ) GROUP BY path
+    )
+    SELECT path, round(distance, 6) AS distance FROM d4
+    """
+
+
+@register("graph_shortest_paths", oracle=_sp_weighted_oracle())
+def graph_shortest_paths(spark, sf_dir):
+    """Bounded weighted Bellman-Ford (graph.py:shortest_paths_weighted)
+    over the order—part bipartite graph with l_quantity edge weights:
+    min-plus relaxation, one equi-join + one keyed min per round, fixed
+    4 rounds — so the oracle chains every round as a CTE and the hash
+    compare covers the relaxation itself, not just the final frontier."""
+    from cm_well_spark.operators.graph import shortest_paths_weighted
+    from cm_well_spark.sources import tables as tbl
+
+    li = tbl.load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 300)
+    e = li.select(
+        F.concat(F.lit("/tpch/orders/"), F.col("l_orderkey")).alias("src"),
+        F.concat(F.lit("/tpch/part/"), F.col("l_partkey")).alias("dst"),
+        F.col("l_quantity").cast("double").alias("weight"),
+    )
+    seeds = spark.createDataFrame(
+        [("/tpch/orders/1",), ("/tpch/orders/2",)], ["path"]
+    )
+    return shortest_paths_weighted(e, seeds, rounds=4)
