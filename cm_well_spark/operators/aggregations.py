@@ -698,3 +698,33 @@ def rfm_segments(
         F.ntile(n_bins).over(f_w).cast("long").alias("f"),
         F.ntile(n_bins).over(m_w).cast("long").alias("m"),
     )
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    k: int,
+    descending: bool = True,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exact top-k rows per group -> the input rows plus `rank` — the
+    "3 best per category" workhorse, written the ONE way Spark can
+    execute it without materializing whole groups: row_number over the
+    group window filtered against a LITERAL k, which triggers
+    InferWindowGroupLimit — a partial per-partition top-k runs BEFORE
+    the shuffle, so each map task forwards at most k rows per group
+    instead of the group's full contents (the two-phase top-k the
+    RDD-era code hand-wrote with treeAggregate; check for
+    WindowGroupLimit in the plan).
+
+    `tiebreak_cols` complete the ordering to a total order —
+    without one, rank (hence the cut) is nondeterministic across
+    shuffles and engines."""
+    ords = [F.desc(order_col) if descending else F.asc(order_col)]
+    ords += [F.asc(c) for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(*group_cols).orderBy(*ords)
+    return (
+        df.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= int(k))
+    )

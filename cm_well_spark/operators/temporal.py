@@ -577,3 +577,97 @@ def sessionize(
             "yyyy-MM-dd HH:mm:ss.SSSSSS",
         ),
     )
+
+
+def period_growth(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    period: str = "30 days",
+    key_col: str | None = None,
+) -> DataFrame:
+    """Period-over-period growth -> (key?, period_start, total, n,
+    prev_total, delta, pct_change): tumbling-window totals with the
+    previous period attached — the MoM/WoW trend table every ops review
+    starts from, and for corpus work the ingest-volume trend per
+    source.
+
+    Plan: ONE windowed keyed aggregate reduces facts to |keys| x
+    |periods| rows; the lag window runs over THAT reduced relation
+    (partitioned by key when given — the unkeyed variant's global lag
+    orders a bounded period series). pct_change is NULL for the first
+    period and when the previous total is 0 (growth from nothing is
+    undefined, not infinite)."""
+    keys = [key_col] if key_col else []
+    agg = (
+        df.groupBy(*keys, F.window(ts_col, period).start.alias("__p"))
+        .agg(
+            F.round(F.sum(value_col), 6).alias("total"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    w = (
+        Window.partitionBy(*keys).orderBy("__p")
+        if keys
+        else Window.orderBy("__p")
+    )
+    prev = F.lag("total").over(w)
+    return agg.select(
+        *keys,
+        F.date_format("__p", "yyyy-MM-dd").alias("period_start"),
+        "total",
+        "n",
+        F.round(prev, 6).alias("prev_total"),
+        F.round(F.col("total") - prev, 6).alias("delta"),
+        F.round(
+            F.when(prev != 0, (F.col("total") - prev) / prev), 6
+        ).alias("pct_change"),
+    )
+
+
+def interarrival_stats(
+    ev: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    tiebreak_col: str = "event_id",
+    min_gaps: int = 2,
+) -> DataFrame:
+    """Per-entity inter-arrival statistics -> (key, n_gaps, mean_gap_s,
+    std_gap_s, cv, burstiness): consecutive-event gap mean/std, the
+    coefficient of variation, and the Goh-Barabási burstiness
+    B = (σ - μ)/(σ + μ) (Goh & Barabási 2008) — B near -1 is a metronome
+    (bot-like regularity), near 0 Poisson, toward +1 bursty human
+    activity. The behavioral-fingerprint feature for bot filtering and
+    crawler-trap detection.
+
+    Plan: ONE lag window per key (microsecond epoch, id tiebreak) emits
+    gaps, then ONE keyed aggregate — entities with fewer than
+    `min_gaps` gaps drop (a std over one gap is noise, not signal).
+    population stddev: the gap list is the entity's complete observed
+    history, not a sample."""
+    t = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(key_col).orderBy(t, F.col(tiebreak_col))
+    gaps = ev.select(
+        key_col, ((t - F.lag(t).over(w)) / 1_000_000.0).alias("__gap")
+    ).where(F.col("__gap").isNotNull())
+    agg = gaps.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.avg("__gap").alias("__mean"),
+        F.stddev_pop("__gap").alias("__std"),
+    )
+    return agg.where(F.col("n_gaps") >= min_gaps).select(
+        key_col,
+        "n_gaps",
+        F.round("__mean", 6).alias("mean_gap_s"),
+        F.round("__std", 6).alias("std_gap_s"),
+        F.round(
+            F.when(F.col("__mean") != 0, F.col("__std") / F.col("__mean")), 6
+        ).alias("cv"),
+        F.round(
+            F.when(
+                (F.col("__std") + F.col("__mean")) != 0,
+                (F.col("__std") - F.col("__mean")) / (F.col("__std") + F.col("__mean")),
+            ),
+            6,
+        ).alias("burstiness"),
+    )

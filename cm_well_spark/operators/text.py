@@ -1009,3 +1009,56 @@ def readability(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.when(has_words, flesch).alias("flesch"),
         F.when(has_words, fk).alias("fk_grade"),
     )
+
+
+def zipf_fit(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Zipf rank-frequency fit -> ONE row (n_types, n_tokens,
+    zipf_slope, intercept, r2): the least-squares line through
+    (ln rank, ln freq) of the corpus vocabulary (Zipf 1949). Natural
+    text sits near slope -1 with high r²; boilerplate floods, template
+    spam, and synthetic gibberish bend the curve — a one-number
+    corpus-health signal beside entropy/KL.
+
+    Plan: one token explode + ONE keyed count reduce the corpus to its
+    vocabulary; ranking and the five regression sums run over that
+    REDUCED relation (the only global window orders |vocab| rows, never
+    tokens). Closed-form simple regression — no iteration, no
+    sampling — so the whole fit hash-replays. NULL slope/r² for
+    single-type degenerate corpora."""
+    from pyspark.sql import Window
+
+    words = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
+        ).alias("__w")
+    )
+    vocab = words.groupBy("__w").agg(F.count(F.lit(1)).cast("long").alias("__f"))
+    rk = Window.orderBy(F.desc("__f"), F.asc("__w"))
+    xy = vocab.select(
+        F.log(F.row_number().over(rk).cast("double")).alias("__x"),
+        F.log(F.col("__f").cast("double")).alias("__y"),
+        "__f",
+    )
+    agg = xy.agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("__f").cast("long").alias("n_tokens"),
+        F.sum("__x").alias("sx"),
+        F.sum("__y").alias("sy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("sxy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("sxx"),
+        F.sum(F.col("__y") * F.col("__y")).alias("syy"),
+    )
+    n = F.col("n_types").cast("double")
+    dx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope = F.when(dx != 0, cov / dx)
+    return agg.select(
+        "n_types",
+        "n_tokens",
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(
+            F.when(dx != 0, (F.col("sy") - slope * F.col("sx")) / n), 6
+        ).alias("intercept"),
+        F.round(F.when((dx != 0) & (dy != 0), cov * cov / (dx * dy)), 6).alias("r2"),
+    )

@@ -8328,3 +8328,143 @@ def graph_shortest_paths(spark, sf_dir):
         [("/tpch/orders/1",), ("/tpch/orders/2",)], ["path"]
     )
     return shortest_paths_weighted(e, seeds, rounds=4)
+
+
+@register(
+    "orders_period_growth",
+    oracle="""
+    WITH a AS (
+      SELECT time_bucket(INTERVAL 30 DAYS, o_orderdate, TIMESTAMP '1970-01-01') AS p,
+             round(sum(o_totalprice), 6) AS total,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1
+    )
+    SELECT strftime(p, '%Y-%m-%d') AS period_start, total, n,
+           round(lag(total) OVER w, 6) AS prev_total,
+           round(total - lag(total) OVER w, 6) AS delta,
+           round(CASE WHEN lag(total) OVER w <> 0
+                 THEN (total - lag(total) OVER w) / lag(total) OVER w END, 6)
+             AS pct_change
+    FROM a WINDOW w AS (ORDER BY p)
+    """,
+)
+def orders_period_growth(spark, sf_dir):
+    """30-day revenue trend with period-over-period deltas
+    (temporal.py:period_growth): one windowed keyed aggregate reduces
+    orders to the bounded period series; the lag window runs over that
+    reduced relation. pct_change NULL for the first period and on a
+    zero base."""
+    from cm_well_spark.operators.temporal import period_growth
+    from cm_well_spark.sources import tables as tbl
+
+    return period_growth(
+        tbl.load_table(spark, sf_dir, "orders"), "o_orderdate", "o_totalprice",
+        period="30 days",
+    )
+
+
+@register(
+    "events_interarrival",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+             / 1000000.0 AS gap
+      FROM events
+    ),
+    a AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+             avg(gap) AS m, stddev_pop(gap) AS s
+      FROM g WHERE gap IS NOT NULL GROUP BY 1
+    )
+    SELECT user_id, n_gaps,
+           round(m, 6) AS mean_gap_s, round(s, 6) AS std_gap_s,
+           round(CASE WHEN m <> 0 THEN s / m END, 6) AS cv,
+           round(CASE WHEN s + m <> 0 THEN (s - m) / (s + m) END, 6) AS burstiness
+    FROM a WHERE n_gaps >= 2
+    """,
+)
+def events_interarrival(spark, sf_dir):
+    """Per-user inter-arrival gap stats + Goh-Barabási burstiness
+    (temporal.py:interarrival_stats): one per-user lag window emits
+    gaps, one keyed aggregate reduces them — the bot-vs-human activity
+    fingerprint. Population stddev (the gap list is the complete
+    observed history); entities with <2 gaps drop."""
+    from cm_well_spark.operators.temporal import interarrival_stats
+    from cm_well_spark.sources import tables as tbl
+
+    return interarrival_stats(tbl.load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "agg_topk_per_group",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice, rank FROM (
+      SELECT o_orderkey, o_orderpriority, o_totalprice,
+             CAST(row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rank
+      FROM orders
+    ) WHERE rank <= 3
+    """,
+)
+def agg_topk_per_group(spark, sf_dir):
+    """Top-3 priciest orders per priority
+    (aggregations.py:topk_per_group): row_number against a LITERAL k so
+    InferWindowGroupLimit inserts the partial per-partition top-k below
+    the shuffle — each map task forwards at most k rows per group. The
+    order-key tiebreak makes the cut total-ordered, hence
+    hash-replayable."""
+    from cm_well_spark.operators.aggregations import topk_per_group
+    from cm_well_spark.sources import tables as tbl
+
+    return topk_per_group(
+        tbl.load_table(spark, sf_dir, "orders"),
+        ["o_orderpriority"], "o_totalprice", 3, tiebreak_cols=["o_orderkey"],
+    ).select("o_orderkey", "o_orderpriority", "o_totalprice", "rank")
+
+
+@register(
+    "text_zipf_fit",
+    oracle="""
+    WITH w AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents
+    ),
+    v AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM w GROUP BY 1),
+    xy AS (
+      SELECT ln(CAST(row_number() OVER (ORDER BY f DESC, w ASC) AS DOUBLE)) AS x,
+             ln(CAST(f AS DOUBLE)) AS y, f
+      FROM v
+    ),
+    a AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_types, CAST(sum(f) AS BIGINT) AS n_tokens,
+             sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+             sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM xy
+    )
+    SELECT n_types, n_tokens,
+           round(CASE WHEN n_types * sxx - sx * sx <> 0
+                 THEN (n_types * sxy - sx * sy) / (n_types * sxx - sx * sx) END, 6)
+             AS zipf_slope,
+           round(CASE WHEN n_types * sxx - sx * sx <> 0
+                 THEN (sy - (n_types * sxy - sx * sy) / (n_types * sxx - sx * sx) * sx)
+                      / n_types END, 6) AS intercept,
+           round(CASE WHEN n_types * sxx - sx * sx <> 0
+                      AND n_types * syy - sy * sy <> 0
+                 THEN (n_types * sxy - sx * sy) * (n_types * sxy - sx * sy)
+                      / ((n_types * sxx - sx * sx) * (n_types * syy - sy * sy)) END, 6)
+             AS r2
+    FROM a
+    """,
+)
+def text_zipf_fit(spark, sf_dir):
+    """Zipf rank-frequency regression over the corpus vocabulary
+    (text.py:zipf_fit): closed-form least squares on (ln rank, ln freq)
+    — natural text sits near slope -1; template floods bend it. The
+    only global window orders the REDUCED vocabulary; the oracle
+    replays ranking and all five regression sums."""
+    from cm_well_spark.operators.text import zipf_fit
+    from cm_well_spark.sources import tables as tbl
+
+    return zipf_fit(tbl.load_table(spark, sf_dir, "documents"))

@@ -49,6 +49,7 @@ NLJ_WHITELIST = {
     "dedup_embedding_cosine": "exact all-pairs variant FOR THE ORACLE by design",
     "agg_association_rules": "1-row basket-total crossJoin feeds the lift denominator",
     "agg_rfm_segments": "1-row corpus-max-date crossJoin anchors recency",
+    "events_survival_curve": "1-row censoring-horizon (corpus max ts) crossJoin",
 }
 
 
