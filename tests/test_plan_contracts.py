@@ -446,3 +446,73 @@ def test_fleet_reliable_flag_covers_routed_sites(spark, tmp_path, monkeypatch):
     assert ("a", 30) in got and len(got) == 51
     written = glob.glob(os.path.join(ckpt, "**", "*"), recursive=True)
     assert written, "reliable mode should write checkpoint files"
+
+
+# --------------------------------------------------------------- round 9c
+
+
+def test_topk_per_group_gets_window_group_limit(spark):
+    from cm_well_spark.operators.aggregations import topk_per_group
+
+    df = spark.createDataFrame([(1, "a", 2.0)], ["id", "grp", "v"])
+    plan = plan_of(topk_per_group(df, ["grp"], "v", 3, tiebreak_cols=["id"]))
+    # the literal rank filter must trigger the partial per-partition
+    # top-k below the shuffle — without it every map task forwards
+    # whole groups
+    assert "WindowGroupLimit" in plan
+
+
+def test_balanced_sample_gets_window_group_limit(spark):
+    from cm_well_spark.operators.curation import balanced_sample
+
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "lang"])
+    plan = plan_of(balanced_sample(df, "lang", "doc_id", n_per_class=5))
+    assert "WindowGroupLimit" in plan
+
+
+def test_rollup_is_one_expand_one_scan(spark):
+    from cm_well_spark.operators.aggregations import rollup_metrics
+
+    df = spark.createDataFrame([("a", "b", 1.0)], ["x", "y", "v"])
+    plan = plan_of(rollup_metrics(df, ["x", "y"], "v"))
+    # every grouping level from ONE Expand over ONE scan — not one
+    # scan+aggregate per level unioned together
+    assert "Expand" in plan
+    # tree lines only (the formatted detail section repeats node names)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan ExistingRDD") == 1 and tree.count("Expand") == 1
+
+
+def test_fuzzy_join_is_equi_join_not_all_pairs(spark):
+    from cm_well_spark.operators.fuzzy import edit_distance_pairs
+
+    words = spark.createDataFrame([("word",), ("ward",)], ["w"])
+    plan = plan_of(edit_distance_pairs(words))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the blocking key is the deletion variant: a hash-partitioned
+    # string equi-join
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_link_prediction_no_cartesian(spark):
+    from cm_well_spark.operators.graph import link_prediction
+
+    e = spark.createDataFrame([("a", "b"), ("b", "c")], ["src", "dst"])
+    plan = plan_of(link_prediction(e))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sessionize_single_user_sort(spark):
+    import datetime as dt
+
+    from cm_well_spark.operators.temporal import sessionize
+
+    ev = spark.createDataFrame(
+        [(1, 1, dt.datetime(2024, 1, 1), 0.0)], ["event_id", "user_id", "ts", "value"]
+    )
+    plan = plan_of(sessionize(ev))
+    # both windows and the session-start label ride user-keyed
+    # partitioning: exactly ONE exchange on user_id, no global sort
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "Exchange SinglePartition" not in plan
