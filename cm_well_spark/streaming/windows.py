@@ -114,3 +114,49 @@ def trending_topk_batch(batch: DataFrame, k: int = 3, type_col: str = "event_typ
 
     rk = Window.partitionBy("window_start").orderBy(F.desc("n_events"), F.asc(type_col))
     return batch.withColumn("rank", F.row_number().over(rk)).where(F.col("rank") <= k)
+
+
+def streaming_ohlc(
+    stream: DataFrame,
+    window: str = "1 day",
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Streaming OHLC downsampling — the readStream twin of
+    temporal.ohlc_downsample: SAME tumbling window, SAME
+    min_by/max_by-over-composite-key open/close (deterministic under
+    same-instant ties), SAME output columns, plus a watermark so closed
+    buckets emit once (append mode) and age out of the state store.
+    min_by/max_by are ordinary typed aggregates, so streaming state per
+    (key, window) is one running (order-key, value) pair per side —
+    O(1), not the bucket's events. Batch backfill and the live candle
+    feed stay one definition; pytest pins batch/stream parity."""
+    okey = F.format_string(
+        "%020d|%020d",
+        F.unix_micros(F.col(ts_col).cast("timestamp")),
+        F.col(tiebreak_col).cast("long"),
+    )
+    w = F.window(F.col(ts_col), window)
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key_col), w)
+        .agg(
+            F.round(F.min_by(value_col, okey), 6).alias("open"),
+            F.round(F.max(value_col), 6).alias("high"),
+            F.round(F.min(value_col), 6).alias("low"),
+            F.round(F.max_by(value_col, okey), 6).alias("close"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .select(
+            key_col,
+            F.date_format("window.start", "yyyy-MM-dd HH:mm").alias("bucket"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n",
+        )
+    )

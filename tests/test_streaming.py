@@ -700,3 +700,65 @@ def test_streaming_trending_topk_parity_with_batch(spark):
     # hour 09: buy/click tie at 10 (asc tie-break) -> 2 rows; hours 10 and 11
     # have one key each -> 1 row apiece; the closer's own window never emits
     assert len(got) == 4
+
+
+def test_streaming_ohlc_parity_with_batch_and_close_once(spark):
+    """r9: OHLC candles — streaming twin emits each closed bucket once
+    with the SAME open/high/low/close as temporal.ohlc_downsample on
+    the same events (composite-key ties included)."""
+    import datetime as dt
+    import shutil
+
+    from cm_well_spark.operators.temporal import ohlc_downsample
+    from cm_well_spark.streaming.windows import streaming_ohlc
+
+    d = os.path.join(TMP, "sohlc")
+    shutil.rmtree(d, ignore_errors=True)
+    feed = os.path.join(d, "feed")
+    sink = os.path.join(d, "sink")
+    os.makedirs(feed)
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    t0 = dt.datetime(2024, 1, 1, 9, 0, 0)
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(feed)
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(feed)
+        q = (
+            streaming_ohlc(stream, window="1 hour", watermark="1 minute")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", os.path.join(d, "ck"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    first_hour = [
+        (2, t0, "m", 99.0),           # same-instant tie:
+        (1, t0, "m", 10.0),           #   open must be id 1's value
+        (3, t0 + dt.timedelta(minutes=30), "m", 1.0),
+        (4, t0 + dt.timedelta(minutes=50), "m", 50.0),
+    ]
+    write(first_hour)
+    run()
+    # a much later event closes the first bucket
+    write([(5, t0 + dt.timedelta(hours=3), "m", 7.0)])
+    run()
+    write([(6, t0 + dt.timedelta(hours=5), "m", 7.0)])
+    run()
+
+    got = {r["bucket"]: r for r in spark.read.parquet(sink).collect()}
+    b1 = got["2024-01-01 09:00"]
+    assert (b1["open"], b1["high"], b1["low"], b1["close"], b1["n"]) == (10.0, 99.0, 1.0, 50.0, 4)
+    # parity with the batch operator on the same closed slice
+    batch = spark.createDataFrame(first_hour, schema)
+    twin = {r["bucket"]: r for r in ohlc_downsample(batch, window="1 hour").collect()}
+    t1 = twin["2024-01-01 09:00"]
+    assert (b1["open"], b1["high"], b1["low"], b1["close"], b1["n"]) == (
+        t1["open"], t1["high"], t1["low"], t1["close"], t1["n"]
+    )
+    # closed bucket emitted exactly once across the later batches
+    assert sum(1 for b in got if b == "2024-01-01 09:00") == 1
