@@ -671,3 +671,114 @@ def interarrival_stats(
             6,
         ).alias("burstiness"),
     )
+
+
+def active_users(
+    ev: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    wau_days: int = 7,
+    mau_days: int = 30,
+) -> DataFrame:
+    """Active-user curves -> (day, dau, wau, mau, stickiness): distinct
+    users seen that day / in the trailing `wau_days` / `mau_days`
+    windows ending that day, and DAU/MAU stickiness — the engagement
+    dashboard primitive, and for corpora the sources-active trend.
+
+    Plan: ONE distinct reduces events to the (user, day) relation;
+    trailing-window distincts are NOT expressible as window functions
+    (count_distinct over a moving frame isn't associative), and the
+    self-join alternative explodes — the scale shape is CONTRIBUTION
+    EXPLODE: each (user, day) row contributes to the `mau_days` target
+    days it keeps the user active for, one sequence-explode + ONE
+    grouped count_distinct(user, horizon-flags) pass. Row growth is
+    mau_days x the REDUCED relation (bounded, typically ~30), never
+    events x days. Only days with at least one event that day appear
+    (dau >= 1 by construction); the first mau_days-1 days count a
+    partial window, as every trailing metric does."""
+    days = ev.select(
+        F.col(user_col).alias("__u"),
+        F.to_date(F.col(ts_col).cast("timestamp")).alias("__d"),
+    ).distinct()
+    contrib = days.select(
+        "__u",
+        "__d",
+        F.explode(
+            F.sequence(F.col("__d"), F.date_add(F.col("__d"), mau_days - 1))
+        ).alias("__target"),
+    )
+    per = contrib.groupBy(F.col("__target").alias("day")).agg(
+        F.count_distinct(F.when(F.col("__d") == F.col("__target"), F.col("__u"))).alias(
+            "dau"
+        ),
+        F.count_distinct(
+            F.when(
+                F.col("__target") < F.date_add(F.col("__d"), wau_days), F.col("__u")
+            )
+        ).alias("wau"),
+        F.count_distinct("__u").alias("mau"),
+    )
+    # days with no same-day activity are window tails, not dashboard rows
+    return (
+        per.where(F.col("dau") > 0)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("dau").cast("long").alias("dau"),
+            F.col("wau").cast("long").alias("wau"),
+            F.col("mau").cast("long").alias("mau"),
+            F.round(F.col("dau") / F.col("mau"), 6).alias("stickiness"),
+        )
+    )
+
+
+def session_paths(
+    ev: DataFrame,
+    k: int = 10,
+    max_len: int = 20,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Top-k session journeys -> (path, n_sessions, rank): the most
+    common event-type sequences across gap-defined sessions ("view >
+    click > purchase"), truncated to the first `max_len` steps — the
+    user-journey rollup product analytics reads daily, built on
+    sessionize's ids.
+
+    Plan: sessionize (one per-user sort), then ONE per-session ordered
+    string_agg — sort_array over the collected (order-key, type) pairs,
+    bounded by the session length and truncated at `max_len` so a
+    crawler-trap session cannot blow up a task — then ONE keyed count
+    and a global top-k (TakeOrderedAndProject-able literal limit with
+    the path string as tiebreak)."""
+    s = sessionize(ev, gap=gap, ts_col=ts_col, user_col=user_col, tiebreak_col=tiebreak_col)
+    okey = F.format_string(
+        "%020d|%020d",
+        F.unix_micros(F.col(ts_col).cast("timestamp")),
+        F.col(tiebreak_col).cast("long"),
+    )
+    per_session = s.groupBy(user_col, "session_seq").agg(
+        F.concat_ws(
+            " > ",
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(okey.alias("k"), F.col(type_col).alias("t")))
+                    ),
+                    lambda x: x["t"],
+                ),
+                1,
+                max_len,
+            ),
+        ).alias("path")
+    )
+    counts = per_session.groupBy("path").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions")
+    )
+    w = Window.orderBy(F.desc("n_sessions"), F.asc("path"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= int(k))
+    )

@@ -8468,3 +8468,87 @@ def text_zipf_fit(spark, sf_dir):
     from cm_well_spark.sources import tables as tbl
 
     return zipf_fit(tbl.load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "events_active_users",
+    oracle="""
+    WITH d AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS dd FROM events),
+    c AS (
+      SELECT u, dd,
+             unnest(generate_series(dd, dd + INTERVAL 29 DAY, INTERVAL 1 DAY))::DATE
+               AS target
+      FROM d
+    ),
+    a AS (
+      SELECT target AS day,
+             count(DISTINCT CASE WHEN dd = target THEN u END) AS dau,
+             count(DISTINCT CASE WHEN target < dd + INTERVAL 7 DAY THEN u END) AS wau,
+             count(DISTINCT u) AS mau
+      FROM c GROUP BY 1
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
+           CAST(mau AS BIGINT) AS mau,
+           round(dau / CAST(mau AS DOUBLE), 6) AS stickiness
+    FROM a WHERE dau > 0
+    """,
+)
+def events_active_users(spark, sf_dir):
+    """DAU/WAU/MAU + stickiness (temporal.py:active_users): trailing
+    distinct counts via CONTRIBUTION EXPLODE over the reduced
+    (user, day) relation — a moving count_distinct is not a window
+    function, and the day x day self-join alternative is quadratic; the
+    explode is bounded at 30x the reduced relation. The oracle replays
+    the same explode with generate_series."""
+    from cm_well_spark.operators.temporal import active_users
+    from cm_well_spark.sources import tables as tbl
+
+    return active_users(tbl.load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_session_paths",
+    oracle="""
+    WITH s AS (
+      SELECT event_id, user_id, ts, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    t AS (
+      SELECT user_id, event_type, ts, event_id,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_seq
+      FROM s
+    ),
+    p AS (
+      SELECT user_id, session_seq,
+             array_to_string(
+               list_slice(list(event_type ORDER BY epoch_us(ts), event_id), 1, 20),
+               ' > ') AS path
+      FROM t GROUP BY 1, 2
+    ),
+    c AS (SELECT path, CAST(count(*) AS BIGINT) AS n_sessions FROM p GROUP BY 1)
+    SELECT path, n_sessions, rank FROM (
+      SELECT path, n_sessions,
+             CAST(row_number() OVER (ORDER BY n_sessions DESC, path ASC) AS BIGINT)
+               AS rank
+      FROM c
+    ) WHERE rank <= 10
+    """,
+)
+def events_session_paths(spark, sf_dir):
+    """Top-10 session journeys (temporal.py:session_paths): sessionize
+    -> one per-session ordered aggregation (sort_array over collected
+    (order-key, type) pairs, truncated at 20 steps so a crawler-trap
+    session bounds task memory) -> keyed count -> literal top-k. The
+    oracle replays the break/cumsum sessionization and the ordered
+    list aggregation."""
+    from cm_well_spark.operators.temporal import session_paths
+    from cm_well_spark.sources import tables as tbl
+
+    return session_paths(tbl.load_table(spark, sf_dir, "events"), k=10)
