@@ -638,8 +638,14 @@ def link_prediction(
     1/ln(deg) contribution is negligible while its wedge count is
     ruinous). Scores then lower-bound the uncapped ones; endpoint
     degrees (the Jaccard denominator) stay exact. Leave None only when
-    the degree distribution is known to be bounded."""
-    sym = _symmetric(e)
+    the degree distribution is known to be bounded.
+
+    The symmetric adjacency is iter_checkpoint'd ONCE: five downstream
+    consumers (degrees, both wedge sides, the existing-edge anti-join)
+    would otherwise each re-execute the caller's edge-derivation
+    subtree — the same measured fix as triangle_count's oriented
+    relation (cold 12s -> warm-shape 2.4s at sf0.1)."""
+    sym = iter_checkpoint(_symmetric(e))
     deg = sym.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("d")
     )
@@ -738,3 +744,59 @@ def shortest_paths_weighted(
         )
         dist = iter_checkpoint(relaxed, reliable)
     return dist.select("path", F.round("distance", 6).alias("distance"))
+
+
+def personalized_pagerank(
+    triples: DataFrame,
+    seeds: Sequence[str],
+    fields: Sequence[str] | None = None,
+    iterations: int = 3,
+    damping: float = 0.85,
+    reliable: bool | None = None,
+) -> DataFrame:
+    """Personalized PageRank -> (path, rank): the teleport distribution
+    concentrates on `seeds` instead of spreading uniformly —
+    rank_{i+1}(n) = (1-d)·1[n ∈ seeds] + d·Σ rank_i(src)/odeg(src) —
+    so rank measures proximity TO THE SEED SET through link structure
+    (Page et al. 1999 §6; the relevance weight behind seeded curation:
+    "documents near my trusted sources", related-entity ranking from a
+    query node, and topic-conditioned crawl frontiers).
+
+    Same plan as pagerank (one equi-join + one keyed sum per round,
+    edges checkpointed once, fixed iterations = deterministic and
+    chained-CTE replayable); only the reset vector differs — a seed
+    membership flag carried on the node relation, no extra join. Nodes
+    unreachable from the seed set converge to 0 and are dropped
+    (PPR's support is the reachable set by definition)."""
+    if iterations < 1:
+        raise ValueError("personalized_pagerank needs at least 1 iteration")
+    if not seeds:
+        raise ValueError("personalized_pagerank needs a non-empty seed set")
+    edges = reference_edges(triples, fields)
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("odeg"))
+    edges = iter_checkpoint(edges.join(out_deg, "src"), reliable)
+    nodes = iter_checkpoint(
+        edges.select(F.col("src").alias("path"))
+        .union(edges.select(F.col("dst").alias("path")))
+        .distinct(),
+        reliable,
+    )
+    seed_list = sorted(set(seeds))
+    is_seed = F.col("path").isin(seed_list)
+    reset = F.when(is_seed, F.lit(1.0 - damping)).otherwise(F.lit(0.0))
+    ranks = nodes.select(
+        "path", F.when(is_seed, F.lit(1.0)).otherwise(F.lit(0.0)).alias("rank")
+    )
+    for i in range(iterations):
+        contribs = (
+            edges.join(ranks.withColumnRenamed("path", "src"), "src")
+            .groupBy(F.col("dst").alias("path"))
+            .agg(F.sum(F.col("rank") / F.col("odeg")).alias("contrib"))
+        )
+        ranks = nodes.join(contribs, "path", "left").select(
+            "path",
+            (reset + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))).alias("rank"),
+        )
+        if (i + 1) % 8 == 0 and (i + 1) < iterations:
+            ranks = iter_checkpoint(ranks, reliable)
+    return ranks.where(F.col("rank") > 0)

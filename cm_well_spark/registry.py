@@ -8552,3 +8552,53 @@ def events_session_paths(spark, sf_dir):
     from cm_well_spark.sources import tables as tbl
 
     return session_paths(tbl.load_table(spark, sf_dir, "events"), k=10)
+
+
+_PPR_SEEDS = ("/tpch/customer/1", "/tpch/customer/2")
+
+_PPR_STEP_SQL = """
+    SELECT n.path,
+           CASE WHEN n.path IN ('/tpch/customer/1', '/tpch/customer/2')
+                THEN CAST(0.15 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END
+           + CAST(0.85 AS DOUBLE) * COALESCE(c.contrib, 0) AS rank
+    FROM nodes n LEFT JOIN (
+      SELECT e.dst AS path, SUM(r.rank / d.odeg) AS contrib
+      FROM edges e JOIN {prev} r ON r.path = e.src JOIN deg d ON d.src = e.src
+      GROUP BY 1
+    ) c ON c.path = n.path
+"""
+
+
+@register(
+    "graph_personalized_pagerank",
+    oracle=_LINK_EDGE_SQL
+    + """
+    , deg AS (SELECT src, count(*) AS odeg FROM edges GROUP BY 1),
+    nodes AS (SELECT src AS path FROM edges UNION SELECT dst FROM edges),
+    r0 AS (
+      SELECT path,
+             CASE WHEN path IN ('/tpch/customer/1', '/tpch/customer/2')
+                  THEN CAST(1.0 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS rank
+      FROM nodes
+    ),
+    r1 AS (__STEP1__),
+    r2 AS (__STEP2__),
+    r3 AS (__STEP3__)
+    SELECT path, ROUND(rank, 6) AS rank FROM r3 WHERE rank > 0
+    """.replace("__STEP1__", _PPR_STEP_SQL.format(prev="r0"))
+    .replace("__STEP2__", _PPR_STEP_SQL.format(prev="r1"))
+    .replace("__STEP3__", _PPR_STEP_SQL.format(prev="r2")),
+)
+def graph_personalized_pagerank(spark, sf_dir):
+    """3-iteration personalized PageRank from a two-customer seed set
+    (graph.py:personalized_pagerank): the teleport mass lands on the
+    seeds only, so rank = link-proximity to the trusted set — the
+    seeded-curation weight. Same join+agg rounds as pagerank; the
+    oracle chains every round with the seeded reset vector, and the
+    support (rank > 0) is exactly the reachable set."""
+    from cm_well_spark.operators.graph import DEFAULT_LINK_FIELDS, personalized_pagerank
+
+    df = personalized_pagerank(
+        _tri(spark, sf_dir), list(_PPR_SEEDS), DEFAULT_LINK_FIELDS, iterations=3
+    )
+    return df.select("path", F.round("rank", 6).alias("rank"))

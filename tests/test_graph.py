@@ -251,3 +251,46 @@ def test_readability_known_values(spark):
     r2 = got[2]
     assert (r2["n_words"], r2["flesch"], r2["fk_grade"]) == (0, None, None)
     assert got[3]["n_sentences"] == 1  # min-1 floor
+
+
+def _ppr_py(edges, seeds, iterations, damping=0.85):
+    nodes = sorted({n for e in edges for n in e})
+    odeg = {}
+    for s, _ in edges:
+        odeg[s] = odeg.get(s, 0) + 1
+    rank = {n: (1.0 if n in seeds else 0.0) for n in nodes}
+    for _ in range(iterations):
+        contrib = {n: 0.0 for n in nodes}
+        for s, d in edges:
+            contrib[d] += rank[s] / odeg[s]
+        rank = {
+            n: ((1 - damping) if n in seeds else 0.0) + damping * contrib[n]
+            for n in nodes
+        }
+    return {n: r for n, r in rank.items() if r > 0}
+
+
+@pytest.mark.parametrize("iterations", [1, 3])
+def test_personalized_pagerank_matches_pure_python(tri, iterations):
+    from cm_well_spark.operators.graph import personalized_pagerank
+
+    seeds = ["/a"]
+    want = _ppr_py(EDGES, set(seeds), iterations)
+    got = {
+        r["path"]: r["rank"]
+        for r in personalized_pagerank(tri, seeds, iterations=iterations).collect()
+    }
+    assert set(got) == set(want)
+    for n in want:
+        assert got[n] == pytest.approx(want[n], abs=1e-12), n
+    # the /d -> /ghost island is unreachable from /a: absent, not zero-ranked
+    assert "/d" not in got and "/ghost" not in got
+
+
+def test_personalized_pagerank_validation(tri):
+    from cm_well_spark.operators.graph import personalized_pagerank
+
+    with pytest.raises(ValueError):
+        personalized_pagerank(tri, [], iterations=3)
+    with pytest.raises(ValueError):
+        personalized_pagerank(tri, ["/a"], iterations=0)
