@@ -800,3 +800,77 @@ def personalized_pagerank(
         if (i + 1) % 8 == 0 and (i + 1) < iterations:
             ranks = iter_checkpoint(ranks, reliable)
     return ranks.where(F.col("rank") > 0)
+
+
+def clustering_coefficient(e: DataFrame, reliable: bool | None = None) -> DataFrame:
+    """Local clustering coefficient -> (path, degree, n_triangles,
+    clustering = 2T / d(d-1)): how close each node's neighborhood is to
+    a clique (Watts & Strogatz 1998) — the per-node community-density
+    feature beside the global triangle count, and a strong
+    link-farm/spam-cluster signal (artificially interlinked sites sit
+    near 1.0).
+
+    Same compact-forward enumeration as triangle_count_edges (wedges at
+    the lowest-degree apex, oriented relation checkpointed once, three
+    equi-joins) — but each closed triangle keeps its THREE corners and
+    explodes to one row per corner before a keyed count, so per-node
+    totals cost one extra |triangles|x3 union, not a second
+    enumeration. Degree-1 nodes have an undefined neighborhood pair
+    count: clustering reports 0.0 there by convention."""
+    und = (
+        e.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionAll(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    withd = und.join(
+        deg.select(F.col("n").alias("a"), F.col("d").alias("da")), "a"
+    ).join(deg.select(F.col("n").alias("b"), F.col("d").alias("db")), "b")
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = iter_checkpoint(
+        withd.select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+            F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("ddst"),
+        ),
+        reliable,
+    )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    lower = (F.col("o1.ddst") < F.col("o2.ddst")) | (
+        (F.col("o1.ddst") == F.col("o2.ddst")) & (F.col("o1.dst") < F.col("o2.dst"))
+    )
+    wedges = o1.join(o2, (F.col("o1.src") == F.col("o2.src")) & lower).select(
+        F.col("o1.src").alias("u"), F.col("o1.dst").alias("v"), F.col("o2.dst").alias("w")
+    )
+    tris = wedges.join(
+        oriented.select(F.col("src").alias("v"), F.col("dst").alias("w")), ["v", "w"]
+    )
+    corners = (
+        tris.select(F.col("u").alias("n"))
+        .unionAll(tris.select(F.col("v").alias("n")))
+        .unionAll(tris.select(F.col("w").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+    )
+    return (
+        deg.join(corners, "n", "left")
+        .select(
+            F.col("n").alias("path"),
+            F.col("d").cast("long").alias("degree"),
+            F.coalesce("t", F.lit(0)).cast("long").alias("n_triangles"),
+            F.round(
+                F.when(
+                    F.col("d") >= 2,
+                    2.0 * F.coalesce("t", F.lit(0)) / (F.col("d") * (F.col("d") - 1.0)),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("clustering"),
+        )
+    )

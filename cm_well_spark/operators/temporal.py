@@ -137,6 +137,7 @@ def funnel(
     ts_col: str = "ts",
     user_col: str = "user_id",
     type_col: str = "event_type",
+    within_seconds: int | None = None,
 ) -> DataFrame:
     """Sequential conversion funnel -> one row per user who reached step
     1: (user, t1..tn, depth), where t_i is the EARLIEST step-i event
@@ -153,7 +154,12 @@ def funnel(
     memory per task is the shuffle block, not a user's event history.
     Strictly-increasing timestamps are the contract (a same-instant
     step-2 event does NOT count); NULL propagation is automatic because
-    `ts > NULL` is NULL."""
+    `ts > NULL` is NULL.
+
+    `within_seconds` time-boxes each TRANSITION (the product-analytics
+    default: a purchase three weeks after the click is not conversion):
+    step i only counts when t_{i-1} < t_i <= t_{i-1} + horizon — the
+    same conditional min, one extra comparison, no plan change."""
     if len(steps) < 2:
         raise ValueError("funnel needs at least 2 steps")
     cur = (
@@ -166,14 +172,17 @@ def funnel(
             user_col, F.col(ts_col).alias("__ts")
         )
         carried = [user_col] + [f"t{j}" for j in range(1, i)]
+        cond = F.col("__ts") > F.col(f"t{i - 1}")
+        if within_seconds is not None:
+            cond = cond & (
+                F.unix_micros(F.col("__ts").cast("timestamp"))
+                <= F.unix_micros(F.col(f"t{i - 1}").cast("timestamp"))
+                + within_seconds * 1_000_000
+            )
         cur = (
             cur.join(nxt, user_col, "left")
             .groupBy(*carried)
-            .agg(
-                F.min(
-                    F.when(F.col("__ts") > F.col(f"t{i - 1}"), F.col("__ts"))
-                ).alias(f"t{i}")
-            )
+            .agg(F.min(F.when(cond, F.col("__ts"))).alias(f"t{i}"))
         )
     depth = sum(
         F.when(F.col(f"t{i}").isNotNull(), 1).otherwise(0)

@@ -8602,3 +8602,115 @@ def graph_personalized_pagerank(spark, sf_dir):
         _tri(spark, sf_dir), list(_PPR_SEEDS), DEFAULT_LINK_FIELDS, iterations=3
     )
     return df.select("path", F.round("rank", 6).alias("rank"))
+
+
+@register(
+    "graph_clustering_coefficient",
+    oracle="""
+    WITH raw AS (
+      SELECT '/tpch/customer/' || c_custkey AS src,
+             '/tpch/nation/' || c_nationkey AS dst FROM customer
+      UNION ALL
+      SELECT '/tpch/supplier/' || s_suppkey, '/tpch/nation/' || s_nationkey FROM supplier
+      UNION ALL
+      SELECT '/tpch/nation/' || n_nationkey, '/tpch/region/' || n_regionkey FROM nation
+      UNION ALL
+      SELECT '/tpch/customer/' || c_custkey, '/tpch/region/' || n_regionkey
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      UNION ALL
+      SELECT '/tpch/supplier/' || s_suppkey, '/tpch/region/' || n_regionkey
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    ),
+    und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM raw WHERE src <> dst
+    ),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM und e1
+      JOIN und e2 ON e1.a = e2.a AND e1.b < e2.b
+      JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+    ),
+    corners AS (
+      SELECT n, CAST(count(*) AS BIGINT) AS t FROM (
+        SELECT x AS n FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
+      ) GROUP BY 1
+    ),
+    deg AS (
+      SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT a AS n FROM und UNION ALL SELECT b FROM und
+      ) GROUP BY 1
+    )
+    SELECT deg.n AS path, deg.d AS degree,
+           coalesce(corners.t, 0) AS n_triangles,
+           round(CASE WHEN deg.d >= 2
+                 THEN 2.0 * coalesce(corners.t, 0) / (deg.d * (deg.d - 1.0))
+                 ELSE 0.0 END, 6) AS clustering
+    FROM deg LEFT JOIN corners ON deg.n = corners.n
+    """,
+)
+def graph_clustering_coefficient(spark, sf_dir):
+    """Local clustering coefficient over the membership-closure graph
+    (graph.py:clustering_coefficient — the graph_triangles edges, where
+    x->nation->region closures create real triangles): per-node
+    triangle participation vs neighborhood pair count, the link-farm /
+    community-density feature. Same compact-forward wedge enumeration
+    as the count, keeping all three corners; the oracle recounts with
+    the orientation-free a<b<c join and replays the 2T/d(d-1)
+    formula."""
+    from cm_well_spark.operators.graph import clustering_coefficient, reference_edges
+
+    tri = _tri(spark, sf_dir)
+    xn = reference_edges(tri, ["inNation"])
+    nr = reference_edges(tri, ["ofRegion"])
+    xr = xn.alias("l").join(
+        nr.alias("r"), F.col("l.dst") == F.col("r.src")
+    ).select(F.col("l.src").alias("src"), F.col("r.dst").alias("dst"))
+    edges = xn.unionByName(nr).unionByName(xr)
+    return clustering_coefficient(edges)
+
+
+@register(
+    "events_funnel_windowed",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS x1 FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    s2 AS (
+      SELECT s1.user_id, s1.x1,
+             min(CASE WHEN e.ts > s1.x1
+                       AND epoch_us(e.ts) <= epoch_us(s1.x1) + 86400000000
+                      THEN e.ts END) AS x2
+      FROM s1 LEFT JOIN events e
+        ON e.user_id = s1.user_id AND e.event_type = 'click'
+      GROUP BY 1, 2
+    ),
+    s3 AS (
+      SELECT s2.user_id, s2.x1, s2.x2,
+             min(CASE WHEN e.ts > s2.x2
+                       AND epoch_us(e.ts) <= epoch_us(s2.x2) + 86400000000
+                      THEN e.ts END) AS x3
+      FROM s2 LEFT JOIN events e
+        ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+      GROUP BY 1, 2, 3
+    )
+    SELECT user_id,
+           strftime(x1, '%Y-%m-%d %H:%M:%S.%f') AS t1,
+           strftime(x2, '%Y-%m-%d %H:%M:%S.%f') AS t2,
+           strftime(x3, '%Y-%m-%d %H:%M:%S.%f') AS t3,
+           CAST((x1 IS NOT NULL)::INT + (x2 IS NOT NULL)::INT
+                + (x3 IS NOT NULL)::INT AS INT) AS depth
+    FROM s3
+    """,
+)
+def events_funnel_windowed(spark, sf_dir):
+    """Time-boxed conversion funnel (temporal.py:funnel with
+    within_seconds=86400): each transition must land within 24h of the
+    previous step — the product-analytics default, where a purchase
+    weeks after the click is not conversion. Same keyed conditional-min
+    plan as events_funnel, one extra comparison per transition."""
+    from cm_well_spark.operators.temporal import funnel
+    from cm_well_spark.sources import tables as tbl
+
+    ev = tbl.load_table(spark, sf_dir, "events")
+    return funnel(ev, ["view", "click", "purchase"], within_seconds=86400)

@@ -294,3 +294,31 @@ def test_personalized_pagerank_validation(tri):
         personalized_pagerank(tri, [], iterations=3)
     with pytest.raises(ValueError):
         personalized_pagerank(tri, ["/a"], iterations=0)
+
+
+def test_clustering_coefficient_triangle_plus_pendant(spark):
+    from cm_well_spark.operators.graph import clustering_coefficient
+
+    # triangle a-b-c plus pendant d on a
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("a", "d")], ["src", "dst"]
+    )
+    got = {r["path"]: r for r in clustering_coefficient(e).collect()}
+    # b, c: degree 2, 1 triangle -> cc 1.0
+    assert got["b"]["clustering"] == 1.0 and got["c"]["clustering"] == 1.0
+    # a: degree 3, 1 triangle -> 2*1/(3*2) = 1/3
+    assert got["a"]["n_triangles"] == 1
+    assert got["a"]["clustering"] == pytest.approx(1 / 3, abs=1e-6)
+    # pendant: degree 1 -> 0.0 by convention, not NULL
+    assert got["d"]["clustering"] == 0.0 and got["d"]["n_triangles"] == 0
+
+
+def test_clustering_coefficient_k4_all_ones(spark):
+    from cm_well_spark.operators.graph import clustering_coefficient
+
+    nodes = ["w", "x", "y", "z"]
+    e = spark.createDataFrame(
+        [(a, b) for i, a in enumerate(nodes) for b in nodes[i + 1:]], ["src", "dst"]
+    )
+    got = clustering_coefficient(e).collect()
+    assert all(r["clustering"] == 1.0 and r["n_triangles"] == 3 for r in got)

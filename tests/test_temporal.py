@@ -405,3 +405,25 @@ def test_cohort_retention_matrix(spark):
     assert got[(a, 2)] == (2, 1.0)
     assert got[(b, 0)] == (1, 1.0)
     assert set(got) == {(a, 0), (a, 1), (a, 2), (b, 0)}
+
+
+def test_funnel_within_seconds_boxes_transitions(spark):
+    from cm_well_spark.operators.temporal import funnel
+
+    rows = [
+        # u1: click 30s after view -> converts with a 60s box
+        (1, "view", _ts("2024-01-01 10:00:00")),
+        (1, "click", _ts("2024-01-01 10:00:30")),
+        # u2: click 2 min after view -> depth 1 with a 60s box
+        (2, "view", _ts("2024-01-01 10:00:00")),
+        (2, "click", _ts("2024-01-01 10:02:00")),
+        # u3: click at EXACTLY the horizon -> still counts (<=)
+        (3, "view", _ts("2024-01-01 10:00:00")),
+        (3, "click", _ts("2024-01-01 10:01:00")),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+    out = {r["user_id"]: r["depth"] for r in funnel(ev, ["view", "click"], within_seconds=60).collect()}
+    assert out == {1: 2, 2: 1, 3: 2}
+    # unboxed behavior unchanged
+    out2 = {r["user_id"]: r["depth"] for r in funnel(ev, ["view", "click"]).collect()}
+    assert out2 == {1: 2, 2: 2, 3: 2}
