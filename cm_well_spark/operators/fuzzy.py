@@ -104,3 +104,41 @@ def edit_distance_pairs(
         .where(F.col("dist") <= max_dist)
         .select("a", "b", "dist")
     )
+
+
+def fuzzy_clusters(
+    words: DataFrame,
+    word_col: str = "w",
+    max_dist: int = 1,
+    min_len: int = 2,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Typo/variant clusters -> (w, cluster, cluster_size): connected
+    components of the edit-distance-<=d graph over the distinct values,
+    labeled by each component's lexicographic-min member — the
+    canonicalization step of entity resolution (every surface variant
+    maps to one canonical key), built by composing edit_distance_pairs
+    with the star-contraction connected components the dedup family
+    uses. Values with no neighbor keep themselves as their cluster —
+    the output is a TOTAL mapping over the (length-filtered) vocabulary,
+    ready to join back as a normalization table."""
+    from cm_well_spark.operators.graph import connected_components
+
+    vocab = (
+        words.select(F.col(word_col).alias("w"))
+        .where(F.length("w") >= min_len)
+        .distinct()
+    )
+    pairs = edit_distance_pairs(
+        words, word_col=word_col, max_dist=max_dist, min_len=min_len, max_bucket=max_bucket
+    )
+    cc = connected_components(
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    ).select(F.col("node").alias("w"), F.col("component").alias("cluster"))
+    labeled = vocab.join(cc, "w", "left").select(
+        "w", F.coalesce("cluster", F.col("w")).alias("cluster")
+    )
+    sizes = labeled.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return labeled.join(sizes, "cluster").select("w", "cluster", "cluster_size")

@@ -8714,3 +8714,36 @@ def events_funnel_windowed(spark, sf_dir):
 
     ev = tbl.load_table(spark, sf_dir, "events")
     return funnel(ev, ["view", "click", "purchase"], within_seconds=86400)
+
+
+def _fuzzy_twin() -> str:
+    from cm_well_spark.operators.fuzzy_twin import FUZZY_CLUSTER_TWIN_VALUES
+
+    return FUZZY_CLUSTER_TWIN_VALUES
+
+
+@register(
+    "er_name_clusters",
+    oracle=f"""
+    WITH twin(w, cluster) AS (VALUES {_fuzzy_twin()}),
+    v AS (SELECT DISTINCT p_name AS w FROM part WHERE length(p_name) >= 2),
+    j AS (SELECT v.w, t.cluster FROM v JOIN twin t USING (w)),
+    s AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size FROM j GROUP BY 1)
+    SELECT j.w, j.cluster, s.cluster_size FROM j JOIN s USING (cluster)
+    """,
+)
+def er_name_clusters(spark, sf_dir):
+    """Typo/variant canonicalization over part names
+    (fuzzy.py:fuzzy_clusters, edit distance <= 2): deletion-
+    neighborhood pairs -> star-contraction connected components ->
+    min-name cluster labels, singletons kept — the ER normalization
+    table. The oracle is an INDEPENDENT pure-Python twin
+    (tools/gen_fuzzy_twin.py: brute-force banded DP + union-find-by-min)
+    joined against the name set recomputed in SQL, with cluster sizes
+    derived in SQL — so lost names, wrong components, AND wrong sizes
+    all break the hash."""
+    from cm_well_spark.operators.fuzzy import fuzzy_clusters
+    from cm_well_spark.sources import tables as tbl
+
+    names = tbl.load_table(spark, sf_dir, "part").select(F.col("p_name").alias("w"))
+    return fuzzy_clusters(names, max_dist=2)

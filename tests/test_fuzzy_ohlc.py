@@ -82,3 +82,23 @@ def test_ohlc_tie_breaks_on_event_id(spark):
     )
     d2 = rows["2024-01-02 00:00"]
     assert d2["open"] == d2["close"] == 7.0 and d2["n"] == 1
+
+
+def test_fuzzy_clusters_transitive_and_singletons(spark):
+    from cm_well_spark.operators.fuzzy import fuzzy_clusters
+
+    # chain: cat ~ bat ~ bad (transitive closure into one cluster),
+    # plus an isolated word
+    ws = _words(spark, ["cat", "bat", "bad", "zebra"])
+    got = {r["w"]: r for r in fuzzy_clusters(ws, min_len=2).collect()}
+    assert got["cat"]["cluster"] == got["bat"]["cluster"] == got["bad"]["cluster"] == "bad"
+    assert got["cat"]["cluster_size"] == 3
+    assert got["zebra"]["cluster"] == "zebra" and got["zebra"]["cluster_size"] == 1
+
+
+def test_fuzzy_clusters_total_mapping(spark):
+    from cm_well_spark.operators.fuzzy import fuzzy_clusters
+
+    ws = _words(spark, ["alpha", "alphas", "beta", "a"])  # "a" below min_len
+    rows = fuzzy_clusters(ws, min_len=2).collect()
+    assert {r["w"] for r in rows} == {"alpha", "alphas", "beta"}
