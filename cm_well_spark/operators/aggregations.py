@@ -728,3 +728,47 @@ def topk_per_group(
         df.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= int(k))
     )
+
+
+def abc_analysis(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    a_cut: float = 0.8,
+    b_cut: float = 0.95,
+) -> DataFrame:
+    """Pareto/ABC classification -> (key, total, cum_share, abc_class):
+    entities ranked by value contribution, classified A while the
+    running share is within `a_cut` of the grand total, B to `b_cut`,
+    else C — the 80/20 inventory/revenue-concentration report, and for
+    corpora the "which sources carry the volume" triage.
+
+    Plan: ONE keyed aggregate reduces facts to a per-entity row; the
+    running-share window orders that REDUCED relation (the documented
+    bounded global sort, same contract as rfm_segments). Class
+    boundaries use the share BEFORE the current row, so the entity that
+    crosses a cut still belongs to the class it completes — the
+    standard convention that keeps class A non-empty for any cut."""
+    per = df.groupBy(key_col).agg(F.round(F.sum(value_col), 6).alias("total"))
+    cum = Window.orderBy(F.desc("total"), F.asc(key_col)).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    grand = Window.partitionBy()
+    before = F.coalesce(F.sum("total").over(cum), F.lit(0.0))
+    out = per.select(
+        key_col,
+        "total",
+        ((before + F.col("total")) / F.sum("total").over(grand)).alias("__share"),
+        (before / F.sum("total").over(grand)).alias("__before"),
+    )
+    cls = (
+        F.when(F.col("__before") < a_cut, "A")
+        .when(F.col("__before") < b_cut, "B")
+        .otherwise("C")
+    )
+    return out.select(
+        key_col,
+        "total",
+        F.round("__share", 6).alias("cum_share"),
+        cls.alias("abc_class"),
+    )

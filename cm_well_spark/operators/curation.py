@@ -1201,3 +1201,40 @@ def mad_outliers(
         .withColumn("median", F.round("median", 6))
         .withColumn("mad", F.round("mad", 6))
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    by: str | None = None,
+    lower: float = 0.01,
+    upper: float = 0.99,
+) -> DataFrame:
+    """Percentile clipping -> every row gains (p_lo, p_hi,
+    {value_col}_winsorized): values clamped into the group's exact
+    [lower, upper] percentile band — the tail-taming complement of
+    mad_outliers (flagging) for features that feed downstream scoring,
+    where a single 10^9 token count would otherwise dominate any
+    normalization.
+
+    Plan: ONE keyed exact-percentile aggregate (both bounds in the same
+    pass) broadcast back to the rows — group-bounded, no global sort,
+    no row ever dropped (clipping, not filtering)."""
+    keys = [by] if by else []
+    pcts = (
+        df.groupBy(*keys).agg(
+            F.percentile(value_col, lower).alias("p_lo"),
+            F.percentile(value_col, upper).alias("p_hi"),
+        )
+        if keys
+        else df.agg(
+            F.percentile(value_col, lower).alias("p_lo"),
+            F.percentile(value_col, upper).alias("p_hi"),
+        )
+    )
+    base = df.join(F.broadcast(pcts), keys) if keys else df.crossJoin(F.broadcast(pcts))
+    clipped = F.least(F.greatest(F.col(value_col).cast("double"), F.col("p_lo")), F.col("p_hi"))
+    return base.select(
+        "*",
+        F.round(clipped, 6).alias(f"{value_col}_winsorized"),
+    ).withColumn("p_lo", F.round("p_lo", 6)).withColumn("p_hi", F.round("p_hi", 6))

@@ -8747,3 +8747,71 @@ def er_name_clusters(spark, sf_dir):
 
     names = tbl.load_table(spark, sf_dir, "part").select(F.col("p_name").alias("w"))
     return fuzzy_clusters(names, max_dist=2)
+
+
+@register(
+    "agg_abc_analysis",
+    oracle="""
+    WITH per AS (
+      SELECT '/tpch/part/' || l_partkey AS key,
+             round(sum(l_extendedprice), 6) AS total
+      FROM lineitem GROUP BY 1
+    ),
+    g AS (SELECT sum(total) AS grand FROM per),
+    c AS (
+      SELECT key, total,
+             coalesce(sum(total) OVER (ORDER BY total DESC, key ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before_
+      FROM per
+    )
+    SELECT key, total,
+           round((before_ + total) / g.grand, 6) AS cum_share,
+           CASE WHEN before_ / g.grand < 0.8 THEN 'A'
+                WHEN before_ / g.grand < 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM c, g
+    """,
+)
+def agg_abc_analysis(spark, sf_dir):
+    """Pareto/ABC revenue concentration per part
+    (aggregations.py:abc_analysis): one keyed aggregate to per-entity
+    totals, running share over the REDUCED relation, before-the-row
+    class boundaries — which parts carry 80/95% of extended price. The
+    oracle replays the prefix window and both cuts."""
+    from cm_well_spark.operators.aggregations import abc_analysis
+    from cm_well_spark.sources import tables as tbl
+
+    li = tbl.load_table(spark, sf_dir, "lineitem").select(
+        F.concat(F.lit("/tpch/part/"), F.col("l_partkey")).alias("key"),
+        F.col("l_extendedprice"),
+    )
+    return abc_analysis(li, "key", "l_extendedprice")
+
+
+@register(
+    "curation_winsorize",
+    oracle="""
+    WITH p AS (
+      SELECT lang,
+             round(quantile_cont(n_chars, 0.01), 6) AS p_lo,
+             round(quantile_cont(n_chars, 0.99), 6) AS p_hi
+      FROM documents GROUP BY 1
+    )
+    SELECT doc_id, d.lang, n_chars, p.p_lo, p.p_hi,
+           round(least(greatest(CAST(n_chars AS DOUBLE), p.p_lo), p.p_hi), 6)
+             AS n_chars_winsorized
+    FROM documents d JOIN p USING (lang)
+    """,
+)
+def curation_winsorize(spark, sf_dir):
+    """Per-language 1%/99% winsorization of document lengths
+    (curation.py:winsorize): both exact percentile bounds in ONE keyed
+    aggregate, broadcast back, values clamped not dropped — the
+    tail-taming twin of curation_mad_outliers."""
+    from cm_well_spark.operators.curation import winsorize
+    from cm_well_spark.sources import tables as tbl
+
+    docs = tbl.load_table(spark, sf_dir, "documents")
+    return winsorize(docs, "n_chars", by="lang").select(
+        "doc_id", "lang", "n_chars", "p_lo", "p_hi", "n_chars_winsorized"
+    )

@@ -78,3 +78,33 @@ def test_zipf_degenerate_single_type(spark):
     df = spark.createDataFrame([("same same same",)], ["text"])
     row = zipf_fit(df).collect()[0]
     assert row["n_types"] == 1 and row["zipf_slope"] is None and row["r2"] is None
+
+
+def test_abc_classes_and_cumshare(spark):
+    from cm_well_spark.operators.aggregations import abc_analysis
+
+    # totals 70, 20, 6, 4 -> grand 100; before-shares 0, .7, .9, .96
+    rows = [("a", 70.0), ("b", 20.0), ("c", 6.0), ("d", 4.0)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    out = {r["k"]: r for r in abc_analysis(df, "k", "v").collect()}
+    assert out["a"]["abc_class"] == "A"  # before 0.0 < 0.8
+    assert out["b"]["abc_class"] == "A"  # before 0.7 < 0.8 (completes A)
+    assert out["c"]["abc_class"] == "B"  # before 0.9 < 0.95
+    assert out["d"]["abc_class"] == "C"  # before 0.96
+    assert out["b"]["cum_share"] == pytest.approx(0.9)
+    assert out["d"]["cum_share"] == pytest.approx(1.0)
+
+
+def test_winsorize_clips_not_drops(spark):
+    from cm_well_spark.operators.curation import winsorize
+
+    rows = [("en", float(v)) for v in range(1, 101)]  # 1..100
+    df = spark.createDataFrame(rows, ["lang", "v"])
+    out = winsorize(df, "v", by="lang", lower=0.05, upper=0.95).collect()
+    assert len(out) == 100  # nothing dropped
+    vals = sorted(r["v_winsorized"] for r in out)
+    # exact interpolated percentiles of 1..100 at .05/.95 are 5.95/95.05
+    assert vals[0] == pytest.approx(5.95)
+    assert vals[-1] == pytest.approx(95.05)
+    # interior values untouched
+    assert any(r["v"] == 50.0 and r["v_winsorized"] == 50.0 for r in out)
