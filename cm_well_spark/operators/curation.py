@@ -1238,3 +1238,48 @@ def winsorize(
         "*",
         F.round(clipped, 6).alias(f"{value_col}_winsorized"),
     ).withColumn("p_lo", F.round("p_lo", 6)).withColumn("p_hi", F.round("p_hi", 6))
+
+
+def fk_audit(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str,
+) -> DataFrame:
+    """Referential-integrity audit -> ONE row (n_children, n_parents,
+    n_orphan_children, n_childless_parents, orphan_frac): how many
+    child rows reference a missing parent, and how many parents have no
+    children — the relational twin of the infoton consistency audit
+    (W7, admin.audit), for the lakehouse's flat tables and any
+    (doc -> source, event -> user, chunk -> doc) containment contract.
+
+    Plan: two keyed left-anti joins against the DISTINCT parent/child
+    key relations plus three counts, assembled with 1-row cross joins —
+    keys only ever shuffle as single columns, and the distinct
+    reductions happen before either join."""
+    ck = child.select(F.col(child_key).alias("__k"))
+    pk = parent.select(F.col(parent_key).alias("__k")).distinct()
+    ckd = ck.distinct()
+    n_children = child.agg(F.count(F.lit(1)).cast("long").alias("n_children"))
+    n_parents = parent.agg(F.count(F.lit(1)).cast("long").alias("n_parents"))
+    orphans = ck.join(pk, "__k", "left_anti").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orphan_children")
+    )
+    childless = pk.join(ckd, "__k", "left_anti").agg(
+        F.count(F.lit(1)).cast("long").alias("n_childless_parents")
+    )
+    return (
+        n_children.crossJoin(F.broadcast(n_parents))
+        .crossJoin(F.broadcast(orphans))
+        .crossJoin(F.broadcast(childless))
+        .select(
+            "*",
+            F.round(
+                F.when(
+                    F.col("n_children") > 0,
+                    F.col("n_orphan_children") / F.col("n_children"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("orphan_frac"),
+        )
+    )

@@ -874,3 +874,48 @@ def clustering_coefficient(e: DataFrame, reliable: bool | None = None) -> DataFr
             ).alias("clustering"),
         )
     )
+
+
+def degree_distribution(e: DataFrame, directed: bool = False) -> DataFrame:
+    """Degree histogram + discrete power-law MLE -> one row per degree
+    (degree, n_nodes, frac) plus the fitted alpha carried on every row
+    (alpha = 1 + n / Σ ln(d / (dmin - 0.5)), Clauset-Shalizi-Newman
+    2009 eq. 3.7, dmin = observed min degree) — the graph-health
+    counterpart of text's zipf_fit: web-ish link graphs sit near
+    alpha 2-3, and a distribution that suddenly flattens flags crawler
+    traps or link farms.
+
+    Plan: degrees are one keyed count over the (symmetric) edge list;
+    the histogram is one more keyed count over the REDUCED degree
+    relation; alpha folds in the same reduction pass (one global
+    aggregate over per-degree partials) and joins back as a 1-row
+    broadcast."""
+    edges = e.select("src", "dst")
+    if not directed:
+        edges = edges.unionAll(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    hist = deg.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    stats = hist.agg(
+        F.sum("n_nodes").cast("long").alias("__n"),
+        F.min("d").alias("__dmin"),
+    )
+    # alpha needs dmin first: one more pass over the REDUCED histogram
+    joined = hist.crossJoin(F.broadcast(stats))
+    alpha_row = joined.agg(
+        (
+            F.lit(1.0)
+            + F.sum("n_nodes")
+            / F.sum(F.col("n_nodes") * F.log(F.col("d") / (F.col("__dmin") - 0.5)))
+        ).alias("__alpha")
+    )
+    return (
+        joined.crossJoin(F.broadcast(alpha_row))
+        .select(
+            F.col("d").alias("degree"),
+            "n_nodes",
+            F.round(F.col("n_nodes") / F.col("__n"), 6).alias("frac"),
+            F.round("__alpha", 6).alias("alpha"),
+        )
+    )

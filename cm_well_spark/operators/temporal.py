@@ -791,3 +791,55 @@ def session_paths(
         counts.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= int(k))
     )
+
+
+def anomaly_seasonal(
+    ev: DataFrame,
+    window: str = "1 hour",
+    trail_periods: int = 7,
+    min_trail: int = 3,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Seasonality-aware volume anomaly -> (window_start, event_type,
+    n_events, mean_seasonal, std_seasonal, zscore): each (window, type)
+    count compared against the SAME CLOCK SLOT of previous periods
+    (hour 14 vs the last `trail_periods` day-14:00 windows) — the fix
+    for anomaly_zscore's blind spot, where ordinary daily rhythm (quiet
+    nights, busy noons) reads as anomaly against a flat trailing mean.
+
+    Plan: the same ONE windowed count as anomaly_zscore, then the
+    trailing mean/std window partitions by (type, slot-of-day) instead
+    of type alone — identical cost, the partition key just got finer
+    (and less skewed). NULL until `min_trail` same-slot windows exist
+    or on a constant baseline."""
+    counts = (
+        ev.groupBy(F.window(ts_col, window).alias("w"), type_col)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("__ws"),
+            type_col,
+            "n_events",
+            F.date_format(F.col("w.start"), "HH:mm").alias("__slot"),
+        )
+    )
+    trail = (
+        Window.partitionBy(type_col, "__slot")
+        .orderBy("__ws")
+        .rowsBetween(-trail_periods, -1)
+    )
+    mean = F.avg("n_events").over(trail)
+    std = F.stddev_samp(F.col("n_events").cast("double")).over(trail)
+    hist = F.count(F.lit(1)).over(trail)
+    z = F.when(
+        (hist >= min_trail) & std.isNotNull() & (std != 0),
+        (F.col("n_events") - mean) / std,
+    )
+    return counts.select(
+        F.date_format("__ws", "yyyy-MM-dd HH:mm").alias("window_start"),
+        type_col,
+        "n_events",
+        F.round(mean, 6).alias("mean_seasonal"),
+        F.round(std, 6).alias("std_seasonal"),
+        F.round(z, 6).alias("zscore"),
+    )

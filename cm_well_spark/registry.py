@@ -8815,3 +8815,101 @@ def curation_winsorize(spark, sf_dir):
     return winsorize(docs, "n_chars", by="lang").select(
         "doc_id", "lang", "n_chars", "p_lo", "p_hi", "n_chars_winsorized"
     )
+
+
+@register(
+    "events_anomaly_seasonal",
+    oracle="""
+    WITH c AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, event_type,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT ws, event_type, n_events,
+             avg(n_events) OVER w AS m,
+             stddev_samp(CAST(n_events AS DOUBLE)) OVER w AS s,
+             count(*) OVER w AS hist
+      FROM c
+      WINDOW w AS (PARTITION BY event_type, strftime(ws, '%H:%M')
+                   ORDER BY ws ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M') AS window_start, event_type, n_events,
+           round(m, 6) AS mean_seasonal, round(s, 6) AS std_seasonal,
+           round(CASE WHEN hist >= 3 AND s IS NOT NULL AND s <> 0
+                 THEN (n_events - m) / s END, 6) AS zscore
+    FROM t
+    """,
+)
+def events_anomaly_seasonal(spark, sf_dir):
+    """Seasonality-aware volume anomaly (temporal.py:anomaly_seasonal):
+    each hourly count baselines against the SAME clock slot of previous
+    days, so daily rhythm stops reading as anomaly — identical plan to
+    anomaly_zscore with a finer (type, slot) window key. The oracle
+    replays the slot partitioning."""
+    from cm_well_spark.operators.temporal import anomaly_seasonal
+    from cm_well_spark.sources import tables as tbl
+
+    return anomaly_seasonal(tbl.load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "quality_fk_audit",
+    oracle="""
+    WITH ck AS (SELECT l_orderkey AS k FROM lineitem),
+    pk AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+    ckd AS (SELECT DISTINCT k FROM ck)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_children,
+           (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_parents,
+           (SELECT CAST(count(*) AS BIGINT) FROM ck LEFT JOIN pk USING (k)
+             WHERE pk.k IS NULL) AS n_orphan_children,
+           (SELECT CAST(count(*) AS BIGINT) FROM pk LEFT JOIN ckd USING (k)
+             WHERE ckd.k IS NULL) AS n_childless_parents,
+           round((SELECT count(*) FROM ck LEFT JOIN pk USING (k) WHERE pk.k IS NULL)
+                 / CAST((SELECT count(*) FROM lineitem) AS DOUBLE), 6) AS orphan_frac
+    """,
+)
+def quality_fk_audit(spark, sf_dir):
+    """Referential-integrity audit of lineitem -> orders
+    (curation.py:fk_audit): orphan children and childless parents via
+    two anti-joins over distinct key relations — the relational twin of
+    the W7 infoton audit, for containment contracts like chunk -> doc
+    and event -> user."""
+    from cm_well_spark.operators.curation import fk_audit
+    from cm_well_spark.sources import tables as tbl
+
+    return fk_audit(
+        tbl.load_table(spark, sf_dir, "lineitem"),
+        tbl.load_table(spark, sf_dir, "orders"),
+        "l_orderkey",
+        "o_orderkey",
+    )
+
+
+@register(
+    "graph_degree_distribution",
+    oracle=_OP_EDGE_SQL
+    + """,
+    sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY 1),
+    hist AS (SELECT d, CAST(count(*) AS BIGINT) AS n_nodes FROM deg GROUP BY 1),
+    st AS (SELECT sum(n_nodes) AS n, min(d) AS dmin FROM hist),
+    al AS (
+      SELECT 1.0 + sum(n_nodes) / sum(n_nodes * ln(d / (st.dmin - 0.5))) AS alpha
+      FROM hist, st
+    )
+    SELECT d AS degree, n_nodes,
+           round(n_nodes / CAST(st.n AS DOUBLE), 6) AS frac,
+           round(al.alpha, 6) AS alpha
+    FROM hist, st, al
+    """,
+)
+def graph_degree_distribution(spark, sf_dir):
+    """Degree histogram + Clauset-Shalizi-Newman discrete power-law MLE
+    over the order—part co-occurrence graph
+    (graph.py:degree_distribution): one keyed count to degrees, one
+    more to the histogram, alpha folded over the REDUCED histogram —
+    the graph-health twin of text_zipf_fit."""
+    from cm_well_spark.operators.graph import degree_distribution
+
+    return degree_distribution(_op_edges(spark, sf_dir))

@@ -85,3 +85,57 @@ def test_sssp_undirected_and_validation(spark):
     assert out["a"] == 2.0  # edge walked backward
     with pytest.raises(ValueError):
         shortest_paths_weighted(e, seeds, rounds=0)
+
+
+def test_anomaly_seasonal_slot_partitioning(spark):
+    from cm_well_spark.operators.temporal import anomaly_seasonal
+
+    rows = []
+    # 09:00 is busy every day (10 events), 03:00 quiet (2) — for 5 days;
+    # day 6 has a REAL 03:00 spike of 10
+    eid = 0
+    for day in range(1, 6):
+        for hour, n in ((9, 10), (3, 2)):
+            for i in range(n):
+                eid += 1
+                rows.append((eid, 1, _ts(f"2024-01-0{day} 0{hour}:00:00") + dt.timedelta(seconds=i), "view"))
+    for i in range(10):
+        eid += 1
+        rows.append((eid, 1, _ts("2024-01-06 03:00:00") + dt.timedelta(seconds=i), "view"))
+    ev = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "event_type"])
+    out = {r["window_start"]: r for r in anomaly_seasonal(ev).collect()}
+    # a normal busy 09:00 is NOT anomalous against its own slot history
+    d5_9 = out["2024-01-05 09:00"]
+    assert d5_9["mean_seasonal"] == 10.0 and (d5_9["zscore"] is None or abs(d5_9["zscore"]) < 1)
+    # the 03:00 spike IS anomalous vs the quiet 03:00 baseline... but a
+    # constant baseline (std 0) reports NULL by contract
+    d6_3 = out["2024-01-06 03:00"]
+    assert d6_3["mean_seasonal"] == 2.0 and d6_3["n_events"] == 10
+    assert d6_3["zscore"] is None  # std of constant history is 0 -> undefined
+
+
+def test_fk_audit_counts(spark):
+    from cm_well_spark.operators.curation import fk_audit
+
+    child = spark.createDataFrame([(1,), (1,), (2,), (99,)], ["fk"])
+    parent = spark.createDataFrame([(1,), (2,), (3,)], ["pk"])
+    row = fk_audit(child, parent, "fk", "pk").collect()[0]
+    assert row["n_children"] == 4 and row["n_parents"] == 3
+    assert row["n_orphan_children"] == 1  # the 99 row
+    assert row["n_childless_parents"] == 1  # parent 3
+    assert row["orphan_frac"] == 0.25
+
+
+def test_degree_distribution_star(spark):
+    import math
+
+    from cm_well_spark.operators.graph import degree_distribution
+
+    # star: hub h with 4 leaves -> degrees {4: 1 node, 1: 4 nodes}
+    e = spark.createDataFrame([("h", f"l{i}") for i in range(4)], ["src", "dst"])
+    got = {r["degree"]: r for r in degree_distribution(e).collect()}
+    assert got[4]["n_nodes"] == 1 and got[1]["n_nodes"] == 4
+    assert got[1]["frac"] == 0.8
+    # CSN alpha with dmin=1: 1 + 5 / (4*ln(1/0.5) + 1*ln(4/0.5))
+    want = 1.0 + 5 / (4 * math.log(2) + math.log(8))
+    assert got[1]["alpha"] == pytest.approx(want, abs=1e-6)

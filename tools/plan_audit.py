@@ -50,6 +50,8 @@ NLJ_WHITELIST = {
     "agg_association_rules": "1-row basket-total crossJoin feeds the lift denominator",
     "agg_rfm_segments": "1-row corpus-max-date crossJoin anchors recency",
     "events_survival_curve": "1-row censoring-horizon (corpus max ts) crossJoin",
+    "quality_fk_audit": "four 1-row audit counts assembled by crossJoin",
+    "graph_degree_distribution": "1-row stats + alpha crossJoins over the reduced histogram",
 }
 
 
