@@ -8913,3 +8913,88 @@ def graph_degree_distribution(spark, sf_dir):
     from cm_well_spark.operators.graph import degree_distribution
 
     return degree_distribution(_op_edges(spark, sf_dir))
+
+
+_LANGID_PRED_SQL = """
+    WITH w AS (
+      SELECT doc_id, lang,
+             string_split(trim(lower(text)), ' ') AS words
+      FROM documents
+    ), pred AS (
+      SELECT doc_id, lang,
+             list_max([
+               {'hits': len(list_filter(words, x -> x IN ('der','die','und','ist','nicht'))), 'lang': 'de'},
+               {'hits': len(list_filter(words, x -> x IN ('the','and','of','is','to'))), 'lang': 'en'},
+               {'hits': len(list_filter(words, x -> x IN ('el','la','que','es','los'))), 'lang': 'es'},
+               {'hits': len(list_filter(words, x -> x IN ('le','la','et','est','les'))), 'lang': 'fr'}
+             ]) AS best
+      FROM w
+    ),
+    p AS (
+      SELECT lang AS label,
+             CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS pred
+      FROM pred
+    )"""
+
+
+@register(
+    "eval_langid_report",
+    oracle=_LANGID_PRED_SQL
+    + """,
+    cm AS (SELECT label, pred, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1, 2),
+    bl AS (SELECT label AS cls, CAST(sum(n) AS BIGINT) AS support FROM cm GROUP BY 1),
+    bp AS (SELECT pred AS cls, CAST(sum(n) AS BIGINT) AS predicted FROM cm GROUP BY 1),
+    tp AS (SELECT label AS cls, n AS tp FROM cm WHERE label = pred),
+    cl AS (
+      SELECT coalesce(bl.cls, bp.cls) AS cls,
+             coalesce(support, 0) AS support, coalesce(predicted, 0) AS predicted
+      FROM bl FULL OUTER JOIN bp ON bl.cls = bp.cls
+    ),
+    m AS (
+      SELECT cl.cls, CAST(coalesce(tp.tp, 0) AS BIGINT) AS tp,
+             CAST(predicted - coalesce(tp.tp, 0) AS BIGINT) AS fp,
+             CAST(support - coalesce(tp.tp, 0) AS BIGINT) AS fn,
+             CASE WHEN predicted > 0 THEN coalesce(tp.tp, 0) / CAST(predicted AS DOUBLE) END AS pr,
+             CASE WHEN support > 0 THEN coalesce(tp.tp, 0) / CAST(support AS DOUBLE) END AS rc
+      FROM cl LEFT JOIN tp ON cl.cls = tp.cls
+    )
+    SELECT cls, tp, fp, fn, round(pr, 6) AS precision, round(rc, 6) AS recall,
+           round(CASE WHEN pr IS NOT NULL AND rc IS NOT NULL AND pr + rc > 0
+                 THEN 2 * pr * rc / (pr + rc) END, 6) AS f1
+    FROM m
+    """,
+)
+def eval_langid_report(spark, sf_dir):
+    """Per-class precision/recall/F1 of the marker-word language
+    classifier against gold labels (evaluation.py:classification_report
+    over text.lang_id): everything reduces to the confusion relation
+    first; classes are the UNION of labels and predictions so 'und'
+    (never a gold label) still reports precision. The oracle replays
+    classifier AND metrics."""
+    from cm_well_spark.operators.evaluation import classification_report
+    from cm_well_spark.operators.text import lang_id
+    from cm_well_spark.sources import tables as tbl
+
+    docs = tbl.load_table(spark, sf_dir, "documents")
+    preds = lang_id(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    return classification_report(preds, "lang", "lang_pred")
+
+
+@register(
+    "eval_langid_confusion",
+    oracle=_LANGID_PRED_SQL
+    + """
+    SELECT label, pred, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1, 2
+    """,
+)
+def eval_langid_confusion(spark, sf_dir):
+    """Raw confusion matrix of lang_id vs gold labels
+    (evaluation.py:confusion_matrix): ONE keyed count reduces the
+    corpus to |labels| x |preds| rows."""
+    from cm_well_spark.operators.evaluation import confusion_matrix
+    from cm_well_spark.operators.text import lang_id
+    from cm_well_spark.sources import tables as tbl
+
+    docs = tbl.load_table(spark, sf_dir, "documents")
+    preds = lang_id(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    return confusion_matrix(preds, "lang", "lang_pred")
