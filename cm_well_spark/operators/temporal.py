@@ -30,11 +30,16 @@ def asof_join(
     right_ts: str,
     right_cols: list[str] | None = None,
     how: str = "inner",
+    direction: str = "backward",
 ) -> DataFrame:
     """For every left row, attach the right row with the greatest
     `right_ts` <= `left_ts` within the same `on` key (backward as-of; a
-    right row at exactly `left_ts` matches). Returns the left columns
-    plus `right_cols`.
+    right row at exactly `left_ts` matches). `direction="forward"`
+    flips the match to the SMALLEST `right_ts` >= `left_ts` (next
+    scheduled event, upcoming deadline, next version) — the same union
+    + running-last window over the REVERSED timestamp order, so cost
+    and shuffle shape are identical. Returns the left columns plus
+    `right_cols`.
 
     `how`: 'inner' drops left rows with no earlier right row; 'left'
     keeps them with nulls.
@@ -62,9 +67,15 @@ def asof_join(
     mixed = l.select(on, "__t", "__side", "__payload", *[c for c in lcols if c != on]).unionByName(
         r, allowMissingColumns=True
     )
+    if direction == "backward":
+        order = [F.asc("__t"), F.asc("__side")]
+    elif direction == "forward":
+        order = [F.desc("__t"), F.asc("__side")]
+    else:
+        raise ValueError("direction must be 'backward' or 'forward'")
     w = (
         Window.partitionBy(on)
-        .orderBy("__t", "__side")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = mixed.withColumn("__m", F.last("__payload", ignorenulls=True).over(w)).where(

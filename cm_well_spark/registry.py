@@ -8998,3 +8998,49 @@ def eval_langid_confusion(spark, sf_dir):
     docs = tbl.load_table(spark, sf_dir, "documents")
     preds = lang_id(docs).join(docs.select("doc_id", "lang"), "doc_id")
     return confusion_matrix(preds, "lang", "lang_pred")
+
+
+@register(
+    "events_asof_next_order",
+    oracle="""
+    WITH e1 AS (
+      SELECT user_id, ts,
+             max(event_id) AS event_id,
+             round(max_by(value, event_id), 6) AS ev_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT o.o_orderkey, e1.event_id, e1.ev_value
+    FROM orders o ASOF JOIN e1
+      ON o.o_custkey = e1.user_id AND o.o_orderdate <= e1.ts
+    """,
+)
+def events_asof_next_order(spark, sf_dir):
+    """FORWARD as-of join (temporal.py:asof_join direction='forward'):
+    every order gets the issuing user's NEXT event at-or-after the
+    order date — the scheduling/deadline direction the backward join
+    can't express. Same union + running-last plan over the reversed
+    order; DuckDB's native forward ASOF (<=) is the independent
+    oracle. Right side pre-aggregated per (user, ts) so tie-breaks are
+    engine-independent."""
+    from cm_well_spark.operators.temporal import asof_join
+    from cm_well_spark.sources import tables as tbl
+
+    orders = tbl.load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", F.col("o_custkey").alias("user_id")
+    )
+    events = (
+        tbl.load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "ts")
+        .agg(F.max(F.struct("event_id", "value")).alias("__top"))
+        .select(
+            "user_id",
+            "ts",
+            F.col("__top.event_id").alias("event_id"),
+            F.round("__top.value", 6).alias("ev_value"),
+        )
+    )
+    out = asof_join(
+        orders, events, on="user_id", left_ts="o_orderdate", right_ts="ts",
+        right_cols=["event_id", "ev_value"], direction="forward",
+    )
+    return out.select("o_orderkey", "event_id", "ev_value")

@@ -427,3 +427,26 @@ def test_funnel_within_seconds_boxes_transitions(spark):
     # unboxed behavior unchanged
     out2 = {r["user_id"]: r["depth"] for r in funnel(ev, ["view", "click"]).collect()}
     assert out2 == {1: 2, 2: 2, 3: 2}
+
+
+def test_asof_forward_direction(spark):
+    from cm_well_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "k", _ts("2024-01-05")), (2, "k", _ts("2024-01-08"))], ["ev", "k", "ts"]
+    )
+    right = spark.createDataFrame(
+        [("k", _ts("2024-01-03"), "past"), ("k", _ts("2024-01-08"), "now"),
+         ("k", _ts("2024-01-10"), "soon")],
+        ["k", "rts", "val"],
+    )
+    out = {
+        r["ev"]: r["val"]
+        for r in asof_join(left, right, "k", "ts", "rts", direction="forward").collect()
+    }
+    assert out[1] == "now"  # earliest right >= 01-05
+    assert out[2] == "now"  # equality matches forward too
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        asof_join(left, right, "k", "ts", "rts", direction="sideways").collect()
