@@ -854,3 +854,51 @@ def anomaly_seasonal(
         F.round(std, 6).alias("std_seasonal"),
         F.round(z, 6).alias("zscore"),
     )
+
+
+def funnel_rates(funnel_df: DataFrame, n_steps: int) -> DataFrame:
+    """Funnel rollup -> one row per step (step, n_reached,
+    conv_from_prev, conv_from_first): the dashboard view of funnel()'s
+    per-user table — where the drop-off is, as rates. ONE aggregate
+    pass computes every step's reach (conditional sums over the depth
+    column); the per-step rows then unfold from that single row with
+    posexplode, so cost is one reduction of the (already one-row-per-
+    user) funnel relation regardless of step count."""
+    if n_steps < 2:
+        raise ValueError("funnel_rates needs at least 2 steps")
+    agg = funnel_df.agg(
+        *[
+            F.sum((F.col("depth") >= i).cast("long")).alias(f"__n{i}")
+            for i in range(1, n_steps + 1)
+        ]
+    )
+    steps = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("step"),
+                F.coalesce(F.col(f"__n{i}"), F.lit(0)).alias("n_reached"),
+                (
+                    F.coalesce(F.col(f"__n{i-1}"), F.lit(0))
+                    if i > 1
+                    else F.coalesce(F.col("__n1"), F.lit(0))
+                ).alias("prev"),
+            )
+            for i in range(1, n_steps + 1)
+        ]
+    )
+    first = F.coalesce(F.col("__n1"), F.lit(0))
+    return (
+        agg.select(F.explode(steps).alias("s"), first.alias("__first"))
+        .select(
+            F.col("s.step").cast("long").alias("step"),
+            F.col("s.n_reached").cast("long").alias("n_reached"),
+            F.round(
+                F.when(F.col("s.prev") > 0, F.col("s.n_reached") / F.col("s.prev")),
+                6,
+            ).alias("conv_from_prev"),
+            F.round(
+                F.when(F.col("__first") > 0, F.col("s.n_reached") / F.col("__first")),
+                6,
+            ).alias("conv_from_first"),
+        )
+    )

@@ -9044,3 +9044,61 @@ def events_asof_next_order(spark, sf_dir):
         right_cols=["event_id", "ev_value"], direction="forward",
     )
     return out.select("o_orderkey", "event_id", "ev_value")
+
+
+@register(
+    "events_funnel_rates",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS x1 FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    s2 AS (
+      SELECT s1.user_id, s1.x1,
+             min(CASE WHEN e.ts > s1.x1 THEN e.ts END) AS x2
+      FROM s1 LEFT JOIN events e
+        ON e.user_id = s1.user_id AND e.event_type = 'click'
+      GROUP BY 1, 2
+    ),
+    s3 AS (
+      SELECT s2.user_id, s2.x1, s2.x2,
+             min(CASE WHEN e.ts > s2.x2 THEN e.ts END) AS x3
+      FROM s2 LEFT JOIN events e
+        ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+      GROUP BY 1, 2, 3
+    ),
+    d AS (
+      SELECT (x1 IS NOT NULL)::INT + (x2 IS NOT NULL)::INT + (x3 IS NOT NULL)::INT
+               AS depth
+      FROM s3
+    ),
+    n AS (
+      SELECT CAST(count(*) FILTER (depth >= 1) AS BIGINT) AS n1,
+             CAST(count(*) FILTER (depth >= 2) AS BIGINT) AS n2,
+             CAST(count(*) FILTER (depth >= 3) AS BIGINT) AS n3
+      FROM d
+    )
+    SELECT * FROM (
+      SELECT CAST(1 AS BIGINT) AS step, n1 AS n_reached,
+             round(CASE WHEN n1 > 0 THEN n1 / CAST(n1 AS DOUBLE) END, 6) AS conv_from_prev,
+             round(CASE WHEN n1 > 0 THEN n1 / CAST(n1 AS DOUBLE) END, 6) AS conv_from_first
+      FROM n
+      UNION ALL
+      SELECT 2, n2, round(CASE WHEN n1 > 0 THEN n2 / CAST(n1 AS DOUBLE) END, 6),
+             round(CASE WHEN n1 > 0 THEN n2 / CAST(n1 AS DOUBLE) END, 6) FROM n
+      UNION ALL
+      SELECT 3, n3, round(CASE WHEN n2 > 0 THEN n3 / CAST(n2 AS DOUBLE) END, 6),
+             round(CASE WHEN n1 > 0 THEN n3 / CAST(n1 AS DOUBLE) END, 6) FROM n
+    )
+    """,
+)
+def events_funnel_rates(spark, sf_dir):
+    """Step-conversion rollup of the view->click->purchase funnel
+    (temporal.py:funnel_rates over temporal.funnel): ONE aggregate pass
+    over the per-user funnel relation computes every step's reach;
+    rates unfold from that single row. The oracle replays funnel AND
+    rollup."""
+    from cm_well_spark.operators.temporal import funnel, funnel_rates
+    from cm_well_spark.sources import tables as tbl
+
+    ev = tbl.load_table(spark, sf_dir, "events")
+    return funnel_rates(funnel(ev, ["view", "click", "purchase"]), n_steps=3)

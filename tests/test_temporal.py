@@ -450,3 +450,27 @@ def test_asof_forward_direction(spark):
 
     with _pytest.raises(ValueError):
         asof_join(left, right, "k", "ts", "rts", direction="sideways").collect()
+
+
+def test_funnel_rates_rollup(spark):
+    from cm_well_spark.operators.temporal import funnel_rates
+
+    # depths: three users reached 1, two reached 2, one reached 3
+    f = spark.createDataFrame([(1, 3), (2, 2), (3, 1)], ["user_id", "depth"])
+    out = {r["step"]: r for r in funnel_rates(f, n_steps=3).collect()}
+    assert [out[i]["n_reached"] for i in (1, 2, 3)] == [3, 2, 1]
+    assert out[2]["conv_from_prev"] == pytest.approx(2 / 3, abs=1e-6)
+    assert out[3]["conv_from_prev"] == pytest.approx(0.5)
+    assert out[3]["conv_from_first"] == pytest.approx(1 / 3, abs=1e-6)
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        funnel_rates(f, n_steps=1)
+
+
+def test_funnel_rates_empty_funnel(spark):
+    from cm_well_spark.operators.temporal import funnel_rates
+
+    f = spark.createDataFrame([], "user_id long, depth int")
+    out = {r["step"]: r for r in funnel_rates(f, n_steps=2).collect()}
+    assert out[1]["n_reached"] == 0 and out[1]["conv_from_first"] is None
