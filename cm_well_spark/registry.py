@@ -9102,3 +9102,28 @@ def events_funnel_rates(spark, sf_dir):
 
     ev = tbl.load_table(spark, sf_dir, "events")
     return funnel_rates(funnel(ev, ["view", "click", "purchase"]), n_steps=3)
+
+
+@register(
+    "source_jsonl_roundtrip",
+    oracle="""
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    """,
+)
+def source_jsonl_roundtrip(spark, sf_dir):
+    """JSONL corpus source/sink round-trip (sources/jsonl.py): the
+    documents table written as JSONL shards and read back through the
+    EXPLICIT-schema reader must hash-match the original — newlines,
+    quotes and unicode survive because JSON escaping is doing the work,
+    not luck. The oracle is simply the original table."""
+    import os
+
+    from cm_well_spark.sources import tables as tbl
+    from cm_well_spark.sources.jsonl import read_jsonl_documents, write_jsonl_documents
+
+    docs = tbl.load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    path = f"/tmp/cmw_jsonl_{os.path.basename(os.path.normpath(sf_dir))}"
+    write_jsonl_documents(docs, path, shards=4)
+    return read_jsonl_documents(spark, path)
