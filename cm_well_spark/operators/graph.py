@@ -919,3 +919,47 @@ def degree_distribution(e: DataFrame, directed: bool = False) -> DataFrame:
             F.round("__alpha", 6).alias("alpha"),
         )
     )
+
+
+def assortativity(e: DataFrame, directed: bool = False) -> DataFrame:
+    """Degree assortativity -> ONE row (r, n_edges): the Pearson
+    correlation of endpoint degrees over edges (Newman 2002) — positive
+    means hubs link to hubs (social-ish), negative means hubs link to
+    leaves (web/biology-ish); a sudden shift flags structural drift in
+    a crawl. Complements degree_distribution's alpha the way std
+    complements a histogram.
+
+    Plan: one keyed degree count, two keyed joins to decorate each
+    (symmetric) edge with its endpoint degrees, ONE aggregate for all
+    five correlation sums. NULL r on degenerate graphs (all equal
+    degrees)."""
+    edges = e.select("src", "dst")
+    if not directed:
+        edges = edges.unionAll(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    deg = edges.groupBy(F.col("src").alias("n")).agg(
+        F.count(F.lit(1)).cast("double").alias("d")
+    )
+    dec = (
+        edges.join(deg.select(F.col("n").alias("src"), F.col("d").alias("dx")), "src")
+        .join(deg.select(F.col("n").alias("dst"), F.col("d").alias("dy")), "dst")
+    )
+    agg = dec.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+    )
+    m = F.col("n_edges").cast("double")
+    dx = m * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = m * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = m * F.col("sxy") - F.col("sx") * F.col("sy")
+    return agg.select(
+        F.round(
+            F.when((dx > 0) & (dy > 0), cov / F.sqrt(dx * dy)), 6
+        ).alias("r"),
+        "n_edges",
+    )

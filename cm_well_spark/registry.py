@@ -9127,3 +9127,72 @@ def source_jsonl_roundtrip(spark, sf_dir):
     path = f"/tmp/cmw_jsonl_{os.path.basename(os.path.normpath(sf_dir))}"
     write_jsonl_documents(docs, path, shards=4)
     return read_jsonl_documents(spark, path)
+
+
+@register(
+    "graph_assortativity",
+    oracle=_OP_EDGE_SQL
+    + """,
+    sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+    deg AS (SELECT src AS n, CAST(count(*) AS DOUBLE) AS d FROM sym GROUP BY 1),
+    dec AS (
+      SELECT dx.d AS dx, dy.d AS dy
+      FROM sym JOIN deg dx ON sym.src = dx.n JOIN deg dy ON sym.dst = dy.n
+    ),
+    a AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_edges,
+             sum(dx) AS sx, sum(dy) AS sy, sum(dx * dy) AS sxy,
+             sum(dx * dx) AS sxx, sum(dy * dy) AS syy
+      FROM dec
+    )
+    SELECT round(CASE WHEN n_edges * sxx - sx * sx > 0
+                       AND n_edges * syy - sy * sy > 0
+                 THEN (n_edges * sxy - sx * sy)
+                      / sqrt((n_edges * sxx - sx * sx) * (n_edges * syy - sy * sy))
+                 END, 6) AS r,
+           n_edges
+    FROM a
+    """,
+)
+def graph_assortativity(spark, sf_dir):
+    """Degree assortativity of the order—part co-occurrence graph
+    (graph.py:assortativity, Newman 2002): endpoint-degree Pearson r
+    over symmetric edges — one degree count, two decorating joins, one
+    five-sum aggregate, replayed sum-for-sum by the oracle."""
+    from cm_well_spark.operators.graph import assortativity
+
+    return assortativity(_op_edges(spark, sf_dir))
+
+
+@register(
+    "events_activity_gini",
+    oracle="""
+    WITH per AS (
+      SELECT user_id, CAST(count(*) AS DOUBLE) AS x FROM events GROUP BY 1
+    ),
+    rk AS (
+      SELECT x, CAST(row_number() OVER (ORDER BY x ASC, user_id ASC) AS DOUBLE) AS i
+      FROM per
+    ),
+    a AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_entities, sum(x) AS sx,
+             sum(i * x) AS six
+      FROM rk
+    )
+    SELECT round(CASE WHEN n_entities > 0 AND sx > 0
+                 THEN 2.0 * six / (n_entities * sx) - (n_entities + 1.0) / n_entities
+                 END, 6) AS gini,
+           n_entities, round(sx, 6) AS total
+    FROM a
+    """,
+)
+def events_activity_gini(spark, sf_dir):
+    """Gini coefficient of per-user event volume
+    (aggregations.py:gini_coefficient): the exact rank-sum formula over
+    the REDUCED per-entity relation — the inequality lens that flags
+    bot-dominated traffic or single-source-dominated crawls. The oracle
+    replays ranking and both sums."""
+    from cm_well_spark.operators.aggregations import gini_coefficient
+    from cm_well_spark.sources import tables as tbl
+
+    return gini_coefficient(tbl.load_table(spark, sf_dir, "events"), "user_id")

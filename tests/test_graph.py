@@ -322,3 +322,23 @@ def test_clustering_coefficient_k4_all_ones(spark):
     )
     got = clustering_coefficient(e).collect()
     assert all(r["clustering"] == 1.0 and r["n_triangles"] == 3 for r in got)
+
+
+def test_assortativity_star_is_negative(spark):
+    from cm_well_spark.operators.graph import assortativity
+
+    # star graphs are maximally disassortative: r = -1
+    e = spark.createDataFrame([("h", f"l{i}") for i in range(4)], ["src", "dst"])
+    row = assortativity(e).collect()[0]
+    assert row["r"] == pytest.approx(-1.0, abs=1e-6)
+    assert row["n_edges"] == 8  # symmetric
+
+
+def test_assortativity_regular_graph_is_null(spark):
+    from cm_well_spark.operators.graph import assortativity
+
+    # a 4-cycle: every degree 2 -> zero variance -> r undefined (NULL)
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")], ["src", "dst"]
+    )
+    assert assortativity(e).collect()[0]["r"] is None

@@ -108,3 +108,18 @@ def test_winsorize_clips_not_drops(spark):
     assert vals[-1] == pytest.approx(95.05)
     # interior values untouched
     assert any(r["v"] == 50.0 and r["v_winsorized"] == 50.0 for r in out)
+
+
+def test_gini_even_and_concentrated(spark):
+    from cm_well_spark.operators.aggregations import gini_coefficient
+
+    # perfectly even: 4 users x 5 events -> G = 0
+    even = spark.createDataFrame([(u,) for u in range(4) for _ in range(5)], ["u"])
+    assert gini_coefficient(even, "u").collect()[0]["gini"] == 0.0
+    # one user owns everything except single events: high G
+    rows = [(0,)] * 97 + [(1,), (2,), (3,)]
+    conc = spark.createDataFrame(rows, ["u"])
+    row = gini_coefficient(conc, "u").collect()[0]
+    # exact rank-sum: x = [1,1,1,97]; G = 2*(1+2+3+4*97)/(4*100) - 5/4
+    assert row["gini"] == pytest.approx(2 * (1 + 2 + 3 + 4 * 97) / 400 - 1.25, abs=1e-6)
+    assert row["n_entities"] == 4 and row["total"] == 100.0
