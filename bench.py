@@ -59,6 +59,9 @@ def main() -> None:
     t0 = time.time()
     materialize(spark, sf_dir, force=os.environ.get("CMW_BENCH_COLD", "1") != "0")
     ingest_s = time.time() - t0
+    # loadavg right after the ingest phase: a B8 reading taken under
+    # external steal self-diagnoses here even when the start gate passed
+    load_after_ingest = os.getloadavg()[0]
 
     t0 = time.time()
     n_infotons = load_infotons(spark, sf_dir).count()
@@ -243,6 +246,7 @@ def main() -> None:
         # re-sample; timings keep the overall min.
         "contended": contended,
         "loadavg_at_gate": round(gate_load, 2),
+        "loadavg_after_ingest": round(load_after_ingest, 2),
         "load_wait_sec": round(gate_waited, 1),
         "flagged_reruns": rerun,
         "sf": sf_val,
