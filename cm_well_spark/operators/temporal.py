@@ -902,3 +902,55 @@ def funnel_rates(funnel_df: DataFrame, n_steps: int) -> DataFrame:
             ).alias("conv_from_first"),
         )
     )
+
+
+def resample_ffill(
+    ev: DataFrame,
+    bucket: str = "1 hour",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Regular-grid resampling with forward fill -> (key, bucket, value,
+    is_observed): each key's series re-expressed on a gapless tumbling
+    grid from its first to its last observed bucket, carrying the last
+    observed value through silent gaps — what joins event series to
+    model features or downsampled dashboards without NULL holes (the
+    'ffill' of pandas.resample, distributed).
+
+    Plan: ONE windowed keyed aggregate picks each bucket's LAST
+    observation (max_by over the same zero-padded composite order key
+    as ohlc_downsample — tie-deterministic); per-key grid bounds are
+    one more keyed min/max; the grid itself is a sequence-explode of
+    the REDUCED bounds relation (rows = span/bucket per key, never
+    event volume); one left join + one running last(ignorenulls) fills
+    gaps. A key's fill never reads another key's values — the window is
+    keyed."""
+    w = F.window(F.col(ts_col).cast("timestamp"), bucket)
+    okey = F.format_string(
+        "%020d|%020d",
+        F.unix_micros(F.col(ts_col).cast("timestamp")),
+        F.col(tiebreak_col).cast("long"),
+    )
+    obs = (
+        ev.groupBy(F.col(key_col).alias("key"), w.start.alias("__b"))
+        .agg(F.round(F.max_by(F.col(value_col), okey), 6).alias("__v"))
+    )
+    bounds = obs.groupBy("key").agg(
+        F.min("__b").alias("__lo"), F.max("__b").alias("__hi")
+    )
+    step = F.expr(f"INTERVAL {bucket}")
+    grid = bounds.select(
+        "key", F.explode(F.sequence(F.col("__lo"), F.col("__hi"), step)).alias("__b")
+    )
+    joined = grid.join(obs, ["key", "__b"], "left")
+    fill = Window.partitionBy("key").orderBy("__b").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return joined.select(
+        F.col("key"),
+        F.date_format("__b", "yyyy-MM-dd HH:mm").alias("bucket"),
+        F.last("__v", ignorenulls=True).over(fill).alias("value"),
+        F.col("__v").isNotNull().alias("is_observed"),
+    )

@@ -9196,3 +9196,42 @@ def events_activity_gini(spark, sf_dir):
     from cm_well_spark.sources import tables as tbl
 
     return gini_coefficient(tbl.load_table(spark, sf_dir, "events"), "user_id")
+
+
+@register(
+    "events_resample_ffill",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id AS key, time_bucket(INTERVAL 1 DAY, ts) AS b,
+             round(arg_max(value, printf('%020d|%020d', epoch_us(ts), event_id)), 6)
+               AS v
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT key, min(b) AS lo, max(b) AS hi FROM obs GROUP BY 1),
+    grid AS (
+      SELECT key, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS b
+      FROM bounds
+    ),
+    j AS (
+      SELECT g.key, g.b, o.v FROM grid g LEFT JOIN obs o USING (key, b)
+    )
+    SELECT key AS user_id, strftime(b, '%Y-%m-%d %H:%M') AS bucket,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY key ORDER BY b
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+           (v IS NOT NULL) AS is_observed
+    FROM j
+    """,
+)
+def events_resample_ffill(spark, sf_dir):
+    """Daily-grid resampling with forward fill per user
+    (temporal.py:resample_ffill): last observation per bucket
+    (composite-key tie-deterministic), per-key gapless grid exploded
+    from the REDUCED bounds relation, one keyed running
+    last(ignorenulls) through the gaps. The oracle replays the grid
+    and the fill with generate_series + IGNORE NULLS."""
+    from cm_well_spark.operators.temporal import resample_ffill
+    from cm_well_spark.sources import tables as tbl
+
+    out = resample_ffill(tbl.load_table(spark, sf_dir, "events"), bucket="1 day")
+    return out.select(F.col("key").alias("user_id"), "bucket", "value", "is_observed")

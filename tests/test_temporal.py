@@ -474,3 +474,23 @@ def test_funnel_rates_empty_funnel(spark):
     f = spark.createDataFrame([], "user_id long, depth int")
     out = {r["step"]: r for r in funnel_rates(f, n_steps=2).collect()}
     assert out[1]["n_reached"] == 0 and out[1]["conv_from_first"] is None
+
+
+def test_resample_ffill_fills_gaps_per_key(spark):
+    from cm_well_spark.operators.temporal import resample_ffill
+
+    rows = [
+        # user 1: hours 10 and 13 observed; 11, 12 must forward-fill 1.5
+        (1, 1, _ts("2024-01-01 10:15:00"), 1.0),
+        (2, 1, _ts("2024-01-01 10:45:00"), 1.5),  # later in same bucket wins
+        (3, 1, _ts("2024-01-01 13:05:00"), 9.0),
+        # user 2: single observation -> single-bucket grid
+        (4, 2, _ts("2024-01-01 11:00:00"), 5.0),
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "value"])
+    out = {(r["key"], r["bucket"]): r for r in resample_ffill(ev).collect()}
+    u1 = [out[(1, f"2024-01-01 {h}:00")] for h in ("10", "11", "12", "13")]
+    assert [r["value"] for r in u1] == [1.5, 1.5, 1.5, 9.0]
+    assert [r["is_observed"] for r in u1] == [True, False, False, True]
+    # user 2's grid is exactly one bucket; no bleed from user 1
+    assert {(k, b) for (k, b) in out if k == 2} == {(2, "2024-01-01 11:00")}
