@@ -1323,3 +1323,54 @@ def semantic_knn_clusters(
             F.coalesce("component", F.col(id_col)).alias("cluster"),
         )
     )
+
+
+def centroid_drift(
+    embs_a: DataFrame,
+    embs_b: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label embedding drift between two corpus slices -> (label,
+    n_a, n_b, cosine): the cosine between each label's centroid in A
+    and in B — the distribution-shift monitor for embedding spaces
+    (yesterday's crawl vs today's, train vs eval, pre/post a pipeline
+    change); cosine near 1 = stable semantics, drops flag drift before
+    a downstream model does.
+
+    Plan: both sides reduce through the label_centroids kernel
+    (posexplode + (label, pos) avg — never a whole vector in one row),
+    ONE equi-join on (label, pos), and ONE keyed aggregate folds dot
+    product and both norms; counts ride two keyed counts joined at the
+    end. Labels present on only one side drop (drift of nothing is
+    undefined) — count them with an anti-join upstream if the absence
+    itself is the signal."""
+    ca = label_centroids(embs_a, vec_col, label_col).withColumnRenamed("centroid", "__a")
+    cb = label_centroids(embs_b, vec_col, label_col).withColumnRenamed("centroid", "__b")
+    agg = (
+        ca.join(cb, [label_col, "pos"])
+        .groupBy(label_col)
+        .agg(
+            F.sum(F.col("__a") * F.col("__b")).alias("__dot"),
+            F.sum(F.col("__a") * F.col("__a")).alias("__na"),
+            F.sum(F.col("__b") * F.col("__b")).alias("__nb"),
+        )
+    )
+    na = embs_a.groupBy(label_col).agg(F.count(F.lit(1)).cast("long").alias("n_a"))
+    nb = embs_b.groupBy(label_col).agg(F.count(F.lit(1)).cast("long").alias("n_b"))
+    return (
+        agg.join(na, label_col)
+        .join(nb, label_col)
+        .select(
+            label_col,
+            "n_a",
+            "n_b",
+            F.round(
+                F.when(
+                    (F.col("__na") > 0) & (F.col("__nb") > 0),
+                    F.col("__dot") / (F.sqrt("__na") * F.sqrt("__nb")),
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )

@@ -9235,3 +9235,50 @@ def events_resample_ffill(spark, sf_dir):
 
     out = resample_ffill(tbl.load_table(spark, sf_dir, "events"), bucket="1 day")
     return out.select(F.col("key").alias("user_id"), "bucket", "value", "is_observed")
+
+
+@register(
+    "embedding_centroid_drift",
+    oracle="""
+    WITH longf AS (
+      SELECT vec_id, label, unnest(embedding) AS val,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ),
+    ca AS (
+      SELECT label, pos, avg(val) AS a FROM longf
+      WHERE vec_id % 2 = 0 GROUP BY 1, 2
+    ),
+    cb AS (
+      SELECT label, pos, avg(val) AS b FROM longf
+      WHERE vec_id % 2 = 1 GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT ca.label, sum(a * b) AS dot, sum(a * a) AS na, sum(b * b) AS nb
+      FROM ca JOIN cb USING (label, pos) GROUP BY 1
+    ),
+    cnt_a AS (SELECT label, CAST(count(*) AS BIGINT) AS n_a FROM embeddings
+              WHERE vec_id % 2 = 0 GROUP BY 1),
+    cnt_b AS (SELECT label, CAST(count(*) AS BIGINT) AS n_b FROM embeddings
+              WHERE vec_id % 2 = 1 GROUP BY 1)
+    SELECT d.label, n_a, n_b,
+           round(CASE WHEN na > 0 AND nb > 0 THEN dot / (sqrt(na) * sqrt(nb)) END, 6)
+             AS cosine
+    FROM d JOIN cnt_a USING (label) JOIN cnt_b USING (label)
+    """,
+)
+def embedding_centroid_drift(spark, sf_dir):
+    """Per-label centroid drift between the even/odd vec_id halves of
+    the embedding corpus (similarity.py:centroid_drift): both sides
+    reduce through the posexplode centroid kernel, one (label, pos)
+    join, one keyed fold to cosine — the embedding-space
+    distribution-shift monitor. The synthetic halves are iid, so
+    cosines sit near 1; the oracle replays centroids, fold, and
+    counts."""
+    from cm_well_spark.operators.similarity import centroid_drift
+    from cm_well_spark.sources import tables as tbl
+
+    embs = tbl.load_table(spark, sf_dir, "embeddings")
+    a = embs.where(F.col("vec_id") % 2 == 0)
+    b = embs.where(F.col("vec_id") % 2 == 1)
+    return centroid_drift(a, b)

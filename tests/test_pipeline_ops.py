@@ -1976,3 +1976,23 @@ def test_semantic_knn_clusters_deterministic_under_partitioning(embs):
     a = {(r["vec_id"], r["cluster"]) for r in semantic_knn_clusters(sample).collect()}
     b = {(r["vec_id"], r["cluster"]) for r in semantic_knn_clusters(sample.repartition(9)).collect()}
     assert a == b
+
+
+def test_centroid_drift_identical_and_opposite(spark):
+    from cm_well_spark.operators.similarity import centroid_drift
+
+    a = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [1.0, 0.0], 0), (3, [0.0, 1.0], 1)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    # label 0 drifts to the opposite direction in B; label 1 identical
+    b = spark.createDataFrame(
+        [(4, [-1.0, 0.0], 0), (5, [0.0, 1.0], 1)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    got = {r["label"]: r for r in centroid_drift(a, b).collect()}
+    assert got[0]["cosine"] == -1.0 and got[0]["n_a"] == 2 and got[0]["n_b"] == 1
+    assert got[1]["cosine"] == 1.0
+    # a label present on one side only must not appear
+    c = spark.createDataFrame([(9, [1.0, 0.0], 7)], "vec_id long, embedding array<double>, label int")
+    assert centroid_drift(a, c).count() == 0
