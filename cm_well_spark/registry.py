@@ -31,6 +31,10 @@ ORACLES: dict[str, str] = {}
 
 def register(name: str, oracle: str | None = None):
     def deco(fn):
+        # a duplicate name would silently SHADOW the earlier entry in
+        # queries()/oracle_sql() — fail loudly at import instead
+        if name in QUERIES:
+            raise ValueError(f"registry entry {name!r} already registered")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = " ".join(oracle.split())
