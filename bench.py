@@ -171,6 +171,15 @@ def main() -> None:
         "agg_rollup_orders",
         "agg_rfm_segments",
         "temporal_scd2_orders",
+        # round-9 later tranches, distinct plan shapes only: corner-
+        # keeping wedge enumeration, multi-window single-sort session
+        # assignment, contribution-explode trailing distincts, min-plus
+        # relaxation rounds, grid-explode + keyed forward fill
+        "graph_clustering_coefficient",
+        "events_sessionize",
+        "events_active_users",
+        "graph_shortest_paths",
+        "events_resample_ffill",
         # curation_full_pipeline is oracle-checked but benched separately
         # (CMW_BENCH_QUERIES=curation_full_pipeline): ~20-35 s at sf0.1,
         # which under host contention + the warm-rerun rule would risk the
