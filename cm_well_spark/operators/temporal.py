@@ -954,3 +954,55 @@ def resample_ffill(
         F.last("__v", ignorenulls=True).over(fill).alias("value"),
         F.col("__v").isNotNull().alias("is_observed"),
     )
+
+
+def near_duplicate_events(
+    ev: DataFrame,
+    within_seconds: int = 60,
+    ts_col: str = "ts",
+    key_cols: tuple[str, ...] = ("user_id", "event_type"),
+    value_col: str | None = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Double-fire detection -> (id_a, id_b, gap_seconds): pairs of
+    events with the same key columns (and value, when `value_col` is
+    given) within `within_seconds` of each other — retry storms,
+    double-submitted purchases, crawler refetches. The event-level
+    cousin of document dedup.
+
+    Plan: the interval_range_join discipline — candidates meet in a
+    time bucket sized to the band (each left row joins its OWN bucket
+    and the PREVIOUS one, so a pair straddling a boundary still meets
+    exactly once via the later event's join), the exact |t_a - t_b| <=
+    band predicate re-applies as a residual, and ordering (id_a < id_b
+    with t_a <= t_b) emits each pair once. Join keys are (key...,
+    value, bucket) — never a per-key cross join over the full
+    history."""
+    t = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    band_us = within_seconds * 1_000_000
+    keys = list(key_cols) + ([value_col] if value_col else [])
+    base = ev.select(
+        *keys, F.col(id_col).alias("__id"), t.alias("__t"),
+        F.floor(t / band_us).alias("__bkt"),
+    )
+    # the later event of a pair probes its own bucket and the previous
+    # one; the earlier event sits in exactly one of those
+    probe = base.select(
+        *keys, F.col("__id").alias("__idb"), F.col("__t").alias("__tb"),
+        F.explode(F.array(F.col("__bkt"), F.col("__bkt") - 1)).alias("__bkt"),
+    )
+    pairs = (
+        base.join(probe, keys + ["__bkt"])
+        .where(
+            (F.col("__t") <= F.col("__tb"))
+            & (F.col("__tb") - F.col("__t") <= band_us)
+            & (F.col("__id") != F.col("__idb"))
+            # same-instant pairs: emit once, smaller id first
+            & ((F.col("__t") < F.col("__tb")) | (F.col("__id") < F.col("__idb")))
+        )
+    )
+    return pairs.select(
+        F.col("__id").alias("id_a"),
+        F.col("__idb").alias("id_b"),
+        F.round((F.col("__tb") - F.col("__t")) / 1_000_000.0, 6).alias("gap_seconds"),
+    ).distinct()

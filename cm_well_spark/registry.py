@@ -9286,3 +9286,32 @@ def embedding_centroid_drift(spark, sf_dir):
     a = embs.where(F.col("vec_id") % 2 == 0)
     b = embs.where(F.col("vec_id") % 2 == 1)
     return centroid_drift(a, b)
+
+
+@register(
+    "events_near_duplicates",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, event_type, ts FROM events)
+    SELECT a.event_id AS id_a, b.event_id AS id_b,
+           round((epoch_us(b.ts) - epoch_us(a.ts)) / 1000000.0, 6) AS gap_seconds
+    FROM e a JOIN e b
+      ON a.user_id = b.user_id AND a.event_type = b.event_type
+     AND a.event_id <> b.event_id
+     AND epoch_us(b.ts) - epoch_us(a.ts)
+         BETWEEN 0 AND CAST(3600 AS BIGINT) * 1000000
+     AND (a.ts < b.ts OR a.event_id < b.event_id)
+    """,
+)
+def events_near_duplicates(spark, sf_dir):
+    """Double-fire detection (temporal.py:near_duplicate_events): same
+    (user, type) pairs within 1 hour — retry storms and double submits,
+    found with the interval-bucketing discipline (each later event
+    probes its own and the previous band bucket; exact predicate as a
+    residual) instead of the per-key cross join over full history the
+    oracle runs. Value matching off here: the synthetic values are
+    continuous."""
+    from cm_well_spark.operators.temporal import near_duplicate_events
+    from cm_well_spark.sources import tables as tbl
+
+    ev = tbl.load_table(spark, sf_dir, "events")
+    return near_duplicate_events(ev, within_seconds=3600, value_col=None)

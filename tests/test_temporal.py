@@ -494,3 +494,26 @@ def test_resample_ffill_fills_gaps_per_key(spark):
     assert [r["is_observed"] for r in u1] == [True, False, False, True]
     # user 2's grid is exactly one bucket; no bleed from user 1
     assert {(k, b) for (k, b) in out if k == 2} == {(2, "2024-01-01 11:00")}
+
+
+def test_near_duplicate_events_band_and_buckets(spark):
+    from cm_well_spark.operators.temporal import near_duplicate_events
+
+    rows = [
+        # pair inside the band, straddling a 60s bucket boundary
+        (1, 7, "click", _ts("2024-01-01 10:00:59"), 1.0),
+        (2, 7, "click", _ts("2024-01-01 10:01:30"), 1.0),
+        # outside the band
+        (3, 7, "click", _ts("2024-01-01 10:05:00"), 1.0),
+        # same instant, same key -> one pair, smaller id first
+        (4, 8, "view", _ts("2024-01-01 10:00:00"), 2.0),
+        (5, 8, "view", _ts("2024-01-01 10:00:00"), 2.0),
+        # different type never pairs
+        (6, 7, "view", _ts("2024-01-01 10:01:00"), 1.0),
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "user_id", "event_type", "ts", "value"])
+    got = {(r["id_a"], r["id_b"]): r["gap_seconds"] for r in near_duplicate_events(ev).collect()}
+    assert got == {(1, 2): 31.0, (4, 5): 0.0}
+    # value matching: distinct values stop a pair
+    ev2 = ev.withColumn("value", F.col("event_id").cast("double"))
+    assert near_duplicate_events(ev2).count() == 0
