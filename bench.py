@@ -1,5 +1,19 @@
-"""Benchmark harness — times the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) and prints ONE JSON line.
+"""Benchmark harness — times the BASELINE core queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE compact JSON line to stdout.
+
+Harness contract (VERDICT r9 item 1 — the r7-r9 bench artifacts were lost):
+the driver keeps only the last ~2000 bytes of output and parses the JSON
+line out of that tail, and it enforces a wall-clock budget. Therefore:
+
+  * stdout carries EXACTLY ONE line — the compact core JSON (< ~1.5 KB).
+    All progress chatter goes to stderr; full detail (per-sample data,
+    adjudications, extended/sf1 blocks) goes to BENCH_LOCAL.json.
+  * the default run is the fixed BASELINE core (B1-B8 + one representative
+    per pipeline family, <=25 queries) budgeted well under 8 min wall
+    including cold ingest.
+  * the extended rotating-family block and the sf1 scale-evidence block
+    run only with CMW_BENCH_EXTENDED=1 and write to BENCH_EXTENDED.json,
+    never stdout.
 
 Ingest (lakehouse materialization) is timed separately as `ingest`; query
 timings are on the materialized store, mirroring the reference's
@@ -15,18 +29,16 @@ import time
 
 
 def _load_gate() -> tuple[float, float, bool]:
-    """Contention gate (VERDICT r8 item 1): four consecutive rounds
-    recorded phantom regressions because the canonical bench ran under
-    external CPU steal (r4 35x, r6 22s card, r7 7k rows/s ingest, r8
-    hard_negatives 6.6x) and a judge had to adjudicate each by hand.
-    Before sampling, if the 1-min loadavg exceeds ~cores/4, sleep-retry
-    up to CMW_BENCH_LOAD_WAIT_SEC (default 240 s); if the host is STILL
-    contended, return contended=True so the artifact carries the flag
-    and adjudicates itself. Returns (loadavg_at_gate, waited_sec,
-    contended)."""
+    """Contention gate (VERDICT r8 item 1): rounds 4-8 recorded phantom
+    regressions because the canonical bench ran under external CPU steal.
+    Before sampling, if the 1-min loadavg exceeds ~cores/4, sleep-retry up
+    to CMW_BENCH_LOAD_WAIT_SEC (default 120 s — lowered from 240 in r10 to
+    protect the driver's wall budget); if the host is STILL contended,
+    return contended=True so the artifact carries the flag and adjudicates
+    itself. Returns (loadavg_at_gate, waited_sec, contended)."""
     cores = os.cpu_count() or 32
     threshold = float(os.environ.get("CMW_BENCH_LOAD_GATE", str(max(4.0, cores / 4.0))))
-    max_wait = float(os.environ.get("CMW_BENCH_LOAD_WAIT_SEC", "240"))
+    max_wait = float(os.environ.get("CMW_BENCH_LOAD_WAIT_SEC", "120"))
     waited = 0.0
     load1 = os.getloadavg()[0]
     while load1 > threshold and waited < max_wait:
@@ -40,6 +52,177 @@ def _load_gate() -> tuple[float, float, bool]:
         waited += step
         load1 = os.getloadavg()[0]
     return load1, waited, load1 > threshold
+
+
+# Fixed BASELINE core — one row per BASELINE.md class plus one representative
+# per pipeline family, chosen for distinct plan shapes. This list is the
+# driver's canonical perf record; it must stay <=25 entries so the JSON line
+# fits the driver's 2000-byte tail (the r7/r8 parse failures were a too-long
+# line). Grow EXTENDED_QUERIES instead.
+CORE_QUERIES = [
+    "read_point",             # B1 point read
+    "search_equals",          # B2 qp search
+    "search_sort_page",       # B2 sort + page
+    "search_contains",        # B2 analyzed contains
+    "agg_term",               # B3
+    "agg_stats",              # B3
+    "agg_hist",               # B3
+    "agg_card_exact",         # B3
+    "agg_sig_terms",          # B3 (doc-route JLH)
+    "xg_two_levels",          # B4 expand-out
+    "yg_reverse",             # B5 expand-in
+    "sparql_bgp_join",        # B6
+    "sparql_graph_revenue",   # B6 heaviest multi-join BGP
+    "consume_first_chunk",    # B7 change-feed chunk
+    "merge_writer_current",   # write-path merge/versioning
+    "dedup_exact_groups",     # pipeline: exact dedup
+    "dedup_minhash_lsh",      # pipeline: banded-LSH near-dup
+    "similarity_topk_cosine", # pipeline: ANN baseline
+    "similarity_knn_graph",   # pipeline: data-scale ANN self-join
+    "text_token_counts",      # pipeline: text analysis scan
+    "curation_gopher_rules",  # pipeline: scan-riding quality rules
+    "pack_windows",           # pipeline: training export packing
+    "graph_pagerank",         # pipeline: iterated join+agg
+    "events_asof_latest_order",  # temporal one-shuffle as-of join
+    "multimodal_decode",      # pipeline: Arrow-batched decode
+]
+
+# Rotating/extended block — everything else worth tracking, run only with
+# CMW_BENCH_EXTENDED=1; results go to BENCH_EXTENDED.json (never stdout).
+EXTENDED_QUERIES = [
+    "search_range_num",
+    "xg_expand_out",
+    "gqp_semi_filter",
+    "gqp_two_hop",
+    "sparql_optional",
+    "sparql_path_seq",
+    "sparql_exists",
+    "sparql_subquery",
+    "sparql_graph_var",
+    "sparql_path_plus_deep",
+    "sparql_sum_expr_revenue",
+    "curation_repetition_signals",
+    "bulk_consume_range",
+    "dedup_cluster_components",
+    "curation_stratified_sample",
+    "curation_contamination",
+    "curation_quality_filter",
+    "embedding_semantic_dedup",
+    "sp_paths_sparql",
+    "curation_boilerplate_removal",
+    "dedup_incremental_batch",
+    "graph_sample_neighborhood",
+    "dedup_incremental_bloom",
+    "curation_classifier_score",
+    "similarity_hard_negatives",
+    "dedup_corpus_overlap",
+    "text_script_profile",
+    "agg_heavy_hitters",
+    "dedup_span_removal",
+    "curation_snapshot_diff",
+    "graph_triangles",
+    "graph_label_propagation",
+    "similarity_mmr_select",
+    "graph_connected_components",
+    "graph_kcore",
+    "graph_bfs_distances",
+    "text_readability",
+    "curation_decontaminate",
+    "dedup_knn_components",
+    "events_trending_topk",
+    "events_anomaly_zscore",
+    "events_funnel",
+    "graph_link_prediction",
+    "er_fuzzy_name_pairs",
+    "agg_association_rules",
+    "events_markov_transitions",
+    "events_rolling_trail",
+    "events_ohlc_daily",
+    "agg_rollup_orders",
+    "agg_rfm_segments",
+    "temporal_scd2_orders",
+    "graph_clustering_coefficient",
+    "events_sessionize",
+    "events_active_users",
+    "graph_shortest_paths",
+    "events_resample_ffill",
+]
+
+SF1_QUERIES = [
+    "read_point",
+    "search_equals",
+    "search_sort_page",
+    "agg_term",
+    "agg_stats",
+    "xg_expand_out",
+    "yg_reverse",
+    "sparql_bgp_join",
+    "sparql_graph_revenue",
+    "consume_first_chunk",
+    "dedup_exact_groups",
+    "similarity_topk_cosine",
+    "pack_windows",
+    "events_asof_latest_order",
+    "dedup_minhash_lsh",
+    "dedup_line_level",
+    "curation_gopher_rules",
+    "dedup_incremental_batch",
+    "graph_pagerank",
+    "graph_sample_neighborhood",
+    "similarity_hard_negatives",
+    "dedup_corpus_overlap",
+    "graph_triangles",
+    "graph_label_propagation",
+    "agg_heavy_hitters",
+    "dedup_span_removal",
+    "graph_bfs_distances",
+    "er_fuzzy_name_pairs",
+    "agg_association_rules",
+    "events_rolling_trail",
+    "agg_rollup_orders",
+    "temporal_scd2_orders",
+]
+
+
+def _time_queries(spark, sf_dir, qs, names, samples, *, min_flag_sec=0.2, tag=""):
+    """min-of-N sampling with sample-spread flagging (VERDICT r8 item 1).
+
+    BASELINE.md targets are WARM numbers; on a contended host any single
+    sample can be 5-30x the warm cost (the r4 adjudication traced a phantom
+    35x "regression" to host CPU steal), so every query takes min-of-N.
+    Budget trim (r10): after two samples within 1.25x of each other the
+    remaining draws are skipped — steady samples don't need a third. When a
+    query's worst sample exceeds 2.5x its best, the environment was noisy
+    DURING that query; those re-sample once at the end of the run (the tail
+    usually lands in a quieter slice) and keep the min."""
+    timings: dict[str, float] = {}
+    flagged: list[str] = []
+    for name in names:
+        if name not in qs:
+            continue
+        fn = qs[name]
+        best, worst, n = float("inf"), 0.0, 0
+        for i in range(max(1, samples)):
+            t0 = time.time()
+            n = fn(spark, sf_dir).count()
+            dt = time.time() - t0
+            best, worst = min(best, dt), max(worst, dt)
+            if i >= 1 and worst <= 1.25 * best:
+                break
+        timings[name] = round(best, 3)
+        if best > min_flag_sec and worst > 2.5 * best:
+            flagged.append(name)
+        print(f"# {tag}{name}: {n} rows in {timings[name]}s", file=sys.stderr)
+    rerun: dict[str, float] = {}
+    for name in flagged:
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        dt = time.time() - t0
+        rerun[name] = round(dt, 3)
+        if dt < timings[name]:
+            timings[name] = round(dt, 3)
+        print(f"# rerun {tag}{name}: {rerun[name]}s (kept {timings[name]}s)", file=sys.stderr)
+    return timings, rerun
 
 
 def main() -> None:
@@ -68,166 +251,16 @@ def main() -> None:
     load_triples(spark, sf_dir).count()
     warm_s = time.time() - t0
 
-    timings: dict[str, float] = {}
     qs = queries()
-    # representative headline set covering BASELINE.md B1-B8 + pipeline ops;
-    # CMW_BENCH_QUERIES=all runs every registry query
-    headline = [
-        "read_point",
-        "search_equals",
-        "search_range_num",
-        "search_sort_page",
-        "search_contains",
-        "agg_term",
-        "agg_stats",
-        "agg_hist",
-        "agg_card_exact",
-        "agg_sig_terms",
-        "xg_expand_out",
-        "xg_two_levels",
-        "yg_reverse",
-        "gqp_semi_filter",
-        "gqp_two_hop",
-        "sparql_bgp_join",
-        "sparql_optional",
-        "sparql_graph_revenue",
-        "sparql_path_seq",
-        "sparql_exists",
-        "sparql_subquery",
-        # round-5 operators with distinct plan shapes worth tracking
-        "sparql_graph_var",
-        "sparql_path_plus_deep",
-        "sparql_sum_expr_revenue",
-        "curation_repetition_signals",
-        "consume_first_chunk",
-        "bulk_consume_range",
-        "merge_writer_current",
-        "dedup_exact_groups",
-        "dedup_minhash_lsh",
-        "dedup_cluster_components",
-        "similarity_topk_cosine",
-        "text_token_counts",
-        "multimodal_decode",
-        "curation_stratified_sample",
-        "curation_contamination",
-        "curation_quality_filter",
-        # round-6 training-export operators with distinct plan shapes
-        "pack_windows",
-        "embedding_semantic_dedup",
-        # round-6 _sp arc: populate -> scope -> SPARQL in one plan
-        "sp_paths_sparql",
-        # round-6 temporal family: one-shuffle as-of join
-        "events_asof_latest_order",
-        # round-7 filter-rule family: scan-riding rules + keyed-agg join,
-        # and the two-equi-join batch-vs-store dedup
-        "curation_gopher_rules",
-        "curation_boilerplate_removal",
-        "dedup_incremental_batch",
-        # round-7 graph analytics (iterated join+agg), bloom-prefiltered
-        # dedup, and classifier inference (explode + literal-array lookup)
-        "graph_pagerank",
-        "graph_sample_neighborhood",
-        "dedup_incremental_bloom",
-        "curation_classifier_score",
-        "similarity_hard_negatives",
-        "dedup_corpus_overlap",
-        "text_script_profile",
-        # round-8 additions with distinct plan shapes: MG candidates +
-        # exact recount, positional-k-gram columnar cut, hash-only outer
-        # join, degree-oriented wedges, per-round LPA join+agg, greedy
-        # MMR chain over a bounded checkpointed candidate set
-        "agg_heavy_hitters",
-        "dedup_span_removal",
-        "curation_snapshot_diff",
-        "graph_triangles",
-        "graph_label_propagation",
-        "similarity_mmr_select",
-        # round-9 additions: star-contraction CC (iterated agg+join over
-        # the edge relation), fixpoint k-core peel, frontier BFS, and the
-        # two scan-expression entries (readability; shingle anti-join)
-        "graph_connected_components",
-        "graph_kcore",
-        "graph_bfs_distances",
-        "text_readability",
-        "curation_decontaminate",
-        # data-scale-queries ANN: bucket self-join + per-src window
-        "similarity_knn_graph",
-        # kNN edges -> star-contraction components (graph-route semdedup)
-        "dedup_knn_components",
-        # two-level windowing: per-window rank / trailing-baseline z
-        "events_trending_topk",
-        "events_anomaly_zscore",
-        "events_funnel",
-        # round-9 third/fourth tranches: apex wedge scoring + anti-join,
-        # deletion-neighborhood variant equi-join + levenshtein verify,
-        # basket-keyed pair self-join, per-key lead/range-frame windows,
-        # one-pass Expand rollup
-        "graph_link_prediction",
-        "er_fuzzy_name_pairs",
-        "agg_association_rules",
-        "events_markov_transitions",
-        "events_rolling_trail",
-        "events_ohlc_daily",
-        "agg_rollup_orders",
-        "agg_rfm_segments",
-        "temporal_scd2_orders",
-        # round-9 later tranches, distinct plan shapes only: corner-
-        # keeping wedge enumeration, multi-window single-sort session
-        # assignment, contribution-explode trailing distincts, min-plus
-        # relaxation rounds, grid-explode + keyed forward fill
-        "graph_clustering_coefficient",
-        "events_sessionize",
-        "events_active_users",
-        "graph_shortest_paths",
-        "events_resample_ffill",
-        # curation_full_pipeline is oracle-checked but benched separately
-        # (CMW_BENCH_QUERIES=curation_full_pipeline): ~20-35 s at sf0.1,
-        # which under host contention + the warm-rerun rule would risk the
-        # driver's bench timeout for no targeted BASELINE class
-    ]
     bench_names = os.environ.get("CMW_BENCH_QUERIES")
     if bench_names == "all":
         names = list(qs)
     elif bench_names:
         names = bench_names.split(",")
     else:
-        names = [n for n in headline if n in qs]
-    # BASELINE.md targets are WARM numbers; on a contended host any single
-    # sample can be 5-30x the warm cost (the r4 adjudication traced a
-    # phantom 35x "regression" to host CPU steal). Every query therefore
-    # takes min-of-N samples unconditionally (VERDICT r4 item 7); the r6
-    # default is 3 — sustained steal inflated BOTH of min-of-2's samples
-    # (a 22s record for a 1.9s-warm query), and the third draw usually
-    # lands in a quieter slice.
+        names = CORE_QUERIES
     samples = int(os.environ.get("CMW_BENCH_SAMPLES", "3"))
-    # sample-spread flagging (VERDICT r8 item 1): when a query's worst
-    # sample is >2.5x its best, the environment was noisy DURING that
-    # query and even min-of-N may be inflated — re-sample those once at
-    # the end of the run (the tail usually lands in a quieter slice)
-    # and keep the min. Sub-0.2s entries are skipped (scheduler noise).
-    spread_flagged: list[str] = []
-    for name in names:
-        fn = qs[name]
-        best, worst, n = float("inf"), 0.0, 0
-        for _ in range(max(1, samples)):
-            t0 = time.time()
-            n = fn(spark, sf_dir).count()
-            dt = time.time() - t0
-            best, worst = min(best, dt), max(worst, dt)
-        timings[name] = round(best, 3)
-        if best > 0.2 and worst > 2.5 * best:
-            spread_flagged.append(name)
-        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
-
-    rerun: dict[str, float] = {}
-    for name in spread_flagged:
-        t0 = time.time()
-        qs[name](spark, sf_dir).count()
-        dt = time.time() - t0
-        rerun[name] = round(dt, 3)
-        if dt < timings[name]:
-            timings[name] = round(dt, 3)
-        print(f"# rerun {name}: {rerun[name]}s (kept {timings[name]}s)", file=sys.stderr)
+    timings, rerun = _time_queries(spark, sf_dir, qs, names, samples)
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
@@ -239,151 +272,90 @@ def main() -> None:
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": dict(timings),
         "ingest_sec": round(ingest_s, 3),
         "ingest_rows": n_infotons,
         "ingest_rows_per_sec": round(n_infotons / ingest_s) if ingest_s > 1 else None,
         "warmup_sec": round(warm_s, 3),
         # host 1/5/15-min load averages: makes the record self-diagnosing
-        # under external CPU steal (the r4 phantom-regression signature)
+        # under external CPU steal (the r4 phantom-regression signature).
+        # contended=true means the start gate waited load_wait_sec and the
+        # 1-min loadavg was STILL above the gate — treat inflated entries
+        # as environment, not regression.
         "loadavg": [round(x, 2) for x in os.getloadavg()],
-        # contention self-adjudication (VERDICT r8 item 1): contended=true
-        # means the start gate waited load_wait_sec and the 1-min loadavg
-        # was STILL above the gate — treat inflated entries as environment,
-        # not regression. flagged_reruns lists queries whose sample spread
-        # exceeded 2.5x (noisy during measurement) with their end-of-run
-        # re-sample; timings keep the overall min.
         "contended": contended,
         "loadavg_at_gate": round(gate_load, 2),
         "loadavg_after_ingest": round(load_after_ingest, 2),
         "load_wait_sec": round(gate_waited, 1),
         "flagged_reruns": rerun,
         "sf": sf_val,
-        # r7 adjudication of the r6 sparql_graph_revenue record (1.21->1.65s,
-        # module untouched): the physical plan was re-read — 4 broadcast hash
-        # joins (every dim broadcast, the fact side never shuffled), partial+
-        # final hash agg, one 5-row exchange; nothing to improve. Warm reruns
-        # band 1.2-2.4s tracking loadavg 3-6 — the heaviest multi-join entry
-        # is simply the most steal-sensitive. Verdict: load noise, not a
-        # regression; the loadavg field above self-diagnoses future records.
-        "adjudications": {
-            "sparql_graph_revenue": "r6 1.65s = load noise; plan verified optimal (all-broadcast BGP join), warm band 1.2-2.4s at loadavg 3-6",
-            # r7: merge_writer_current 1.69->2.0-3.9s across samples. The only
-            # r7 change to merge.py (535c7b9) is pure code motion
-            # (decorate_versions extracted, git-diff-verified identical plan);
-            # the host was rebuilt this round (fresh OS file cache, store
-            # re-materialized) and the reading tracks loadavg 2-9. Not a plan
-            # regression; watch on a quiet box next round.
-            "merge_writer_current": "r7 2.0-3.9s band = rebuilt-host cache + load; merge.py diff is pure code motion, plan unchanged",
-            # r8 (VERDICT r7 item 3): the BENCH_r07 ingest record (126.2s =
-            # 7,059 rows/s, below the B8 >=10k/s target) was taken at
-            # loadavg 6.8-8.0 on the freshly rebuilt host; the judge's
-            # quiet-box rerun of IDENTICAL code measured 40.5s = 22,010
-            # rows/s, and the r7 write-path diff is pure code motion.
-            # Environmental, not a regression — this round's record should
-            # supersede it; if it again lands under target, compare loadavg.
-            "ingest": "r7 7.1k rows/s = host contention (loadavg 6.8-8.0); identical code measured 22.0k rows/s on a quiet box",
-        },
     }
+
+    # The canonical record: exactly ONE compact stdout line, small enough
+    # to survive the driver's 2000-byte tail window. Everything else goes
+    # to stderr or files.
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1800:
+        # never let the canonical line outgrow the tail window again:
+        # drop diagnostics first, then spill excess query timings to the
+        # local file (kept whole there)
+        for k in ("flagged_reruns", "loadavg_at_gate", "loadavg_after_ingest", "load_wait_sec"):
+            out.pop(k, None)
+        while len(json.dumps(out, separators=(",", ":"))) > 1800 and out["queries"]:
+            out["queries"].pop(next(iter(out["queries"])))
+        line = json.dumps(out, separators=(",", ":"))
+    print(line)
+    sys.stdout.flush()
+
+    detail = dict(out)
+    detail["queries"] = timings
+    detail["flagged_reruns"] = rerun
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+
+    if os.environ.get("CMW_BENCH_EXTENDED", "0") != "1":
+        return
+
+    # ---- extended block (opt-in, file-only output) ----------------------
+    ext: dict[str, object] = {}
+    ext_timings, ext_rerun = _time_queries(
+        spark, sf_dir, qs, EXTENDED_QUERIES, samples, tag="ext "
+    )
+    ext["queries"] = ext_timings
+    ext["flagged_reruns"] = ext_rerun
+    ext["total_sec"] = round(sum(ext_timings.values()), 3)
 
     # sf1 scale-evidence block (VERDICT r5 item 7): if the generated sf1
     # dataset exists (tools/gen_sf1.py, ~8.9M infotons), run a compact
     # subset LIVE against its materialized store — this exercises the
     # route-choice thresholds (indexed-agg cutoff, broadcast caps,
     # index-vs-doc qp route) on the other side of their cutoffs. The
-    # store build is fingerprint-cached, so per-round cost is queries
+    # store build is fingerprint-cached, so the per-run cost is queries
     # only. Set CMW_BENCH_SF1=0 to skip.
     sf1_dir = os.environ.get("CMW_BENCH_SF1_DIR", "/root/repo/.sfgen/sf1")
     if os.environ.get("CMW_BENCH_SF1", "1") != "0" and os.path.isdir(sf1_dir):
         t0 = time.time()
         materialize(spark, sf1_dir)
         sf1_ingest = time.time() - t0
-        sf1_subset = [
-            "read_point",
-            "search_equals",
-            "search_sort_page",
-            "agg_term",
-            "agg_stats",
-            "xg_expand_out",
-            "yg_reverse",
-            "sparql_bgp_join",
-            "sparql_graph_revenue",
-            "consume_first_chunk",
-            "dedup_exact_groups",
-            "similarity_topk_cosine",
-            # round-6 families at 10x: one-shuffle packing + as-of join
-            "pack_windows",
-            "events_asof_latest_order",
-            # round-7 families at 10x: banded-LSH dedup + line dedup +
-            # Gopher rules (repetition aggs over 10x docs)
-            "dedup_minhash_lsh",
-            "dedup_line_level",
-            "curation_gopher_rules",
-            "dedup_incremental_batch",
-            # round-8 (VERDICT r7 item 6): the r7 heavies at 10x —
-            # iterated join+agg, bounded-frontier sampling, broadcast-NLJ
-            # top-k mining, and the KMV-prefiltered overlap sketch
-            "graph_pagerank",
-            "graph_sample_neighborhood",
-            "similarity_hard_negatives",
-            "dedup_corpus_overlap",
-            # round-9 (VERDICT r8 item 4): the r8 heavies at 10x —
-            # degree-oriented wedge joins, per-round LPA, MG candidates +
-            # exact recount, positional-k-gram span cut
-            "graph_triangles",
-            "graph_label_propagation",
-            "agg_heavy_hitters",
-            "dedup_span_removal",
-            # round-9: frontier BFS over the 10x link graph (CC/k-core
-            # run on a fixed l_orderkey slice, so sf1 adds nothing there)
-            "graph_bfs_distances",
-            # round-9 third/fourth tranches at 10x: variant equi-join
-            # blocking, basket pair self-join, per-key windows, Expand
-            # rollup (link_prediction runs the fixed slice — no sf1 row)
-            "er_fuzzy_name_pairs",
-            "agg_association_rules",
-            "events_rolling_trail",
-            "agg_rollup_orders",
-            "temporal_scd2_orders",
-        ]
-        sf1_timings: dict[str, float] = {}
         # sf1 queries run 3-10x their sf0.1 cost; cap at 2 samples so the
-        # scale-evidence block never dominates the round's bench wall
-        sf1_samples = min(max(1, samples), 2)
-        sf1_flagged: list[str] = []
-        for name in sf1_subset:
-            if name not in qs:
-                continue
-            best, worst = float("inf"), 0.0
-            for _ in range(sf1_samples):
-                t0 = time.time()
-                qs[name](spark, sf1_dir).count()
-                dt = time.time() - t0
-                best, worst = min(best, dt), max(worst, dt)
-            sf1_timings[name] = round(best, 3)
-            if best > 0.5 and worst > 2.5 * best:
-                sf1_flagged.append(name)
-            print(f"# sf1 {name}: {sf1_timings[name]}s", file=sys.stderr)
-        sf1_rerun: dict[str, float] = {}
-        for name in sf1_flagged:
-            t0 = time.time()
-            qs[name](spark, sf1_dir).count()
-            dt = time.time() - t0
-            sf1_rerun[name] = round(dt, 3)
-            if dt < sf1_timings[name]:
-                sf1_timings[name] = round(dt, 3)
-            print(f"# sf1 rerun {name}: {sf1_rerun[name]}s", file=sys.stderr)
-        out["sf1"] = {
+        # scale block never dominates the wall
+        sf1_timings, sf1_rerun = _time_queries(
+            spark, sf1_dir, qs, SF1_QUERIES, min(max(1, samples), 2),
+            min_flag_sec=0.5, tag="sf1 ",
+        )
+        ext["sf1"] = {
             "sf": 1.0,
             "queries": sf1_timings,
             "total_sec": round(sum(sf1_timings.values()), 3),
-            # >0 only on the round that (re)builds the store
+            # >0 only on the run that (re)builds the store
             "ingest_sec": round(sf1_ingest, 3),
             "loadavg": [round(x, 2) for x in os.getloadavg()],
             "flagged_reruns": sf1_rerun,
         }
 
-    print(json.dumps(out))
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_EXTENDED.json"), "w") as f:
+        json.dump(ext, f, indent=1)
+    print(f"# extended block written to BENCH_EXTENDED.json", file=sys.stderr)
 
 
 if __name__ == "__main__":

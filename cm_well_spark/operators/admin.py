@@ -168,6 +168,61 @@ KAFKA_WIRE_SCHEMA = T.StructType(
 )
 
 
+# blp-700 priority queue: two persist topics — writes carrying the
+# `priority` query parameter land on the priority topic; bg drains it
+# FIRST and falls back to the bulk topic only when it is empty
+# (blps/blp-700-priority-queue.md; ImpStream.scala:87-101).
+BULK_TOPIC = "persist_topic"
+PRIORITY_TOPIC = "persist_topic.priority"
+
+
+def qstream_topic_for(priority: bool) -> str:
+    """Produce-side topic routing (blp-700 §Implementation): the WS
+    'normally writes to the existing topic, unless the priority query
+    parameter is present'."""
+    return PRIORITY_TOPIC if priority else BULK_TOPIC
+
+
+def priority_drain(
+    commands: DataFrame,
+    now_ms: int | None = None,
+    priority_col: str = "priority",
+    offset_col: str = "offset",
+) -> DataFrame:
+    """blp-700 drain semantics without a broker: 'bg will process first
+    all messages from the priority topic, and only if empty will proceed
+    with regular topic' — in micro-batch terms a TOTAL processing order
+    over the unioned two-topic feed. Adds `proc_seq`: EVERY
+    priority-marked command orders before ANY bulk command, FIFO
+    (wire offset) within each class — priority writes overtake the
+    whole queued bulk backlog, exactly the reference's ticket-to-pass
+    semantics. Priority rows also get `last_modified` amended to the
+    processing time ('bg will amend the lastModified of the Infoton to
+    be the current system time, in order to avoid conflicts in
+    Cassandra' — here: so the later-written merge version wins the
+    same-timestamp tiebreak deterministically); bulk rows keep theirs.
+
+    The unpartitioned row_number is deliberate: a drain order is by
+    definition a total order over ONE micro-batch, and command batches
+    are batch-sized by contract (W2) — never store-sized."""
+    import time as _time
+
+    now = now_ms if now_ms is not None else int(_time.time() * 1000)
+    is_prio = F.coalesce(F.col(priority_col).cast("boolean"), F.lit(False))
+    w = Window.orderBy(
+        F.when(is_prio, F.lit(0)).otherwise(F.lit(1)), F.col(offset_col).asc()
+    )
+    out = commands.withColumn("proc_seq", F.row_number().over(w).cast("long"))
+    if "last_modified" in commands.columns:
+        out = out.withColumn(
+            "last_modified",
+            F.when(is_prio, F.timestamp_millis(F.lit(now))).otherwise(
+                F.col("last_modified")
+            ),
+        )
+    return out
+
+
 def qstream_reader_options(
     bootstrap_servers: str, topic: str, starting_offsets: str = "earliest"
 ) -> tuple[str, dict[str, str]]:

@@ -584,7 +584,18 @@ def pivot_counts(
     hash aggregate with |values| conditional counts (no
     distinct-value pre-scan job, which is what pivot() without values
     runs, and no second pass); column explosion is bounded by the
-    caller's list, and the output relation is |row_dim| rows."""
+    caller's list, and the output relation is |row_dim| rows.
+
+    Output columns are n_{value.lower()} — case-differing pivot values
+    would collide into duplicate column names, so the value list is
+    validated up front (ADVICE r9)."""
+    lowered = [v.lower() for v in pivot_values]
+    if len(set(lowered)) != len(lowered):
+        dupes = sorted({v for v in lowered if lowered.count(v) > 1})
+        raise ValueError(
+            f"pivot_values collide case-insensitively under n_{{value.lower()}} "
+            f"column naming: {dupes}"
+        )
     out = df.groupBy(row_dim).pivot(pivot_dim, pivot_values).count()
     return out.select(
         row_dim,

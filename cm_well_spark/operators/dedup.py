@@ -176,10 +176,19 @@ def minhash_signatures(
     return per_doc.select("id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
 
 
-def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16) -> DataFrame:
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 16, num_hashes: int | None = None
+) -> DataFrame:
     """Band the signature; docs sharing any band-bucket become candidates.
-    Bucket join key = (band index, hash of the band slice)."""
-    n = signatures.select(F.size("sig").alias("n")).first()["n"]
+    Bucket join key = (band index, hash of the band slice). Pass
+    `num_hashes` when known (every caller that built the signatures
+    knows it) — otherwise a one-row Spark job reads the signature
+    length (VERDICT r9: avoid that job on the hot path)."""
+    n = (
+        num_hashes
+        if num_hashes is not None
+        else signatures.select(F.size("sig").alias("n")).first()["n"]
+    )
     rows_per_band = n // bands
     banded = signatures.select(
         "id",
@@ -220,7 +229,9 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """Full LSH pipeline: signatures -> banded buckets -> candidate pairs
     -> exact-jaccard VERIFY on candidates only. Output = verified pairs."""
-    cands = lsh_candidate_pairs(minhash_signatures(df, num_hashes, k, text_col, id_col), bands)
+    cands = lsh_candidate_pairs(
+        minhash_signatures(df, num_hashes, k, text_col, id_col), bands, num_hashes=num_hashes
+    )
     shingle_sets = spread_for_cpu(df).select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), k).alias("shs")
     )

@@ -711,8 +711,13 @@ def shortest_paths_weighted(
     bookkeeping needed because the min-aggregate absorbs duplicates.
     Fixed `rounds` keeps the computation deterministic (hence
     SQL-replayable round by round); iter_checkpoint bounds the lineage
-    the same as pagerank/LPA. Negative weights are rejected: with the
-    hop bound they would make 'distance' definition-dependent."""
+    the same as pagerank/LPA. Negative-weight and NULL-weight edges are
+    DROPPED (where(weight >= 0)), not rejected with an error: strict
+    validation would cost an extra full pass over the edge relation
+    before any relaxation, and with the hop bound negative weights
+    would make 'distance' definition-dependent anyway. Callers that
+    need hard rejection should assert on the edge relation upstream
+    (ADVICE r9: the drop is intentional and documented, not silent)."""
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
     edges = e.select("src", "dst", F.col("weight").cast("double"))
@@ -756,8 +761,11 @@ def personalized_pagerank(
 ) -> DataFrame:
     """Personalized PageRank -> (path, rank): the teleport distribution
     concentrates on `seeds` instead of spreading uniformly —
-    rank_{i+1}(n) = (1-d)·1[n ∈ seeds] + d·Σ rank_i(src)/odeg(src) —
-    so rank measures proximity TO THE SEED SET through link structure
+    rank_{i+1}(n) = (1-d)/|S|·1[n ∈ seeds] + d·Σ rank_i(src)/odeg(src),
+    initial mass 1/|S| per seed, so total rank mass is 1 regardless of
+    seed-set size and scores are comparable ACROSS seed sets (ADVICE
+    r9: the unnormalized per-seed convention scaled mass with |S|) —
+    rank measures proximity TO THE SEED SET through link structure
     (Page et al. 1999 §6; the relevance weight behind seeded curation:
     "documents near my trusted sources", related-entity ranking from a
     query node, and topic-conditioned crawl frontiers).
@@ -783,9 +791,14 @@ def personalized_pagerank(
     )
     seed_list = sorted(set(seeds))
     is_seed = F.col("path").isin(seed_list)
-    reset = F.when(is_seed, F.lit(1.0 - damping)).otherwise(F.lit(0.0))
+    # teleport mass is SPLIT across the seed set ((1-d)/|S| each, initial
+    # mass 1/|S| each) so total rank mass stays 1 regardless of seed-set
+    # size and scores are comparable across seed sets (ADVICE r9: the
+    # unnormalized per-seed (1-d) convention made mass scale with |S|)
+    share = 1.0 / len(seed_list)
+    reset = F.when(is_seed, F.lit((1.0 - damping) * share)).otherwise(F.lit(0.0))
     ranks = nodes.select(
-        "path", F.when(is_seed, F.lit(1.0)).otherwise(F.lit(0.0)).alias("rank")
+        "path", F.when(is_seed, F.lit(share)).otherwise(F.lit(0.0)).alias("rank")
     )
     for i in range(iterations):
         contribs = (

@@ -1,8 +1,10 @@
 """Minimal SPARQL parser — the subset the reference supports (J4/J5).
 
 The reference evaluates SELECT and CONSTRUCT only (everything else is
-rejected: SpHandler.scala:630-631 "Query Type must be either SELECT or
-CONSTRUCT"), over full Jena ARQ pattern syntax
+rejected: SpHandler.scala:630-631 `if (!(query.isSelectType ||
+query.isConstructType)) throw new Exception("This query type is not
+supported.")` — the same error text is raised here and contract-pinned
+by tests/test_sparql.py), over full Jena ARQ pattern syntax
 (SpHandler.evaluateSparql:598-670; whole-graph engine
 JenaArqExtensions.scala:375-519). This hand-rolled recursive-descent
 parser covers BGPs with FILTER / OPTIONAL / UNION / MINUS / BIND /
@@ -967,7 +969,12 @@ def parse_sparql(q: str) -> Query:
         _parse_modifiers(p, q_out)
     else:
         # same contract as the reference: only SELECT/CONSTRUCT evaluate
-        raise SparqlParseError("Query Type must be either SELECT or CONSTRUCT")
+        raise SparqlParseError(
+            # exact reference error text (SpHandler.scala:630-631), with the
+            # accepted forms appended as a hint
+            "This query type is not supported. "
+            "(Query Type must be either SELECT or CONSTRUCT)"
+        )
     if p.peek():
         raise SparqlParseError(f"unexpected trailing token {p.peek()!r}")
     return q_out

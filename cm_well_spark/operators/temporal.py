@@ -21,6 +21,36 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# Offset applied to both legs of the composite order key below: 2^62 keeps
+# pre-1970 (negative epoch-micros) timestamps and negative numeric ids
+# rendering as non-negative fixed-width decimals, where lexicographic =
+# numeric order (a raw negative long under %020d sorts reversed among
+# negatives). Contract: |epoch_micros| and |id| < 2^62 — i.e. timestamps
+# within astronomic range and ids below 4.6e18 — far outside any real data.
+_OKEY_OFFSET = 1 << 62
+
+
+def composite_order_key(ts_col: str, tiebreak_col: str) -> F.Column:
+    """Scalar composite (epoch-micros, tiebreak) ORDER KEY for
+    min_by/max_by: zero-padded fixed-width decimal so lexicographic =
+    numeric (both engines' arg-min/arg-max aggregates take ONE scalar
+    ordering column). Shared by ohlc_downsample, session_paths,
+    resample_ffill and streaming.windows.streaming_ohlc (ADVICE r9:
+    the key was previously inlined at each site without the negative
+    guard). A non-numeric tiebreak id falls back to xxhash64 of its
+    string form — an arbitrary-but-DETERMINISTIC total order, so
+    same-instant ties break consistently instead of on a silently NULL
+    cast; numeric ids keep exact numeric order."""
+    tb = F.coalesce(
+        F.col(tiebreak_col).cast("long"),
+        F.xxhash64(F.col(tiebreak_col).cast("string")),
+    )
+    return F.format_string(
+        "%020d|%020d",
+        F.unix_micros(F.col(ts_col).cast("timestamp")) + F.lit(_OKEY_OFFSET),
+        tb + F.lit(_OKEY_OFFSET),
+    )
+
 
 def asof_join(
     left: DataFrame,
@@ -430,12 +460,9 @@ def ohlc_downsample(
     is map-side combinable, which is what lets it eat 100 TB of events
     into |keys| x |buckets| rows. The order key is a zero-padded string
     (lexicographic = numeric for fixed width) because both engines'
-    arg-min aggregates take one scalar ordering column."""
-    okey = F.format_string(
-        "%020d|%020d",
-        F.unix_micros(F.col(ts_col).cast("timestamp")),
-        F.col(tiebreak_col).cast("long"),
-    )
+    arg-min aggregates take one scalar ordering column — see
+    composite_order_key for the negative-input guard."""
+    okey = composite_order_key(ts_col, tiebreak_col)
     return (
         ev.groupBy(
             key_col, F.window(ts_col, window).start.alias("__b")
@@ -774,11 +801,7 @@ def session_paths(
     and a global top-k (TakeOrderedAndProject-able literal limit with
     the path string as tiebreak)."""
     s = sessionize(ev, gap=gap, ts_col=ts_col, user_col=user_col, tiebreak_col=tiebreak_col)
-    okey = F.format_string(
-        "%020d|%020d",
-        F.unix_micros(F.col(ts_col).cast("timestamp")),
-        F.col(tiebreak_col).cast("long"),
-    )
+    okey = composite_order_key(ts_col, tiebreak_col)
     per_session = s.groupBy(user_col, "session_seq").agg(
         F.concat_ws(
             " > ",
@@ -928,11 +951,7 @@ def resample_ffill(
     gaps. A key's fill never reads another key's values — the window is
     keyed."""
     w = F.window(F.col(ts_col).cast("timestamp"), bucket)
-    okey = F.format_string(
-        "%020d|%020d",
-        F.unix_micros(F.col(ts_col).cast("timestamp")),
-        F.col(tiebreak_col).cast("long"),
-    )
+    okey = composite_order_key(ts_col, tiebreak_col)
     obs = (
         ev.groupBy(F.col(key_col).alias("key"), w.start.alias("__b"))
         .agg(F.round(F.max_by(F.col(value_col), okey), 6).alias("__v"))

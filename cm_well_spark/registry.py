@@ -6977,19 +6977,40 @@ def curation_train_val_test(spark, sf_dir):
     return train_val_test_split(docs).select("doc_id", "split")
 
 
-@register("embedding_pca_project")
+def _pca_twin() -> str:
+    from cm_well_spark.operators import pca_twin
+
+    return pca_twin.PCA_TWIN_VALUES
+
+
+@register(
+    "embedding_pca_project",
+    oracle=f"""
+    SELECT vec_id, pos, coord + 0.0 AS coord
+    FROM (VALUES {_pca_twin()}) AS t(vec_id, pos, coord)
+    """,
+)
 def embedding_pca_project(spark, sf_dir):
     """PCA to 8 components over the embeddings table (similarity.py:
-    pca_fit/pca_project). Rows-only by nature: the eigendecomposition is
-    iterative numerics no SQL replays; numpy parity, orthonormality and
-    captured-variance ordering are pytest-pinned. Output is the
-    projected coordinates rounded to 6."""
+    pca_fit/pca_project), surfaced as scalar rows (vec_id, pos, coord)
+    via posexplode — array columns break the driver's canonicalizer
+    (CORRECTNESS_r09's one red row). Hash-matched (r10, the r9
+    FFD/LSH/BPE promotion pattern): the eigendecomposition is
+    deterministic given the fixed input (sign-fixed eigenvectors,
+    descending-eigenvalue order), so tools/gen_pca_oracle.py re-derives
+    the projection with an INDEPENDENT single-pass numpy twin and
+    inlines it as a VALUES literal; numpy parity, orthonormality and
+    captured-variance ordering stay pytest-pinned. +0.0 on both sides
+    normalizes -0.0 for the canonical float format."""
     from cm_well_spark.operators.similarity import pca_fit, pca_project
     from cm_well_spark.sources import tables as tbl
 
     embs = tbl.load_table(spark, sf_dir, "embeddings")
     comps, mean = pca_fit(embs, 8)
-    return pca_project(embs, comps, mean, round_to=6)
+    proj = pca_project(embs, comps, mean, round_to=6)
+    return proj.select(
+        "vec_id", F.posexplode("proj").alias("pos", "coord")
+    ).select("vec_id", "pos", (F.col("coord") + F.lit(0.0)).alias("coord"))
 
 
 def _unigram_twin(name: str) -> str:
@@ -7956,10 +7977,10 @@ def er_fuzzy_name_pairs(spark, sf_dir):
     oracle="""
     SELECT event_type,
            strftime(time_bucket(INTERVAL 1 DAY, ts), '%Y-%m-%d %H:%M') AS bucket,
-           round(arg_min(value, printf('%020d|%020d', epoch_us(ts), event_id)), 6) AS open,
+           round(arg_min(value, printf('%020d|%020d', epoch_us(ts) + (1::BIGINT << 62), event_id + (1::BIGINT << 62))), 6) AS open,
            round(max(value), 6) AS high,
            round(min(value), 6) AS low,
-           round(arg_max(value, printf('%020d|%020d', epoch_us(ts), event_id)), 6) AS close,
+           round(arg_max(value, printf('%020d|%020d', epoch_us(ts) + (1::BIGINT << 62), event_id + (1::BIGINT << 62))), 6) AS close,
            CAST(count(*) AS BIGINT) AS n
     FROM events GROUP BY 1, 2
     """,
@@ -8563,7 +8584,7 @@ _PPR_SEEDS = ("/tpch/customer/1", "/tpch/customer/2")
 _PPR_STEP_SQL = """
     SELECT n.path,
            CASE WHEN n.path IN ('/tpch/customer/1', '/tpch/customer/2')
-                THEN CAST(0.15 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END
+                THEN CAST(0.15 AS DOUBLE) / 2 ELSE CAST(0 AS DOUBLE) END
            + CAST(0.85 AS DOUBLE) * COALESCE(c.contrib, 0) AS rank
     FROM nodes n LEFT JOIN (
       SELECT e.dst AS path, SUM(r.rank / d.odeg) AS contrib
@@ -8582,7 +8603,7 @@ _PPR_STEP_SQL = """
     r0 AS (
       SELECT path,
              CASE WHEN path IN ('/tpch/customer/1', '/tpch/customer/2')
-                  THEN CAST(1.0 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS rank
+                  THEN CAST(0.5 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS rank
       FROM nodes
     ),
     r1 AS (__STEP1__),
@@ -8596,10 +8617,12 @@ _PPR_STEP_SQL = """
 def graph_personalized_pagerank(spark, sf_dir):
     """3-iteration personalized PageRank from a two-customer seed set
     (graph.py:personalized_pagerank): the teleport mass lands on the
-    seeds only, so rank = link-proximity to the trusted set — the
-    seeded-curation weight. Same join+agg rounds as pagerank; the
-    oracle chains every round with the seeded reset vector, and the
-    support (rank > 0) is exactly the reachable set."""
+    seeds only — split as (1-d)/|S| per seed so total mass stays 1 and
+    scores are comparable across seed sets (ADVICE r9) — so rank =
+    link-proximity to the trusted set, the seeded-curation weight. Same
+    join+agg rounds as pagerank; the oracle chains every round with the
+    seeded reset vector, and the support (rank > 0) is exactly the
+    reachable set."""
     from cm_well_spark.operators.graph import DEFAULT_LINK_FIELDS, personalized_pagerank
 
     df = personalized_pagerank(
@@ -9207,7 +9230,7 @@ def events_activity_gini(spark, sf_dir):
     oracle="""
     WITH obs AS (
       SELECT user_id AS key, time_bucket(INTERVAL 1 DAY, ts) AS b,
-             round(arg_max(value, printf('%020d|%020d', epoch_us(ts), event_id)), 6)
+             round(arg_max(value, printf('%020d|%020d', epoch_us(ts) + (1::BIGINT << 62), event_id + (1::BIGINT << 62))), 6)
                AS v
       FROM events GROUP BY 1, 2
     ),

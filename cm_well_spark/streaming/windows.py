@@ -134,11 +134,9 @@ def streaming_ohlc(
     (key, window) is one running (order-key, value) pair per side —
     O(1), not the bucket's events. Batch backfill and the live candle
     feed stay one definition; pytest pins batch/stream parity."""
-    okey = F.format_string(
-        "%020d|%020d",
-        F.unix_micros(F.col(ts_col).cast("timestamp")),
-        F.col(tiebreak_col).cast("long"),
-    )
+    from cm_well_spark.operators.temporal import composite_order_key
+
+    okey = composite_order_key(ts_col, tiebreak_col)
     w = F.window(F.col(ts_col), window)
     return (
         stream.withWatermark(ts_col, watermark)

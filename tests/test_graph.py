@@ -258,13 +258,14 @@ def _ppr_py(edges, seeds, iterations, damping=0.85):
     odeg = {}
     for s, _ in edges:
         odeg[s] = odeg.get(s, 0) + 1
-    rank = {n: (1.0 if n in seeds else 0.0) for n in nodes}
+    share = 1.0 / len(seeds)  # normalized teleport: total mass 1 (ADVICE r9)
+    rank = {n: (share if n in seeds else 0.0) for n in nodes}
     for _ in range(iterations):
         contrib = {n: 0.0 for n in nodes}
         for s, d in edges:
             contrib[d] += rank[s] / odeg[s]
         rank = {
-            n: ((1 - damping) if n in seeds else 0.0) + damping * contrib[n]
+            n: ((1 - damping) * share if n in seeds else 0.0) + damping * contrib[n]
             for n in nodes
         }
     return {n: r for n, r in rank.items() if r > 0}

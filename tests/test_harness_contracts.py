@@ -110,3 +110,29 @@ def test_span_corruption_random_params_reconstruct(spark, seed):
                 m = re.fullmatch(r"<extra_id_(\d+)>", t)
                 toks += by_id[int(m.group(1))] if m else [t]
             assert toks == text.split(), (d, stride, span_len)
+
+
+def test_registry_outputs_are_scalar_columns(spark, sf_dir):
+    """Driver-canon output-shape contract (VERDICT r9 item 3): the
+    driver's correctness canonicalizer sorts and hashes a pandas frame,
+    which dies on array/map/struct cells (CORRECTNESS_r09's
+    embedding_pca_project returning ARRAY `proj` was the gate's one red
+    row). Every registry entry must therefore surface scalar-only
+    columns — posexplode arrays, flatten structs, join maps out — so
+    this class of harness failure is caught at build time, not by the
+    driver."""
+    from pyspark.sql import types as T
+
+    from cm_well_spark.registry import QUERIES
+
+    bad: dict[str, list[str]] = {}
+    for name, fn in sorted(QUERIES.items()):
+        df = fn(spark, sf_dir)
+        complex_cols = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+        ]
+        if complex_cols:
+            bad[name] = complex_cols
+    assert not bad, f"registry entries with non-scalar output columns: {bad}"

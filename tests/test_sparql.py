@@ -34,6 +34,24 @@ def test_parse_rejects_other_forms():
         parse_sparql("ASK { ?s <x> ?o }")
 
 
+@pytest.mark.parametrize(
+    "q",
+    [
+        "ASK { ?s <x> ?o }",
+        "DESCRIBE <http://ex.org/thing>",
+        "INSERT DATA { <a> <b> <c> }",
+    ],
+)
+def test_rejection_error_text_matches_reference(q):
+    """Error-text parity contract (VERDICT r9 item 6): the reference
+    rejects non-SELECT/CONSTRUCT forms with the exact message
+    `This query type is not supported.` (SpHandler.scala:630-631) —
+    a reference user switching engines sees the same error string."""
+    with pytest.raises(SparqlParseError) as exc:
+        parse_sparql(q)
+    assert str(exc.value).startswith("This query type is not supported.")
+
+
 def test_parse_semicolon_comma_sugar():
     q = parse_sparql('SELECT * WHERE { ?s <a> ?x ; <b> "v1", "v2" . }')
     assert len(q.where.triples) == 3

@@ -762,3 +762,64 @@ def test_streaming_ohlc_parity_with_batch_and_close_once(spark):
     )
     # closed bucket emitted exactly once across the later batches
     assert sum(1 for b in got if b == "2024-01-01 09:00") == 1
+
+
+def test_priority_queue_overtakes_bulk(spark, infotons):
+    """blp-700 priority semantics, broker-less (VERDICT r9 item 5): wire
+    fixtures for the two persist topics replayed through the REAL
+    parse path, then priority_drain — EVERY priority command orders
+    before ANY earlier-queued bulk command (FIFO within each class),
+    and priority rows get last_modified amended to processing time
+    (blp-700 §Implementation; ImpStream.scala:87-101)."""
+    from cm_well_spark.operators.admin import (
+        BULK_TOPIC,
+        PRIORITY_TOPIC,
+        priority_drain,
+        qstream_parse,
+        qstream_topic_for,
+        to_kafka_wire,
+    )
+
+    assert qstream_topic_for(False) == BULK_TOPIC == "persist_topic"
+    assert qstream_topic_for(True) == PRIORITY_TOPIC == "persist_topic.priority"
+
+    # four queued commands, interleaved arrival: bulk(n0), prio(n1),
+    # bulk(n2), prio(n3) — wire offset is the arrival order
+    src = infotons.where(F.col("path").rlike("^/tpch/nation/[0-3]$"))
+    wire = (
+        to_kafka_wire(src)
+        .withColumn("__key", F.regexp_extract(F.col("key").cast("string"), r"(\d+)$", 1).cast("int"))
+        .withColumn("offset", F.col("__key").cast("long"))
+        .withColumn(
+            "topic",
+            F.when(F.col("__key") % 2 == 1, F.lit(PRIORITY_TOPIC)).otherwise(F.lit(BULK_TOPIC)),
+        )
+        .withColumn("partition", F.lit(0))
+        .withColumn("timestamp", F.current_timestamp())
+        .withColumn("timestampType", F.lit(0))
+    )
+    parsed = qstream_parse(wire.drop("__key")).withColumn(
+        "offset", F.regexp_extract("path", r"(\d+)$", 1).cast("long")
+    ).withColumn("priority", F.col("offset") % 2 == 1)
+
+    now_ms = 1_800_000_000_000
+    drained = priority_drain(parsed, now_ms=now_ms).orderBy("proc_seq")
+    rows = drained.select("path", "proc_seq", "priority", "last_modified").collect()
+    order = [r["path"] for r in rows]
+    # priority (n1, n3) overtake the ENTIRE bulk backlog (n0, n2)
+    assert order == [
+        "/tpch/nation/1",
+        "/tpch/nation/3",
+        "/tpch/nation/0",
+        "/tpch/nation/2",
+    ]
+    assert [r["proc_seq"] for r in rows] == [1, 2, 3, 4]
+    # priority rows: last_modified amended to processing time; bulk keep theirs
+    import datetime
+
+    amended = datetime.datetime.fromtimestamp(now_ms / 1000)
+    for r in rows:
+        if r["priority"]:
+            assert r["last_modified"] == amended, r["path"]
+        else:
+            assert r["last_modified"] != amended, r["path"]
