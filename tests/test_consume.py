@@ -84,6 +84,35 @@ def test_bulk_consume_hint(infotons):
     assert seen == total
 
 
+def test_bulk_consume_exact_rank_boundary(infotons):
+    """exact=True: the delivered chunk is PRECISELY the length_hint
+    smallest index_times (deterministic sort-limit boundary — the
+    oracle-replayable mode behind the bulk_consume_range registry
+    promotion, VERDICT r9 item 4), and the resumed token continues from
+    the exact boundary with no row lost or repeated."""
+    from pyspark.sql import functions as F
+
+    token = create_consumer(path="/tpch/lineitem")
+    feed = stream(infotons, path="/tpch/lineitem")
+    total = feed.count()
+    token2, df, status = bulk_consume(infotons, token, length_hint=100, now_ms=NOW, exact=True)
+    assert status == 200 and df.count() == 100
+    want = {
+        r["uuid"]
+        for r in feed.orderBy(F.asc("index_time")).limit(100).select("uuid").collect()
+    }
+    got = {r["uuid"] for r in df.select("uuid").collect()}
+    assert got == want
+    # exact drain delivers everything exactly once, like the sketch path
+    seen = 100
+    for _ in range(total // 100 + 2):
+        token2, df, status = bulk_consume(infotons, token2, length_hint=100, now_ms=NOW, exact=True)
+        if status == 204:
+            break
+        seen += df.count()
+    assert seen == total
+
+
 def test_iterator_pages(infotons):
     token = create_iterator(path="/tpch/region")
     token, p1, s1 = next_chunk(infotons, token, length=3)
