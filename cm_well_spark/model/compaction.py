@@ -47,7 +47,11 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from cm_well_spark.model.lakehouse import collect_predicate_stats, triples_of
+from cm_well_spark.model.lakehouse import (
+    collect_predicate_stats,
+    merge_predicate_stats,
+    triples_of,
+)
 
 _INF_DELTA = "infotons_delta"
 _TRI_DELTA = "triples_delta"
@@ -219,20 +223,40 @@ def compact(
     spark: SparkSession,
     out: str,
     target_rows_per_file: int = 4_000_000,
+    mode: str = "auto",
 ) -> dict:
     """Fold deltas into the base and restore scan-optimal layout.
 
-    The ONE range shuffle per table is the clustering work ingest
-    deferred: repartitionByRange gives tasks disjoint key ranges, so the
-    written files' parquet min-max footers are globally disjoint —
-    read_point / path-prefix scans and bound-predicate (p, o) scans
-    prune at the FILE level again, however many incremental batches
-    accumulated. File count is bounded by target_rows_per_file. The fold
-    lands in fresh directories and swaps in by atomic rename, so
-    concurrent readers see either the old store or the new, never a mix.
+    mode="auto" (default) first tries the file-level incremental fold
+    (compact_incremental — O(delta + affected files), VERDICT r9 item 7)
+    and falls back to the full clustering shuffle when its preconditions
+    don't hold (first compact, overlapping ranges, oversized delta).
+    mode="full" forces the shuffle; mode="incremental" raises if the
+    incremental preconditions fail.
 
-    Returns {"infoton_files": n, "triple_files": n, "folded_batches": n}.
+    The full path: ONE range shuffle per table is the clustering work
+    ingest deferred — repartitionByRange gives tasks disjoint key
+    ranges, so the written files' parquet min-max footers are globally
+    disjoint — read_point / path-prefix scans and bound-predicate (p, o)
+    scans prune at the FILE level again, however many incremental
+    batches accumulated. File count is bounded by target_rows_per_file.
+    The fold lands in fresh directories and swaps in by atomic rename,
+    so concurrent readers see either the old store or the new, never a
+    mix.
+
+    Returns {"infoton_files": n, "triple_files": n, "folded_batches": n,
+    "mode": "full" | "incremental"}.
     """
+    if mode in ("auto", "incremental"):
+        r = compact_incremental(spark, out, target_rows_per_file)
+        if r is not None:
+            return r
+        if mode == "incremental":
+            raise ValueError(
+                "incremental compaction preconditions not met (no prior full "
+                "compact, overlapping file ranges, or delta beyond the "
+                "affected-fraction/path caps) — run mode='full' first"
+            )
     batches = _delta_batches(out, _INF_DELTA)
     inf = reconciled_infotons(spark, out)
     tri = reconciled_triples(spark, out)
@@ -268,6 +292,10 @@ def compact(
         d = os.path.join(out, name)
         if os.path.isdir(d):
             shutil.rmtree(d)
+    # the swap/removal invalidates listings Spark's FileStatusCache may
+    # hold for these paths; a later write_batch recreates batch=0 under
+    # the same name, and a stale cached listing would FILE_NOT_EXIST
+    spark.catalog.refreshByPath(out)
     collect_predicate_stats(spark, out)
     # seed/refresh the write_batch watermark (maintenance-job cost: one
     # column scan of the fresh files)
@@ -277,6 +305,9 @@ def compact(
         .first()["m"]
     )
     _write_watermark(out, m or 0)
+    # stamp the range-clustered layout: the gate that lets the NEXT
+    # compact take the incremental file-level path
+    _write_compacted_marker(out)
 
     def _n_files(table: str) -> int:
         total = 0
@@ -288,6 +319,7 @@ def compact(
         "infoton_files": _n_files("infotons"),
         "triple_files": _n_files("triples"),
         "folded_batches": len(batches),
+        "mode": "full",
     }
 
 
@@ -329,3 +361,434 @@ def compact_deltas(spark: SparkSession, out: str) -> dict:
     os.rename(tmp_root, old_root)
     shutil.rmtree(retired)
     return {"folded_batches": len(batches), "rows": int(n_rows)}
+
+
+# ---------------------------------------------------------------------------
+# Incremental (file-level) major compaction — VERDICT r9 item 7
+# ---------------------------------------------------------------------------
+
+# incremental pays off only while the rewrite set is a small slice of the
+# base; above this fraction of affected base files the single clustering
+# shuffle of a full compact is cheaper than per-file surgery
+_INCR_MAX_AFFECTED_FRACTION = 0.5
+
+
+def _succ(s: str) -> str:
+    """Smallest string strictly greater than s (half-open interval ends)."""
+    return s + "\x00"
+
+
+def _file_col_ranges(table_dir: str, col: str) -> dict[str, list[tuple[str, str, str]]]:
+    """Per partition subdir ("kind=..."/"p=..." or "" for flat), each
+    parquet file's (fname, min, max) for `col` from the parquet footer —
+    no data read. Files with no stats map to (fname, None, None)."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, list[tuple[str, str, str]]] = {}
+    subdirs = [d for d in os.listdir(table_dir) if "=" in d and os.path.isdir(os.path.join(table_dir, d))]
+    if not subdirs:
+        subdirs = [""]
+    for sub in subdirs:
+        d = os.path.join(table_dir, sub)
+        entries = []
+        for f in os.listdir(d):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(d, f)).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[col]).statistics
+                if st is None or st.min is None:
+                    lo = hi = None
+                    break
+                v_lo, v_hi = st.min, st.max
+                if isinstance(v_lo, bytes):
+                    v_lo, v_hi = v_lo.decode("utf-8", "replace"), v_hi.decode("utf-8", "replace")
+                lo = v_lo if lo is None else min(lo, v_lo)
+                hi = v_hi if hi is None else max(hi, v_hi)
+            entries.append((f, lo, hi))
+        out[sub] = sorted(entries, key=lambda e: (e[1] is None, e[1] or ""))
+    return out
+
+
+def _ranges_disjoint(entries: list[tuple[str, str, str]]) -> bool:
+    """True when the files' [lo, hi] key ranges never interleave (adjacent
+    files MAY share one boundary value — repartitionByRange on a composite
+    key splits mid-value). An uncompacted store (shuffle-free ingest)
+    fails this and must take the full clustering shuffle first."""
+    spans = [(lo, hi) for _f, lo, hi in entries]
+    if any(lo is None for lo, _ in spans):
+        return False
+    spans.sort()
+    return all(h1 <= l2 for (_l1, h1), (l2, _h2) in zip(spans, spans[1:]))
+
+
+def _intervals(entries: list[tuple[str, str, str]], affected: set[str], next_bid: int):
+    """Carve the key space of one partition subdir into half-open
+    intervals [start, end) — one per base file plus the gaps between
+    them — so every rewritten row lands in exactly one bucket and every
+    bucket's range is disjoint from every UNTOUCHED file's range.
+    Returns (rows, next_bid, file_bid) where rows = [(bid, start, end)]
+    covering the whole key space and file_bid maps affected fname -> bid."""
+    rows: list[tuple[int, str, str | None]] = []
+    file_bid: dict[str, int] = {}
+    cursor = ""
+    for fname, lo, hi in sorted(entries, key=lambda e: e[1]):
+        start = max(cursor, lo)
+        if cursor < start:  # gap before this file
+            rows.append((next_bid, cursor, start))
+            next_bid += 1
+        end = _succ(hi)
+        rows.append((next_bid, start, end))
+        if fname in affected:
+            file_bid[fname] = next_bid
+        next_bid += 1
+        cursor = max(cursor, end)
+    rows.append((next_bid, cursor, None))  # beyond the last file
+    next_bid += 1
+    return rows, next_bid, file_bid
+
+
+def _assign_buckets(df: DataFrame, key: str, interval_rows, spark: SparkSession) -> DataFrame:
+    """Tag each row with its interval bucket id via a broadcast range
+    join (BroadcastNestedLoopJoin, bounded: |rewritten slice| x
+    |intervals|, and the interval relation is file-count sized — the
+    bounded-dim broadcast the plan audit whitelists)."""
+    iv = spark.createDataFrame(
+        [(b, s, e) for b, s, e in interval_rows], "__bid INT, __lo STRING, __hi STRING"
+    )
+    cond = (F.col(key) >= F.col("__lo")) & (
+        F.col("__hi").isNull() | (F.col(key) < F.col("__hi"))
+    )
+    return df.join(F.broadcast(iv), cond).drop("__lo", "__hi")
+
+
+def _write_buckets(
+    df: DataFrame, part_col: str | None, tmp: str, target_rows_per_file: int, sort_keys: list[str]
+) -> None:
+    """One job writes every touched bucket with the disjointness
+    discipline: hash repartition on __bid puts each bucket entirely in
+    ONE task; partitionBy(__bid) splits the writer per bucket so a task
+    holding several buckets never mixes them in a file; the within-task
+    sort + maxRecordsPerFile rolling produces sequential, range-disjoint
+    file splits inside each bucket."""
+    n_bids = df.select("__bid").distinct().count()
+    part_by = ([part_col] if part_col else []) + ["__bid"]
+    (
+        df.repartition(max(1, n_bids), "__bid")
+        .sortWithinPartitions("__bid", *sort_keys)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", target_rows_per_file)
+        .partitionBy(*part_by)
+        .parquet(tmp)
+    )
+
+
+def _assemble(table_dir: str, tmp: str, staging: str, keep: dict[str, list[str]]) -> int:
+    """Build the new table dir: hardlink every untouched file from the
+    old dir, move the freshly written bucket files in (flattening the
+    __bid=… level), then atomically swap. Returns the file count."""
+    n = 0
+    os.makedirs(staging, exist_ok=True)
+    for sub, files in keep.items():
+        d = os.path.join(staging, sub) if sub else staging
+        os.makedirs(d, exist_ok=True)
+        for f in files:
+            os.link(os.path.join(table_dir, sub, f), os.path.join(d, f))
+            n += 1
+    if os.path.isdir(tmp):
+        for root, _dirs, files in os.walk(tmp):
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue
+                rel = os.path.relpath(root, tmp)
+                # rel = "kind=X/__bid=N" or "__bid=N" — strip the bucket level
+                parts = [p for p in rel.split(os.sep) if p != "." and not p.startswith("__bid=")]
+                d = os.path.join(staging, *parts) if parts else staging
+                os.makedirs(d, exist_ok=True)
+                os.rename(os.path.join(root, f), os.path.join(d, f))
+                n += 1
+    old = table_dir + "__old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(table_dir, old)
+    os.rename(staging, table_dir)
+    shutil.rmtree(old)
+    return n
+
+
+def _unescape_partition(sub: str) -> str:
+    """'p=a%3Ab' -> 'a:b' (Hive/Spark %-escaped partition dir names)."""
+    from urllib.parse import unquote
+
+    return unquote(sub.split("=", 1)[1]) if "=" in sub else sub
+
+
+_COMPACTED_MARKER = "_COMPACTED.json"
+
+
+def _write_compacted_marker(out: str) -> None:
+    import json
+
+    with open(os.path.join(out, _COMPACTED_MARKER), "w") as fh:
+        json.dump({"layout": "range-clustered"}, fh)
+
+
+def compact_incremental(
+    spark: SparkSession, out: str, target_rows_per_file: int = 4_000_000
+) -> dict | None:
+    """File-level major compaction (VERDICT r9 item 7): fold the pending
+    deltas into the base by rewriting ONLY the base files whose key
+    ranges the deltas touch, hardlinking every other file unchanged —
+    the Iceberg/Hudi partial-rewrite shape. O(delta + affected files),
+    not O(store): at sf1 a normal-cadence batch touches a handful of the
+    ~70 range-clustered files, so the fold costs seconds where the full
+    clustering shuffle costs ~10 minutes.
+
+    Preconditions (returns None -> caller falls back to the full
+    shuffle): a previous full compact stamped the layout marker (the
+    disjoint-range invariant this surgery preserves only holds on a
+    compaction-produced layout, and every file must carry footer stats),
+    per-subdir ranges actually disjoint, the affected path / (p, o) sets
+    bounded by _ISIN_PUSHDOWN_CAP, and the affected file fraction under
+    _INCR_MAX_AFFECTED_FRACTION.
+
+    Disjointness is preserved by construction: the key space of each
+    partition subdir is carved into half-open intervals (one per base
+    file + the gaps between), every rewritten row is bucket-tagged by
+    interval (broadcast range join), and _write_buckets keeps one bucket
+    per task / one file-roll chain per bucket — so a new file's range is
+    always a subset of an affected file's old range or of a gap, never
+    overlapping an untouched file. The affected-path version closure
+    makes the `current` recompute exact: ALL versions of a path live in
+    the one file whose range contains it, so affected files + deltas
+    contain every version of every affected path."""
+    import bisect
+
+    inf_dir = os.path.join(out, "infotons")
+    tri_dir = os.path.join(out, "triples")
+    if not (
+        os.path.isdir(inf_dir)
+        and os.path.isdir(tri_dir)
+        and os.path.exists(os.path.join(out, _COMPACTED_MARKER))
+    ):
+        return None
+    batches = _delta_batches(out, _INF_DELTA)
+    if not batches:
+        return None
+
+    deltas = spark.read.parquet(*batches)
+    # delta watermark NOW: deltas is lazy, and its files are gone by the
+    # bookkeeping step at the end
+    delta_max = deltas.agg(F.max("index_time").alias("m")).first()["m"]
+    path_rows = deltas.select("path").distinct().limit(_ISIN_PUSHDOWN_CAP + 1).collect()
+    if len(path_rows) > _ISIN_PUSHDOWN_CAP:
+        return None
+    aff_paths = sorted(r["path"] for r in path_rows)
+    aff_paths_df = F.broadcast(
+        spark.createDataFrame([(p,) for p in aff_paths], "__ap STRING")
+    )
+
+    # ---- infotons: footer-stat overlap on the leading sort key --------
+    inf_ranges = _file_col_ranges(inf_dir, "path")
+    inf_affected: dict[str, set[str]] = {}
+    n_files = n_aff = 0
+    for sub, entries in inf_ranges.items():
+        if not _ranges_disjoint(entries):
+            return None
+        aff = set()
+        for fname, lo, hi in entries:
+            i = bisect.bisect_left(aff_paths, lo)
+            if i < len(aff_paths) and aff_paths[i] <= hi:
+                aff.add(fname)
+        inf_affected[sub] = aff
+        n_files += len(entries)
+        n_aff += len(aff)
+    if n_files and n_aff / n_files > _INCR_MAX_AFFECTED_FRACTION:
+        return None
+
+    # ---- triples: scan-detect files holding affected subjects ---------
+    # (files are ranged on (o, s) inside each p dir — s footer stats are
+    # not selective, so one columnar (s, file) scan finds the old rows;
+    # shuffle-free: broadcast semi join + distinct over file names)
+    tri_base = spark.read.parquet(tri_dir)
+    hit_files = {
+        os.path.relpath(r["__f"], tri_dir)
+        for r in tri_base.withColumn("__f", F.input_file_name())
+        .join(aff_paths_df, F.col("s") == F.col("__ap"), "left_semi")
+        .select("__f")
+        .distinct()
+        .collect()
+    }
+    # normalize file:// prefixes input_file_name may carry
+    hit_files = {f.split(tri_dir + os.sep)[-1] if tri_dir in f else f for f in hit_files}
+
+    # the re-derived rows for affected subjects (same derivation as
+    # reconciled_triples), whose (p, o) targets decide which additional
+    # files must absorb new rows to keep ranges subset-of-old
+    inf_base_slice_files = [
+        os.path.join(inf_dir, sub, f) for sub, aff in inf_affected.items() for f in aff
+    ]
+    base_slice = (
+        spark.read.option("basePath", inf_dir).parquet(*inf_base_slice_files)
+        if inf_base_slice_files
+        else spark.createDataFrame([], spark.read.parquet(inf_dir).schema)
+    )
+    rewritten_inf = base_slice.unionByName(
+        deltas.select(*base_slice.columns), allowMissingColumns=False
+    )
+    w = Window.partitionBy("path").orderBy(F.desc("index_time"))
+    rewritten_inf = rewritten_inf.withColumn("current", F.row_number().over(w) == 1)
+    touched_docs = rewritten_inf.join(
+        aff_paths_df, F.col("path") == F.col("__ap"), "left_semi"
+    )
+    new_tri = triples_of(touched_docs).select(*tri_base.columns)
+    po_rows = (
+        new_tri.select("p", "o").distinct().limit(_ISIN_PUSHDOWN_CAP + 1).collect()
+    )
+    if len(po_rows) > _ISIN_PUSHDOWN_CAP:
+        return None
+    new_po: dict[str, list[str]] = {}
+    for r in po_rows:
+        new_po.setdefault(r["p"], []).append(r["o"])
+    for v in new_po.values():
+        v.sort()
+
+    tri_ranges = _file_col_ranges(tri_dir, "o")
+    tri_affected: dict[str, set[str]] = {}
+    t_files = t_aff = 0
+    for sub, entries in tri_ranges.items():
+        if not _ranges_disjoint(entries):
+            return None
+        pval = _unescape_partition(sub)
+        os_new = new_po.get(pval, [])
+        aff = set()
+        for fname, lo, hi in entries:
+            rel = os.path.join(sub, fname) if sub else fname
+            if rel in hit_files or fname in hit_files:
+                aff.add(fname)
+                continue
+            i = bisect.bisect_left(os_new, lo)
+            if i < len(os_new) and os_new[i] <= hi:
+                aff.add(fname)
+        tri_affected[sub] = aff
+        t_files += len(entries)
+        t_aff += len(aff)
+    if t_files and t_aff / t_files > _INCR_MAX_AFFECTED_FRACTION:
+        return None
+
+    # ---- bucket intervals + writes ------------------------------------
+    part_values_inf = {
+        _unescape_partition(sub): sub for sub in inf_ranges if sub
+    }
+    iv_rows_inf: list[tuple[str, int, str, str | None]] = []
+    bid = 0
+    for sub, entries in inf_ranges.items():
+        rows, bid, _fb = _intervals(entries, inf_affected[sub], bid)
+        pv = _unescape_partition(sub) if sub else ""
+        iv_rows_inf += [(pv, b, s, e) for b, s, e in rows]
+    # kinds that only exist in the deltas: one open interval each
+    delta_kinds = {r["kind"] for r in deltas.select("kind").distinct().collect()}
+    for k in sorted(delta_kinds - set(part_values_inf)):
+        iv_rows_inf.append((k, bid, "", None))
+        bid += 1
+
+    iv_inf = spark.createDataFrame(
+        iv_rows_inf, "__pv STRING, __bid INT, __lo STRING, __hi STRING"
+    )
+    tagged_inf = rewritten_inf.join(
+        F.broadcast(iv_inf),
+        (F.col("kind") == F.col("__pv"))
+        & (F.col("path") >= F.col("__lo"))
+        & (F.col("__hi").isNull() | (F.col("path") < F.col("__hi"))),
+    ).drop("__pv", "__lo", "__hi", "__ap")
+    inf_tmp = os.path.join(out, "infotons__increment")
+    if os.path.exists(inf_tmp):
+        shutil.rmtree(inf_tmp)
+    _write_buckets(tagged_inf, "kind", inf_tmp, target_rows_per_file, ["path", "index_time"])
+
+    tri_slice = (
+        spark.read.option("basePath", tri_dir).parquet(
+            *[
+                os.path.join(tri_dir, sub, f)
+                for sub, aff in tri_affected.items()
+                for f in aff
+            ]
+        )
+        if any(tri_affected.values())
+        else spark.createDataFrame([], tri_base.schema)
+    )
+    # per-predicate row churn for the threshold-ANALYZE stats merge —
+    # computed NOW, while the old files are still readable
+    per_p_removed = {
+        r["p"]: r["n"]
+        for r in tri_slice.join(aff_paths_df, F.col("s") == F.col("__ap"), "left_semi")
+        .groupBy("p")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    per_p_added = {
+        r["p"]: r["n"]
+        for r in new_tri.groupBy("p").agg(F.count("*").alias("n")).collect()
+    }
+    rewritten_tri = tri_slice.join(
+        aff_paths_df, F.col("s") == F.col("__ap"), "left_anti"
+    ).unionByName(new_tri)
+    iv_rows_tri: list[tuple[str, int, str, str | None]] = []
+    for sub, entries in tri_ranges.items():
+        rows, bid, _fb = _intervals(entries, tri_affected[sub], bid)
+        pv = _unescape_partition(sub) if sub else ""
+        iv_rows_tri += [(pv, b, s, e) for b, s, e in rows]
+    for p in sorted(set(new_po) - {_unescape_partition(s) for s in tri_ranges}):
+        iv_rows_tri.append((p, bid, "", None))
+        bid += 1
+    iv_tri = spark.createDataFrame(
+        iv_rows_tri, "__pv STRING, __bid INT, __lo STRING, __hi STRING"
+    )
+    tagged_tri = rewritten_tri.join(
+        F.broadcast(iv_tri),
+        (F.col("p") == F.col("__pv"))
+        & (F.col("o") >= F.col("__lo"))
+        & (F.col("__hi").isNull() | (F.col("o") < F.col("__hi"))),
+    ).drop("__pv", "__lo", "__hi")
+    tri_tmp = os.path.join(out, "triples__increment")
+    if os.path.exists(tri_tmp):
+        shutil.rmtree(tri_tmp)
+    _write_buckets(tagged_tri, "p", tri_tmp, target_rows_per_file, ["o", "s"])
+
+    # ---- assemble + swap + bookkeeping --------------------------------
+    keep_inf = {
+        sub: [f for f, _lo, _hi in entries if f not in inf_affected[sub]]
+        for sub, entries in inf_ranges.items()
+    }
+    keep_tri = {
+        sub: [f for f, _lo, _hi in entries if f not in tri_affected[sub]]
+        for sub, entries in tri_ranges.items()
+    }
+    n_inf_files = _assemble(inf_dir, inf_tmp, os.path.join(out, "infotons__staging"), keep_inf)
+    n_tri_files = _assemble(tri_dir, tri_tmp, os.path.join(out, "triples__staging"), keep_tri)
+    for tmp in (inf_tmp, tri_tmp):
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+    for name in (_INF_DELTA, _TRI_DELTA):
+        d = os.path.join(out, name)
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+    # drop stale FileStatusCache listings for the swapped/removed dirs
+    # (same hazard as in the full path: batch=0 gets recreated later)
+    spark.catalog.refreshByPath(out)
+    # threshold-ANALYZE: exact n_triples merge now, full sketch recollect
+    # only when cumulative churn crosses the staleness gate (the full
+    # pass is the dominant ~273 s of an sf1 compact — r10 measurement)
+    stats_mode = merge_predicate_stats(spark, out, per_p_added, per_p_removed)
+    _write_watermark(out, max(_read_watermark(out) or 0, delta_max or 0))
+    return {
+        "mode": "incremental",
+        "stats": stats_mode,
+        "infoton_files": n_inf_files,
+        "triple_files": n_tri_files,
+        "folded_batches": len(batches),
+        "rewritten_infoton_files": n_aff,
+        "rewritten_triple_files": t_aff,
+    }

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -89,6 +90,16 @@ def collect_predicate_stats(spark: SparkSession, out: str) -> None:
     the initial materialization AND by compaction, so stats stay honest
     after incremental merge batches fold in."""
     t = spark.read.parquet(os.path.join(out, "triples"))
+    _predicate_stats_frame(t, spark).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out, "predicate_stats")
+    )
+    _write_stats_staleness(out, 0)
+
+
+def _predicate_stats_frame(t: DataFrame, spark: SparkSession) -> DataFrame:
+    """The stats aggregation over a triples relation (full store or a
+    predicate-pruned slice — merge_predicate_stats reuses it for new
+    predicates only)."""
     base = t.groupBy("p").agg(
         F.count("*").alias("n_triples"),
         F.approx_count_distinct("o").alias("n_distinct_obj"),
@@ -114,9 +125,86 @@ def collect_predicate_stats(spark: SparkSession, out: str) -> None:
             F.max(F.col("__ty").isNull().cast("int")).alias("has_untyped"),
         )
     )
-    base.join(cov, "p", "left").coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(out, "predicate_stats")
-    )
+    return base.join(cov, "p", "left")
+
+
+_STATS_STALENESS = "_STATS_STALENESS.json"
+
+
+def _read_stats_staleness(out: str) -> int:
+    p = os.path.join(out, _STATS_STALENESS)
+    if not os.path.exists(p):
+        return 0
+    with open(p) as fh:
+        return int(json.load(fh).get("churn_rows", 0))
+
+
+def _write_stats_staleness(out: str, churn_rows: int) -> None:
+    with open(os.path.join(out, _STATS_STALENESS), "w") as fh:
+        json.dump({"churn_rows": int(churn_rows)}, fh)
+
+
+def merge_predicate_stats(
+    spark: SparkSession,
+    out: str,
+    per_p_added: dict[str, int],
+    per_p_removed: dict[str, int],
+    full_threshold: float = 0.02,
+) -> str:
+    """Threshold-ANALYZE stats maintenance for the incremental compact
+    (VERDICT r9 item 7): a delta bounded by the incremental gate moves
+    the reorderer's cardinalities negligibly, so a full stats pass (the
+    dominant ~273 s of an sf1 compact, measured r10) is wasted work on
+    every fold. Instead:
+      - n_triples per predicate adjusts EXACTLY from the delta's
+        added/removed row counts (driver-side merge over the bounded
+        stats relation);
+      - brand-new predicates get the full stats aggregation over a
+        partition-pruned scan of just their p dirs (delta-sized);
+      - the distinct-count sketches / type coverage of existing
+        predicates stay as-is, with the cumulative un-analyzed churn
+        tracked in _STATS_STALENESS.json — once it crosses
+        max(100k rows, full_threshold x store), the next call runs the
+        full collect_predicate_stats and resets. The standard
+        auto-ANALYZE staleness contract.
+    Returns "full" or "merged"."""
+    stats_path = os.path.join(out, "predicate_stats")
+    st = spark.read.parquet(stats_path)
+    rows = st.collect()  # bounded: one row per predicate
+    churn = sum(per_p_added.values()) + sum(per_p_removed.values())
+    total = sum(r["n_triples"] for r in rows) or 1
+    if _read_stats_staleness(out) + churn > max(100_000, full_threshold * total):
+        collect_predicate_stats(spark, out)
+        return "full"
+
+    known = {r["p"] for r in rows}
+    adjusted = []
+    for r in rows:
+        d = r.asDict()
+        d["n_triples"] = (
+            d["n_triples"] + per_p_added.get(d["p"], 0) - per_p_removed.get(d["p"], 0)
+        )
+        adjusted.append(d)
+    merged = spark.createDataFrame(adjusted, st.schema)
+    new_ps = sorted((set(per_p_added) | set(per_p_removed)) - known)
+    if new_ps:
+        t = spark.read.parquet(os.path.join(out, "triples")).where(
+            F.col("p").isin(new_ps)  # partition-pruned: reads only the new p dirs
+        )
+        merged = merged.unionByName(
+            _predicate_stats_frame(t, spark).select(*st.columns)
+        )
+    tmp = stats_path + "__staging"
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    old = stats_path + "__old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(stats_path, old)
+    os.rename(tmp, stats_path)
+    shutil.rmtree(old)
+    spark.catalog.refreshByPath(stats_path)
+    _write_stats_staleness(out, _read_stats_staleness(out) + churn)
+    return "merged"
 
 
 def materialize(spark: SparkSession, sf_dir: str, root: str | None = None, force: bool = False) -> str:

@@ -79,14 +79,20 @@ class GraphTraversal:
         triples: DataFrame,
         frontier: DataFrame | None = None,
         bounded: bool = False,
+        side_effects: dict[str, DataFrame] | None = None,
     ):
         self.infotons = infotons.where(F.col("current"))
         self.triples = triples.where(F.col("current"))
         self.frontier = frontier  # DataFrame["path" (+ label cols)]
         self.bounded = bounded
+        # named side-effect sets (Blueprints aggregate/store), read back
+        # by except_/retain/cap
+        self.side_effects = side_effects or {}
 
     def _with(self, frontier: DataFrame, bounded: bool = False) -> "GraphTraversal":
-        return GraphTraversal(self.infotons, self.triples, frontier, bounded)
+        return GraphTraversal(
+            self.infotons, self.triples, frontier, bounded, self.side_effects
+        )
 
     def _hinted(self, df: DataFrame) -> DataFrame:
         return F.broadcast(df) if self.bounded else df
@@ -238,6 +244,91 @@ class GraphTraversal:
         if lo < 0 or hi < lo:
             raise ValueError(f"invalid range [{lo}, {hi}]")
         return self._with(self.frontier.offset(lo).limit(hi - lo + 1), self.bounded)
+
+    # ---- Blueprints side-effect steps (aggregate/store/except/retain,
+    # table/tree caps) — the Gremlin-2 vocabulary the reference plugin
+    # gets for free from the Groovy engine (GremlinParser.eval evaluates
+    # arbitrary pipes over the Blueprints JenaGraph) ------------------------
+
+    def aggregate(self, name: str) -> "GraphTraversal":
+        """AggregatePipe: snapshot the CURRENT elements into the named
+        side-effect set and continue unchanged — the set is read back by
+        except_/retain/cap. The classic use is friend-of-friend minus
+        friends: .out().aggregate('x').out().except('x'). Gremlin-2's
+        greedy (aggregate) vs lazy (store) fill-order distinction is a
+        pull-engine evaluation artifact with no DataFrame analog — both
+        name the same declarative set here."""
+        se = dict(self.side_effects)
+        se[name] = self.frontier.select("path").distinct()
+        return GraphTraversal(self.infotons, self.triples, self.frontier, self.bounded, se)
+
+    def store(self, name: str) -> "GraphTraversal":
+        """StorePipe: same set semantics as aggregate (see note there)."""
+        return self.aggregate(name)
+
+    def except_(self, name: str) -> "GraphTraversal":
+        """ExceptFilterPipe over a named set: keep elements NOT in it —
+        one anti join against the (traversal-bounded) set."""
+        if name not in self.side_effects:
+            raise ValueError(f"no side-effect set named {name!r}")
+        return self._with(
+            self.frontier.join(
+                F.broadcast(self.side_effects[name].withColumnRenamed("path", "__x")),
+                F.col("path") == F.col("__x"),
+                "left_anti",
+            ),
+            self.bounded,
+        )
+
+    def retain(self, name: str) -> "GraphTraversal":
+        """RetainFilterPipe over a named set: keep ONLY elements in it."""
+        if name not in self.side_effects:
+            raise ValueError(f"no side-effect set named {name!r}")
+        return self._with(
+            self.frontier.join(
+                F.broadcast(self.side_effects[name].withColumnRenamed("path", "__x")),
+                F.col("path") == F.col("__x"),
+                "left_semi",
+            ),
+            self.bounded,
+        )
+
+    def cap(self, name: str) -> DataFrame:
+        """SideEffectCapPipe: emit the named aggregate/store set."""
+        if name not in self.side_effects:
+            raise ValueError(f"no side-effect set named {name!r}")
+        return self.side_effects[name]
+
+    def table(self) -> DataFrame:
+        """TablePipe: one row per surviving binding of ALL as_-labeled
+        steps (label order), plus the current position — the relational
+        rendering of Gremlin-2's side-effect table."""
+        lbls = self._labels()
+        if not lbls:
+            raise ValueError("table() needs at least one as_() label")
+        return self.frontier.select(
+            *[F.col(c).alias(c[len(_LBL):]) for c in lbls], "path"
+        ).distinct()
+
+    def tree(self) -> DataFrame:
+        """TreePipe, flattened: the traversal trail as a (depth, parent,
+        child) edge relation — depth d links the d-th labeled step to the
+        d+1-th (the current position closes the trail). The nested-map
+        rendering Gremlin-2 prints is a driver-side fold of exactly these
+        rows; the relation is the scale-safe part."""
+        lbls = self._labels()
+        if not lbls:
+            raise ValueError("tree() needs at least one as_() label")
+        seq = [F.col(c) for c in lbls] + [F.col("path")]
+        out = None
+        for d in range(len(seq) - 1):
+            lvl = self.frontier.select(
+                F.lit(d).alias("depth"),
+                seq[d].alias("parent"),
+                seq[d + 1].alias("child"),
+            )
+            out = lvl if out is None else out.unionAll(lvl)
+        return out.distinct()
 
     def group_count(self, field: str) -> DataFrame:
         """`groupCount` pipe over a property: (value, n) per distinct
@@ -512,6 +603,10 @@ def eval_gremlin(infotons: DataFrame, triples: DataFrame, query: str):
         "order": lambda tr, *a: tr.order(*a),
         "limit": lambda tr, n: tr.limit(int(n)),
         "range": lambda tr, lo, hi: tr.range(int(lo), int(hi)),
+        "aggregate": lambda tr, name: tr.aggregate(name),
+        "store": lambda tr, name: tr.store(name),
+        "except": lambda tr, name: tr.except_(name),
+        "retain": lambda tr, name: tr.retain(name),
     }
     terminals = {
         "paths": lambda tr: tr.paths(),
@@ -521,6 +616,9 @@ def eval_gremlin(infotons: DataFrame, triples: DataFrame, query: str):
         "select": lambda tr, *names: tr.select(*names),
         "path": lambda tr: tr.path(),
         "groupCount": lambda tr, f: tr.group_count(f),
+        "cap": lambda tr, name: tr.cap(name),
+        "table": lambda tr: tr.table(),
+        "tree": lambda tr: tr.tree(),
     }
     for i, seg in enumerate(segments):
         m = _CALL.match(seg)

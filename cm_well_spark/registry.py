@@ -9389,3 +9389,43 @@ def events_near_duplicates(spark, sf_dir):
 
     ev = tbl.load_table(spark, sf_dir, "events")
     return near_duplicate_events(ev, within_seconds=3600, value_col=None)
+
+
+@register(
+    "auth_visibility_filter",
+    oracle="""
+    SELECT '/tpch/nation/' || n_nationkey AS path FROM nation
+    UNION ALL
+    SELECT '/tpch/supplier/10' AS path
+    """,
+)
+def auth_visibility_filter(spark, sf_dir):
+    """Row-level security (auth.py:permission_filter — the analytic core
+    of the reference's security/Authorization.scala:67-103): the
+    principal's signed path rules compile to ONE boolean Column riding
+    the scan. This principal reads /tpch/nation recursively, is denied
+    /tpch/supplier recursively at user level, holds a role granting the
+    single path /tpch/supplier/10 (the reference's role-overrides-
+    user-deny fall-through, :88-99), and carries a +r on /tpch/supp —
+    the isSubfolderOf boundary decoy that must NOT leak /tpch/supplier
+    (:37-41). The oracle replays the decided set: all nations plus the
+    role-granted supplier."""
+    from cm_well_spark.operators.auth import visible
+
+    user = {
+        "paths": [
+            {"id": "/tpch/nation", "recursive": True, "sign": "+", "permissions": "r"},
+            {"id": "/tpch/supp", "recursive": True, "sign": "+", "permissions": "r"},
+            {"id": "/tpch/supplier", "recursive": True, "sign": "-", "permissions": "rw"},
+        ],
+        "roles": ["auditor"],
+    }
+    roles = {
+        "auditor": {
+            "paths": [
+                {"id": "/tpch/supplier/10", "recursive": False, "sign": "+", "permissions": "r"}
+            ]
+        }
+    }
+    inf = _inf(spark, sf_dir).where(F.col("current"))
+    return visible(inf, user, roles=roles).select("path")

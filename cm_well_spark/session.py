@@ -35,6 +35,14 @@ def get_spark(app_name: str = "cm_well_spark", shuffle_partitions: int | None = 
         # Evaluating a few hundred min/max containment checks per row
         # group is nanoseconds against the MBs of decode it skips.
         .config("spark.sql.parquet.pushdown.inFilterThreshold", "1000")
+        # single-JVM local mode: a long full-GC pause during a heavy
+        # clustering shuffle can starve the in-process heartbeat thread —
+        # observed killing an sf1 compact with "unable to send heartbeats
+        # to driver more than 60 times" (r10). Wider heartbeat/network
+        # windows are the standard guidance and equally ship-safe on a
+        # real cluster.
+        .config("spark.executor.heartbeatInterval", "60s")
+        .config("spark.network.timeout", "600s")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

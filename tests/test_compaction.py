@@ -418,3 +418,158 @@ def test_minor_compaction_random_schedule_consume_parity(spark, store, tmp_path,
     assert _current_fields(
         compaction.reconciled_infotons(spark, folded)
     ) == _current_fields(compaction.reconciled_infotons(spark, plain))
+
+
+def _path_spans_disjoint(table_dir):
+    """Per partition subdir: each file's (min, max) of the leading sort
+    key from the parquet footer, asserted pairwise disjoint."""
+    import pyarrow.parquet as pq
+
+    for sub in os.listdir(table_dir):
+        d = os.path.join(table_dir, sub)
+        if "=" not in sub or not os.path.isdir(d):
+            continue
+        col = "path" if sub.startswith("kind=") else "o"
+        spans = []
+        for f in os.listdir(d):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(d, f)).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[col]).statistics
+                if st is None:
+                    continue
+                mn = st.min.decode() if isinstance(st.min, bytes) else st.min
+                mx = st.max.decode() if isinstance(st.max, bytes) else st.max
+                lo = mn if lo is None else min(lo, mn)
+                hi = mx if hi is None else max(hi, mx)
+            if lo is not None:
+                spans.append((lo, hi))
+        spans.sort()
+        for (l1, h1), (l2, h2) in zip(spans, spans[1:]):
+            assert h1 <= l2, f"overlapping {col} ranges in {sub}: {h1!r} > {l2!r}"
+
+
+def test_incremental_compact_parity_layout_and_bounded_rewrite(spark, tmp_path_factory):
+    """VERDICT r9 item 7: after a full compact has stamped the
+    range-clustered layout, the next compact takes the FILE-LEVEL
+    incremental path — same reconciled answers as merge-on-read, deltas
+    gone, per-file ranges still disjoint, and only the delta-affected
+    files rewritten (untouched files survive byte-identical via
+    hardlink)."""
+    from cm_well_spark.model.compaction import (
+        compact,
+        reconciled_infotons,
+        reconciled_triples,
+        write_batch,
+    )
+    from cm_well_spark.model.lakehouse import materialize
+
+    src = materialize(spark, SF_DIR)
+    dst = str(tmp_path_factory.mktemp("ilake") / "store")
+    shutil.copytree(src, dst)
+
+    r1 = compact(spark, dst, target_rows_per_file=2_000)
+    assert r1["mode"] == "full"
+    inf_dir = os.path.join(dst, "infotons")
+    inventory = {
+        (sub, f): os.stat(os.path.join(inf_dir, sub, f)).st_ino
+        for sub in os.listdir(inf_dir)
+        if os.path.isdir(os.path.join(inf_dir, sub))
+        for f in os.listdir(os.path.join(inf_dir, sub))
+        if f.endswith(".parquet")
+    }
+
+    lm = datetime(2024, 4, 1)
+    write_batch(
+        spark,
+        dst,
+        _cmds(
+            spark,
+            [
+                ("/tpch/region/0", 1, "write", {"extra": [_sfv("inc1")]}, None, lm, "https"),
+                ("/tpch/nation/7", 1, "write", {"name": [_sfv("RENAMED")]}, None, lm, "https"),
+            ],
+        ),
+    )
+    write_batch(
+        spark,
+        dst,
+        _cmds(
+            spark,
+            [
+                ("/tpch/region/0", 1, "write", {"extra": [_sfv("inc2")]}, None, lm, "https"),
+                ("/tpch/zzz/new", 1, "write", {"name": [_sfv("BRANDNEW")]}, None, lm, "https"),
+            ],
+        ),
+    )
+
+    before_inf = _current_fields(reconciled_infotons(spark, dst))
+    tri_before = reconciled_triples(spark, dst)
+    n_tri_before = tri_before.count()
+    aff = ["/tpch/region/0", "/tpch/nation/7", "/tpch/zzz/new"]
+    tri_aff_before = {
+        tuple(r)
+        for r in tri_before.where(F.col("s").isin(aff))
+        .select("s", "p", "o", "current")
+        .collect()
+    }
+
+    r2 = compact(spark, dst, target_rows_per_file=2_000)
+    assert r2["mode"] == "incremental"
+    assert r2["folded_batches"] == 2
+    assert not os.path.isdir(os.path.join(dst, "infotons_delta"))
+    # bounded surgery: strictly fewer files rewritten than kept
+    assert 1 <= r2["rewritten_infoton_files"] < len(inventory)
+
+    after_inf = spark.read.parquet(inf_dir)
+    assert _current_fields(after_inf) == before_inf
+    after_tri = spark.read.parquet(os.path.join(dst, "triples"))
+    assert after_tri.count() == n_tri_before
+    tri_aff_after = {
+        tuple(r)
+        for r in after_tri.where(F.col("s").isin(aff))
+        .select("s", "p", "o", "current")
+        .collect()
+    }
+    assert tri_aff_after == tri_aff_before
+
+    _path_spans_disjoint(inf_dir)
+    _path_spans_disjoint(os.path.join(dst, "triples"))
+
+    # untouched files survive as hardlinks to the same inodes
+    surviving = {
+        (sub, f): os.stat(os.path.join(inf_dir, sub, f)).st_ino
+        for sub in os.listdir(inf_dir)
+        if os.path.isdir(os.path.join(inf_dir, sub))
+        for f in os.listdir(os.path.join(inf_dir, sub))
+        if f.endswith(".parquet")
+    }
+    kept = set(inventory) & set(surviving)
+    assert len(kept) == len(inventory) - r2["rewritten_infoton_files"]
+    assert all(surviving[k] == inventory[k] for k in kept)
+
+    # stats refreshed: the renamed nation is visible to the reorderer
+    stats = spark.read.parquet(os.path.join(dst, "predicate_stats"))
+    assert stats.where(F.col("p") == "name").first()["n_triples"] >= 1
+
+
+def test_incremental_mode_raises_without_prior_full_compact(spark, tmp_path_factory):
+    from cm_well_spark.model.compaction import compact, write_batch
+    from cm_well_spark.model.lakehouse import materialize
+
+    src = materialize(spark, SF_DIR)
+    dst = str(tmp_path_factory.mktemp("ulake") / "store")
+    shutil.copytree(src, dst)
+    lm = datetime(2024, 4, 1)
+    write_batch(
+        spark,
+        dst,
+        _cmds(spark, [("/tpch/region/0", 1, "write", {"extra": [_sfv("x")]}, None, lm, "https")]),
+    )
+    with pytest.raises(ValueError, match="incremental compaction preconditions"):
+        compact(spark, dst, mode="incremental")
+    # auto falls back to the full clustering shuffle on the same store
+    assert compact(spark, dst)["mode"] == "full"
