@@ -507,7 +507,16 @@ def _assemble(table_dir: str, tmp: str, staging: str, keep: dict[str, list[str]]
                 parts = [p for p in rel.split(os.sep) if p != "." and not p.startswith("__bid=")]
                 d = os.path.join(staging, *parts) if parts else staging
                 os.makedirs(d, exist_ok=True)
-                os.rename(os.path.join(root, f), os.path.join(d, f))
+                # a task writing several buckets emits the SAME part
+                # filename in each __bid dir; flattening with the bare
+                # name silently overwrote siblings (r10 parity-test
+                # catch — whole buckets vanished). Prefix the bucket id
+                # to keep every flattened file unique.
+                bid = next(
+                    (p.split("=", 1)[1] for p in rel.split(os.sep) if p.startswith("__bid=")),
+                    "0",
+                )
+                os.rename(os.path.join(root, f), os.path.join(d, f"bid{bid}-{f}"))
                 n += 1
     old = table_dir + "__old"
     if os.path.exists(old):
@@ -638,8 +647,24 @@ def compact_incremental(
     rewritten_inf = base_slice.unionByName(
         deltas.select(*base_slice.columns), allowMissingColumns=False
     )
+    # `current` recompute is scoped to AFFECTED paths only: their version
+    # closure is provably inside the slice (every file containing any
+    # version of an affected path is itself affected, checked per kind
+    # dir). A non-affected path that merely shares a file with an
+    # affected one may have versions elsewhere — e.g. its tombstone in
+    # the kind=DeletedInfoton dir — so its stored flags pass through
+    # untouched (r10 parity-test catch: the blanket window flipped a
+    # deleted path's old object version back to current).
     w = Window.partitionBy("path").orderBy(F.desc("index_time"))
-    rewritten_inf = rewritten_inf.withColumn("current", F.row_number().over(w) == 1)
+    rewritten_inf = (
+        rewritten_inf.withColumn("__rc", F.row_number().over(w) == 1)
+        .join(aff_paths_df, F.col("path") == F.col("__ap"), "left")
+        .withColumn(
+            "current",
+            F.when(F.col("__ap").isNotNull(), F.col("__rc")).otherwise(F.col("current")),
+        )
+        .drop("__ap", "__rc")
+    )
     touched_docs = rewritten_inf.join(
         aff_paths_df, F.col("path") == F.col("__ap"), "left_semi"
     )

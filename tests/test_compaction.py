@@ -573,3 +573,76 @@ def test_incremental_mode_raises_without_prior_full_compact(spark, tmp_path_fact
         compact(spark, dst, mode="incremental")
     # auto falls back to the full clustering shuffle on the same store
     assert compact(spark, dst)["mode"] == "full"
+
+
+@pytest.mark.parametrize("seed", [11, 23])
+def test_incremental_vs_full_compact_random_schedule(spark, tmp_path_factory, seed):
+    """Property pin for the incremental fold (r10): twin stores take the
+    SAME randomized write/delete-attribute/delete-path batch schedule
+    with interleaved compactions — one twin folds incrementally (after
+    an initial full compact stamps the layout), the other always takes
+    the full clustering shuffle. The reconciled current view, the full
+    version sets, and the triples view must be identical, and the
+    incremental twin's per-file ranges must stay disjoint after every
+    fold (delete semantics, multi-version paths, and brand-new paths
+    all flow through the file-level surgery)."""
+    import random
+
+    from cm_well_spark.model import compaction
+    from cm_well_spark.model.lakehouse import materialize
+
+    rng = random.Random(seed)
+    src = materialize(spark, SF_DIR)
+    inc = str(tmp_path_factory.mktemp(f"inc{seed}") / "s")
+    full = str(tmp_path_factory.mktemp(f"full{seed}") / "s")
+    shutil.copytree(src, inc)
+    shutil.copytree(src, full)
+    r = compaction.compact(spark, inc, target_rows_per_file=2_000)
+    assert r["mode"] == "full"  # stamps the layout marker
+    compaction.compact(spark, full, target_rows_per_file=2_000, mode="full")
+
+    lm = datetime(2024, 8, 1)
+    paths = [f"/tpch/region/{i}" for i in range(10)] + [
+        f"/tpch/brandnew/{seed}-{i}" for i in range(3)
+    ]
+    n_incremental = 0
+    for step in range(3):
+        cmds = []
+        for _ in range(rng.randrange(1, 5)):
+            p = rng.choice(paths)
+            op = rng.choices(["write", "delete_attributes", "delete_path"], [0.7, 0.15, 0.15])[0]
+            if op == "write":
+                cmds.append((p, 1, "write", {"extra": [_sfv(f"s{step}v{rng.randrange(100)}")]}, None, lm, "https"))
+            elif op == "delete_attributes":
+                cmds.append((p, 1, "delete_attributes", None, {"extra": []}, lm, "https"))
+            else:
+                cmds.append((p, 1, "delete_path", None, None, lm, "https"))
+        for out in (inc, full):
+            compaction.write_batch(spark, out, _cmds(spark, cmds))
+        ri = compaction.compact(spark, inc, target_rows_per_file=2_000)
+        rf = compaction.compact(spark, full, target_rows_per_file=2_000, mode="full")
+        assert rf["mode"] == "full"
+        if ri["mode"] == "incremental":
+            n_incremental += 1
+        _path_spans_disjoint(os.path.join(inc, "infotons"))
+        _path_spans_disjoint(os.path.join(inc, "triples"))
+    assert n_incremental >= 2, f"schedule exercised too few incremental folds (seed {seed})"
+
+    inf_inc = spark.read.parquet(os.path.join(inc, "infotons"))
+    inf_full = spark.read.parquet(os.path.join(full, "infotons"))
+    assert _current_fields(inf_inc) == _current_fields(inf_full)
+    # full version-set parity (history preserved identically)
+    vs = lambda df: {
+        (r["path"], r["index_time"], r["uuid"], r["current"], r["kind"])
+        for r in df.collect()
+    }
+    assert vs(inf_inc.select("path", "index_time", "uuid", "current", "kind")) == vs(
+        inf_full.select("path", "index_time", "uuid", "current", "kind")
+    )
+    tri = lambda out: {
+        tuple(r)
+        for r in spark.read.parquet(os.path.join(out, "triples"))
+        .select("s", "p", "o", "g", "index_time", "current")
+        .collect()
+    }
+    assert tri(inc) == tri(full)
