@@ -345,6 +345,15 @@ def main() -> None:
         t0 = time.time()
         materialize(spark, sf1_dir)
         sf1_ingest = time.time() - t0
+        # warm the sf1 store like the sf0.1 block: BASELINE numbers are
+        # WARM by convention, and with CMW_CACHE=1 the first query to
+        # touch the 98M-row triples table otherwise pays the whole
+        # in-memory materialization inside ITS timing (r10: a 0.6s
+        # partition-pruned agg recorded 31s that way)
+        t0 = time.time()
+        load_infotons(spark, sf1_dir).count()
+        load_triples(spark, sf1_dir).count()
+        sf1_warm = time.time() - t0
         # sf1 queries run 3-10x their sf0.1 cost; cap at 2 samples so the
         # scale block never dominates the wall
         sf1_timings, sf1_rerun = _time_queries(
@@ -357,6 +366,7 @@ def main() -> None:
             "total_sec": round(sum(sf1_timings.values()), 3),
             # >0 only on the run that (re)builds the store
             "ingest_sec": round(sf1_ingest, 3),
+            "warmup_sec": round(sf1_warm, 3),
             "loadavg": [round(x, 2) for x in os.getloadavg()],
             "flagged_reruns": sf1_rerun,
         }
