@@ -28,7 +28,12 @@ import sys
 import time
 
 
-def _load_gate() -> tuple[float, float, bool]:
+def _gate_threshold() -> float:
+    cores = os.cpu_count() or 32
+    return float(os.environ.get("CMW_BENCH_LOAD_GATE", str(max(4.0, cores / 4.0))))
+
+
+def _load_gate(max_wait: float | None = None) -> tuple[float, float, bool]:
     """Contention gate (VERDICT r8 item 1): rounds 4-8 recorded phantom
     regressions because the canonical bench ran under external CPU steal.
     Before sampling, if the 1-min loadavg exceeds ~cores/4, sleep-retry up
@@ -36,9 +41,9 @@ def _load_gate() -> tuple[float, float, bool]:
     protect the driver's wall budget); if the host is STILL contended,
     return contended=True so the artifact carries the flag and adjudicates
     itself. Returns (loadavg_at_gate, waited_sec, contended)."""
-    cores = os.cpu_count() or 32
-    threshold = float(os.environ.get("CMW_BENCH_LOAD_GATE", str(max(4.0, cores / 4.0))))
-    max_wait = float(os.environ.get("CMW_BENCH_LOAD_WAIT_SEC", "120"))
+    threshold = _gate_threshold()
+    if max_wait is None:
+        max_wait = float(os.environ.get("CMW_BENCH_LOAD_WAIT_SEC", "120"))
     waited = 0.0
     load1 = os.getloadavg()[0]
     while load1 > threshold and waited < max_wait:
@@ -251,8 +256,20 @@ def main() -> None:
         materialize(spark, sf_dir, force=force)
         ingest_s = min(ingest_s, time.time() - t0)
     # loadavg right after the ingest phase: a B8 reading taken under
-    # external steal self-diagnoses here even when the start gate passed
+    # external steal self-diagnoses here even when the start gate passed.
+    # r11 (VERDICT item 2): if the load CROSSED the gate during ingest, the
+    # min-of-N samples all ran under steal — re-gate (short wait) and take
+    # one more sample so the B8 record reflects capability, not load.
     load_after_ingest = os.getloadavg()[0]
+    ingest_resampled = False
+    if force and load_after_ingest > _gate_threshold():
+        _load_gate(max_wait=60.0)
+        t0 = time.time()
+        materialize(spark, sf_dir, force=True)
+        ingest_s = min(ingest_s, time.time() - t0)
+        load_after_ingest = os.getloadavg()[0]
+        ingest_resampled = True
+        print(f"# ingest re-sampled after load spike: {ingest_s:.1f}s best", file=sys.stderr)
 
     t0 = time.time()
     n_infotons = load_infotons(spark, sf_dir).count()
@@ -294,6 +311,7 @@ def main() -> None:
         "contended": contended,
         "loadavg_at_gate": round(gate_load, 2),
         "loadavg_after_ingest": round(load_after_ingest, 2),
+        "ingest_resampled": ingest_resampled,
         "load_wait_sec": round(gate_waited, 1),
         "flagged_reruns": rerun,
         "sf": sf_val,
@@ -307,7 +325,8 @@ def main() -> None:
         # never let the canonical line outgrow the tail window again:
         # drop diagnostics first, then spill excess query timings to the
         # local file (kept whole there)
-        for k in ("flagged_reruns", "loadavg_at_gate", "loadavg_after_ingest", "load_wait_sec"):
+        for k in ("flagged_reruns", "loadavg_at_gate", "loadavg_after_ingest",
+                  "ingest_resampled", "load_wait_sec"):
             out.pop(k, None)
         while len(json.dumps(out, separators=(",", ":"))) > 1800 and out["queries"]:
             out["queries"].pop(next(iter(out["queries"])))
@@ -325,13 +344,20 @@ def main() -> None:
         return
 
     # ---- extended block (opt-in, file-only output) ----------------------
+    # r11 (VERDICT item 1): the r10 sf1 numbers were contention-poisoned
+    # (loadavg 13-18.5) — re-run the gate BEFORE each block and stamp
+    # per-block loadavg/contended so every block self-adjudicates.
     ext: dict[str, object] = {}
+    ext_gate_load, ext_waited, ext_contended = _load_gate()
+    ext["loadavg_at_gate"] = round(ext_gate_load, 2)
+    ext["contended"] = ext_contended
     ext_timings, ext_rerun = _time_queries(
         spark, sf_dir, qs, EXTENDED_QUERIES, samples, tag="ext "
     )
     ext["queries"] = ext_timings
     ext["flagged_reruns"] = ext_rerun
     ext["total_sec"] = round(sum(ext_timings.values()), 3)
+    ext["loadavg_after"] = [round(x, 2) for x in os.getloadavg()]
 
     # sf1 scale-evidence block (VERDICT r5 item 7): if the generated sf1
     # dataset exists (tools/gen_sf1.py, ~8.9M infotons), run a compact
@@ -354,6 +380,11 @@ def main() -> None:
         load_infotons(spark, sf1_dir).count()
         load_triples(spark, sf1_dir).count()
         sf1_warm = time.time() - t0
+        # per-block gate AFTER the sf1 ingest+warm completes (VERDICT r10
+        # item 1): the ingest itself raises the loadavg, so gating here —
+        # not at process start — is what makes the sf1 query timings
+        # usable as regression evidence.
+        sf1_gate_load, sf1_waited, sf1_contended = _load_gate()
         # sf1 queries run 3-10x their sf0.1 cost; cap at 2 samples so the
         # scale block never dominates the wall
         sf1_timings, sf1_rerun = _time_queries(
@@ -367,6 +398,9 @@ def main() -> None:
             # >0 only on the run that (re)builds the store
             "ingest_sec": round(sf1_ingest, 3),
             "warmup_sec": round(sf1_warm, 3),
+            "loadavg_at_gate": round(sf1_gate_load, 2),
+            "contended": sf1_contended,
+            "load_wait_sec": round(sf1_waited, 1),
             "loadavg": [round(x, 2) for x in os.getloadavg()],
             "flagged_reruns": sf1_rerun,
         }

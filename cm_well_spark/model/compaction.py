@@ -296,6 +296,13 @@ def compact(
     # hold for these paths; a later write_batch recreates batch=0 under
     # the same name, and a stale cached listing would FILE_NOT_EXIST
     spark.catalog.refreshByPath(out)
+    # rebuild the per-file subject bloom sidecars from scratch: every
+    # triples file is fresh after the clustering shuffle (one extra pass
+    # over written data, riding the maintenance job like the stats scan)
+    bloom_root = os.path.join(out, _BLOOM_DIR)
+    if os.path.isdir(bloom_root):
+        shutil.rmtree(bloom_root)
+    write_subject_blooms(spark, out)
     collect_predicate_stats(spark, out)
     # seed/refresh the write_batch watermark (maintenance-job cost: one
     # column scan of the fresh files)
@@ -544,6 +551,152 @@ def _write_compacted_marker(out: str) -> None:
         json.dump({"layout": "range-clustered"}, fh)
 
 
+# ---------------------------------------------------------------------------
+# Per-file subject bloom sidecars (VERDICT r10 item 3)
+#
+# Triples files are range-clustered on (o, s) inside each p dir, so their
+# `s` footer stats are not selective: before these sidecars, incremental
+# compaction found the files holding affected subjects with a FULL-STORE
+# columnar scan of `s` — O(store) per maintenance fold, which at 100 TB is
+# the whole point of incrementality lost. Instead, compaction writes one
+# small bloom filter over the distinct subjects of each triples file
+# (the Hudi bloom-index / parquet-bloom shape): fold-time hit detection
+# becomes O(files x affected-paths) mmap bit probes with zero Spark jobs.
+# False positives only cost an unnecessary file rewrite; false negatives
+# are impossible (every written subject is inserted), so correctness is
+# unchanged. Sidecars live under out/_subject_blooms/ mirroring the
+# triples dir; a file with no sidecar (pre-sidecar layout) falls back to
+# a columnar scan RESTRICTED to exactly those files.
+# ---------------------------------------------------------------------------
+
+_BLOOM_DIR = "_subject_blooms"
+_BLOOM_MAGIC = b"CMWSB1\n"
+_BLOOM_SEED2 = "cmw-subject-bloom"  # second-hash salt for double hashing
+_BLOOM_BITS_PER_ROW = 10  # with k=7 -> ~0.8% false-positive rate
+_BLOOM_K = 7
+_U64 = (1 << 64) - 1
+
+
+def _rel_under(uri: str, base: str) -> str:
+    """'file:///x/base/sub/f.parquet' -> 'sub/f.parquet'."""
+    return uri.split(base + os.sep, 1)[-1] if base in uri else uri
+
+
+def _table_rel_files(table_dir: str) -> list[str]:
+    rels = []
+    for root, _dirs, files in os.walk(table_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                rels.append(os.path.relpath(os.path.join(root, f), table_dir))
+    return rels
+
+
+def write_subject_blooms(
+    spark: SparkSession, out: str, rel_files: list[str] | None = None
+) -> int:
+    """Build per-file subject blooms for the triples store (all files, or
+    only `rel_files`) and write them as sidecar files. Distributed: the
+    subject hashing is JVM-side xxhash64 (the probe side hashes through
+    the same expressions, so build/probe agree by construction), the bit
+    packing is one numpy pass per file group; only the finished bitmaps
+    (~1.25 bytes per row) come back to the driver, streamed."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    tri_dir = os.path.join(out, "triples")
+    if rel_files is not None and not rel_files:
+        return 0
+    src = (
+        spark.read.parquet(tri_dir)
+        if rel_files is None
+        else spark.read.option("basePath", tri_dir).parquet(
+            *[os.path.join(tri_dir, f) for f in rel_files]
+        )
+    )
+    hashed = src.select(
+        F.input_file_name().alias("__f"),
+        F.xxhash64("s").alias("__h1"),
+        F.xxhash64("s", F.lit(_BLOOM_SEED2)).alias("__h2"),
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        m = max(8192, n * _BLOOM_BITS_PER_ROW)
+        h1 = pdf["__h1"].to_numpy(np.int64).view(np.uint64)
+        h2 = pdf["__h2"].to_numpy(np.int64).view(np.uint64)
+        bits = np.zeros(m, dtype=bool)
+        for i in range(_BLOOM_K):
+            bits[((h1 + np.uint64(i) * h2) % np.uint64(m)).astype(np.int64)] = True
+        packed = np.packbits(bits, bitorder="little")
+        return pd.DataFrame(
+            {"file": [pdf["__f"].iloc[0]], "m": [m], "k": [_BLOOM_K], "bits": [packed.tobytes()]}
+        )
+
+    n_written = 0
+    for r in (
+        hashed.groupBy("__f")
+        .applyInPandas(build, "file string, m long, k int, bits binary")
+        .toLocalIterator()
+    ):
+        rel = _rel_under(r["file"], tri_dir)
+        p = os.path.join(out, _BLOOM_DIR, rel + ".bloom")
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p + ".tmp", "wb") as fh:
+            fh.write(_BLOOM_MAGIC)
+            fh.write(struct.pack("<QI", r["m"], r["k"]))
+            fh.write(r["bits"])
+        os.replace(p + ".tmp", p)
+        n_written += 1
+    return n_written
+
+
+def _subject_bloom_probe(
+    out: str, rel_file: str, probes: list[tuple[int, int]]
+) -> bool | None:
+    """True if ANY probed subject is possibly in rel_file, False if
+    definitely none are, None if the file has no sidecar. Random-access
+    mmap bit tests — O(|probes| * k), independent of bloom size."""
+    import mmap
+    import struct
+
+    p = os.path.join(out, _BLOOM_DIR, rel_file + ".bloom")
+    if not os.path.exists(p):
+        return None
+    with open(p, "rb") as fh:
+        if fh.read(len(_BLOOM_MAGIC)) != _BLOOM_MAGIC:
+            return None
+        m, k = struct.unpack("<QI", fh.read(12))
+        base = len(_BLOOM_MAGIC) + 12
+        mm = mmap.mmap(fh.fileno(), 0, access=mmap.ACCESS_READ)
+        try:
+            for h1, h2 in probes:
+                for i in range(k):
+                    idx = ((h1 + i * h2) & _U64) % m
+                    if not (mm[base + (idx >> 3)] >> (idx & 7)) & 1:
+                        break
+                else:
+                    return True
+            return False
+        finally:
+            mm.close()
+
+
+def _subject_probes(spark: SparkSession, paths: list[str]) -> list[tuple[int, int]]:
+    """(h1, h2) per path through the SAME JVM xxhash64 expressions the
+    bloom build uses — build/probe hash agreement by construction."""
+    rows = (
+        spark.createDataFrame([(p,) for p in paths], "s STRING")
+        .select(
+            F.xxhash64("s").alias("h1"),
+            F.xxhash64("s", F.lit(_BLOOM_SEED2)).alias("h2"),
+        )
+        .collect()
+    )
+    return [(r["h1"] & _U64, r["h2"] & _U64) for r in rows]
+
+
 def compact_incremental(
     spark: SparkSession, out: str, target_rows_per_file: int = 4_000_000
 ) -> dict | None:
@@ -617,21 +770,37 @@ def compact_incremental(
     if n_files and n_aff / n_files > _INCR_MAX_AFFECTED_FRACTION:
         return None
 
-    # ---- triples: scan-detect files holding affected subjects ---------
-    # (files are ranged on (o, s) inside each p dir — s footer stats are
-    # not selective, so one columnar (s, file) scan finds the old rows;
-    # shuffle-free: broadcast semi join + distinct over file names)
+    # ---- triples: find files holding affected subjects ----------------
+    # Files are ranged on (o, s) inside each p dir, so `s` footer stats
+    # are not selective. Sidecar bloom probes (VERDICT r10 item 3) answer
+    # "could this file hold any affected subject?" in O(files x paths)
+    # mmap bit tests with NO store scan; only files lacking a sidecar
+    # (pre-sidecar layout) pay a columnar scan restricted to themselves.
     tri_base = spark.read.parquet(tri_dir)
-    hit_files = {
-        os.path.relpath(r["__f"], tri_dir)
-        for r in tri_base.withColumn("__f", F.input_file_name())
-        .join(aff_paths_df, F.col("s") == F.col("__ap"), "left_semi")
-        .select("__f")
-        .distinct()
-        .collect()
-    }
-    # normalize file:// prefixes input_file_name may carry
-    hit_files = {f.split(tri_dir + os.sep)[-1] if tri_dir in f else f for f in hit_files}
+    tri_ranges = _file_col_ranges(tri_dir, "o")
+    probes = _subject_probes(spark, aff_paths)
+    hit_files: set[str] = set()
+    no_sidecar: list[str] = []
+    for sub, entries in tri_ranges.items():
+        for fname, _lo, _hi in entries:
+            rel = os.path.join(sub, fname) if sub else fname
+            hit = _subject_bloom_probe(out, rel, probes)
+            if hit is None:
+                no_sidecar.append(rel)
+            elif hit:
+                hit_files.add(rel)
+    if no_sidecar:
+        scan = spark.read.option("basePath", tri_dir).parquet(
+            *[os.path.join(tri_dir, f) for f in no_sidecar]
+        )
+        hit_files |= {
+            _rel_under(r["__f"], tri_dir)
+            for r in scan.withColumn("__f", F.input_file_name())
+            .join(aff_paths_df, F.col("s") == F.col("__ap"), "left_semi")
+            .select("__f")
+            .distinct()
+            .collect()
+        }
 
     # the re-derived rows for affected subjects (same derivation as
     # reconciled_triples), whose (p, o) targets decide which additional
@@ -680,7 +849,6 @@ def compact_incremental(
     for v in new_po.values():
         v.sort()
 
-    tri_ranges = _file_col_ranges(tri_dir, "o")
     tri_affected: dict[str, set[str]] = {}
     t_files = t_aff = 0
     for sub, entries in tri_ranges.items():
@@ -803,6 +971,23 @@ def compact_incremental(
     # drop stale FileStatusCache listings for the swapped/removed dirs
     # (same hazard as in the full path: batch=0 gets recreated later)
     spark.catalog.refreshByPath(out)
+    # sidecar maintenance: replaced files' blooms die with them, kept
+    # (hardlinked) files keep theirs, fresh bucket files get new blooms
+    # — one read over O(new data) only
+    bloom_root = os.path.join(out, _BLOOM_DIR)
+    for sub, aff in tri_affected.items():
+        for f in aff:
+            rel = os.path.join(sub, f) if sub else f
+            p = os.path.join(bloom_root, rel + ".bloom")
+            if os.path.exists(p):
+                os.remove(p)
+    kept_rel = {
+        os.path.join(sub, f) if sub else f
+        for sub, files in keep_tri.items()
+        for f in files
+    }
+    new_rel = [f for f in _table_rel_files(tri_dir) if f not in kept_rel]
+    write_subject_blooms(spark, out, rel_files=new_rel)
     # threshold-ANALYZE: exact n_triples merge now, full sketch recollect
     # only when cumulative churn crosses the staleness gate (the full
     # pass is the dominant ~273 s of an sf1 compact — r10 measurement)
@@ -816,4 +1001,8 @@ def compact_incremental(
         "folded_batches": len(batches),
         "rewritten_infoton_files": n_aff,
         "rewritten_triple_files": t_aff,
+        # hit-detection telemetry: scanned_no_sidecar must be 0 on a
+        # sidecar-complete store (the O(store)-scan-free contract)
+        "bloom_probed_files": t_files - len(no_sidecar),
+        "scanned_no_sidecar": len(no_sidecar),
     }

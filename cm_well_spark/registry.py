@@ -9429,3 +9429,41 @@ def auth_visibility_filter(spark, sf_dir):
     }
     inf = _inf(spark, sf_dir).where(F.col("current"))
     return visible(inf, user, roles=roles).select("path")
+
+@register(
+    "auth_token_visibility",
+    oracle="""
+    SELECT '/tpch/customer/' || c_custkey AS path FROM customer
+    """,
+)
+def auth_token_visibility(spark, sf_dir):
+    """Authentication end to end (tokens.py — security/Token.scala:27-88,
+    LoginHandler.scala:44-66, AuthUtils.scala:57-70): Basic login mints
+    an HS256 JWT (millis exp, rev claim), validation survives key
+    rotation via the two-secret check, and the validated principal's
+    path rules compile into the row-level-security Column of
+    auth.visible(). A forged or revoked token would collapse the result
+    to empty and hash-mismatch the oracle, which replays the decided
+    set: every customer path."""
+    from cm_well_spark.operators import tokens as tk
+    from cm_well_spark.operators.auth import visible
+
+    now = 1_700_000_000_000
+    users = {
+        "analyst": {
+            "digest2": tk.digest2("analyst", "s3cret"),
+            "rev": 3,
+            "paths": [
+                {"id": "/tpch/customer", "recursive": True, "sign": "+", "permissions": "r"},
+                {"id": "/tpch/cust", "recursive": True, "sign": "+", "permissions": "r"},
+            ],
+        }
+    }
+    granted = tk.login_basic(users, "analyst", "s3cret", "signing-key", exp="30d", now_ms=now)
+    user, name = tk.principal_for_token(
+        granted["token"], users, ["rotated-key", "signing-key"], now_ms=now + 3_600_000
+    )
+    if user is None:
+        return spark.createDataFrame([], "path STRING")
+    inf = _inf(spark, sf_dir).where(F.col("current"))
+    return visible(inf, user, username=name).select("path")

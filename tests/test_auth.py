@@ -171,3 +171,150 @@ def test_operation_gate_and_priority_403():
     authorize_priority_write(user, roles)  # no raise
     with pytest.raises(PermissionError, match="User not authorized for priority write"):
         authorize_priority_write({"paths": []})
+
+
+# ---------------------------------------------------------------------------
+# Token machinery (operators/tokens.py — security/Token.scala,
+# Authentication.scala, LoginHandler.scala; VERDICT r10 item 5)
+# ---------------------------------------------------------------------------
+
+NOW = 1_700_000_000_000  # fixed clock: every check is deterministic
+
+
+def test_token_roundtrip_and_signature():
+    from cm_well_spark.operators import tokens as tk
+
+    t = tk.generate_token("alice", "k1", now_ms=NOW)
+    claims = tk.decode_claims(t)
+    assert claims["sub"] == "alice"
+    assert claims["exp"] == NOW + 24 * 3600 * 1000  # default now+1d, MILLIS
+    assert claims["rev"] == 0
+    assert tk.is_token_valid(t, "k1", now_ms=NOW)
+    assert not tk.is_token_valid(t, "wrong-secret", now_ms=NOW)
+    # two-key acceptance (Token.scala:49): old tokens survive rotation
+    assert tk.is_token_valid(t, ["new-secret", "k1"], now_ms=NOW)
+
+
+def test_token_forged_expired_and_malformed():
+    import base64
+    import json
+
+    from cm_well_spark.operators import tokens as tk
+
+    t = tk.generate_token("alice", "k1", now_ms=NOW)
+    head, payload, sig = t.split(".")
+    evil = json.loads(base64.urlsafe_b64decode(payload + "=="))
+    evil["sub"] = "root"
+    forged = (
+        head
+        + "."
+        + base64.urlsafe_b64encode(json.dumps(evil).encode()).rstrip(b"=").decode()
+        + "."
+        + sig
+    )
+    assert not tk.is_token_valid(forged, "k1", now_ms=NOW)
+    # expiry is exclusive: at exp it is already invalid
+    assert not tk.is_token_valid(t, "k1", now_ms=NOW + 24 * 3600 * 1000)
+    with pytest.raises(ValueError, match="Given string was not in JWT format"):
+        tk.decode_claims("not-a-jwt")
+    t2 = tk.generate_token("alice", "k1", now_ms=NOW)
+    # strip the exp claim -> the reference's missing-claims message
+    c = json.loads(base64.urlsafe_b64decode(t2.split(".")[1] + "=="))
+    del c["exp"]
+    nop = base64.urlsafe_b64encode(json.dumps(c).encode()).rstrip(b"=").decode()
+    with pytest.raises(ValueError, match="Mandatory claims are missing from token"):
+        tk.decode_claims(t2.split(".")[0] + "." + nop + ".x")
+
+
+def test_token_rev_revocation_root_immune():
+    from cm_well_spark.operators import tokens as tk
+
+    t = tk.generate_token("alice", "k1", user_rev=2, now_ms=NOW)
+    assert tk.is_token_valid(t, "k1", user_rev=2, now_ms=NOW)
+    # password change bumps the stored rev -> outstanding tokens die
+    assert not tk.is_token_valid(t, "k1", user_rev=3, now_ms=NOW)
+    rt = tk.generate_token("root", "k1", user_rev=0, now_ms=NOW)
+    assert tk.is_token_valid(rt, "k1", user_rev=99, now_ms=NOW)  # Token.scala:52
+
+
+def test_token_generate_guards():
+    from cm_well_spark.operators import tokens as tk
+
+    with pytest.raises(ValueError, match="Token expiry must be less than 60 days"):
+        tk.generate_token("a", "k", expiry_ms=NOW + 61 * 24 * 3600 * 1000, now_ms=NOW)
+    with pytest.raises(ValueError, match="rev should only be supplied in Admin mode"):
+        tk.generate_token("a", "k", rev=5, now_ms=NOW)
+    # admin mode lifts both guards (Token.scala:73-79)
+    t = tk.generate_token(
+        "a", "k", expiry_ms=NOW + 400 * 24 * 3600 * 1000, rev=5, is_admin=True, now_ms=NOW
+    )
+    assert tk.decode_claims(t)["rev"] == 5
+
+
+def test_short_format_duration_and_login():
+    from cm_well_spark.operators import tokens as tk
+
+    assert tk.parse_short_format_duration("1d2h3m", NOW) == NOW + (
+        24 * 3600 + 2 * 3600 + 3 * 60
+    ) * 1000
+    assert tk.parse_short_format_duration("2H", NOW) == NOW + 2 * 3600 * 1000  # (?i)
+    assert tk.parse_short_format_duration("", NOW) == NOW
+
+    users = {"bob": {"digest2": tk.digest2("bob", "hunter2"), "rev": 1}}
+    granted = tk.login_basic(users, "bob", "hunter2", "k1", exp="2d", now_ms=NOW)
+    claims = tk.decode_claims(granted["token"])
+    assert claims["sub"] == "bob" and claims["rev"] == 1
+    assert claims["exp"] == NOW + 2 * 24 * 3600 * 1000
+    with pytest.raises(PermissionError, match="Not authenticated."):
+        tk.login_basic(users, "bob", "wrong", "k1", now_ms=NOW)
+    with pytest.raises(PermissionError, match="Not authenticated."):
+        tk.login_basic(users, "nobody", "x", "k1", now_ms=NOW)
+
+
+def test_extract_token_precedence():
+    from cm_well_spark.operators import tokens as tk
+
+    assert (
+        tk.extract_token(
+            {"X-CM-WELL-TOKEN2": "t2", "X-CM-WELL-TOKEN": "t1"}, {"token": "q"}, {"X-CM-WELL-TOKEN": "c1"}
+        )
+        == "t2"
+    )
+    assert tk.extract_token({"x-cm-well-token": "t1"}, {"token": "q"}) == "t1"
+    assert tk.extract_token({}, {"token": "q"}, {"X-CM-WELL-TOKEN2": "c2"}) == "q"
+    assert tk.extract_token({}, {}, {"X-CM-WELL-TOKEN": "c1"}) == "c1"
+    assert tk.extract_token() is None
+
+
+def test_token_to_visibility_end_to_end(spark, infotons):
+    """login -> token -> validation -> principal -> row-level security:
+    the full AuthFilter composition. A revoked token falls back to the
+    anonymous principal (still sees /tpch, denied /meta/auth)."""
+    from cm_well_spark.operators import tokens as tk
+    from cm_well_spark.operators.auth import ANONYMOUS_USER, visible
+
+    users = {
+        "carol": {
+            "digest2": tk.digest2("carol", "pw"),
+            "rev": 0,
+            "paths": [
+                {"id": "/tpch/region", "recursive": True, "sign": "+", "permissions": "r"}
+            ],
+        }
+    }
+    token = tk.login_basic(users, "carol", "pw", "k1", now_ms=NOW)["token"]
+    user, name = tk.principal_for_token(token, users, ["k2", "k1"], now_ms=NOW + 1000)
+    assert name == "carol"
+    got = {
+        r["path"]
+        for r in visible(infotons.where(F.col("current")), user, username=name)
+        .select("path")
+        .collect()
+    }
+    assert got and all(p.startswith("/tpch/region/") for p in got)
+
+    users["carol"]["rev"] = 1  # revoke
+    user2, name2 = tk.principal_for_token(token, users, "k1", now_ms=NOW + 1000)
+    assert user2 is None and name2 is None
+    anon = visible(infotons.where(F.col("current")), ANONYMOUS_USER)
+    assert anon.where(F.col("path").startswith("/meta/auth")).count() == 0

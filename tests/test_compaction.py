@@ -646,3 +646,103 @@ def test_incremental_vs_full_compact_random_schedule(spark, tmp_path_factory, se
         .collect()
     }
     assert tri(inc) == tri(full)
+
+
+def test_subject_bloom_sidecars_make_fold_scan_free(spark, tmp_path_factory):
+    """VERDICT r10 item 3: incremental compaction's triples hit-file
+    detection must not scan the full store. A full compact writes one
+    subject bloom sidecar per triples file; the next fold probes the
+    blooms (scanned_no_sidecar == 0), rewrites the right files, and
+    refreshes sidecars so a SECOND fold is also scan-free. Deleting the
+    sidecars degrades gracefully to a restricted columnar scan with
+    identical results."""
+    from cm_well_spark.model.compaction import (
+        _BLOOM_DIR,
+        _subject_bloom_probe,
+        _subject_probes,
+        _table_rel_files,
+        compact,
+        write_batch,
+    )
+    from cm_well_spark.model.lakehouse import materialize
+
+    src = materialize(spark, SF_DIR)
+    dst = str(tmp_path_factory.mktemp("blake") / "store")
+    shutil.copytree(src, dst)
+    assert compact(spark, dst, target_rows_per_file=2_000)["mode"] == "full"
+
+    tri_dir = os.path.join(dst, "triples")
+    bloom_root = os.path.join(dst, _BLOOM_DIR)
+    data_files = set(_table_rel_files(tri_dir))
+    sidecars = {
+        os.path.relpath(os.path.join(r, f), bloom_root)[: -len(".bloom")]
+        for r, _d, fs in os.walk(bloom_root)
+        for f in fs
+        if f.endswith(".bloom")
+    }
+    assert sidecars == data_files  # one bloom per file, none stale
+
+    # no false negatives: every file's own subjects probe as hits
+    some = spark.read.option("basePath", tri_dir).parquet(
+        os.path.join(tri_dir, sorted(data_files)[0])
+    )
+    subjects = [r["s"] for r in some.select("s").distinct().limit(5).collect()]
+    assert _subject_bloom_probe(dst, sorted(data_files)[0], _subject_probes(spark, subjects))
+    # a subject that exists nowhere probes False on (nearly) all files
+    ghost = _subject_probes(spark, ["/no/such/subject/xyzzy-42"])
+    misses = sum(
+        _subject_bloom_probe(dst, f, ghost) is False for f in data_files
+    )
+    assert misses >= len(data_files) - 1  # <=1 bloom false positive tolerated
+
+    lm = datetime(2024, 5, 1)
+    write_batch(
+        spark,
+        dst,
+        _cmds(
+            spark,
+            [("/tpch/region/1", 1, "write", {"extra": [_sfv("bloomed")]}, None, lm, "https")],
+        ),
+    )
+    r = compact(spark, dst, target_rows_per_file=2_000)
+    assert r["mode"] == "incremental"
+    assert r["scanned_no_sidecar"] == 0
+    assert r["bloom_probed_files"] == len(data_files)
+    tri = spark.read.parquet(tri_dir)
+    assert (
+        tri.where((F.col("s") == "/tpch/region/1") & (F.col("p") == "extra") & F.col("current"))
+        .first()["o"]
+        == "bloomed"
+    )
+    # sidecars refreshed in lockstep with the fold
+    data_files2 = set(_table_rel_files(tri_dir))
+    sidecars2 = {
+        os.path.relpath(os.path.join(r_, f), bloom_root)[: -len(".bloom")]
+        for r_, _d, fs in os.walk(bloom_root)
+        for f in fs
+        if f.endswith(".bloom")
+    }
+    assert sidecars2 == data_files2
+
+    # fallback: no sidecars -> restricted scan covers every file, same answer
+    shutil.rmtree(bloom_root)
+    write_batch(
+        spark,
+        dst,
+        _cmds(
+            spark,
+            [("/tpch/region/1", 1, "write", {"extra": [_sfv("rescanned")]}, None, lm, "https")],
+        ),
+    )
+    r2 = compact(spark, dst, target_rows_per_file=2_000)
+    assert r2["mode"] == "incremental"
+    assert r2["scanned_no_sidecar"] == len(data_files2)
+    tri = spark.read.parquet(tri_dir)
+    # field-union merge: the second write folds INTO the current version,
+    # so both values are current on it
+    assert {
+        r["o"]
+        for r in tri.where(
+            (F.col("s") == "/tpch/region/1") & (F.col("p") == "extra") & F.col("current")
+        ).collect()
+    } == {"bloomed", "rescanned"}

@@ -136,3 +136,26 @@ def test_registry_outputs_are_scalar_columns(spark, sf_dir):
         if complex_cols:
             bad[name] = complex_cols
     assert not bad, f"registry entries with non-scalar output columns: {bad}"
+
+
+def test_plan_audit_covers_every_registry_entry():
+    """PLAN_AUDIT completeness contract (VERDICT r10 item 4): the r10
+    artifact silently lagged the registry by one entry
+    (auth_visibility_filter landed after the audit was generated). The
+    committed PLAN_AUDIT.json must cover EXACTLY the registry's query
+    set — regenerate with
+    `PYTHONPATH=. python tools/plan_audit.py <sf_dir> > PLAN_AUDIT.json`
+    whenever a registry entry is added or removed."""
+    import json
+
+    from cm_well_spark.registry import QUERIES
+
+    path = os.path.join(os.path.dirname(__file__), "..", "PLAN_AUDIT.json")
+    audit = json.load(open(path))
+    audited = set(audit["entries"])
+    want = set(QUERIES)
+    assert audited == want, (
+        f"PLAN_AUDIT.json is stale: missing={sorted(want - audited)} "
+        f"extra={sorted(audited - want)}"
+    )
+    assert audit["n_violations"] == 0, audit["violations"]
