@@ -748,6 +748,79 @@ def compact_incremental(
     if len(path_rows) > _ISIN_PUSHDOWN_CAP:
         return None
     aff_paths = sorted(r["path"] for r in path_rows)
+    # kinds that only exist in the deltas need open intervals of their own
+    delta_kinds = {r["kind"] for r in deltas.select("kind").distinct().collect()}
+
+    def rewrite(base_slice, aff_paths_df):
+        # `current` recompute is scoped to AFFECTED paths only: their
+        # version closure is provably inside the slice (every file
+        # containing any version of an affected path is itself affected,
+        # checked per kind dir). A non-affected path that merely shares a
+        # file with an affected one may have versions elsewhere — e.g.
+        # its tombstone in the kind=DeletedInfoton dir — so its stored
+        # flags pass through untouched (r10 parity-test catch: the
+        # blanket window flipped a deleted path's old object version
+        # back to current).
+        merged = base_slice.unionByName(
+            deltas.select(*base_slice.columns), allowMissingColumns=False
+        )
+        w = Window.partitionBy("path").orderBy(F.desc("index_time"))
+        return (
+            merged.withColumn("__rc", F.row_number().over(w) == 1)
+            .join(aff_paths_df, F.col("path") == F.col("__ap"), "left")
+            .withColumn(
+                "current",
+                F.when(F.col("__ap").isNotNull(), F.col("__rc")).otherwise(F.col("current")),
+            )
+            .drop("__ap", "__rc")
+        )
+
+    r = _surgical_fold(
+        spark,
+        out,
+        aff_paths,
+        rewrite,
+        extra_kinds=delta_kinds,
+        target_rows_per_file=target_rows_per_file,
+        max_affected_fraction=_INCR_MAX_AFFECTED_FRACTION,
+    )
+    if r is None:
+        return None
+    for name in (_INF_DELTA, _TRI_DELTA):
+        d = os.path.join(out, name)
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+    # drop stale FileStatusCache listings for the removed delta dirs
+    # (same hazard as in the full path: batch=0 gets recreated later)
+    spark.catalog.refreshByPath(out)
+    _write_watermark(out, max(_read_watermark(out) or 0, delta_max or 0))
+    r["mode"] = "incremental"
+    r["folded_batches"] = len(batches)
+    return r
+
+
+def _surgical_fold(
+    spark: SparkSession,
+    out: str,
+    aff_paths: list[str],
+    rewrite_inf,
+    *,
+    extra_kinds: set[str] = frozenset(),
+    target_rows_per_file: int = 4_000_000,
+    max_affected_fraction: float | None = None,
+) -> dict | None:
+    """File-level surgery shared by compact_incremental and repair_paths:
+    rewrite ONLY the base files whose key ranges the affected paths
+    touch, hardlinking everything else. `rewrite_inf(base_slice,
+    aff_paths_df)` transforms the affected infoton slice (rows of
+    NON-affected paths must pass through unchanged); the affected
+    subjects' triples are re-derived from its output. Returns the result
+    dict, or None when a precondition fails (overlapping file ranges,
+    affected fraction above the gate, oversized (p, o) set)."""
+    import bisect
+
+    inf_dir = os.path.join(out, "infotons")
+    tri_dir = os.path.join(out, "triples")
     aff_paths_df = F.broadcast(
         spark.createDataFrame([(p,) for p in aff_paths], "__ap STRING")
     )
@@ -767,7 +840,11 @@ def compact_incremental(
         inf_affected[sub] = aff
         n_files += len(entries)
         n_aff += len(aff)
-    if n_files and n_aff / n_files > _INCR_MAX_AFFECTED_FRACTION:
+    if (
+        max_affected_fraction is not None
+        and n_files
+        and n_aff / n_files > max_affected_fraction
+    ):
         return None
 
     # ---- triples: find files holding affected subjects ----------------
@@ -813,27 +890,7 @@ def compact_incremental(
         if inf_base_slice_files
         else spark.createDataFrame([], spark.read.parquet(inf_dir).schema)
     )
-    rewritten_inf = base_slice.unionByName(
-        deltas.select(*base_slice.columns), allowMissingColumns=False
-    )
-    # `current` recompute is scoped to AFFECTED paths only: their version
-    # closure is provably inside the slice (every file containing any
-    # version of an affected path is itself affected, checked per kind
-    # dir). A non-affected path that merely shares a file with an
-    # affected one may have versions elsewhere — e.g. its tombstone in
-    # the kind=DeletedInfoton dir — so its stored flags pass through
-    # untouched (r10 parity-test catch: the blanket window flipped a
-    # deleted path's old object version back to current).
-    w = Window.partitionBy("path").orderBy(F.desc("index_time"))
-    rewritten_inf = (
-        rewritten_inf.withColumn("__rc", F.row_number().over(w) == 1)
-        .join(aff_paths_df, F.col("path") == F.col("__ap"), "left")
-        .withColumn(
-            "current",
-            F.when(F.col("__ap").isNotNull(), F.col("__rc")).otherwise(F.col("current")),
-        )
-        .drop("__ap", "__rc")
-    )
+    rewritten_inf = rewrite_inf(base_slice, aff_paths_df)
     touched_docs = rewritten_inf.join(
         aff_paths_df, F.col("path") == F.col("__ap"), "left_semi"
     )
@@ -868,7 +925,11 @@ def compact_incremental(
         tri_affected[sub] = aff
         t_files += len(entries)
         t_aff += len(aff)
-    if t_files and t_aff / t_files > _INCR_MAX_AFFECTED_FRACTION:
+    if (
+        max_affected_fraction is not None
+        and t_files
+        and t_aff / t_files > max_affected_fraction
+    ):
         return None
 
     # ---- bucket intervals + writes ------------------------------------
@@ -881,9 +942,7 @@ def compact_incremental(
         rows, bid, _fb = _intervals(entries, inf_affected[sub], bid)
         pv = _unescape_partition(sub) if sub else ""
         iv_rows_inf += [(pv, b, s, e) for b, s, e in rows]
-    # kinds that only exist in the deltas: one open interval each
-    delta_kinds = {r["kind"] for r in deltas.select("kind").distinct().collect()}
-    for k in sorted(delta_kinds - set(part_values_inf)):
+    for k in sorted(set(extra_kinds) - set(part_values_inf)):
         iv_rows_inf.append((k, bid, "", None))
         bid += 1
 
@@ -964,12 +1023,7 @@ def compact_incremental(
     for tmp in (inf_tmp, tri_tmp):
         if os.path.isdir(tmp):
             shutil.rmtree(tmp)
-    for name in (_INF_DELTA, _TRI_DELTA):
-        d = os.path.join(out, name)
-        if os.path.isdir(d):
-            shutil.rmtree(d)
-    # drop stale FileStatusCache listings for the swapped/removed dirs
-    # (same hazard as in the full path: batch=0 gets recreated later)
+    # drop stale FileStatusCache listings for the swapped dirs
     spark.catalog.refreshByPath(out)
     # sidecar maintenance: replaced files' blooms die with them, kept
     # (hardlinked) files keep theirs, fresh bucket files get new blooms
@@ -992,13 +1046,10 @@ def compact_incremental(
     # only when cumulative churn crosses the staleness gate (the full
     # pass is the dominant ~273 s of an sf1 compact — r10 measurement)
     stats_mode = merge_predicate_stats(spark, out, per_p_added, per_p_removed)
-    _write_watermark(out, max(_read_watermark(out) or 0, delta_max or 0))
     return {
-        "mode": "incremental",
         "stats": stats_mode,
         "infoton_files": n_inf_files,
         "triple_files": n_tri_files,
-        "folded_batches": len(batches),
         "rewritten_infoton_files": n_aff,
         "rewritten_triple_files": t_aff,
         # hit-detection telemetry: scanned_no_sidecar must be 0 on a
@@ -1006,3 +1057,90 @@ def compact_incremental(
         "bloom_probed_files": t_files - len(no_sidecar),
         "scanned_no_sidecar": len(no_sidecar),
     }
+
+
+def repair_paths(
+    spark: SparkSession, out: str, paths: list[str], target_rows_per_file: int = 4_000_000
+) -> dict:
+    """`op=x-fix` analog (Application.scala:229,3221 routes op=x-fix ->
+    handleFix:2769; the repair itself is stortill Operations.scala
+    fixWith:165-240): given paths the consistency audit flagged, rewrite
+    ONLY those paths' version slice —
+
+      - duplicate version rows (same path + uuid) collapse to one (the
+        reference's ES duplicate purge keeping a single index entry,
+        Operations.scala:172-185);
+      - `current` flags are recomputed over the true version closure
+        (the cas/es current reconciliation — at most one current per
+        path, on the latest version);
+      - the paths' index rows are re-derived from the repaired docs, so
+        missing triples are re-indexed and ghost triples (rows whose
+        version no longer exists) are purged (the purgeNotFound /
+        reindex arms of fixWith).
+
+    File-level surgery via the same primitives as incremental compaction
+    (footer-range + bloom-sidecar targeting, interval-bucket rewrite,
+    hardlinked survivors) — O(affected files), never O(store).
+
+    Preconditions (ValueError): a compacted layout (marker stamped), no
+    pending deltas (compact first — the affected files must BE the
+    version closure), and a bounded path set."""
+    inf_dir = os.path.join(out, "infotons")
+    tri_dir = os.path.join(out, "triples")
+    if not (
+        os.path.isdir(inf_dir)
+        and os.path.isdir(tri_dir)
+        and os.path.exists(os.path.join(out, _COMPACTED_MARKER))
+    ):
+        raise ValueError("repair_paths requires a compacted store (run compact() first)")
+    if _delta_batches(out, _INF_DELTA):
+        raise ValueError(
+            "repair_paths requires no pending deltas — run compact() first so the "
+            "affected files hold the full version closure"
+        )
+    if not paths:
+        return {"mode": "repair", "repaired_paths": 0}
+    if len(paths) > _ISIN_PUSHDOWN_CAP:
+        raise ValueError(f"path set exceeds the {_ISIN_PUSHDOWN_CAP}-path surgery cap")
+    aff_paths = sorted(set(paths))
+
+    def rewrite(base_slice, aff_paths_df):
+        marked = base_slice.join(
+            aff_paths_df, F.col("path") == F.col("__ap"), "left"
+        )
+        # duplicate-version collapse, AFFECTED paths only (prefer the row
+        # already flagged current, then the deterministic uuid tiebreak)
+        w_dup = Window.partitionBy("path", "uuid").orderBy(
+            F.desc("current"), F.desc("index_time")
+        )
+        deduped = (
+            marked.withColumn("__dn", F.row_number().over(w_dup))
+            .where(F.col("__ap").isNull() | (F.col("__dn") == 1))
+            .drop("__dn")
+        )
+        w_cur = Window.partitionBy("path").orderBy(F.desc("index_time"), F.desc("uuid"))
+        return (
+            deduped.withColumn("__rc", F.row_number().over(w_cur) == 1)
+            .withColumn(
+                "current",
+                F.when(F.col("__ap").isNotNull(), F.col("__rc")).otherwise(F.col("current")),
+            )
+            .drop("__ap", "__rc")
+        )
+
+    r = _surgical_fold(
+        spark,
+        out,
+        aff_paths,
+        rewrite,
+        target_rows_per_file=target_rows_per_file,
+        max_affected_fraction=None,  # a repair must run however wide the damage
+    )
+    if r is None:
+        raise ValueError(
+            "store layout lost per-file range disjointness — run compact(mode='full') "
+            "then retry the repair"
+        )
+    r["mode"] = "repair"
+    r["repaired_paths"] = len(aff_paths)
+    return r

@@ -9467,3 +9467,45 @@ def auth_token_visibility(spark, sf_dir):
         return spark.createDataFrame([], "path STRING")
     inf = _inf(spark, sf_dir).where(F.col("current"))
     return visible(inf, user, username=name).select("path")
+
+@register(
+    "admin_fix_paths",
+    oracle="""
+    SELECT '/tpch/nation/' || n_nationkey AS path, 'a' || n_nationkey AS uuid,
+           1000 + n_nationkey AS index_time, FALSE AS is_current FROM nation
+    UNION ALL
+    SELECT '/tpch/nation/' || n_nationkey, 'b' || n_nationkey,
+           2000 + n_nationkey, TRUE FROM nation
+    """,
+)
+def admin_fix_paths(spark, sf_dir):
+    """x-fix repair semantics (operators/fix.py:repair_versions —
+    stortill Operations.scala fixWith:165-240 via Application.scala:3221
+    op=x-fix): a corrupted two-version history per nation (current stuck
+    on the OLD version, the new version row duplicated) comes out of the
+    repair with duplicates collapsed and exactly the latest version
+    current. The oracle replays the repaired state: per path, version
+    'a' demoted and version 'b' current."""
+    from cm_well_spark.operators.fix import repair_versions
+    from cm_well_spark.sources import tables as tbl
+
+    n = tbl.load_table(spark, sf_dir, "nation").select(
+        F.concat(F.lit("/tpch/nation/"), F.col("n_nationkey")).alias("path"),
+        F.col("n_nationkey").cast("long").alias("k"),
+    )
+    v1 = n.select(
+        "path",
+        F.concat(F.lit("a"), F.col("k")).alias("uuid"),
+        (F.lit(1000) + F.col("k")).alias("index_time"),
+        F.lit(True).alias("current"),  # stale: stuck on the old version
+    )
+    v2 = n.select(
+        "path",
+        F.concat(F.lit("b"), F.col("k")).alias("uuid"),
+        (F.lit(2000) + F.col("k")).alias("index_time"),
+        F.lit(False).alias("current"),
+    )
+    corrupted = v1.unionByName(v2).unionByName(v2)  # + duplicate row
+    return repair_versions(corrupted).select(
+        "path", "uuid", "index_time", F.col("current").alias("is_current")
+    )
