@@ -823,3 +823,96 @@ def test_priority_queue_overtakes_bulk(spark, infotons):
             assert r["last_modified"] == amended, r["path"]
         else:
             assert r["last_modified"] != amended, r["path"]
+
+
+# ---- subscription sessions: pull / push / unsubscribe (VERDICT r10 #7) ----
+
+
+def test_subscription_pull_session_end_to_end(spark, infotons):
+    """subscribe -> events -> pull drains exactly the rule-matched set ->
+    second pull is the empty keepalive -> more events -> re-arm delivers
+    only the NEW wave (checkpointed resume) -> unsubscribe stops
+    delivery and forgets the session."""
+    from cm_well_spark.streaming.subscribe import SubscriptionManager, ingest_stream, pull_infotons
+
+    feed_dir = os.path.join(TMP, "sess_feed")
+    os.makedirs(feed_dir, exist_ok=True)
+    regions = infotons.where(F.col("path").startswith("/tpch/region"))
+    nations = infotons.where(F.col("path").startswith("/tpch/nation"))
+    regions.write.mode("append").parquet(feed_dir)
+
+    mgr = SubscriptionManager(spark)
+    key = mgr.subscribe(ingest_stream(spark, feed_dir), "", "/tpch/region", fmt="json")
+    mgr.process_available(key)
+    got = mgr.pull(key)
+    want = {r["uuid"] for r in regions.collect()}
+    assert set(got["data"]) == want and got["format"] == "json" and not got["overflow"]
+    assert pull_infotons(infotons, got["data"]).count() == len(want)
+    assert mgr.pull(key) == {"overflow": False, "data": [], "format": "json"}
+
+    # wave 2: nations are OUTSIDE the rule, a second region wave matches
+    nations.write.mode("append").parquet(feed_dir)
+    regions.withColumn("uuid", F.concat(F.lit("w2-"), F.col("uuid"))).write.mode(
+        "append"
+    ).parquet(feed_dir)
+    mgr.process_available(key)
+    got2 = mgr.pull(key)
+    assert set(got2["data"]) == {f"w2-{u}" for u in want}  # no wave-1 redelivery
+
+    assert mgr.unsubscribe(key) == f"unsubscribe {key}"
+    with pytest.raises(KeyError, match="missing sub param."):
+        mgr.pull(key)
+    with pytest.raises(KeyError, match="missing sub param."):
+        mgr.process_available(key)
+
+
+def test_subscription_push_and_method_guards(spark, infotons):
+    from cm_well_spark.streaming.subscribe import SubscriptionManager, ingest_stream
+
+    feed_dir = os.path.join(TMP, "push_feed")
+    os.makedirs(feed_dir, exist_ok=True)
+    infotons.where(F.col("path").startswith("/tpch/region")).write.mode("append").parquet(feed_dir)
+
+    mgr = SubscriptionManager(spark)
+    batches = []
+    key = mgr.subscribe(
+        ingest_stream(spark, feed_dir), "", "/tpch/region", method="push", callback=batches.append
+    )
+    mgr.process_available(key)
+    assert sorted(u for b in batches for u in b) == sorted(
+        r["uuid"] for r in infotons.where(F.col("path").startswith("/tpch/region")).collect()
+    )
+    with pytest.raises(ValueError, match="pull is only valid"):
+        mgr.pull(key)
+    with pytest.raises(ValueError, match="missing callback for method push"):
+        mgr.subscribe(ingest_stream(spark, feed_dir), "", "/", method="push")
+    with pytest.raises(ValueError, match="unsupported or missing method"):
+        mgr.subscribe(ingest_stream(spark, feed_dir), "", "/", method="sms")
+
+
+def test_pull_queue_overflow_and_throttle():
+    """SubscriberPullActor semantics (Subscriber.scala:117-164): bounded
+    buffer drops the OLDEST on overflow and flags it; the 1-second rate
+    sensor drops events past the limit; drain empties but keeps the
+    flag of the last append."""
+    from cm_well_spark.streaming.subscribe import _PullQueue
+
+    t = [0.0]
+    q = _PullQueue("json", bulk_size=3, rate_limit=100, clock=lambda: t[0])
+    for i in range(3):
+        q.publish(f"u{i}")
+    assert not q.overflow
+    q.publish("u3")  # drops u0
+    assert q.overflow
+    got = q.drain()
+    assert got == {"overflow": True, "data": ["u1", "u2", "u3"], "format": "json"}
+    q.publish("u4")
+    assert q.drain()["overflow"] is False
+
+    q2 = _PullQueue("json", bulk_size=1000, rate_limit=5, clock=lambda: t[0])
+    for i in range(10):
+        q2.publish(f"a{i}")
+    assert len(q2.data) == 5  # throttled within the same second
+    t[0] = 1.5  # window rolls
+    q2.publish("late")
+    assert q2.data[-1] == "late" and len(q2.data) == 6
