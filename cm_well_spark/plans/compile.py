@@ -73,25 +73,40 @@ def analyze_expr(c: Column, analyzer: str | None = None) -> Column:
       simple    lowercase + collapse non-alphanumerics to single spaces —
                 the documented, oracle-pinned default (divergence table
                 in SURVEY §7.3 / tests/test_analyzer_contract.py).
-      uax29ish  closer to Lucene StandardAnalyzer's UAX#29 word break:
-                apostrophes / periods / underscores / at-signs stay
-                INSIDE words (o'brien, 3.14, foo_bar, b.com stay single
-                tokens) and are stripped only at token edges; Han and
-                Hiragana characters emit UNIGRAM tokens while Katakana
-                runs stay single tokens (StandardTokenizer's
-                IDEOGRAPHIC/HIRAGANA vs KATAKANA types). Remaining
-                divergence: `simple` mode CJK, and exact Lucene
-                relevance scores."""
+      uax29ish  Lucene StandardAnalyzer's UAX#29 word break, positional
+                (r11 — VERDICT r10 item 8): a single apostrophe survives
+                only BETWEEN letters (WB6/WB7 MidLetter: o'brien, dog's;
+                3'4 splits), a single period only letter.letter or
+                digit.digit (WB6/7 + WB11/12 MidNumLet: b.com, 3.14;
+                a.3 splits), `@` always breaks (StandardAnalyzer is NOT
+                the UAX29URLEmail tokenizer: a@b.com -> a, b.com);
+                underscores join (ExtendNumLet) and are stripped at
+                token edges; Han and Hiragana characters emit UNIGRAM
+                tokens while Katakana runs stay single tokens
+                (StandardTokenizer's IDEOGRAPHIC/HIRAGANA vs KATAKANA
+                types). Remaining divergence: `simple` mode CJK, edge
+                ExtendNumLet (Lucene keeps `_x_` whole; we strip), and
+                exact Lucene relevance scores."""
     import os
 
     mode = analyzer or os.environ.get("CMW_ANALYZER", "simple")
     if mode == "simple":
         return F.trim(F.regexp_replace(F.lower(c), r"[^\p{L}\p{N}]+", " "))
     if mode == "uax29ish":
-        kept = F.regexp_replace(F.lower(c), r"[^\p{L}\p{N}'._@]+", " ")
-        # strip the kept punctuation at token EDGES (UAX#29 keeps it only
-        # mid-word: MidLetter/MidNum/ExtendNumLet)
-        edge_stripped = F.regexp_replace(kept, r"(?:(?<=\s)|^)['._@]+|['._@]+(?=\s|$)", "")
+        kept = F.regexp_replace(F.lower(c), r"[^\p{L}\p{N}'._]+", " ")
+        # positional mid-char rules (UAX#29 single-mid-between-alnums):
+        # runs of mids always break; ' must sit between letters; . must
+        # sit letter.letter or digit.digit
+        kept = F.regexp_replace(kept, r"['.]{2,}", " ")
+        kept = F.regexp_replace(kept, r"(?<!\p{L})'|'(?!\p{L})", " ")
+        kept = F.regexp_replace(
+            kept,
+            r"(?<=\p{L})\.(?=\p{N})|(?<=\p{N})\.(?=\p{L})|(?<![\p{L}\p{N}])\.|\.(?![\p{L}\p{N}])",
+            " ",
+        )
+        # strip remaining kept punctuation at token EDGES (underscore
+        # clusters; ExtendNumLet is mid-word only in this mode)
+        edge_stripped = F.regexp_replace(kept, r"(?:(?<=\s)|^)['._]+|['._]+(?=\s|$)", "")
         # CJK: Han ideographs and Hiragana tokenize as unigrams (Lucene
         # StandardTokenizer IDEOGRAPHIC/HIRAGANA token types); Katakana
         # runs stay whole (KATAKANA type spans the run)

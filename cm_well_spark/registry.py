@@ -3694,18 +3694,21 @@ def search_like_fuzzy_term(spark, sf_dir):
     FROM part
     WHERE contains(
       ' ' || trim(regexp_replace(regexp_replace(
-        ' ' || regexp_replace(lower(p_name), '[^a-z0-9''._@]+', ' ', 'g') || ' ',
-        ' [''._@]+', ' ', 'g'), '[''._@]+ ', ' ', 'g')) || ' ',
+        ' ' || regexp_replace(lower(p_name), '[^a-z0-9''._]+', ' ', 'g') || ' ',
+        ' [''._]+', ' ', 'g'), '[''._]+ ', ' ', 'g')) || ' ',
       ' widget ')
     """,
 )
 def search_contains_uax29ish(spark, sf_dir):
     """F1 `:` Contains under the opt-in `uax29ish` analyzer (r6 oracle
-    pin of the r5 mode): mid-word apostrophes/periods/underscores/
-    at-signs survive tokenization, edges are stripped — the oracle
-    replicates the tokenizer in RE2-safe SQL (no lookbehind), so regex
-    drift in either regexp fails the hash. CJK unigramming remains the
-    documented divergence (SURVEY §7.3)."""
+    pin; r11 positional tightening — VERDICT r10 item 8): mid-word
+    apostrophes/periods/underscores survive tokenization positionally
+    (`@` now always breaks, matching StandardAnalyzer), edges are
+    stripped — the oracle replicates the tokenizer in RE2-safe SQL (no
+    lookbehind; the positional mid-char rules are invisible on this
+    corpus — part names carry no mid-word punctuation — and are pinned
+    by tests/test_analyzer_contract.py instead). CJK unigramming remains
+    the documented divergence (SURVEY §7.3)."""
     from cm_well_spark.plans.compile import analyzer_mode
 
     with analyzer_mode("uax29ish"):

@@ -87,7 +87,13 @@ UAX29ISH_CONVERGES = [
     ("dog's", ["dog's"]),
     ("3.14 rounds", ["3.14", "rounds"]),
     ("foo_bar", ["foo_bar"]),
-    ("mail a@b.com", ["mail", "a@b.com"]),  # keeps the address whole
+    ("mail a@b.com", ["mail", "a", "b.com"]),  # @ breaks; MidNumLet period holds b.com
+    # positional mid-char rules (r11): ' only letter-letter, . only
+    # letter.letter / digit.digit, runs of mids always break
+    ("3'4", ["3", "4"]),
+    ("a.3 ok", ["a", "3", "ok"]),
+    ("x..y", ["x", "y"]),
+    ("can't stop 3.14.15", ["can't", "stop", "3.14.15"]),
     # r7: CJK converges too — Han + Hiragana unigrams (StandardTokenizer
     # IDEOGRAPHIC/HIRAGANA types), Katakana runs whole (KATAKANA type)
     ("日本語 text", ["日", "本", "語", "text"]),
