@@ -57,14 +57,15 @@ def test_gate_window_rotation_contract(monkeypatch):
     exactly once, deterministic for a fixed round counter, and the
     window actually MOVES when the round counter advances."""
     from cm_well_spark import registry
+    from cm_well_spark.registry import _core
 
-    monkeypatch.setattr(registry, "_gate_rotation", lambda: 8)
+    monkeypatch.setattr(_core, "_gate_rotation", lambda: 8)
     w8 = list(registry.queries())
     assert w8[:2] == ["read_point", "merge_writer_current"]
     assert sorted(w8) == sorted(registry.QUERIES)
     assert w8 == list(registry.queries())  # deterministic
 
-    monkeypatch.setattr(registry, "_gate_rotation", lambda: 9)
+    monkeypatch.setattr(_core, "_gate_rotation", lambda: 9)
     w9 = list(registry.queries())
     assert w9[:2] == ["read_point", "merge_writer_current"]
     assert sorted(w9) == sorted(registry.QUERIES)
@@ -159,3 +160,21 @@ def test_plan_audit_covers_every_registry_entry():
         f"extra={sorted(audited - want)}"
     )
     assert audit["n_violations"] == 0, audit["violations"]
+
+
+def test_registry_package_split_bounds():
+    """Registry split contract (VERDICT r10 item 9): the registry is a
+    package of family tranches, no module over 2.5k LoC, and the
+    package must keep behaving as the old single module did — QUERIES
+    populated, sentinels first in gate order."""
+    import glob
+
+    import cm_well_spark.registry as R
+
+    pkg_dir = os.path.dirname(R.__file__)
+    for f in glob.glob(os.path.join(pkg_dir, "*.py")):
+        n = sum(1 for _ in open(f))
+        assert n <= 2500, f"{os.path.basename(f)} has {n} LoC (>2500)"
+    assert len(R.QUERIES) >= 283
+    gate = list(R.queries())
+    assert gate[:2] == ["read_point", "merge_writer_current"]
