@@ -33,6 +33,26 @@ def _gate_threshold() -> float:
     return float(os.environ.get("CMW_BENCH_LOAD_GATE", str(max(4.0, cores / 4.0))))
 
 
+def _cpu_times() -> list[int] | None:
+    """First /proc/stat line (user nice sys idle iowait irq softirq steal...).
+    Steal is the contention loadavg cannot see: hypervisor CPU time taken
+    from this VM by other tenants (r11 — measured 11-25% during a 'quiet'
+    loadavg<2 window, inflating sf1 samples 2-4x)."""
+    try:
+        return list(map(int, open("/proc/stat").readline().split()[1:]))
+    except (OSError, ValueError):
+        return None
+
+
+def _steal_pct(before: list[int] | None, after: list[int] | None) -> float | None:
+    """% of total CPU time stolen between the two samples."""
+    if not before or not after or len(before) < 8 or len(after) < 8:
+        return None
+    d = [y - x for x, y in zip(before, after)]
+    total = sum(d)
+    return round(100.0 * d[7] / total, 1) if total > 0 else None
+
+
 def _load_gate(max_wait: float | None = None) -> tuple[float, float, bool]:
     """Contention gate (VERDICT r8 item 1): rounds 4-8 recorded phantom
     regressions because the canonical bench ran under external CPU steal.
@@ -285,7 +305,9 @@ def main() -> None:
     else:
         names = CORE_QUERIES
     samples = int(os.environ.get("CMW_BENCH_SAMPLES", "3"))
+    cpu0 = _cpu_times()
     timings, rerun = _time_queries(spark, sf_dir, qs, names, samples)
+    core_steal = _steal_pct(cpu0, _cpu_times())
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
@@ -312,6 +334,10 @@ def main() -> None:
         "loadavg_at_gate": round(gate_load, 2),
         "loadavg_after_ingest": round(load_after_ingest, 2),
         "ingest_resampled": ingest_resampled,
+        # hypervisor CPU steal during the query block: >~5% means the
+        # samples ran on a throttled VM and inflated entries are
+        # environment, not regression (loadavg cannot show this)
+        "steal_pct": core_steal,
         "load_wait_sec": round(gate_waited, 1),
         "flagged_reruns": rerun,
         "sf": sf_val,
@@ -326,7 +352,7 @@ def main() -> None:
         # drop diagnostics first, then spill excess query timings to the
         # local file (kept whole there)
         for k in ("flagged_reruns", "loadavg_at_gate", "loadavg_after_ingest",
-                  "ingest_resampled", "load_wait_sec"):
+                  "ingest_resampled", "steal_pct", "load_wait_sec"):
             out.pop(k, None)
         while len(json.dumps(out, separators=(",", ":"))) > 1800 and out["queries"]:
             out["queries"].pop(next(iter(out["queries"])))
@@ -351,9 +377,11 @@ def main() -> None:
     ext_gate_load, ext_waited, ext_contended = _load_gate()
     ext["loadavg_at_gate"] = round(ext_gate_load, 2)
     ext["contended"] = ext_contended
+    ext_cpu0 = _cpu_times()
     ext_timings, ext_rerun = _time_queries(
         spark, sf_dir, qs, EXTENDED_QUERIES, samples, tag="ext "
     )
+    ext["steal_pct"] = _steal_pct(ext_cpu0, _cpu_times())
     ext["queries"] = ext_timings
     ext["flagged_reruns"] = ext_rerun
     ext["total_sec"] = round(sum(ext_timings.values()), 3)
@@ -385,6 +413,7 @@ def main() -> None:
         # not at process start — is what makes the sf1 query timings
         # usable as regression evidence.
         sf1_gate_load, sf1_waited, sf1_contended = _load_gate()
+        sf1_cpu0 = _cpu_times()
         # sf1 queries run 3-10x their sf0.1 cost; cap at 2 samples so the
         # scale block never dominates the wall
         sf1_timings, sf1_rerun = _time_queries(
@@ -400,6 +429,7 @@ def main() -> None:
             "warmup_sec": round(sf1_warm, 3),
             "loadavg_at_gate": round(sf1_gate_load, 2),
             "contended": sf1_contended,
+            "steal_pct": _steal_pct(sf1_cpu0, _cpu_times()),
             "load_wait_sec": round(sf1_waited, 1),
             "loadavg": [round(x, 2) for x in os.getloadavg()],
             "flagged_reruns": sf1_rerun,

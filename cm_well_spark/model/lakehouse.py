@@ -285,10 +285,30 @@ def _load(spark: SparkSession, out: str, table: str) -> DataFrame:
             df = reconciled_triples(spark, out)
         else:
             df = spark.read.parquet(os.path.join(out, table))
-        if os.environ.get("CMW_CACHE") == "1":
+        if os.environ.get("CMW_CACHE") == "1" and _table_bytes(
+            os.path.join(out, table)
+        ) <= int(os.environ.get("CMW_CACHE_MAX_BYTES", str(1 << 30))):
+            # size-capped warm cache (r11): persisting a store-sized table
+            # is a pessimization, not a cache — the InMemoryRelation scan
+            # loses the parquet layout's partition-dir and file-range
+            # pruning (a p=... filter walks EVERY cached batch) and the
+            # materialization itself cost 400+ s at sf1 (measured:
+            # pagerank 43 s on pruned parquet vs 191-887 s against the
+            # fully-cached table, idle box). Above the cap the working
+            # set is whatever partition pruning carves out, exactly as on
+            # a 100 TB cluster.
             df = df.persist()
         _DF_CACHE[key] = df
     return _DF_CACHE[key]
+
+
+def _table_bytes(path: str) -> int:
+    total = 0
+    for root, _d, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
 
 
 def load_infotons(spark: SparkSession, sf_dir: str, root: str | None = None) -> DataFrame:

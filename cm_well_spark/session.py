@@ -24,7 +24,24 @@ def get_spark(app_name: str = "cm_well_spark", shuffle_partitions: int | None = 
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("CMW_DRIVER_MEM", "48g"))
+        .config("spark.driver.memory", os.environ.get("CMW_DRIVER_MEM", "24g"))
+        # pin the heap floor to the ceiling, and keep the heap RIGHT-SIZED
+        # (r11): this VM faults anonymous memory at only ~120 MB/s
+        # (measured: -XX:+AlwaysPreTouch of 48 GB = 391 s), so every NEW
+        # heap page a query touches is a kernel-time tax — observed as
+        # 65-96% sys time and a 4-9x wall blowup on repeated sf1
+        # iterative queries (pagerank 219-314 s vs 22-38 s once the heap
+        # stopped wandering). -Xms pins the floor so G1 never uncommits
+        # and re-faults, and 24g (plenty for every measured op, including
+        # the sf1 clustering compact) bounds the one-time fault tax to
+        # ~3 min amortized over a session's first heavy queries. The
+        # bench's min-of-N sampling absorbs that warm-up by design.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "CMW_DRIVER_XOPTS", f"-Xms{os.environ.get('CMW_DRIVER_MEM', '24g')}"
+            ),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # test tables store TIMESTAMP(NANOS); read as long, loaders convert
