@@ -319,10 +319,35 @@ def load_triples(spark: SparkSession, sf_dir: str, root: str | None = None) -> D
     return _load(spark, materialize(spark, sf_dir, root), "triples")
 
 
+# predicate-stats memo: the stats relation is tiny (one row per predicate)
+# but nearly every query CONSTRUCTION loads it — uncached that is a parquet
+# read + .collect() Spark job per query build (driver-side metadata work the
+# query itself never needs repeated). Keyed by the stats dir's latest file
+# mtime, so collect_predicate_stats / merge_predicate_stats (which land via
+# rename or overwrite) naturally invalidate it.
+_STATS_CACHE: dict[tuple, dict[str, dict]] = {}
+
+
+def _stats_mtime(stats_path: str) -> float:
+    try:
+        return max(
+            os.path.getmtime(os.path.join(stats_path, f))
+            for f in os.listdir(stats_path)
+            if f.endswith(".parquet")
+        )
+    except (OSError, ValueError):
+        return 0.0
+
+
 def load_predicate_stats(spark: SparkSession, sf_dir: str, root: str | None = None) -> dict[str, dict]:
     out = materialize(spark, sf_dir, root)
-    rows = spark.read.parquet(os.path.join(out, "predicate_stats")).collect()
-    return {
+    stats_path = os.path.join(out, "predicate_stats")
+    key = (id(spark), out, _stats_mtime(stats_path))
+    cached = _STATS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    rows = spark.read.parquet(stats_path).collect()
+    _STATS_CACHE[key] = {
         r["p"]: {
             "n": r["n_triples"],
             "dobj": r["n_distinct_obj"],
@@ -344,3 +369,4 @@ def load_predicate_stats(spark: SparkSession, sf_dir: str, root: str | None = No
         }
         for r in rows
     }
+    return _STATS_CACHE[key]

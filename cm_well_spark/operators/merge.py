@@ -320,7 +320,17 @@ def apply_commands(infotons: DataFrame, commands: DataFrame, index_time_base: in
     new_rows = decorate_versions(versions, index_time_base)
     from pyspark.sql import Window
 
-    affected = versions.select(F.col("path").alias("__ap")).distinct()
+    # Affected paths come from COMMANDS, not from the merged versions:
+    # merge_versions' cogroup keys are a subset of the command paths, so
+    # this is the same path set for routing purposes — but deriving it
+    # from `versions` made the Python cogroup subtree appear THREE times
+    # in the physical plan (anti-join build, semi-join build, new_rows),
+    # re-running the whole merge per reference. Commands-derived routing
+    # keeps the cogroup at exactly one evaluation. A no-op command's path
+    # now routes through the current-flip window instead of the untouched
+    # branch; the window recomputes the identical flag (one current =
+    # latest index_time), so the output is row-identical.
+    affected = commands.select(F.col("path").alias("__ap")).distinct()
     # Only affected paths pay the current-flip window; the untouched bulk of
     # the table passes through via a broadcast anti join (no shuffle).
     untouched = infotons.alias("__t").join(

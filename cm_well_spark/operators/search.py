@@ -109,6 +109,7 @@ def search(
     enforce_limits: bool = True,
     triples: DataFrame | None = None,
     keep_score: bool = False,
+    stats: dict | None = None,
 ) -> DataFrame:
     """One declarative plan for the full search surface. Returns infoton rows.
 
@@ -138,19 +139,27 @@ def search(
         if triples is not None and not with_history:
             from cm_well_spark.plans.index_route import index_search_paths
 
-            paths, residual = index_search_paths(triples, ff)
+            paths, residual, bound = index_search_paths(triples, ff, stats)
             if paths is not None:
                 # Broadcast the candidate set when provably bounded: AQE
                 # would convert this SMJ->BHJ only AFTER the doc side has
                 # already shuffled its wide fields-map rows (measured 10+s
-                # at sf1 for 8.9M docs vs ~2s broadcast). One narrow count
-                # on the checkpointed candidates buys the proof — same
-                # contract as traversal.py's frontier broadcasts.
+                # at sf1 for 8.9M docs vs ~2s broadcast). The cheapest
+                # proof is predicate_stats (r11): candidates are a subset
+                # of each filtered predicate's subjects, so a stats-derived
+                # upper bound under the cap licenses the broadcast hint
+                # with ZERO extra jobs. Only when stats can't prove it do
+                # we fall back to the r6 counted-checkpoint proof (one
+                # materialization + one narrow count) — same contract as
+                # traversal.py's frontier broadcasts.
                 from cm_well_spark.operators.traversal import BROADCAST_PATHS_MAX
 
-                paths = paths.transform(iter_checkpoint)
-                bounded = paths.count() <= BROADCAST_PATHS_MAX
-                df = df.join(F.broadcast(paths) if bounded else paths, "path", "left_semi")
+                if bound is not None and bound <= BROADCAST_PATHS_MAX:
+                    df = df.join(F.broadcast(paths), "path", "left_semi")
+                else:
+                    paths = paths.transform(iter_checkpoint)
+                    bounded = paths.count() <= BROADCAST_PATHS_MAX
+                    df = df.join(F.broadcast(paths) if bounded else paths, "path", "left_semi")
                 if residual is not None:
                     df = df.where(residual)
             else:

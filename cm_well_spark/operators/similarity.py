@@ -1276,10 +1276,22 @@ def knn_graph(
     scored = (
         left.join(right, "bucket")
         .where(F.col("src") != F.col("dst"))
-        .select("src", "dst", F.round(dot(F.col("lv"), F.col("rv")), 6).alias("cosine"))
+        .select("bucket", "src", "dst", F.round(dot(F.col("lv"), F.col("rv")), 6).alias("cosine"))
     )
-    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
-    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    # The top-k window partitions by (bucket, src), not src alone: src
+    # DETERMINES bucket, so the ranking is row-identical — but
+    # HashPartitioning(bucket) from the self-join's exchange satisfies
+    # ClusteredDistribution(bucket, src), so when the join runs as a
+    # shuffle join (the data-scale case: both sides too big to
+    # broadcast) the window reuses the join's partitioning and the plan
+    # drops from two data-scale shuffles to ONE. Locally (broadcast
+    # join) the single window exchange is the same cost either way.
+    w = Window.partitionBy("bucket", "src").orderBy(F.desc("cosine"), F.asc("dst"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .drop("bucket")
+    )
 
 
 def semantic_knn_clusters(

@@ -84,18 +84,41 @@ def _triple_pred(ff: SingleFieldFilter) -> Column | None:
 
 
 def _single_path_set(triples: DataFrame, ff: SingleFieldFilter) -> DataFrame | None:
-    name = ff.name
-    if len(name) > 2 and name[1] == "$":
-        name = name[2:]
-    if name in SYSTEM_COLUMNS or name == "system.quad":
+    name = _pred_name(ff)
+    if name is None:
         return None  # doc-side residual
     pred = _triple_pred(ff)
     t = triples.where(F.col("current")).where(F.col("p") == name)
     return t.where(pred).select("s").distinct()
 
 
-def _set_for(triples: DataFrame, group: MultiFieldFilter) -> tuple[DataFrame | None, list[FieldFilter]]:
-    """One bool level -> (candidate path set or None, residual filters).
+def _pred_name(ff: SingleFieldFilter) -> str | None:
+    """The triples `p` value a set-expressible filter scans, or None when
+    the filter is doc-side only (system fields, quad filters)."""
+    name = ff.name
+    if len(name) > 2 and name[1] == "$":
+        name = name[2:]
+    if name in SYSTEM_COLUMNS or name == "system.quad":
+        return None
+    return name
+
+
+def _single_bound(ff: SingleFieldFilter, stats: dict | None) -> int | None:
+    """PROVEN upper bound on a single filter's candidate-path count, from
+    predicate_stats: whatever the value predicate keeps, candidates are a
+    subset of the predicate's subjects, and distinct s <= n_triples(p).
+    None = no proof (stats absent or predicate unknown/stale)."""
+    name = _pred_name(ff)
+    if stats is None or name is None or name not in stats:
+        return None
+    return stats[name].get("n")
+
+
+def _set_for(
+    triples: DataFrame, group: MultiFieldFilter, stats: dict | None = None
+) -> tuple[DataFrame | None, list[FieldFilter], int | None]:
+    """One bool level -> (candidate path set or None, residual filters,
+    proven upper bound on the set's size or None).
 
     Soundness rules (candidates must be a SUPERSET of the true result so
     the residual only narrows):
@@ -107,9 +130,14 @@ def _set_for(triples: DataFrame, group: MultiFieldFilter) -> tuple[DataFrame | N
         exists (an unexpressible Must would make the shoulds optional,
         so the union would wrongly exclude docs);
       - MustNot always goes residual (set complement needs the universe).
-    """
+
+    The bound mirrors the same algebra over predicate_stats row counts:
+    intersection <= min of member bounds; union <= sum (None member =
+    unproven -> whole level unproven for unions, skipped for mins)."""
     must_sets: list[DataFrame] = []
+    must_bounds: list[int | None] = []
     should_sets: list[DataFrame] = []
+    should_bounds: list[int | None] = []
     should_bad = False
     residual: list[FieldFilter] = []
     for f in group.filters:
@@ -118,43 +146,55 @@ def _set_for(triples: DataFrame, group: MultiFieldFilter) -> tuple[DataFrame | N
             continue
         if isinstance(f, SingleFieldFilter):
             s = _single_path_set(triples, f)
+            b = _single_bound(f, stats)
             sub_res: list[FieldFilter] = []
         else:
-            s, sub_res = _set_for(triples, f)
+            s, sub_res, b = _set_for(triples, f, stats)
         if f.field_op == SHOULD:
             if s is None or sub_res:
                 should_bad = True
             else:
                 should_sets.append(s)
+                should_bounds.append(b)
         else:  # Must
             if s is None:
                 residual.append(f)
             else:
                 must_sets.append(s)
+                must_bounds.append(b)
                 residual.extend(sub_res)
     if must_sets:
         out = reduce(lambda a, b: a.join(b, "s", "left_semi"), must_sets)
-        return out, residual
+        known = [b for b in must_bounds if b is not None]
+        return out, residual, (min(known) if known else None)
     has_unexpressible_must = any(r.field_op != MUSTNOT for r in residual)
     if should_sets and not should_bad and not has_unexpressible_must:
         out = reduce(lambda a, b: a.unionByName(b), should_sets).distinct()
-        return out, residual
-    return None, [group]
+        bound = (
+            sum(should_bounds)
+            if all(b is not None for b in should_bounds)
+            else None
+        )
+        return out, residual, bound
+    return None, [group], None
 
 
-def index_search_paths(triples: DataFrame, ff: FieldFilter) -> tuple[DataFrame | None, Column | None]:
-    """Compile the filter into (candidate path set, residual doc filter).
+def index_search_paths(
+    triples: DataFrame, ff: FieldFilter, stats: dict | None = None
+) -> tuple[DataFrame | None, Column | None, int | None]:
+    """Compile the filter into (candidate path set, residual doc filter,
+    proven upper bound on the candidate count or None).
     Correctness contract: docs(candidates) ∩ residual == docs(filter) —
     the residual re-applies every clause the set algebra under-constrains
     (MustNot, system fields, quad filters, pure-should optionality)."""
     top = ff if isinstance(ff, MultiFieldFilter) else MultiFieldFilter(MUST, (ff,))
-    path_set, residual = _set_for(triples, top)
+    path_set, residual, bound = _set_for(triples, top, stats)
     if path_set is None:
-        return None, compile_filter(ff)
+        return None, compile_filter(ff), None
     res_col = None
     if residual:
         res_col = compile_filter(MultiFieldFilter(MUST, tuple(residual)))
-    return path_set.withColumnRenamed("s", "path"), res_col
+    return path_set.withColumnRenamed("s", "path"), res_col, bound
 
 
 def index_search(
@@ -166,7 +206,7 @@ def index_search(
     """Candidate set from the index, hydration + residual on the doc
     table. Falls back to the pure doc-side plan when nothing is
     set-expressible."""
-    paths, residual = index_search_paths(triples, ff)
+    paths, residual, _bound = index_search_paths(triples, ff)
     df = infotons.where(visibility)
     if paths is not None:
         df = df.join(paths, "path", "left_semi")

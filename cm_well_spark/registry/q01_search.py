@@ -44,7 +44,7 @@ def list_children_q(spark, sf_dir):
 )
 def search_equals(spark, sf_dir):
     """F1 `::` Equals -> termQuery on exact value (FTSService.scala:898)."""
-    df = S.search(_inf(spark, sf_dir), qp="rdfType::Customer,mktsegment::BUILDING", sort_by="path", length=10_000, triples=_tri(spark, sf_dir))
+    df = S.search(_inf(spark, sf_dir), qp="rdfType::Customer,mktsegment::BUILDING", sort_by="path", length=10_000, triples=_tri(spark, sf_dir), stats=_stats(spark, sf_dir))
     return df.select("path", fv.first_value("name").alias("name"), fv.first_num("acctbal").alias("acctbal"))
 
 
@@ -58,7 +58,7 @@ def search_equals(spark, sf_dir):
 )
 def search_range_num(spark, sf_dir):
     """F1 `>` range on a typed (double) field — typed shadow comparison."""
-    df = S.search(_inf(spark, sf_dir), qp="rdfType::Customer,acctbal>5000", sort_by="path", length=10_000, triples=_tri(spark, sf_dir))
+    df = S.search(_inf(spark, sf_dir), qp="rdfType::Customer,acctbal>5000", sort_by="path", length=10_000, triples=_tri(spark, sf_dir), stats=_stats(spark, sf_dir))
     return df.select("path", fv.first_num("acctbal").alias("acctbal"))
 
 
@@ -99,7 +99,7 @@ def search_range_date(spark, sf_dir):
 )
 def search_mustnot(spark, sf_dir):
     """F1 `-` MustNot -> bool mustNot clause."""
-    df = S.search(_inf(spark, sf_dir), qp="rdfType::Customer,-mktsegment::BUILDING", sort_by="path", length=10_000, triples=_tri(spark, sf_dir))
+    df = S.search(_inf(spark, sf_dir), qp="rdfType::Customer,-mktsegment::BUILDING", sort_by="path", length=10_000, triples=_tri(spark, sf_dir), stats=_stats(spark, sf_dir))
     return df.select("path", fv.first_value("mktsegment").alias("mktsegment"))
 
 
@@ -155,7 +155,7 @@ def search_exists(spark, sf_dir):
 def search_contains(spark, sf_dir):
     """F1 `:` Contains -> matchPhrase on the analyzed field (simple
     lowercase/word-split analyzer; divergence documented SURVEY §7.3)."""
-    df = S.search(_inf(spark, sf_dir), qp="rdfType::Part,name:widget", sort_by="path", length=10_000, triples=_tri(spark, sf_dir))
+    df = S.search(_inf(spark, sf_dir), qp="rdfType::Part,name:widget", sort_by="path", length=10_000, triples=_tri(spark, sf_dir), stats=_stats(spark, sf_dir))
     return df.select("path", fv.first_value("name").alias("name"))
 
 
@@ -171,7 +171,7 @@ def search_contains(spark, sf_dir):
 )
 def search_sort_page(spark, sf_dir):
     """O1 typed sort + O2 offset/length paging with reference guards."""
-    df = S.search(_inf(spark, sf_dir), qp="rdfType::Customer", sort_by="-acctbal", offset=10, length=20, triples=_tri(spark, sf_dir))
+    df = S.search(_inf(spark, sf_dir), qp="rdfType::Customer", sort_by="-acctbal", offset=10, length=20, triples=_tri(spark, sf_dir), stats=_stats(spark, sf_dir))
     return df.select("path", fv.first_num("acctbal").alias("acctbal"))
 
 

@@ -19,7 +19,7 @@ def agg_term(spark, sf_dir):
     from cm_well_spark.operators.aggregations import aggregate
 
     tri = _tri(spark, sf_dir)
-    cust = S.search(_inf(spark, sf_dir), qp="rdfType::Customer", length=None, triples=tri)
+    cust = S.search(_inf(spark, sf_dir), qp="rdfType::Customer", length=None, triples=tri, stats=_stats(spark, sf_dir))
     return aggregate(cust, "type:term,field::mktsegment", triples=tri, stats=_stats(spark, sf_dir),
                      universe_types=frozenset({"Customer"}))[0].df
 
@@ -38,7 +38,7 @@ def agg_stats(spark, sf_dir):
     from cm_well_spark.operators.aggregations import aggregate
 
     tri = _tri(spark, sf_dir)
-    li = S.search(_inf(spark, sf_dir), qp="rdfType::Lineitem", length=None, triples=tri)
+    li = S.search(_inf(spark, sf_dir), qp="rdfType::Lineitem", length=None, triples=tri, stats=_stats(spark, sf_dir))
     df = aggregate(li, "type:stats,field::quantity", triples=tri, stats=_stats(spark, sf_dir),
                    universe_types=frozenset({"Lineitem"}))[0].df
     return df.select(
@@ -58,7 +58,7 @@ def agg_hist(spark, sf_dir):
     from cm_well_spark.operators.aggregations import aggregate
 
     tri = _tri(spark, sf_dir)
-    parts = S.search(_inf(spark, sf_dir), qp="rdfType::Part", length=None, triples=tri)
+    parts = S.search(_inf(spark, sf_dir), qp="rdfType::Part", length=None, triples=tri, stats=_stats(spark, sf_dir))
     return aggregate(parts, "type:hist,field::size,interval:10,minDocCount:1", triples=tri,
                      stats=_stats(spark, sf_dir), universe_types=frozenset({"Part"}))[0].df
 
@@ -73,7 +73,7 @@ def agg_card_exact(spark, sf_dir):
     from cm_well_spark.operators.aggregations import card_exact
 
     tri = _tri(spark, sf_dir)
-    li = S.search(_inf(spark, sf_dir), qp="rdfType::Lineitem", length=None, triples=tri)
+    li = S.search(_inf(spark, sf_dir), qp="rdfType::Lineitem", length=None, triples=tri, stats=_stats(spark, sf_dir))
     return card_exact(li, "ofPart", triples=tri, stats=_stats(spark, sf_dir))
 
 
@@ -84,7 +84,7 @@ def agg_card_approx(spark, sf_dir):
     from cm_well_spark.operators.aggregations import aggregate
 
     tri = _tri(spark, sf_dir)
-    li = S.search(_inf(spark, sf_dir), qp="rdfType::Lineitem", length=None, triples=tri)
+    li = S.search(_inf(spark, sf_dir), qp="rdfType::Lineitem", length=None, triples=tri, stats=_stats(spark, sf_dir))
     return aggregate(li, "type:card,field::ofPart,precisionThreshold:10000", triples=tri,
                      stats=_stats(spark, sf_dir), universe_types=frozenset({"Lineitem"}))[0].df
 
@@ -137,7 +137,7 @@ def agg_term_nested_stats(spark, sf_dir):
     from cm_well_spark.operators.aggregations import aggregate
 
     tri = _tri(spark, sf_dir)
-    cust = S.search(_inf(spark, sf_dir), qp="rdfType::Customer", length=None, triples=tri)
+    cust = S.search(_inf(spark, sf_dir), qp="rdfType::Customer", length=None, triples=tri, stats=_stats(spark, sf_dir))
     res = aggregate(cust, "type:term,field::mktsegment<type:stats,field::acctbal>", triples=tri, stats=_stats(spark, sf_dir))[0]
     sub = res.subs[0].df
     return sub.select(

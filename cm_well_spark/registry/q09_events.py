@@ -17,7 +17,7 @@ from cm_well_spark.registry._core import *  # noqa: F401,F403
 def search_like_fuzzy(spark, sf_dir):
     """F1 `~` Like -> fuzzy match with ES AUTO edit-distance buckets
     (len>5 -> 2 edits), via levenshtein on the exact value."""
-    df = S.search(_inf(spark, sf_dir), qp="rdfType::Region,name~EVROPE", length=None, triples=_tri(spark, sf_dir))
+    df = S.search(_inf(spark, sf_dir), qp="rdfType::Region,name~EVROPE", length=None, triples=_tri(spark, sf_dir), stats=_stats(spark, sf_dir))
     return df.select("path", fv.first_value("name").alias("name"))
 
 

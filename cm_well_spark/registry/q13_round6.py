@@ -112,7 +112,7 @@ def search_like_fuzzy_term(spark, sf_dir):
     token of the value is within the AUTO edit distance — `name~widgt`
     matches "large widget" through its 'widget' token. Previously a
     pinned whole-value divergence."""
-    df = S.search(_inf(spark, sf_dir), qp="rdfType::Part,name~widgt", length=None, triples=_tri(spark, sf_dir))
+    df = S.search(_inf(spark, sf_dir), qp="rdfType::Part,name~widgt", length=None, triples=_tri(spark, sf_dir), stats=_stats(spark, sf_dir))
     return df.select("path", fv.first_value("name").alias("name"))
 
 
@@ -141,7 +141,7 @@ def search_contains_uax29ish(spark, sf_dir):
     from cm_well_spark.plans.compile import analyzer_mode
 
     with analyzer_mode("uax29ish"):
-        df = S.search(_inf(spark, sf_dir), qp="rdfType::Part,name:widget", length=None, triples=_tri(spark, sf_dir))
+        df = S.search(_inf(spark, sf_dir), qp="rdfType::Part,name:widget", length=None, triples=_tri(spark, sf_dir), stats=_stats(spark, sf_dir))
     return df.select("path", fv.first_value("name").alias("name"))
 
 

@@ -693,7 +693,13 @@ def test_subject_bloom_sidecars_make_fold_scan_free(spark, tmp_path_factory):
     misses = sum(
         _subject_bloom_probe(dst, f, ghost) is False for f in data_files
     )
-    assert misses >= len(data_files) - 1  # <=1 bloom false positive tolerated
+    # tolerance matched to the bloom's DESIGN fp rate (~0.8%/file at 10
+    # bits/row, k=7): with ~93 files the expected fp count is ~0.74, so
+    # "<=1" flaked whenever two files collided (P >= 17% per run — seen
+    # r11 in the full-suite order where range-sampling shifted file
+    # contents). 5% of files keeps P(flake) under 0.1% while still
+    # catching a broken bloom (which would hit on EVERY file).
+    assert misses >= len(data_files) - max(1, len(data_files) // 20)
 
     lm = datetime(2024, 5, 1)
     write_batch(
