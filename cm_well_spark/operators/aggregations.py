@@ -123,14 +123,22 @@ def _exploded_any(
     df: DataFrame, f: AggField, triples: DataFrame | None, stats: dict | None = None,
     ukinds: frozenset | None = None,
 ) -> DataFrame:
-    if _use_indexed(f, triples, stats):
+    if triples is not None:
         field_types = (stats or {}).get(f.name, {}).get("rdftypes")
         skip = (
             ukinds is not None
             and field_types is not None
             and set(field_types) <= set(ukinds)
         )
-        return _exploded_indexed(triples, df, f, skip_join=skip)
+        # When the type-universe proof holds, the indexed route is ONE
+        # pruned narrow partition scan with NO join — it beats the
+        # doc-map explode at any predicate size (measured 6-10x at
+        # sf0.1, r11), so the INDEXED_AGG_THRESHOLD only arbitrates the
+        # joined variants.
+        if skip:
+            return _exploded_indexed(triples, df, f, skip_join=True)
+        if _use_indexed(f, triples, stats):
+            return _exploded_indexed(triples, df, f, skip_join=False)
     return _exploded(df, f)
 
 
@@ -229,7 +237,7 @@ def _run(
     if isinstance(agg, HistAgg):
         return _hist(df, agg, base, triples, stats, ukinds)
     if isinstance(agg, SigAgg):
-        return _sig(df, agg, base, fg_filter)
+        return _sig(df, agg, base, fg_filter, triples=triples, stats=stats)
     if isinstance(agg, CardAgg):
         return _card(df, agg, triples=triples, stats=stats, ukinds=ukinds)
     raise AggregationError(f"unknown aggregation {agg}")
@@ -327,7 +335,10 @@ def _hist(
     return AggResult(agg, counts, subs)
 
 
-def _sig(df: DataFrame, agg: SigAgg, base: DataFrame, fg_filter: Column | None = None) -> AggResult:
+def _sig(
+    df: DataFrame, agg: SigAgg, base: DataFrame, fg_filter: Column | None = None,
+    triples: DataFrame | None = None, stats: dict | None = None,
+) -> AggResult:
     """Significant terms (A4): JLH-like score
     (fgPct/bgPct) * (fgPct - bgPct), foreground = filtered set, background =
     whole visible set or backgroundTerm-filtered set
@@ -338,7 +349,9 @@ def _sig(df: DataFrame, agg: SigAgg, base: DataFrame, fg_filter: Column | None =
     counts over TWO scans of the background (one exploded for per-key
     counts, one narrow for totals) in a single Spark job — the general
     two-DataFrame path needs four."""
-    _guard_text(df, agg.field)
+    # stats answer the vtype guard without the per-construction probe job
+    # the stats-less path pays (df.first() over the doc table)
+    _guard_text(df, agg.field, triples=triples, stats=stats)
     bg_df = base
     if agg.background_term is not None:
         k, v = agg.background_term
@@ -428,11 +441,13 @@ def _card(
 def card_exact(
     df: DataFrame, field_name: str,
     triples: DataFrame | None = None, stats: dict | None = None,
+    universe_types: frozenset | None = None,
 ) -> DataFrame:
     """Exact-distinct variant of A5 (oracle-checkable; the approximate HLL
-    path is the reference-faithful default)."""
+    path is the reference-faithful default). `universe_types` carries the
+    same join-elision proof as aggregate()'s parameter."""
     agg = CardAgg(AggField(field_name, True))
-    return _card(df, agg, exact=True, triples=triples, stats=stats).df
+    return _card(df, agg, exact=True, triples=triples, stats=stats, ukinds=universe_types).df
 
 
 def _run_grouped_flat(src_with_key: DataFrame, sub: AggFilter, key_cols: list[str]) -> AggResult:

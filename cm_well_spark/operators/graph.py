@@ -53,7 +53,12 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from cm_well_spark.plans.iterative import iter_checkpoint
+from cm_well_spark.plans.iterative import RELIABLE_CHECKPOINTS, iter_checkpoint
+
+
+def _reliable_on(reliable: bool | None) -> bool:
+    """Resolve a per-call reliable flag against the fleet-wide default."""
+    return RELIABLE_CHECKPOINTS if reliable is None else bool(reliable)
 
 # The TPC-H-shaped reference fields of the test model (builder.py:12-19).
 # Callers on other corpora pass their own list; None = joker (every
@@ -154,21 +159,27 @@ def pagerank(
         raise ValueError("pagerank needs at least 1 iteration")
     edges = reference_edges(triples, fields)
     out_deg = edges.groupBy("src").agg(F.count("*").alias("odeg"))
-    # eager checkpoints: the edge/node relations are read every round, so
-    # pay their scan+distinct ONCE up front. Ranks are NOT checkpointed
-    # per round — measured 3.5x slower that way at sf0.1 (each lazy rank
-    # checkpoint forces a separate materialization instead of letting
-    # Catalyst/AQE plan the whole unrolled iteration); a fixed small
-    # iteration count keeps the unrolled plan shallow, and every 8th
-    # round an eager checkpoint bounds depth for callers who iterate
-    # further.
-    edges = iter_checkpoint(edges.join(out_deg, "src"), reliable)
-    nodes = iter_checkpoint(
+    edges = edges.join(out_deg, "src")
+    nodes = (
         edges.select(F.col("src").alias("path"))
         .union(edges.select(F.col("dst").alias("path")))
-        .distinct(),
-        reliable,
+        .distinct()
     )
+    # Edge/node relations stay LAZY (r11): they are referenced every
+    # round, but the unrolled iteration repeats the SAME subtree, so
+    # Spark's ReuseExchange computes each base exchange once inside one
+    # job — measured ~2x faster at sf0.1 than the former eager
+    # localCheckpoints, whose two serial materialization jobs dominated
+    # the whole query (4.2 s of a 4.3 s pagerank was checkpoint build).
+    # Ranks are NOT checkpointed per round either — measured 3.5x
+    # slower that way (r6); every 8th round a checkpoint bounds plan
+    # depth for callers who iterate further. `reliable=True` keeps the
+    # eager durable checkpoints: on a cluster that mode trades the
+    # up-front materialization for executor-loss recovery of the
+    # iteration state.
+    if _reliable_on(reliable):
+        edges = iter_checkpoint(edges, reliable)
+        nodes = iter_checkpoint(nodes, reliable)
     ranks = nodes.select("path", F.lit(1.0).alias("rank"))
     for i in range(iterations):
         contribs = (
@@ -782,13 +793,17 @@ def personalized_pagerank(
         raise ValueError("personalized_pagerank needs a non-empty seed set")
     edges = reference_edges(triples, fields)
     out_deg = edges.groupBy("src").agg(F.count("*").alias("odeg"))
-    edges = iter_checkpoint(edges.join(out_deg, "src"), reliable)
-    nodes = iter_checkpoint(
+    edges = edges.join(out_deg, "src")
+    nodes = (
         edges.select(F.col("src").alias("path"))
         .union(edges.select(F.col("dst").alias("path")))
-        .distinct(),
-        reliable,
+        .distinct()
     )
+    # lazy base relations + ReuseExchange, exactly as pagerank (r11);
+    # reliable mode keeps the eager durable checkpoints
+    if _reliable_on(reliable):
+        edges = iter_checkpoint(edges, reliable)
+        nodes = iter_checkpoint(nodes, reliable)
     seed_list = sorted(set(seeds))
     is_seed = F.col("path").isin(seed_list)
     # teleport mass is SPLIT across the seed set ((1-d)/|S| each, initial

@@ -74,7 +74,8 @@ def agg_card_exact(spark, sf_dir):
 
     tri = _tri(spark, sf_dir)
     li = S.search(_inf(spark, sf_dir), qp="rdfType::Lineitem", length=None, triples=tri, stats=_stats(spark, sf_dir))
-    return card_exact(li, "ofPart", triples=tri, stats=_stats(spark, sf_dir))
+    return card_exact(li, "ofPart", triples=tri, stats=_stats(spark, sf_dir),
+                      universe_types=frozenset({"Lineitem"}))
 
 
 @register("agg_card_approx")
@@ -118,7 +119,8 @@ def agg_sig_terms(spark, sf_dir):
     base = S.search(_inf(spark, sf_dir), qp="rdfType::Customer", length=None)
     pred = compile_filter(parse_qp("acctbal>9000"))
     df = aggregate(
-        base.where(pred), "type:sig,field::mktsegment,minDocCount:1", base=base, fg_filter=pred
+        base.where(pred), "type:sig,field::mktsegment,minDocCount:1", base=base, fg_filter=pred,
+        stats=_stats(spark, sf_dir),
     )[0].df
     return df.select("key", "objects", "bg_count", F.round("score", 6).alias("score"))
 
