@@ -383,8 +383,15 @@ BUILDERS = {
 }
 
 
+# Builders whose plan starts with its own keyed exchange (lineitem's
+# disambiguation window) — a round-robin repartition in front of those is
+# a wasted full shuffle of the raw rows: the window's hash exchange
+# already spreads the build across the cluster.
+_SELF_SHUFFLING = {"lineitem"}
+
+
 def build_infotons(
-    spark: SparkSession, sf_dir: str, only: list[str] | None = None, shuffle: int | None = 32
+    spark: SparkSession, sf_dir: str, only: list[str] | None = None, shuffle: int | None = None
 ) -> DataFrame:
     """Union of all entity infotons for one scale factor.
 
@@ -393,12 +400,15 @@ def build_infotons(
     narrow columnar data. Downstream never reshuffles the struct-heavy
     built rows (r6 B8 fix: shuffling the wide fields map cost ~40 s at
     sf0.1; shuffling raw rows is a fraction of that and the writes keep
-    per-task sort order instead)."""
+    per-task sort order instead). Defaults to the session's
+    defaultParallelism (scale-adaptive: local[N] builds N-wide, a
+    cluster builds cores-wide) instead of the former hard-coded 32."""
     names = only or KIND_ORDER
+    width = shuffle or spark.sparkContext.defaultParallelism
     parts = []
     for name in names:
         raw = tbl.load_table(spark, sf_dir, name)
-        if shuffle:
-            raw = raw.repartition(shuffle)
+        if width and name not in _SELF_SHUFFLING:
+            raw = raw.repartition(width)
         parts.append(BUILDERS[name](raw))
     return functools.reduce(lambda a, b: a.unionByName(b), parts)
