@@ -94,15 +94,22 @@ def edit_distance_pairs(
         )
         v = v.join(keep, "__key")
     a, b = v.alias("a"), v.alias("b")
-    cand = (
-        a.join(b, (F.col("a.__key") == F.col("b.__key")) & (F.col("a.__w") < F.col("b.__w")))
-        .select(F.col("a.__w").alias("a"), F.col("b.__w").alias("b"))
-        .distinct()
-    )
+    cand = a.join(
+        b, (F.col("a.__key") == F.col("b.__key")) & (F.col("a.__w") < F.col("b.__w"))
+    ).select(F.col("a.__w").alias("a"), F.col("b.__w").alias("b"))
+    # Verify BEFORE deduplicating (r11, guide §2.3 — filter before the
+    # exchange): at d=1 only ~2% of bucket-join candidates are repeats,
+    # but the verify drops ~3/4 of them, so dedup-after shuffles a
+    # fraction of the bytes. dist is a function of (a, b), so
+    # distinct-after is row-identical to the old distinct-before. The
+    # THRESHOLDED levenshtein (Spark 3.5+) early-exits above max_dist
+    # (returns -1, exactly the rows the old `dist <= max_dist` dropped)
+    # instead of computing the full O(len^2) matrix per pair.
     return (
-        cand.withColumn("dist", F.levenshtein("a", "b").cast("long"))
-        .where(F.col("dist") <= max_dist)
+        cand.withColumn("dist", F.levenshtein("a", "b", max_dist).cast("long"))
+        .where(F.col("dist") >= 0)
         .select("a", "b", "dist")
+        .distinct()
     )
 
 

@@ -61,6 +61,14 @@ def get_spark(app_name: str = "cm_well_spark", shuffle_partitions: int | None = 
         .config("spark.executor.heartbeatInterval", "60s")
         .config("spark.network.timeout", "600s")
     )
+    # arbitrary config overrides for experiments / deployment tuning:
+    # CMW_EXTRA_CONF="spark.a=b;spark.c=d" (set before the first
+    # getOrCreate — a live session keeps its original conf)
+    extra = os.environ.get("CMW_EXTRA_CONF", "")
+    for kv in extra.split(";"):
+        if "=" in kv:
+            k, v = kv.split("=", 1)
+            builder = builder.config(k.strip(), v.strip())
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
