@@ -9,7 +9,7 @@ import uuid as _uuid
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-from cm_well_spark.plans.iterative import iter_checkpoint
+from cm_well_spark.plans.iterative import iter_checkpoint, iter_checkpoint_lazy
 
 
 # ---------------------------------------------------------------------------
@@ -64,7 +64,7 @@ def delete_recursive_commands(spark: SparkSession, infotons: DataFrame, path: st
         # merge writer — cut the shared lineage (fresh attribute ids via
         # the alias + checkpoint) so Catalyst doesn't see an ambiguous
         # self-join; the target list is small (one subtree)
-        .transform(iter_checkpoint)
+        .transform(iter_checkpoint_lazy)
     )
     return targets.select(
         F.col("__target").alias("path"),

@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from cm_well_spark.plans.iterative import iter_checkpoint
+from cm_well_spark.plans.iterative import iter_checkpoint_lazy
 
 END = "</w>"
 
@@ -64,7 +64,10 @@ def learn_bpe(
     vocab = (
         _word_freq(docs, text_col)
         .select("freq", _to_syms(F.col("w")).alias("syms"))
-        .transform(iter_checkpoint)
+        # lazy: each round's top-pair TakeOrdered collect computes every
+        # partition, so it doubles as the vocab materialization job; the
+        # final round's vocab (discarded) never pays a job at all (r11)
+        .transform(iter_checkpoint_lazy)
     )
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
@@ -95,7 +98,7 @@ def learn_bpe(
                 F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(ab))),
             ).otherwise(F.concat(acc, F.array(x))),
         )
-        vocab = vocab.select("freq", fused.alias("syms")).transform(iter_checkpoint)
+        vocab = vocab.select("freq", fused.alias("syms")).transform(iter_checkpoint_lazy)
     return merges
 
 

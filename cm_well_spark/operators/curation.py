@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from cm_well_spark.operators.dedup import _shingle_rows
 from cm_well_spark.operators.text import quality_features, quality_score, whitespace_token_count
-from cm_well_spark.plans.iterative import iter_checkpoint
+from cm_well_spark.plans.iterative import iter_checkpoint, iter_checkpoint_lazy
 
 
 def _rate_hex(rate: float) -> str:
@@ -940,11 +940,13 @@ def train_linear_classifier(
         F.col(id_col).alias("__id"), _dsir_bucket(F.col("ng"), n_buckets).alias("__b")
     ).groupBy("__id", "__b").agg(F.count("*").alias("__c"))
     m = cnt.groupBy("__id").agg(F.sum("__c").alias("__m"))
+    # lazy: the n_docs action below materializes the feature blocks in
+    # the same job (r11 — the descent rounds then read blocks)
     x = (
         cnt.join(m, "__id")
         .select("__id", "__b", (F.col("__c") / F.col("__m")).alias("__x"))
         .join(y, "__id")
-        .transform(iter_checkpoint)
+        .transform(iter_checkpoint_lazy)
     )
     n_docs = x.select("__id").distinct().count()
 

@@ -32,7 +32,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from cm_well_spark.operators.text import normalize_text, spread_for_cpu
-from cm_well_spark.plans.iterative import iter_checkpoint
+from cm_well_spark.plans.iterative import (
+    iter_checkpoint,
+    iter_checkpoint_count,
+    iter_checkpoint_lazy,
+)
 
 # ---------------------------------------------------------------------------
 # exact
@@ -360,10 +364,11 @@ def duplicate_clusters(
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-        # materialize once: the pair list often carries an expensive lineage
+        # checkpoint once: the pair list often carries an expensive lineage
         # (e.g. a jaccard shingle join) that every propagation round would
-        # otherwise recompute from scratch
-        .transform(iter_checkpoint)
+        # otherwise recompute from scratch; lazy — round 1's eager label
+        # job materializes the blocks (r11)
+        .transform(iter_checkpoint_lazy)
     )
     labels = nodes.select(
         F.col(id_col).cast("long").alias("id"), F.col(id_col).cast("long").alias("cluster")
@@ -377,6 +382,11 @@ def duplicate_clusters(
             .agg(F.min("lsrc").alias("lmin"))
             .select(F.col("dst").alias("id"), "lmin")
         )
+        # stays EAGER (r11 note): the convergence probe below is a
+        # limit(1) early-stop scan — under a lazy checkpoint it would
+        # materialize only the partitions it touches, so later rounds
+        # would recompute unmaterialized partitions through a growing
+        # lineage. The eager job is the price of the early-stop probe.
         new_labels = labels.join(neigh, "id", "left").select(
             "id", F.least(F.col("cluster"), F.coalesce("lmin", F.col("cluster"))).alias("cluster")
         ).transform(iter_checkpoint)
@@ -860,16 +870,20 @@ def _bottom_k_sketch(
             if plan_probe is not None:
                 plan_probe.setdefault("threshold", None)
                 plan_probe.setdefault("residue", sketch)
-            return sketch.transform(iter_checkpoint)
+            return sketch.transform(iter_checkpoint_lazy)
         residue = hashes.where(F.col("h") < t).distinct()
         if plan_probe is not None:
             plan_probe["threshold"] = t
             plan_probe["residue"] = residue
-        materialized = residue.transform(iter_checkpoint)
         # bounded action: expected ~safety*k rows; >= k distinct below t
         # guarantees the global bottom-k is inside the residue (exact).
-        if materialized.count() >= k_sketch:
-            return materialized.orderBy("h").limit(k_sketch).transform(iter_checkpoint)
+        # The count rides the residue's own materialization job (r11);
+        # the k-row cut stays lazily checkpointed — its blocks land
+        # inside the caller's first composition action, and every later
+        # consumer (union-k, semi-join) reads blocks, not the corpus.
+        materialized, n_residue = iter_checkpoint_count(residue)
+        if n_residue >= k_sketch:
+            return iter_checkpoint_lazy(materialized.orderBy("h").limit(k_sketch))
         safety *= 16.0
 
 

@@ -53,7 +53,12 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from cm_well_spark.plans.iterative import RELIABLE_CHECKPOINTS, iter_checkpoint
+from cm_well_spark.plans.iterative import (
+    RELIABLE_CHECKPOINTS,
+    iter_checkpoint,
+    iter_checkpoint_count,
+    iter_checkpoint_lazy,
+)
 
 
 def _reliable_on(reliable: bool | None) -> bool:
@@ -195,7 +200,8 @@ def pagerank(
             ).alias("rank"),
         )
         if (i + 1) % 8 == 0 and (i + 1) < iterations:
-            ranks = iter_checkpoint(ranks, reliable)
+            # lazy: plan-depth bounding without a mid-loop job
+            ranks = iter_checkpoint_lazy(ranks, reliable)
     return ranks
 
 
@@ -238,8 +244,8 @@ def sample_neighborhood(
     frontier = seeds.select(F.col(seeds.columns[0]).alias("src")).distinct()
     hops: list[DataFrame] = []
     for h, fanout in enumerate(fanouts, start=1):
-        frontier = iter_checkpoint(frontier, reliable)
-        if frontier.count() <= FRONTIER_ISIN_MAX:
+        frontier, n_frontier = iter_checkpoint_count(frontier, reliable)
+        if n_frontier <= FRONTIER_ISIN_MAX:
             paths = [r["src"] for r in frontier.collect()]
             incident = edges.where(F.col("src").isin(paths))
         else:
@@ -257,10 +263,12 @@ def sample_neighborhood(
             .where(F.col("__rn") <= fanout)
             .select(F.lit(h).alias("hop"), "src", "dst")
         )
-        # eager: each hop's sample is read twice (output union + next
-        # frontier) — materialize it once instead of re-deriving the
-        # edges-scan lineage per reader
-        ranked = iter_checkpoint(ranked, reliable)
+        # lazy-checkpointed: each hop's sample is read twice (output
+        # union + next frontier) — the blocks materialize inside the
+        # next hop's frontier-count job (or the caller's action for the
+        # last hop), then the output union reads blocks, never
+        # re-deriving the edges-scan lineage
+        ranked = iter_checkpoint_lazy(ranked, reliable)
         hops.append(ranked)
         frontier = ranked.select(F.col("dst").alias("src")).distinct()
     out = hops[0]
@@ -377,7 +385,8 @@ def label_propagation(
             .select("node", F.col("b.label").alias("label"))
         )
         if (i + 1) % 8 == 0 and (i + 1) < iterations:
-            labels = iter_checkpoint(labels, reliable)
+            # lazy: plan-depth bounding without a mid-loop job
+            labels = iter_checkpoint_lazy(labels, reliable)
     return labels
 
 
@@ -469,10 +478,13 @@ def connected_components(
     discipline). Output: (node, component) for every node that appears
     in at least one edge; component ids are the star centers
     themselves."""
-    edges = iter_checkpoint(_symmetric(e), reliable)
+    # lazy: each round's signature action below is the job that
+    # materializes the round's edge relation (r11 — one job per round,
+    # not two; the seed materializes inside round 1's action)
+    edges = iter_checkpoint_lazy(_symmetric(e), reliable)
     sig = None
     for _ in range(max_rounds):
-        edges = iter_checkpoint(_small_star(_large_star(edges)), reliable)
+        edges = iter_checkpoint_lazy(_small_star(_large_star(edges)), reliable)
         row = edges.agg(
             F.count(F.lit(1)).alias("n"),
             # bit_xor, not sum: ANSI mode makes a long-sum of random
@@ -517,20 +529,20 @@ def k_core(
     peel needs (extra rounds are no-ops)."""
     sym = iter_checkpoint(_symmetric(e), reliable)
     deg = sym.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("degree"))
-    survivors = iter_checkpoint(deg.where(F.col("degree") >= k), reliable)
-    n = survivors.count()
+    # one job per round: the convergence count rides the round's own
+    # block materialization (r11, iter_checkpoint_count)
+    survivors, n = iter_checkpoint_count(deg.where(F.col("degree") >= k), reliable)
     for _ in range(max_rounds):
         alive = survivors.select("node")
         kept = sym.join(
             alive.select(F.col("node").alias("src")), "src", "left_semi"
         ).join(alive.select(F.col("node").alias("dst")), "dst", "left_semi")
-        survivors = iter_checkpoint(
+        survivors, m = iter_checkpoint_count(
             kept.groupBy(F.col("src").alias("node"))
             .agg(F.count(F.lit(1)).alias("degree"))
             .where(F.col("degree") >= k),
             reliable,
         )
-        m = survivors.count()
         if m == n:
             return survivors
         n = m
@@ -578,7 +590,9 @@ def bfs_distances(
     pushing the frontier in as an isin literal evaluates a
     thousands-wide predicate over every scanned row (~90s; scattered
     string paths defeat row-group skipping)."""
-    edges = iter_checkpoint(
+    # lazy: the projection's blocks materialize inside round 1's count
+    # job; later rounds read blocks exactly like the eager form
+    edges = iter_checkpoint_lazy(
         e.select("src", "dst").unionAll(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
@@ -586,14 +600,13 @@ def bfs_distances(
         else e.select("src", "dst"),
         reliable,
     )
-    visited = iter_checkpoint(
+    visited, n_frontier = iter_checkpoint_count(
         seeds.select(F.col(seeds.columns[0]).alias("path"))
         .distinct()
         .select("path", F.lit(0).cast("long").alias("distance")),
         reliable,
     )
     frontier = visited.select("path")
-    n_frontier = frontier.count()
     n_visited = n_frontier
     for d in range(1, max_depth + 1):
         f = frontier.select(F.col("path").alias("src"))
@@ -609,11 +622,12 @@ def bfs_distances(
             .join(v, "path", "left_anti")
             .select("path", F.lit(d).cast("long").alias("distance"))
         )
-        nxt = iter_checkpoint(nxt, reliable)
-        n_frontier = nxt.count()
+        nxt, n_frontier = iter_checkpoint_count(nxt, reliable)
         if n_frontier == 0:
             break
-        visited = iter_checkpoint(visited.unionByName(nxt), reliable)
+        # lazy: the union's blocks materialize inside the next round's
+        # count job (or the caller's action on the last round)
+        visited = iter_checkpoint_lazy(visited.unionByName(nxt), reliable)
         n_visited += n_frontier
         frontier = nxt.select("path")
     return visited
@@ -740,8 +754,14 @@ def shortest_paths_weighted(
                 F.col("weight").cast("double"),
             )
         )
-    edges = iter_checkpoint(edges.where(F.col("weight") >= 0), reliable)
-    dist = iter_checkpoint(
+    # all-lazy round state (r11): the relaxation rounds have no
+    # convergence action — with lazy checkpoints the whole fixed-round
+    # relaxation runs as ONE job at the caller's action (the per-round
+    # LogicalRDD truncation still bounds analyzer depth, and the edge
+    # projection's blocks are computed once inside that job);
+    # reliable=True keeps the per-round durable materialization
+    edges = iter_checkpoint_lazy(edges.where(F.col("weight") >= 0), reliable)
+    dist = iter_checkpoint_lazy(
         seeds.select(F.col(seeds.columns[0]).alias("path"))
         .distinct()
         .select("path", F.lit(0.0).alias("distance")),
@@ -758,7 +778,7 @@ def shortest_paths_weighted(
             .groupBy("path")
             .agg(F.min("distance").alias("distance"))
         )
-        dist = iter_checkpoint(relaxed, reliable)
+        dist = iter_checkpoint_lazy(relaxed, reliable)
     return dist.select("path", F.round("distance", 6).alias("distance"))
 
 
@@ -826,7 +846,8 @@ def personalized_pagerank(
             (reset + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))).alias("rank"),
         )
         if (i + 1) % 8 == 0 and (i + 1) < iterations:
-            ranks = iter_checkpoint(ranks, reliable)
+            # lazy: plan-depth bounding without a mid-loop job
+            ranks = iter_checkpoint_lazy(ranks, reliable)
     return ranks.where(F.col("rank") > 0)
 
 

@@ -27,7 +27,7 @@ from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from cm_well_spark.plans.iterative import iter_checkpoint
+from cm_well_spark.plans.iterative import iter_checkpoint, iter_checkpoint_lazy
 
 _LBL = "__as_"  # label-column prefix: internal, never user-visible
 
@@ -177,11 +177,13 @@ class GraphTraversal:
         acc = self.frontier.select("path")
         for _ in range(times):
             cur = step(cur)
-            cur = cur._with(cur.frontier.transform(iter_checkpoint), cur.bounded)
+            # lazy (r11): plan-depth bounding without a per-round job —
+            # blocks land inside the traversal's final action
+            cur = cur._with(cur.frontier.transform(iter_checkpoint_lazy), cur.bounded)
             if emit:
                 acc = acc.unionByName(cur.frontier.select("path")).distinct()
         if emit:
-            return self._with(acc.transform(iter_checkpoint))
+            return self._with(acc.transform(iter_checkpoint_lazy))
         return cur
 
     def loop(self, times: int, *labels: str, emit: bool = True) -> "GraphTraversal":

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from cm_well_spark.parsers.qp import FieldFilter, parse_qp
 from cm_well_spark.parsers.sort import DEFAULT_SORT, SortKey, parse_sort_by
 from cm_well_spark.plans.compile import SYSTEM_COLUMNS, compile_filter
-from cm_well_spark.plans.iterative import iter_checkpoint
+from cm_well_spark.plans.iterative import iter_checkpoint, iter_checkpoint_count
 
 MAX_OFFSET = 1_000
 MAX_LENGTH = 10_000
@@ -157,8 +157,8 @@ def search(
                 if bound is not None and bound <= BROADCAST_PATHS_MAX:
                     df = df.join(F.broadcast(paths), "path", "left_semi")
                 else:
-                    paths = paths.transform(iter_checkpoint)
-                    bounded = paths.count() <= BROADCAST_PATHS_MAX
+                    paths, n_paths = iter_checkpoint_count(paths)
+                    bounded = n_paths <= BROADCAST_PATHS_MAX
                     df = df.join(F.broadcast(paths) if bounded else paths, "path", "left_semi")
                 if residual is not None:
                     df = df.where(residual)

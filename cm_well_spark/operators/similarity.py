@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from cm_well_spark.plans.iterative import iter_checkpoint
+from cm_well_spark.plans.iterative import iter_checkpoint, iter_checkpoint_lazy
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -1140,7 +1140,9 @@ def binary_rerank_topk(
         .first()
     )
     short = binary_hamming_topk(codes, list(qcode_row["code"]), k=shortlist, id_col=id_col)
-    short = short.transform(iter_checkpoint)  # shortlist rows only, reused by the semi-join
+    # lazy-checkpointed shortlist: the final action's broadcast build
+    # computes the k rows once; blocks serve any further reader (r11)
+    short = short.transform(iter_checkpoint_lazy)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     cast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     return (

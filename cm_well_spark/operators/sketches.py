@@ -39,7 +39,7 @@ from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from cm_well_spark.plans.iterative import iter_checkpoint
+from cm_well_spark.plans.iterative import iter_checkpoint, iter_checkpoint_count
 
 #: above this many candidates the isin literal / forced broadcast stops
 #: being sane; fall back to a plain semi-join and let AQE decide.
@@ -88,12 +88,10 @@ def heavy_hitters(
                 thr = len(pdf) / cap
                 yield pd.DataFrame({key_col: vc.index[vc.to_numpy() > thr]})
 
-        candidates = (
-            stream.mapInPandas(batch_frequent, schema=f"{key_col} string")
-            .distinct()
-            .transform(iter_checkpoint)
+        candidates, n_cand = iter_checkpoint_count(
+            stream.mapInPandas(batch_frequent, schema=f"{key_col} string").distinct()
         )
-        if candidates.count() > _ISIN_MAX:
+        if n_cand > _ISIN_MAX:
             recount_src = stream.join(candidates, key_col, "left_semi")
             counts = recount_src.groupBy(key_col).agg(F.count(F.lit(1)).alias("cnt"))
             total = stream.agg(F.count(F.lit(1)).alias("__n"))

@@ -31,7 +31,11 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from cm_well_spark.plans.iterative import iter_checkpoint
+from cm_well_spark.plans.iterative import (
+    iter_checkpoint,
+    iter_checkpoint_count,
+    iter_checkpoint_lazy,
+)
 from cm_well_spark.operators.sparql.parser import (
     Filter,
     Func,
@@ -411,8 +415,7 @@ def _closure_frame(triples: DataFrame, pp: PathPattern, gvar: str | None = None)
     s_const = not isinstance(pp.s, Var)
     o_const = not isinstance(pp.o, Var)
 
-    def expand(reached: DataFrame, frontier: DataFrame, step_of) -> DataFrame:
-        total = frontier.count()
+    def expand(reached: DataFrame, frontier: DataFrame, step_of, total: int) -> DataFrame:
         while total <= INTERMEDIATE_LIMIT:
             # two hops per round (loop unroll): closures run DEEP with tiny
             # frontiers, so wall time is rounds x scheduler latency, not
@@ -430,8 +433,10 @@ def _closure_frame(triples: DataFrame, pp: PathPattern, gvar: str | None = None)
                 .distinct()
                 .join(reached, [c for c in reached.columns], "left_anti")
             )
-            frontier = iter_checkpoint(frontier)
-            new_n = frontier.count()
+            # one job per round: the count IS the materialization (r11,
+            # iter_checkpoint_count — rounds here are scheduler-latency
+            # bound, frontiers are tiny by the intermediate limit)
+            frontier, new_n = iter_checkpoint_count(frontier)
             if new_n == 0:
                 return reached
             total += new_n
@@ -442,7 +447,10 @@ def _closure_frame(triples: DataFrame, pp: PathPattern, gvar: str | None = None)
             # chain), while the checkpoint of a near-empty frame is one
             # cheap job. (xg/yg skip this — their accumulator is consumed
             # once per LEVEL and levels are few; see traversal.expand_out.)
-            reached = iter_checkpoint(reached.unionByName(frontier))
+            # lazy: the union's blocks materialize inside the NEXT
+            # round's count job (or the consumer's action) — plan depth
+            # stays bounded, one fewer job per round
+            reached = iter_checkpoint_lazy(reached.unionByName(frontier))
         warnings.warn(
             f"property-path closure exceeded the {INTERMEDIATE_LIMIT} intermediate-results"
             " limit; returning partial results (reference contract:"
@@ -479,9 +487,9 @@ def _closure_frame(triples: DataFrame, pp: PathPattern, gvar: str | None = None)
                     F.col(a).alias(n), *gcols
                 )
 
-        frontier = iter_checkpoint(frontier.distinct())
-        reached = expand(frontier, frontier, step_of)
-        # reached is checkpointed — nothing downstream re-reads edges
+        frontier, n0 = iter_checkpoint_count(frontier.distinct())
+        reached = expand(frontier, frontier, step_of, n0)
+        # reached is materialized — nothing downstream re-reads edges
         edges.unpersist()
         if s_const and o_const:
             gate = reached.where(F.col(n) == _term_str(pp.o))
@@ -492,14 +500,14 @@ def _closure_frame(triples: DataFrame, pp: PathPattern, gvar: str | None = None)
         return reached.select(F.col(n).alias(endpoint), *gcols)
     # var-var: full closure of the (pruned) edge relation — depth-1 pairs
     # seed the reached set; each round extends the newest pairs by one edge
-    reached = iter_checkpoint(edges.distinct())
+    reached, n0 = iter_checkpoint_count(edges.distinct())
 
     def step_pairs(fr):
         f2 = fr.select(F.col(a), F.col(b).alias(m), *gcols)
         e2 = edges.select(F.col(a).alias(m), F.col(b), *gcols)
         return f2.join(e2, [m] + gcols, "inner").select(a, b, *gcols)
 
-    reached = expand(reached, reached, step_pairs)
+    reached = expand(reached, reached, step_pairs, n0)
     edges.unpersist()
     return reached.select(F.col(a).alias(pp.s.name), F.col(b).alias(pp.o.name), *gcols)
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-from cm_well_spark.plans.iterative import iter_checkpoint
+from cm_well_spark.plans.iterative import iter_checkpoint, iter_checkpoint_lazy
 
 # ---------------------------------------------------------------------------
 # token counting
@@ -540,7 +540,8 @@ def perplexity_buckets(
     run swaps in approx_percentile(=percentile_approx) with a pinned
     accuracy — the bucket boundary moves by at most the sketch error and
     nothing else in the plan changes."""
-    nll = bigram_cross_entropy(df, reference, alpha, text_col, id_col).transform(iter_checkpoint)
+    # lazy: the percentile agg below materializes the score blocks (r11)
+    nll = bigram_cross_entropy(df, reference, alpha, text_col, id_col).transform(iter_checkpoint_lazy)
     row = nll.agg(
         F.percentile("bigram_nll", 1.0 / 3).alias("t1"),
         F.percentile("bigram_nll", 2.0 / 3).alias("t2"),

@@ -43,7 +43,7 @@ from cm_well_spark.parsers.expansion import (
     parse_yg,
 )
 from cm_well_spark.plans.compile import compile_filter
-from cm_well_spark.plans.iterative import iter_checkpoint
+from cm_well_spark.plans.iterative import iter_checkpoint, iter_checkpoint_count
 
 XG_LIMIT = 10_000  # webservice.xg.limit (application.conf:71)
 
@@ -136,8 +136,8 @@ def _hop(
     if stat_bound is not None:
         dst_bounded = stat_bound <= BROADCAST_PATHS_MAX
     else:
-        dsts = dsts.transform(iter_checkpoint)
-        dst_bounded = dsts.count() <= BROADCAST_PATHS_MAX
+        dsts, n_dsts = iter_checkpoint_count(dsts)
+        dst_bounded = n_dsts <= BROADCAST_PATHS_MAX
     # ghost skip (J7): only paths that exist as current infotons survive,
     # and the per-level filter applies to the hydrated targets
     return _filtered_paths(infotons, dsts, selectors, bounded=dst_bounded)
@@ -167,14 +167,15 @@ def expand_out(
     # iterative expansion: materialize the (bounded, <=10k-path) frontier
     # each level — without this the accumulated plan re-evaluates the
     # whole chain 2^levels times (measured 10x wall on a 2-level xg)
-    acc = seeds.select("path").transform(iter_checkpoint)
+    # the frontier count proves boundedness for the broadcast-hint
+    # decision (VERDICT r1 finding 4) and rides the checkpoint's own
+    # materialization job (r11, iter_checkpoint_count)
+    acc, n_frontier = iter_checkpoint_count(seeds.select("path"))
     frontier = acc
     for level in levels:
-        # counting a checkpointed frontier is ~free and proves boundedness
-        # for the broadcast-hint decision (VERDICT r1 finding 4)
-        bounded = frontier.count() <= BROADCAST_PATHS_MAX
+        bounded = n_frontier <= BROADCAST_PATHS_MAX
         targets = _hop(infotons, t, frontier, level.fields, reverse=False, bounded=bounded, stats=stats)
-        frontier = targets.join(acc, "path", "left_anti").transform(iter_checkpoint)
+        frontier, n_frontier = iter_checkpoint_count(targets.join(acc, "path", "left_anti"))
         # acc itself is NOT re-checkpointed: it stays a flat union of
         # already-checkpointed frontiers, so its lineage is one node per
         # level (not exponential) and we skip a full materialization per
@@ -194,16 +195,20 @@ def expand_paths(
     """J2 yg: walk each `|`-alternative segment chain from the seeds and
     keep the WHOLE discovered path (seeds + every intermediate + final)."""
     pe = parse_yg(yg) if isinstance(yg, str) else yg
-    seed_paths = seeds.select("path").transform(iter_checkpoint)
+    seed_paths, n_seed = iter_checkpoint_count(seeds.select("path"))
     acc = seed_paths
     for path in pe.paths:
-        frontier = seed_paths  # each |-alternative restarts from the seeds
+        # each |-alternative restarts from the seeds
+        frontier, n_frontier = seed_paths, n_seed
         for seg in path.segments:
-            bounded = frontier.count() <= BROADCAST_PATHS_MAX
-            frontier = _hop(
-                infotons, triples, frontier, seg.fields, reverse=isinstance(seg, ExpandUp),
-                bounded=bounded, stats=stats,
-            ).transform(iter_checkpoint)
+            bounded = n_frontier <= BROADCAST_PATHS_MAX
+            frontier, n_frontier = iter_checkpoint_count(
+                _hop(
+                    infotons, triples, frontier, seg.fields,
+                    reverse=isinstance(seg, ExpandUp),
+                    bounded=bounded, stats=stats,
+                )
+            )
             # flat union of checkpointed frontiers — no per-segment
             # re-materialization of the accumulator (see expand_out)
             acc = acc.unionByName(frontier)
@@ -259,7 +264,7 @@ def gqp_filter(
     # hydration): an SMJ here would exchange the WIDE result rows before
     # AQE sees the survivor count; the survivor set is a narrow distinct
     # path frame, cheap to checkpoint + count
-    survivors = survivors.transform(iter_checkpoint)
-    if survivors.count() <= BROADCAST_PATHS_MAX:
+    survivors, n_survivors = iter_checkpoint_count(survivors)
+    if n_survivors <= BROADCAST_PATHS_MAX:
         survivors = F.broadcast(survivors)
     return results.join(survivors, "path", "left_semi")

@@ -46,7 +46,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from cm_well_spark.operators.bpe import _word_freq
-from cm_well_spark.plans.iterative import iter_checkpoint
+from cm_well_spark.plans.iterative import iter_checkpoint, iter_checkpoint_lazy
 
 # log-prob assigned to a character absent from the vocabulary (encode on
 # text unseen at training time): well below any real piece so Viterbi
@@ -148,7 +148,9 @@ def learn_unigram(
     """Learn a unigram-LM piece vocabulary. Returns [(piece, logprob)]
     sorted by (count desc, piece asc) after the final E-step — a stable
     total order independent of partitioning."""
-    words = _word_freq(docs, text_col).transform(iter_checkpoint)
+    # lazy: the seed TakeOrdered collect below computes every partition,
+    # so it is also the word-table materialization job (r11)
+    words = _word_freq(docs, text_col).transform(iter_checkpoint_lazy)
 
     seed = (
         _seed_counts(words, max_piece_len)
