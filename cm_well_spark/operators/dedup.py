@@ -173,11 +173,18 @@ def minhash_signatures(
 
     Shape: explode shingles ONCE, then one groupBy with num_hashes min
     aggregates (map-side partial agg) — computing the shingle array
-    num_hashes times inside nested array expressions measured ~8x slower."""
+    num_hashes times inside nested array expressions measured ~8x slower.
+
+    The aggregate list is built as parsed SQL strings, not Column-object
+    chains: num_hashes x (min ∘ xxhash64 ∘ lit ∘ alias) Column calls are
+    ~5 py4j round trips each, and the construction alone measured 0.76 s
+    at 64 hashes (r11, guide §5 driver latency); one F.expr per hash
+    parses the same expression tree in a single round trip."""
     sh = _shingle_rows(df, text_col, id_col, k)
-    aggs = [F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+    aggs = [F.expr(f"min(xxhash64(sh, {i})) AS h{i}") for i in range(num_hashes)]
     per_doc = sh.groupBy("id").agg(*aggs)
-    return per_doc.select("id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
+    sig = ",".join(f"h{i}" for i in range(num_hashes))
+    return per_doc.select("id", F.expr(f"array({sig}) AS sig"))
 
 
 def lsh_candidate_pairs(
@@ -194,19 +201,21 @@ def lsh_candidate_pairs(
         else signatures.select(F.size("sig").alias("n")).first()["n"]
     )
     rows_per_band = n // bands
+    # one parsed SQL string instead of bands x rows_per_band Column-object
+    # round trips (r11, guide §5: banding built this way measured 0.60 s
+    # of pure driver time at 16 bands) — same expression tree
+    slots = ",".join(
+        "struct({b} AS band, xxhash64(concat_ws(',', {parts})) AS bucket)".format(
+            b=b,
+            parts=",".join(
+                f"CAST(element_at(sig, {b * rows_per_band + r + 1}) AS STRING)"
+                for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
     banded = signatures.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(F.concat_ws(",", *[F.element_at("sig", b * rows_per_band + r + 1).cast("string") for r in range(rows_per_band)])).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        "id", F.expr(f"explode(array({slots})) AS bb")
     ).select("id", "bb.band", "bb.bucket")
     a = banded.alias("a")
     b = banded.alias("b")

@@ -1275,11 +1275,31 @@ def knn_graph(
     )
     left = b.toDF("src", "lv", "bucket")
     right = b.toDF("dst", "rv", "bucket")
-    scored = (
+    # Each UNORDERED pair meets once (src < dst) and pays the 64-element
+    # dot fold once; the explode below mirrors the computed cosine into
+    # both directions for the per-src window. IEEE multiply is
+    # commutative and the fold's add order is element order, so
+    # dot(a, b) == dot(b, a) bit-exactly — rows are identical to the
+    # old both-directions join, at half the fold work (r11; the fold is
+    # the measured exec cost: 3.1 s of a 3.9 s query at sf0.1).
+    # Generate preserves its child's partitioning, so at scale the
+    # window still rides the self-join's HashPartitioning(bucket)
+    # exchange — the one-data-scale-shuffle shape is unchanged.
+    half = (
         left.join(right, "bucket")
-        .where(F.col("src") != F.col("dst"))
+        .where(F.col("src") < F.col("dst"))
         .select("bucket", "src", "dst", F.round(dot(F.col("lv"), F.col("rv")), 6).alias("cosine"))
     )
+    scored = half.select(
+        "bucket",
+        F.explode(
+            F.array(
+                F.struct(F.col("src").alias("s"), F.col("dst").alias("d")),
+                F.struct(F.col("dst").alias("s"), F.col("src").alias("d")),
+            )
+        ).alias("e"),
+        "cosine",
+    ).select("bucket", F.col("e.s").alias("src"), F.col("e.d").alias("dst"), "cosine")
     # The top-k window partitions by (bucket, src), not src alone: src
     # DETERMINES bucket, so the ranking is row-identical — but
     # HashPartitioning(bucket) from the self-join's exchange satisfies
