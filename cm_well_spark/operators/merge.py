@@ -35,7 +35,7 @@ from datetime import datetime
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -257,7 +257,7 @@ def merge_versions(infotons: DataFrame, commands: DataFrame) -> DataFrame:
     )
 
 
-def decorate_versions(versions: DataFrame, index_time_base: int) -> DataFrame:
+def decorate_versions(versions: DataFrame, index_time_base: int | Column) -> DataFrame:
     """Turn merge_versions output into full infoton rows: writer-assigned
     index_time (per-path row_number over base — monotone batch semantics,
     scale-safe: no global sort), parent/hierarchy derivation, writer
@@ -269,8 +269,9 @@ def decorate_versions(versions: DataFrame, index_time_base: int) -> DataFrame:
     from pyspark.sql import Window
 
     w_seq = F.row_number().over(Window.partitionBy("path").orderBy("seq"))
+    base = index_time_base if isinstance(index_time_base, Column) else F.lit(index_time_base)
     return (
-        versions.withColumn("index_time", F.lit(index_time_base) + w_seq - 1)
+        versions.withColumn("index_time", base + w_seq - 1)
         .withColumn("parent", F.when(F.regexp_replace("path", "/[^/]+$", "") == "", "/").otherwise(F.regexp_replace("path", "/[^/]+$", "")))
         .withColumn(
             "parent_hierarchy",
@@ -311,13 +312,24 @@ def apply_commands(infotons: DataFrame, commands: DataFrame, index_time_base: in
     (the reference assigns indexTime at index time, SURVEY §3.4)."""
     versions = merge_versions(infotons, commands)
     if index_time_base is None:
-        row = infotons.agg(F.max("index_time").alias("m")).first()
-        index_time_base = (row["m"] or 0) + 1
+        # The table max rides the plan as a broadcast 1-row cross join
+        # instead of a serial .first() probe job at CONSTRUCTION (r11,
+        # guide §5 driver latency): same exact base — max(index_time)+1 —
+        # but computed inside the caller's own action, in parallel with
+        # everything else. BroadcastNestedLoopJoin of a 1-row build side
+        # costs nothing.
+        mx = infotons.agg(
+            (F.coalesce(F.max("index_time"), F.lit(0)) + 1).alias("__itb")
+        )
+        versions = versions.crossJoin(F.broadcast(mx))
+        index_time_base = F.col("__itb")
     # Writer-assigned index_time semantics live in decorate_versions
     # (per-path row_number — monotone batch, no global sort; cross-path
     # collisions allowed exactly like the reference's parallel indexers,
     # ImpStream.scala:96-137).
     new_rows = decorate_versions(versions, index_time_base)
+    if "__itb" in new_rows.columns:
+        new_rows = new_rows.drop("__itb")
     from pyspark.sql import Window
 
     # Affected paths come from COMMANDS, not from the merged versions:

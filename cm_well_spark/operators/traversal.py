@@ -43,7 +43,11 @@ from cm_well_spark.parsers.expansion import (
     parse_yg,
 )
 from cm_well_spark.plans.compile import compile_filter
-from cm_well_spark.plans.iterative import iter_checkpoint, iter_checkpoint_count
+from cm_well_spark.plans.iterative import (
+    iter_checkpoint,
+    iter_checkpoint_count,
+    iter_checkpoint_lazy,
+)
 
 XG_LIMIT = 10_000  # webservice.xg.limit (application.conf:71)
 
@@ -175,7 +179,20 @@ def expand_out(
     for level in levels:
         bounded = n_frontier <= BROADCAST_PATHS_MAX
         targets = _hop(infotons, t, frontier, level.fields, reverse=False, bounded=bounded, stats=stats)
-        frontier, n_frontier = iter_checkpoint_count(targets.join(acc, "path", "left_anti"))
+        new = targets.join(acc, "path", "left_anti")
+        # stats-proof elision of the per-level count job (r11, the same
+        # discipline as search's path-set proof): the new frontier is a
+        # subset of the hop's targets, so a predicate-stats bound on the
+        # hop licenses the NEXT level's broadcast decision with zero extra
+        # jobs. The lazy checkpoint still truncates lineage (no 2^levels
+        # re-evaluation); its blocks materialize inside the next level's
+        # hop or the final hydrate action. Unproven hops keep the
+        # counted-checkpoint fallback.
+        hop_bound = _stats_dst_bound(level.fields, False, stats)
+        if hop_bound is not None and hop_bound <= BROADCAST_PATHS_MAX:
+            frontier, n_frontier = iter_checkpoint_lazy(new), hop_bound
+        else:
+            frontier, n_frontier = iter_checkpoint_count(new)
         # acc itself is NOT re-checkpointed: it stays a flat union of
         # already-checkpointed frontiers, so its lineage is one node per
         # level (not exponential) and we skip a full materialization per
@@ -202,13 +219,18 @@ def expand_paths(
         frontier, n_frontier = seed_paths, n_seed
         for seg in path.segments:
             bounded = n_frontier <= BROADCAST_PATHS_MAX
-            frontier, n_frontier = iter_checkpoint_count(
-                _hop(
-                    infotons, triples, frontier, seg.fields,
-                    reverse=isinstance(seg, ExpandUp),
-                    bounded=bounded, stats=stats,
-                )
+            reverse = isinstance(seg, ExpandUp)
+            hopped = _hop(
+                infotons, triples, frontier, seg.fields,
+                reverse=reverse, bounded=bounded, stats=stats,
             )
+            # stats-proof count elision, same contract as expand_out: the
+            # hop result ⊆ the hop's stats-bounded target set
+            hop_bound = _stats_dst_bound(seg.fields, reverse, stats)
+            if hop_bound is not None and hop_bound <= BROADCAST_PATHS_MAX:
+                frontier, n_frontier = iter_checkpoint_lazy(hopped), hop_bound
+            else:
+                frontier, n_frontier = iter_checkpoint_count(hopped)
             # flat union of checkpointed frontiers — no per-segment
             # re-materialization of the accumulator (see expand_out)
             acc = acc.unionByName(frontier)
@@ -220,6 +242,7 @@ def gqp_filter(
     triples: DataFrame,
     results: DataFrame,
     gqp: str | PathsExpansion,
+    stats: dict | None = None,
 ) -> DataFrame:
     """J3 gqp: keep only result rows whose full segment chain reaches a
     non-empty population; adds nothing to the result set.
@@ -263,7 +286,23 @@ def gqp_filter(
     # counted-broadcast the mask (same contract as search's candidate
     # hydration): an SMJ here would exchange the WIDE result rows before
     # AQE sees the survivor count; the survivor set is a narrow distinct
-    # path frame, cheap to checkpoint + count
+    # path frame, cheap to checkpoint + count. Stats-proof elision (r11):
+    # each alternative's survivors are SOURCES of its first segment's
+    # edges, so the summed per-alternative source bound (dsubj forward /
+    # dobj reverse) licenses the broadcast with zero extra jobs; only
+    # unproven chains pay the counted checkpoint.
+    bound: int | None = 0
+    for path in pe.paths:
+        if not path.segments:
+            continue
+        seg1 = path.segments[0]
+        b = _stats_dst_bound(seg1.fields, not isinstance(seg1, ExpandUp), stats)
+        if b is None:
+            bound = None
+            break
+        bound += b
+    if bound is not None and bound <= BROADCAST_PATHS_MAX:
+        return results.join(F.broadcast(survivors), "path", "left_semi")
     survivors, n_survivors = iter_checkpoint_count(survivors)
     if n_survivors <= BROADCAST_PATHS_MAX:
         survivors = F.broadcast(survivors)

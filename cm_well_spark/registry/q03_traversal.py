@@ -92,7 +92,7 @@ def gqp_semi_filter(spark, sf_dir):
 
     inf = _inf(spark, sf_dir)
     orders = S.search(inf, qp="rdfType::Order", length=None)
-    return gqp_filter(inf, _tri(spark, sf_dir), orders, ">byCustomer[mktsegment::BUILDING]").select("path")
+    return gqp_filter(inf, _tri(spark, sf_dir), orders, ">byCustomer[mktsegment::BUILDING]", stats=_stats(spark, sf_dir)).select("path")
 
 
 @register(
@@ -109,6 +109,6 @@ def gqp_two_hop(spark, sf_dir):
 
     inf = _inf(spark, sf_dir)
     orders = S.search(inf, qp="rdfType::Order", length=None)
-    return gqp_filter(inf, _tri(spark, sf_dir), orders, ">byCustomer>inNation[nationkey::3]").select("path")
+    return gqp_filter(inf, _tri(spark, sf_dir), orders, ">byCustomer>inNation[nationkey::3]", stats=_stats(spark, sf_dir)).select("path")
 
 
