@@ -124,6 +124,7 @@ def search(
         if length > MAX_LENGTH:
             raise ValueError(f"length is limited to {MAX_LENGTH}")
 
+    proven_bound: int | None = None  # rows upper bound, exported on the result
     df = infotons.where(visibility_filter(with_history, with_deleted))
     if path_filter is not None:
         df = df.where(path_filter_col(path_filter))
@@ -156,10 +157,12 @@ def search(
 
                 if bound is not None and bound <= BROADCAST_PATHS_MAX:
                     df = df.join(F.broadcast(paths), "path", "left_semi")
+                    proven_bound = bound
                 else:
                     paths, n_paths = iter_checkpoint_count(paths)
                     bounded = n_paths <= BROADCAST_PATHS_MAX
                     df = df.join(F.broadcast(paths) if bounded else paths, "path", "left_semi")
+                    proven_bound = n_paths
                 if residual is not None:
                     df = df.where(residual)
             else:
@@ -174,6 +177,12 @@ def search(
     if length is None and sort_by is None:
         if fields_mask is not None:
             df = df.withColumn("fields", F.map_filter(F.col("fields"), lambda k, v: k.isin(*fields_mask)))
+        if proven_bound is not None:
+            # export the proven row bound for downstream strategy choices
+            # (traversal seed broadcasts — zero extra jobs there); current
+            # visibility means <=1 row per candidate path. Strategy only:
+            # consumers must never derive rows from it.
+            df._cmw_path_bound = proven_bound
         return df
 
     keys = parse_sort_by(sort_by) if (sort_by is None or isinstance(sort_by, str)) else sort_by
@@ -199,6 +208,10 @@ def search(
         df = df.drop("__score")  # internal — output schema stays the infoton row
     if fields_mask is not None:
         df = df.withColumn("fields", F.map_filter(F.col("fields"), lambda k, v: k.isin(*fields_mask)))
+    limit_bound = length if length is not None else None
+    bounds = [b for b in (proven_bound, limit_bound) if b is not None]
+    if bounds:
+        df._cmw_path_bound = min(bounds)  # see export-mode note above
     return df
 
 
