@@ -170,21 +170,25 @@ def pagerank(
         .union(edges.select(F.col("dst").alias("path")))
         .distinct()
     )
-    # Edge/node relations stay LAZY (r11): they are referenced every
-    # round, but the unrolled iteration repeats the SAME subtree, so
-    # Spark's ReuseExchange computes each base exchange once inside one
-    # job — measured ~2x faster at sf0.1 than the former eager
-    # localCheckpoints, whose two serial materialization jobs dominated
-    # the whole query (4.2 s of a 4.3 s pagerank was checkpoint build).
-    # Ranks are NOT checkpointed per round either — measured 3.5x
-    # slower that way (r6); every 8th round a checkpoint bounds plan
-    # depth for callers who iterate further. `reliable=True` keeps the
-    # eager durable checkpoints: on a cluster that mode trades the
-    # up-front materialization for executor-loss recovery of the
-    # iteration state.
+    # Edge/node relations PERSIST lazily (r11 refinement of the lazy-base
+    # change): they are referenced every round, and a lazy persist gives
+    # the best of both prior variants — round 1 materializes the blocks
+    # inside its own job (no serial up-front checkpoint jobs, which made
+    # the eager form 2x slower on a quiet box) and rounds 2..n reuse them
+    # instead of re-running the edge scan + distinct + degree join per
+    # broadcast build (A/B alternating min-of-4 at sf0.1: persist 6.3 s
+    # vs lazy 11.2 s under identical load). MEMORY_AND_DISK spills at
+    # scale — the same storage footprint reliable mode's checkpoints pay.
+    # Ranks are NOT checkpointed per round — measured 3.5x slower (r6);
+    # every 8th round a lazy checkpoint bounds plan depth for callers who
+    # iterate further. `reliable=True` keeps the eager durable
+    # checkpoints: executor-loss recovery of the iteration state.
     if _reliable_on(reliable):
         edges = iter_checkpoint(edges, reliable)
         nodes = iter_checkpoint(nodes, reliable)
+    else:
+        edges = edges.persist()
+        nodes = nodes.persist()
     ranks = nodes.select("path", F.lit(1.0).alias("rank"))
     for i in range(iterations):
         contribs = (
@@ -819,11 +823,14 @@ def personalized_pagerank(
         .union(edges.select(F.col("dst").alias("path")))
         .distinct()
     )
-    # lazy base relations + ReuseExchange, exactly as pagerank (r11);
+    # lazily-persisted base relations, exactly as pagerank (r11);
     # reliable mode keeps the eager durable checkpoints
     if _reliable_on(reliable):
         edges = iter_checkpoint(edges, reliable)
         nodes = iter_checkpoint(nodes, reliable)
+    else:
+        edges = edges.persist()
+        nodes = nodes.persist()
     seed_list = sorted(set(seeds))
     is_seed = F.col("path").isin(seed_list)
     # teleport mass is SPLIT across the seed set ((1-d)/|S| each, initial
