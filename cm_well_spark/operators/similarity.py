@@ -39,6 +39,17 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(d != 0, dot(a, b) / d).otherwise(F.lit(0.0))
 
 
+def cosine_pren(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """cosine(a, b) with both norms precomputed as columns. Bit-identical
+    to cosine() — same IEEE ops in the same order (na*nb, the !=0 guard,
+    dot/d) — but pair joins project each side's norm once per ROW before
+    the join, so every candidate pair pays ONE array fold (the dot)
+    instead of three (r11, guide §1.2: hard_negatives' exec is 20x|corpus|
+    cosine folds; the two norm folds re-ran per pair)."""
+    d = na * nb
+    return F.when(d != 0, dot(a, b) / d).otherwise(F.lit(0.0))
+
+
 def brute_force_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -158,10 +169,14 @@ def lsh_topk_batch(
     dim_planes = _planes(int(sample["d"]), n_planes, seed)
     cast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     qcast = F.transform(F.col(q_vec_col), lambda x: x.cast("double"))
-    corpus = df.select(F.col(id_col), cast.alias("v"), srp_bucket(cast, dim_planes).alias("bucket"))
+    # norms project once per row; each candidate pair then pays one fold
+    # (the dot inside cosine_pren), not three (r11, guide §1.2)
+    corpus = df.select(
+        F.col(id_col), cast.alias("v"), srp_bucket(cast, dim_planes).alias("bucket")
+    ).withColumn("__nv", norm(F.col("v")))
     qs = queries.select(
         F.col(q_id_col).alias("__qid"), qcast.alias("qv"), srp_bucket(qcast, dim_planes).alias("bucket")
-    )
+    ).withColumn("__nq", norm(F.col("qv")))
     from pyspark.sql import Window
 
     def topk(cands: DataFrame) -> DataFrame:
@@ -174,7 +189,11 @@ def lsh_topk_batch(
 
     scored = topk(
         corpus.join(F.broadcast(qs), "bucket").select(
-            "__qid", F.col(id_col), F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cosine")
+            "__qid",
+            F.col(id_col),
+            F.round(
+                cosine_pren(F.col("v"), F.col("qv"), F.col("__nv"), F.col("__nq")), 6
+            ).alias("cosine"),
         )
     )
     # fused recall guard: queries with < k bucket results, chosen by an
@@ -183,7 +202,11 @@ def lsh_topk_batch(
     short_qs = qs.join(enough, "__qid", "left_anti")
     fallback = topk(
         corpus.crossJoin(F.broadcast(short_qs.drop("bucket"))).select(
-            "__qid", F.col(id_col), F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cosine")
+            "__qid",
+            F.col(id_col),
+            F.round(
+                cosine_pren(F.col("v"), F.col("qv"), F.col("__nv"), F.col("__nq")), 6
+            ).alias("cosine"),
         )
     )
     kept = scored.join(enough.select("__qid"), "__qid", "left_semi")
@@ -208,7 +231,11 @@ def cosine_dup_pairs(
     for oracle checks at small SF). Default: SRP bucket-join candidates,
     then exact cosine verify — the scale path."""
     cast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    base = df.select(F.col(id_col).alias("id"), cast.alias("v"))
+    # norm projects once per row so each candidate pair pays one dot
+    # fold, not dot + two norms (r11, guide §1.2)
+    base = df.select(F.col(id_col).alias("id"), cast.alias("v")).withColumn(
+        "__n", norm(F.col("v"))
+    )
     if exact:
         a, b = base.alias("a"), base.alias("b")
         pairs = a.join(b, F.col("a.id") < F.col("b.id"))
@@ -222,7 +249,9 @@ def cosine_dup_pairs(
         pairs.select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+            F.round(
+                cosine_pren(F.col("a.v"), F.col("b.v"), F.col("a.__n"), F.col("b.__n")), 6
+            ).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )
@@ -396,15 +425,33 @@ def semantic_dedup(
     else:
         assigned = kmeans_assign_fixed(df, k, vec_col, id_col)
     cast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    vecs = df.select(F.col(id_col), cast.alias("v")).join(assigned, id_col)
-    a = vecs.select(F.col(id_col).alias("ida"), F.col("v").alias("va"), F.col("cell").alias("cella"))
-    b = vecs.select(F.col(id_col).alias("idb"), F.col("v").alias("vb"), F.col("cell").alias("cellb"))
+    # per-row norm: within-cell pairs pay one dot fold each (r11, §1.2)
+    vecs = (
+        df.select(F.col(id_col), cast.alias("v"))
+        .withColumn("__n", norm(F.col("v")))
+        .join(assigned, id_col)
+    )
+    a = vecs.select(
+        F.col(id_col).alias("ida"),
+        F.col("v").alias("va"),
+        F.col("__n").alias("na"),
+        F.col("cell").alias("cella"),
+    )
+    b = vecs.select(
+        F.col(id_col).alias("idb"),
+        F.col("v").alias("vb"),
+        F.col("__n").alias("nb"),
+        F.col("cell").alias("cellb"),
+    )
     # a doc is dropped iff a SMALLER-id member of its cell sits within the
     # threshold — the candidate set is bounded by the cell equi-join, and
     # distinct() collapses it before the keep-flag join (no pair blowup)
     dropped = (
         b.join(a, (F.col("cella") == F.col("cellb")) & (F.col("ida") < F.col("idb")), "inner")
-        .where(F.round(cosine(F.col("va"), F.col("vb")), 6) >= threshold)
+        .where(
+            F.round(cosine_pren(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")), 6)
+            >= threshold
+        )
         .select(F.col("idb").alias(id_col))
         .distinct()
     )
@@ -778,13 +825,22 @@ def ivfpq_topk_batch(
             .where(F.col("__rn") <= k)
             .drop("__rn")
         )
-    qs = queries.select(F.col(q_id_col).alias("__rq"), qv.alias("__qv"))
+    qs = queries.select(F.col(q_id_col).alias("__rq"), qv.alias("__qv")).withColumn(
+        "__nq", norm(F.col("__qv"))
+    )
     cast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    pairs = adc.select(q_id_col, id_col).join(df.select(F.col(id_col), cast.alias("__v")), id_col)
+    pairs = adc.select(q_id_col, id_col).join(
+        df.select(F.col(id_col), cast.alias("__v")).withColumn("__nv", norm(F.col("__v"))),
+        id_col,
+    )
     scored = pairs.join(
         F.broadcast(qs), pairs[q_id_col] == F.col("__rq")
     ).select(
-        q_id_col, id_col, F.round(cosine(F.col("__v"), F.col("__qv")), 6).alias("cosine")
+        q_id_col,
+        id_col,
+        F.round(
+            cosine_pren(F.col("__v"), F.col("__qv"), F.col("__nv"), F.col("__nq")), 6
+        ).alias("cosine"),
     )
     w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
@@ -931,12 +987,15 @@ def hard_negatives(
     from pyspark.sql import Window
 
     cast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # per-row norms: each (anchor, candidate) pair then costs ONE dot
+    # fold instead of dot + both norms — the corpus-side norm otherwise
+    # re-folds once per anchor (r11, guide §1.2)
     c = corpus.select(
         F.col(id_col).alias("neg_id"), F.col(label_col).alias("neg_label"), cast.alias("cv")
-    )
+    ).withColumn("__nc", norm(F.col("cv")))
     a = anchors.select(
         F.col(id_col).alias("anchor_id"), F.col(label_col).alias("anchor_label"), cast.alias("av")
-    )
+    ).withColumn("__na", norm(F.col("av")))
 
     if prune_cells:
         assign = kmeans_assign_fixed(corpus, k=prune_cells, vec_col=vec_col, id_col=id_col)
@@ -965,7 +1024,11 @@ def hard_negatives(
 
     pairs = c.join(F.broadcast(a), F.col("neg_label") != F.col("anchor_label"))
     scored = pairs.select(
-        "anchor_id", "neg_id", F.round(cosine(F.col("av"), F.col("cv")), 6).alias("cosine")
+        "anchor_id",
+        "neg_id",
+        F.round(
+            cosine_pren(F.col("av"), F.col("cv"), F.col("__na"), F.col("__nc")), 6
+        ).alias("cosine"),
     )
     w = Window.partitionBy("anchor_id").orderBy(F.desc("cosine"), F.asc("neg_id"))
     return (
@@ -1187,12 +1250,22 @@ def ann_recall_at_k(
     )
     cast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     qcast = F.transform(F.col(q_vec_col), lambda x: x.cast("double"))
-    corpus = df.select(F.col(id_col), cast.alias("__v"))
-    qs = queries.select(F.col(q_id_col).alias("__qid"), qcast.alias("__qv"))
+    # per-row norms: the |corpus| x |queries| ground-truth cross join
+    # pays one dot fold per pair, not three (r11, guide §1.2)
+    corpus = df.select(F.col(id_col), cast.alias("__v")).withColumn("__nv", norm(F.col("__v")))
+    qs = queries.select(F.col(q_id_col).alias("__qid"), qcast.alias("__qv")).withColumn(
+        "__nq", norm(F.col("__qv"))
+    )
     w = Window.partitionBy("__qid").orderBy(F.desc("__cos"), F.asc(id_col))
     exact = (
         corpus.crossJoin(F.broadcast(qs))
-        .select("__qid", F.col(id_col), F.round(cosine(F.col("__v"), F.col("__qv")), 6).alias("__cos"))
+        .select(
+            "__qid",
+            F.col(id_col),
+            F.round(
+                cosine_pren(F.col("__v"), F.col("__qv"), F.col("__nv"), F.col("__nq")), 6
+            ).alias("__cos"),
+        )
         .withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= k)
         .select("__qid", id_col)
