@@ -86,7 +86,9 @@ def _planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 
 
 def srp_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Bit-bucket id: bit i = sign(vec . plane_i)."""
+    """Bit-bucket id: bit i = sign(vec . plane_i). Column-object form —
+    prefer srp_bucket_sql over a projected column name on hot paths
+    (n_planes x dim F.lit py4j round trips vs one parse)."""
     from functools import reduce
 
     bits = []
@@ -94,6 +96,40 @@ def srp_bucket(vec: Column, planes: list[list[float]]) -> Column:
         pc = F.array(*[F.lit(float(x)) for x in p])
         bits.append(F.when(dot(vec, pc) > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")))
     return reduce(lambda acc, pair: acc.bitwiseOR(F.shiftleft(pair[1], pair[0])), enumerate(bits), F.lit(0).cast("long"))
+
+
+def _d(x: float) -> str:
+    """SQL double literal that parses to exactly this IEEE double (repr
+    is Python's shortest round-trip form; the D suffix accepts exponent
+    notation, verified in-session)."""
+    return f"{float(x)!r}D"
+
+
+def _arr_sql(vec: list[float]) -> str:
+    return "array(" + ",".join(_d(x) for x in vec) + ")"
+
+
+def _dot_sql(a_sql: str, b_sql: str) -> str:
+    """SQL text of dot() — the identical zip_with/aggregate expression,
+    parsed in ONE py4j round trip instead of per-element Column calls
+    (r11, guide §5 driver latency: the minhash SQL-string discipline;
+    plane/centroid matrices cost n x dim F.lit round trips otherwise)."""
+    return f"aggregate(zip_with({a_sql}, {b_sql}, (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)"
+
+
+def srp_bucket_sql(vec_sql: str, planes: list[list[float]]) -> str:
+    """SQL text of srp_bucket over a projected column name: the same
+    left-folded shiftleft/OR tree (verified: 0 bucket mismatches vs the
+    Column form over the sf0.1 embeddings), one parse instead of
+    ~n_planes x (dim + 4) py4j round trips."""
+    expr = "CAST(0 AS BIGINT)"
+    for i, p in enumerate(planes):
+        bit = (
+            f"CASE WHEN {_dot_sql(vec_sql, _arr_sql(p))} > 0 THEN CAST(1 AS BIGINT)"
+            f" ELSE CAST(0 AS BIGINT) END"
+        )
+        expr = f"({expr} | shiftleft({bit}, {i}))"
+    return expr
 
 
 def lsh_topk(
@@ -115,7 +151,9 @@ def lsh_topk(
     dim = len(query_vec)
     planes = _planes(dim, n_planes, seed)
     cast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    bucketed = df.select(F.col(id_col), cast.alias("v"), srp_bucket(cast, planes).alias("bucket"))
+    bucketed = df.select(F.col(id_col), cast.alias("v")).withColumn(
+        "bucket", F.expr(srp_bucket_sql("v", planes))
+    )
     qb = 0
     for i, p in enumerate(planes):
         if sum(a * b for a, b in zip(query_vec, p)) > 0:
@@ -171,12 +209,16 @@ def lsh_topk_batch(
     qcast = F.transform(F.col(q_vec_col), lambda x: x.cast("double"))
     # norms project once per row; each candidate pair then pays one fold
     # (the dot inside cosine_pren), not three (r11, guide §1.2)
-    corpus = df.select(
-        F.col(id_col), cast.alias("v"), srp_bucket(cast, dim_planes).alias("bucket")
-    ).withColumn("__nv", norm(F.col("v")))
-    qs = queries.select(
-        F.col(q_id_col).alias("__qid"), qcast.alias("qv"), srp_bucket(qcast, dim_planes).alias("bucket")
-    ).withColumn("__nq", norm(F.col("qv")))
+    corpus = (
+        df.select(F.col(id_col), cast.alias("v"))
+        .withColumn("bucket", F.expr(srp_bucket_sql("v", dim_planes)))
+        .withColumn("__nv", norm(F.col("v")))
+    )
+    qs = (
+        queries.select(F.col(q_id_col).alias("__qid"), qcast.alias("qv"))
+        .withColumn("bucket", F.expr(srp_bucket_sql("qv", dim_planes)))
+        .withColumn("__nq", norm(F.col("qv")))
+    )
     from pyspark.sql import Window
 
     def topk(cands: DataFrame) -> DataFrame:
@@ -242,7 +284,7 @@ def cosine_dup_pairs(
     else:
         dim = df.select(F.size(vec_col).alias("d")).first()["d"]
         planes = _planes(dim, n_planes, seed)
-        bucketed = base.withColumn("bucket", srp_bucket(F.col("v"), planes))
+        bucketed = base.withColumn("bucket", F.expr(srp_bucket_sql("v", planes)))
         a, b = bucketed.alias("a"), bucketed.alias("b")
         pairs = a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
     return (
@@ -283,16 +325,16 @@ def ivf_assign(
     cents = [(i, r["v"]) for i, r in enumerate(seeds)]
 
     def assign(cdf, cents_local):
-        arrs = F.array(
-            *[
-                F.struct(
-                    F.lit(ci).alias("cell"),
-                    dot(F.col("v"), F.array(*[F.lit(float(x)) for x in cv])).alias("sim"),
-                )
-                for ci, cv in cents_local
-            ]
+        # one parsed SQL expression per assignment instead of n_cells x
+        # dim F.lit round trips (r11, guide §5); the (cell, sim) struct
+        # order + transform-to-(sim, cell) of the Column form is folded
+        # directly into named_struct('sim', ..., 'cell', ...) — the same
+        # struct-max comparison tree, same result
+        structs = ",".join(
+            f"named_struct('sim', {_dot_sql('v', _arr_sql(cv))}, 'cell', {ci})"
+            for ci, cv in cents_local
         )
-        best = F.array_max(F.transform(arrs, lambda s: F.struct(s["sim"].alias("sim"), s["cell"].alias("cell"))))
+        best = F.expr(f"array_max(array({structs}))")
         return cdf.withColumn("cell", best["cell"])
 
     assigned = assign(base, cents)
@@ -383,16 +425,13 @@ def kmeans_assign_fixed(
     base = df.select(F.col(id_col), cast.alias("v"))
     seeds = base.orderBy(id_col).limit(k).collect()
     cents = [(i, r["v"]) for i, r in enumerate(seeds)]
-    arrs = F.array(
-        *[
-            F.struct(
-                dot(F.col("v"), F.array(*[F.lit(float(x)) for x in cv])).alias("sim"),
-                F.lit(ci).alias("cell"),
-            )
-            for ci, cv in cents
-        ]
+    # one parsed SQL expression instead of k x dim F.lit round trips
+    # (r11, guide §5 driver latency) — same struct-max tree, same result
+    structs = ",".join(
+        f"named_struct('sim', {_dot_sql('v', _arr_sql(cv))}, 'cell', {ci})"
+        for ci, cv in cents
     )
-    best = F.array_max(arrs)
+    best = F.expr(f"array_max(array({structs}))")
     return base.select(id_col, best["cell"].alias("cell"))
 
 
@@ -1331,9 +1370,8 @@ def knn_graph(
     planes = _planes(dim, n_planes, seed)
     cast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     b = (
-        df.select(
-            F.col(id_col), cast.alias("v"), srp_bucket(cast, planes).alias("bucket")
-        )
+        df.select(F.col(id_col), cast.alias("v"))
+        .withColumn("bucket", F.expr(srp_bucket_sql("v", planes)))
         # norm materializes as its own column FIRST: referencing norm()
         # inside the transform lambda would re-fold it per element
         .withColumn("__n", norm(F.col("v")))
