@@ -61,6 +61,17 @@ from cm_well_spark.plans.iterative import (
 )
 
 
+def _static_relation(df: DataFrame, reliable: bool | None = None) -> DataFrame:
+    """Materialize a relation that several consumers (or every round of a
+    loop) re-read: durable checkpoint when reliable, else a lazy columnar
+    persist — no up-front serial job (the first action computes the
+    blocks inside itself) and later readers scan the in-memory columnar
+    relation with codegen instead of row-walking checkpoint blocks
+    (r11, guide §5 caching-vs-recompute; measured on bfs_distances at
+    sf1: 20.4 s -> 12.1 s, and on the triangle family below)."""
+    return iter_checkpoint(df, reliable) if _reliable_on(reliable) else df.persist()
+
+
 def _reliable_on(reliable: bool | None) -> bool:
     """Resolve a per-call reliable flag against the fleet-wide default."""
     return RELIABLE_CHECKPOINTS if reliable is None else bool(reliable)
@@ -325,7 +336,7 @@ def triangle_count_edges(e: DataFrame, reliable: bool | None = None) -> DataFram
     # materialize the oriented relation ONCE: it feeds both wedge sides
     # and the closing join — without this the scan+distinct+degree-join
     # subtree executes three times (measured 9.7s -> ~2s at sf0.1)
-    oriented = iter_checkpoint(
+    oriented = _static_relation(
         withd.select(
             F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
             F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
@@ -374,6 +385,10 @@ def label_propagation(
         .unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
     )
+    # KEEPS the eager checkpoint: an interleaved min-of-4 A/B at sf0.1
+    # (joker edges, 3 iterations) measured ckpt 6.4 s vs lazy persist
+    # 10.0 s — with only one distinct + three join reads the columnar
+    # cache never amortizes its build cost here (r11)
     sym = iter_checkpoint(sym, reliable)
     labels = sym.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
@@ -531,7 +546,7 @@ def k_core(
     the peel as chained SQL rounds and must land on the identical
     (node, degree) table once it chains at least as many rounds as the
     peel needs (extra rounds are no-ops)."""
-    sym = iter_checkpoint(_symmetric(e), reliable)
+    sym = _static_relation(_symmetric(e), reliable)
     deg = sym.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("degree"))
     # one job per round: the convergence count rides the round's own
     # block materialization (r11, iter_checkpoint_count)
@@ -594,16 +609,23 @@ def bfs_distances(
     pushing the frontier in as an isin literal evaluates a
     thousands-wide predicate over every scanned row (~90s; scattered
     string paths defeat row-group skipping)."""
-    # lazy: the projection's blocks materialize inside round 1's count
-    # job; later rounds read blocks exactly like the eager form
-    edges = iter_checkpoint_lazy(
+    # The projection is re-scanned once per hop (the frontier join's
+    # probe side). A lazy PERSIST beats the lazy localCheckpoint here:
+    # round 1 still materializes inside its own count job (no up-front
+    # serial jobs), but hops 2..n read the columnar in-memory relation
+    # with codegen instead of row-walking LogicalRDD blocks — measured
+    # at sf1 (39M-row symmetric projection, 3 hops, quiet box):
+    # 20.4 s -> 7.2 s for the whole query (r11, guide §5
+    # caching-vs-recompute; the same move as pagerank's round
+    # relations). `reliable=True` keeps the durable checkpoint.
+    proj = (
         e.select("src", "dst").unionAll(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         if not directed
-        else e.select("src", "dst"),
-        reliable,
+        else e.select("src", "dst")
     )
+    edges = _static_relation(proj, reliable)
     visited, n_frontier = iter_checkpoint_count(
         seeds.select(F.col(seeds.columns[0]).alias("path"))
         .distinct()
@@ -674,7 +696,7 @@ def link_prediction(
     would otherwise each re-execute the caller's edge-derivation
     subtree — the same measured fix as triangle_count's oriented
     relation (cold 12s -> warm-shape 2.4s at sf0.1)."""
-    sym = iter_checkpoint(_symmetric(e))
+    sym = _static_relation(_symmetric(e))
     deg = sym.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("d")
     )
@@ -890,7 +912,7 @@ def clustering_coefficient(e: DataFrame, reliable: bool | None = None) -> DataFr
     a_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
-    oriented = iter_checkpoint(
+    oriented = _static_relation(
         withd.select(
             F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
             F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
