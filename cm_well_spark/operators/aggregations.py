@@ -640,6 +640,11 @@ def association_rules(
     tail BEFORE the two item-count joins, so the stats attach to the
     surviving pairs only. Lift > 1 = co-occurrence above independence;
     6dp rounding keeps it engine-replayable."""
+    # NOT persisted (r11 experiment, rejected with numbers): the four
+    # consumers look like re-derivation, but ReuseExchange already
+    # dedupes the self-join's identical distinct subtrees; a lazy
+    # persist forced four separate in-memory scans and measured
+    # 5.5 -> 20.4 s at sf1 (2.0 -> 2.8 at sf0.1)
     m = df.select(
         F.col(basket_col).alias("__bkt"), F.col(item_col).alias("__item")
     ).distinct()

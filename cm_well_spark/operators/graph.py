@@ -62,13 +62,20 @@ from cm_well_spark.plans.iterative import (
 
 
 def _static_relation(df: DataFrame, reliable: bool | None = None) -> DataFrame:
-    """Materialize a relation that several consumers (or every round of a
-    loop) re-read: durable checkpoint when reliable, else a lazy columnar
-    persist — no up-front serial job (the first action computes the
-    blocks inside itself) and later readers scan the in-memory columnar
-    relation with codegen instead of row-walking checkpoint blocks
-    (r11, guide §5 caching-vs-recompute; measured on bfs_distances at
-    sf1: 20.4 s -> 12.1 s, and on the triangle family below)."""
+    """Materialize a relation that a CONSTRUCTION-TIME loop re-reads every
+    round: durable checkpoint when reliable, else a lazy columnar persist
+    — no up-front serial job (round 1 computes the blocks inside its own
+    action) and later rounds scan the in-memory columnar relation with
+    codegen instead of row-walking checkpoint blocks (r11, guide §5
+    caching-vs-recompute; bfs_distances at sf1: 20.4 s -> 12.1 s).
+
+    ONLY for relations the operator itself materializes AND unpersists
+    before returning: a persist lives in the CacheManager until explicit
+    unpersist (checkpoint blocks free via ContextCleaner when the result
+    is dropped), so caller-action-consumed relations would leak for the
+    whole session — measured as storage-eviction churn across a 56-query
+    bench session, and flat-to-worse per-query at sf1 for the triangle
+    family / k_core, which therefore KEEP eager checkpoints."""
     return iter_checkpoint(df, reliable) if _reliable_on(reliable) else df.persist()
 
 
@@ -336,7 +343,7 @@ def triangle_count_edges(e: DataFrame, reliable: bool | None = None) -> DataFram
     # materialize the oriented relation ONCE: it feeds both wedge sides
     # and the closing join — without this the scan+distinct+degree-join
     # subtree executes three times (measured 9.7s -> ~2s at sf0.1)
-    oriented = _static_relation(
+    oriented = iter_checkpoint(
         withd.select(
             F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
             F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
@@ -546,7 +553,11 @@ def k_core(
     the peel as chained SQL rounds and must land on the identical
     (node, degree) table once it chains at least as many rounds as the
     peel needs (extra rounds are no-ops)."""
-    sym = _static_relation(_symmetric(e), reliable)
+    # eager checkpoint, NOT persist (r11 A/B at sf1, alternating: flat
+    # ~5.3 vs ~5.5 s — and checkpoint blocks free via ContextCleaner
+    # when the result is dropped, while CacheManager entries leak
+    # until unpersist)
+    sym = iter_checkpoint(_symmetric(e), reliable)
     deg = sym.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("degree"))
     # one job per round: the convergence count rides the round's own
     # block materialization (r11, iter_checkpoint_count)
@@ -656,6 +667,12 @@ def bfs_distances(
         visited = iter_checkpoint_lazy(visited.unionByName(nxt), reliable)
         n_visited += n_frontier
         frontier = nxt.select("path")
+    if not _reliable_on(reliable):
+        # every hop ran during construction, so the edge cache is spent:
+        # the returned relation reads hop-round blocks only. Freeing it
+        # here keeps the CacheManager clean for the rest of the session
+        # (worst case a re-executed plan recomputes the projection).
+        edges.unpersist()
     return visited
 
 
@@ -696,7 +713,7 @@ def link_prediction(
     would otherwise each re-execute the caller's edge-derivation
     subtree — the same measured fix as triangle_count's oriented
     relation (cold 12s -> warm-shape 2.4s at sf0.1)."""
-    sym = _static_relation(_symmetric(e))
+    sym = iter_checkpoint(_symmetric(e))
     deg = sym.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("d")
     )
@@ -912,7 +929,7 @@ def clustering_coefficient(e: DataFrame, reliable: bool | None = None) -> DataFr
     a_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
-    oriented = _static_relation(
+    oriented = iter_checkpoint(
         withd.select(
             F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
             F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
