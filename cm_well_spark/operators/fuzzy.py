@@ -94,8 +94,18 @@ def edit_distance_pairs(
         )
         v = v.join(keep, "__key")
     a, b = v.alias("a"), v.alias("b")
+    # force the SELF-join to shuffle on __key instead of broadcasting the
+    # whole exploded variant relation (r11, guide §2.4/§3.1): both sides
+    # are the identical subtree, so the shuffle is planned ONCE and
+    # ReuseExchange feeds the other side — the broadcast plan instead
+    # derived scan+distinct+explode twice AND built a |V|x(L+1)-row hash
+    # relation. Interleaved A/B at sf1: broadcast 6.6-11.6 s vs merge
+    # 2.1-4.6 s (identical 262,500 output rows). Sort-merge over
+    # shuffled-hash: equal measured time, graceful spill on hot variant
+    # buckets at scale.
     cand = a.join(
-        b, (F.col("a.__key") == F.col("b.__key")) & (F.col("a.__w") < F.col("b.__w"))
+        b.hint("merge"),
+        (F.col("a.__key") == F.col("b.__key")) & (F.col("a.__w") < F.col("b.__w")),
     ).select(F.col("a.__w").alias("a"), F.col("b.__w").alias("b"))
     # Verify BEFORE deduplicating (r11, guide §2.3 — filter before the
     # exchange): at d=1 only ~2% of bucket-join candidates are repeats,
