@@ -1396,8 +1396,16 @@ def knn_graph(
     # Generate preserves its child's partitioning, so at scale the
     # window still rides the self-join's HashPartitioning(bucket)
     # exchange — the one-data-scale-shuffle shape is unchanged.
+    # merge hint (r11, guide §2.4/§3.1): Spark otherwise broadcasts the
+    # whole bucketed relation (it fits locally), deriving the
+    # scan+bucket+normalize subtree TWICE and building a corpus-wide
+    # hash relation; shuffled on bucket, both sides are the identical
+    # subtree — ReuseExchange plans it ONCE and the (bucket, src) window
+    # below rides the same exchange. Interleaved A/B at sf0.1:
+    # broadcast 3.0-10.1 s vs merge 2.0-3.9 s, identical rows. This is
+    # also the declared 100 TB shape (nothing broadcastable at scale).
     half = (
-        left.join(right, "bucket")
+        left.join(right.hint("merge"), "bucket")
         .where(F.col("src") < F.col("dst"))
         .select("bucket", "src", "dst", F.round(dot(F.col("lv"), F.col("rv")), 6).alias("cosine"))
     )
