@@ -923,8 +923,23 @@ def corpus_overlap_sketch(
 
     Output: one row (k_used, n_union, n_shared, jaccard_est)."""
 
-    a = _bottom_k_sketch(corpus_a, k_sketch, shingle_k, text_col, prefilter_safety)
-    b = _bottom_k_sketch(corpus_b, k_sketch, shingle_k, text_col, prefilter_safety)
+    # The two sides are independent two-action pipelines (HLL estimate,
+    # then residue count) — build them from two driver threads so side
+    # B's jobs back-fill the cluster while side A's tail finishes
+    # (guide §2.6 overlap independent jobs; r11: 4 serial full text
+    # scans became 2 overlapped pairs — 2.4 -> 1.7 s at sf0.1,
+    # 4.2 -> 3.5 s at sf1 where each scan already fills the box). Each
+    # sketch's VALUE is scheduling-independent (exact bottom-k).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fa = pool.submit(
+            _bottom_k_sketch, corpus_a, k_sketch, shingle_k, text_col, prefilter_safety
+        )
+        fb = pool.submit(
+            _bottom_k_sketch, corpus_b, k_sketch, shingle_k, text_col, prefilter_safety
+        )
+        a, b = fa.result(), fb.result()
     # bottom-k of the union = k smallest of the two sketches' union —
     # 2k rows, exact by the sketch algebra (no corpus re-scan)
     union_k = a.unionByName(b).distinct().orderBy("h").limit(k_sketch)
