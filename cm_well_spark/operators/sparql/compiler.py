@@ -543,13 +543,30 @@ def _compile_group(
     # squash-by-subject (JenaArqExtensionsUtils.scala:84-106): same-subject
     # const-predicate groups route to ONE doc-table scan; singletons and
     # var-predicate patterns stay on the pruned triples scans. Squashed
-    # frames join first — they carry the most predicates, so they're the
-    # most selective starting point. GRAPH ?var scope disables the squash
-    # route: the doc-table fields route can't bind the per-value quad.
+    # frames take their place in the SAME greedy cardinality order as the
+    # singleton patterns, estimated at the min of their member predicates
+    # (a same-subject conjunction can't exceed its cheapest member) — the
+    # r6 "squash joins first" rule mis-ordered fact-subject squashes: the
+    # 6-pattern revenue BGP put the 6M-row lineitem squash FIRST and
+    # dragged it through every join (4 full re-shuffles of the fact
+    # relation at sf1, 7.7 s exec); cost-merged it joins LAST into a
+    # small accumulated dim chain (r11, guide §3). GRAPH ?var scope
+    # disables the squash route: the doc-table fields route can't bind
+    # the per-value quad.
     groups, rest = _squash_groups(g.triples, None if gvar is not None else infotons)
     patterns = sorted(rest, key=lambda tp: _est_cost(tp, stats))
-    dfs = [_squash_frame(infotons, subj, tps) for subj, tps in groups]
-    dfs.extend(_pattern_df(triples, tp, i, gvar)[0] for i, tp in enumerate(patterns))
+
+    def _squash_cost(subj, tps) -> tuple:
+        const_s = 0 if isinstance(subj, (Iri, Literal)) else 1
+        return (const_s, min(_est_cost(tp, stats)[1] for tp in tps))
+
+    frames = [(_squash_cost(subj, tps), _squash_frame(infotons, subj, tps)) for subj, tps in groups]
+    frames.extend(
+        (_est_cost(tp, stats), _pattern_df(triples, tp, i, gvar)[0])
+        for i, tp in enumerate(patterns)
+    )
+    frames.sort(key=lambda kv: kv[0])
+    dfs = [df for _, df in frames]
     dfs.extend(_path_frame(triples, pp, gvar) for pp in g.paths)
     # nested sub-SELECTs evaluate bottom-up to a solution frame (their own
     # aggregates/DISTINCT/LIMIT applied, no implicit cap) and join on
