@@ -179,6 +179,7 @@ def lsh_topk_batch(
     q_id_col: str = "query_id",
     q_vec_col: str = "embedding",
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Batched ANN: top-k per query row, ONE plan, no driver branching.
 
@@ -194,17 +195,19 @@ def lsh_topk_batch(
     shuffles on bucket (64-256 keys for 6-8 planes — AQE splits skewed
     buckets); per-query top-k is a window over bucket-pruned candidates,
     never the full corpus."""
-    dim_planes = None
-    # plane count fixed by n_planes; dim read from the first query row is
-    # avoided — planes derive from the vector size lazily via a literal
-    # matrix, so we need the dimension statically: take it from the
-    # DataFrame schema contract (caller vectors are fixed-width arrays)
-    sample = queries.select(F.size(F.col(q_vec_col)).alias("d")).first()
-    if sample is None:
-        return queries.sparkSession.createDataFrame(
-            [], f"{q_id_col} long, {id_col} long, cosine double"
-        )
-    dim_planes = _planes(int(sample["d"]), n_planes, seed)
+    # planes need the vector width statically. Callers that know their
+    # embedding width pass `dim` and skip a serial one-row probe job per
+    # CONSTRUCTION (r11, guide §5 — empty-queries then simply flow
+    # through the plan to an empty result); dim=None keeps the probe and
+    # its typed empty-batch early return.
+    if dim is None:
+        sample = queries.select(F.size(F.col(q_vec_col)).alias("d")).first()
+        if sample is None:
+            return queries.sparkSession.createDataFrame(
+                [], f"{q_id_col} long, {id_col} long, cosine double"
+            )
+        dim = int(sample["d"])
+    dim_planes = _planes(dim, n_planes, seed)
     cast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     qcast = F.transform(F.col(q_vec_col), lambda x: x.cast("double"))
     # norms project once per row; each candidate pair then pays one fold
@@ -1265,6 +1268,7 @@ def ann_recall_at_k(
     q_id_col: str = "query_id",
     q_vec_col: str = "embedding",
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Recall@k evaluation harness for the SRP-LSH route -> one row per
     query (q_id_col, n_hits, recall): |lsh_topk_batch ∩ exact top-k| / k.
@@ -1285,7 +1289,7 @@ def ann_recall_at_k(
 
     ann = lsh_topk_batch(
         df, queries, k=k, n_planes=n_planes, vec_col=vec_col, id_col=id_col,
-        q_id_col=q_id_col, q_vec_col=q_vec_col, seed=seed,
+        q_id_col=q_id_col, q_vec_col=q_vec_col, seed=seed, dim=dim,
     )
     cast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     qcast = F.transform(F.col(q_vec_col), lambda x: x.cast("double"))

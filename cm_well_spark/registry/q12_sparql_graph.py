@@ -312,7 +312,9 @@ def similarity_lsh_topk_batch(spark, sf_dir):
         [(r["vec_id"], [float(x) for x in r["embedding"]]) for r in qrows],
         "query_id long, embedding array<double>",
     )
-    return lsh_topk_batch(embs, queries, k=5, n_planes=6)
+    # dim=64 is the embeddings-table contract (same width knn_graph
+    # assumes); passing it elides the one-row dim-probe job (r11)
+    return lsh_topk_batch(embs, queries, k=5, n_planes=6, dim=64)
 
 
 @register("similarity_recall_eval", oracle=_ann_recall_oracle_sql(k=5, n_queries=8))
@@ -330,7 +332,7 @@ def similarity_recall_eval(spark, sf_dir):
     queries = embs.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ann_recall_at_k(embs, queries, k=5, n_planes=6)
+    return ann_recall_at_k(embs, queries, k=5, n_planes=6, dim=64)
 
 
 @register(
