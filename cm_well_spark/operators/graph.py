@@ -31,11 +31,11 @@ then on runs plain keyed joins/aggs Catalyst plans freely:
   - pagerank: per iteration ONE equi-join (ranks ⨝ out-degree-decorated
     edges on src) + ONE groupBy(dst) sum — the contribution shuffle is
     keyed by node, never materializes adjacency lists, and carries two
-    columns. Edges/nodes are eagerly iter_checkpoint'd once so
-    iterations re-read materialized relations; the unrolled iteration
-    plan itself stays with Catalyst/AQE (per-round rank checkpoints
-    measured 3.5x slower), depth-bounded by an eager checkpoint every
-    8th round for long runs.
+    columns. Edges/nodes stay lazy (r12: nothing persisted, nothing
+    leaked; identical edge subtrees dedup via ReuseExchange/AQE at
+    exchange scale); the unrolled iteration plan stays with
+    Catalyst/AQE (per-round rank checkpoints measured 3.5x slower),
+    depth-bounded by a lazy checkpoint every 8th round for long runs.
   - sampling: per hop ONE equi-join against the (frontier) node set and
     ONE row_number window partitioned by src — the window rides the
     join's hash partitioning. Frontier size is bounded by
@@ -169,10 +169,10 @@ def pagerank(
     Per iteration: one equi-join of the rank relation against the
     out-degree-decorated edge relation (keyed by src) and one
     groupBy(dst).sum — partial aggregation combines map-side, the
-    shuffle carries (node, contribution) only. The edge relation is
-    iter_checkpoint'd ONCE (it often carries the triples-scan lineage);
-    ranks are checkpointed per round so the iterated plan stays
-    constant-size. At 1000 executors this is the textbook Pregel-free
+    shuffle carries (node, contribution) only. Edge/node relations stay
+    lazy in the default mode (r12 — see the in-body comment); the plan
+    is depth-bounded by a lazy checkpoint every 8th round. At 1000
+    executors this is the textbook Pregel-free
     PageRank: iterations x (1 shuffle join + 1 shuffle agg), no
     driver-side state beyond the loop counter. `reliable=True` (or
     CMW_RELIABLE_CHECKPOINTS=1) writes the iteration state to the
@@ -188,25 +188,28 @@ def pagerank(
         .union(edges.select(F.col("dst").alias("path")))
         .distinct()
     )
-    # Edge/node relations PERSIST lazily (r11 refinement of the lazy-base
-    # change): they are referenced every round, and a lazy persist gives
-    # the best of both prior variants — round 1 materializes the blocks
-    # inside its own job (no serial up-front checkpoint jobs, which made
-    # the eager form 2x slower on a quiet box) and rounds 2..n reuse them
-    # instead of re-running the edge scan + distinct + degree join per
-    # broadcast build (A/B alternating min-of-4 at sf0.1: persist 6.3 s
-    # vs lazy 11.2 s under identical load). MEMORY_AND_DISK spills at
-    # scale — the same storage footprint reliable mode's checkpoints pay.
+    # Edge/node relations stay LAZY in the default mode (r12): the r11
+    # persist won its A/B only through cross-invocation cache reuse —
+    # the session-lifetime CacheManager residue VERDICT r11 item 1
+    # flags (the operator cannot unpersist a relation the caller's
+    # action still needs, and materializing the final ranks inside the
+    # operator to license an unpersist measured ~2x the plain cold
+    # evaluation: localCheckpoint executes the unrolled plan outside
+    # AQE's replanning — eager ckpt 6.7-7.1 s / lazy-ckpt+count 6.3 s
+    # vs plain lazy 3.5 s at sf0.1, min-of-4 interleaved). Measured
+    # cold-per-invocation, fully lazy also beats the persist shape
+    # itself (sf0.1: 3.5 vs 4.6 s; sf1: 13.3 vs 16.4 s, every
+    # interleaved round) — at broadcast scale the per-round edge
+    # re-derivation is cheap narrow scans, and at exchange scale
+    # identical edge subtrees dedup via ReuseExchange/AQE. Nothing is
+    # persisted, so there is nothing to leak.
     # Ranks are NOT checkpointed per round — measured 3.5x slower (r6);
-    # every 8th round a lazy checkpoint bounds plan depth for callers who
-    # iterate further. `reliable=True` keeps the eager durable
+    # every 8th round a lazy checkpoint bounds plan depth for callers
+    # who iterate further. `reliable=True` keeps the eager durable
     # checkpoints: executor-loss recovery of the iteration state.
     if _reliable_on(reliable):
         edges = iter_checkpoint(edges, reliable)
         nodes = iter_checkpoint(nodes, reliable)
-    else:
-        edges = edges.persist()
-        nodes = nodes.persist()
     ranks = nodes.select("path", F.lit(1.0).alias("rank"))
     for i in range(iterations):
         contribs = (
@@ -862,14 +865,24 @@ def personalized_pagerank(
         .union(edges.select(F.col("dst").alias("path")))
         .distinct()
     )
-    # lazily-persisted base relations, exactly as pagerank (r11);
-    # reliable mode keeps the eager durable checkpoints
-    if _reliable_on(reliable):
-        edges = iter_checkpoint(edges, reliable)
-        nodes = iter_checkpoint(nodes, reliable)
-    else:
+    # Unlike plain pagerank, the returned relation is FILTERED (rank>0:
+    # the reachable set) — every action must compute the rank values,
+    # nothing prunes to the join skeleton — so the round relations pay
+    # off and the small filtered result is cheap to materialize. r12
+    # shape (interleaved min-of-4 at sf0.1, real registry action):
+    # persist bases + eager-checkpoint the filtered result + unpersist
+    # 8.4 s vs eager-ckpt bases 12.8 s vs fully lazy 25.3 s. The
+    # _static_relation contract holds: the operator materializes its
+    # result and frees both caches before returning — no CacheManager
+    # residue (pytest-pinned). `reliable=True` keeps the eager durable
+    # checkpoints for executor-loss recovery.
+    persisted = not _reliable_on(reliable)
+    if persisted:
         edges = edges.persist()
         nodes = nodes.persist()
+    else:
+        edges = iter_checkpoint(edges, reliable)
+        nodes = iter_checkpoint(nodes, reliable)
     seed_list = sorted(set(seeds))
     is_seed = F.col("path").isin(seed_list)
     # teleport mass is SPLIT across the seed set ((1-d)/|S| each, initial
@@ -894,7 +907,13 @@ def personalized_pagerank(
         if (i + 1) % 8 == 0 and (i + 1) < iterations:
             # lazy: plan-depth bounding without a mid-loop job
             ranks = iter_checkpoint_lazy(ranks, reliable)
-    return ranks.where(F.col("rank") > 0)
+    out = ranks.where(F.col("rank") > 0)
+    if persisted:
+        # materialize the (small) reachable set, then free the caches
+        out = iter_checkpoint(out, reliable)
+        edges.unpersist()
+        nodes.unpersist()
+    return out
 
 
 def clustering_coefficient(e: DataFrame, reliable: bool | None = None) -> DataFrame:
