@@ -429,16 +429,39 @@ def _symmetric(e: DataFrame) -> DataFrame:
     )
 
 
+def _orient(e: DataFrame) -> DataFrame:
+    """Distinct (greater, lesser) orientation of an edge list, self-loops
+    dropped — the canonical undirected representation the star phases
+    below PRESERVE as an invariant: every output row of either phase has
+    src > dst (large-star emits (d, m) with m <= u < d; small-star emits
+    (d, m) / (u, m) with m <= d resp. m < u, equality filtered), and
+    both end in a distinct. Maintaining the invariant lets each round
+    skip one re-orientation distinct and one symmetric-closure distinct
+    — two full-edge shuffles per round (r12, guide §2.4)."""
+    return (
+        e.select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
 def _large_star(e: DataFrame) -> DataFrame:
     """One large-star round (Kiveris et al. 2014): every node u computes
     m = min of its closed neighborhood and re-points each STRICTLY
-    LARGER neighbor at m. One keyed min-agg + one equi-join, both on
-    the symmetric edge relation."""
-    sym = _symmetric(e)
+    LARGER neighbor at m. One keyed min-agg + one equi-join.
+
+    Input INVARIANT (see _orient): oriented src > dst, distinct. The
+    symmetric closure is then e ∪ reverse(e) — disjoint halves, no
+    dedup shuffle — and the join's probe side pre-filters to the
+    dst > src half, which IS reverse(e) (filter-join commute: only
+    those rows survive the post-join filter)."""
+    sym = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     m = sym.groupBy("src").agg(F.least(F.min("dst"), F.first("src")).alias("m"))
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     return (
-        sym.join(m, "src")
-        .where(F.col("dst") > F.col("src"))
+        rev.join(m, "src")
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         .where(F.col("src") != F.col("dst"))
         .distinct()
@@ -448,16 +471,14 @@ def _large_star(e: DataFrame) -> DataFrame:
 def _small_star(e: DataFrame) -> DataFrame:
     """One small-star round: edges orient toward their smaller endpoint,
     every node u re-points its smaller-or-equal neighbors AND itself at
-    m = min of that oriented neighborhood."""
-    o = (
-        e.select(
-            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
-        )
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
-    )
-    m = o.groupBy("src").agg(F.min("dst").alias("m"))
-    nbrs = o.join(m, "src").select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    m = min of that oriented neighborhood.
+
+    Input INVARIANT (see _orient): oriented src > dst, distinct — i.e.
+    already exactly the "oriented toward the smaller endpoint" relation
+    this phase's published form starts by building, so the
+    re-orientation and its dedup shuffle are skipped."""
+    m = e.groupBy("src").agg(F.min("dst").alias("m"))
+    nbrs = e.join(m, "src").select(F.col("dst").alias("src"), F.col("m").alias("dst"))
     self_edge = m.select("src", F.col("m").alias("dst"))
     return (
         nbrs.unionAll(self_edge).where(F.col("src") != F.col("dst")).distinct()
@@ -509,8 +530,13 @@ def connected_components(
     themselves."""
     # lazy: each round's signature action below is the job that
     # materializes the round's edge relation (r11 — one job per round,
-    # not two; the seed materializes inside round 1's action)
-    edges = iter_checkpoint_lazy(_symmetric(e), reliable)
+    # not two; the seed materializes inside round 1's action).
+    # Seed is the ORIENTED distinct relation, half the symmetric
+    # closure's rows — each phase rebuilds the closure as two disjoint
+    # unionAll halves and preserves the orientation invariant, so the
+    # per-round re-orientation/symmetrization distincts are gone
+    # (r12, guide §2.4: two fewer full-edge shuffles per round).
+    edges = iter_checkpoint_lazy(_orient(e), reliable)
     sig = None
     for _ in range(max_rounds):
         edges = iter_checkpoint_lazy(_small_star(_large_star(edges)), reliable)
