@@ -94,6 +94,7 @@ def collect_predicate_stats(spark: SparkSession, out: str) -> None:
         os.path.join(out, "predicate_stats")
     )
     _write_stats_staleness(out, 0)
+    _write_stats_fingerprint(out)
 
 
 def _predicate_stats_frame(t: DataFrame, spark: SparkSession) -> DataFrame:
@@ -142,6 +143,55 @@ def _read_stats_staleness(out: str) -> int:
 def _write_stats_staleness(out: str, churn_rows: int) -> None:
     with open(os.path.join(out, _STATS_STALENESS), "w") as fh:
         json.dump({"churn_rows": int(churn_rows)}, fh)
+
+
+_STATS_FPR = "_STATS_FINGERPRINT.json"
+
+
+def _served_store_fingerprint(out: str) -> str:
+    """Metadata digest (relpath, size, mtime) of every file backing the
+    SERVED triples relation — the triples dir plus any pending
+    write_batch delta dir. Driver-side listing only, no data read (the
+    same listing _load already pays per call for delta detection); on a
+    manifest-backed table format the snapshot id plays this role."""
+    import hashlib
+
+    ents: list[str] = []
+    for sub in ("triples", "infotons_delta"):
+        root = os.path.join(out, sub)
+        if not os.path.isdir(root):
+            continue
+        for dirpath, _dirs, files in os.walk(root):
+            for fn in files:
+                if fn.startswith((".", "_")):
+                    continue
+                p = os.path.join(dirpath, fn)
+                st = os.stat(p)
+                ents.append(
+                    f"{sub}/{os.path.relpath(p, root)}|{st.st_size}|{st.st_mtime_ns}"
+                )
+    return hashlib.md5("\n".join(sorted(ents)).encode()).hexdigest()
+
+
+def _write_stats_fingerprint(out: str) -> None:
+    """Stamp predicate_stats with the store state it was computed from
+    (r12, VERDICT r11 item 5): load_predicate_stats refuses to serve
+    stats whose stamp no longer matches the served store — a stale
+    UNDERCOUNTING stats file would otherwise license proof-path
+    broadcasts (search/traversal bounds) over sets far past the cap, and
+    a stale rdfType coverage could wrongly license the agg family's
+    join-free route. Stale stats degrade to NO stats: every consumer
+    falls back to its counted/probed path, rows identical."""
+    with open(os.path.join(out, _STATS_FPR), "w") as fh:
+        json.dump({"store": _served_store_fingerprint(out)}, fh)
+
+
+def _read_stats_fingerprint(out: str) -> str | None:
+    p = os.path.join(out, _STATS_FPR)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh).get("store")
 
 
 def merge_predicate_stats(
@@ -204,6 +254,7 @@ def merge_predicate_stats(
     shutil.rmtree(old)
     spark.catalog.refreshByPath(stats_path)
     _write_stats_staleness(out, _read_stats_staleness(out) + churn)
+    _write_stats_fingerprint(out)
     return "merged"
 
 
@@ -339,10 +390,24 @@ def _stats_mtime(stats_path: str) -> float:
         return 0.0
 
 
-def load_predicate_stats(spark: SparkSession, sf_dir: str, root: str | None = None) -> dict[str, dict]:
+def load_predicate_stats(
+    spark: SparkSession, sf_dir: str, root: str | None = None
+) -> dict[str, dict] | None:
     out = materialize(spark, sf_dir, root)
     stats_path = os.path.join(out, "predicate_stats")
-    key = (id(spark), out, _stats_mtime(stats_path))
+    # Staleness guard (r12, VERDICT r11 item 5): stats stamped against a
+    # store state that no longer matches (pending write_batch deltas, or
+    # any out-of-band triples change the maintenance path didn't see)
+    # are as good as NO stats — an undercounting snapshot must never
+    # license a proof-path broadcast, and a stale rdfType coverage must
+    # never license the agg join-free route. None (NOT {}: an empty dict
+    # would read as "predicate never seen" and wrongly prove hop bounds
+    # of 0) = every consumer takes its counted/probed fallback; the next
+    # compaction or full collect re-stamps and restores the proof paths.
+    fpr = _served_store_fingerprint(out)
+    if _read_stats_fingerprint(out) != fpr:
+        return None
+    key = (id(spark), out, _stats_mtime(stats_path), fpr)
     cached = _STATS_CACHE.get(key)
     if cached is not None:
         return cached

@@ -41,6 +41,56 @@ def test_pagerank_unpersists_round_relations(spark, triples):
     assert cm.lookupCachedData(nodes._jdf).isEmpty()
 
 
+def test_stale_stats_refuse_proof_paths(spark, sf_dir):
+    """VERDICT r11 item 5: a stats snapshot whose store fingerprint no
+    longer matches must degrade to NO stats (None — never an empty dict,
+    which would read as proven-zero hop bounds), and the stats-less
+    fallback must return identical rows."""
+    import json
+    import os
+
+    from cm_well_spark.model.lakehouse import (
+        _STATS_FPR,
+        load_infotons,
+        load_predicate_stats,
+        load_triples,
+        materialize,
+    )
+    from cm_well_spark.operators.traversal import expand_out
+
+    out = materialize(spark, sf_dir)
+    fresh = load_predicate_stats(spark, sf_dir)
+    assert fresh and "inNation" in fresh
+
+    inf = load_infotons(spark, sf_dir)
+    tri = load_triples(spark, sf_dir)
+    seeds = inf.where("path = '/tpch/customer/1'").select("path")
+    with_stats = sorted(
+        r["path"]
+        for r in expand_out(inf, seeds, "inNation>ofRegion", triples=tri, stats=fresh)
+        .select("path")
+        .collect()
+    )
+
+    fp = os.path.join(out, _STATS_FPR)
+    orig = open(fp).read()
+    try:
+        with open(fp, "w") as fh:
+            json.dump({"store": "doctored-stale"}, fh)
+        assert load_predicate_stats(spark, sf_dir) is None
+        without_stats = sorted(
+            r["path"]
+            for r in expand_out(inf, seeds, "inNation>ofRegion", triples=tri, stats=None)
+            .select("path")
+            .collect()
+        )
+        assert with_stats == without_stats and with_stats
+    finally:
+        with open(fp, "w") as fh:
+            fh.write(orig)
+    assert load_predicate_stats(spark, sf_dir) is not None
+
+
 def test_personalized_pagerank_unpersists_round_relations(spark, triples):
     from cm_well_spark.operators.graph import DEFAULT_LINK_FIELDS, personalized_pagerank
 
