@@ -182,7 +182,6 @@ def pagerank(
         raise ValueError("pagerank needs at least 1 iteration")
     edges = reference_edges(triples, fields)
     out_deg = edges.groupBy("src").agg(F.count("*").alias("odeg"))
-    edges = edges.join(out_deg, "src")
     nodes = (
         edges.select(F.col("src").alias("path"))
         .union(edges.select(F.col("dst").alias("path")))
@@ -209,25 +208,49 @@ def pagerank(
     # checkpoints: executor-loss recovery of the iteration state.
     if _reliable_on(reliable):
         edges = iter_checkpoint(edges, reliable)
-        nodes = iter_checkpoint(nodes, reliable)
-    ranks = nodes.select("path", F.lit(1.0).alias("rank"))
+        out_deg = iter_checkpoint(out_deg, reliable)
+    # Iteration algebra (r12, guide §1.2/§2.3): the loop carries
+    # c_i(src) = rank_i(src)/odeg(src) on the SOURCE node set instead of
+    # rank_i on every node —
+    #   * one edge-scale join per round (edges ⨝ c on src) instead of
+    #     two (the odeg decoration of every edge is gone; odeg joins on
+    #     the node-scale side), and the contribution shuffle's sum is a
+    #     plain sum(c);
+    #   * the division happens once per NODE, not once per edge — the
+    #     addend rank(src)/odeg(src) is the same two doubles divided, so
+    #     every sum term is bit-identical to the rank-carrying form;
+    #   * rank rows for non-source nodes were never read before the
+    #     final round (only sources feed contributions), so intermediate
+    #     rounds are source-set-sized; the full node relation joins once,
+    #     in the final round — identical output rows;
+    #   * round 1's join is elided outright: rank_0 = 1.0 for every node
+    #     including every source, so c_0 = 1.0/odeg comes straight from
+    #     the degree relation.
+    rank_expr = F.lit(1.0 - damping) + F.lit(damping) * F.coalesce(
+        "contrib", F.lit(0.0)
+    )
+    cranks = out_deg.select("src", (F.lit(1.0) / F.col("odeg")).alias("c"))
     for i in range(iterations):
         contribs = (
-            edges.join(ranks.withColumnRenamed("path", "src"), "src")
+            edges.join(cranks, "src")
             .groupBy(F.col("dst").alias("path"))
-            .agg(F.sum(F.col("rank") / F.col("odeg")).alias("contrib"))
+            .agg(F.sum("c").alias("contrib"))
         )
-        ranks = nodes.join(contribs, "path", "left").select(
-            "path",
-            (
-                F.lit(1.0 - damping)
-                + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
-            ).alias("rank"),
-        )
-        if (i + 1) % 8 == 0 and (i + 1) < iterations:
-            # lazy: plan-depth bounding without a mid-loop job
-            ranks = iter_checkpoint_lazy(ranks, reliable)
-    return ranks
+        if (i + 1) < iterations:
+            cranks = (
+                out_deg.withColumnRenamed("src", "path")
+                .join(contribs, "path", "left")
+                .select(
+                    F.col("path").alias("src"),
+                    (rank_expr / F.col("odeg")).alias("c"),
+                )
+            )
+            if (i + 1) % 8 == 0:
+                # lazy: plan-depth bounding without a mid-loop job
+                cranks = iter_checkpoint_lazy(cranks, reliable)
+    return nodes.join(contribs, "path", "left").select(
+        "path", rank_expr.alias("rank")
+    )
 
 
 def sample_neighborhood(
@@ -885,7 +908,6 @@ def personalized_pagerank(
         raise ValueError("personalized_pagerank needs a non-empty seed set")
     edges = reference_edges(triples, fields)
     out_deg = edges.groupBy("src").agg(F.count("*").alias("odeg"))
-    edges = edges.join(out_deg, "src")
     nodes = (
         edges.select(F.col("src").alias("path"))
         .union(edges.select(F.col("dst").alias("path")))
@@ -894,10 +916,10 @@ def personalized_pagerank(
     # Unlike plain pagerank, the returned relation is FILTERED (rank>0:
     # the reachable set) — every action must compute the rank values,
     # nothing prunes to the join skeleton — so the round relations pay
-    # off and the small filtered result is cheap to materialize. r12
-    # shape (interleaved min-of-4 at sf0.1, real registry action):
-    # persist bases + eager-checkpoint the filtered result + unpersist
-    # 8.4 s vs eager-ckpt bases 12.8 s vs fully lazy 25.3 s. The
+    # off and the small filtered result is cheap to materialize: persist
+    # bases + eager-checkpoint the filtered result + unpersist measured
+    # 8.4 s vs eager-ckpt bases 12.8 s vs fully lazy 25.3 s at sf0.1
+    # (r12, interleaved min-of-4, real registry action). The
     # _static_relation contract holds: the operator materializes its
     # result and frees both caches before returning — no CacheManager
     # residue (pytest-pinned). `reliable=True` keeps the eager durable
@@ -905,10 +927,10 @@ def personalized_pagerank(
     persisted = not _reliable_on(reliable)
     if persisted:
         edges = edges.persist()
-        nodes = nodes.persist()
+        out_deg = out_deg.persist()
     else:
         edges = iter_checkpoint(edges, reliable)
-        nodes = iter_checkpoint(nodes, reliable)
+        out_deg = iter_checkpoint(out_deg, reliable)
     seed_list = sorted(set(seeds))
     is_seed = F.col("path").isin(seed_list)
     # teleport mass is SPLIT across the seed set ((1-d)/|S| each, initial
@@ -917,28 +939,48 @@ def personalized_pagerank(
     # unnormalized per-seed (1-d) convention made mass scale with |S|)
     share = 1.0 / len(seed_list)
     reset = F.when(is_seed, F.lit((1.0 - damping) * share)).otherwise(F.lit(0.0))
-    ranks = nodes.select(
-        "path", F.when(is_seed, F.lit(share)).otherwise(F.lit(0.0)).alias("rank")
+    rank_expr = reset + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
+    # Same c = rank/odeg source-side iteration as pagerank (r12 — see
+    # its in-body proof: every sum addend is the same two doubles
+    # divided, intermediate rank rows for non-sources were never read).
+    # PPR additionally DROPS exact-zero c rows each round: rank mass is
+    # non-negative, and adding 0.0 to a non-negative partial sum is the
+    # IEEE identity, so the contribution sums are bit-identical while
+    # the per-round join shrinks from all sources to the REACHED
+    # sources — seed out-edges in round 1 instead of the whole graph.
+    cranks = (
+        out_deg.where(F.col("src").isin(seed_list))
+        .select("src", (F.lit(share) / F.col("odeg")).alias("c"))
     )
     for i in range(iterations):
         contribs = (
-            edges.join(ranks.withColumnRenamed("path", "src"), "src")
+            edges.join(cranks, "src")
             .groupBy(F.col("dst").alias("path"))
-            .agg(F.sum(F.col("rank") / F.col("odeg")).alias("contrib"))
+            .agg(F.sum("c").alias("contrib"))
         )
-        ranks = nodes.join(contribs, "path", "left").select(
-            "path",
-            (reset + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))).alias("rank"),
-        )
-        if (i + 1) % 8 == 0 and (i + 1) < iterations:
-            # lazy: plan-depth bounding without a mid-loop job
-            ranks = iter_checkpoint_lazy(ranks, reliable)
-    out = ranks.where(F.col("rank") > 0)
+        if (i + 1) < iterations:
+            cranks = (
+                out_deg.withColumnRenamed("src", "path")
+                .join(contribs, "path", "left")
+                .select(
+                    F.col("path").alias("src"),
+                    (rank_expr / F.col("odeg")).alias("c"),
+                )
+                .where(F.col("c") != 0.0)
+            )
+            if (i + 1) % 8 == 0:
+                # lazy: plan-depth bounding without a mid-loop job
+                cranks = iter_checkpoint_lazy(cranks, reliable)
+    out = (
+        nodes.join(contribs, "path", "left")
+        .select("path", rank_expr.alias("rank"))
+        .where(F.col("rank") > 0)
+    )
     if persisted:
         # materialize the (small) reachable set, then free the caches
         out = iter_checkpoint(out, reliable)
         edges.unpersist()
-        nodes.unpersist()
+        out_deg.unpersist()
     return out
 
 

@@ -14,20 +14,16 @@ from pyspark.sql import functions as F
 
 
 def _rebuild_round_relations(triples):
-    """The exact plans pagerank persists: the out-degree-decorated edge
-    relation and the node universe. CacheManager matches on analyzed-plan
-    sameResult, so a fresh identical plan finds any leaked entry."""
+    """The exact plans the pagerank family persists (r12: the raw edge
+    relation and the out-degree relation — plain pagerank persists
+    nothing, personalized persists both and must free them).
+    CacheManager matches on analyzed-plan sameResult, so a fresh
+    identical plan finds any leaked entry."""
     from cm_well_spark.operators.graph import DEFAULT_LINK_FIELDS, reference_edges
 
     edges = reference_edges(triples, DEFAULT_LINK_FIELDS)
     out_deg = edges.groupBy("src").agg(F.count("*").alias("odeg"))
-    dec = edges.join(out_deg, "src")
-    nodes = (
-        dec.select(F.col("src").alias("path"))
-        .union(dec.select(F.col("dst").alias("path")))
-        .distinct()
-    )
-    return dec, nodes
+    return edges, out_deg
 
 
 def test_pagerank_unpersists_round_relations(spark, triples):
@@ -35,10 +31,10 @@ def test_pagerank_unpersists_round_relations(spark, triples):
 
     out = pagerank(triples, DEFAULT_LINK_FIELDS, iterations=3)
     assert out.count() > 0
-    dec, nodes = _rebuild_round_relations(triples)
+    edges, out_deg = _rebuild_round_relations(triples)
     cm = spark._jsparkSession.sharedState().cacheManager()
-    assert cm.lookupCachedData(dec._jdf).isEmpty()
-    assert cm.lookupCachedData(nodes._jdf).isEmpty()
+    assert cm.lookupCachedData(edges._jdf).isEmpty()
+    assert cm.lookupCachedData(out_deg._jdf).isEmpty()
 
 
 def test_stale_stats_refuse_proof_paths(spark, sf_dir):
@@ -97,7 +93,7 @@ def test_personalized_pagerank_unpersists_round_relations(spark, triples):
     seed = triples.where(F.col("current")).select("s").first()["s"]
     out = personalized_pagerank(triples, [seed], DEFAULT_LINK_FIELDS, iterations=2)
     assert out.count() > 0
-    dec, nodes = _rebuild_round_relations(triples)
+    edges, out_deg = _rebuild_round_relations(triples)
     cm = spark._jsparkSession.sharedState().cacheManager()
-    assert cm.lookupCachedData(dec._jdf).isEmpty()
-    assert cm.lookupCachedData(nodes._jdf).isEmpty()
+    assert cm.lookupCachedData(edges._jdf).isEmpty()
+    assert cm.lookupCachedData(out_deg._jdf).isEmpty()
