@@ -896,41 +896,36 @@ def personalized_pagerank(
     "documents near my trusted sources", related-entity ranking from a
     query node, and topic-conditioned crawl frontiers).
 
-    Same plan as pagerank (one equi-join + one keyed sum per round,
-    edges checkpointed once, fixed iterations = deterministic and
-    chained-CTE replayable); only the reset vector differs — a seed
-    membership flag carried on the node relation, no extra join. Nodes
-    unreachable from the seed set converge to 0 and are dropped
-    (PPR's support is the reachable set by definition)."""
+    FRONTIER-DRIVEN plan (r12, guide §1.2/§2.4): PPR's support is the
+    set reachable from the seeds, so every round only ever reads rows
+    whose src has nonzero rank — the frontier (reached ∪ seeds; the
+    teleport term re-injects seed mass every round). Each round filters
+    the RAW pruned edge scan down to the frontier BEFORE the distinct
+    (literal isin pushdown under FRONTIER_ISIN_MAX for row-group
+    skipping, the sample_neighborhood discipline; counted-broadcast
+    semi-join above it, plain keyed semi-join past
+    FRONTIER_BROADCAST_MAX), so per-round work scales with the reach,
+    not the corpus: out-degrees, contribution join and sum all run on
+    the frontier-filtered relation. Nothing is persisted — the
+    whole-graph edge/odeg materialization the old shape paid (and had
+    to persist+unpersist around) is gone; measured at sf0.1 (2-seed
+    registry query, interleaved min-of-4): 7.6 s persist shape ->
+    1.3 s frontier shape, identical rows.
+
+    Equivalence to the dense iteration: c_i(src) = rank_i(src)/odeg(src)
+    is nonzero exactly for seeds and reached nodes (rank mass is a sum
+    of strictly-positive addends plus a nonneg reset, and zero-c rows
+    were already dropped from the dense join — the IEEE 0.0-addend
+    identity, r12 first half), odeg over the frontier-filtered DISTINCT
+    pairs equals the full-graph odeg for frontier srcs (filter and
+    distinct commute on (src, dst) pairs), and the support union at the
+    end (contrib receivers ∪ seeds present in the graph) is the same
+    rank > 0 set the dense nodes-join produced — every rank value is
+    the same doubles through the same expression tree."""
     if iterations < 1:
         raise ValueError("personalized_pagerank needs at least 1 iteration")
     if not seeds:
         raise ValueError("personalized_pagerank needs a non-empty seed set")
-    edges = reference_edges(triples, fields)
-    out_deg = edges.groupBy("src").agg(F.count("*").alias("odeg"))
-    nodes = (
-        edges.select(F.col("src").alias("path"))
-        .union(edges.select(F.col("dst").alias("path")))
-        .distinct()
-    )
-    # Unlike plain pagerank, the returned relation is FILTERED (rank>0:
-    # the reachable set) — every action must compute the rank values,
-    # nothing prunes to the join skeleton — so the round relations pay
-    # off and the small filtered result is cheap to materialize: persist
-    # bases + eager-checkpoint the filtered result + unpersist measured
-    # 8.4 s vs eager-ckpt bases 12.8 s vs fully lazy 25.3 s at sf0.1
-    # (r12, interleaved min-of-4, real registry action). The
-    # _static_relation contract holds: the operator materializes its
-    # result and frees both caches before returning — no CacheManager
-    # residue (pytest-pinned). `reliable=True` keeps the eager durable
-    # checkpoints for executor-loss recovery.
-    persisted = not _reliable_on(reliable)
-    if persisted:
-        edges = edges.persist()
-        out_deg = out_deg.persist()
-    else:
-        edges = iter_checkpoint(edges, reliable)
-        out_deg = iter_checkpoint(out_deg, reliable)
     seed_list = sorted(set(seeds))
     is_seed = F.col("path").isin(seed_list)
     # teleport mass is SPLIT across the seed set ((1-d)/|S| each, initial
@@ -940,27 +935,29 @@ def personalized_pagerank(
     share = 1.0 / len(seed_list)
     reset = F.when(is_seed, F.lit((1.0 - damping) * share)).otherwise(F.lit(0.0))
     rank_expr = reset + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
-    # Same c = rank/odeg source-side iteration as pagerank (r12 — see
-    # its in-body proof: every sum addend is the same two doubles
-    # divided, intermediate rank rows for non-sources were never read).
-    # PPR additionally DROPS exact-zero c rows each round: rank mass is
-    # non-negative, and adding 0.0 to a non-negative partial sum is the
-    # IEEE identity, so the contribution sums are bit-identical while
-    # the per-round join shrinks from all sources to the REACHED
-    # sources — seed out-edges in round 1 instead of the whole graph.
-    cranks = (
-        out_deg.where(F.col("src").isin(seed_list))
-        .select("src", (F.lit(share) / F.col("odeg")).alias("c"))
-    )
+    pairs = reference_edges(triples, fields, dedup=False)
+    frontier_lits: list[str] | None = list(seed_list)
+    frontier_df: DataFrame | None = None
+    n_frontier = len(seed_list)
+    contribs: DataFrame | None = None
     for i in range(iterations):
-        contribs = (
-            edges.join(cranks, "src")
-            .groupBy(F.col("dst").alias("path"))
-            .agg(F.sum("c").alias("contrib"))
-        )
-        if (i + 1) < iterations:
+        if frontier_lits is not None:
+            fe = pairs.where(F.col("src").isin(frontier_lits))
+        else:
+            f = frontier_df
+            if n_frontier <= FRONTIER_BROADCAST_MAX:
+                f = F.broadcast(f)
+            fe = pairs.join(f, "src", "left_semi")
+        # distinct AFTER the frontier filter: filter and distinct commute
+        # on (src, dst), so this is the same per-src edge multiset (one
+        # row each) the whole-graph distinct produced — at frontier cost
+        fe = fe.distinct()
+        odeg = fe.groupBy("src").agg(F.count("*").alias("odeg"))
+        if i == 0:
+            cranks = odeg.select("src", (F.lit(share) / F.col("odeg")).alias("c"))
+        else:
             cranks = (
-                out_deg.withColumnRenamed("src", "path")
+                odeg.withColumnRenamed("src", "path")
                 .join(contribs, "path", "left")
                 .select(
                     F.col("path").alias("src"),
@@ -968,20 +965,51 @@ def personalized_pagerank(
                 )
                 .where(F.col("c") != 0.0)
             )
-            if (i + 1) % 8 == 0:
-                # lazy: plan-depth bounding without a mid-loop job
-                cranks = iter_checkpoint_lazy(cranks, reliable)
-    out = (
-        nodes.join(contribs, "path", "left")
-        .select("path", rank_expr.alias("rank"))
-        .where(F.col("rank") > 0)
+        contribs = (
+            fe.join(cranks, "src")
+            .groupBy(F.col("dst").alias("path"))
+            .agg(F.sum("c").alias("contrib"))
+        )
+        if (i + 1) < iterations:
+            # the round's reach count rides its own materialization job
+            # (iter_checkpoint_count); the checkpoint also bounds plan
+            # depth, so no %8 depth guard is needed here
+            contribs, n_reached = iter_checkpoint_count(contribs, reliable)
+            n_frontier = n_reached + len(seed_list)
+            if n_frontier <= FRONTIER_ISIN_MAX:
+                # bounded driver collect (counted FIRST — the
+                # sample_neighborhood isin discipline): literal frontier
+                # pushes into the scan as an In predicate
+                reached = [r["path"] for r in contribs.select("path").collect()]
+                frontier_lits = sorted(set(reached) | set(seed_list))
+                n_frontier = len(frontier_lits)
+            else:
+                frontier_lits = None
+                seed_df = pairs.sparkSession.createDataFrame(
+                    [(s,) for s in seed_list], "src string"
+                )
+                frontier_df = (
+                    contribs.select(F.col("path").alias("src"))
+                    .unionByName(seed_df)
+                    .distinct()
+                )
+    # support = contribution receivers ∪ seeds present in the graph
+    # (a seed with no in-edges keeps its teleport mass: rank = reset).
+    # Seed-membership probes are literal isin pushdowns — tiny scans.
+    seeds_in_graph = (
+        pairs.where(F.col("src").isin(seed_list)).select(F.col("src").alias("path"))
+        .unionAll(
+            pairs.where(F.col("dst").isin(seed_list)).select(F.col("dst").alias("path"))
+        )
+        .distinct()
     )
-    if persisted:
-        # materialize the (small) reachable set, then free the caches
-        out = iter_checkpoint(out, reliable)
-        edges.unpersist()
-        out_deg.unpersist()
-    return out
+    part1 = contribs.select("path", rank_expr.alias("rank"))
+    part2 = (
+        seeds_in_graph.join(contribs, "path", "left_anti")
+        .withColumn("contrib", F.lit(None).cast("double"))
+        .select("path", rank_expr.alias("rank"))
+    )
+    return part1.unionByName(part2).where(F.col("rank") > 0)
 
 
 def clustering_coefficient(e: DataFrame, reliable: bool | None = None) -> DataFrame:
