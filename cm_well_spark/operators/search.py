@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from cm_well_spark.parsers.qp import FieldFilter, parse_qp
 from cm_well_spark.parsers.sort import DEFAULT_SORT, SortKey, parse_sort_by
+from cm_well_spark.plans.bounds import export_path_bound
 from cm_well_spark.plans.compile import SYSTEM_COLUMNS, compile_filter
 from cm_well_spark.plans.iterative import iter_checkpoint, iter_checkpoint_count
 
@@ -181,8 +182,8 @@ def search(
             # export the proven row bound for downstream strategy choices
             # (traversal seed broadcasts — zero extra jobs there); current
             # visibility means <=1 row per candidate path. Strategy only:
-            # consumers must never derive rows from it.
-            df._cmw_path_bound = proven_bound
+            # consumers must never derive rows from it (plans/bounds.py).
+            export_path_bound(df, proven_bound)
         return df
 
     keys = parse_sort_by(sort_by) if (sort_by is None or isinstance(sort_by, str)) else sort_by
@@ -211,7 +212,7 @@ def search(
     limit_bound = length if length is not None else None
     bounds = [b for b in (proven_bound, limit_bound) if b is not None]
     if bounds:
-        df._cmw_path_bound = min(bounds)  # see export-mode note above
+        export_path_bound(df, min(bounds))  # see export-mode note above
     return df
 
 

@@ -42,6 +42,7 @@ from cm_well_spark.parsers.expansion import (
     parse_xg,
     parse_yg,
 )
+from cm_well_spark.plans.bounds import proven_path_bound
 from cm_well_spark.plans.compile import compile_filter
 from cm_well_spark.plans.iterative import (
     iter_checkpoint,
@@ -174,12 +175,13 @@ def expand_out(
     # the frontier count proves boundedness for the broadcast-hint
     # decision (VERDICT r1 finding 4) and rides the checkpoint's own
     # materialization job (r11, iter_checkpoint_count)
-    # seed-bound elision (r11): search() exports its proven row bound as
-    # `_cmw_path_bound` (index-route stats proof or the paging limit), so
+    # seed-bound elision (r11): search() exports its proven row bound
+    # (index-route stats proof or the paging limit; plans/bounds.py
+    # carrier, hardened r12 — type-checked, never column-shadowed), so
     # bounded seed sets skip the eager materialize+count job entirely —
     # the lazy checkpoint's blocks ride the first consuming action. The
     # bound is strategy-only (broadcast licensing), never a row source.
-    seed_bound = getattr(seeds, "_cmw_path_bound", None)
+    seed_bound = proven_path_bound(seeds)
     if seed_bound is not None and seed_bound <= BROADCAST_PATHS_MAX:
         acc, n_frontier = iter_checkpoint_lazy(seeds.select("path")), seed_bound
     else:
@@ -227,7 +229,7 @@ def expand_paths(
     keep the WHOLE discovered path (seeds + every intermediate + final)."""
     pe = parse_yg(yg) if isinstance(yg, str) else yg
     # seed-bound elision — same contract as expand_out
-    seed_bound = getattr(seeds, "_cmw_path_bound", None)
+    seed_bound = proven_path_bound(seeds)
     if seed_bound is not None and seed_bound <= BROADCAST_PATHS_MAX:
         seed_paths, n_seed = iter_checkpoint_lazy(seeds.select("path")), seed_bound
     else:

@@ -21,8 +21,9 @@ def xg_expand_out(spark, sf_dir):
     from cm_well_spark.operators.traversal import expand_out
 
     inf = _inf(spark, sf_dir)
-    seeds = S.search(inf, qp="rdfType::Order,orderkey<100", length=None)
-    return expand_out(inf, seeds, "byCustomer", triples=_tri(spark, sf_dir), stats=_stats(spark, sf_dir)).select("path")
+    tri, st = _tri(spark, sf_dir), _stats(spark, sf_dir)
+    seeds = S.search(inf, qp="rdfType::Order,orderkey<100", length=None, triples=tri, stats=st)
+    return expand_out(inf, seeds, "byCustomer", triples=tri, stats=st).select("path")
 
 
 @register(
@@ -41,8 +42,9 @@ def xg_two_levels(spark, sf_dir):
     from cm_well_spark.operators.traversal import expand_out
 
     inf = _inf(spark, sf_dir)
-    seeds = S.search(inf, qp="rdfType::Customer,custkey<20", length=None)
-    return expand_out(inf, seeds, "inNation>ofRegion", triples=_tri(spark, sf_dir), stats=_stats(spark, sf_dir)).select("path")
+    tri, st = _tri(spark, sf_dir), _stats(spark, sf_dir)
+    seeds = S.search(inf, qp="rdfType::Customer,custkey<20", length=None, triples=tri, stats=st)
+    return expand_out(inf, seeds, "inNation>ofRegion", triples=tri, stats=st).select("path")
 
 
 @register(
@@ -56,8 +58,9 @@ def xg_ghost_skip(spark, sf_dir):
     from cm_well_spark.operators.traversal import expand_out
 
     inf = _inf(spark, sf_dir)
-    seeds = S.search(inf, qp="rdfType::Event", length=None)
-    return expand_out(inf, seeds, "byUser", limit=1_000_000, triples=_tri(spark, sf_dir), stats=_stats(spark, sf_dir)).select("path")
+    tri, st = _tri(spark, sf_dir), _stats(spark, sf_dir)
+    seeds = S.search(inf, qp="rdfType::Event", length=None, triples=tri, stats=st)
+    return expand_out(inf, seeds, "byUser", limit=1_000_000, triples=tri, stats=st).select("path")
 
 
 @register(
@@ -74,8 +77,9 @@ def yg_reverse(spark, sf_dir):
     from cm_well_spark.operators.traversal import expand_paths
 
     inf = _inf(spark, sf_dir)
-    seeds = S.search(inf, qp="rdfType::Nation,nationkey::3", length=None)
-    return expand_paths(inf, _tri(spark, sf_dir), seeds, "<inNation[rdfType::Customer]", limit=1_000_000, stats=_stats(spark, sf_dir)).select("path")
+    tri, st = _tri(spark, sf_dir), _stats(spark, sf_dir)
+    seeds = S.search(inf, qp="rdfType::Nation,nationkey::3", length=None, triples=tri, stats=st)
+    return expand_paths(inf, tri, seeds, "<inNation[rdfType::Customer]", limit=1_000_000, stats=st).select("path")
 
 
 @register(

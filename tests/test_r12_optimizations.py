@@ -97,3 +97,76 @@ def test_personalized_pagerank_unpersists_round_relations(spark, triples):
     cm = spark._jsparkSession.sharedState().cacheManager()
     assert cm.lookupCachedData(edges._jdf).isEmpty()
     assert cm.lookupCachedData(out_deg._jdf).isEmpty()
+
+
+def test_path_bound_carrier_contract(spark, sf_dir):
+    """VERDICT r11 item 8 / ADVICE: the proven-bound side-channel is now
+    an explicit carrier (plans/bounds.py). Reader never crashes on a
+    column literally named like the attribute, never returns a non-int,
+    and a transformation dropping the attribute degrades to the counted
+    fallback with identical rows."""
+    from cm_well_spark.model.lakehouse import (
+        load_infotons,
+        load_predicate_stats,
+        load_triples,
+    )
+    from cm_well_spark.operators import search as S
+    from cm_well_spark.operators.traversal import expand_out
+    from cm_well_spark.plans.bounds import proven_path_bound
+
+    inf = load_infotons(spark, sf_dir)
+    tri = load_triples(spark, sf_dir)
+    st = load_predicate_stats(spark, sf_dir)
+    seeds = S.search(inf, qp="rdfType::Customer,custkey<20", length=None, triples=tri, stats=st)
+    assert isinstance(proven_path_bound(seeds), int)
+    # any transformation drops the carrier -> None, not a Column
+    assert proven_path_bound(seeds.select("path")) is None
+    # a dataset column named like the attribute must not shadow the read
+    shadowed = seeds.select("path", F.lit(1).alias("_cmw_path_bound"))
+    assert proven_path_bound(shadowed) is None
+    out = expand_out(inf, shadowed.select("path"), "inNation>ofRegion", triples=tri, stats=st)
+    assert out.count() > 0
+
+
+def test_traversal_seed_count_elided(spark, sf_dir):
+    """The registry's xg/yg shapes (index-route seeds with stats) must
+    fire ZERO counted checkpoints — the stats proof licenses every
+    broadcast; dropping the carrier re-pays exactly the seed count and
+    returns identical rows."""
+    from cm_well_spark.model.lakehouse import (
+        load_infotons,
+        load_predicate_stats,
+        load_triples,
+    )
+    from cm_well_spark.operators import search as S
+    from cm_well_spark.operators import traversal
+
+    inf = load_infotons(spark, sf_dir)
+    tri = load_triples(spark, sf_dir)
+    st = load_predicate_stats(spark, sf_dir)
+    calls = []
+    orig = traversal.iter_checkpoint_count
+
+    def spy(df, reliable=None):
+        calls.append(1)
+        return orig(df, reliable)
+
+    traversal.iter_checkpoint_count = spy
+    try:
+        seeds = S.search(inf, qp="rdfType::Customer,custkey<20", length=None, triples=tri, stats=st)
+        bounded_rows = sorted(
+            r["path"]
+            for r in traversal.expand_out(inf, seeds, "inNation>ofRegion", triples=tri, stats=st)
+            .select("path").collect()
+        )
+        assert calls == [], "stats-proven traversal paid a counted checkpoint"
+        unbounded = seeds.select("path")  # drops the carrier
+        fallback_rows = sorted(
+            r["path"]
+            for r in traversal.expand_out(inf, unbounded, "inNation>ofRegion", triples=tri, stats=st)
+            .select("path").collect()
+        )
+        assert len(calls) == 1, "carrier-less seeds must pay exactly the seed count"
+        assert bounded_rows == fallback_rows and bounded_rows
+    finally:
+        traversal.iter_checkpoint_count = orig
