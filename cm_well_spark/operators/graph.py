@@ -654,11 +654,14 @@ def bfs_distances(
     — the convergence count (empty frontier short-circuits before
     max_depth) rides the same materialization.
 
-    The edge relation is materialized ONCE as the raw symmetric union
+    The edge relation is materialized ONCE as the raw DIRECTED
     projection — two narrow string columns, NO corpus-wide distinct (a
     full shuffle whose dedup the per-hop frontier distinct already
     provides for free; duplicate edges only produce duplicate frontier
-    candidates). Each hop is then one equi-join of the materialized
+    candidates) and NO symmetric union (r12: the undirected hop probes
+    the one cached relation from both sides instead — half the cache
+    memory, half the materialization). Each hop is then one (or, for
+    undirected walks, two same-job) equi-join(s) of the materialized
     projection against the frontier plus one left-anti join against the
     visited set. Both small relations carry COUNTED broadcast hints
     (their counts are already actions each round — checkpointed
@@ -676,19 +679,20 @@ def bfs_distances(
     # probe side). A lazy PERSIST beats the lazy localCheckpoint here:
     # round 1 still materializes inside its own count job (no up-front
     # serial jobs), but hops 2..n read the columnar in-memory relation
-    # with codegen instead of row-walking LogicalRDD blocks — measured
-    # at sf1 (39M-row symmetric projection, 3 hops, quiet box):
-    # 20.4 s -> 7.2 s for the whole query (r11, guide §5
-    # caching-vs-recompute; the same move as pagerank's round
-    # relations). `reliable=True` keeps the durable checkpoint.
-    proj = (
-        e.select("src", "dst").unionAll(
-            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        if not directed
-        else e.select("src", "dst")
-    )
-    edges = _static_relation(proj, reliable)
+    # with codegen instead of row-walking LogicalRDD blocks (r11, guide
+    # §5 caching-vs-recompute). r12: the UNDIRECTED walk persists the
+    # DIRECTED relation (half the symmetric union's rows — half the
+    # cache memory and half the round-1 materialization) and each hop
+    # probes it from BOTH sides in the same job (src∈frontier -> dst,
+    # dst∈frontier -> src; the two subtrees scan the one cached
+    # relation in parallel). Same row multiset as the symmetric-union
+    # probe, union precedes the same distinct. Interleaved A/B at sf1
+    # (19.5M directed edges, 3 hops): best 12.0 vs 12.1 s, worst
+    # 14.9 vs 21.9 s, signature-identical; the VERDICT-suggested
+    # repartition(src)+sort persist measured WORSE (14.0 s best,
+    # 49 s first call — the sort shuffle dwarfs what SMJ reuse saves)
+    # and was REJECTED. `reliable=True` keeps the durable checkpoint.
+    edges = _static_relation(e.select("src", "dst"), reliable)
     visited, n_frontier = iter_checkpoint_count(
         seeds.select(F.col(seeds.columns[0]).alias("path"))
         .distinct()
@@ -704,10 +708,15 @@ def bfs_distances(
         v = visited.select("path")
         if n_visited <= FRONTIER_BROADCAST_MAX:
             v = F.broadcast(v)
+        hop = edges.join(f, "src").select(F.col("dst").alias("path"))
+        if not directed:
+            hop = hop.unionAll(
+                edges.join(f, edges["dst"] == f["src"]).select(
+                    edges["src"].alias("path")
+                )
+            )
         nxt = (
-            edges.join(f, "src")
-            .select(F.col("dst").alias("path"))
-            .distinct()
+            hop.distinct()
             .join(v, "path", "left_anti")
             .select("path", F.lit(d).cast("long").alias("distance"))
         )
