@@ -238,10 +238,25 @@ def _merge_group(base_pdf: pd.DataFrame, cmd_pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
-# Same counted gate as model/compaction._ISIN_PUSHDOWN_CAP (the write-side
-# twin): above this many distinct paths an isin literal stops being a sane
-# predicate and the affected set falls back to runtime joins.
-_ISIN_PUSHDOWN_CAP = 100_000
+# Cap for routing the write plan through literal isin predicates. r12
+# (ADVICE r11 item 5): the apply_commands plan embeds the list at THREE
+# sites, and the py4j + analyzer cost of the In expressions grows
+# superlinearly — measured at sf0.1 (3 reps, build = plan construction,
+# exec = .count of the rewritten 986k-row table):
+#   batch      isin build / exec      join build / exec
+#   4          0.62 / 0.99            0.51 / 0.71
+#   100        0.51 / 1.46            0.43 / 1.96
+#   500        3.17 / 5.70            1.34 / 6.38
+#   1,000      1.25 / 6.08            0.39 / 6.36
+#   10,000     9.9-28.8 / ~40         0.5 / ~40
+#   95,000     101-120 / 66-81        0.5-0.6 / 45-102
+# The isin route's storage-pruning edge only survives below a few
+# hundred scattered paths; past ~500 the exec advantage is gone and the
+# driver cost explodes. 256 keeps the measured-win region; bigger
+# batches fall back to the broadcast semi/anti joins (AQE-sized, no
+# driver literals). model/compaction keeps its own 100k gate: its isin
+# is one site behind a sargable between() envelope, a different curve.
+_ISIN_PUSHDOWN_CAP = 256
 
 
 def _bounded_command_paths(commands: DataFrame) -> list[str] | None:
