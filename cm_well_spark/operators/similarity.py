@@ -200,6 +200,7 @@ def lsh_topk_batch(
     # CONSTRUCTION (r11, guide §5 — empty-queries then simply flow
     # through the plan to an empty result); dim=None keeps the probe and
     # its typed empty-batch early return.
+    caller_dim = dim is not None
     if dim is None:
         sample = queries.select(F.size(F.col(q_vec_col)).alias("d")).first()
         if sample is None:
@@ -210,6 +211,25 @@ def lsh_topk_batch(
     dim_planes = _planes(dim, n_planes, seed)
     cast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     qcast = F.transform(F.col(q_vec_col), lambda x: x.cast("double"))
+    if caller_dim:
+        # A caller-passed dim is trusted for the plane literals, so a
+        # width mismatch would otherwise DEGRADE silently: zip_with
+        # null-pads, every plane dot goes null, every row lands in
+        # bucket 0 and the query runs near-brute-force (ADVICE r11).
+        # Fold a width assertion into the plan instead — one O(1)
+        # F.size per row, fails fast with the offending width.
+        def _checked(col):
+            return F.when(F.size(col) == dim, col).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("lsh_topk_batch: vector width "),
+                        F.size(col).cast("string"),
+                        F.lit(f" != dim={dim}"),
+                    )
+                )
+            )
+
+        cast, qcast = _checked(cast), _checked(qcast)
     # norms project once per row; each candidate pair then pays one fold
     # (the dot inside cosine_pren), not three (r11, guide §1.2)
     corpus = (
