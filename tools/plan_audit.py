@@ -51,6 +51,8 @@ NLJ_WHITELIST = {
     "agg_rfm_segments": "1-row corpus-max-date crossJoin anchors recency",
     "events_survival_curve": "1-row censoring-horizon (corpus max ts) crossJoin",
     "quality_fk_audit": "four 1-row audit counts assembled by crossJoin",
+    "merge_writer_current": "1-row max(index_time) base crossJoin (r11 change 14: plan-riding writer base)",
+    "history_versions": "1-row max(index_time) base crossJoin (same apply_commands plan)",
     "graph_degree_distribution": "1-row stats + alpha crossJoins over the reduced histogram",
 }
 
